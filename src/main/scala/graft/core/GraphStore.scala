@@ -1,0 +1,168 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's storage layout: two DataFrames mirroring the reference's
+  * two global collections (all-nodes / all-quads,
+  * /root/reference/graph/quadstore.go:102-106), dictionary-encoded like its
+  * kv backend (/root/reference/graph/proto/primitive.proto:21-29) but with
+  * content-hash ids (the sql/nosql backends' `refs.ValueHash`,
+  * /root/reference/graph/refs/refs.go:55-70) so that value→id resolution is
+  * pure computation.
+  *
+  *  - `nodes(id, kind, s, i, d, b, t, lang, dt, sk)`: the dictionary; `sk`
+  *    is the precomputed sort key (`quad.Value.String()` form).
+  *  - `quads(s, p, o, l)`: four long ids; `l` null for unlabeled quads.
+  *
+  * Scale notes (100 TB target): every traversal is an equi-join / literal
+  * filter on longs; the quads table should be written partitioned by a
+  * predicate bucket (`pb = pmod(p, N)`) so predicate-constrained scans prune
+  * files (the kv backend's SP/OPS composite indexes,
+  * /root/reference/graph/kv/indexing.go:62-71, become partition pruning +
+  * Parquet min/max on s/o). The nodes dictionary is ~|distinct values| and
+  * joins broadcast per-predicate slices.
+  */
+final case class Graph(nodes: DataFrame, quads: DataFrame) {
+  def spark: SparkSession = nodes.sparkSession
+
+  def cached(): Graph = Graph(nodes.cache(), quads.cache())
+
+  def stats: (Long, Long) = (nodes.count(), quads.count())
+
+  /** Persist as Parquet. `predicateBuckets > 0` writes quads partitioned by
+    * `pb = pmod(p, buckets)` — the scale path: a query constraining `p`
+    * reads only the matching partition directories.
+    */
+  def write(dir: String, predicateBuckets: Int = 0): Unit = {
+    nodes.write.mode("overwrite").parquet(s"$dir/nodes")
+    if (predicateBuckets > 0)
+      quads.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
+        .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/quads")
+    else quads.write.mode("overwrite").parquet(s"$dir/quads")
+  }
+
+  /** Delta application (the reference's `ApplyDeltas`,
+    * /root/reference/graph/quadwriter.go:49-56): batch add = union+dedup,
+    * delete = anti-join. Snapshot semantics — returns the new Graph.
+    */
+  def addQuads(g2: Graph): Graph = {
+    val q = quads.unionByName(g2.quads).dropDuplicates(Seq("s", "p", "o", "l"))
+    val n = nodes.unionByName(g2.nodes).dropDuplicates("id")
+    Graph(n, q)
+  }
+
+  def deleteQuads(g2: Graph): Graph =
+    Graph(nodes, quads.join(g2.quads,
+      quads("s") === g2.quads("s") && quads("p") === g2.quads("p") &&
+        quads("o") === g2.quads("o") && quads("l") <=> g2.quads("l"),
+      "left_anti"))
+}
+
+object Graph {
+  import NQuads.ParsedQuad
+
+  /** Spark-encodable quad of flat value rows; `lbl` null when unlabeled. */
+  final case class QuadRow(sub: QV, pred: QV, obj: QV, lbl: QV)
+
+  object QuadRow {
+    def apply(q: ParsedQuad): QuadRow =
+      QuadRow(QV(q.s), QV(q.p), QV(q.o), q.l.map(QV(_)).orNull)
+  }
+
+  private def idOf(c: String): org.apache.spark.sql.Column =
+    Values.idCol(col(c))
+
+  /** Build the two tables from a DataFrame with struct columns
+    * (sub, pred, obj, lbl). One shuffle total (nodes dedup); quads need none.
+    */
+  def fromQuadDF(raw0: DataFrame): Graph = {
+    val raw = raw0
+    val quads = raw.select(
+      idOf("sub").as("s"), idOf("pred").as("p"), idOf("obj").as("o"),
+      when(col("lbl").isNull, lit(null).cast(LongType))
+        .otherwise(idOf("lbl")).as("l"))
+    val nodes = Seq("sub", "pred", "obj", "lbl")
+      .map(c => raw.select(col(c).as("v")))
+      .reduce(_ unionAll _)
+      .where(col("v").isNotNull)
+      .select(Values.idCol(col("v")).as("id"), col("v.*"))
+      .withColumn("sk", Values.sortKeyCol(col))
+      .dropDuplicates("id")
+    Graph(nodes, quads)
+  }
+
+  def fromQuads(spark: SparkSession, qs: Seq[ParsedQuad]): Graph = {
+    import spark.implicits._
+    fromQuadDF(spark.createDataset(qs.map(QuadRow(_))).toDF())
+  }
+
+  /** N-Quads reader: distributed line parse (gz/bz2 auto-decompressed by
+    * the text source, like the reference's decompressor,
+    * /root/reference/internal/decompressor).
+    */
+  def fromNQuads(spark: SparkSession, path: String): Graph = {
+    import spark.implicits._
+    val rows = spark.read.textFile(path)
+      .flatMap(l => NQuads.parseLine(l).map(QuadRow(_)))
+    fromQuadDF(rows.toDF())
+  }
+
+  def read(spark: SparkSession, dir: String): Graph =
+    Graph(spark.read.parquet(s"$dir/nodes"),
+      spark.read.parquet(s"$dir/quads").drop("pb"))
+
+  /** Deterministically quad-ify a relational table: each row becomes
+    * `(<table:pk>, <column>, typedValue)` triples. Gives graph-parity tests
+    * and the DuckDB oracle a shared, SQL-expressible ground truth.
+    */
+  def quadifyTable(df: DataFrame, table: String, pkCol: String): DataFrame = {
+    def qv(kind: Int, s: org.apache.spark.sql.Column = lit(null).cast(StringType),
+           i: org.apache.spark.sql.Column = lit(null).cast(LongType),
+           d: org.apache.spark.sql.Column = lit(null).cast(DoubleType),
+           b: org.apache.spark.sql.Column = lit(null).cast(BooleanType),
+           t: org.apache.spark.sql.Column = lit(null).cast(LongType),
+           lang: org.apache.spark.sql.Column = lit(null).cast(StringType),
+           dt: org.apache.spark.sql.Column = lit(null).cast(StringType)) =
+      struct(lit(kind).as("kind"), s.as("s"), i.as("i"), d.as("d"), b.as("b"),
+        t.as("t"), lang.as("lang"), dt.as("dt"))
+
+    val subj = qv(Kind.Iri,
+      s = concat(lit(table + ":"), col(pkCol).cast(StringType)))
+    val perCol = df.schema.fields.filter(_.name != pkCol).map { f =>
+      val c = col(f.name)
+      val obj = f.dataType match {
+        case StringType => qv(Kind.Str, s = c)
+        case LongType | IntegerType | ShortType =>
+          qv(Kind.IntK, i = c.cast(LongType))
+        case DoubleType | FloatType => qv(Kind.FloatK, d = c.cast(DoubleType))
+        case BooleanType => qv(Kind.BoolK, b = c)
+        case TimestampType => qv(Kind.TimeK, t = unix_micros(c))
+        case DateType =>
+          qv(Kind.TimeK, t = unix_micros(c.cast(TimestampType)))
+        case other =>
+          qv(Kind.Str, s = c.cast(StringType))
+      }
+      df.where(c.isNotNull).select(subj.as("sub"),
+        qv(Kind.Iri, s = lit(f.name)).as("pred"), obj.as("obj"),
+        lit(null).cast(Values.structType).as("lbl"))
+    }
+    perCol.reduce(_ unionAll _)
+  }
+
+  /** Quadify foreign-key edges: `(<table:pk>, <edgeName>, <refTable:fk>)`. */
+  def quadifyEdge(df: DataFrame, table: String, pkCol: String,
+                  edgeName: String, refTable: String, fkCol: String): DataFrame = {
+    def iri(c: org.apache.spark.sql.Column) =
+      struct(lit(Kind.Iri).as("kind"), c.as("s"),
+        lit(null).cast(LongType).as("i"), lit(null).cast(DoubleType).as("d"),
+        lit(null).cast(BooleanType).as("b"), lit(null).cast(LongType).as("t"),
+        lit(null).cast(StringType).as("lang"), lit(null).cast(StringType).as("dt"))
+    df.where(col(fkCol).isNotNull).select(
+      iri(concat(lit(table + ":"), col(pkCol).cast(StringType))).as("sub"),
+      iri(lit(edgeName)).as("pred"),
+      iri(concat(lit(refTable + ":"), col(fkCol).cast(StringType))).as("obj"),
+      lit(null).cast(Values.structType).as("lbl"))
+  }
+}

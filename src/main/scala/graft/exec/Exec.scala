@@ -1,0 +1,94 @@
+package graft.exec
+
+import graft.core.{Graph, QValue}
+import graft.path.Path
+import graft.shape.{Lower, Shape}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Finals / collation — the chain-driver analog
+  * (/root/reference/graph/iterator/iterate.go): turn a lowered working set
+  * into values / tag maps, resolving ids against the nodes dictionary.
+  * Count results arrive pre-resolved (a `kind` column) and skip the join.
+  */
+final class Results(g: Graph, val df: DataFrame) {
+  import Lower.{ID, TagPrefix, tagCol}
+
+  private def isPreResolved: Boolean = df.columns.contains("kind")
+
+  /** Resolve one id column to values, preserving row order via a
+    * monotonic ordinal (orderBy survives the dictionary join).
+    */
+  private def resolveCol(colName: String): Seq[Option[QValue]] = {
+    // alias-qualified: the working set often derives from the dictionary
+    val ordered = df.withColumn("__ord", monotonically_increasing_id())
+      .alias("__rl")
+    val n = g.nodes.alias("__rr")
+    val joined = ordered
+      .join(n, col("__rl." + colName) === col("__rr.id"), "left")
+      .select(col("__rl.__ord"), col("__rr.kind"), col("__rr.s"),
+        col("__rr.i"), col("__rr.d"), col("__rr.b"), col("__rr.t"),
+        col("__rr.lang"), col("__rr.dt"))
+      .orderBy("__ord")
+    joined.collect().toSeq.map { r =>
+      if (r.isNullAt(1)) None
+      else Some(QValue.fromFields(r.getInt(1), r.getString(2),
+        if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
+        if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
+        if (r.isNullAt(5)) null else java.lang.Boolean.valueOf(r.getBoolean(5)),
+        if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6)),
+        r.getString(7), r.getString(8)))
+    }
+  }
+
+  private def preResolvedValues(): Seq[QValue] =
+    df.select(col("kind"), col("s"), col("i"), col("d"), col("b"), col("t"),
+      col("lang"), col("dt")).collect().toSeq.map { r =>
+      QValue.fromFields(r.getInt(0), r.getString(1),
+        if (r.isNullAt(2)) null else java.lang.Long.valueOf(r.getLong(2)),
+        if (r.isNullAt(3)) null else java.lang.Double.valueOf(r.getDouble(3)),
+        if (r.isNullAt(4)) null else java.lang.Boolean.valueOf(r.getBoolean(4)),
+        if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+        r.getString(6), r.getString(7))
+    }
+
+  /** Top-level result values (AllValues, iterate.go). */
+  def values(): Seq[QValue] =
+    if (isPreResolved) preResolvedValues()
+    else resolveCol(ID).flatten
+
+  /** Values bound to one tag across all paths (TagEach). `keepEmpty`
+    * substitutes `""` for rows without the tag (pathtest runTag).
+    */
+  def tagValues(tag: String, keepEmpty: Boolean = false): Seq[QValue] = {
+    val c = tagCol(tag)
+    if (!df.columns.contains(c)) {
+      if (keepEmpty) Seq.fill(df.count().toInt)(QValue.Str("")) else Nil
+    } else {
+      val vs = resolveCol(c)
+      if (keepEmpty) vs.map(_.getOrElse(QValue.Str(""))) else vs.flatten
+    }
+  }
+
+  /** All tag bindings per path row (TagEach with all tags). */
+  def tagMaps(includeTopLevel: Boolean = false): Seq[Map[String, QValue]] = {
+    val tags = Lower.tagCols(df).map(_.stripPrefix(TagPrefix))
+    val cols = (if (includeTopLevel) Seq(ID -> ID) else Nil) ++
+      tags.map(t => tagCol(t) -> t)
+    val resolved: Seq[(String, Seq[Option[QValue]])] =
+      cols.map { case (c, name) => name -> resolveCol(c) }
+    val nRows = df.count().toInt
+    (0 until nRows).map { i =>
+      resolved.flatMap { case (name, vs) => vs(i).map(name -> _) }.toMap
+    }
+  }
+
+  def count(): Long = df.count()
+}
+
+/** Query execution entry: Path/Shape → optimized Shape → DataFrame. */
+object Exec {
+  def lower(g: Graph, s: Shape): DataFrame = new Lower(g)(s)
+  def run(g: Graph, p: Path): Results = new Results(g, lower(g, p.shape()))
+  def run(g: Graph, s: Shape): Results = new Results(g, lower(g, s))
+}

@@ -1,0 +1,248 @@
+package graft.shape
+
+import graft.core.{Graph, Kind, QValue, Values}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shape → DataFrame compiler (the analog of the reference's SQL backend
+  * compiler, /root/reference/graph/sql/optimizer.go, with Catalyst as the
+  * only dialect). The working set of a node shape is a DataFrame with an
+  * `id` long column plus one `_t_<name>` column per tag; a quad shape
+  * lowers to the quads table (s,p,o,l) plus tag columns.
+  *
+  * Design rules (SURVEY §7.3):
+  *  - Tags are columns; never deduplicate implicitly — row multiplicity is
+  *    the reference's NextPath enumeration and is observable.
+  *  - Fixed value sets lower to literal `isin` filters (ids are content
+  *    hashes computed at plan time) so predicate/subject constraints reach
+  *    the Parquet scan as pushed filters — the QuadsAction single-scan
+  *    fusion (shape.go:622-732) falls out of this for free.
+  *  - Everything else is equi-joins on longs; Catalyst/AQE picks
+  *    broadcast vs shuffle and the join order (and_optimize.go's cost
+  *    model, not rebuilt here).
+  */
+object Lower {
+  val ID = "id"
+  val TagPrefix = "_t_"
+  def tagCol(tag: String): String = TagPrefix + tag
+
+  def tagCols(df: DataFrame): Seq[String] =
+    df.columns.filter(_.startsWith(TagPrefix)).toSeq
+
+  /** Default recursion ceiling (reference recursive.go:19). */
+  val DefaultMaxRecursive = 50
+}
+
+final class Lower(g: Graph) {
+  import Lower._
+  private val spark = g.spark
+  import spark.implicits._
+
+  def apply(s: Shape): DataFrame = nodes(Shape.optimize(s))
+
+  // ------------------------------------------------------------------ nodes
+  def nodes(s: Shape): DataFrame = s match {
+    case Shape.AllNodes => g.nodes.select(col("id").as(ID))
+    case Shape.Null     => emptyNodes()
+    case Shape.Fixed(vs) =>
+      vs.map(QValue.id).toDS().toDF(ID)
+    case Shape.Embed(df) => df
+
+    case Shape.NodesFrom(dir, q) =>
+      val qdf = quads(q)
+      val base = if (dir == Dir.L) qdf.where(col("l").isNotNull) else qdf
+      base.select((col(dir.colName).as(ID) +: tagCols(qdf).map(col)): _*)
+
+    case Shape.Intersect(sub, opt) =>
+      // Fixed branches become literal id filters on the joined rest.
+      val (fixed, rest) = sub.partition(_.isInstanceOf[Shape.Fixed])
+      var df =
+        if (rest.isEmpty) nodes(fixed.head)
+        else rest.map(nodes).reduce(joinOnId(_, _, "inner"))
+      val fixedToFilter = if (rest.isEmpty) fixed.tail else fixed
+      fixedToFilter.foreach { case Shape.Fixed(vs) =>
+        val ids = vs.map(QValue.id)
+        df = ids match {
+          case Seq(one) => df.where(col(ID) === lit(one))
+          case many     => df.where(col(ID).isin(many: _*))
+        }
+      }
+      opt.foldLeft(df)(optionalJoin)
+
+    case Shape.Union(sub) =>
+      sub.map(nodes).reduce(_.unionByName(_, allowMissingColumns = true))
+
+    case Shape.Except(ex, from) =>
+      nodes(from).join(nodes(ex).select(ID).distinct(), Seq(ID), "left_anti")
+
+    case Shape.Filter(from, fs) =>
+      val pred = fs.map(filterPredicate).reduce(_ && _)
+      from match {
+        // filter over the dictionary itself: plain scan, no join
+        case Shape.AllNodes =>
+          g.nodes.where(pred).select(col("id").as(ID))
+        case _ =>
+          // alias-qualified to allow self-joins against the dictionary
+          val l = nodes(from).alias("__fl")
+          val r = g.nodes.where(pred).select(col("id")).alias("__fr")
+          l.join(r, col("__fl." + ID) === col("__fr.id"), "left_semi")
+      }
+
+    case Shape.Save(tags, from) =>
+      tags.foldLeft(nodes(from))((d, t) => d.withColumn(tagCol(t), col(ID)))
+
+    case Shape.FixedTags(tags, on) =>
+      tags.foldLeft(nodes(on)) { case (d, (t, v)) =>
+        d.withColumn(tagCol(t), lit(QValue.id(v)))
+      }
+
+    case Shape.Back(from, tag) =>
+      nodes(from).withColumn(ID, col(tagCol(tag)))
+
+    case Shape.Unique(from) => nodes(from).dropDuplicates(ID)
+
+    case Shape.Page(from, skip, limit) =>
+      var df = nodes(from)
+      if (skip > 0) df = df.offset(skip.toInt)
+      if (limit > 0) df = df.limit(limit.toInt)
+      df
+
+    case Shape.Sort(from) =>
+      val df = nodes(from)
+      val l = df.alias("__sl")
+      val r = g.nodes.select(col("id").as("__sid"), col("sk").as("__sk"))
+        .alias("__sr")
+      l.join(r, col("__sl." + ID) === col("__sr.__sid"), "left")
+        .orderBy(col("__sr.__sk"))
+        .select(df.columns.map(c => col("__sl." + c)): _*)
+
+    case Shape.Count(values) =>
+      // Pre-resolved one-row result (the Count iterator emits a synthetic
+      // Int value, count.go:15-60); finals detect the `kind` column.
+      nodes(values).agg(count(lit(1)).as("i")).select(
+        lit(Kind.IntK).as("kind"), lit(null).cast(StringType).as("s"),
+        col("i"), lit(null).cast(DoubleType).as("d"),
+        lit(null).cast(BooleanType).as("b"), lit(null).cast(LongType).as("t"),
+        lit(null).cast(StringType).as("lang"),
+        lit(null).cast(StringType).as("dt"))
+
+    case Shape.Materialize(v) => nodes(v).cache()
+
+    case Shape.Recursive(from, step, maxDepth, _) =>
+      recursive(from, step, maxDepth)
+
+    case q: Shape.Quads =>
+      throw new IllegalArgumentException(s"quad shape in node position: $q")
+  }
+
+  // ------------------------------------------------------------------ quads
+  def quads(s: Shape): DataFrame = s match {
+    case Shape.Quads(filters) => filters.foldLeft(g.quads)(applyQuadFilter)
+    case other =>
+      throw new IllegalArgumentException(s"node shape in quad position: $other")
+  }
+
+  private def applyQuadFilter(df: DataFrame, f: Shape.QuadFilter): DataFrame = {
+    val dirCol = col(f.dir.colName)
+    f.values match {
+      case Shape.AllNodes => df
+      case Shape.Null     => df.where(lit(false))
+      case Shape.Fixed(vs) =>
+        val ids = vs.map(QValue.id)
+        ids match {
+          case Seq(one) => df.where(dirCol === lit(one))
+          case many     => df.where(dirCol.isin(many: _*))
+        }
+      // Save over AllNodes / Fixed on a direction = tag that direction —
+      // no join (part of the QuadsAction fusion, shape.go:588-617).
+      case Shape.Save(tags, Shape.AllNodes) =>
+        tags.foldLeft(df)((d, t) => d.withColumn(tagCol(t), dirCol))
+      case Shape.Save(tags, Shape.Fixed(vs)) =>
+        val filtered = applyQuadFilter(df, Shape.QuadFilter(f.dir, Shape.Fixed(vs)))
+        tags.foldLeft(filtered)((d, t) => d.withColumn(tagCol(t), dirCol))
+      case sub =>
+        val ndf = nodes(sub)
+        val keep = tagCols(ndf).filterNot(df.columns.contains)
+        val right = ndf.select((col(ID).as("__k") +: keep.map(col)): _*)
+        df.join(right, dirCol === col("__k")).drop("__k")
+    }
+  }
+
+  // ------------------------------------------------------------- helpers
+  private def emptyNodes(): DataFrame = spark.range(0).select(col("id").as(ID))
+
+  /** Inner/left join on id, keeping left's tag columns on conflict. */
+  private def joinOnId(left: DataFrame, right: DataFrame, how: String): DataFrame = {
+    val dup = tagCols(right).filter(left.columns.contains)
+    left.join(dup.foldLeft(right)(_ drop _), Seq(ID), how)
+  }
+
+  /** Optional branch: binds tags only; enumerates multiple matches
+    * (IntersectOpt, shape.go:1142-1246).
+    */
+  private def optionalJoin(left: DataFrame, optShape: Shape): DataFrame = {
+    val odf = nodes(optShape)
+    val keep = tagCols(odf).filterNot(left.columns.contains)
+    left.join(odf.select((col(ID) +: keep.map(col)): _*), Seq(ID), "left_outer")
+  }
+
+  /** Within-type value predicate over the nodes dictionary columns
+    * (value_comparison.go:62-100 semantics).
+    */
+  private def filterPredicate(f: ValueFilter): Column = f match {
+    case ValueFilter.Comparison(op, v) =>
+      import ValueFilter._
+      def cmp(c: Column, l: Column): Column = op match {
+        case LT  => c < l
+        case LTE => c <= l
+        case GT  => c > l
+        case GTE => c >= l
+      }
+      v match {
+        case QValue.IntV(x)   => col("kind") === Kind.IntK && cmp(col("i"), lit(x))
+        case QValue.FloatV(x) => col("kind") === Kind.FloatK && cmp(col("d"), lit(x))
+        case QValue.Str(x)    => col("kind") === Kind.Str && cmp(col("s"), lit(x))
+        case QValue.Iri(x)    => col("kind") === Kind.Iri && cmp(col("s"), lit(x))
+        case QValue.BNode(x)  => col("kind") === Kind.BNode && cmp(col("s"), lit(x))
+        case QValue.TimeV(x)  => col("kind") === Kind.TimeK && cmp(col("t"), lit(x))
+        case other            => cmp(col("sk"), lit(other.sortKey))
+      }
+    case ValueFilter.Regexp(pattern, withRefs) =>
+      val strKinds = Seq(Kind.Str, Kind.LangStr, Kind.TypedStr)
+      val kinds = if (withRefs) strKinds ++ Seq(Kind.Iri, Kind.BNode) else strKinds
+      col("kind").isin(kinds.map(Integer.valueOf): _*) && col("s").rlike(pattern)
+    case ValueFilter.Wildcard(pattern) =>
+      // %/? wildcard over the string payload, refs included
+      // (shape.go:362-407; the pathtest corpus matches IRIs).
+      val regex = "^" + pattern.flatMap {
+        case '%' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
+        case c   => c.toString
+      } + "$"
+      col("s").isNotNull && col("s").rlike(regex)
+  }
+
+  /** Iterative transitive closure: frontier/seen loop with localCheckpoint
+    * to cut lineage (SURVEY §7.3 item 4). Each iteration is one distributed
+    * join; the loop itself is driver-side control flow only.
+    */
+  private def recursive(from: Shape, step: Shape => Shape, maxDepth: Int): DataFrame = {
+    val maxD = if (maxDepth <= 0) DefaultMaxRecursive else maxDepth
+    val start = nodes(from).select(ID).distinct().localCheckpoint()
+    var frontier = start
+    var seen = start
+    var acc: DataFrame = emptyNodes()
+    var depth = 0
+    while (depth < maxD && !frontier.isEmpty) {
+      val next = nodes(step(Shape.Embed(frontier))).select(ID).distinct()
+      val fresh = next.join(seen, Seq(ID), "left_anti").localCheckpoint()
+      acc = acc.unionByName(fresh)
+      seen = seen.unionByName(fresh).localCheckpoint()
+      frontier = fresh
+      depth += 1
+    }
+    acc
+  }
+}
