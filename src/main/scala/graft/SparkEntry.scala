@@ -1,13 +1,354 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.analytics.{Dedup, Similarity, TextOps}
+import graft.core.{Graph, QValue}
+import graft.exec.{Exec, Results}
+import graft.path.Path
+import graft.shape.{Lower, ValueFilter}
+import graft.shape.ValueFilter._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with an ANSI-SQL oracle where SQL can express it.
+  *
+  * Graph-operator queries run through the full engine (quadified TPC-H
+  * tables → dictionary-encoded graph → Path DSL → Shape → lowered plan);
+  * their oracles are the equivalent relational SQL. Pipeline operators
+  * (dedup/similarity/text) run the analytics modules directly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  import scala.collection.concurrent.TrieMap
+  private val graphCache = TrieMap.empty[String, Graph]
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark reads only as
+    * long via the legacy conf; normalize to a microsecond TimestampType
+    * column regardless of the session's setting.
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = t(s, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => df
+    }
+  }
+
+  def iri(s: String): QValue = QValue.Iri(s)
+  def str(s: String): QValue = QValue.Str(s)
+
+  /** Quadified star-schema graph:
+    * customer --c_nation--> nation --n_region--> region, plus attribute
+    * quads (labeled `tbl:<table>`), supplier/orders edges, and a synthetic
+    * `n_prev` chain (nation k → k-1) for recursion tests.
+    */
+  def graph(s: SparkSession, dir: String): Graph =
+    graphCache.getOrElseUpdate(dir, {
+      val customer = t(s, dir, "customer"); val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region"); val supplier = t(s, dir, "supplier")
+      val orders = t(s, dir, "orders")
+      val nationPrev = nation
+        .withColumn("prevkey", col("n_nationkey") - 1)
+        .where(col("prevkey") >= 0)
+      val parts = Seq(
+        Graph.quadifyTable(customer, "customer", "c_custkey", Some("tbl:customer")),
+        Graph.quadifyEdge(customer, "customer", "c_custkey", "c_nation", "nation", "c_nationkey"),
+        Graph.quadifyTable(nation, "nation", "n_nationkey", Some("tbl:nation")),
+        Graph.quadifyEdge(nation, "nation", "n_nationkey", "n_region", "region", "n_regionkey"),
+        Graph.quadifyEdge(nationPrev, "nation", "n_nationkey", "n_prev", "nation", "prevkey"),
+        Graph.quadifyTable(region, "region", "r_regionkey", Some("tbl:region")),
+        Graph.quadifyEdge(supplier, "supplier", "s_suppkey", "s_nation", "nation", "s_nationkey"),
+        Graph.quadifyEdge(orders, "orders", "o_orderkey", "o_cust", "customer", "o_custkey"))
+      Graph.fromQuadDF(parts.reduce(_ unionAll _)).cached()
+    })
+
+  private def run(s: SparkSession, dir: String, p: Path): Results =
+    Exec.run(graph(s, dir), p)
+
+  /** Flagship: 2-hop traversal customer→nation→region→name on sf0.001. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    run(spark, dir, Path.start().out(iri("c_nation")).out(iri("n_region"))
+      .out(iri("r_name"))).payloadDF("id" -> "node")
+  }
+
+  // ======================================================== graph operators
+  private val graphQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // HasA/LinksTo projection: Out (SURVEY §2.1 HasA+LinksTo)
+    "g_out" -> ((s, d) => run(s, d, Path.start().out(iri("c_nation")))
+      .payloadDF("id" -> "node")),
+    // reverse traversal: In
+    "g_in" -> ((s, d) => run(s, d, Path.start().in(iri("c_nation")))
+      .payloadDF("id" -> "node")),
+    // multi-hop chain (join pipeline)
+    "g_out_chain" -> ((s, d) => run(s, d, Path.start().out(iri("c_nation"))
+      .out(iri("n_region")).out(iri("r_name"))).payloadDF("id" -> "node")),
+    // Has: constrain without moving
+    "g_has" -> ((s, d) => run(s, d,
+      Path.start().has(iri("c_mktsegment"), str("BUILDING")))
+      .payloadDF("id" -> "node")),
+    // And = intersection
+    "g_and" -> ((s, d) => run(s, d,
+      Path.start().has(iri("c_mktsegment"), str("BUILDING"))
+        .and(Path.start().hasFilter(iri("c_acctbal"), rev = false,
+          Comparison(GT, QValue.FloatV(5000.0)))))
+      .payloadDF("id" -> "node")),
+    // Or = union (keeps per-path multiplicity)
+    "g_or" -> ((s, d) => run(s, d,
+      Path.start().has(iri("c_mktsegment"), str("BUILDING"))
+        .or(Path.start().has(iri("c_mktsegment"), str("MACHINERY"))))
+      .payloadDF("id" -> "node")),
+    // Except = anti-join
+    "g_except" -> ((s, d) => run(s, d,
+      Path.start().has(iri("c_mktsegment"))
+        .except(Path.start().has(iri("c_mktsegment"), str("BUILDING"))))
+      .payloadDF("id" -> "node")),
+    // Unique = dropDuplicates
+    "g_unique" -> ((s, d) => run(s, d,
+      Path.start().out(iri("c_nation")).unique()).payloadDF("id" -> "node")),
+    // Count (one-row synthetic value)
+    "g_count" -> ((s, d) => run(s, d,
+      Path.start().has(iri("c_mktsegment"), str("BUILDING")).count())
+      .df.select(col("i").as("cnt"))),
+    // Save: tags are columns
+    "g_save" -> ((s, d) => run(s, d,
+      Path.start().in(iri("c_nation")).save(iri("c_nation"), "nat"))
+      .payloadDF("id" -> "node", Lower.tagCol("nat") -> "nat")),
+    // Optional (left-outer tag binding)
+    "g_optional" -> ((s, d) => run(s, d,
+      Path.start().has(iri("c_mktsegment"))
+        .saveOptionalReverse(iri("o_cust"), "ord"))
+      .payloadDF("id" -> "node", Lower.tagCol("ord") -> "ord")),
+    // Comparison filter (within-type range)
+    "g_filter_range" -> ((s, d) => run(s, d,
+      Path.start().hasFilter(iri("c_acctbal"), rev = false,
+        Comparison(GT, QValue.FloatV(9000.0)))).payloadDF("id" -> "node")),
+    // Regex filter over value strings
+    "g_regex" -> ((s, d) => run(s, d,
+      Path.start().out(iri("n_name")).regex("^NATION_1")).payloadDF("id" -> "node")),
+    // Sort + Page (offset/limit after value ordering)
+    "g_order_page" -> ((s, d) => run(s, d,
+      Path.start().out(iri("n_name")).order().skip(5).limit(10))
+      .payloadDF("id" -> "node")),
+    // Recursive traversal (iterative closure)
+    "g_recursive" -> ((s, d) => run(s, d,
+      Path.start(iri("nation:10")).followRecursive(iri("n_prev")))
+      .payloadDF("id" -> "node")),
+    // Tag + Is + Back (re-root at tag)
+    "g_back" -> ((s, d) => run(s, d,
+      Path.start().tag("c").out(iri("c_nation")).is(iri("nation:7")).back("c"))
+      .payloadDF("id" -> "node")),
+    // Predicate enumeration
+    "g_predicates" -> ((s, d) => run(s, d,
+      Path.start(iri("customer:1")).outPredicates()).payloadDF("id" -> "node")),
+    // Labels of quads
+    "g_labels" -> ((s, d) => run(s, d,
+      Path.start(iri("customer:1")).labels()).payloadDF("id" -> "node")),
+    // LabelContext scoping
+    "g_label_ctx" -> ((s, d) => run(s, d,
+      Path.start(iri("customer:1")).labelContext(iri("tbl:customer"))
+        .out(iri("c_name"))).payloadDF("id" -> "node")))
+
+  private val graphOracles: Map[String, String] = Map(
+    "g_out" -> "SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS node FROM customer",
+    "g_in" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer",
+    "g_out_chain" ->
+      """SELECT r.r_name AS node FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "g_has" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "g_and" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 5000",
+    "g_or" ->
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL
+        |SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_mktsegment = 'MACHINERY'""".stripMargin,
+    "g_except" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_mktsegment <> 'BUILDING'",
+    "g_unique" -> "SELECT DISTINCT 'nation:' || CAST(c_nationkey AS VARCHAR) AS node FROM customer",
+    "g_count" -> "SELECT COUNT(*) AS cnt FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "g_save" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node, 'nation:' || CAST(c_nationkey AS VARCHAR) AS nat FROM customer",
+    "g_optional" ->
+      """SELECT 'customer:' || CAST(c.c_custkey AS VARCHAR) AS node,
+        |       CASE WHEN o.o_orderkey IS NULL THEN NULL
+        |            ELSE 'orders:' || CAST(o.o_orderkey AS VARCHAR) END AS ord
+        |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
+    "g_filter_range" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_acctbal > 9000",
+    "g_regex" -> "SELECT n_name AS node FROM nation WHERE regexp_matches(n_name, '^NATION_1')",
+    "g_order_page" -> "SELECT n_name AS node FROM (SELECT n_name FROM nation ORDER BY n_name OFFSET 5 LIMIT 10)",
+    "g_recursive" ->
+      """WITH RECURSIVE reach(k) AS (
+        |  SELECT 9
+        |  UNION ALL
+        |  SELECT k - 1 FROM reach WHERE k > 0)
+        |SELECT 'nation:' || CAST(k AS VARCHAR) AS node FROM reach""".stripMargin,
+    "g_back" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_nationkey = 7",
+    "g_predicates" ->
+      """SELECT 'c_name' AS node UNION ALL SELECT 'c_nationkey'
+        |UNION ALL SELECT 'c_acctbal' UNION ALL SELECT 'c_mktsegment'
+        |UNION ALL SELECT 'c_nation'""".stripMargin,
+    "g_labels" -> "SELECT 'tbl:customer' AS node",
+    "g_label_ctx" -> "SELECT c_name AS node FROM customer WHERE c_custkey = 1")
+
+  // ===================================================== pipeline operators
+  private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact dedup: md5-fingerprint group-by, keep min id
+    "dedup_exact" -> ((s, d) =>
+      Dedup.exact(t(s, d, "documents"), "doc_id", "text").select("doc_id")),
+    // content fingerprint (md5 of canonical form)
+    "text_fingerprint" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
+    // token counting
+    "text_tokens" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))),
+    // quality facets (integer-only, hash-stable)
+    "text_quality" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val facets = TextOps.qualityFacets(col("text"))
+      doc.select((col("doc_id") +: facets.map { case (n, c) => c.as(n) }): _*)
+    }),
+    // language-ID heuristic (marker CASE-chain, mirrored in SQL)
+    "text_langid" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+    // MinHash+LSH near-dup candidate pairs (no SQL oracle: rows-only)
+    "dedup_minhash" -> ((s, d) =>
+      Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)),
+    // SimHash near-dup pairs (rows-only)
+    "dedup_simhash" -> ((s, d) =>
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        maxHamming = 16)),
+    // exact n-gram Jaccard verification over LSH candidates (rows-only)
+    "dedup_ngram" -> ((s, d) => {
+      val doc = t(s, d, "documents")
+      val cand = Dedup.minhashPairs(doc, "doc_id", "text", threshold = 0.3)
+        .select("id_a", "id_b")
+      Dedup.ngramJaccardPairs(doc, "doc_id", "text", cand)
+    }),
+    // brute-force cosine top-k (ids only; scores are float-order sensitive)
+    "sim_topk" -> ((s, d) =>
+      Similarity.bruteTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10).select("vec_id")),
+    // batched top-k: nearest neighbor per probe (ids only)
+    "sim_batch_topk" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.batchTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
+        "embedding", k = 3).select("query_id", "id")
+    }),
+    // LSH-bucketed ANN (recall<1 by design: rows-only)
+    "sim_ann" -> ((s, d) =>
+      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryId = 0L, k = 10, bits = 4).select("vec_id", "score")),
+    // embedding-cosine near-dup pairs (rows-only)
+    "emb_neardup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64, threshold = 0.25, bits = 4)))
+
+  private val pipelineOracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM documents
+        |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
+    "text_tokens" ->
+      """SELECT doc_id, CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+        |ELSE length(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS n_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(t) AS BIGINT) AS n_chars,
+        |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE length(string_split(t,' ')) END AS BIGINT) AS n_tokens,
+        |  CAST(length(text) - length(replace(replace(replace(text,'.',''),'!',''),'?','')) AS BIGINT) AS n_punct,
+        |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE list_max(list_transform(string_split(t,' '), w -> length(w))) END AS BIGINT) AS max_word_len
+        |FROM n""".stripMargin,
+    "text_langid" ->
+      """WITH n AS (SELECT doc_id,
+        |  ' ' || trim(regexp_replace(lower(text), '\s+', ' ', 'g')) || ' ' AS t FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN t LIKE '% der %' OR t LIKE '% und %' OR t LIKE '% nicht %' THEN 'de'
+        |       WHEN t LIKE '% le %' OR t LIKE '% la %' OR t LIKE '% et %' THEN 'fr'
+        |       WHEN t LIKE '% el %' OR t LIKE '% los %' OR t LIKE '% una %' THEN 'es'
+        |       WHEN regexp_matches(t, '[一-鿿]') THEN 'zh'
+        |       WHEN t LIKE '% the %' OR t LIKE '% and %' OR t LIKE '% of %' THEN 'en'
+        |       ELSE 'unk' END AS lang_pred
+        |FROM n""".stripMargin,
+    "sim_topk" ->
+      """WITH q AS (SELECT embedding AS e FROM embeddings WHERE vec_id = 0)
+        |SELECT a.vec_id FROM embeddings a, q WHERE a.vec_id <> 0
+        |ORDER BY list_cosine_similarity(a.embedding, q.e) DESC, a.vec_id
+        |LIMIT 10""".stripMargin,
+    "sim_batch_topk" ->
+      """SELECT query_id, id FROM (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS rn
+        |  FROM embeddings c JOIN embeddings p
+        |    ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
+        |WHERE rn <= 3""".stripMargin)
+
+  // ==================================================== relational/streaming
+  private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // wide aggregation (map-side partial agg + one shuffle)
+    "q1_agg" -> ((s, d) => t(s, d, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("l_quantity").cast("double").as("sum_qty"),
+        count(lit(1)).as("n"),
+        countDistinct("l_orderkey").as("n_orders"))),
+    // selective join + agg (broadcastable dimension side)
+    "q3_join" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+      val o = t(s, d, "orders")
+        .where(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("l_quantity").cast("double").as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+    // tumbling-window aggregation over the event stream table
+    "q_window" -> ((s, d) => events(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"))),
+    // top-k per group via window function
+    "q_topk_users" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = events(s, d).select("event_type", "user_id")
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("user_id"))
+      per.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+        .select("event_type", "user_id", "n", "rk")
+    }))
+
+  private val relationalOracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n, COUNT(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      """SELECT o_orderpriority, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q_window" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_topk_users" ->
+      """SELECT event_type, user_id, n, rk FROM (
+        |  SELECT event_type, user_id, COUNT(*) AS n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY COUNT(*) DESC, user_id) AS rk
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rk <= 3""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graphQueries ++ pipelineQueries ++ relationalQueries
+
+  def oracleSql: Map[String, String] =
+    graphOracles ++ pipelineOracles ++ relationalOracles
 }

@@ -1,0 +1,81 @@
+package graft.analytics
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline primitives for training-data curation at scale. All are
+  * pure column expressions (whole-stage codegen, no UDFs) and each has an
+  * exact ANSI-SQL mirror used by the DuckDB oracle — determinism is part of
+  * the contract (same input → same score on any engine).
+  */
+object TextOps {
+  /** Canonical text form: lowercase, whitespace collapsed, trimmed. */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Whitespace token count; 0 for blank text. */
+  def tokenCount(text: Column): Column = {
+    val t = normalize(text)
+    when(length(t) === 0, lit(0)).otherwise(size(split(t, " ")))
+  }
+
+  /** A BPE-ish subword proxy: tokens plus one extra unit per 4 chars of
+    * long words (approximates byte-pair splits of rare words without a
+    * vocab; deterministic and SQL-mirrorable).
+    */
+  def subwordCount(text: Column): Column = {
+    val t = normalize(text)
+    when(length(t) === 0, lit(0)).otherwise(
+      size(split(t, " ")) +
+        aggregate(split(t, " "), lit(0),
+          (acc, w) => acc + greatest(lit(0), (length(w) - 1) / 4)))
+  }
+
+  /** Stopword-marker language guess. The fixed marker list keeps it a
+    * CASE-chain any SQL engine can mirror; real corpora would swap in a
+    * larger n-gram table (same plan shape: scan + case, no shuffle).
+    */
+  def langId(text: Column): Column = {
+    val t = concat(lit(" "), normalize(text), lit(" "))
+    when(t.contains(" der ") || t.contains(" und ") || t.contains(" nicht "), "de")
+      .when(t.contains(" le ") || t.contains(" la ") || t.contains(" et "), "fr")
+      .when(t.contains(" el ") || t.contains(" los ") || t.contains(" una "), "es")
+      .when(t.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(t.contains(" the ") || t.contains(" and ") || t.contains(" of "), "en")
+      .otherwise("unk")
+  }
+
+  /** Punctuation count (sentence-ending marks). */
+  def punctCount(text: Column): Column =
+    length(text) - length(translate(text, ".!?", ""))
+
+  /** Integer-only quality facets (hash-stable across engines):
+    * n_chars, n_tokens, n_punct, max_word_len.
+    */
+  def qualityFacets(text: Column): Seq[(String, Column)] = {
+    val t = normalize(text)
+    Seq(
+      "n_chars" -> length(t).cast("long"),
+      "n_tokens" -> tokenCount(text).cast("long"),
+      "n_punct" -> punctCount(text).cast("long"),
+      "max_word_len" ->
+        when(length(t) === 0, lit(0L))
+          .otherwise(array_max(transform(split(t, " "), w => length(w))).cast("long")))
+  }
+
+  /** Quality gate: token count and word-shape bounds — the usual cheap
+    * pre-filter before expensive dedup/embedding stages.
+    */
+  def qualityOk(text: Column, minTokens: Int = 5, maxTokens: Int = 100000,
+                maxWordLen: Int = 40): Column = {
+    val t = normalize(text)
+    val nTok = tokenCount(text)
+    nTok.between(minTokens, maxTokens) &&
+      array_max(transform(split(t, " "), w => length(w))) <= maxWordLen
+  }
+
+  /** Content fingerprint: md5 of the canonical form — identical in any
+    * engine with a standard md5, so exact-dedup keys travel across systems.
+    */
+  def fingerprint(text: Column): Column = md5(normalize(text))
+}

@@ -117,7 +117,8 @@ object Graph {
     * `(<table:pk>, <column>, typedValue)` triples. Gives graph-parity tests
     * and the DuckDB oracle a shared, SQL-expressible ground truth.
     */
-  def quadifyTable(df: DataFrame, table: String, pkCol: String): DataFrame = {
+  def quadifyTable(df: DataFrame, table: String, pkCol: String,
+                   label: Option[String] = None): DataFrame = {
     def qv(kind: Int, s: org.apache.spark.sql.Column = lit(null).cast(StringType),
            i: org.apache.spark.sql.Column = lit(null).cast(LongType),
            d: org.apache.spark.sql.Column = lit(null).cast(DoubleType),
@@ -144,9 +145,13 @@ object Graph {
         case other =>
           qv(Kind.Str, s = c.cast(StringType))
       }
+      val lbl = label match {
+        case Some(l) => qv(Kind.Iri, s = lit(l))
+        case None    => lit(null).cast(Values.structType)
+      }
       df.where(c.isNotNull).select(subj.as("sub"),
         qv(Kind.Iri, s = lit(f.name)).as("pred"), obj.as("obj"),
-        lit(null).cast(Values.structType).as("lbl"))
+        lbl.as("lbl"))
     }
     perCol.reduce(_ unionAll _)
   }

@@ -3,7 +3,7 @@ package graft.exec
 import graft.core.{Graph, QValue}
 import graft.path.Path
 import graft.shape.{Lower, Shape}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Finals / collation — the chain-driver analog
@@ -84,6 +84,40 @@ final class Results(g: Graph, val df: DataFrame) {
   }
 
   def count(): Long = df.count()
+
+  /** Distributed finals: resolve id-valued columns to their scalar payload
+    * (strings for IRI/BNode/text kinds, decimal string for numerics, ISO
+    * for time) and return a DataFrame — used by Verify/Bench where results
+    * must not be collected to the driver. `mapping` = (column in the
+    * working set → output name); the working-set column may be `id` or a
+    * tag column (pass the raw tag name via `Lower.tagCol`).
+    */
+  def payloadDF(mapping: (String, String)*): DataFrame = {
+    import graft.core.Kind
+    val strKinds = Seq(Kind.Iri, Kind.BNode, Kind.Str, Kind.LangStr,
+      Kind.TypedStr).map(Integer.valueOf)
+    def payload(kind: Column, s: Column, i: Column, d: Column, b: Column,
+                t: Column): Column =
+      when(kind.isin(strKinds: _*), s)
+        .when(kind === Kind.IntK, i.cast("string"))
+        .when(kind === Kind.FloatK, d.cast("string"))
+        .when(kind === Kind.BoolK, b.cast("string"))
+        .when(kind === Kind.TimeK,
+          date_format((t.cast("double") / 1000000.0d).cast("timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
+    var cur = df
+    mapping.zipWithIndex.foreach { case ((c, out), idx) =>
+      val a = s"__pay$idx"
+      val dict = g.nodes.select(col("id").as(s"${a}_id"),
+        payload(col("kind"), col("s"), col("i"), col("d"), col("b"),
+          col("t")).as(out))
+      cur = cur.alias(s"${a}_l")
+        .join(dict.alias(s"${a}_r"),
+          col(s"${a}_l.$c") === col(s"${a}_r.${a}_id"), "left")
+        .drop(s"${a}_id")
+    }
+    cur.select(mapping.map { case (_, out) => col(out) }: _*)
+  }
 }
 
 /** Query execution entry: Path/Shape → optimized Shape → DataFrame. */
