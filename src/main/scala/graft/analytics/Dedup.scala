@@ -30,12 +30,30 @@ object Dedup {
   }
 
   private val P31 = 2147483647L // Mersenne prime 2^31-1
+  private def permA(i: Int): Long = (2654435761L * (i + 1)) % P31
+  private def permB(i: Int): Long = (40503L * (i * 2 + 7)) % P31
 
-  /** MinHash signature (k permutation-ish hashes over shingle hashes).
-    * Hashes live in [0, 2^31) so `h*a + b` stays < 2^63 — safe under ANSI
-    * overflow checking. `transform`/`array_min` keep it inside whole-stage
-    * codegen.
+  /** MinHash signatures via explode + group-by: each shingle is hashed
+    * exactly once, the k permutations are cheap arithmetic inside k `min`
+    * aggregates, and the only shuffle is the per-doc group-by. (A nested
+    * `transform(seq(k), i -> array_min(transform(shingles...)))` column
+    * expression re-inlines the shingle computation into every lambda —
+    * Catalyst has no CSE across HOF lambdas — going superlinear in k.)
+    * Hashes live in [0, 2^31) so `h*a + b` stays < 2^63: safe under ANSI
+    * overflow checking. Returns (id, sig: array<long>[k]).
     */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 64, shingleN: Int = 5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleN)).as("shingle"))
+      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P31)).as("h"))
+    val mins = (0 until k).map(i =>
+      min(pmod(col("h") * permA(i) + permB(i), lit(P31))).as(s"m$i"))
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
+  }
+
+  /** Single-column signature form (convenience for small inputs/tests). */
   def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 5): Column = {
     val hashes = transform(shingles(text, shingleN),
       s => pmod(xxhash64(s), lit(P31)))
@@ -64,8 +82,8 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
                    shingleN: Int = 5): DataFrame = {
-    val buckets = df.select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, shingleN).as("sig"))
+    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN).cache()
+    val buckets = sigs
       .select(col("id"), col("sig"),
         posexplode(lshBands(col("sig"), k, bands)).as(Seq("bandIdx", "bandHash")))
     val l = buckets.alias("l")
@@ -122,13 +140,30 @@ object Dedup {
   private def shiftLeftC(v: Column, b: Column): Column =
     call_function("shiftleft", v, b)
 
+  /** SimHash per doc via explode + group-by (same CSE rationale as
+    * MinHash: each token hashed once; 64 conditional-sum aggregates).
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val sums = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"b$b"))
+    tok.groupBy("id").agg(sums.head, sums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(b =>
+          when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("sim"))
+  }
+
   /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (a pair
     * within Hamming distance 3 shares at least one band), verify with
     * bit_count(xor) <= maxHamming.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val sh = simhashes(df, idCol, textCol)
     val banded = sh.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)), j =>
         call_function("shiftrightunsigned", col("sim"), j * 16)

@@ -70,21 +70,21 @@ object Similarity {
   }
 
   /** Random-hyperplane sign bucket: bit j = sign(Σᵢ rᵢⱼ·embᵢ) with
-    * rᵢⱼ ∈ {−1,+1} from xxhash64(j·dim+i) parity. Deterministic,
-    * data-independent, pure expression (no training job).
+    * rᵢⱼ ∈ {−1,+1} derived from a hash of (j,i) — deterministic,
+    * data-independent (no training job). The plane matrix is folded into
+    * literal coefficient arrays at plan time, so each row costs exactly
+    * bits×dim fused multiply-adds inside codegen.
     */
   def signBucketExpr(vec: Column, dim: Int, bits: Int): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), j => {
-        val s = aggregate(
-          zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) =>
-            x.cast("double") *
-              when(xxhash64(j * dim + i).bitwiseAND(lit(1L)) === 1L, lit(1.0d))
-                .otherwise(lit(-1.0d))),
-          lit(0.0d), (acc, x) => acc + x)
-        when(s > 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))
-      }),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+    (0 until bits).map { j =>
+      val coefs = array((0 until dim).map { i =>
+        lit(if ((graft.core.XXH64.hashInt(j * dim + i, 42L) & 1L) == 1L)
+          1.0d else -1.0d)
+      }: _*)
+      val s = aggregate(zip_with(vec, coefs, (x, c) => x.cast("double") * c),
+        lit(0.0d), (acc, x) => acc + x)
+      when(s > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
 
   /** Embedding-cosine near-duplicate pairs: bucket, pair within bucket,
     * verify with exact cosine ≥ threshold.

@@ -1,0 +1,107 @@
+package graft.analytics
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank again"), // near-dup of 0
+    (2L, "completely different content about database systems and query engines"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "Der schnelle braune Fuchs springt und der Hund schläft nicht gern")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one id per identical canonical text") {
+    val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L, 4L)) // 3 collapses into 0
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L)))
+    assert(pairs.contains((0L, 3L)) || pairs.contains((1L, 3L))) // exact dups always pair
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    val j = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+      .where(col("id_a") === 0 && col("id_b") === 3)
+      .select("est_jaccard").as[Double].collect()
+    assert(j.length === 1 && j.head === 1.0)
+  }
+
+  test("ngram jaccard: exact dup 1.0, near-dup high, unrelated low") {
+    val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((0L, 3L)) === 1.0)
+    assert(out((0L, 1L)) > 0.7)
+    assert(out((0L, 2L)) < 0.2)
+  }
+
+  test("simhash: identical docs share hash; near-dups within small hamming") {
+    val sh = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L))
+    val hamming01 = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val hamming02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    assert(hamming01 < hamming02)
+  }
+
+  test("simhashPairs surfaces exact dup at hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((0L, 3L)))
+  }
+
+  test("cosine: orthogonal is 0, identical is 1") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (3L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteTopK(emb, "vec_id", "embedding", 0L, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(top.head._1 === 2L && math.abs(top.head._2 - 1.0) < 1e-12)
+    assert(top.last._1 === 1L && math.abs(top.last._2) < 1e-12)
+  }
+
+  test("lsh buckets put identical-direction vectors together") {
+    val emb = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(2.0f)), // same direction as 0
+      (2L, Array.fill(8)(-1.0f))).toDF("vec_id", "embedding")
+    val b = emb.select(col("vec_id"),
+        Similarity.signBucketExpr(col("embedding"), 8, 6).as("bucket"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b(0L) === b(1L))
+    assert(b(0L) !== b(2L))
+  }
+
+  test("text ops: tokens, langid, fingerprint, quality") {
+    val r = docs.select(col("doc_id"),
+      TextOps.tokenCount(col("text")).as("nt"),
+      TextOps.langId(col("text")).as("lang"),
+      TextOps.fingerprint(col("text")).as("fp")).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getString(2), x.getString(3)))).toMap
+    assert(r(0L)._1 === 14)
+    assert(r(0L)._2 === "en")
+    assert(r(4L)._2 === "de")
+    assert(r(0L)._3 === r(3L)._3) // same canonical text, same fingerprint
+    assert(r(0L)._3 !== r(1L)._3)
+  }
+
+  test("quality gate rejects short docs") {
+    val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
+    assert(short.select(TextOps.qualityOk(col("text"))).as[Boolean].head() === false)
+    assert(docs.where(col("doc_id") === 0)
+      .select(TextOps.qualityOk(col("text"))).as[Boolean].head() === true)
+  }
+}

@@ -1,0 +1,86 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.analytics.Multimodal
+import graft.core.{Graph, QValue}
+import graft.exec.Exec
+import graft.path.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming N-Quads ingest lands queryable dictionary-encoded quads") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/batch1.nq"),
+      "<a> <knows> <b> .\n<b> <knows> <c> .\n")
+
+    val parsed = QuadStream.readNQuadsStream(spark, inDir)
+    val q = QuadStream.writeQuads(parsed, outDir, ckpt).start()
+    q.processAllAvailable()
+
+    // second batch arrives
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/batch2.nq"),
+      "<c> <knows> <d> .\n")
+    q.processAllAvailable()
+    q.stop()
+
+    val g = Graph(spark.read.parquet(s"$outDir/nodes").dropDuplicates("id"),
+      spark.read.parquet(s"$outDir/quads"))
+    val got = Exec.run(g,
+      Path.start(QValue.Iri("a")).followRecursive(QValue.Iri("knows")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("<b>", "<c>", "<d>"))
+  }
+
+  test("windowed event counts run as a structured stream") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-events").toString
+    val data = Seq(
+      ("2026-01-01 10:05:00", "click", 1.0),
+      ("2026-01-01 10:25:00", "click", 2.0),
+      ("2026-01-01 11:10:00", "view", 3.0))
+      .toDF("ts_s", "event_type", "value")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("event_type"),
+        col("value"))
+    data.write.mode("overwrite").parquet(s"$tmp/in")
+
+    val stream = spark.readStream.schema(data.schema).parquet(s"$tmp/in")
+    val agg = QuadStream.windowedEventCounts(stream, "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("win_counts").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT event_type, n FROM win_counts ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("click", 2L), ("view", 1L)))
+  }
+
+  test("multimodal: stubbed decode via mapPartitions, metadata pruning") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "image", Array[Byte](10, 20, 30), (640, 480, 0, 0L)),
+      (2L, "image", Array[Byte](1, 2), (100, 100, 0, 0L)),
+      (3L, "video", Array[Byte](5, 5, 5, 5), (1920, 1080, 0, 2500L)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("meta").cast("struct<width:int,height:int,sample_rate:int,duration_ms:bigint>").as("meta"))
+
+    val feats = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).n_bytes === 3 && feats(1L).feature.length === 8)
+    assert(math.abs(feats(1L).feature(0) - 10 / 255.0f) < 1e-6)
+
+    val hd = Multimodal.filterByResolution(rows, 600, 400)
+      .select("media_id").as[Long].collect().toSet
+    assert(hd === Set(1L, 3L))
+
+    val frames = Multimodal.sampleFrameIndexes(rows, 1000L)
+      .select("frame_ts_ms").as[Seq[Long]].head()
+    assert(frames === Seq(0L, 1000L, 2000L))
+  }
+}
