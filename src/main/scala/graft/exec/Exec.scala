@@ -70,16 +70,40 @@ final class Results(g: Graph, val df: DataFrame) {
     }
   }
 
-  /** All tag bindings per path row (TagEach with all tags). */
+  /** All tag bindings per path row (TagEach with all tags). All columns
+    * resolve in ONE job — per-column jobs would observe different row
+    * orders and scramble tag bindings across rows.
+    */
   def tagMaps(includeTopLevel: Boolean = false): Seq[Map[String, QValue]] = {
     val tags = Lower.tagCols(df).map(_.stripPrefix(TagPrefix))
     val cols = (if (includeTopLevel) Seq(ID -> ID) else Nil) ++
       tags.map(t => tagCol(t) -> t)
-    val resolved: Seq[(String, Seq[Option[QValue]])] =
-      cols.map { case (c, name) => name -> resolveCol(c) }
-    val nRows = df.count().toInt
-    (0 until nRows).map { i =>
-      resolved.flatMap { case (name, vs) => vs(i).map(name -> _) }.toMap
+    var cur = df
+    val outCols = cols.zipWithIndex.map { case ((c, _), idx) =>
+      val a = s"__rc$idx"
+      val dict = g.nodes.select(col("id").as(s"${a}_id"),
+        struct(col("kind"), col("s"), col("i"), col("d"), col("b"), col("t"),
+          col("lang"), col("dt")).as(s"${a}_v"))
+      cur = cur.alias(s"${a}_l")
+        .join(dict.alias(s"${a}_r"),
+          col(s"${a}_l.$c") === col(s"${a}_r.${a}_id"), "left")
+        .drop(s"${a}_id")
+      s"${a}_v"
+    }
+    val rows = cur.select(outCols.map(col): _*).collect()
+    rows.toSeq.map { r =>
+      cols.zipWithIndex.flatMap { case ((_, name), idx) =>
+        if (r.isNullAt(idx)) None
+        else {
+          val v = r.getStruct(idx)
+          Some(name -> QValue.fromFields(v.getInt(0), v.getString(1),
+            if (v.isNullAt(2)) null else java.lang.Long.valueOf(v.getLong(2)),
+            if (v.isNullAt(3)) null else java.lang.Double.valueOf(v.getDouble(3)),
+            if (v.isNullAt(4)) null else java.lang.Boolean.valueOf(v.getBoolean(4)),
+            if (v.isNullAt(5)) null else java.lang.Long.valueOf(v.getLong(5)),
+            v.getString(6), v.getString(7)))
+        }
+      }.toMap
     }
   }
 
