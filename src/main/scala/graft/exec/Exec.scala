@@ -75,7 +75,7 @@ final class Results(g: Graph, val df: DataFrame) {
     * orders and scramble tag bindings across rows.
     */
   def tagMaps(includeTopLevel: Boolean = false): Seq[Map[String, QValue]] = {
-    val tags = Lower.tagCols(df).map(_.stripPrefix(TagPrefix))
+    val tags = Lower.tagCols(df).map(Lower.decodeTag)
     val cols = (if (includeTopLevel) Seq(ID -> ID) else Nil) ++
       tags.map(t => tagCol(t) -> t)
     var cur = df

@@ -25,7 +25,30 @@ import org.apache.spark.sql.types._
 object Lower {
   val ID = "id"
   val TagPrefix = "_t_"
-  def tagCol(tag: String): String = TagPrefix + tag
+
+  /** Physical column name for a tag. Dots and backticks would collide
+    * with Spark's column-path resolution, so they are escaped (`~d`, `~b`,
+    * `~~` for a literal tilde); [[decodeTag]] reverses this.
+    */
+  def tagCol(tag: String): String =
+    TagPrefix + tag.replace("~", "~~").replace(".", "~d").replace("`", "~b")
+
+  def decodeTag(colName: String): String = {
+    val enc = colName.stripPrefix(TagPrefix)
+    val b = new StringBuilder
+    var i = 0
+    while (i < enc.length) {
+      if (enc.charAt(i) == '~' && i + 1 < enc.length) {
+        enc.charAt(i + 1) match {
+          case '~' => b.append('~'); i += 2
+          case 'd' => b.append('.'); i += 2
+          case 'b' => b.append('`'); i += 2
+          case c   => b.append('~').append(c); i += 2
+        }
+      } else { b.append(enc.charAt(i)); i += 1 }
+    }
+    b.toString
+  }
 
   def tagCols(df: DataFrame): Seq[String] =
     df.columns.filter(_.startsWith(TagPrefix)).toSeq

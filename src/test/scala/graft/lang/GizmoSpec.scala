@@ -1,0 +1,260 @@
+package graft.lang
+
+import graft.TestSpark
+import graft.core.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The reference's Gizmo corpus (/root/reference/query/gizmo/gizmo_test.go
+  * :76-800) over testdata.nq, restricted to the fluent-chain subset (cases
+  * that require a real JS VM — functions, emit, arithmetic — are expressed
+  * in subset form or skipped).
+  */
+class GizmoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val session: Gizmo.Session = Gizmo.session(
+    Graph.fromNQuads(spark, "/root/reference/data/testdata.nq").cached())
+
+  def ids(q: String): Seq[String] =
+    session.execute(q).flatMap(_.get("id")).sorted
+
+  def tags(q: String, tag: String): Seq[String] =
+    session.execute(q).flatMap(_.get(tag)).sorted
+
+  def check(q: String, expect: Seq[String]): Unit =
+    assert(ids(q) === expect.sorted)
+
+  def checkTag(q: String, tag: String, expect: Seq[String]): Unit =
+    assert(tags(q, tag) === expect.sorted)
+
+  test("get a single vertex") {
+    check("""g.V("<alice>").all()""", Seq("<alice>"))
+  }
+  test("get a single vertex (legacy caps)") {
+    check("""g.V("<alice>").All()""", Seq("<alice>"))
+  }
+  test("use .getLimit") {
+    assert(ids("g.V().getLimit(5)").size === 5)
+  }
+  test("get a single vertex (IRI)") {
+    check("""g.V(iri("alice")).all()""", Seq("<alice>"))
+  }
+  test("use .out()") {
+    check("""g.V("<alice>").out("<follows>").all()""", Seq("<bob>"))
+  }
+  test("use .out() (IRI)") {
+    check("""g.V(iri("alice")).out(iri("follows")).all()""", Seq("<bob>"))
+  }
+  test("use .out() (any)") {
+    check("""g.V("<bob>").out().all()""", Seq("<fred>", "cool_person"))
+  }
+  test("use .in()") {
+    check("""g.V("<bob>").in("<follows>").all()""",
+      Seq("<alice>", "<charlie>", "<dani>"))
+  }
+  test("use .in() with .filter()") {
+    check("""g.V("<bob>").in("<follows>").filter(gt(iri("c")),lt(iri("d"))).all()""",
+      Seq("<charlie>"))
+  }
+  test("use .in() with .filter(regex)") {
+    check("""g.V("<bob>").in("<follows>").filter(regex("ar?li.*e")).all()""", Nil)
+  }
+  test("use .in() with .filter(prefix)") {
+    check("""g.V("<bob>").in("<follows>").filter(like("al%")).all()""",
+      Seq("<alice>"))
+  }
+  test("use .in() with .filter(wildcard)") {
+    check("""g.V("<bob>").in("<follows>").filter(like("a?i%e")).all()""",
+      Seq("<alice>"))
+  }
+  test("use .in() with .filter(regex with IRIs)") {
+    check("""g.V("<bob>").in("<follows>").filter(regex("ar?li.*e", true)).all()""",
+      Seq("<alice>", "<charlie>"))
+  }
+  test("use .in() with .filter(regex,gt)") {
+    check("""g.V("<bob>").in("<follows>").filter(regex("ar?li.*e", true),gt(iri("c"))).all()""",
+      Seq("<charlie>"))
+  }
+  test("use .both()") {
+    check("""g.V("<fred>").both("<follows>").all()""",
+      Seq("<bob>", "<greg>", "<emily>"))
+  }
+  test("use .both() with tag") {
+    checkTag("""g.V("<fred>").both(null, "pred").all()""", "pred",
+      Seq("<follows>", "<follows>", "<follows>"))
+  }
+  test("use .tag()-.is()-.back()") {
+    check("""g.V("<bob>").in("<follows>").tag("foo").out("<status>").is("cool_person").back("foo").all()""",
+      Seq("<dani>"))
+  }
+  test("separate .tag()-.is()-.back()") {
+    check(
+      """x = g.V("<charlie>").out("<follows>").tag("foo").out("<status>").is("cool_person").back("foo")
+        |x.in("<follows>").is("<dani>").back("foo").all()""".stripMargin,
+      Seq("<bob>"))
+  }
+  test("do multiple .back()") {
+    checkTag("""g.V("<emily>").out("<follows>").as("f").out("<follows>").out("<status>").is("cool_person").back("f").in("<follows>").in("<follows>").as("acd").out("<status>").is("cool_person").back("f").all()""",
+      "acd", Seq("<dani>"))
+  }
+  test("use Except to filter out a single vertex") {
+    check("""g.V("<alice>", "<bob>").except(g.V("<alice>")).all()""",
+      Seq("<bob>"))
+  }
+  test("use chained Except") {
+    check("""g.V("<alice>", "<bob>", "<charlie>").except(g.V("<bob>")).except(g.V("<charlie>")).all()""",
+      Seq("<alice>"))
+  }
+  test("use Unique") {
+    check("""g.V("<alice>", "<bob>", "<charlie>").out("<follows>").unique().all()""",
+      Seq("<bob>", "<dani>", "<fred>"))
+  }
+  test("show simple morphism") {
+    check(
+      """grandfollows = g.M().out("<follows>").out("<follows>")
+        |g.V("<charlie>").follow(grandfollows).all()""".stripMargin,
+      Seq("<greg>", "<fred>", "<bob>"))
+  }
+  test("show reverse morphism") {
+    check(
+      """grandfollows = g.M().out("<follows>").out("<follows>")
+        |g.V("<fred>").followR(grandfollows).all()""".stripMargin,
+      Seq("<alice>", "<charlie>", "<dani>"))
+  }
+  test("show simple intersection") {
+    check("""g.V("<dani>").out("<follows>").and(g.V("<charlie>").out("<follows>")).all()""",
+      Seq("<bob>"))
+  }
+  test("show simple morphism intersection") {
+    check(
+      """grandfollows = g.M().out("<follows>").out("<follows>")
+        |g.V("<alice>").follow(grandfollows).and(g.V("<charlie>").follow(grandfollows)).all()""".stripMargin,
+      Seq("<fred>"))
+  }
+  test("show double morphism intersection") {
+    check(
+      """grandfollows = g.M().out("<follows>").out("<follows>")
+        |g.V("<emily>").follow(grandfollows).and(g.V("<charlie>").follow(grandfollows)).and(g.V("<bob>").follow(grandfollows)).all()""".stripMargin,
+      Seq("<greg>"))
+  }
+  test("show reverse intersection") {
+    check(
+      """grandfollows = g.M().out("<follows>").out("<follows>")
+        |g.V("<greg>").followR(grandfollows).intersect(g.V("<fred>").followR(grandfollows)).all()""".stripMargin,
+      Seq("<charlie>"))
+  }
+  test("show standard sort of morphism intersection, continue follow") {
+    check(
+      """gfollowers = g.M().in("<follows>").in("<follows>")
+        |a = g.V("<greg>").as("a").out("<status>").is("cool_person").back("a").follow(gfollowers)
+        |b = g.V("<bob>").as("a").out("<status>").is("cool_person").back("a").follow(gfollowers)
+        |a.intersect(b).all()""".stripMargin,
+      Seq("<charlie>"))
+  }
+  test("test Or()") {
+    check("""g.V("<bob>").out("<follows>").or(g.V().has("<status>", "cool_person")).all()""",
+      Seq("<fred>", "<bob>", "<greg>", "<dani>"))
+  }
+  test("show a simple Has") {
+    check("""g.V().has("<status>", "cool_person").all()""",
+      Seq("<greg>", "<dani>", "<bob>"))
+  }
+  test("show a simple HasR") {
+    check("""g.V().hasR("<status>", "<bob>").all()""", Seq("cool_person"))
+  }
+  test("show a double Has") {
+    check("""g.V().has("<status>", "cool_person").has("<follows>", "<fred>").all()""",
+      Seq("<bob>"))
+  }
+  test("show a Has with filter") {
+    check("""g.V().has("<follows>", gt("<f>")).all()""",
+      Seq("<bob>", "<dani>", "<emily>", "<fred>"))
+  }
+  test("use Limit") {
+    assert(ids("""g.V().has("<status>", "cool_person").limit(2).all()""").size === 2)
+  }
+  test("use Skip") {
+    assert(ids("""g.V().has("<status>", "cool_person").skip(2).all()""").size === 1)
+  }
+  test("use Skip and Limit") {
+    assert(ids("""g.V().has("<status>", "cool_person").skip(1).limit(1).all()""").size === 1)
+  }
+  test("show Count") {
+    assert(session.execute("""g.V().has("<status>").count()""") ===
+      Seq(Map("count" -> "5")))
+  }
+  test("show a simple save") {
+    checkTag("""g.V().save("<status>", "somecool").all()""", "somecool",
+      Seq("cool_person", "cool_person", "cool_person", "smart_person", "smart_person"))
+  }
+  test("show a simple save optional") {
+    checkTag("""g.V("<bob>","<charlie>").out("<follows>").saveOpt("<status>", "somecool").all()""",
+      "somecool", Seq("cool_person", "cool_person"))
+  }
+  test("save iri no tag") {
+    checkTag("""g.V().save(g.IRI("status")).all()""", "<status>",
+      Seq("cool_person", "cool_person", "cool_person", "smart_person", "smart_person"))
+  }
+  test("show a simple saveR") {
+    checkTag("""g.V("cool_person").saveR("<status>", "who").all()""", "who",
+      Seq("<greg>", "<dani>", "<bob>"))
+  }
+  test("show an out save") {
+    checkTag("""g.V("<dani>").out(null, "pred").all()""", "pred",
+      Seq("<follows>", "<follows>", "<status>"))
+  }
+  test("show a tag list") {
+    checkTag("""g.V("<dani>").out(null, ["pred", "foo", "bar"]).all()""", "foo",
+      Seq("<follows>", "<follows>", "<status>"))
+  }
+  test("show a pred list") {
+    check("""g.V("<dani>").out(["<follows>", "<status>"]).all()""",
+      Seq("<bob>", "<greg>", "cool_person"))
+  }
+  test("show a predicate path") {
+    check("""g.V("<dani>").out(g.V("<follows>"), "pred").all()""",
+      Seq("<bob>", "<greg>"))
+  }
+  test("list all bob's incoming predicates") {
+    check("""g.V("<bob>").inPredicates().all()""", Seq("<follows>"))
+  }
+  test("save all bob's incoming predicates") {
+    checkTag("""g.V("<bob>").saveInPredicates("pred").all()""", "pred",
+      Seq("<follows>", "<follows>", "<follows>"))
+  }
+  test("list all labels") {
+    check("""g.V().labels().all()""", Seq("<smart_graph>"))
+  }
+  test("list all in predicates") {
+    check("""g.V().inPredicates().all()""", Seq("<are>", "<follows>", "<status>"))
+  }
+  test("list all out predicates") {
+    check("""g.V().outPredicates().all()""", Seq("<are>", "<follows>", "<status>"))
+  }
+  test("traverse using LabelContext") {
+    check("""g.V("<greg>").labelContext("<smart_graph>").out("<status>").all()""",
+      Seq("smart_person"))
+  }
+  test("open and close a LabelContext") {
+    check("""g.V().labelContext("<smart_graph>").in("<status>").labelContext(null).in("<follows>").all()""",
+      Seq("<dani>", "<fred>"))
+  }
+  test("roundtrip values") {
+    check(
+      """v = g.V("<bob>").toValue()
+        |s = g.V(v).out("<status>").toValue()
+        |g.V(s).all()""".stripMargin,
+      Seq("cool_person"))
+  }
+  test("roundtrip values (tag map)") {
+    check(
+      """v = g.V("<bob>").tagValue()
+        |s = g.V(v.id).out("<status>").tagValue()
+        |g.V(s.id).all()""".stripMargin,
+      Seq("cool_person"))
+  }
+  test("unsupported full JS raises a clear error") {
+    intercept[Gizmo.GizmoError] {
+      session.execute("""g.V().forEach(function(d) { g.emit(d) })""")
+    }
+  }
+}
