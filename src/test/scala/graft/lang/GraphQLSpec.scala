@@ -1,0 +1,159 @@
+package graft.lang
+
+import graft.TestSpark
+import graft.core.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Reference GraphQL corpus
+  * (/root/reference/query/graphql/graphql_test.go casesExecute) over
+  * testdata.nq. Values rendered in sort-key form (`<iri>`, plain strings);
+  * list comparisons are order-insensitive.
+  */
+class GraphQLSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  lazy val session: GraphQL.Session = GraphQL.session(
+    Graph.fromNQuads(spark, "/root/reference/data/testdata.nq").cached())
+
+  private def canon(v: Any): String = v match {
+    case m: Map[_, _] =>
+      m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+        .map { case (k, x) => s""""$k":${canon(x)}""" }
+        .mkString("{", ",", "}")
+    case l: Seq[_] => l.map(canon).sorted.mkString("[", ",", "]")
+    case null      => "null"
+    case s         => s""""$s""""
+  }
+
+  def check(query: String, expect: Map[String, Any]): Unit = {
+    val got = session.execute(query)
+    assert(canon(got) === canon(expect))
+  }
+
+  test("cool people and friends") {
+    check(
+      """{
+        |  me(status: "cool_person") {
+        |    id: id
+        |    follows {
+        |      id
+        |      status
+        |    }
+        |    followed: follows @rev {
+        |      id
+        |    }
+        |  }
+        |}""".stripMargin,
+      Map("me" -> List(
+        Map("id" -> "<bob>", "follows" -> null,
+          "followed" -> List(
+            Map("id" -> "<alice>"), Map("id" -> "<dani>"),
+            Map("id" -> "<charlie>"))),
+        Map("id" -> "<dani>",
+          "follows" -> List(
+            Map("id" -> "<bob>", "status" -> "cool_person"),
+            Map("id" -> "<greg>",
+              "status" -> List("cool_person", "smart_person"))),
+          "followed" -> Map("id" -> "<charlie>")),
+        Map("id" -> "<greg>", "follows" -> null,
+          "followed" -> List(
+            Map("id" -> "<dani>"), Map("id" -> "<fred>"))))))
+  }
+
+  test("skip and limit") {
+    check(
+      """{
+        |  me(status: "cool_person", first: 1, offset: 1) {
+        |    id: id
+        |    follows(first: 1) @opt {
+        |      id
+        |    }
+        |  }
+        |}""".stripMargin,
+      Map("me" -> Map("id" -> "<dani>",
+        "follows" -> Map("id" -> "<bob>"))))
+  }
+
+  test("labels") {
+    check(
+      """{
+        |  me {
+        |    id: id
+        |    status @label(v: <smart_graph>)
+        |  }
+        |}""".stripMargin,
+      Map("me" -> List(
+        Map("id" -> "<emily>", "status" -> "smart_person"),
+        Map("id" -> "<greg>", "status" -> "smart_person"))))
+  }
+
+  test("expand all") {
+    check(
+      """{
+        |  me {
+        |    id: id
+        |    status @label(v: <smart_graph>)
+        |    follows {*}
+        |  }
+        |}""".stripMargin,
+      Map("me" -> List(
+        Map("id" -> "<emily>", "status" -> "smart_person",
+          "follows" -> Map("id" -> "<fred>", "follows" -> "<greg>")),
+        Map("id" -> "<greg>", "status" -> "smart_person",
+          "follows" -> null))))
+  }
+
+  test("unnest object") {
+    check(
+      """{
+        |  me(id: fred) {
+        |    id: id
+        |    follows @unnest {
+        |      friend: id
+        |      friend_status: status
+        |      followed: follows(first: 1) @rev @unnest  {
+        |        fof: id
+        |      }
+        |    }
+        |  }
+        |}""".stripMargin,
+      Map("me" -> Map("id" -> "<fred>", "fof" -> "<dani>",
+        "friend" -> "<greg>",
+        "friend_status" -> List("cool_person", "smart_person"))))
+  }
+
+  test("unnest object (non existent)") {
+    check(
+      """{
+        |  me(id: fred) {
+        |    id: id
+        |    follows_missing @unnest {
+        |      friend: id
+        |      friend_status: status
+        |    }
+        |  }
+        |}""".stripMargin,
+      Map("me" -> Map("id" -> "<fred>")))
+  }
+
+  test("all optional") {
+    check(
+      """{
+        |  nodes {
+        |    id,
+        |    status @opt
+        |  }
+        |}""".stripMargin,
+      Map("nodes" -> List(
+        Map("id" -> "<alice>"), Map("id" -> "<follows>"),
+        Map("id" -> "<bob>", "status" -> "cool_person"),
+        Map("id" -> "<fred>"), Map("id" -> "<status>"),
+        Map("id" -> "cool_person"),
+        Map("id" -> "<dani>", "status" -> "cool_person"),
+        Map("id" -> "<charlie>"),
+        Map("id" -> "<greg>",
+          "status" -> List("cool_person", "smart_person")),
+        Map("id" -> "<emily>", "status" -> "smart_person"),
+        Map("id" -> "<predicates>"), Map("id" -> "<are>"),
+        Map("id" -> "smart_person"), Map("id" -> "<smart_graph>"))))
+  }
+}
