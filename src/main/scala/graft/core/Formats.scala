@@ -1,0 +1,135 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Quad interchange formats beyond the canonical Parquet store: N-Quads
+  * writer sink (the reference's `cayley dump`,
+  * /root/reference/cmd/cayley/command/database.go:143) and a pragmatic
+  * JSON-LD reader for the @context/@graph document shape
+  * (/root/reference/data/people.jsonld). Together with the N-Quads reader
+  * this gives `cayley convert`-style transcoding (convert.go:75-77).
+  */
+object Formats {
+  /** Serialize a graph to N-Quads text files (distributed write; one line
+    * per quad). Round-trips through [[NQuads.parseLine]].
+    */
+  def writeNQuads(g: Graph, path: String): Unit = {
+    val n = g.nodes
+    def term(alias: String): org.apache.spark.sql.Column = {
+      val f = (c: String) => col(s"$alias.$c")
+      val k = f("kind")
+      // N-Quads term serialization per kind (escaping handled for the
+      // string payload only; IRIs in the fixtures contain no specials)
+      val esc = regexp_replace(regexp_replace(f("s"), "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\"")
+      when(k === Kind.Iri, concat(lit("<"), f("s"), lit(">")))
+        .when(k === Kind.BNode, concat(lit("_:"), f("s")))
+        .when(k === Kind.Str, concat(lit("\""), esc, lit("\"")))
+        .when(k === Kind.LangStr, concat(lit("\""), esc, lit("\"@"), f("lang")))
+        .when(k === Kind.TypedStr,
+          concat(lit("\""), esc, lit("\"^^<"), f("dt"), lit(">")))
+        .when(k === Kind.IntK, concat(lit("\""), f("i"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+        .when(k === Kind.FloatK, concat(lit("\""), f("d"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#double>")))
+        .when(k === Kind.BoolK, concat(lit("\""), f("b"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#boolean>")))
+        .when(k === Kind.TimeK, concat(lit("\""),
+          date_format((f("t").cast("double") / 1000000.0d).cast("timestamp"),
+            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#dateTime>")))
+    }
+    def dict(keyCol: String, alias: String) =
+      n.select(col("id").as(keyCol), struct(Values.fieldNames.map(col): _*)
+        .as(alias))
+    val q = g.quads
+      .join(dict("__s", "sv"), col("s") === col("__s"))
+      .join(dict("__p", "pv"), col("p") === col("__p"))
+      .join(dict("__o", "ov"), col("o") === col("__o"))
+      .join(dict("__l", "lv"), col("l") === col("__l"), "left")
+    q.select(concat_ws(" ", term("sv"), term("pv"), term("ov"),
+        when(col("l").isNotNull, term("lv")), lit(".")).as("value"))
+      .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  /** Pragmatic JSON-LD reader: @context prefix/vocab expansion, @graph
+    * arrays, @id/@type, nested node objects, literal values. Covers the
+    * document shapes the reference ships (people.jsonld); not a full
+    * JSON-LD 1.1 processor.
+    */
+  def readJsonLd(spark: SparkSession, path: String): Graph = {
+    val text = String.join("\n",
+      java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
+    val root = org.json4s.jackson.JsonMethods.parse(text).values
+      .asInstanceOf[Map[String, Any]]
+    val ctx = root.getOrElse("@context", Map.empty).asInstanceOf[Map[String, Any]]
+    val vocab = ctx.get("@vocab").map(_.toString).getOrElse("")
+    val prefixes = ctx.collect {
+      case (k, v: String) if !k.startsWith("@") => k -> v
+    }
+
+    def expand(term: String): String = {
+      val i = term.indexOf(':')
+      if (i > 0 && prefixes.contains(term.substring(0, i)))
+        prefixes(term.substring(0, i)) + term.substring(i + 1)
+      else if (term.startsWith("http:") || term.startsWith("https:")) term
+      else vocab + term
+    }
+
+    val quads = Vector.newBuilder[NQuads.ParsedQuad]
+    var blankCounter = 0
+
+    def nodeId(obj: Map[String, Any]): QValue = obj.get("@id") match {
+      case Some(id: String) => QValue.Iri(expand(id))
+      case _ =>
+        blankCounter += 1
+        QValue.BNode(s"b$blankCounter")
+    }
+
+    def literal(v: Any): QValue = v match {
+      case s: String  => QValue.Str(s)
+      case b: Boolean => QValue.BoolV(b)
+      case i: BigInt  => QValue.IntV(i.toLong)
+      case d: Double  => QValue.FloatV(d)
+      case other      => QValue.Str(String.valueOf(other))
+    }
+
+    def walk(obj: Map[String, Any]): QValue = {
+      val subj = nodeId(obj)
+      obj.foreach {
+        case ("@id", _) | ("@context", _) =>
+        case ("@type", t) =>
+          val types = t match { case l: List[_] => l; case x => List(x) }
+          types.foreach(tv => quads += NQuads.ParsedQuad(subj,
+            QValue.Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+            QValue.Iri(expand(tv.toString)), None))
+        case ("@graph", l: List[_]) =>
+          l.foreach(x => walk(x.asInstanceOf[Map[String, Any]]))
+        case (pred, value) =>
+          val p = QValue.Iri(expand(pred))
+          def emit(v: Any): Unit = v match {
+            case m: Map[_, _] =>
+              val mm = m.asInstanceOf[Map[String, Any]]
+              if (mm.keySet == Set("@id"))
+                quads += NQuads.ParsedQuad(subj, p,
+                  QValue.Iri(expand(mm("@id").toString)), None)
+              else if (mm.contains("@value"))
+                quads += NQuads.ParsedQuad(subj, p, literal(mm("@value")), None)
+              else quads += NQuads.ParsedQuad(subj, p, walk(mm), None)
+            case l: List[_] => l.foreach(emit)
+            case x => quads += NQuads.ParsedQuad(subj, p, literal(x), None)
+          }
+          emit(value)
+      }
+      subj
+    }
+
+    root.get("@graph") match {
+      case Some(l: List[_]) =>
+        l.foreach(x => walk(x.asInstanceOf[Map[String, Any]]))
+      case _ => walk(root - "@context")
+    }
+    Graph.fromQuads(spark, quads.result())
+  }
+}

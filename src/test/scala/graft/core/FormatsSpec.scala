@@ -1,0 +1,110 @@
+package graft.core
+
+import graft.TestSpark
+import graft.exec.Exec
+import graft.path.Path
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class FormatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("N-Quads write/read round-trip preserves the quad set") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val tmp = Files.createTempDirectory("graft-nq").toString + "/out"
+    Formats.writeNQuads(g, tmp)
+    val g2 = Graph.fromNQuads(spark, tmp)
+    assert(g2.stats === g.stats)
+    val got = Exec.run(g2, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>"))
+  }
+
+  test("typed values round-trip through N-Quads serialization") {
+    val qs = Seq(
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("int"), QValue.IntV(-42), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("flt"), QValue.FloatV(-1.5), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("bool"), QValue.BoolV(true), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("time"),
+        QValue.TimeV(1405974733000000L), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("lang"),
+        QValue.LangStr("hello", "en"), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("esc"),
+        QValue.Str("a \"quoted\" \\ string"), None))
+    val g = Graph.fromQuads(spark, qs)
+    val tmp = Files.createTempDirectory("graft-nq2").toString + "/out"
+    Formats.writeNQuads(g, tmp)
+    val g2 = Graph.fromNQuads(spark, tmp)
+    assert(g2.stats === g.stats)
+    val got = Exec.run(g2, Path.start(QValue.Iri("n")).out()).values()
+    assert(got.toSet === qs.map(_.o).toSet)
+  }
+
+  test("JSON-LD reader loads people.jsonld with expanded IRIs") {
+    val g = Formats.readJsonLd(spark, "/root/reference/data/people.jsonld")
+    val knows = Exec.run(g,
+      Path.start(QValue.Iri("http://example.com/alice"))
+        .out(QValue.Iri("http://xmlns.com/foaf/0.1/knows"))).values()
+    assert(knows.map(_.sortKey) === Seq("<http://example.com/bob>"))
+    val types = Exec.run(g, Path.start()
+      .has(QValue.Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+        QValue.Iri("http://xmlns.com/foaf/0.1/Person"))).values()
+    assert(types.size === 2)
+    val names = Exec.run(g,
+      Path.start(QValue.Iri("http://example.com/bob"))
+        .out(QValue.Iri("http://xmlns.com/foaf/0.1/name"))).values()
+    assert(names === Seq(QValue.Str("Bob")))
+  }
+
+  test("removeNode deletes the value and every touching quad") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val g2 = Inference.removeNode(g, QValue.Iri("bob"))
+    assert(Exec.run(g2, Path.start(QValue.Iri("bob"))).values().isEmpty)
+    assert(Exec.run(g2, Path.start(QValue.Iri("alice")).out(QValue.Iri("follows")))
+      .values().isEmpty)
+    val (_, nq) = g2.stats
+    assert(nq === 15 - 5) // 5 quads touch bob
+  }
+
+  test("delta add/delete (ApplyDeltas semantics)") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val add = Graph.fromQuads(spark, Seq(NQuads.ParsedQuad(
+      QValue.Iri("zed"), QValue.Iri("follows"), QValue.Iri("bob"), None)))
+    val g2 = g.addQuads(add)
+    assert(g2.stats._2 === 16)
+    // duplicate add is a no-op
+    assert(g2.addQuads(add).stats._2 === 16)
+    val g3 = g2.deleteQuads(add)
+    assert(g3.stats._2 === 15)
+  }
+
+  test("RDFS closure materializes subclass/subproperty entailments") {
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val subClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+    val qs = Seq(
+      NQuads.ParsedQuad(QValue.Iri("Dog"), QValue.Iri(subClassOf),
+        QValue.Iri("Mammal"), None),
+      NQuads.ParsedQuad(QValue.Iri("Mammal"), QValue.Iri(subClassOf),
+        QValue.Iri("Animal"), None),
+      NQuads.ParsedQuad(QValue.Iri("rex"), QValue.Iri(rdfType),
+        QValue.Iri("Dog"), None),
+      NQuads.ParsedQuad(QValue.Iri("hasOwner"),
+        QValue.Iri("http://www.w3.org/2000/01/rdf-schema#domain"),
+        QValue.Iri("Dog"), None),
+      NQuads.ParsedQuad(QValue.Iri("fido"), QValue.Iri("hasOwner"),
+        QValue.Iri("joe"), None))
+    val g = Inference.rdfsClosure(Graph.fromQuads(spark, qs))
+    def typesOf(n: String) = Exec.run(g,
+      Path.start(QValue.Iri(n)).out(QValue.Iri(rdfType))).values()
+      .map(_.sortKey).toSet
+    // rule 11 (transitivity) + rule 9 (type propagation)
+    assert(typesOf("rex").contains("<Mammal>"))
+    assert(typesOf("rex").contains("<Animal>"))
+    // rule 2 (domain)
+    assert(typesOf("fido").contains("<Dog>"))
+    assert(typesOf("fido").contains("<Animal>"))
+    // rule 1: predicates are Properties
+    assert(typesOf("hasOwner").contains(
+      "<http://www.w3.org/1999/02/22-rdf-syntax-ns#Property>"))
+  }
+}
