@@ -151,7 +151,26 @@ object SparkEntry {
     // LabelContext scoping
     "g_label_ctx" -> ((s, d) => run(s, d,
       Path.start(iri("customer:1")).labelContext(iri("tbl:customer"))
-        .out(iri("c_name"))).payloadDF("id" -> "node")))
+        .out(iri("c_name"))).payloadDF("id" -> "node")),
+    // Both: union of out and in hops
+    "g_both" -> ((s, d) => run(s, d,
+      Path.start(iri("nation:3")).both(iri("n_prev")))
+      .payloadDF("id" -> "node")),
+    // HasReverse: constrain by incoming edge, stay on the value side
+    "g_hasrev" -> ((s, d) => run(s, d,
+      Path.start().hasReverse(iri("c_mktsegment"), iri("customer:1")))
+      .payloadDF("id" -> "node")),
+    // Follow: apply a saved morphism
+    "g_follow" -> ((s, d) => run(s, d,
+      Path.start().in(iri("s_nation"))
+        .follow(Path.morphism().out(iri("s_nation")).out(iri("n_region"))
+          .out(iri("r_name"))))
+      .payloadDF("id" -> "node")),
+    // FollowReverse: apply a morphism backwards
+    "g_followr" -> ((s, d) => run(s, d,
+      Path.start(iri("region:1"))
+        .followReverse(Path.morphism().out(iri("n_region"))))
+      .payloadDF("id" -> "node")))
 
   private val graphOracles: Map[String, String] = Map(
     "g_out" -> "SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS node FROM customer",
@@ -190,7 +209,14 @@ object SparkEntry {
         |UNION ALL SELECT 'c_acctbal' UNION ALL SELECT 'c_mktsegment'
         |UNION ALL SELECT 'c_nation'""".stripMargin,
     "g_labels" -> "SELECT 'tbl:customer' AS node",
-    "g_label_ctx" -> "SELECT c_name AS node FROM customer WHERE c_custkey = 1")
+    "g_label_ctx" -> "SELECT c_name AS node FROM customer WHERE c_custkey = 1",
+    "g_both" -> "SELECT 'nation:2' AS node UNION ALL SELECT 'nation:4'",
+    "g_hasrev" -> "SELECT c_mktsegment AS node FROM customer WHERE c_custkey = 1",
+    "g_follow" ->
+      """SELECT r.r_name AS node FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "g_followr" -> "SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS node FROM nation WHERE n_regionkey = 1")
 
   // ===================================================== pipeline operators
   private val pipelineQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -212,6 +238,10 @@ object SparkEntry {
     // language-ID heuristic (marker CASE-chain, mirrored in SQL)
     "text_langid" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+    // BPE-ish subword counting
+    "text_subwords" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
     // MinHash+LSH near-dup candidate pairs (no SQL oracle: rows-only)
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
@@ -264,6 +294,15 @@ object SparkEntry {
         |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE length(string_split(t,' ')) END AS BIGINT) AS n_tokens,
         |  CAST(length(text) - length(replace(replace(replace(text,'.',''),'!',''),'?','')) AS BIGINT) AS n_punct,
         |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE list_max(list_transform(string_split(t,' '), w -> length(w))) END AS BIGINT) AS max_word_len
+        |FROM n""".stripMargin,
+    "text_subwords" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN length(t) = 0 THEN 0
+        |    ELSE length(string_split(t, ' ')) +
+        |      list_sum(list_transform(string_split(t, ' '),
+        |        w -> greatest(0, (length(w) - 1) // 4))) END AS BIGINT) AS n_subwords
         |FROM n""".stripMargin,
     "text_langid" ->
       """WITH n AS (SELECT doc_id,

@@ -27,8 +27,8 @@ object TextOps {
     val t = normalize(text)
     when(length(t) === 0, lit(0)).otherwise(
       size(split(t, " ")) +
-        aggregate(split(t, " "), lit(0),
-          (acc, w) => acc + greatest(lit(0), (length(w) - 1) / 4)))
+        aggregate(split(t, " "), lit(0), (acc, w) =>
+          acc + greatest(lit(0), floor((length(w) - 1) / 4).cast("int"))))
   }
 
   /** Stopword-marker language guess. The fixed marker list keeps it a

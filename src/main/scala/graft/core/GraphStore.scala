@@ -24,23 +24,29 @@ import org.apache.spark.sql.types._
   * Parquet min/max on s/o). The nodes dictionary is ~|distinct values| and
   * joins broadcast per-predicate slices.
   */
-final case class Graph(nodes: DataFrame, quads: DataFrame) {
+final case class Graph(nodes: DataFrame, quads: DataFrame,
+                       predicateBuckets: Int = 0) {
   def spark: SparkSession = nodes.sparkSession
 
-  def cached(): Graph = Graph(nodes.cache(), quads.cache())
+  def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache())
 
   def stats: (Long, Long) = (nodes.count(), quads.count())
 
   /** Persist as Parquet. `predicateBuckets > 0` writes quads partitioned by
     * `pb = pmod(p, buckets)` — the scale path: a query constraining `p`
-    * reads only the matching partition directories.
+    * reads only the matching partition directories (the lowering adds the
+    * `pb` filter whenever it has a literal predicate set, so pruning is
+    * static, not even dynamic).
     */
   def write(dir: String, predicateBuckets: Int = 0): Unit = {
     nodes.write.mode("overwrite").parquet(s"$dir/nodes")
-    if (predicateBuckets > 0)
+    if (predicateBuckets > 0) {
       quads.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
         .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/quads")
-    else quads.write.mode("overwrite").parquet(s"$dir/quads")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/graft_meta.json"),
+        s"""{"predicateBuckets":$predicateBuckets}""")
+    } else quads.write.mode("overwrite").parquet(s"$dir/quads")
   }
 
   /** Delta application (the reference's `ApplyDeltas`,
@@ -75,7 +81,9 @@ object Graph {
     Values.idCol(col(c))
 
   /** Build the two tables from a DataFrame with struct columns
-    * (sub, pred, obj, lbl). One shuffle total (nodes dedup); quads need none.
+    * (sub, pred, obj, lbl). One shuffle total (nodes dedup); quads need
+    * none. The dictionary is built by exploding the four positions in a
+    * single pass over the input — not four unioned re-reads.
     */
   def fromQuadDF(raw0: DataFrame): Graph = {
     val raw = raw0
@@ -83,9 +91,9 @@ object Graph {
       idOf("sub").as("s"), idOf("pred").as("p"), idOf("obj").as("o"),
       when(col("lbl").isNull, lit(null).cast(LongType))
         .otherwise(idOf("lbl")).as("l"))
-    val nodes = Seq("sub", "pred", "obj", "lbl")
-      .map(c => raw.select(col(c).as("v")))
-      .reduce(_ unionAll _)
+    val nodes = raw
+      .select(explode(array(col("sub"), col("pred"), col("obj"), col("lbl")))
+        .as("v"))
       .where(col("v").isNotNull)
       .select(Values.idCol(col("v")).as("id"), col("v.*"))
       .withColumn("sk", Values.sortKeyCol(col))
@@ -109,9 +117,17 @@ object Graph {
     fromQuadDF(rows.toDF())
   }
 
-  def read(spark: SparkSession, dir: String): Graph =
+  def read(spark: SparkSession, dir: String): Graph = {
+    val metaPath = java.nio.file.Paths.get(s"$dir/graft_meta.json")
+    val buckets =
+      if (java.nio.file.Files.exists(metaPath)) {
+        val m = java.nio.file.Files.readString(metaPath)
+        "\"predicateBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m)
+          .map(_.group(1).toInt).getOrElse(0)
+      } else 0
     Graph(spark.read.parquet(s"$dir/nodes"),
-      spark.read.parquet(s"$dir/quads").drop("pb"))
+      spark.read.parquet(s"$dir/quads"), buckets)
+  }
 
   /** Deterministically quad-ify a relational table: each row becomes
     * `(<table:pk>, <column>, typedValue)` triples. Gives graph-parity tests
@@ -131,7 +147,12 @@ object Graph {
 
     val subj = qv(Kind.Iri,
       s = concat(lit(table + ":"), col(pkCol).cast(StringType)))
-    val perCol = df.schema.fields.filter(_.name != pkCol).map { f =>
+    val lbl = label match {
+      case Some(l) => qv(Kind.Iri, s = lit(l))
+      case None    => lit(null).cast(Values.structType)
+    }
+    // one scan: explode an array of per-column quad structs per row
+    val quadStructs = df.schema.fields.filter(_.name != pkCol).map { f =>
       val c = col(f.name)
       val obj = f.dataType match {
         case StringType => qv(Kind.Str, s = c)
@@ -145,15 +166,14 @@ object Graph {
         case other =>
           qv(Kind.Str, s = c.cast(StringType))
       }
-      val lbl = label match {
-        case Some(l) => qv(Kind.Iri, s = lit(l))
-        case None    => lit(null).cast(Values.structType)
-      }
-      df.where(c.isNotNull).select(subj.as("sub"),
+      when(c.isNotNull, struct(subj.as("sub"),
         qv(Kind.Iri, s = lit(f.name)).as("pred"), obj.as("obj"),
-        lbl.as("lbl"))
+        lbl.as("lbl")))
     }
-    perCol.reduce(_ unionAll _)
+    df.select(explode(array(quadStructs: _*)).as("q"))
+      .where(col("q").isNotNull)
+      .select(col("q.sub").as("sub"), col("q.pred").as("pred"),
+        col("q.obj").as("obj"), col("q.lbl").as("lbl"))
   }
 
   /** Quadify foreign-key edges: `(<table:pk>, <edgeName>, <refTable:fk>)`. */

@@ -173,10 +173,18 @@ final class Lower(g: Graph) {
       case Shape.Null     => df.where(lit(false))
       case Shape.Fixed(vs) =>
         val ids = vs.map(QValue.id)
-        ids match {
+        val base = ids match {
           case Seq(one) => df.where(dirCol === lit(one))
           case many     => df.where(dirCol.isin(many: _*))
         }
+        // literal predicate constraint + bucketed store → static partition
+        // pruning on pb (the kv backend's predicate-index analog)
+        if (f.dir == Dir.P && g.predicateBuckets > 0 &&
+          df.columns.contains("pb")) {
+          val n = g.predicateBuckets
+          val buckets = ids.map(i => ((i % n) + n) % n).distinct
+          base.where(col("pb").isin(buckets: _*))
+        } else base
       // Save over AllNodes / Fixed on a direction = tag that direction —
       // no join (part of the QuadsAction fusion, shape.go:588-617).
       case Shape.Save(tags, Shape.AllNodes) =>
