@@ -257,23 +257,36 @@ final class Lower(g: Graph) {
 
   /** Iterative transitive closure: frontier/seen loop with localCheckpoint
     * to cut lineage (SURVEY §7.3 item 4). Each iteration is one distributed
-    * join; the loop itself is driver-side control flow only.
+    * join; the loop itself is driver-side control flow only. Tags bound
+    * inside the morphism (e.g. a parent tag) ride along: one binding per
+    * first-reached node, matching the reference's seen-map behavior
+    * (recursive.go). A node already expanded is still *emitted* when
+    * re-reached only if it was never emitted (start nodes re-reached in a
+    * cycle do get emitted — pathtest testFollowRecursiveHas).
     */
   private def recursive(from: Shape, step: Shape => Shape, maxDepth: Int): DataFrame = {
     val maxD = if (maxDepth <= 0) DefaultMaxRecursive else maxDepth
     val start = nodes(from).select(ID).distinct().localCheckpoint()
     var frontier = start
-    var seen = start
-    var acc: DataFrame = emptyNodes()
+    var expanded = start     // ids already used as a frontier
+    var emitted = emptyNodes() // ids already in the result set
+    var acc: DataFrame = null
     var depth = 0
     while (depth < maxD && !frontier.isEmpty) {
-      val next = nodes(step(Shape.Embed(frontier))).select(ID).distinct()
-      val fresh = next.join(seen, Seq(ID), "left_anti").localCheckpoint()
-      acc = acc.unionByName(fresh)
-      seen = seen.unionByName(fresh).localCheckpoint()
-      frontier = fresh
+      val stepDf = nodes(step(Shape.Embed(frontier)))
+      val fresh = stepDf
+        .join(emitted.select(col(ID)), Seq(ID), "left_anti")
+        .dropDuplicates(ID)
+        .localCheckpoint()
+      acc = if (acc == null) fresh
+        else acc.unionByName(fresh, allowMissingColumns = true)
+      emitted = emitted.unionByName(fresh.select(ID)).localCheckpoint()
+      val newFrontier = fresh.select(ID)
+        .join(expanded, Seq(ID), "left_anti").localCheckpoint()
+      expanded = expanded.unionByName(newFrontier).localCheckpoint()
+      frontier = newFrontier
       depth += 1
     }
-    acc
+    if (acc == null) emptyNodes() else acc
   }
 }
