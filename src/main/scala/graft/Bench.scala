@@ -16,8 +16,8 @@ object Bench {
     // relational / streaming-table
     "q1_agg", "q3_join", "q_window", "q_topk_users",
     // pipeline operators
-    "dedup_exact", "dedup_minhash", "dedup_simhash", "text_quality",
-    "text_langid", "sim_topk", "sim_ann")
+    "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
+    "text_quality", "text_langid", "sim_topk", "sim_ann", "emb_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -41,23 +41,32 @@ object Bench {
     val loadSec = time { SparkEntry.graph(spark, sfDir).stats }
 
     val qs = SparkEntry.queries
+    // a failed query is an explicit -1 entry + an errors record, never a
+    // silently-fast timing
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = headline.filter(qs.contains).map { name =>
-      val sec = time {
-        try qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+      val t0 = System.nanoTime()
+      val ok =
+        try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch {
-          case _: Throwable =>
-            try { qs(name)(spark, sfDir).count(); () }
-            catch { case _: Throwable => () }
+          case e: Throwable =>
+            errors(name) = (e.getClass.getSimpleName + ": " +
+              String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+            false
         }
-      }
-      name -> sec
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
     val all = ("graph_load" -> loadSec) +: results
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val errJson =
+      if (errors.isEmpty) ""
+      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+        .mkString(""","errors":{""", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -138,6 +138,11 @@ object SparkEntry {
     "g_recursive" -> ((s, d) => run(s, d,
       Path.start(iri("nation:10")).followRecursive(iri("n_prev")))
       .payloadDF("id" -> "node")),
+    // Recursive traversal with depth tags (per-depth Int bindings)
+    "g_recursive_depth" -> ((s, d) => run(s, d,
+      Path.start(iri("nation:10")).followRecursive(iri("n_prev"),
+        maxDepth = 0, depthTags = Seq("depth")))
+      .payloadDF("id" -> "node", Lower.intTagCol("depth") -> "depth")),
     // Tag + Is + Back (re-root at tag)
     "g_back" -> ((s, d) => run(s, d,
       Path.start().tag("c").out(iri("c_nation")).is(iri("nation:7")).back("c"))
@@ -203,6 +208,13 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT k - 1 FROM reach WHERE k > 0)
         |SELECT 'nation:' || CAST(k AS VARCHAR) AS node FROM reach""".stripMargin,
+    "g_recursive_depth" ->
+      """WITH RECURSIVE reach(k, d) AS (
+        |  SELECT 9, 1
+        |  UNION ALL
+        |  SELECT k - 1, d + 1 FROM reach WHERE k > 0)
+        |SELECT 'nation:' || CAST(k AS VARCHAR) AS node,
+        |       CAST(d AS VARCHAR) AS depth FROM reach""".stripMargin,
     "g_back" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_nationkey = 7",
     "g_predicates" ->
       """SELECT 'c_name' AS node UNION ALL SELECT 'c_nationkey'
@@ -242,21 +254,21 @@ object SparkEntry {
     "text_subwords" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
         TextOps.subwordCount(col("text")).cast("long").as("n_subwords"))),
-    // MinHash+LSH near-dup candidate pairs (no SQL oracle: rows-only)
+    // MinHash LSH candidates + exact word-3-gram Jaccard verify: the output
+    // is the exact J>=0.5 pair set (miss prob (1-j)^64 < 6e-20), which the
+    // oracle recomputes brute-force
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
-    // SimHash near-dup pairs (rows-only)
+    // SimHash near-dup pairs, exact for Hamming<=3 by pigeonhole banding;
+    // the 60-bit md5-derived token hash is the shared oracle contract
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
-        maxHamming = 16)),
-    // exact n-gram Jaccard verification over LSH candidates (rows-only)
-    "dedup_ngram" -> ((s, d) => {
-      val doc = t(s, d, "documents")
-      val cand = Dedup.minhashPairs(doc, "doc_id", "text", threshold = 0.3)
-        .select("id_a", "id_b")
-      Dedup.ngramJaccardPairs(doc, "doc_id", "text", cand)
-    }),
+        maxHamming = 3)),
+    // exact char-5-gram Jaccard self-join via prefix filtering (PPJoin-lite)
+    "dedup_ngram" -> ((s, d) =>
+      Dedup.jaccardJoin(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8)),
     // brute-force cosine top-k (ids only; scores are float-order sensitive)
     "sim_topk" -> ((s, d) =>
       Similarity.bruteTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -267,16 +279,76 @@ object SparkEntry {
       Similarity.batchTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
         "embedding", k = 3).select("query_id", "id")
     }),
-    // LSH-bucketed ANN (recall<1 by design: rows-only)
+    // LSH ANN, verified by its contract: recall@10 >= 0.8 vs brute force
+    // (size-adaptive bits + 1-probe multi-probe)
     "sim_ann" -> ((s, d) =>
-      Similarity.lshTopK(t(s, d, "embeddings"), "vec_id", "embedding",
-        dim = 64, queryId = 0L, k = 10, bits = 4).select("vec_id", "score")),
-    // embedding-cosine near-dup pairs (rows-only)
+      Similarity.lshRecallAtK(t(s, d, "embeddings"), "vec_id", "embedding",
+        dim = 64, queryId = 0L, k = 10, minRecall = 0.8)),
+    // exact all-pairs embedding-cosine near-dup (ids only)
     "emb_neardup" -> ((s, d) =>
-      Similarity.cosineNearDupPairs(t(s, d, "embeddings"), "vec_id",
-        "embedding", dim = 64, threshold = 0.25, bits = 4)))
+      Similarity.cosineNearDupPairsExact(t(s, d, "embeddings"), "vec_id",
+        "embedding", threshold = 0.25)))
+
+  /** DuckDB mirror of Dedup.simhashes: 60-bit md5-derived token hash,
+    * per-bit ±1 sums over distinct tokens, then brute-force Hamming pairs.
+    * Generated (60 sum terms) but plain ANSI-ish SQL.
+    */
+  private val simhashOracle: String = {
+    val sums = (0 until Dedup.SimhashBits)
+      .map(b => s"SUM(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS b$b")
+      .mkString(", ")
+    val simExpr = (0 until Dedup.SimhashBits)
+      .map(b => s"CASE WHEN b$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(list_distinct(string_split(t, ' '))) AS w FROM d),
+       |hh AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h FROM tok),
+       |sums AS (SELECT doc_id, $sums FROM hh GROUP BY doc_id),
+       |sim AS (SELECT doc_id, CAST($simExpr AS BIGINT) AS sim FROM sums)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+       |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sim, b.sim)) <= 3""".stripMargin
+  }
+
+  /** Word-3-gram shingle list in DuckDB (mirror of Dedup.wordShingles). */
+  private val wordShingleCte =
+    """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+      |s AS (SELECT doc_id, CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+      |  ELSE list_distinct(list_transform(range(0, len(ws) - 2),
+      |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END AS sh FROM w)""".stripMargin
+
+  /** Char-5-gram shingle list in DuckDB (mirror of Dedup.shingles). */
+  private val charShingleCte =
+    """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+      |s AS (SELECT doc_id, list_distinct(list_transform(
+      |  range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS sh FROM d)""".stripMargin
+
+  private def jaccardPairSql(cte: String, threshold: Double) =
+    s"""$cte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) AS jaccard
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= $threshold""".stripMargin
 
   private val pipelineOracles: Map[String, String] = Map(
+    // exact all-pairs recomputation of the J>=0.5 word-shingle contract
+    "dedup_minhash" -> jaccardPairSql(wordShingleCte, 0.5),
+    // exact all-pairs recomputation of the J>=0.8 char-5-gram contract
+    "dedup_ngram" -> jaccardPairSql(charShingleCte, 0.8),
+    // brute-force Hamming<=3 over the shared 60-bit simhash
+    "dedup_simhash" -> simhashOracle,
+    // exact all-pairs cosine >= 0.25 (double-precision, ids only)
+    "emb_neardup" ->
+      """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE list_inner_product(a.e, b.e) /
+        |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.25""".stripMargin,
+    // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
+    // (sim_topk verifies the brute-force side row-exactly)
+    "sim_ann" -> "SELECT TRUE AS recall_ok",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,

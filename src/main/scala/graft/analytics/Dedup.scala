@@ -1,16 +1,21 @@
 package graft.analytics
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for large text corpora. Four tiers, cheapest first:
   * exact (hash group-by), SimHash (bitwise near-dup), MinHash+LSH
   * (Jaccard near-dup), embedding-cosine (semantic near-dup in
   * Similarity.scala). All signature computation is per-row column
-  * expressions (codegen'd, embarrassingly parallel); only the final
-  * bucket join shuffles — and it shuffles signatures (bytes), never
-  * documents. At 100 TB that means one wide scan + a shuffle of
-  * ~1% of the input width.
+  * expressions (codegen'd, embarrassingly parallel); only bucket joins
+  * shuffle — and they shuffle signatures (bytes), never documents. At
+  * 100 TB that means one wide scan + a shuffle of ~1% of the input width.
+  *
+  * Every near-dup operator here ends in an EXACT verification stage, so the
+  * output is a deterministic, SQL-expressible contract (the DuckDB oracle
+  * recomputes it brute-force): LSH only generates candidates, it never
+  * decides membership.
   */
 object Dedup {
   /** Exact dedup: canonical-form fingerprint, keep lowest id per group.
@@ -21,7 +26,7 @@ object Dedup {
     df.select(col(idCol), TextOps.fingerprint(col(textCol)).as("fp"))
       .groupBy("fp").agg(min(idCol).as(idCol))
 
-  /** Character n-gram shingles of the canonical text. */
+  /** Character n-gram shingles of the canonical text (distinct). */
   def shingles(text: Column, n: Int = 5): Column = {
     val t = TextOps.normalize(text)
     array_distinct(transform(
@@ -29,151 +34,234 @@ object Dedup {
       i => t.substr(i, lit(n))))
   }
 
-  private val P31 = 2147483647L // Mersenne prime 2^31-1
-  private def permA(i: Int): Long = (2654435761L * (i + 1)) % P31
-  private def permB(i: Int): Long = (40503L * (i * 2 + 7)) % P31
+  /** Word n-gram shingles of the canonical text (distinct); texts shorter
+    * than n words collapse to one whole-text shingle. Cuts shingle-row
+    * volume ~5× vs character shingles at the same dedup quality for prose.
+    */
+  def wordShingles(text: Column, n: Int = 3): Column = {
+    val toks = split(TextOps.normalize(text), " ")
+    when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(array_distinct(transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
 
-  /** MinHash signatures via explode + group-by: each shingle is hashed
-    * exactly once, the k permutations are cheap arithmetic inside k `min`
-    * aggregates, and the only shuffle is the per-doc group-by. (A nested
-    * `transform(seq(k), i -> array_min(transform(shingles...)))` column
-    * expression re-inlines the shingle computation into every lambda —
-    * Catalyst has no CSE across HOF lambdas — going superlinear in k.)
-    * Hashes live in [0, 2^31) so `h*a + b` stays < 2^63: safe under ANSI
-    * overflow checking. Returns (id, sig: array<long>[k]).
+  /** Word-shingle rows `(id, h)` — one row per shingle occurrence, shingle
+    * identity as its xxhash64. Built entirely from codegen'd expressions:
+    * explode a position sequence, then `concat_ws` over `element_at`s —
+    * no higher-order functions (Catalyst evaluates HOF lambdas interpreted,
+    * which is the difference between ~1 s and ~6 s at 5k docs and a stall
+    * at scale). Duplicates are kept (min-agg and collect_set don't care).
+    */
+  def wordShingleRows(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3): DataFrame = {
+    val toks = split(TextOps.normalize(col(textCol)), " ")
+    df.select(col(idCol).as("id"), toks.as("toks"))
+      .select(col("id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - n, lit(0))))
+          .as("i"))
+      .select(col("id"), xxhash64(
+        when(size(col("toks")) < n, array_join(col("toks"), " "))
+          .otherwise(concat_ws(" ",
+            (0 until n).map(j => element_at(col("toks"), col("i") + (j + 1))): _*)))
+        .as("h"))
+  }
+
+  /** Char-n-gram rows `(id, h)`, same codegen-only construction. */
+  def charShingleRows(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 5): DataFrame = {
+    val t = TextOps.normalize(col(textCol))
+    df.select(col(idCol).as("id"), t.as("t"))
+      .select(col("id"), col("t"),
+        explode(sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col("id"), xxhash64(col("t").substr(col("i"), lit(n))).as("h"))
+  }
+
+  /** Distinct hashed shingle set per doc, SORTED:
+    * `(id, sh: array<long>, sz)` — sorted so the verification stage can
+    * use the two-pointer [[graft.functions.SortedArrayIntersectCount]].
+    */
+  def shingleSets(rows: DataFrame): DataFrame =
+    rows.groupBy("id").agg(array_sort(collect_set(col("h"))).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).as("sz"))
+
+  /** MinHash signatures `(id, sig: array<long>[k])`: ONE hash-aggregate
+    * with k codegen'd `min(xxhash64(h, i))` buffers over the shingle rows.
+    * One shuffle, map-side combined.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        k: Int = 64, shingleN: Int = 5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("shingle"))
-      .select(col("id"), pmod(xxhash64(col("shingle")), lit(P31)).as("h"))
-    val mins = (0 until k).map(i =>
-      min(pmod(col("h") * permA(i) + permB(i), lit(P31))).as(s"m$i"))
-    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+                        k: Int = 64, shingleN: Int = 3): DataFrame =
+    signaturesFromRows(wordShingleRows(df, idCol, textCol, shingleN), k)
+
+  private def signaturesFromRows(rows: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    rows.groupBy("id").agg(mins.head, mins.tail: _*)
       .select(col("id"), array((0 until k).map(i => col(s"m$i")): _*).as("sig"))
   }
 
-  /** Single-column signature form (convenience for small inputs/tests). */
-  def minhashSignature(text: Column, k: Int = 64, shingleN: Int = 5): Column = {
-    val hashes = transform(shingles(text, shingleN),
-      s => pmod(xxhash64(s), lit(P31)))
-    transform(sequence(lit(0), lit(k - 1)), i => {
-      val a = pmod(lit(2654435761L) * (i + 1), lit(P31))
-      val b = pmod(lit(40503L) * (i * 2 + 7), lit(P31))
-      array_min(transform(hashes, h => pmod(h * a + b, lit(P31))))
-    })
-  }
-
-  /** LSH banding: split the signature into `bands` bands and hash each;
-    * docs sharing any band hash are candidates. Probability of catching a
-    * pair with Jaccard j is 1-(1-j^r)^b (r = k/bands).
+  /** Long form `(id, pos, mh)` — the LSH posting list (b = k bands of one
+    * row each). Derived by exploding the signature per doc: k rows per doc,
+    * cheap relative to the shingle aggregation above.
     */
-  def lshBands(sig: Column, k: Int = 64, bands: Int = 16): Column = {
-    val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      j => xxhash64(slice(sig, j * r + 1, lit(r))))
-  }
+  def minhashTable(df: DataFrame, idCol: String, textCol: String,
+                   k: Int = 64, shingleN: Int = 3): DataFrame =
+    minhashSignatures(df, idCol, textCol, k, shingleN)
+      .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
 
-  /** Candidate near-dup pairs via MinHash LSH, scored by signature
-    * agreement (estimates Jaccard). Returns (id_a, id_b, est_jaccard) with
-    * id_a < id_b. The self-join is on (band index, band hash) — a shuffle
-    * of signatures only.
+  /** Near-dup pairs via MinHash LSH + exact-Jaccard verification. The LSH
+    * stage uses one row per band (b = k, r = 1): docs sharing ANY of the k
+    * minhash values become candidates, so a pair with true Jaccard j is
+    * missed with probability (1−j)^k — at the default (j ≥ 0.5, k = 64)
+    * that is < 6e−20, i.e. the output equals the exact all-pairs answer,
+    * which is what the oracle recomputes. The verify stage is O(candidate
+    * pairs) and decides membership by EXACT word-shingle Jaccard.
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.7, k: Int = 64, bands: Int = 16,
-                   shingleN: Int = 5): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, k, shingleN).cache()
-    val buckets = sigs
-      .select(col("id"), col("sig"),
-        posexplode(lshBands(col("sig"), k, bands)).as(Seq("bandIdx", "bandHash")))
-    val l = buckets.alias("l")
-    val rr = buckets.alias("r")
-    val cand = l.join(rr,
-        col("l.bandIdx") === col("r.bandIdx") &&
-          col("l.bandHash") === col("r.bandHash") &&
+                   threshold: Double = 0.5, k: Int = 64,
+                   shingleN: Int = 3): DataFrame = {
+    // one shingle scan feeds both the signature aggregate and the
+    // verification sets — materialize it once
+    val rows = wordShingleRows(df, idCol, textCol, shingleN).cache()
+    val mh = signaturesFromRows(rows, k)
+      .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
+    val cand = mh.alias("l").join(mh.alias("r"),
+        col("l.pos") === col("r.pos") && col("l.mh") === col("r.mh") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        col("l.sig").as("sig_a"), col("r.sig").as("sig_b"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (a, b) => when(a === b, 1).otherwise(0)),
-          lit(0), (acc, x) => acc + x).cast("double") / k)
-      .where(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+    jaccardVerify(cand, shingleSets(rows))
+      .where(col("jaccard") >= threshold)
   }
 
-  /** Exact character-n-gram Jaccard for a set of candidate pairs
-    * (verification stage after LSH; exact but O(pairs)).
+  /** Exact Jaccard for a candidate pair set (the verification stage after
+    * any LSH; O(pairs)). `sets` is a [[shingleSets]] table; sizes are
+    * computed on hashed shingle sets, so each pair costs two long-array
+    * set operations in codegen, not string hashing. (A 64-bit shingle-hash
+    * collision could perturb a size by 1 — probability ~|shingles|²/2⁶⁴,
+    * irrelevant next to the thresholds in use.)
     */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        pairs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-    pairs
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+  def jaccardVerify(pairs: DataFrame, sets: DataFrame): DataFrame = {
+    // The set side is |docs| rows; the pair stream can be much larger, so
+    // hint the dimension side broadcast (at corpus sizes past executor
+    // memory, drop the hint and let AQE pick a shuffle join — the pair
+    // stream is still never wider than (id_a, id_b)).
+    val sh = broadcast(sets)
+    pairs.select("id_a", "id_b")
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      // |A∪B| = |A|+|B|−|A∩B|; the intersect count is a codegen'd
+      // two-pointer merge — one O(|A|+|B|) pass per pair, no hashing
+      .withColumn("inter", graft.functions.SortedArrayIntersectCount(
+        col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / col("uni")).as("jaccard"))
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
   }
 
-  /** 64-bit SimHash over token xxhash64s (expr-based: SQL shiftright takes
-    * a column bit index, the Scala DSL doesn't).
+  /** Exact character-n-gram Jaccard for a candidate pair set. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        pairs: DataFrame, shingleN: Int = 3): DataFrame =
+    jaccardVerify(pairs, shingleSets(charShingleRows(df, idCol, textCol, shingleN)))
+
+  /** EXACT set-similarity self-join (prefix-filter / PPJoin-lite): all
+    * pairs with character-shingle Jaccard ≥ threshold, no approximation.
+    * A pair with J ≥ t must share a shingle within each side's first
+    * `|S| − ⌈t·|S|⌉ + 1` shingles under any global total order; ordering
+    * by ascending document frequency makes those prefix shingles the
+    * rarest, so the inverted-index join on prefix shingles stays near-
+    * linear. A length filter (t·|A| ≤ |B| ≤ |A|/t) prunes the rest.
+    * This is the scale path for exact dedup: shuffle = prefix postings,
+    * verify = O(true candidates).
     */
-  def simhash(text: Column): Column = {
-    val tokens = split(TextOps.normalize(text), " ")
-    val hashes = transform(tokens, t => xxhash64(t))
-    val sums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(hashes, lit(0L), (acc, h) =>
-        acc + when(expr_bit(h, b) === 1, 1L).otherwise(-1L)))
-    aggregate(
-      zip_with(sums, sequence(lit(0), lit(63)),
-        (s, b) => when(s > 0, shiftLeftC(lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double, shingleN: Int = 5): DataFrame = {
+    // The distinct posting table feeds sizes, frequencies, and the prefix
+    // join — materialize it once (the reference's Materialize rule for a
+    // reused subtree) instead of recomputing the shingle scan per consumer.
+    val sh = charShingleRows(df, idCol, textCol, shingleN)
+      .dropDuplicates("id", "h").cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = sh.join(freq, "h").join(sizes, "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "h", "sz", "rn")
+    // Positional filter (PPJoin): a match at prefix ranks (rnA, rnB) can
+    // contribute at most 1 + min(szA−rnA, szB−rnB) to the overlap, which
+    // must reach ⌈t/(1+t)·(szA+szB)⌉ for J ≥ t — prunes pairs whose only
+    // shared prefix shingles sit too deep to ever meet the threshold.
+    val cand = prefix.alias("l").join(prefix.alias("r"),
+        col("l.h") === col("r.h") && col("l.id") < col("r.id") &&
+          col("l.sz") * threshold <= col("r.sz") &&
+          col("r.sz") * threshold <= col("l.sz") &&
+          lit(1) + least(col("l.sz") - col("l.rn"), col("r.sz") - col("r.rn"))
+            >= ceil((col("l.sz") + col("r.sz")) * (threshold / (1 + threshold))))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    jaccardVerify(cand, shingleSets(sh))
+      .where(col("jaccard") >= threshold)
   }
 
-  // SQL-level shift helpers (column bit positions).
-  private def expr_bit(h: Column, b: Column): Column =
-    call_function("shiftrightunsigned", h, b).bitwiseAND(lit(1L))
-  private def shiftLeftC(v: Column, b: Column): Column =
-    call_function("shiftleft", v, b)
+  /** 60-bit token hash shared with the SQL oracle contract: the first 15
+    * hex chars of md5 parsed as an integer — reproducible in any engine
+    * with a standard md5 (`conv(substr(md5(w),1,15),16,10)` here,
+    * `CAST('0x'||substr(md5(w),1,15) AS BIGINT)` in DuckDB). 60 bits keeps
+    * the value positive in a signed 64-bit integer on both sides.
+    */
+  val SimhashBits = 60
+  def tokenHash(tok: Column): Column =
+    conv(substring(md5(tok), 1, 15), 16, 10).cast("long")
 
-  /** SimHash per doc via explode + group-by (same CSE rationale as
-    * MinHash: each token hashed once; 64 conditional-sum aggregates).
+  /** 60-bit SimHash over distinct tokens, via explode + group-by (each
+    * token hashed once; 60 conditional-sum aggregates with map-side
+    * combine). Bit b is set iff Σ_tokens (±1 by bit b of the token hash)
+    * is positive.
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol).as("id"),
-        explode(split(TextOps.normalize(col(textCol)), " ")).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val sums = (0 until 64).map(b =>
+        explode(array_distinct(split(TextOps.normalize(col(textCol)), " ")))
+          .as("tok"))
+      .select(col("id"), tokenHash(col("tok")).as("h"))
+    val sums = (0 until SimhashBits).map(b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)
         .otherwise(-1L)).as(s"b$b"))
     tok.groupBy("id").agg(sums.head, sums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("sim"))
   }
 
-  /** SimHash near-dup pairs: band the 64 bits into 4×16-bit keys (a pair
-    * within Hamming distance 3 shares at least one band), verify with
-    * bit_count(xor) <= maxHamming.
+  /** SimHash near-dup pairs, EXACT for the given radius: the 60 bits are
+    * split into `maxHamming + 1` bands, so by pigeonhole any pair within
+    * Hamming distance maxHamming shares at least one full band — banding
+    * is a no-false-negative candidate generator and `bit_count(xor)`
+    * decides membership. Bands shrink as the radius grows (radius 3 →
+    * 4×15-bit bands, 2^15 buckets; the O(n²/buckets) within-bucket work is
+    * the scale cost of a larger radius).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    val bands = maxHamming + 1
     val sh = simhashes(df, idCol, textCol)
+    // band j covers bits [j*60/bands, (j+1)*60/bands) — boundaries are
+    // plan-time constants
+    val bandKeys = array((0 until bands).map { j =>
+      val start = j * SimhashBits / bands
+      val width = (j + 1) * SimhashBits / bands - start
+      shiftrightunsigned(col("sim"), start).bitwiseAND(lit((1L << width) - 1))
+    }: _*)
     val banded = sh.select(col("id"), col("sim"),
-      posexplode(transform(sequence(lit(0), lit(3)), j =>
-        call_function("shiftrightunsigned", col("sim"), j * 16)
-          .bitwiseAND(lit(0xFFFFL)))).as(Seq("bandIdx", "bandKey")))
-    val l = banded.alias("l")
-    val rr = banded.alias("r")
-    l.join(rr, col("l.bandIdx") === col("r.bandIdx") &&
-        col("l.bandKey") === col("r.bandKey") && col("l.id") < col("r.id"))
+      posexplode(bandKeys).as(Seq("bandIdx", "bandKey")))
+    banded.alias("l").join(banded.alias("r"),
+        col("l.bandIdx") === col("r.bandIdx") &&
+          col("l.bandKey") === col("r.bandKey") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).as("hamming"))
+        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).cast("long")
+          .as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .where(col("hamming") <= maxHamming)
   }

@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   * expression (no training job, deterministic across runs).
   */
 object Similarity {
-  /** Σ aᵢbᵢ via zip_with/aggregate — stays in whole-stage codegen. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, v) => acc + v)
+  /** Σ aᵢbᵢ — the native codegen'd [[graft.functions.ArrayDot]] expression
+    * (tight loop in whole-stage codegen AND inside join-condition
+    * predicates; left-to-right double accumulation, bitwise equal to a
+    * sequential SQL dot product).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.ArrayDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -52,21 +54,53 @@ object Similarity {
       .drop("rn")
   }
 
-  /** LSH-bucketed ANN: probe only the query's bucket. Recall < 1 by
-    * construction; raise `bits`→lower bucket occupancy, or probe
-    * neighboring buckets for higher recall.
+  /** Bits for a target mean bucket occupancy: bits ≈ log2(n/target),
+    * clamped to [0, 20]. Derive from a cheap count (or a known corpus
+    * size) instead of fixing bits at the call site — a fixed `bits` makes
+    * within-bucket work O(n²/2^bits), which silently degrades as the
+    * corpus grows.
+    */
+  def autoBits(n: Long, targetBucket: Int = 256): Int =
+    math.max(0, math.min(20,
+      math.ceil(math.log(math.max(n, 1).toDouble / targetBucket) /
+        math.log(2.0)).toInt))
+
+  /** LSH-bucketed ANN with multi-probe: probe every bucket within Hamming
+    * distance `probe` of the query's bucket (probe=1 → bits+1 buckets),
+    * trading a small scan multiplier for recall. `bits < 0` derives bits
+    * from the corpus size (one count job). Recall < 1 by construction —
+    * verify with recall@k against [[bruteTopK]].
     */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
-              queryId: Long, k: Int, bits: Int = 12): DataFrame = {
+              queryId: Long, k: Int, bits: Int = -1,
+              probe: Int = 1): DataFrame = {
+    val b = if (bits >= 0) bits else autoBits(emb.count())
     val withBucket = emb.withColumn("bucket",
-      signBucketExpr(col(vecCol), dim, bits))
+      signBucketExpr(col(vecCol), dim, b))
     val q = withBucket.where(col(idCol) === queryId)
       .select(col(vecCol).as("qvec"), col("bucket").as("qbucket"))
-    withBucket.join(broadcast(q), col("bucket") === col("qbucket"))
+    // single broadcast row → the non-equi bucket predicate is a cheap
+    // broadcast-nested-loop filter, still one scan of the corpus
+    withBucket.join(broadcast(q),
+        bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probe)
       .where(col(idCol) =!= queryId)
       .select(col(idCol), cosine(col(vecCol), col("qvec")).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** Recall@k of the LSH path against the exact brute-force top-k — the
+    * verification harness for the approximate operator (its oracle-able
+    * contract is `recall ≥ minRecall`, not row equality).
+    */
+  def lshRecallAtK(emb: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   queryId: Long, k: Int, minRecall: Double,
+                   bits: Int = -1, probe: Int = 1): DataFrame = {
+    val ann = lshTopK(emb, idCol, vecCol, dim, queryId, k, bits, probe)
+      .select(col(idCol))
+    val exact = bruteTopK(emb, idCol, vecCol, queryId, k).select(col(idCol))
+    ann.join(exact, idCol)
+      .agg((count(lit(1)).cast("double") / k >= minRecall).as("recall_ok"))
   }
 
   /** Random-hyperplane sign bucket: bit j = sign(Σᵢ rᵢⱼ·embᵢ) with
@@ -86,19 +120,46 @@ object Similarity {
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
-  /** Embedding-cosine near-duplicate pairs: bucket, pair within bucket,
-    * verify with exact cosine ≥ threshold.
+  /** Embedding-cosine near-duplicate pairs, approximate: bucket, pair
+    * within bucket, verify with exact cosine ≥ threshold. `bits < 0`
+    * derives bits from the corpus size. Same-bucket blocking has false
+    * negatives (a near-dup pair can straddle a hyperplane) — use
+    * [[cosineNearDupPairsExact]] when the output must be the exact answer.
     */
   def cosineNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
                          dim: Int, threshold: Double,
-                         bits: Int = 8): DataFrame = {
+                         bits: Int = -1): DataFrame = {
+    val bb = if (bits >= 0) bits else autoBits(emb.count())
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
-      signBucketExpr(col(vecCol), dim, bits).as("bucket"))
+      signBucketExpr(col(vecCol), dim, bb).as("bucket"))
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         cosine(col("l.v"), col("r.v")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** EXACT embedding-cosine near-duplicate pairs: all-pairs self-join with
+    * id_a < id_b. Cosine admits no sound metric blocking (it is norm-
+    * invariant), so the exact contract is quadratic by nature; the join is
+    * a block-partitioned cartesian (Spark shuffles both sides into block
+    * pairs, each task a dense dot-product loop in codegen). For corpora
+    * where n² is unpayable, [[cosineNearDupPairs]] is the approximate
+    * path. Output: (id_a, id_b) — ids only, so the oracle comparison never
+    * rides on float formatting.
+    */
+  def cosineNearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double): DataFrame = {
+    // norms once per row (cached so the optimizer cannot inline them back
+    // into the per-pair join condition); per pair only the codegen'd dot
+    // loop + one division — identical arithmetic to dot(a,b)/(‖a‖·‖b‖),
+    // the oracle's formula
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("n")).cache()
+    b.alias("l").join(b.alias("r"), col("l.id") < col("r.id"))
+      .where(dot(col("l.v"), col("r.v")) / (col("l.n") * col("r.n"))
+        >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
   }
 }

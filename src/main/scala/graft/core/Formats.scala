@@ -19,10 +19,11 @@ object Formats {
     def term(alias: String): org.apache.spark.sql.Column = {
       val f = (c: String) => col(s"$alias.$c")
       val k = f("kind")
-      // N-Quads term serialization per kind (escaping handled for the
-      // string payload only; IRIs in the fixtures contain no specials)
-      val esc = regexp_replace(regexp_replace(f("s"), "\\\\", "\\\\\\\\"),
-        "\"", "\\\\\"")
+      // N-Quads string-literal escaping: backslash first, then quote and
+      // the control characters \n \r \t (mirrors NQuads.parseLine's unescape)
+      val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(f("s"), "\\\\", "\\\\\\\\"),
+        "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
       when(k === Kind.Iri, concat(lit("<"), f("s"), lit(">")))
         .when(k === Kind.BNode, concat(lit("_:"), f("s")))
         .when(k === Kind.Str, concat(lit("\""), esc, lit("\"")))

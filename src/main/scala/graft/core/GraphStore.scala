@@ -54,13 +54,23 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
     * delete = anti-join. Snapshot semantics — returns the new Graph.
     */
   def addQuads(g2: Graph): Graph = {
-    val q = quads.unionByName(g2.quads).dropDuplicates(Seq("s", "p", "o", "l"))
-    val n = nodes.unionByName(g2.nodes).dropDuplicates("id")
-    Graph(n, q)
+    // A graph read from a bucketed store carries the `pb` partition column;
+    // an in-memory delta does not. Normalize to the bare columns, then
+    // re-derive pb so static partition pruning survives the mutation.
+    val base = Seq("s", "p", "o", "l")
+    val merged = quads.select(base.map(col): _*)
+      .unionByName(g2.quads.select(base.map(col): _*))
+      .dropDuplicates(base)
+    val q = if (predicateBuckets > 0)
+      merged.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
+    else merged
+    val n = nodes.unionByName(g2.nodes.select(nodes.columns.map(col): _*))
+      .dropDuplicates("id")
+    copy(nodes = n, quads = q)
   }
 
   def deleteQuads(g2: Graph): Graph =
-    Graph(nodes, quads.join(g2.quads,
+    copy(quads = quads.join(g2.quads,
       quads("s") === g2.quads("s") && quads("p") === g2.quads("p") &&
         quads("o") === g2.quads("o") && quads("l") <=> g2.quads("l"),
       "left_anti"))

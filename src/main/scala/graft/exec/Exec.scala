@@ -62,7 +62,17 @@ final class Results(g: Graph, val df: DataFrame) {
     */
   def tagValues(tag: String, keepEmpty: Boolean = false): Seq[QValue] = {
     val c = tagCol(tag)
-    if (!df.columns.contains(c)) {
+    val ic = Lower.intTagCol(tag)
+    if (df.columns.contains(ic)) {
+      // depth tags hold raw Long values, not dictionary ids
+      df.select(col(ic)).collect().toSeq.map {
+        case r if r.isNullAt(0) => QValue.Str("")
+        case r                  => QValue.IntV(r.getLong(0))
+      } match {
+        case vs if keepEmpty => vs
+        case vs => vs.filterNot(_ == QValue.Str(""))
+      }
+    } else if (!df.columns.contains(c)) {
       if (keepEmpty) Seq.fill(df.count().toInt)(QValue.Str("")) else Nil
     } else {
       val vs = resolveCol(c)
@@ -75,25 +85,29 @@ final class Results(g: Graph, val df: DataFrame) {
     * orders and scramble tag bindings across rows.
     */
   def tagMaps(includeTopLevel: Boolean = false): Seq[Map[String, QValue]] = {
-    val tags = Lower.tagCols(df).map(Lower.decodeTag)
-    val cols = (if (includeTopLevel) Seq(ID -> ID) else Nil) ++
-      tags.map(t => tagCol(t) -> t)
+    // (physical column, display name, holds raw Long value?)
+    val cols = (if (includeTopLevel) Seq((ID, ID, false)) else Nil) ++
+      Lower.tagCols(df).map(c => (c, Lower.decodeTag(c), Lower.isIntTagCol(c)))
     var cur = df
-    val outCols = cols.zipWithIndex.map { case ((c, _), idx) =>
-      val a = s"__rc$idx"
-      val dict = g.nodes.select(col("id").as(s"${a}_id"),
-        struct(col("kind"), col("s"), col("i"), col("d"), col("b"), col("t"),
-          col("lang"), col("dt")).as(s"${a}_v"))
-      cur = cur.alias(s"${a}_l")
-        .join(dict.alias(s"${a}_r"),
-          col(s"${a}_l.$c") === col(s"${a}_r.${a}_id"), "left")
-        .drop(s"${a}_id")
-      s"${a}_v"
+    val outCols = cols.zipWithIndex.map { case ((c, _, isInt), idx) =>
+      if (isInt) c
+      else {
+        val a = s"__rc$idx"
+        val dict = g.nodes.select(col("id").as(s"${a}_id"),
+          struct(col("kind"), col("s"), col("i"), col("d"), col("b"), col("t"),
+            col("lang"), col("dt")).as(s"${a}_v"))
+        cur = cur.alias(s"${a}_l")
+          .join(dict.alias(s"${a}_r"),
+            col(s"${a}_l.$c") === col(s"${a}_r.${a}_id"), "left")
+          .drop(s"${a}_id")
+        s"${a}_v"
+      }
     }
     val rows = cur.select(outCols.map(col): _*).collect()
     rows.toSeq.map { r =>
-      cols.zipWithIndex.flatMap { case ((_, name), idx) =>
+      cols.zipWithIndex.flatMap { case ((_, name, isInt), idx) =>
         if (r.isNullAt(idx)) None
+        else if (isInt) Some(name -> QValue.IntV(r.getLong(idx)))
         else {
           val v = r.getStruct(idx)
           Some(name -> QValue.fromFields(v.getInt(0), v.getString(1),
@@ -131,14 +145,18 @@ final class Results(g: Graph, val df: DataFrame) {
             "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"))
     var cur = df
     mapping.zipWithIndex.foreach { case ((c, out), idx) =>
-      val a = s"__pay$idx"
-      val dict = g.nodes.select(col("id").as(s"${a}_id"),
-        payload(col("kind"), col("s"), col("i"), col("d"), col("b"),
-          col("t")).as(out))
-      cur = cur.alias(s"${a}_l")
-        .join(dict.alias(s"${a}_r"),
-          col(s"${a}_l.$c") === col(s"${a}_r.${a}_id"), "left")
-        .drop(s"${a}_id")
+      if (Lower.isIntTagCol(c)) {
+        cur = cur.withColumn(out, col(c).cast("string"))
+      } else {
+        val a = s"__pay$idx"
+        val dict = g.nodes.select(col("id").as(s"${a}_id"),
+          payload(col("kind"), col("s"), col("i"), col("d"), col("b"),
+            col("t")).as(out))
+        cur = cur.alias(s"${a}_l")
+          .join(dict.alias(s"${a}_r"),
+            col(s"${a}_l.$c") === col(s"${a}_r.${a}_id"), "left")
+          .drop(s"${a}_id")
+      }
     }
     cur.select(mapping.map { case (_, out) => col(out) }: _*)
   }

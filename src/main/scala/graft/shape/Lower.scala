@@ -26,15 +26,30 @@ object Lower {
   val ID = "id"
   val TagPrefix = "_t_"
 
+  /** Tag column holding a raw Long *value* (not a node id) — used for
+    * recursive depth tags, which bind synthetic `quad.Int(depth)` values
+    * (reference recursive.go:122-123) that are not in the dictionary.
+    * Finals resolve these directly instead of joining the dictionary.
+    */
+  val IntTagPrefix = "_ti_"
+
+  private def escapeTag(tag: String): String =
+    tag.replace("~", "~~").replace(".", "~d").replace("`", "~b")
+
   /** Physical column name for a tag. Dots and backticks would collide
     * with Spark's column-path resolution, so they are escaped (`~d`, `~b`,
     * `~~` for a literal tilde); [[decodeTag]] reverses this.
     */
-  def tagCol(tag: String): String =
-    TagPrefix + tag.replace("~", "~~").replace(".", "~d").replace("`", "~b")
+  def tagCol(tag: String): String = TagPrefix + escapeTag(tag)
+
+  def intTagCol(tag: String): String = IntTagPrefix + escapeTag(tag)
+
+  def isIntTagCol(colName: String): Boolean = colName.startsWith(IntTagPrefix)
 
   def decodeTag(colName: String): String = {
-    val enc = colName.stripPrefix(TagPrefix)
+    val enc =
+      if (isIntTagCol(colName)) colName.stripPrefix(IntTagPrefix)
+      else colName.stripPrefix(TagPrefix)
     val b = new StringBuilder
     var i = 0
     while (i < enc.length) {
@@ -51,7 +66,7 @@ object Lower {
   }
 
   def tagCols(df: DataFrame): Seq[String] =
-    df.columns.filter(_.startsWith(TagPrefix)).toSeq
+    df.columns.filter(c => c.startsWith(TagPrefix) || isIntTagCol(c)).toSeq
 
   /** Default recursion ceiling (reference recursive.go:19). */
   val DefaultMaxRecursive = 50
@@ -152,8 +167,8 @@ final class Lower(g: Graph) {
 
     case Shape.Materialize(v) => nodes(v).cache()
 
-    case Shape.Recursive(from, step, maxDepth, _) =>
-      recursive(from, step, maxDepth)
+    case Shape.Recursive(from, step, maxDepth, depthTags) =>
+      recursive(from, step, maxDepth, depthTags)
 
     case q: Shape.Quads =>
       throw new IllegalArgumentException(s"quad shape in node position: $q")
@@ -237,7 +252,9 @@ final class Lower(g: Graph) {
         case QValue.Iri(x)    => col("kind") === Kind.Iri && cmp(col("s"), lit(x))
         case QValue.BNode(x)  => col("kind") === Kind.BNode && cmp(col("s"), lit(x))
         case QValue.TimeV(x)  => col("kind") === Kind.TimeK && cmp(col("t"), lit(x))
-        case other            => cmp(col("sk"), lit(other.sortKey))
+        // LangStr/TypedStr/Bool fall back to sort-key ordering, but stay
+        // within-kind (value_comparison.go compares same-type values only)
+        case other => col("kind") === other.kind && cmp(col("sk"), lit(other.sortKey))
       }
     case ValueFilter.Regexp(pattern, withRefs) =>
       val strKinds = Seq(Kind.Str, Kind.LangStr, Kind.TypedStr)
@@ -264,7 +281,8 @@ final class Lower(g: Graph) {
     * re-reached only if it was never emitted (start nodes re-reached in a
     * cycle do get emitted — pathtest testFollowRecursiveHas).
     */
-  private def recursive(from: Shape, step: Shape => Shape, maxDepth: Int): DataFrame = {
+  private def recursive(from: Shape, step: Shape => Shape, maxDepth: Int,
+                        depthTags: Seq[String] = Nil): DataFrame = {
     val maxD = if (maxDepth <= 0) DefaultMaxRecursive else maxDepth
     val start = nodes(from).select(ID).distinct().localCheckpoint()
     var frontier = start
@@ -274,7 +292,11 @@ final class Lower(g: Graph) {
     var depth = 0
     while (depth < maxD && !frontier.isEmpty) {
       val stepDf = nodes(step(Shape.Embed(frontier)))
-      val fresh = stepDf
+      // nodes first reached at iteration d carry depth d+1 (reference
+      // recursive.go: depth increments before the morphism applies)
+      val tagged = depthTags.foldLeft(stepDf)((d, t) =>
+        d.withColumn(intTagCol(t), lit((depth + 1).toLong)))
+      val fresh = tagged
         .join(emitted.select(col(ID)), Seq(ID), "left_anti")
         .dropDuplicates(ID)
         .localCheckpoint()

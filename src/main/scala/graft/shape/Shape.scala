@@ -118,7 +118,8 @@ object Shape {
     case Fixed(vs) if vs.isEmpty => Null
     case Quads(fs) =>
       val ofs = fs.map(f => f.copy(values = optimize(f.values)))
-      if (ofs.exists(f => f.values == Null && f.dir != Dir.L)) Null
+      // a Null constraint on any direction (label included) empties the set
+      if (ofs.exists(_.values == Null)) Null
       else Quads(ofs.filterNot(_.values == AllNodes))
     case NodesFrom(d, q) => optimize(q) match {
       case Null => Null

@@ -30,11 +30,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
-  test("minhash est_jaccard is 1.0 for identical docs") {
+  test("minhash jaccard is exact: 1.0 for identical docs") {
     val j = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
       .where(col("id_a") === 0 && col("id_b") === 3)
-      .select("est_jaccard").as[Double].collect()
+      .select("jaccard").as[Double].collect()
     assert(j.length === 1 && j.head === 1.0)
+  }
+
+  test("jaccardJoin (prefix filter) equals brute-force all-pairs Jaccard") {
+    val t = 0.4
+    val got = Dedup.jaccardJoin(docs, "doc_id", "text", threshold = t)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force with the same shingle contract
+    val all = docs.as[(Long, String)].collect()
+    val sh = all.map { case (id, _) =>
+      id -> docs.where(col("doc_id") === id)
+        .select(Dedup.shingles(col("text"))).as[Seq[String]].head().toSet
+    }.toMap
+    val expect = (for {
+      (a, _) <- all; (b, _) <- all if a < b
+      j = sh(a).intersect(sh(b)).size.toDouble / sh(a).union(sh(b)).size
+      if j >= t
+    } yield (a, b)).toSet
+    assert(got === expect)
+    assert(expect.nonEmpty) // the fixture has near-dups above threshold
   }
 
   test("ngram jaccard: exact dup 1.0, near-dup high, unrelated low") {

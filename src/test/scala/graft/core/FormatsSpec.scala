@@ -30,7 +30,9 @@ class FormatsSpec extends AnyFunSuite {
       NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("lang"),
         QValue.LangStr("hello", "en"), None),
       NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("esc"),
-        QValue.Str("a \"quoted\" \\ string"), None))
+        QValue.Str("a \"quoted\" \\ string"), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("ctrl"),
+        QValue.Str("line1\nline2\tcol\rend"), None))
     val g = Graph.fromQuads(spark, qs)
     val tmp = Files.createTempDirectory("graft-nq2").toString + "/out"
     Formats.writeNQuads(g, tmp)
@@ -76,6 +78,23 @@ class FormatsSpec extends AnyFunSuite {
     assert(g2.addQuads(add).stats._2 === 16)
     val g3 = g2.deleteQuads(add)
     assert(g3.stats._2 === 15)
+  }
+
+  test("addQuads on a bucketed store keeps pb partitioning and pruning") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val dir = Files.createTempDirectory("graft-bkt").toString
+    g.write(dir, predicateBuckets = 4)
+    val stored = Graph.read(spark, dir)
+    assert(stored.predicateBuckets === 4)
+    val add = Graph.fromQuads(spark, Seq(NQuads.ParsedQuad(
+      QValue.Iri("zed"), QValue.Iri("follows"), QValue.Iri("bob"), None)))
+    val g2 = stored.addQuads(add)
+    assert(g2.predicateBuckets === 4)       // pruning survives the mutation
+    assert(g2.quads.columns.contains("pb")) // partition column re-derived
+    assert(g2.stats._2 === 16)
+    val got = Exec.run(g2, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>", "<zed>"))
   }
 
   test("RDFS closure materializes subclass/subproperty entailments") {

@@ -26,6 +26,17 @@ class RecursiveSpec extends AnyFunSuite {
     assert(got === Seq("<c>", "<d>"))
   }
 
+  test("depth tags bind the iteration depth as Int values (recursive.go:122)") {
+    val g = Graph.fromQuads(spark, Seq(
+      q("a", "parent", "b"), q("b", "parent", "c"), q("c", "parent", "d")))
+    val p = Path.start(iri("a"))
+      .followRecursive(iri("parent"), maxDepth = 0, depthTags = Seq("d"))
+    val got = Exec.run(g, p).tagMaps(includeTopLevel = true)
+      .map(m => (m("id").sortKey, m("d"))).sortBy(_._1)
+    assert(got === Seq(
+      ("<b>", QValue.IntV(1)), ("<c>", QValue.IntV(2)), ("<d>", QValue.IntV(3))))
+  }
+
   test("follows recursive loop (cycle, morphism tags, Has)") {
     val g = Graph.fromQuads(spark, Seq(
       q("1", "relatesTo", "x"), q("2", "relatesTo", "x"),
