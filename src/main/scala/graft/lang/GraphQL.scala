@@ -169,173 +169,176 @@ object GraphQL {
   }
 
   // ----------------------------------------------------------- executor
+  /** Set-oriented executor. The working set of every nesting level is a
+    * DataFrame `frontier(pid, id)` — the object that owns the field and a
+    * candidate value — and every operation on data-proportional sets is a
+    * distributed plan: hops are joins into the quads table, `has`/required-
+    * leaf constraints are semi-joins, per-parent ordering and `first`/
+    * `offset` pagination are window functions over `pid` ordered by the
+    * dictionary sort key. The driver touches ids only when collecting a
+    * level's PAGED result rows — bounded by the size of the response tree,
+    * never by the corpus (contrast the reference's per-object recursion,
+    * graphql.go:156-396, a query per node).
+    */
   final class Session(g: Graph) {
-    private def hid(v: QValue): Long = QValue.id(v)
+    import org.apache.spark.sql.expressions.Window
 
-    /** (parent, child) edges for one hop. */
-    private def hopEdges(parents: Seq[Long], pred: String, rev: Boolean,
-                         labels: Seq[QValue]): Seq[(Long, Long)] = {
+    private def hid(v: QValue): Long = QValue.id(v)
+    private def sk = g.nodes.select(col("id"), col("sk"))
+
+    /** Quads with predicate `pred` (and labels), projected to
+      * (parent-direction, child-direction).
+      */
+    private[lang] def predEdges(pred: String, rev: Boolean,
+                                labels: Seq[QValue]): DataFrame = {
       val (fromC, toC) = if (rev) ("o", "s") else ("s", "o")
       var q = g.quads.where(col("p") === lit(hid(QValue.Iri(pred))))
-      if (labels.nonEmpty)
-        q = q.where(col("l").isin(labels.map(hid): _*))
-      q = q.where(col(fromC).isin(parents: _*))
-      q.select(col(fromC), col(toC)).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      if (labels.nonEmpty) q = q.where(col("l").isin(labels.map(hid): _*))
+      q.select(col(fromC).as("from"), col(toC).as("to"))
     }
 
-    /** All out-edges for {*}: (parent, predId, objId). */
-    private def allEdges(parents: Seq[Long]): Seq[(Long, Long, Long)] =
-      g.quads.where(col("s").isin(parents: _*))
-        .select("s", "p", "o").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    /** One hop from a frontier: (pid := parent id, id := child). */
+    private[lang] def hop(parents: DataFrame, sub: Field): DataFrame =
+      predEdges(sub.via, sub.rev, sub.labels)
+        .join(parents.select(col("id").as("from")).distinct(), Seq("from"))
+        .select(col("from").as("pid"), col("to").as("id"))
+        .distinct()
 
-    /** ids whose `pred` (rev?) values intersect `vs` (or exist if empty). */
-    private def hasFilter(ids: Seq[Long], pred: String, vs: Seq[QValue]): Set[Long] = {
-      var q = g.quads.where(col("p") === lit(hid(QValue.Iri(pred))))
-      if (vs.nonEmpty) q = q.where(col("o").isin(vs.map(hid): _*))
-      q.where(col("s").isin(ids: _*)).select("s").collect()
-        .map(_.getLong(0)).toSet
+    /** is/has constraints as literal filters / semi-joins. */
+    private def constrain(f: Field, cand: DataFrame): DataFrame = {
+      var c = cand
+      if (f.isConstraint.nonEmpty)
+        c = c.where(col("id").isin(f.isConstraint.map(hid): _*))
+      f.has.foreach { case (pred, vs) =>
+        var q = g.quads.where(col("p") === lit(hid(QValue.Iri(pred))))
+        if (vs.nonEmpty) q = q.where(col("o").isin(vs.map(hid): _*))
+        c = c.join(q.select(col("s").as("id")).distinct(), Seq("id"), "left_semi")
+      }
+      c
     }
 
-    private def resolveAll(ids: Set[Long]): Map[Long, QValue] =
-      if (ids.isEmpty) Map.empty
-      else g.nodes.where(col("id").isin(ids.toSeq: _*)).collect().map { r =>
-        r.getLong(0) -> QValue.fromFields(r.getInt(1), r.getString(2),
-          if (r.isNullAt(3)) null else java.lang.Long.valueOf(r.getLong(3)),
-          if (r.isNullAt(4)) null else java.lang.Double.valueOf(r.getDouble(4)),
-          if (r.isNullAt(5)) null else java.lang.Boolean.valueOf(r.getBoolean(5)),
-          if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6)),
-          r.getString(7), r.getString(8))
-      }.toMap
+    /** An object is dropped when a required (non-@opt) leaf has no value
+      * (reference nil-handling) — a semi-join per required leaf, applied
+      * BEFORE pagination like the reference.
+      */
+    private def requireLeaves(f: Field, cand: DataFrame): DataFrame =
+      f.fields.filter(s =>
+          s.fields.isEmpty && !s.allFields && s.via != ValueKey && !s.opt)
+        .foldLeft(cand) { (c, leaf) =>
+          c.join(predEdges(leaf.via, leaf.rev, leaf.labels)
+            .select(col("from").as("id")).distinct(), Seq("id"), "left_semi")
+        }
+
+    /** Order by value sort-key and paginate per parent. Without pagination
+      * this is a plain distributed sort (no single-partition window).
+      */
+    private def orderPage(f: Field, cand: DataFrame): DataFrame = {
+      val withSk = cand.join(sk, Seq("id"))
+      if (f.offset <= 0 && f.limit < 0)
+        withSk.select("pid", "id", "sk")
+      else {
+        val w = Window.partitionBy("pid").orderBy(col("sk"), col("id"))
+        var out = withSk.withColumn("rn", row_number().over(w))
+          .where(col("rn") > f.offset)
+        if (f.limit >= 0) out = out.where(col("rn") <= f.offset + f.limit)
+        out.select("pid", "id", "sk")
+      }
+    }
 
     def execute(query: String): Map[String, Any] = {
       val roots = parse(query)
       roots.map { f =>
-        val all = g.nodes.select("id").collect().map(_.getLong(0)).toSeq
-        val dict = new DictCache
-        f.alias -> renderObjects(f, all, dict)
+        val frontier = g.nodes.select(lit(0L).as("pid"), col("id"))
+        f.alias -> renderField(f, frontier).getOrElse(0L, null)
       }.toMap
     }
 
-    private final class DictCache {
-      var m: Map[Long, QValue] = Map.empty
-      def render(id: Long): String = {
-        if (!m.contains(id)) m ++= resolveAll(Set(id))
-        m(id).sortKey
-      }
-    }
-
-    private def applyConstraints(f: Field, ids0: Seq[Long]): Seq[Long] = {
-      var ids = ids0
-      if (f.isConstraint.nonEmpty) {
-        val want = f.isConstraint.map(hid).toSet
-        ids = ids.filter(want)
-      }
-      f.has.foreach { case (pred, vs) =>
-        if (ids.nonEmpty) ids = ids.filter(hasFilter(ids, pred, vs))
-      }
-      ids
-    }
-
-    /** Field value for a candidate set: null / single map / list of maps
-      * (after is/has filters, sort-key ordering, pagination).
+    /** Render one field for every parent in the frontier. Returns
+      * pid → null / scalar / object / list (reference multiplicity rules).
+      * All filtering, ordering, and pagination run distributed; only the
+      * paged level rows are collected.
       */
-    private def renderObjects(f: Field, candidates: Seq[Long],
-                              dict: DictCache): Any = {
-      val ids = applyConstraints(f, candidates)
-      val objs = buildObjects(f, ids, dict)
-      val valid = ids.flatMap(id => objs.get(id).flatten.map(id -> _))
-      val sorted = valid.sortBy { case (id, _) => dict.render(id) }
-      val paged = page(sorted, f.offset, f.limit).map(_._2)
-      paged match {
-        case Seq()  => null
-        case Seq(x) => x
-        case many   => many.toList
-      }
-    }
+    private def renderField(f: Field, frontier: DataFrame): Map[Long, Any] = {
+      val paged = orderPage(f, requireLeaves(f, constrain(f, frontier)))
+      val rows = paged.orderBy(col("pid"), col("sk"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      if (rows.isEmpty) return Map.empty
+      // the level's (answer-bounded) row set doubles as the next frontier —
+      // a local relation, so sub-field hops don't re-execute the upstream
+      // plan and Catalyst broadcasts it into the quads join
+      val spark = g.spark
+      import spark.implicits._
+      val levelIds = rows.map(r => (r._1, r._2)).toSeq.toDF("pid", "id")
+      val skOf = rows.map(r => r._2 -> r._3).toMap
 
-    /** One distributed edge query per sub-field per level; objects are
-      * assembled driver-side. None = dropped by a required leaf.
-      */
-    private def buildObjects(f: Field, ids: Seq[Long],
-                             dict: DictCache): Map[Long, Option[Map[String, Any]]] = {
-      if (ids.isEmpty) return Map.empty
-      if (f.allFields) {
-        val grouped = allEdges(ids).groupBy(_._1)
-        return ids.map { id =>
-          val preds = grouped.getOrElse(id, Nil).map { case (_, p, o) =>
-            stripBrackets(dict.render(p)) -> (dict.render(o): Any)
-          }
-          id -> Some(Map(ValueKey -> (dict.render(id): Any)) ++ preds.toMap)
-        }.toMap
-      }
-      // precompute each sub-field's value per parent
-      val subValues: Seq[(Field, Map[Long, Any])] = f.fields.map { sub =>
-        if (sub.via == ValueKey) sub -> ids.map(id => id -> (dict.render(id): Any)).toMap
-        else {
-          val edges = hopEdges(ids, sub.via, sub.rev, sub.labels)
-          val byParent = edges.groupBy(_._1).map { case (p, es) =>
-            p -> es.map(_._2).distinct
-          }
-          if (sub.fields.nonEmpty || sub.allFields) {
-            val allKids = byParent.values.flatten.toSeq.distinct
-            val kidIds = applyConstraints(sub, allKids)
-            val kidSet = kidIds.toSet
-            val kidObjs = buildObjects(sub, kidIds, dict)
-            sub -> ids.map { id =>
-              val kids = byParent.getOrElse(id, Nil).filter(kidSet)
-                .flatMap(k => kidObjs.get(k).flatten.map(k -> _))
-                .sortBy { case (k, _) => dict.render(k) }
-              val paged = page(kids, sub.offset, sub.limit).map(_._2)
-              val v: Any = paged match {
-                case Seq()  => null
-                case Seq(x) => x
-                case many   => many.toList
+      val objs: Map[Long, Map[String, Any]] =
+        if (f.allFields) {
+          // {*}: every out-edge of the level, predicates as keys
+          val parents = levelIds.select(col("id").as("from")).distinct()
+          val all = g.quads.join(parents, g.quads("s") === col("from"))
+            .join(sk.select(col("id").as("__p"), col("sk").as("psk")),
+              col("p") === col("__p"))
+            .join(sk.select(col("id").as("__o"), col("sk").as("osk")),
+              col("o") === col("__o"))
+            .select(col("s"), col("psk"), col("osk")).distinct()
+            .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+          val byId = all.groupBy(_._1)
+          rows.map(_._2).distinct.map { id =>
+            id -> (Map(ValueKey -> (skOf(id): Any)) ++
+              byId.getOrElse(id, Array.empty)
+                .map(e => stripBrackets(e._2) -> (e._3: Any)).toMap)
+          }.toMap
+        } else if (f.fields.isEmpty) {
+          rows.map(r => r._2 -> Map.empty[String, Any]).toMap
+        } else {
+          // each sub-field: per-level-object value, computed distributed
+          val subValues: Seq[(Field, Map[Long, Any])] = f.fields.map { sub =>
+            if (sub.via == ValueKey)
+              sub -> rows.map(r => r._2 -> (skOf(r._2): Any)).toMap
+            else if (sub.fields.nonEmpty || sub.allFields)
+              sub -> renderField(sub, hop(levelIds, sub))
+            else {
+              // leaf: values per parent, sorted and paged by window
+              val vals = orderPage(sub, hop(levelIds, sub))
+                .orderBy(col("pid"), col("sk"), col("id")).collect()
+                .map(r => (r.getLong(0), r.getString(2)))
+              sub -> vals.groupBy(_._1).map { case (id, vs) =>
+                id -> multiplicity(vs.map(_._2).toSeq)
               }
-              id -> v
-            }.toMap
-          } else {
-            sub -> ids.map { id =>
-              val vs = byParent.getOrElse(id, Nil).map(dict.render).sorted
-              val paged = page(vs, sub.offset, sub.limit)
-              val v: Any = paged match {
-                case Seq()  => null
-                case Seq(x) => x
-                case many   => many.toList
-              }
-              id -> v
-            }.toMap
-          }
-        }
-      }
-      ids.map { id =>
-        var out = Map.empty[String, Any]
-        var dropped = false
-        subValues.foreach { case (sub, values) =>
-          val v = values.getOrElse(id, null)
-          val isLeaf = sub.fields.isEmpty && !sub.allFields && sub.via != ValueKey
-          if (v == null) {
-            if (isLeaf && !sub.opt) dropped = true // required leaf missing
-            // @opt or object-valued: empty object fields keep a nil key,
-            // @opt and @unnest keys vanish
-            else if (!sub.opt && !sub.unnest && !isLeaf) out += sub.alias -> null
-          } else if (sub.unnest) {
-            v match {
-              case m: Map[_, _] => out ++= m.asInstanceOf[Map[String, Any]]
-              case l: List[_] if l.nonEmpty =>
-                out ++= l.head.asInstanceOf[Map[String, Any]]
-              case other => out += sub.alias -> other
             }
-          } else out += sub.alias -> v
+          }
+          rows.map(_._2).distinct.map { id =>
+            var out = Map.empty[String, Any]
+            subValues.foreach { case (sub, values) =>
+              val v = values.getOrElse(id, null)
+              val isLeaf = sub.fields.isEmpty && !sub.allFields && sub.via != ValueKey
+              if (v == null) {
+                // required leaves were enforced distributed; remaining
+                // nulls are @opt/@unnest (key vanishes) or object-valued
+                // (nil key kept)
+                if (!sub.opt && !sub.unnest && !isLeaf) out += sub.alias -> null
+              } else if (sub.unnest) {
+                v match {
+                  case m: Map[_, _] => out ++= m.asInstanceOf[Map[String, Any]]
+                  case l: List[_] if l.nonEmpty =>
+                    out ++= l.head.asInstanceOf[Map[String, Any]]
+                  case other => out += sub.alias -> other
+                }
+              } else out += sub.alias -> v
+            }
+            id -> out
+          }.toMap
         }
-        id -> (if (dropped) None else Some(out))
-      }.toMap
+
+      rows.groupBy(_._1).map { case (pid, rs) =>
+        pid -> multiplicity(rs.flatMap(r => objs.get(r._2)).toSeq)
+      }
     }
 
-    private def page[T](xs: Seq[T], offset: Int, limit: Int): Seq[T] = {
-      val dropped = if (offset > 0) xs.drop(offset) else xs
-      if (limit >= 0) dropped.take(limit) else dropped
+    private def multiplicity(xs: Seq[Any]): Any = xs match {
+      case Seq()  => null
+      case Seq(x) => x
+      case many   => many.toList
     }
 
     private def stripBrackets(s: String): String =

@@ -29,6 +29,21 @@ class GraphQLSpec extends AnyFunSuite {
     assert(canon(got) === canon(expect))
   }
 
+  test("hops are distributed joins, not collected-id literal filters") {
+    import org.apache.spark.sql.functions._
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val s = GraphQL.session(g)
+    val frontier = g.nodes.select(lit(0L).as("pid"), col("id"))
+    val hopDf = s.hop(frontier, GraphQL.Field("f", "status"))
+    // the hop must be a join into the quads table driven by the frontier
+    // plan, never an `isin` over ids collected to the driver
+    val opt = hopDf.queryExecution.optimizedPlan.toString
+    assert(opt.contains("Join"), opt)
+    assert(!opt.toLowerCase.contains("inset"), opt)
+    val phys = hopDf.queryExecution.executedPlan.toString
+    assert(phys.contains("Join"), phys)
+  }
+
   test("cool people and friends") {
     check(
       """{
