@@ -165,6 +165,20 @@ object SparkEntry {
     "g_hasrev" -> ((s, d) => run(s, d,
       Path.start().hasReverse(iri("c_mktsegment"), iri("customer:1")))
       .payloadDF("id" -> "node")),
+    // Gizmo front-end end-to-end: parser -> Path -> Shape -> plan
+    "g_gizmo_chain" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """g.V().out(iri("c_nation")).out(iri("n_region")).out(iri("r_name")).all()""")
+        .map(_("id")).toDF("node")
+    }),
+    // Gizmo emit/forEach callbacks through the interpreter
+    "g_gizmo_emit" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """g.V(iri("customer:1")).out(iri("c_mktsegment")).forEach(function(o){ g.emit(o.id) })""")
+        .map(_("id")).toDF("node")
+    }),
     // Follow: apply a saved morphism
     "g_follow" -> ((s, d) => run(s, d,
       Path.start().in(iri("s_nation"))
@@ -224,6 +238,12 @@ object SparkEntry {
     "g_label_ctx" -> "SELECT c_name AS node FROM customer WHERE c_custkey = 1",
     "g_both" -> "SELECT 'nation:2' AS node UNION ALL SELECT 'nation:4'",
     "g_hasrev" -> "SELECT c_mktsegment AS node FROM customer WHERE c_custkey = 1",
+    "g_gizmo_chain" ->
+      """SELECT r.r_name AS node FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
+    "g_gizmo_emit" ->
+      "SELECT c_mktsegment AS node FROM customer WHERE c_custkey = 1",
     "g_follow" ->
       """SELECT r.r_name AS node FROM supplier s
         |JOIN nation n ON s.s_nationkey = n.n_nationkey

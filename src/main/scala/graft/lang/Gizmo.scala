@@ -9,11 +9,14 @@ import graft.shape.ValueFilter._
 /** Gizmo-style front-end: the reference's primary query surface is
   * JavaScript hosting the traversal API
   * (/root/reference/query/gizmo/gizmo.go:85-121). Embedding a JS engine is
-  * out of scope (SURVEY §7.4); this parses the fluent-chain subset the
-  * Gizmo corpus actually uses — `var x = g.V(...)....` statements, method
-  * chains, `g.M()` morphisms, value builders (iri/bnode/gt/lt/regex/like)
-  * and finals (all/getLimit/count/toArray/tagArray/toValue/tagValue).
-  * Arbitrary JS (functions, forEach, emit) raises a parse error.
+  * out of scope (SURVEY §7.4); this interprets the statement/expression
+  * subset the Gizmo corpus actually uses — `var x = ...` statements, method
+  * chains, `g.M()` morphisms, value builders (iri/bnode/gt/lt/regex/like),
+  * finals (all/getLimit/count/toArray/tagArray/toValue/tagValue),
+  * `g.emit(...)`, single-parameter `function(x){...}` callbacks for
+  * forEach/map, `for (i in arr)` loops with `arr[i]` indexing, and
+  * namespaces (addNamespace/addDefaultNamespaces). Anything beyond that
+  * (arithmetic, object literals, closures) raises a clear parse error.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -59,7 +62,7 @@ object Gizmo {
         while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.' ||
           q.charAt(i) == 'e' || q.charAt(i) == 'E')) i += 1
         toks += TNum(q.substring(start, i))
-      } else if ("().,;=[]".indexOf(c) >= 0) {
+      } else if ("().,;=[]{}:".indexOf(c) >= 0) {
         toks += TPunct(c); i += 1
       } else throw GizmoError(s"unexpected character '$c' (full JavaScript is not supported; use the fluent-chain subset)")
     }
@@ -76,52 +79,162 @@ object Gizmo {
   private case class GBoolV(b: Boolean) extends GVal
   private case class GResult(rows: Seq[Map[String, String]]) extends GVal
   private case class GTagMap(m: Map[String, QValue]) extends GVal
+  private case class GFunc(param: String, body: Vector[Tok]) extends GVal
   private case object GNull extends GVal
   private case object GEnv extends GVal
 
+  /** rdf/rdfs/schema/xsd prefixes, the reference's `addDefaultNamespaces`
+    * (voc packages rdf/rdfs/schema registered by default upstream).
+    */
+  private val DefaultNamespaces = Map(
+    "rdf" -> "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs" -> "http://www.w3.org/2000/01/rdf-schema#",
+    "schema" -> "http://schema.org/",
+    "xsd" -> "http://www.w3.org/2001/XMLSchema#")
+
   // ----------------------------------------------------------- evaluator
   final class Session(g: Graph) {
-    def execute(query: String, limit: Int = -1): Seq[Map[String, String]] = {
-      val toks = tokenize(query)
-      var pos = 0
-      val vars = scala.collection.mutable.Map.empty[String, GVal]
-      var out = Seq.empty[Map[String, String]]
+    def execute(query: String, limit: Int = -1): Seq[Map[String, String]] =
+      new Interp(limit).run(tokenize(query))
 
-      def peek: Option[Tok] = if (pos < toks.length) Some(toks(pos)) else None
+    private final class Cursor(val toks: Vector[Tok]) {
+      var pos = 0
+      def more: Boolean = pos < toks.length
+      def peek: Option[Tok] = if (more) Some(toks(pos)) else None
       def next(): Tok = { val t = toks(pos); pos += 1; t }
       def expect(c: Char): Unit = next() match {
         case TPunct(`c`) =>
         case other       => throw GizmoError(s"expected '$c', got $other")
       }
+    }
 
-      def strToValue(s: String): QValue = NQuads.parseTermOrString(s)
+    private final class Interp(limit: Int) {
+      private val vars = scala.collection.mutable.Map.empty[String, GVal]
+      private val namespaces = scala.collection.mutable.Map.empty[String, String]
+      private var out = Seq.empty[Map[String, String]]
 
-      def parseArgs(): Seq[GVal] = {
-        expect('(')
+      def run(toks: Vector[Tok]): Seq[Map[String, String]] = {
+        val c = new Cursor(toks)
+        while (c.more) statement(c)
+        out
+      }
+
+      private def statement(c: Cursor): Unit = c.peek match {
+        case Some(TPunct(';')) => c.next()
+        case Some(TPunct('{')) => // block
+          c.next()
+          while (!c.peek.contains(TPunct('}'))) statement(c)
+          c.expect('}')
+        case Some(TIdent("var")) =>
+          c.next()
+          val name = c.next() match {
+            case TIdent(s) => s
+            case other     => throw GizmoError(s"expected name, got $other")
+          }
+          c.expect('=')
+          vars(name) = parseExpr(c)
+        case Some(TIdent("for")) =>
+          c.next(); c.expect('(')
+          val idx = c.next() match {
+            case TIdent(s) => s
+            case other     => throw GizmoError(s"expected loop variable, got $other")
+          }
+          c.next() match {
+            case TIdent("in") =>
+            case other => throw GizmoError(s"expected 'in', got $other")
+          }
+          val arr = parseExpr(c) match {
+            case GArr(vs)    => vs
+            case GResult(rs) => rs.map(m => GTagMap(Map.empty)) // index-only
+            case GNull       => Nil
+            case other       => throw GizmoError(s"cannot iterate $other")
+          }
+          c.expect(')')
+          // capture the body tokens (single statement or block)
+          val body = captureStatement(c)
+          arr.indices.foreach { i =>
+            vars(idx) = GNumV(i.toDouble, isInt = true)
+            val bc = new Cursor(body)
+            while (bc.more) statement(bc)
+          }
+        case Some(TIdent(name))
+          if c.pos + 1 < c.toks.length && c.toks(c.pos + 1) == TPunct('=') =>
+          c.next(); c.next()
+          vars(name) = parseExpr(c)
+        case Some(_) =>
+          parseExpr(c) match {
+            case GResult(r) => out = out ++ r
+            case _          => // expression without final: no output
+          }
+        case None =>
+      }
+
+      /** Capture one statement (a `{...}` block or up to `;`/`}`/EOF) as a
+        * token slice for re-execution (for-in loops, callbacks).
+        */
+      private def captureStatement(c: Cursor): Vector[Tok] = {
+        val start = c.pos
+        if (c.peek.contains(TPunct('{'))) {
+          var depth = 0
+          do {
+            c.next() match {
+              case TPunct('{') => depth += 1
+              case TPunct('}') => depth -= 1
+              case _           =>
+            }
+          } while (depth > 0 && c.more)
+          c.toks.slice(start + 1, c.pos - 1)
+        } else {
+          var depth = 0
+          var done = false
+          while (!done && c.more) {
+            c.toks(c.pos) match {
+              case TPunct('(') | TPunct('[') => depth += 1; c.next()
+              case TPunct(')') | TPunct(']') => depth -= 1; c.next()
+              case TPunct(';') if depth == 0 => done = true
+              case _                         => c.next()
+            }
+          }
+          c.toks.slice(start, c.pos)
+        }
+      }
+
+      private def strToValue(s: String): QValue = NQuads.parseTermOrString(s)
+
+      private def expandIri(s: String): String = {
+        val i = s.indexOf(':')
+        if (i > 0 && namespaces.contains(s.substring(0, i)))
+          namespaces(s.substring(0, i)) + s.substring(i + 1)
+        else s
+      }
+
+      private def parseArgs(c: Cursor): Seq[GVal] = {
+        c.expect('(')
         val args = Vector.newBuilder[GVal]
         var first = true
-        while (!peek.contains(TPunct(')'))) {
-          if (!first) expect(',')
+        while (!c.peek.contains(TPunct(')'))) {
+          if (!first) c.expect(',')
           first = false
-          args += parseExpr()
+          args += parseExpr(c)
         }
-        expect(')')
+        c.expect(')')
         args.result()
       }
 
-      def valuesOf(args: Seq[GVal]): Seq[QValue] = args.flatMap {
+      private def valuesOf(args: Seq[GVal]): Seq[QValue] = args.flatMap {
         case GNull          => Nil
         case GValue(v)      => Seq(v)
         case GArr(vs)       => valuesOf(vs)
         case GNumV(d, true) => Seq(QValue.IntV(d.toLong))
         case GNumV(d, _)    => Seq(QValue.FloatV(d))
         case GBoolV(b)      => Seq(QValue.BoolV(b))
+        case GTagMap(m)     => m.get("id").toSeq
         case other => throw GizmoError(s"expected value argument, got $other")
       }
 
       // Gizmo signature: out(predicate(s), tag(s)?) — the second argument,
       // when present, is always tags (traversals.go out/in/both).
-      def viaOf(args: Seq[GVal]): (Via, Seq[String]) = {
+      private def viaOf(args: Seq[GVal]): (Via, Seq[String]) = {
         def viaFrom(v: GVal): Via = v match {
           case GPath(p) => Via.Sub(p)
           case GNull    => Via.All
@@ -136,20 +249,38 @@ object Gizmo {
         }
       }
 
-      def render(v: QValue): String = v.sortKey
+      private def render(v: QValue): String = v.sortKey
 
-      def call(recv: GVal, name0: String, args: Seq[GVal]): GVal = {
+      private def emit(v: GVal): Unit = v match {
+        case GValue(qv)  => out = out :+ Map("id" -> render(qv))
+        case GNumV(d, i) => out = out :+ Map("id" -> (if (i) d.toLong.toString else d.toString))
+        case GBoolV(b)   => out = out :+ Map("id" -> b.toString)
+        case GTagMap(m)  => out = out :+ m.map { case (k, qv) => k -> render(qv) }
+        case GArr(vs)    => vs.foreach(emit)
+        case GNull       =>
+        case other       => throw GizmoError(s"cannot emit $other")
+      }
+
+      private def call(c: Cursor, recv: GVal, name0: String, args: Seq[GVal]): GVal = {
         val name = if (name0.isEmpty) name0
           else name0.charAt(0).toLower + name0.substring(1)
         (recv, name) match {
           case (GEnv, "v" | "vertex") => GPath(Path.start(valuesOf(args): _*))
           case (GEnv, "m" | "morphism") => GPath(Path.morphism())
           case (GEnv, "iRI" | "iri") =>
-            GValue(QValue.Iri(argStr(args)))
+            GValue(QValue.Iri(expandIri(argStr(args))))
           case (GEnv, "bnode") => GValue(QValue.BNode(argStr(args)))
           case (GEnv, "str") => GValue(QValue.Str(argStr(args)))
           case (GEnv, "emit") =>
-            throw GizmoError("g.emit requires full JavaScript; unsupported")
+            args.foreach(emit); GNull
+          case (GEnv, "addNamespace") =>
+            args.map(argStrOne) match {
+              case Seq(pre, full) => namespaces(pre) = full
+              case other => throw GizmoError(s"addNamespace(prefix, iri), got $other")
+            }
+            GNull
+          case (GEnv, "addDefaultNamespaces") =>
+            namespaces ++= DefaultNamespaces; GNull
           case (GPath(p), m) => pathCall(p, m, args)
           case (GTagMap(tm), field) if args.isEmpty =>
             tm.get(field).map(GValue(_)).getOrElse(GNull)
@@ -157,18 +288,22 @@ object Gizmo {
         }
       }
 
-      def argStr(args: Seq[GVal]): String = args match {
-        case Seq(GValue(QValue.Str(s))) => s
-        case Seq(GValue(v))             => v.sortKey
-        case other => throw GizmoError(s"expected one string arg, got $other")
+      private def argStr(args: Seq[GVal]): String = args match {
+        case Seq(one) => argStrOne(one)
+        case other    => throw GizmoError(s"expected one string arg, got $other")
+      }
+      private def argStrOne(v: GVal): String = v match {
+        case GValue(QValue.Str(s)) => s
+        case GValue(v2)            => v2.sortKey
+        case other => throw GizmoError(s"expected string arg, got $other")
       }
 
-      def filtersOf(args: Seq[GVal]): Seq[ValueFilter] = args.map {
+      private def filtersOf(args: Seq[GVal]): Seq[ValueFilter] = args.map {
         case GFilter(f) => f
         case other      => throw GizmoError(s"expected filter, got $other")
       }
 
-      def pathCall(p: Path, m: String, args: Seq[GVal]): GVal = m match {
+      private def pathCall(p: Path, m: String, args: Seq[GVal]): GVal = m match {
         case "is" => GPath(p.is(valuesOf(args): _*))
         case "out" =>
           val (via, tags) = viaOf(args)
@@ -183,9 +318,11 @@ object Gizmo {
         case "followR" | "followReverse" => GPath(p.followReverse(argPath(args)))
         case "followRecursive" =>
           val depth = args.collectFirst { case GNumV(d, true) => d.toInt }.getOrElse(0)
+          // string args after the morphism are depth tags (recursive.go)
+          val depthTags = args.tail.collect { case GValue(QValue.Str(t)) => t }
           args.head match {
-            case GValue(v)  => GPath(p.followRecursive(v, depth))
-            case GPath(sub) => GPath(p.followRecursive(sub, depth))
+            case GValue(v)  => GPath(p.followRecursive(v, depth, depthTags))
+            case GPath(sub) => GPath(p.followRecursive(sub, depth, depthTags))
             case other      => throw GizmoError(s"bad followRecursive arg $other")
           }
         case "and" | "intersect" => GPath(p.and(argPath(args)))
@@ -243,10 +380,10 @@ object Gizmo {
         case "count" =>
           GResult(Seq(Map("count" -> Exec.run(g, p).count().toString)))
         case "toArray" =>
-          val lim = args.headOption.map(_ => argInt(args).toInt).getOrElse(-1)
-          GResult(rows(p, lim).map(m => Map("id" -> m("id"))))
+          val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
+          GArr(rawRows(p, lim).flatMap(_.get("id")).map(GValue(_)))
         case "tagArray" =>
-          val lim = args.headOption.map(_ => argInt(args).toInt).getOrElse(-1)
+          val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
           GResult(rows(p, lim))
         case "toValue" =>
           Exec.run(g, p.limit(1)).values().headOption
@@ -256,41 +393,57 @@ object Gizmo {
           Exec.run(g, limited).tagMaps().headOption
             .map(GTagMap(_)).getOrElse(GNull)
         case "forEach" | "map" =>
-          throw GizmoError(s".$m requires full JavaScript; unsupported")
+          val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
+          val fn = args.collectFirst { case f: GFunc => f }.getOrElse(
+            throw GizmoError(s".$m requires a function(x){...} callback"))
+          rawRows(p, lim).foreach { row =>
+            vars(fn.param) = GTagMap(row)
+            val bc = new Cursor(fn.body)
+            while (bc.more) statement(bc)
+          }
+          GNull
         case other => throw GizmoError(s"unknown traversal .$other")
       }
 
-      def addHop(p: Path, via: Via, rev: Boolean): Path =
-        p.copy(steps = p.steps :+
-          (if (rev) graft.path.Step.In(via, Nil) else graft.path.Step.Out(via, Nil)))
+      private def defaultTag(v: QValue): String = v.sortKey
 
-      def defaultTag(v: QValue): String = v.sortKey
-
-      def argPath(args: Seq[GVal]): Path = args match {
+      private def argPath(args: Seq[GVal]): Path = args match {
         case Seq(GPath(p)) => p
         case other         => throw GizmoError(s"expected path arg, got $other")
       }
-      def argInt(args: Seq[GVal]): Long = args match {
+      private def argInt(args: Seq[GVal]): Long = args match {
         case Seq(GNumV(d, _)) => d.toLong
         case other            => throw GizmoError(s"expected number, got $other")
       }
 
-      def rows(p: Path, lim: Int): Seq[Map[String, String]] = {
+      private def rawRows(p: Path, lim: Int): Seq[Map[String, QValue]] = {
         val limited = if (lim > 0) p.limit(lim) else p
         Exec.run(g, limited.tag("id")).tagMaps()
-          .map(_.map { case (k, v) => k -> render(v) })
       }
 
-      def parsePrimary(): GVal = next() match {
+      private def rows(p: Path, lim: Int): Seq[Map[String, String]] =
+        rawRows(p, lim).map(_.map { case (k, v) => k -> render(v) })
+
+      private def parsePrimary(c: Cursor): GVal = c.next() match {
         case TIdent("g")     => GEnv
         case TIdent("var")   => throw GizmoError("internal: var in expr")
         case TIdent("true")  => GBoolV(true)
         case TIdent("false") => GBoolV(false)
         case TIdent("null")  => GNull
-        case TIdent(fn) if peek.contains(TPunct('(')) =>
-          val args = parseArgs()
+        case TIdent("function") =>
+          c.expect('(')
+          val param = c.next() match {
+            case TIdent(s) => s
+            case other     => throw GizmoError(s"expected parameter name, got $other")
+          }
+          c.expect(')')
+          if (!c.peek.contains(TPunct('{')))
+            throw GizmoError("expected function body { ... }")
+          GFunc(param, captureStatement(c))
+        case TIdent(fn) if c.peek.contains(TPunct('(')) =>
+          val args = parseArgs(c)
           fn match {
-            case "iri" | "Iri" | "IRI" => GValue(QValue.Iri(argStrTop(args)))
+            case "iri" | "Iri" | "IRI" => GValue(QValue.Iri(expandIri(argStrTop(args))))
             case "bnode"               => GValue(QValue.BNode(argStrTop(args)))
             case "str"                 => GValue(QValue.Str(argStrTop(args)))
             case "gt"  => GFilter(Comparison(GT, valuesOf(args).head))
@@ -316,59 +469,51 @@ object Gizmo {
         case TPunct('[') =>
           val vs = Vector.newBuilder[GVal]
           var first = true
-          while (!peek.contains(TPunct(']'))) {
-            if (!first) expect(',')
+          while (!c.peek.contains(TPunct(']'))) {
+            if (!first) c.expect(',')
             first = false
-            vs += parseExpr()
+            vs += parseExpr(c)
           }
-          expect(']')
+          c.expect(']')
           GArr(vs.result())
+        case TPunct('{') =>
+          throw GizmoError("object literals are not supported (issue #254 semantics)")
         case other => throw GizmoError(s"unexpected token $other")
       }
 
-      def argStrTop(args: Seq[GVal]): String = args match {
+      private def argStrTop(args: Seq[GVal]): String = args match {
         case Seq(GValue(QValue.Str(s))) => s
         case other => throw GizmoError(s"expected string arg, got $other")
       }
 
-      def parseExpr(): GVal = {
-        var v = parsePrimary()
-        while (peek.contains(TPunct('.'))) {
-          next() // '.'
-          val name = next() match {
-            case TIdent(s) => s
-            case other     => throw GizmoError(s"expected method name, got $other")
-          }
-          val args = if (peek.contains(TPunct('('))) parseArgs() else Seq()
-          v = call(v, name, args)
+      private def parseExpr(c: Cursor): GVal = {
+        var v = parsePrimary(c)
+        var done = false
+        while (!done) {
+          if (c.peek.contains(TPunct('.'))) {
+            c.next() // '.'
+            val name = c.next() match {
+              case TIdent(s) => s
+              case other     => throw GizmoError(s"expected method name, got $other")
+            }
+            val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
+            v = call(c, v, name, args)
+          } else if (c.peek.contains(TPunct('['))) {
+            c.next()
+            val idx = parseExpr(c) match {
+              case GNumV(d, _) => d.toInt
+              case other       => throw GizmoError(s"array index must be a number, got $other")
+            }
+            c.expect(']')
+            v = v match {
+              case GArr(vs) if idx >= 0 && idx < vs.length => vs(idx)
+              case GArr(_)  => GNull
+              case other    => throw GizmoError(s"cannot index $other")
+            }
+          } else done = true
         }
         v
       }
-
-      while (pos < toks.length) {
-        peek match {
-          case Some(TPunct(';')) => next()
-          case Some(TIdent("var")) =>
-            next()
-            val name = next() match {
-              case TIdent(s) => s
-              case other     => throw GizmoError(s"expected name, got $other")
-            }
-            expect('=')
-            vars(name) = parseExpr()
-          case Some(TIdent(name))
-            if pos + 1 < toks.length && toks(pos + 1) == TPunct('=') =>
-            next(); next()
-            vars(name) = parseExpr()
-          case Some(_) =>
-            parseExpr() match {
-              case GResult(r) => out = out ++ r
-              case _          => // expression without final: no output
-            }
-          case None =>
-        }
-      }
-      out
     }
   }
 

@@ -125,6 +125,9 @@ final case class Path(base: Shape, steps: Vector[Step]) {
   def followRecursive(via: QValue, maxDepth: Int = 0,
                       depthTags: Seq[String] = Nil): Path =    // path.go:386
     add(FollowRecursive(Via.Values(Seq(via)), maxDepth, depthTags))
+  def followRecursive(p: Path, maxDepth: Int,
+                      depthTags: Seq[String]): Path =
+    add(FollowRecursive(Via.Sub(p), maxDepth, depthTags))
   def followRecursive(p: Path, maxDepth: Int): Path =
     add(FollowRecursive(Via.Sub(p), maxDepth, Nil))
   def inPredicates(): Path = add(Predicates(rev = true))       // path.go:282
@@ -201,9 +204,11 @@ object Path {
     case FilterV(fs) => (Filter(cur, fs), ctx)
     case SaveVia(via, tagName, rev, opt) =>
       val (keepDir, valDir) = if (rev) (Dir.O, Dir.S) else (Dir.S, Dir.O)
+      // save respects the label context (reference issue #758)
       val branch = NodesFrom(keepDir, Quads(Seq(
         QuadFilter(Dir.P, viaShape(via, Nil)),
-        QuadFilter(valDir, Save(Seq(tagName), AllNodes)))))
+        QuadFilter(valDir, Save(Seq(tagName), AllNodes))) ++
+        ctx.labels.map(l => QuadFilter(Dir.L, l))))
       (if (opt) Intersect(Seq(cur), Seq(branch))
        else Intersect(Seq(cur, branch)), ctx)
     case Has(via, rev, vs, fs) =>

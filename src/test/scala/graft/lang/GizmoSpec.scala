@@ -254,7 +254,93 @@ class GizmoSpec extends AnyFunSuite {
   }
   test("unsupported full JS raises a clear error") {
     intercept[Gizmo.GizmoError] {
-      session.execute("""g.V().forEach(function(d) { g.emit(d) })""")
+      session.execute("""g.emit(1 + 2)""") // arithmetic needs a real JS VM
     }
+  }
+  test("show ToArray") {
+    check(
+      """arr = g.V("<bob>").in("<follows>").toArray()
+        |for (i in arr) g.emit(arr[i]);""".stripMargin,
+      Seq("<alice>", "<charlie>", "<dani>"))
+  }
+  test("show ToArray with limit") {
+    val got = ids(
+      """arr = g.V("<bob>").in("<follows>").toArray(2)
+        |for (i in arr) g.emit(arr[i]);""".stripMargin)
+    assert(got.size === 2)
+    assert(got.toSet.subsetOf(Set("<alice>", "<charlie>", "<dani>")))
+  }
+  test("show ForEach") {
+    check(
+      """g.V("<bob>").in("<follows>").forEach(function(o){g.emit(o.id)});""",
+      Seq("<alice>", "<charlie>", "<dani>"))
+  }
+  test("show ForEach with limit") {
+    val got = ids(
+      """g.V("<bob>").in("<follows>").forEach(2, function(o){g.emit(o.id)});""")
+    assert(got.size === 2)
+    assert(got.toSet.subsetOf(Set("<alice>", "<charlie>", "<dani>")))
+  }
+  test("clone paths") {
+    check(
+      """var alice = g.V('<alice>')
+        |g.emit(alice.toValue())
+        |var out = alice.out('<follows>')
+        |g.emit(out.toValue())
+        |g.emit(alice.toValue())""".stripMargin,
+      Seq("<alice>", "<bob>", "<alice>"))
+  }
+  test("default namespaces") {
+    check(
+      """g.addDefaultNamespaces()
+        |g.emit(g.IRI('rdf:type'))""".stripMargin,
+      Seq("<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"))
+  }
+  test("add namespace") {
+    check(
+      """g.addNamespace('ex','http://example.net/')
+        |g.emit(g.IRI('ex:alice'))""".stripMargin,
+      Seq("<http://example.net/alice>"))
+  }
+  test("recursive follow tag") {
+    checkTag(
+      """g.V("<charlie>").followRecursive("<follows>", "depth").all();""",
+      "depth", Seq("1", "1", "2", "2"))
+  }
+  test("issue #254: object literals error") {
+    intercept[Gizmo.GizmoError] {
+      session.execute("""g.V({"id":"<alice>"}).all()""")
+    }
+  }
+  test("default limit All") {
+    assert(session.execute("g.V().all()", limit = 5).size === 5)
+  }
+  test("find non-existent (forEach)") {
+    check("""g.V('<not-existing>').forEach(function(d){ g.emit(d); })""", Nil)
+  }
+  test("use .in() (any)") {
+    check("""g.V("<bob>").in().all()""", Seq("<alice>", "<charlie>", "<dani>"))
+  }
+  test("filter with a wrong type errors") {
+    intercept[Gizmo.GizmoError] {
+      session.execute("""g.V().filter(/<alice>/).all()""")
+    }
+  }
+
+  lazy val multiSession: Gizmo.Session = Gizmo.session(
+    Graph.fromNQuads(spark,
+      "/root/reference/data/testdata_multigraph.nq").cached())
+
+  test("issue #758: saveOpt respects label context") {
+    val got = multiSession.execute(
+      """g.V("<greg>").labelContext("<smart_graph>").saveOpt("<status>", "statusTag").all()""")
+      .flatMap(_.get("statusTag"))
+    assert(got === Seq("smart_person"))
+  }
+  test("issue #758: saveR respects label context") {
+    val got = multiSession.execute(
+      """g.V("smart_person").labelContext("<other_graph>").saveR("<status>", "who").all()""")
+      .flatMap(_.get("who"))
+    assert(got === Seq("<fred>"))
   }
 }
