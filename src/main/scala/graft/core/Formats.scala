@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * this gives `cayley convert`-style transcoding (convert.go:75-77).
   */
 object Formats {
-  /** Serialize a graph to N-Quads text files (distributed write; one line
-    * per quad). Round-trips through [[NQuads.parseLine]].
+  /** One N-Quads line per quad, as a single-column DataFrame — the
+    * distributed serializer behind [[writeNQuads]] and the HTTP read
+    * endpoint. Round-trips through [[NQuads.parseLine]].
     */
-  def writeNQuads(g: Graph, path: String): Unit = {
+  def nquadLines(g: Graph): DataFrame = {
     val n = g.nodes
     def term(alias: String): org.apache.spark.sql.Column = {
       val f = (c: String) => col(s"$alias.$c")
@@ -50,9 +51,12 @@ object Formats {
       .join(dict("__o", "ov"), col("o") === col("__o"))
       .join(dict("__l", "lv"), col("l") === col("__l"), "left")
     q.select(concat_ws(" ", term("sv"), term("pv"), term("ov"),
-        when(col("l").isNotNull, term("lv")), lit(".")).as("value"))
-      .write.mode(SaveMode.Overwrite).text(path)
+      when(col("l").isNotNull, term("lv")), lit(".")).as("value"))
   }
+
+  /** Serialize a graph to N-Quads text files (distributed write). */
+  def writeNQuads(g: Graph, path: String): Unit =
+    nquadLines(g).write.mode(SaveMode.Overwrite).text(path)
 
   /** Pragmatic JSON-LD reader: @context prefix/vocab expansion, @graph
     * arrays, @id/@type, nested node objects, literal values. Covers the

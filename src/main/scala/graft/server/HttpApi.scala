@@ -1,0 +1,152 @@
+package graft.server
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.core.{Formats, Graph, Inference, NQuads}
+import graft.lang.QuerySession
+import graft.lang.QuerySession.{Collation, Options}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** HTTP /api/v2 façade (/root/reference/server/http/api_v2.go:120-144):
+  * query, write, delete, node/delete, read, formats — on the JDK's
+  * built-in HttpServer, no extra dependency. The store is a snapshot
+  * `Graph` reference; writes swap the snapshot (the engine's ApplyDeltas
+  * semantics), reads/queries run against whatever snapshot they start
+  * with.
+  *
+  * Response shapes mirror the reference: `{"result": ...}` on success,
+  * `{"error": msg}` with a 4xx/5xx status on failure; write/delete report
+  * `"Successfully wrote/deleted N quads."` with a count.
+  */
+final class HttpApi(initial: Graph) {
+  @volatile private var g: Graph = initial
+  private var server: HttpServer = _
+
+  def graph: Graph = g
+
+  /** Start on `port` (0 = ephemeral); returns the bound port. */
+  def start(port: Int = 0): Int = {
+    server = HttpServer.create(new InetSocketAddress(port), 0)
+    server.createContext("/api/v2/query", handler(serveQuery))
+    server.createContext("/api/v2/write", handler(serveWrite))
+    server.createContext("/api/v2/delete", handler(serveDelete))
+    server.createContext("/api/v2/node/delete", handler(serveNodeDelete))
+    server.createContext("/api/v2/read", handler(serveRead))
+    server.createContext("/api/v2/formats", handler(serveFormats))
+    server.setExecutor(null) // default single-thread executor
+    server.start()
+    server.getAddress.getPort
+  }
+
+  def stop(): Unit = if (server != null) server.stop(0)
+
+  // ------------------------------------------------------------ plumbing
+  private def handler(f: HttpExchange => (Int, String, String))
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    val (status, contentType, body) =
+      try f(ex)
+      catch {
+        case e: Throwable =>
+          (400, "application/json",
+            QuerySession.toJson(Map("error" ->
+              (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)))))
+      }
+    val bytes = body.getBytes(UTF_8)
+    ex.getResponseHeaders.set("Content-Type", contentType)
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private def body(ex: HttpExchange): String =
+    new String(ex.getRequestBody.readAllBytes(), UTF_8)
+
+  private def params(ex: HttpExchange): Map[String, String] = {
+    val q = Option(ex.getRequestURI.getRawQuery).getOrElse("")
+    q.split('&').filter(_.nonEmpty).flatMap { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) => Some(k ->
+          java.net.URLDecoder.decode(v, UTF_8))
+        case Array(k) => Some(k -> "")
+        case _        => None
+      }
+    }.toMap
+  }
+
+  private def ok(result: Any): (Int, String, String) =
+    (200, "application/json", QuerySession.toJson(Map("result" -> result)))
+
+  // ------------------------------------------------------------ handlers
+  /** POST/GET /api/v2/query?lang=gizmo[&limit=N] — body is the query. */
+  private def serveQuery(ex: HttpExchange): (Int, String, String) = {
+    val ps = params(ex)
+    val lang = ps.getOrElse("lang", "gizmo")
+    val query =
+      if (ex.getRequestMethod == "GET") ps.getOrElse("qu", "")
+      else body(ex)
+    val limit = ps.get("limit").map(_.toInt).getOrElse(-1)
+    val res = QuerySession.execute(g, lang, query,
+      Options(limit = limit, collation = Collation.JSON))
+    ok(res)
+  }
+
+  /** POST /api/v2/write — N-Quads body appended to the store. */
+  private def serveWrite(ex: HttpExchange): (Int, String, String) = {
+    val quads = body(ex).linesIterator.flatMap(NQuads.parseLine).toSeq
+    g = g.addQuads(Graph.fromQuads(g.spark, quads))
+    (200, "application/json",
+      s"""{"result": "Successfully wrote ${quads.size} quads.", "count": ${quads.size}}""")
+  }
+
+  /** POST /api/v2/delete — N-Quads body removed from the store. */
+  private def serveDelete(ex: HttpExchange): (Int, String, String) = {
+    val quads = body(ex).linesIterator.flatMap(NQuads.parseLine).toSeq
+    g = g.deleteQuads(Graph.fromQuads(g.spark, quads))
+    (200, "application/json",
+      s"""{"result": "Successfully deleted ${quads.size} quads.", "count": ${quads.size}}""")
+  }
+
+  /** POST /api/v2/node/delete — one N-Quads term; removes the node and
+    * every quad touching it (writer/single.go RemoveNode).
+    */
+  private def serveNodeDelete(ex: HttpExchange): (Int, String, String) = {
+    val v = NQuads.parseTermOrString(body(ex).trim)
+    g = Inference.removeNode(g, v)
+    (200, "application/json",
+      """{"result": "Successfully deleted 1 nodes.", "count": 1}""")
+  }
+
+  /** GET/POST /api/v2/read[?sub=&pred=&obj=&label=] — N-Quads stream of
+    * the (optionally filtered) store. Serialization is distributed; the
+    * driver only streams the final lines out.
+    */
+  private def serveRead(ex: HttpExchange): (Int, String, String) = {
+    import graft.core.QValue
+    import org.apache.spark.sql.functions.col
+    val ps = params(ex)
+    var sub = g
+    def term(s: String): QValue = NQuads.parseTermOrString(s)
+    def filter(param: String, c: String): Unit = ps.get(param).filter(_.nonEmpty)
+      .foreach { s =>
+        sub = sub.copy(quads =
+          sub.quads.where(col(c) === QValue.id(term(s))))
+      }
+    filter("sub", "s"); filter("pred", "p"); filter("obj", "o")
+    filter("label", "l")
+    val sb = new StringBuilder
+    Formats.nquadLines(sub).toLocalIterator().forEachRemaining { r =>
+      sb.append(r.getString(0)).append('\n')
+    }
+    (200, "application/n-quads", sb.toString)
+  }
+
+  /** GET /api/v2/formats — registered interchange formats. */
+  private def serveFormats(ex: HttpExchange): (Int, String, String) =
+    (200, "application/json", QuerySession.toJson(Seq(
+      Map("id" -> "nquads", "read" -> true, "write" -> true,
+        "mime" -> Seq("application/n-quads")),
+      Map("id" -> "jsonld", "read" -> true, "write" -> false,
+        "mime" -> Seq("application/ld+json")),
+      Map("id" -> "parquet", "read" -> true, "write" -> true,
+        "mime" -> Seq("application/vnd.apache.parquet")))))
+}

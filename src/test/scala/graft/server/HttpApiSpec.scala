@@ -1,0 +1,87 @@
+package graft.server
+
+import graft.TestSpark
+import graft.core.Graph
+import graft.lang.QuerySession
+import graft.lang.QuerySession.{Collation, Options}
+import org.scalatest.funsuite.AnyFunSuite
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+/** Round-trip over the /api/v2 façade (reference
+  * server/http/api_v2.go): write N-Quads → query (gizmo + graphql) →
+  * read re-serializes the store → delete.
+  */
+class HttpApiSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private lazy val client = HttpClient.newHttpClient()
+
+  private def post(port: Int, path: String, body: String): String =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  private def get(port: Int, path: String): String =
+    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .GET().build(), HttpResponse.BodyHandlers.ofString()).body()
+
+  test("write -> query -> read -> delete round-trip") {
+    val empty = Graph.fromQuads(spark, Nil)
+    val api = new HttpApi(empty)
+    val port = api.start()
+    try {
+      val nq = java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/root/reference/data/testdata.nq"))
+      val wrote = post(port, "/api/v2/write", nq)
+      assert(wrote.contains(""""count": 15"""), wrote)
+
+      val gz = post(port, "/api/v2/query?lang=gizmo",
+        """g.V("<bob>").in("<follows>").all()""")
+      assert(gz.contains("<alice>") && gz.contains("<charlie>") &&
+        gz.contains("<dani>"), gz)
+
+      val gql = post(port, "/api/v2/query?lang=graphql",
+        """{ me(id: <bob>) { id status } }""")
+      assert(gql.contains("cool_person"), gql)
+
+      val read = get(port, "/api/v2/read")
+      assert(read.linesIterator.count(_.nonEmpty) === 15)
+      // filtered read
+      val bob = get(port, "/api/v2/read?sub=%3Cbob%3E")
+      assert(bob.linesIterator.count(_.nonEmpty) === 2) // bob->fred, bob status
+
+      val formats = get(port, "/api/v2/formats")
+      assert(formats.contains("nquads"))
+
+      val del = post(port, "/api/v2/delete", "<bob> <follows> <fred> .")
+      assert(del.contains(""""count": 1"""), del)
+      val after = get(port, "/api/v2/read")
+      assert(after.linesIterator.count(_.nonEmpty) === 14)
+
+      post(port, "/api/v2/node/delete", "<bob>")
+      val gone = post(port, "/api/v2/query?lang=gizmo",
+        """g.V("<bob>").all()""")
+      assert(!gone.contains("<bob>"), gone)
+
+      val bad = post(port, "/api/v2/query?lang=nosuch", "x")
+      assert(bad.contains("error"), bad)
+    } finally api.stop()
+  }
+
+  test("session collations: JSON, REPL, JSONLD") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val json = QuerySession.execute(g, "gizmo",
+      """g.V("<bob>").in("<follows>").all()""")
+    assert(json.asInstanceOf[List[Map[String, String]]]
+      .map(_("id")).toSet === Set("<alice>", "<charlie>", "<dani>"))
+    val repl = QuerySession.execute(g, "gizmo",
+      """g.V("<alice>").all()""", Options(collation = Collation.REPL))
+    assert(repl === List("id : <alice>"))
+    val ld = QuerySession.execute(g, "gizmo",
+      """g.V("<alice>").all()""", Options(collation = Collation.JSONLD))
+    assert(ld === List(Map("id" -> Map("@id" -> "alice"))))
+    val lim = QuerySession.execute(g, "gizmo", "g.V().all()",
+      Options(limit = 3)).asInstanceOf[List[_]]
+    assert(lim.size === 3)
+  }
+}
