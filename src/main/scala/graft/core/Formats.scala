@@ -66,21 +66,36 @@ object Formats {
   def readJsonLd(spark: SparkSession, path: String): Graph = {
     val text = String.join("\n",
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
-    val root = org.json4s.jackson.JsonMethods.parse(text).values
-      .asInstanceOf[Map[String, Any]]
+    readJsonLdRoot(spark,
+      org.json4s.jackson.JsonMethods.parse(text).values
+        .asInstanceOf[Map[String, Any]])
+  }
+
+  /** The RDF list vocabulary (JSON-LD `@list` encodes as
+    * rdf:first/rdf:rest chains terminated by rdf:nil).
+    */
+  val RdfFirst = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
+  def readJsonLdRoot(spark: SparkSession, root: Map[String, Any]): Graph = {
     val ctx = root.getOrElse("@context", Map.empty).asInstanceOf[Map[String, Any]]
     val vocab = ctx.get("@vocab").map(_.toString).getOrElse("")
+    val base = ctx.get("@base").map(_.toString).getOrElse(vocab)
     val prefixes = ctx.collect {
       case (k, v: String) if !k.startsWith("@") => k -> v
     }
 
-    def expand(term: String): String = {
+    def expandWith(term: String, default: String): String = {
       val i = term.indexOf(':')
       if (i > 0 && prefixes.contains(term.substring(0, i)))
         prefixes(term.substring(0, i)) + term.substring(i + 1)
       else if (term.startsWith("http:") || term.startsWith("https:")) term
-      else vocab + term
+      else default + term
     }
+    // identifiers expand against @base, vocabulary terms against @vocab
+    def expand(term: String): String = expandWith(term, base)
+    def expandProp(term: String): String = expandWith(term, vocab)
 
     val quads = Vector.newBuilder[NQuads.ParsedQuad]
     var blankCounter = 0
@@ -100,6 +115,24 @@ object Formats {
       case other      => QValue.Str(String.valueOf(other))
     }
 
+    /** `@list` → rdf:first/rdf:rest chain, returns the head (or rdf:nil). */
+    def rdfList(items: List[Any]): QValue = items match {
+      case Nil => QValue.Iri(RdfNil)
+      case head :: tail =>
+        blankCounter += 1
+        val cell = QValue.BNode(s"b$blankCounter")
+        val headV = head match {
+          case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            if (mm.keySet == Set("@id")) QValue.Iri(expand(mm("@id").toString))
+            else walk(mm)
+          case x => literal(x)
+        }
+        quads += NQuads.ParsedQuad(cell, QValue.Iri(RdfFirst), headV, None)
+        quads += NQuads.ParsedQuad(cell, QValue.Iri(RdfRest), rdfList(tail), None)
+        cell
+    }
+
     def walk(obj: Map[String, Any]): QValue = {
       val subj = nodeId(obj)
       obj.foreach {
@@ -108,22 +141,25 @@ object Formats {
           val types = t match { case l: List[_] => l; case x => List(x) }
           types.foreach(tv => quads += NQuads.ParsedQuad(subj,
             QValue.Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
-            QValue.Iri(expand(tv.toString)), None))
+            QValue.Iri(expandProp(tv.toString)), None))
         case ("@graph", l: List[_]) =>
           l.foreach(x => walk(x.asInstanceOf[Map[String, Any]]))
         case (pred, value) =>
-          val p = QValue.Iri(expand(pred))
-          def emit(v: Any): Unit = v match {
+          val p = QValue.Iri(expandProp(pred))
+          def objectOf(v: Any): QValue = v match {
             case m: Map[_, _] =>
               val mm = m.asInstanceOf[Map[String, Any]]
-              if (mm.keySet == Set("@id"))
-                quads += NQuads.ParsedQuad(subj, p,
-                  QValue.Iri(expand(mm("@id").toString)), None)
-              else if (mm.contains("@value"))
-                quads += NQuads.ParsedQuad(subj, p, literal(mm("@value")), None)
-              else quads += NQuads.ParsedQuad(subj, p, walk(mm), None)
-            case l: List[_] => l.foreach(emit)
-            case x => quads += NQuads.ParsedQuad(subj, p, literal(x), None)
+              if (mm.keySet == Set("@id")) QValue.Iri(expand(mm("@id").toString))
+              else if (mm.contains("@value")) literal(mm("@value"))
+              else if (mm.contains("@list")) rdfList(
+                mm("@list").asInstanceOf[List[Any]])
+              else walk(mm)
+            case x => literal(x)
+          }
+          def emit(v: Any): Unit = v match {
+            case l: List[_] => l.foreach(e =>
+              quads += NQuads.ParsedQuad(subj, p, objectOf(e), None))
+            case x => quads += NQuads.ParsedQuad(subj, p, objectOf(x), None)
           }
           emit(value)
       }

@@ -218,10 +218,17 @@ final class Lower(g: Graph) {
   // ------------------------------------------------------------- helpers
   private def emptyNodes(): DataFrame = spark.range(0).select(col("id").as(ID))
 
-  /** Inner/left join on id, keeping left's tag columns on conflict. */
+  /** Inner/left join on id, keeping left's tag columns on conflict.
+    * A tagless right side is deduplicated first: the reference's And scans
+    * one primary branch and probes the rest with `Contains`, so result
+    * multiplicity is the primary's — a secondary branch with no tag
+    * bindings must not multiply rows (and.go:27-110).
+    */
   private def joinOnId(left: DataFrame, right: DataFrame, how: String): DataFrame = {
     val dup = tagCols(right).filter(left.columns.contains)
-    left.join(dup.foldLeft(right)(_ drop _), Seq(ID), how)
+    val r0 = dup.foldLeft(right)(_ drop _)
+    val r = if (tagCols(r0).isEmpty) r0.dropDuplicates(ID) else r0
+    left.join(r, Seq(ID), how)
   }
 
   /** Optional branch: binds tags only; enumerates multiple matches
