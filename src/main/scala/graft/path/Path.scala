@@ -219,9 +219,12 @@ object Path {
       (has(cur, via, rev, nodesShape, ctx), ctx)
     case HasPath(p) =>
       // Constrain to nodes from which the sub-path yields results: tag the
-      // base, apply the morphism, re-root at the tag, intersect.
-      val applied = p.shapeFrom(Save(Seq("__hp"), cur))
-      (Intersect(Seq(cur, Unique(Back(applied, "__hp")))), ctx)
+      // base, apply the morphism, re-root at the tag, intersect. The base
+      // appears on both join sides, so materialize it when non-trivial
+      // (Catalyst does not dedup identical subplans across join sides).
+      val shared = materializeShared(cur)
+      val applied = p.shapeFrom(Save(Seq("__hp"), shared))
+      (Intersect(Seq(shared, Unique(Back(applied, "__hp")))), ctx)
     case Skip(n)  => (Page(cur, n, 0), ctx)
     case Limit(n) => (Page(cur, 0, n), ctx)
     case Order    => (Sort(cur), ctx)
@@ -249,7 +252,16 @@ object Path {
     case Labels =>
       (Unique(NodesFrom(Dir.L, Quads(Seq(QuadFilter(Dir.S, cur))))), ctx)
     case Optional(p) =>
-      (Intersect(Seq(cur), Seq(p.shapeFrom2(cur))), ctx)
+      val shared = materializeShared(cur)
+      (Intersect(Seq(shared), Seq(p.shapeFrom2(shared))), ctx)
+  }
+
+  /** Cache a subtree that is about to appear on both sides of a join
+    * (Optional/HasPath); trivial bases are cheaper to recompute.
+    */
+  private def materializeShared(s: Shape): Shape = s match {
+    case AllNodes | Null | _: Fixed | _: Embed | _: Materialize => s
+    case other => Materialize(other)
   }
 
   /** Apply a (possibly rooted) path's steps starting from `cur`: a rooted

@@ -264,6 +264,8 @@ final class Lower(g: Graph) {
         case other => col("kind") === other.kind && cmp(col("sk"), lit(other.sortKey))
       }
     case ValueFilter.Regexp(pattern, withRefs) =>
+      // plan-time dialect gate: reject what RE2 would reject (regex.go)
+      graft.functions.Re2Compat.validate(pattern)
       val strKinds = Seq(Kind.Str, Kind.LangStr, Kind.TypedStr)
       val kinds = if (withRefs) strKinds ++ Seq(Kind.Iri, Kind.BNode) else strKinds
       col("kind").isin(kinds.map(Integer.valueOf): _*) && col("s").rlike(pattern)
