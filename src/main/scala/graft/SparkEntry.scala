@@ -63,7 +63,7 @@ object SparkEntry {
         Graph.quadifyTable(region, "region", "r_regionkey", Some("tbl:region")),
         Graph.quadifyEdge(supplier, "supplier", "s_suppkey", "s_nation", "nation", "s_nationkey"),
         Graph.quadifyEdge(orders, "orders", "o_orderkey", "o_cust", "customer", "o_custkey"))
-      Graph.fromQuadDF(parts.reduce(_ unionAll _)).cached()
+      Graph.fromQuadDF(parts.reduce(_ unionAll _)).cached().withStats()
     })
 
   private def run(s: SparkSession, dir: String, p: Path): Results =

@@ -17,31 +17,9 @@ object Formats {
     */
   def nquadLines(g: Graph): DataFrame = {
     val n = g.nodes
-    def term(alias: String): org.apache.spark.sql.Column = {
-      val f = (c: String) => col(s"$alias.$c")
-      val k = f("kind")
-      // N-Quads string-literal escaping: backslash first, then quote and
-      // the control characters \n \r \t (mirrors NQuads.parseLine's unescape)
-      val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(f("s"), "\\\\", "\\\\\\\\"),
-        "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
-      when(k === Kind.Iri, concat(lit("<"), f("s"), lit(">")))
-        .when(k === Kind.BNode, concat(lit("_:"), f("s")))
-        .when(k === Kind.Str, concat(lit("\""), esc, lit("\"")))
-        .when(k === Kind.LangStr, concat(lit("\""), esc, lit("\"@"), f("lang")))
-        .when(k === Kind.TypedStr,
-          concat(lit("\""), esc, lit("\"^^<"), f("dt"), lit(">")))
-        .when(k === Kind.IntK, concat(lit("\""), f("i"),
-          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
-        .when(k === Kind.FloatK, concat(lit("\""), f("d"),
-          lit("\"^^<http://www.w3.org/2001/XMLSchema#double>")))
-        .when(k === Kind.BoolK, concat(lit("\""), f("b"),
-          lit("\"^^<http://www.w3.org/2001/XMLSchema#boolean>")))
-        .when(k === Kind.TimeK, concat(lit("\""),
-          date_format((f("t").cast("double") / 1000000.0d).cast("timestamp"),
-            "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
-          lit("\"^^<http://www.w3.org/2001/XMLSchema#dateTime>")))
-    }
+    // N-Quads term serialization per kind, escaping mirroring
+    // NQuads.parseLine's unescape (shared with the JSON quad format)
+    def term(alias: String): org.apache.spark.sql.Column = termColumn(alias)
     def dict(keyCol: String, alias: String) =
       n.select(col("id").as(keyCol), struct(Values.fieldNames.map(col): _*)
         .as(alias))
@@ -57,6 +35,194 @@ object Formats {
   /** Serialize a graph to N-Quads text files (distributed write). */
   def writeNQuads(g: Graph, path: String): Unit =
     nquadLines(g).write.mode(SaveMode.Overwrite).text(path)
+
+  // ------------------------------------------------------ format registry
+  /** The reference negotiates any registered quad format
+    * (internal/load.go:99 FormatByName, server /api/v2/formats). Document
+    * formats (graphml/gml/json-ld) serialize through one driver stream —
+    * they are single-document XML/JSON by nature; the row-oriented formats
+    * (nquads, json lines) read and write distributed.
+    */
+  final case class Format(id: String, read: Boolean, write: Boolean,
+                          mime: Seq[String])
+  val registry: Seq[Format] = Seq(
+    Format("nquads", read = true, write = true, Seq("application/n-quads")),
+    Format("json", read = true, write = true, Seq("application/json")),
+    Format("jsonld", read = true, write = true, Seq("application/ld+json")),
+    Format("graphml", read = false, write = true, Seq("application/xml")),
+    Format("gml", read = false, write = true, Seq("text/x-gml")),
+    Format("parquet", read = true, write = true,
+      Seq("application/vnd.apache.parquet")))
+  def byName(id: String): Option[Format] = registry.find(_.id == id)
+
+  /** Distributed JSON-lines writer/reader for quads. */
+  def writeJsonLines(g: Graph, path: String): Unit =
+    jsonQuadLines(g).write.mode(SaveMode.Overwrite).text(path)
+
+  /** One JSON object per quad (the reference's json-stream format): terms
+    * in N-Quads syntax, so every value kind round-trips. Distributed.
+    */
+  def jsonQuadLines(g: Graph): DataFrame = {
+    val n = g.nodes
+    def dict(keyCol: String, alias: String) =
+      n.select(col("id").as(keyCol), struct(Values.fieldNames.map(col): _*)
+        .as(alias))
+    def term(alias: String) = termColumn(alias)
+    def jesc(c: org.apache.spark.sql.Column) =
+      regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "\"", "\\\\\"")
+    val q = g.quads
+      .join(dict("__s", "sv"), col("s") === col("__s"))
+      .join(dict("__p", "pv"), col("p") === col("__p"))
+      .join(dict("__o", "ov"), col("o") === col("__o"))
+      .join(dict("__l", "lv"), col("l") === col("__l"), "left")
+    q.select(concat(
+      lit("{\"subject\":\""), jesc(term("sv")),
+      lit("\",\"predicate\":\""), jesc(term("pv")),
+      lit("\",\"object\":\""), jesc(term("ov")),
+      when(col("l").isNotNull,
+        concat(lit("\",\"label\":\""), jesc(term("lv")))).otherwise(lit("\"")),
+      when(col("l").isNotNull, lit("\"}")).otherwise(lit("}"))).as("value"))
+  }
+
+  def readJsonLines(spark: SparkSession, path: String): Graph = {
+    import spark.implicits._
+    val rows = spark.read.textFile(path).flatMap { line =>
+      val t = line.trim
+      if (t.isEmpty) None
+      else {
+        val m = org.json4s.jackson.JsonMethods.parse(t).values
+          .asInstanceOf[Map[String, Any]]
+        def term(k: String): Option[QValue] =
+          m.get(k).map(v => NQuads.parseTermOrString(String.valueOf(v)))
+        for (s <- term("subject"); p <- term("predicate"); o <- term("object"))
+          yield Graph.QuadRow(NQuads.ParsedQuad(s, p, o, term("label")))
+      }
+    }
+    Graph.fromQuadDF(rows.toDF())
+  }
+
+  private def termColumn(alias: String): org.apache.spark.sql.Column = {
+    val f = (c: String) => col(s"$alias.$c")
+    val k = f("kind")
+    val esc = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(f("s"), "\\\\", "\\\\\\\\"),
+      "\"", "\\\\\""), "\n", "\\\\n"), "\r", "\\\\r"), "\t", "\\\\t")
+    when(k === Kind.Iri, concat(lit("<"), f("s"), lit(">")))
+      .when(k === Kind.BNode, concat(lit("_:"), f("s")))
+      .when(k === Kind.Str, concat(lit("\""), esc, lit("\"")))
+      .when(k === Kind.LangStr, concat(lit("\""), esc, lit("\"@"), f("lang")))
+      .when(k === Kind.TypedStr,
+        concat(lit("\""), esc, lit("\"^^<"), f("dt"), lit(">")))
+      .when(k === Kind.IntK, concat(lit("\""), f("i"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")))
+      .when(k === Kind.FloatK, concat(lit("\""), f("d"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#double>")))
+      .when(k === Kind.BoolK, concat(lit("\""), f("b"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#boolean>")))
+      .when(k === Kind.TimeK, concat(lit("\""),
+        date_format((f("t").cast("double") / 1000000.0d).cast("timestamp"),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        lit("\"^^<http://www.w3.org/2001/XMLSchema#dateTime>")))
+  }
+
+  /** GraphML document (write-only, like the reference's graphml format):
+    * nodes + edges labeled by predicate. Terms render in N-Quads form.
+    * Edge rows stream from the cluster; the document envelope is
+    * driver-written.
+    */
+  def writeGraphml(g: Graph, out: java.io.Writer): Unit = {
+    def xml(s: String): String = s.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    out.write("""<?xml version="1.0" encoding="UTF-8"?>""" + "\n")
+    out.write("""<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""" + "\n")
+    out.write("""<key id="d0" for="edge" attr.name="predicate" attr.type="string"/>""" + "\n")
+    out.write("""<graph id="G" edgedefault="directed">""" + "\n")
+    val spark = g.spark
+    val nodeTerms = g.nodes
+      .select(Values.sortKeyCol(c => col(c)).as("t")).distinct()
+    nodeTerms.toLocalIterator().forEachRemaining { r =>
+      out.write(s"""<node id="${xml(r.getString(0))}"/>""" + "\n")
+    }
+    val edges = spOTerms(g)
+    edges.toLocalIterator().forEachRemaining { r =>
+      out.write(s"""<edge source="${xml(r.getString(0))}" target="${xml(r.getString(2))}">""" +
+        s"""<data key="d0">${xml(r.getString(1))}</data></edge>""" + "\n")
+    }
+    out.write("</graph>\n</graphml>\n")
+  }
+
+  /** GML document (write-only). Node ids are the dictionary hashes. */
+  def writeGml(g: Graph, out: java.io.Writer): Unit = {
+    def q(s: String): String = "\"" + s.replace("\"", "'") + "\""
+    out.write("graph [\n  directed 1\n")
+    g.nodes.select(col("id"), Values.sortKeyCol(c => col(c)).as("t"))
+      .toLocalIterator().forEachRemaining { r =>
+        out.write(s"  node [ id ${r.getLong(0)} label ${q(r.getString(1))} ]\n")
+      }
+    g.quads.select(col("s"), col("o"), col("p")).toLocalIterator()
+      .forEachRemaining { r =>
+        out.write(s"  edge [ source ${r.getLong(0)} target ${r.getLong(1)} ]\n")
+      }
+    out.write("]\n")
+  }
+
+  /** JSON-LD writer: one node object per subject with its predicate
+    * values, wrapped in `@graph`. Round-trips through [[readJsonLdRoot]].
+    * Grouping is distributed; the document streams out per subject.
+    */
+  def writeJsonLd(g: Graph, out: java.io.Writer): Unit = {
+    def jesc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+                  case '\r' => "\\r"; case '\t' => "\\t"; case c => c.toString }
+    def objJson(kind: Int, sk: String): String = kind match {
+      case Kind.Iri   => s"""{"@id":"${jesc(sk.substring(1, sk.length - 1))}"}"""
+      case Kind.BNode => s"""{"@id":"${jesc(sk)}"}"""
+      case Kind.IntK | Kind.FloatK | Kind.BoolK => sk
+      case _ => "\"" + jesc(sk) + "\""
+    }
+    val grouped = spOTermsKinds(g)
+      .groupBy(col("st"))
+      .agg(collect_list(struct(col("pt"), col("ot"), col("okind"))).as("po"))
+      .orderBy("st")
+    out.write("""{"@graph":[""")
+    var first = true
+    grouped.toLocalIterator().forEachRemaining { r =>
+      if (!first) out.write(",")
+      first = false
+      val subj = r.getString(0)
+      val id = if (subj.startsWith("<")) subj.substring(1, subj.length - 1) else subj
+      val props = r.getSeq[org.apache.spark.sql.Row](1)
+        .groupBy(_.getString(0)).toSeq.sortBy(_._1)
+        .map { case (pt, vs) =>
+          val pred = if (pt.startsWith("<")) pt.substring(1, pt.length - 1) else pt
+          val vals = vs.map(v => objJson(v.getInt(2), v.getString(1)))
+          s""""${jesc(pred)}":[${vals.mkString(",")}]"""
+        }
+      out.write(s"""{"@id":"${jesc(id)}",${props.mkString(",")}}""")
+    }
+    out.write("]}")
+  }
+
+  /** (id, rendered term) per node — for streaming serializers. */
+  def nodeTerms(g: Graph): DataFrame =
+    g.nodes.select(col("id"), Values.sortKeyCol(c => col(c)).as("t"))
+
+  /** (subject term, predicate term, object term) rows. */
+  private def spOTerms(g: Graph): DataFrame =
+    spOTermsKinds(g).select("st", "pt", "ot")
+
+  private def spOTermsKinds(g: Graph): DataFrame = {
+    val n = g.nodes
+    def dict(keyCol: String, prefix: String) =
+      n.select(col("id").as(keyCol),
+        Values.sortKeyCol(c => col(c)).as(prefix + "t"),
+        col("kind").as(prefix + "kind"))
+    g.quads
+      .join(dict("__s", "s"), col("s") === col("__s"))
+      .join(dict("__p", "p"), col("p") === col("__p"))
+      .join(dict("__o", "o"), col("o") === col("__o"))
+      .select("st", "pt", "ot", "okind")
+  }
 
   /** Pragmatic JSON-LD reader: @context prefix/vocab expansion, @graph
     * arrays, @id/@type, nested node objects, literal values. Covers the

@@ -25,12 +25,24 @@ import org.apache.spark.sql.types._
   * joins broadcast per-predicate slices.
   */
 final case class Graph(nodes: DataFrame, quads: DataFrame,
-                       predicateBuckets: Int = 0) {
+                       predicateBuckets: Int = 0,
+                       predStats: Option[Map[Long, Long]] = None) {
   def spark: SparkSession = nodes.sparkSession
 
   def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache())
 
   def stats: (Long, Long) = (nodes.count(), quads.count())
+
+  /** Materialize per-predicate quad counts (the reference's QuadIndexer
+    * stats, shape.go:694-726): one small aggregate (predicates are
+    * low-cardinality), letting the planner fold a zero-count predicate
+    * constraint to the empty relation without scanning. At store scale
+    * these numbers come from Parquet footers / a stats table written at
+    * load time; here one job on the (usually cached) quads table.
+    */
+  def withStats(): Graph = copy(predStats = Some(
+    quads.groupBy("p").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap))
 
   /** Persist as Parquet. `predicateBuckets > 0` writes quads partitioned by
     * `pb = pmod(p, buckets)` — the scale path: a query constraining `p`
@@ -66,11 +78,11 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
     else merged
     val n = nodes.unionByName(g2.nodes.select(nodes.columns.map(col): _*))
       .dropDuplicates("id")
-    copy(nodes = n, quads = q)
+    copy(nodes = n, quads = q, predStats = None) // stats are pre-mutation
   }
 
   def deleteQuads(g2: Graph): Graph =
-    copy(quads = quads.join(g2.quads,
+    copy(predStats = None, quads = quads.join(g2.quads,
       quads("s") === g2.quads("s") && quads("p") === g2.quads("p") &&
         quads("o") === g2.quads("o") && quads("l") <=> g2.quads("l"),
       "left_anti"))

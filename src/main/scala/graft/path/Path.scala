@@ -32,9 +32,11 @@ object Step {
   final case class ExceptP(p: Path) extends Step
   case object UniqueS extends Step
   final case class FilterV(fs: Seq[ValueFilter]) extends Step
-  final case class SaveVia(via: Via, tag: String, rev: Boolean, opt: Boolean) extends Step
+  final case class SaveVia(via: Via, tag: String, rev: Boolean, opt: Boolean,
+                           labels: Option[Via] = None) extends Step
   final case class Has(via: Via, rev: Boolean, values: Seq[QValue],
-                       filters: Seq[ValueFilter] = Nil) extends Step
+                       filters: Seq[ValueFilter] = Nil,
+                       labels: Option[Via] = None) extends Step
   final case class HasPath(p: Path) extends Step
   final case class Skip(n: Long) extends Step
   final case class Limit(n: Long) extends Step
@@ -110,6 +112,19 @@ final case class Path(base: Shape, steps: Vector[Step]) {
     add(Has(Via.Values(Seq(via)), rev = false, vs))
   def hasReverse(via: QValue, vs: QValue*): Path =             // path.go:453
     add(Has(Via.Values(Seq(via)), rev = true, vs))
+  /** Has with an explicit label constraint (shape HasLabels,
+    * query/shape/path.go:184-215) — overrides the ambient label context.
+    */
+  def hasLabels(via: QValue, labels: QValue, vs: QValue*): Path =
+    add(Has(Via.Values(Seq(via)), rev = false, vs,
+      labels = Some(Via.Values(Seq(labels)))))
+  /** SaveVia with an explicit label constraint (shape SaveViaLabels,
+    * query/shape/path.go:149-178).
+    */
+  def saveViaLabels(via: QValue, labels: QValue, tag: String,
+                    rev: Boolean = false, opt: Boolean = false): Path =
+    add(SaveVia(Via.Values(Seq(via)), tag, rev, opt,
+      labels = Some(Via.Values(Seq(labels)))))
   def hasFilter(via: QValue, rev: Boolean, fs: ValueFilter*): Path = // path.go:460
     add(Has(Via.Values(Seq(via)), rev, Nil, fs))
   def hasPath(p: Path): Path = add(HasPath(p))                 // path.go:439
@@ -202,21 +217,27 @@ object Path {
     case ExceptP(p)  => (Except(p.shape(), cur), ctx)
     case UniqueS     => (Unique(cur), ctx)
     case FilterV(fs) => (Filter(cur, fs), ctx)
-    case SaveVia(via, tagName, rev, opt) =>
+    case SaveVia(via, tagName, rev, opt, labels) =>
       val (keepDir, valDir) = if (rev) (Dir.O, Dir.S) else (Dir.S, Dir.O)
-      // save respects the label context (reference issue #758)
+      // explicit labels (SaveViaLabels) override the ambient context;
+      // otherwise save respects the label context (reference issue #758)
+      val lbl = labels.map(viaShape(_, Nil)).orElse(ctx.labels)
       val branch = NodesFrom(keepDir, Quads(Seq(
         QuadFilter(Dir.P, viaShape(via, Nil)),
         QuadFilter(valDir, Save(Seq(tagName), AllNodes))) ++
-        ctx.labels.map(l => QuadFilter(Dir.L, l))))
+        lbl.map(l => QuadFilter(Dir.L, l))))
       (if (opt) Intersect(Seq(cur), Seq(branch))
        else Intersect(Seq(cur, branch)), ctx)
-    case Has(via, rev, vs, fs) =>
+    case Has(via, rev, vs, fs, labels) =>
       val nodesShape =
         if (vs.nonEmpty) Fixed(vs)
         else if (fs.nonEmpty) Filter(AllNodes, fs)
         else AllNodes
-      (has(cur, via, rev, nodesShape, ctx), ctx)
+      val effCtx = labels match {
+        case Some(l) => ctx.copy(labels = Some(viaShape(l, Nil)))
+        case None    => ctx
+      }
+      (has(cur, via, rev, nodesShape, effCtx), ctx)
     case HasPath(p) =>
       // Constrain to nodes from which the sub-path yields results: tag the
       // base, apply the morphism, re-root at the tag, intersect. The base
@@ -250,7 +271,11 @@ object Path {
       (NodesFrom(dir, Quads(Seq(QuadFilter(dir, cur),
         QuadFilter(Dir.P, Save(Seq(tagName), AllNodes))))), ctx)
     case Labels =>
-      (Unique(NodesFrom(Dir.L, Quads(Seq(QuadFilter(Dir.S, cur))))), ctx)
+      // labels of quads touching the node set from EITHER side
+      // (query/shape/path.go:131-143 unions subject and object quads)
+      (Unique(NodesFrom(Dir.L, Union(Seq(
+        Quads(Seq(QuadFilter(Dir.S, cur))),
+        Quads(Seq(QuadFilter(Dir.O, cur))))))), ctx)
     case Optional(p) =>
       val shared = materializeShared(cur)
       (Intersect(Seq(shared), Seq(p.shapeFrom2(shared))), ctx)

@@ -33,6 +33,7 @@ final class HttpApi(initial: Graph) {
     server.createContext("/api/v2/node/delete", handler(serveNodeDelete))
     server.createContext("/api/v2/read", handler(serveRead))
     server.createContext("/api/v2/formats", handler(serveFormats))
+    server.createContext("/gephi/gs", handler(serveGephi))
     server.setExecutor(null) // default single-thread executor
     server.start()
     server.getAddress.getPort
@@ -116,9 +117,9 @@ final class HttpApi(initial: Graph) {
       """{"result": "Successfully deleted 1 nodes.", "count": 1}""")
   }
 
-  /** GET/POST /api/v2/read[?sub=&pred=&obj=&label=] — N-Quads stream of
-    * the (optionally filtered) store. Serialization is distributed; the
-    * driver only streams the final lines out.
+  /** GET/POST /api/v2/read[?sub=&pred=&obj=&label=][&format=nquads|json|
+    * jsonld|graphml|gml] — serialized stream of the (optionally filtered)
+    * store. Serialization is distributed; the driver only streams lines.
     */
   private def serveRead(ex: HttpExchange): (Int, String, String) = {
     import graft.core.QValue
@@ -133,20 +134,60 @@ final class HttpApi(initial: Graph) {
       }
     filter("sub", "s"); filter("pred", "p"); filter("obj", "o")
     filter("label", "l")
-    val sb = new StringBuilder
-    Formats.nquadLines(sub).toLocalIterator().forEachRemaining { r =>
-      sb.append(r.getString(0)).append('\n')
+    val format = ps.getOrElse("format", "nquads")
+    val fmt = Formats.byName(format).filter(_.write).getOrElse(
+      return (400, "application/json",
+        s"""{"error": "format is not supported for reading data: $format"}"""))
+    val sw = new java.io.StringWriter()
+    format match {
+      case "nquads" =>
+        Formats.nquadLines(sub).toLocalIterator().forEachRemaining(r =>
+          sw.write(r.getString(0) + "\n"))
+      case "json" =>
+        Formats.jsonQuadLines(sub).toLocalIterator().forEachRemaining(r =>
+          sw.write(r.getString(0) + "\n"))
+      case "jsonld" => Formats.writeJsonLd(sub, sw)
+      case "graphml" => Formats.writeGraphml(sub, sw)
+      case "gml" => Formats.writeGml(sub, sw)
+      case other =>
+        return (400, "application/json",
+          s"""{"error": "format is not servable over HTTP: $other"}""")
     }
-    (200, "application/n-quads", sb.toString)
+    (200, fmt.mime.head, sw.toString)
   }
 
-  /** GET /api/v2/formats — registered interchange formats. */
+  /** GET /gephi/gs[?limit=N] — Gephi GraphStream events
+    * (/root/reference/internal/gephi/stream.go): one JSON event per line,
+    * `an` (add node) for every value then `ae` (add edge) per quad.
+    * Node positions are hash-derived (deterministic), like the reference's
+    * random layout seeds.
+    */
+  private def serveGephi(ex: HttpExchange): (Int, String, String) = {
+    import org.apache.spark.sql.functions.col
+    val limit = params(ex).get("limit").map(_.toInt).getOrElse(10000)
+    val sb = new StringBuilder
+    def esc(s: String) = QuerySession.toJson(s)
+    graft.core.Formats.nodeTerms(g).limit(limit).toLocalIterator()
+      .forEachRemaining { r =>
+        val id = r.getLong(0)
+        val x = (id % 1000L) / 5.0 - 100.0
+        val y = ((id >> 10) % 1000L) / 5.0 - 100.0
+        sb.append(s"""{"an":{"n$id":{"label":${esc(r.getString(1))},"size":20,"x":$x,"y":$y}}}""")
+          .append("\r\n")
+      }
+    var i = 0
+    g.quads.select(col("s"), col("p"), col("o")).limit(limit)
+      .toLocalIterator().forEachRemaining { r =>
+        sb.append(s"""{"ae":{"e$i":{"source":"n${r.getLong(0)}","target":"n${r.getLong(2)}","pred":"p${r.getLong(1)}","directed":true}}}""")
+          .append("\r\n")
+        i += 1
+      }
+    (200, "application/stream+json", sb.toString)
+  }
+
+  /** GET /api/v2/formats — the format registry. */
   private def serveFormats(ex: HttpExchange): (Int, String, String) =
-    (200, "application/json", QuerySession.toJson(Seq(
-      Map("id" -> "nquads", "read" -> true, "write" -> true,
-        "mime" -> Seq("application/n-quads")),
-      Map("id" -> "jsonld", "read" -> true, "write" -> false,
-        "mime" -> Seq("application/ld+json")),
-      Map("id" -> "parquet", "read" -> true, "write" -> true,
-        "mime" -> Seq("application/vnd.apache.parquet")))))
+    (200, "application/json", QuerySession.toJson(Formats.registry.map(f =>
+      Map("id" -> f.id, "read" -> f.read, "write" -> f.write,
+        "mime" -> f.mime))))
 }

@@ -177,6 +177,8 @@ final class Lower(g: Graph) {
   // ------------------------------------------------------------------ quads
   def quads(s: Shape): DataFrame = s match {
     case Shape.Quads(filters) => filters.foldLeft(g.quads)(applyQuadFilter)
+    case Shape.Union(sub) =>
+      sub.map(quads).reduce(_.unionByName(_, allowMissingColumns = true))
     case other =>
       throw new IllegalArgumentException(s"node shape in quad position: $other")
   }
@@ -188,6 +190,13 @@ final class Lower(g: Graph) {
       case Shape.Null     => df.where(lit(false))
       case Shape.Fixed(vs) =>
         val ids = vs.map(QValue.id)
+        // stats folding (QuadIndexer, shape.go:694-726): a predicate set
+        // the stats table has never seen means the quad filter is empty —
+        // Catalyst's empty-relation propagation then collapses the whole
+        // join tree above it, no scan at all
+        if (f.dir == Dir.P &&
+          g.predStats.exists(st => ids.forall(st.getOrElse(_, 0L) == 0L)))
+          return df.where(lit(false))
         val base = ids match {
           case Seq(one) => df.where(dirCol === lit(one))
           case many     => df.where(dirCol.isin(many: _*))
@@ -305,16 +314,20 @@ final class Lower(g: Graph) {
       // recursive.go: depth increments before the morphism applies)
       val tagged = depthTags.foldLeft(stepDf)((d, t) =>
         d.withColumn(intTagCol(t), lit((depth + 1).toLong)))
+      // Only the reused-thrice `fresh` and the next frontier are
+      // checkpointed per iteration; the emitted/expanded accumulators stay
+      // lazy unions over those checkpoints (their plans are shallow), which
+      // halves the driver actions per iteration.
       val fresh = tagged
         .join(emitted.select(col(ID)), Seq(ID), "left_anti")
         .dropDuplicates(ID)
         .localCheckpoint()
       acc = if (acc == null) fresh
         else acc.unionByName(fresh, allowMissingColumns = true)
-      emitted = emitted.unionByName(fresh.select(ID)).localCheckpoint()
+      emitted = emitted.unionByName(fresh.select(ID))
       val newFrontier = fresh.select(ID)
         .join(expanded, Seq(ID), "left_anti").localCheckpoint()
-      expanded = expanded.unionByName(newFrontier).localCheckpoint()
+      expanded = expanded.unionByName(newFrontier)
       frontier = newFrontier
       depth += 1
     }

@@ -80,6 +80,61 @@ class FormatsSpec extends AnyFunSuite {
     assert(g3.stats._2 === 15)
   }
 
+  test("JSON quad-lines round-trip preserves typed values") {
+    val qs = Seq(
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("int"), QValue.IntV(-42), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("lang"),
+        QValue.LangStr("hi \"there\"", "en"), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("e"), QValue.Iri("m"),
+        Some(QValue.Iri("g1"))))
+    val g = Graph.fromQuads(spark, qs)
+    val tmp = Files.createTempDirectory("graft-json").toString + "/out"
+    Formats.writeJsonLines(g, tmp)
+    val g2 = Formats.readJsonLines(spark, tmp)
+    assert(g2.stats === g.stats)
+    val got = Exec.run(g2, Path.start(QValue.Iri("n")).out()).values()
+    assert(got.toSet === qs.map(_.o).toSet)
+  }
+
+  test("graphml and gml writers emit well-formed documents") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val gmlW = new java.io.StringWriter()
+    Formats.writeGml(g, gmlW)
+    val gml = gmlW.toString
+    assert(gml.startsWith("graph ["))
+    assert(gml.linesIterator.count(_.contains("node [")) === 14)
+    assert(gml.linesIterator.count(_.contains("edge [")) === 15)
+    val xmlW = new java.io.StringWriter()
+    Formats.writeGraphml(g, xmlW)
+    val xml = xmlW.toString
+    assert(xml.contains("<graphml") && xml.endsWith("</graphml>\n"))
+    assert(xml.linesIterator.count(_.startsWith("<edge")) === 15)
+    // well-formed XML parses
+    javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      .newDocumentBuilder()
+      .parse(new java.io.ByteArrayInputStream(xml.getBytes("UTF-8")))
+  }
+
+  test("JSON-LD writer round-trips through the JSON-LD reader") {
+    val g = Formats.readJsonLd(spark, "/root/reference/data/people.jsonld")
+    val w = new java.io.StringWriter()
+    Formats.writeJsonLd(g, w)
+    val root = org.json4s.jackson.JsonMethods.parse(w.toString).values
+      .asInstanceOf[Map[String, Any]]
+    val g2 = Formats.readJsonLdRoot(spark, root)
+    assert(g2.stats._2 === g.stats._2)
+    val knows = Exec.run(g2,
+      Path.start(QValue.Iri("http://example.com/alice"))
+        .out(QValue.Iri("http://xmlns.com/foaf/0.1/knows"))).values()
+    assert(knows.map(_.sortKey) === Seq("<http://example.com/bob>"))
+  }
+
+  test("format registry exposes capabilities") {
+    assert(Formats.byName("nquads").exists(f => f.read && f.write))
+    assert(Formats.byName("graphml").exists(f => !f.read && f.write))
+    assert(Formats.byName("nosuch").isEmpty)
+  }
+
   test("addQuads on a bucketed store keeps pb partitioning and pruning") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val dir = Files.createTempDirectory("graft-bkt").toString

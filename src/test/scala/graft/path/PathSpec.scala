@@ -333,4 +333,34 @@ class PathSpec extends AnyFunSuite {
       .out(vStatus)).values()
     assert(sortedVals(got) === sortedVals(Seq(vSmart)))
   }
+
+  test("hasLabels: explicit label constraint (shape HasLabels)") {
+    val g2 = Graph.fromNQuads(spark,
+      "/root/reference/data/testdata_multigraph.nq").cached()
+    // smart_person holders in smart_graph only: emily, greg (not fred)
+    val got = Exec.run(g2,
+      Path.start().hasLabels(vStatus, iri("smart_graph"), vSmart)).values()
+    assert(sortedVals(got) === sortedVals(Seq(iri("emily"), iri("greg"))))
+    // explicit labels override the ambient label context
+    val got2 = Exec.run(g2, Path.start().labelContext(iri("other_graph"))
+      .hasLabels(vStatus, iri("smart_graph"), vSmart)).values()
+    assert(sortedVals(got2) === sortedVals(Seq(iri("emily"), iri("greg"))))
+  }
+
+  test("saveViaLabels: tag bound only from the labeled subgraph") {
+    val g2 = Graph.fromNQuads(spark,
+      "/root/reference/data/testdata_multigraph.nq").cached()
+    val rows = Exec.run(g2, Path.start(iri("greg"))
+      .saveViaLabels(vStatus, iri("smart_graph"), "st")).tagValues("st")
+    assert(rows === Seq(vSmart)) // not the unlabeled "cool_person"
+  }
+
+  test("labels() includes quads where the node is the object") {
+    val g2 = Graph.fromNQuads(spark,
+      "/root/reference/data/testdata_multigraph.nq").cached()
+    // smart_person appears only as an OBJECT of labeled quads
+    val got = Exec.run(g2, Path.start(vSmart).labels()).values()
+    assert(sortedVals(got) ===
+      sortedVals(Seq(iri("smart_graph"), iri("other_graph"))))
+  }
 }

@@ -68,6 +68,27 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("read format negotiation and gephi stream") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val api = new HttpApi(g)
+    val port = api.start()
+    try {
+      val json = get(port, "/api/v2/read?format=json")
+      assert(json.linesIterator.count(_.nonEmpty) === 15)
+      assert(json.linesIterator.next().contains("\"subject\""))
+      val graphml = get(port, "/api/v2/read?format=graphml")
+      assert(graphml.contains("<graphml"))
+      val jsonld = get(port, "/api/v2/read?format=jsonld")
+      assert(jsonld.startsWith("""{"@graph":["""))
+      val badFmt = get(port, "/api/v2/read?format=nosuch")
+      assert(badFmt.contains("error"))
+      val gephi = get(port, "/gephi/gs")
+      val lines = gephi.linesIterator.filter(_.nonEmpty).toSeq
+      assert(lines.count(_.startsWith("""{"an":""")) === 14)
+      assert(lines.count(_.startsWith("""{"ae":""")) === 15)
+    } finally api.stop()
+  }
+
   test("session collations: JSON, REPL, JSONLD") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val json = QuerySession.execute(g, "gizmo",

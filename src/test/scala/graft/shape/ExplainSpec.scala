@@ -40,6 +40,24 @@ class ExplainSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("stats folding: unknown predicate collapses to an empty relation") {
+    val g = Graph.read(spark, dir).withStats()
+    val df = Exec.lower(g,
+      Path.start().out(QValue.Iri("no_such_predicate")).shape())
+    // QuadIndexer size==0 rewrite (shape.go:694-726): the whole plan folds
+    // to an empty LocalRelation — no scan, no join
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("LocalRelation <empty>"), opt)
+    assert(!opt.contains("Join"), opt)
+    assert(df.isEmpty)
+    // without stats the plan keeps the scan (sanity: the rewrite is the
+    // stats' doing, not a constant-folding accident)
+    val df2 = Exec.lower(Graph.read(spark, dir),
+      Path.start().out(QValue.Iri("no_such_predicate")).shape())
+    assert(df2.queryExecution.optimizedPlan.toString.contains("Relation"))
+    assert(df2.isEmpty)
+  }
+
   test("whole-stage codegen covers the traversal join pipeline") {
     val g = Graph.read(spark, dir)
     val df = Exec.lower(g, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows"))
