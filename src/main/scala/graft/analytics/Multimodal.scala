@@ -10,11 +10,13 @@ import org.apache.spark.sql.types._
   * is initialized once per partition, not per row — the Scala analog of
   * a Pandas-UDF-over-`mapInPandas` pipeline stage.
   *
-  * The decoders themselves are STUBBED (this container ships no image/
-  * audio codecs): `stubDecode` derives deterministic fake pixels from the
-  * bytes. The Spark-side plumbing — schema, batching, partition-level
-  * init, output shape — is real and tested; swapping in a real codec
-  * changes only the function body.
+  * Decoders: container formats parseable without codec libraries are
+  * decoded for real — WAV (RIFF/PCM16 → rate, RMS, zero-cross rate) and
+  * BMP (uncompressed 24-bit → dimensions, channel means). Compressed
+  * codecs (JPEG/MP3/H.264) are STUBBED behind `stubDecode` (this
+  * container ships no codec libraries): deterministic fake features with
+  * the same shape, so the pipeline plumbing is exercised end-to-end and
+  * swapping in a real codec changes only one function body.
   */
 object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
@@ -27,10 +29,11 @@ object Multimodal {
       StructField("duration_ms", LongType))))))
 
   final case class MediaFeatures(media_id: Long, kind: String,
-                                 n_bytes: Long, feature: Array[Float])
+                                 n_bytes: Long, codec: String,
+                                 feature: Array[Float])
 
-  /** STUB decode: a real implementation would parse the codec here.
-    * Deterministic fake: 8 "features" folded from the payload bytes.
+  /** STUB decode for compressed codecs: deterministic fake — 8 "features"
+    * folded from the payload bytes (same output shape as real decodes).
     */
   private def stubDecode(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](8)
@@ -42,6 +45,91 @@ object Multimodal {
     f
   }
 
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+
+  /** Real WAV decode (RIFF container, PCM16): walks the chunk list, reads
+    * fmt + data, returns [rate/48k, seconds, RMS, zero-cross rate, peak,
+    * 0, 0, 0]. Pure JVM byte math — no codec library.
+    */
+  private[analytics] def decodeWav(b: Array[Byte]): Option[Array[Float]] = {
+    if (b.length < 44 || !(b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == 'F' && b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'))
+      return None
+    var off = 12
+    var rate = 0; var bits = 0; var channels = 1
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = new String(b, off, 4, "US-ASCII")
+      val sz = leInt(b, off + 4)
+      if (id == "fmt ") {
+        if (leShort(b, off + 8) != 1) return None // PCM only
+        channels = leShort(b, off + 10)
+        rate = leInt(b, off + 12)
+        bits = leShort(b, off + 22)
+      } else if (id == "data") { dataOff = off + 8; dataLen = sz }
+      off += 8 + sz + (sz & 1)
+    }
+    if (rate <= 0 || bits != 16 || dataOff < 0) return None
+    val n = math.min(dataLen, b.length - dataOff) / 2
+    var sumSq = 0.0; var crossings = 0; var peak = 0.0
+    var prev = 0; var i = 0
+    while (i < n) {
+      val s = (leShort(b, dataOff + 2 * i) << 16) >> 16 // sign-extend
+      sumSq += s.toDouble * s
+      if ((s > 0 && prev < 0) || (s < 0 && prev > 0)) crossings += 1
+      if (math.abs(s) > peak) peak = math.abs(s)
+      prev = s; i += 1
+    }
+    val samples = math.max(n / math.max(channels, 1), 1)
+    Some(Array(
+      rate / 48000.0f, samples.toFloat / rate,
+      (math.sqrt(sumSq / math.max(n, 1)) / 32768.0).toFloat,
+      crossings.toFloat / math.max(n, 1), (peak / 32768.0).toFloat,
+      0f, 0f, 0f))
+  }
+
+  /** Real BMP decode (uncompressed 24-bit, bottom-up): returns
+    * [w/4096, h/4096, meanR, meanG, meanB, 0, 0, 0].
+    */
+  private[analytics] def decodeBmp(b: Array[Byte]): Option[Array[Float]] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = leInt(b, 10)
+    val w = leInt(b, 18); val h = leInt(b, 22)
+    val bpp = leShort(b, 28)
+    if (bpp != 24 || leInt(b, 30) != 0 || w <= 0 || h == 0) return None
+    val rows = math.abs(h)
+    val rowBytes = (w * 3 + 3) & ~3
+    if (pixOff + rowBytes.toLong * rows > b.length) return None
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      val base = pixOff + y * rowBytes
+      while (x < w) {
+        sb += b(base + 3 * x) & 0xFF
+        sg += b(base + 3 * x + 1) & 0xFF
+        sr += b(base + 3 * x + 2) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val np = w.toDouble * rows * 255.0
+    Some(Array(w / 4096.0f, rows / 4096.0f,
+      (sr / np).toFloat, (sg / np).toFloat, (sb / np).toFloat, 0f, 0f, 0f))
+  }
+
+  /** Decode dispatch by magic bytes: real WAV/BMP parsing, stub fallback
+    * for codec formats. Returns (codec tag, features).
+    */
+  private def decode(bytes: Array[Byte]): (String, Array[Float]) =
+    decodeWav(bytes).map("wav" -> _)
+      .orElse(decodeBmp(bytes).map("bmp" -> _))
+      .getOrElse("stub" -> stubDecode(bytes))
+
   /** Partition-at-a-time feature extraction. The `mapPartitions` boundary
     * is where per-partition decoder initialization belongs (expensive
     * setup amortized across the partition — same motivation as batching
@@ -51,10 +139,12 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // real impl: val decoder = Codec.open(...)  — once per partition
+        // real impl of codec formats: val decoder = Codec.open(...) once
+        // per partition; WAV/BMP need no shared state
         rows.map { case (id, kind, payload) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          MediaFeatures(id, kind, bytes.length.toLong, stubDecode(bytes))
+          val (codec, feat) = decode(bytes)
+          MediaFeatures(id, kind, bytes.length.toLong, codec, feat)
         }
       }
   }

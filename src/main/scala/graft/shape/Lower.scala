@@ -228,16 +228,18 @@ final class Lower(g: Graph) {
   private def emptyNodes(): DataFrame = spark.range(0).select(col("id").as(ID))
 
   /** Inner/left join on id, keeping left's tag columns on conflict.
-    * A tagless right side is deduplicated first: the reference's And scans
-    * one primary branch and probes the rest with `Contains`, so result
-    * multiplicity is the primary's — a secondary branch with no tag
-    * bindings must not multiply rows (and.go:27-110).
+    * The reference's And scans one primary branch and probes the rest with
+    * `Contains`, so result multiplicity is the primary's — a secondary
+    * branch with no tag bindings must not multiply rows (and.go:27-110).
+    * For an inner join that is exactly a LEFT SEMI join (existence probe,
+    * no dedup shuffle); a tag-bearing side keeps the real join.
     */
   private def joinOnId(left: DataFrame, right: DataFrame, how: String): DataFrame = {
     val dup = tagCols(right).filter(left.columns.contains)
     val r0 = dup.foldLeft(right)(_ drop _)
-    val r = if (tagCols(r0).isEmpty) r0.dropDuplicates(ID) else r0
-    left.join(r, Seq(ID), how)
+    if (tagCols(r0).isEmpty && how == "inner")
+      left.join(r0.select(ID), Seq(ID), "left_semi")
+    else left.join(r0, Seq(ID), how)
   }
 
   /** Optional branch: binds tags only; enumerates multiple matches
@@ -314,10 +316,11 @@ final class Lower(g: Graph) {
       // recursive.go: depth increments before the morphism applies)
       val tagged = depthTags.foldLeft(stepDf)((d, t) =>
         d.withColumn(intTagCol(t), lit((depth + 1).toLong)))
-      // Only the reused-thrice `fresh` and the next frontier are
-      // checkpointed per iteration; the emitted/expanded accumulators stay
-      // lazy unions over those checkpoints (their plans are shallow), which
-      // halves the driver actions per iteration.
+      // `fresh` and the next frontier are checkpointed every iteration
+      // (both are consumed by multiple downstream ops and the isEmpty
+      // action); the emitted/expanded accumulators are lazy unions over
+      // those checkpoints, re-materialized every few iterations so the
+      // anti-join build side doesn't grow into a deep union tree.
       val fresh = tagged
         .join(emitted.select(col(ID)), Seq(ID), "left_anti")
         .dropDuplicates(ID)
@@ -328,6 +331,10 @@ final class Lower(g: Graph) {
       val newFrontier = fresh.select(ID)
         .join(expanded, Seq(ID), "left_anti").localCheckpoint()
       expanded = expanded.unionByName(newFrontier)
+      if (depth % 3 == 2) {
+        emitted = emitted.localCheckpoint()
+        expanded = expanded.localCheckpoint()
+      }
       frontier = newFrontier
       depth += 1
     }

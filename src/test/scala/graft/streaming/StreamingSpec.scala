@@ -73,6 +73,7 @@ class StreamingSpec extends AnyFunSuite {
     val feats = Multimodal.extractFeatures(rows).collect()
       .map(f => f.media_id -> f).toMap
     assert(feats(1L).n_bytes === 3 && feats(1L).feature.length === 8)
+    assert(feats(1L).codec === "stub")
     assert(math.abs(feats(1L).feature(0) - 10 / 255.0f) < 1e-6)
 
     val hd = Multimodal.filterByResolution(rows, 600, 400)
@@ -82,5 +83,55 @@ class StreamingSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrameIndexes(rows, 1000L)
       .select("frame_ts_ms").as[Seq[Long]].head()
     assert(frames === Seq(0L, 1000L, 2000L))
+  }
+
+  test("multimodal: real WAV and BMP decodes (no codec library)") {
+    import spark.implicits._
+    // PCM16 mono 8kHz WAV: a full-scale square wave of 8 samples
+    val samples = Seq[Short](32767, 32767, -32768, -32768, 32767, 32767,
+      -32768, -32768)
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.size * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + samples.size * 2)
+    bb.put("WAVE".getBytes); bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(samples.size * 2)
+    samples.foreach(bb.putShort(_))
+    val wav = bb.array()
+
+    // 2x2 24-bit BMP, all pure red (BGR order, rows padded to 4 bytes)
+    val rowBytes = (2 * 3 + 3) & ~3
+    val ib = java.nio.ByteBuffer.allocate(54 + rowBytes * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ib.put('B'.toByte); ib.put('M'.toByte); ib.putInt(54 + rowBytes * 2)
+    ib.putInt(0); ib.putInt(54) // pixel offset
+    ib.putInt(40); ib.putInt(2); ib.putInt(2) // header size, w, h
+    ib.putShort(1); ib.putShort(24); ib.putInt(0) // planes, bpp, compression
+    ib.putInt(rowBytes * 2); ib.putInt(0); ib.putInt(0); ib.putInt(0); ib.putInt(0)
+    for (_ <- 0 until 2) {
+      for (_ <- 0 until 2) { ib.put(0.toByte); ib.put(0.toByte); ib.put(255.toByte) }
+      ib.put(0.toByte); ib.put(0.toByte) // row padding
+    }
+    val bmp = ib.array()
+
+    val rows = Seq((1L, "audio", wav), (2L, "image", bmp))
+      .toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(rows).collect()
+      .map(f => f.media_id -> f).toMap
+
+    val a = feats(1L)
+    assert(a.codec === "wav")
+    assert(math.abs(a.feature(0) - 8000 / 48000.0f) < 1e-6) // rate
+    assert(math.abs(a.feature(2) - 1.0f) < 1e-3)            // RMS (full scale)
+    assert(math.abs(a.feature(3) - 3.0f / 8) < 1e-6)        // 3 crossings / 8
+    assert(math.abs(a.feature(4) - 1.0f) < 1e-3)            // peak
+
+    val i = feats(2L)
+    assert(i.codec === "bmp")
+    assert(math.abs(i.feature(0) - 2 / 4096.0f) < 1e-7) // width
+    assert(math.abs(i.feature(2) - 1.0f) < 1e-6)        // mean R
+    assert(math.abs(i.feature(3)) < 1e-6)               // mean G
+    assert(math.abs(i.feature(4)) < 1e-6)               // mean B
   }
 }
