@@ -63,7 +63,11 @@ object SparkEntry {
         Graph.quadifyTable(region, "region", "r_regionkey", Some("tbl:region")),
         Graph.quadifyEdge(supplier, "supplier", "s_suppkey", "s_nation", "nation", "s_nationkey"),
         Graph.quadifyEdge(orders, "orders", "o_orderkey", "o_cust", "customer", "o_custkey"))
-      Graph.fromQuadDF(parts.reduce(_ unionAll _)).cached().withStats()
+      // cache the exploded quad-struct rows once: the dictionary build and
+      // the quads table both consume them, and materializing nodes+quads
+      // would otherwise re-run the per-table explodes twice
+      val raw = parts.reduce(_ unionAll _).cache()
+      Graph.fromQuadDF(raw).cached().withStats()
     })
 
   private def run(s: SparkSession, dir: String, p: Path): Results =
@@ -165,6 +169,33 @@ object SparkEntry {
     "g_hasrev" -> ((s, d) => run(s, d,
       Path.start().hasReverse(iri("c_mktsegment"), iri("customer:1")))
       .payloadDF("id" -> "node")),
+    // Wildcard filter (%/? -> like)
+    "g_wildcard" -> ((s, d) => run(s, d,
+      Path.start().out(iri("n_name"))
+        .filter(ValueFilter.Wildcard("NATION_1%"))).payloadDF("id" -> "node")),
+    // OutWithTags: tag the predicate of the hop
+    "g_out_tags" -> ((s, d) => run(s, d,
+      Path.start(iri("nation:3")).outWithTags(Seq("pred"), iri("n_region")))
+      .payloadDF("id" -> "node", Lower.tagCol("pred") -> "pred")),
+    // SavePredicates: outgoing predicate names as a tag
+    "g_save_predicates" -> ((s, d) => run(s, d,
+      Path.start(iri("customer:1")).savePredicates(rev = false, "p"))
+      .payloadDF(Lower.tagCol("p") -> "p")),
+    // Optional sub-path (tags-only, position-preserving morphism)
+    "g_optional_path" -> ((s, d) => run(s, d,
+      Path.start().has(iri("n_name"))
+        .optional(Path.morphism().save(iri("n_region"), "reg")))
+      .payloadDF("id" -> "node", Lower.tagCol("reg") -> "reg")),
+    // mutation path: ApplyDeltas add feeds the traversal
+    "g_mutation_add" -> ((s, d) => {
+      import graft.core.Mutation
+      val g0 = graph(s, d)
+      val delta = graft.core.NQuads.ParsedQuad(iri("customer:999999999"),
+        iri("c_mktsegment"), str("BUILDING"), None)
+      val g2 = Mutation.applyDeltas(g0, Seq(Mutation.Delta(delta, Mutation.Add)))
+      Exec.run(g2, Path.start().has(iri("c_mktsegment"), str("BUILDING")))
+        .payloadDF("id" -> "node")
+    }),
     // Gizmo front-end end-to-end: parser -> Path -> Shape -> plan
     "g_gizmo_chain" -> ((s, d) => {
       import s.implicits._
@@ -178,6 +209,38 @@ object SparkEntry {
       graft.lang.Gizmo.session(graph(s, d)).execute(
         """g.V(iri("customer:1")).out(iri("c_mktsegment")).forEach(function(o){ g.emit(o.id) })""")
         .map(_("id")).toDF("node")
+    }),
+    // GraphQL front-end end-to-end (set-oriented executor)
+    "g_graphql" -> ((s, d) => {
+      import s.implicits._
+      val res = graft.lang.GraphQL.session(graph(s, d)).execute(
+        """{ n(id: <nation:3>) { name: n_name } }""")
+      Seq(res("n").asInstanceOf[Map[String, Any]]("name").toString)
+        .toDF("node")
+    }),
+    // MQL front-end end-to-end (query-by-example)
+    "g_mql" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.MQL.session(graph(s, d)).execute(
+        """[{"id": null, "<n_region>": "<region:1>"}]""")
+        .map(m => m("id").toString.stripPrefix("<").stripSuffix(">"))
+        .toDF("node")
+    }),
+    // Sexp front-end end-to-end (s-expression patterns)
+    "g_sexp" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Sexp.session(graph(s, d)).execute(
+        """($a (:<c_mktsegment> "BUILDING"))""")
+        .map(m => m("id").stripPrefix("<").stripSuffix(">")).toDF("node")
+    }),
+    // LinkedQL front-end end-to-end (JSON-LD step objects)
+    "g_linkedql" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.LinkedQL.execute(graph(s, d),
+        """{"@type": "Visit",
+          |  "from": {"@type": "Match", "pattern": {"@id": "nation:3"}},
+          |  "properties": "n_name"}""".stripMargin)
+        .asInstanceOf[List[Any]].map(String.valueOf(_)).toDF("node")
     }),
     // Follow: apply a saved morphism
     "g_follow" -> ((s, d) => run(s, d,
@@ -244,6 +307,30 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
     "g_gizmo_emit" ->
       "SELECT c_mktsegment AS node FROM customer WHERE c_custkey = 1",
+    "g_wildcard" ->
+      "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
+    "g_out_tags" ->
+      """SELECT 'region:' || CAST(n_regionkey AS VARCHAR) AS node,
+        |       'n_region' AS pred FROM nation WHERE n_nationkey = 3""".stripMargin,
+    "g_save_predicates" ->
+      """SELECT 'c_name' AS p UNION ALL SELECT 'c_nationkey'
+        |UNION ALL SELECT 'c_acctbal' UNION ALL SELECT 'c_mktsegment'
+        |UNION ALL SELECT 'c_nation'""".stripMargin,
+    "g_optional_path" ->
+      """SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS node,
+        |       'region:' || CAST(n_regionkey AS VARCHAR) AS reg FROM nation""".stripMargin,
+    "g_mutation_add" ->
+      """SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |UNION ALL SELECT 'customer:999999999'""".stripMargin,
+    "g_graphql" ->
+      "SELECT n_name AS node FROM nation WHERE n_nationkey = 3",
+    "g_mql" ->
+      "SELECT 'nation:' || CAST(n_nationkey AS VARCHAR) AS node FROM nation WHERE n_regionkey = 1",
+    "g_sexp" ->
+      "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_mktsegment = 'BUILDING'",
+    "g_linkedql" ->
+      "SELECT n_name AS node FROM nation WHERE n_nationkey = 3",
     "g_follow" ->
       """SELECT r.r_name AS node FROM supplier s
         |JOIN nation n ON s.s_nationkey = n.n_nationkey
