@@ -271,6 +271,19 @@ object Gizmo {
             GValue(QValue.Iri(expandIri(argStr(args))))
           case (GEnv, "bnode") => GValue(QValue.BNode(argStr(args)))
           case (GEnv, "str") => GValue(QValue.Str(argStr(args)))
+          case (GEnv, "raw") => args match {
+            // string literals already parse as terms (strToValue)
+            case Seq(v: GValue) => v
+            case other => throw GizmoError(s"raw(term), got $other")
+          }
+          case (GEnv, "lang") => args.map(argStrOne) match {
+            case Seq(v, l) => GValue(QValue.LangStr(v, l))
+            case other => throw GizmoError(s"lang(value, lang), got $other")
+          }
+          case (GEnv, "typed") => args.map(argStrOne) match {
+            case Seq(v, dt) => GValue(NQuads.typedValue(v, dt))
+            case other => throw GizmoError(s"typed(value, type), got $other")
+          }
           case (GEnv, "emit") =>
             args.foreach(emit); GNull
           case (GEnv, "addNamespace") =>
@@ -446,6 +459,18 @@ object Gizmo {
             case "iri" | "Iri" | "IRI" => GValue(QValue.Iri(expandIri(argStrTop(args))))
             case "bnode"               => GValue(QValue.BNode(argStrTop(args)))
             case "str"                 => GValue(QValue.Str(argStrTop(args)))
+            case "raw" => args match {
+              case Seq(v: GValue) => v
+              case other => throw GizmoError(s"raw(term), got $other")
+            }
+            case "lang" => args.map(argStrOne) match {
+              case Seq(v, l) => GValue(QValue.LangStr(v, l))
+              case other => throw GizmoError(s"lang(value, lang), got $other")
+            }
+            case "typed" => args.map(argStrOne) match {
+              case Seq(v, dt) => GValue(NQuads.typedValue(v, dt))
+              case other => throw GizmoError(s"typed(value, type), got $other")
+            }
             case "gt"  => GFilter(Comparison(GT, valuesOf(args).head))
             case "gte" => GFilter(Comparison(GTE, valuesOf(args).head))
             case "lt"  => GFilter(Comparison(LT, valuesOf(args).head))

@@ -197,10 +197,16 @@ final class Lower(g: Graph) {
         if (f.dir == Dir.P &&
           g.predStats.exists(st => ids.forall(st.getOrElse(_, 0L) == 0L)))
           return df.where(lit(false))
-        val base = ids match {
+        var base = ids match {
           case Seq(one) => df.where(dirCol === lit(one))
           case many     => df.where(dirCol.isin(many: _*))
         }
+        // Materialize-small rule (shape.go:872 threshold 100), Spark form:
+        // a quad set the stats prove tiny gets a broadcast hint so every
+        // join over it is a broadcast join regardless of AQE's runtime view
+        if (f.dir == Dir.P && g.predStats.exists(st =>
+          ids.map(st.getOrElse(_, 0L)).sum < 100))
+          base = broadcast(base)
         // literal predicate constraint + bucketed store → static partition
         // pruning on pb (the kv backend's predicate-index analog)
         if (f.dir == Dir.P && g.predicateBuckets > 0 &&

@@ -103,6 +103,15 @@ object Shape {
   /** Cache small subresults (shape.go:872-898). */
   final case class Materialize(values: Shape) extends Shape
 
+  /** FilterQuads convenience (shape.go:1434-1449): a quad pattern from
+    * optional per-direction value sets.
+    */
+  def filterQuads(s: Seq[QValue] = Nil, p: Seq[QValue] = Nil,
+                  o: Seq[QValue] = Nil, l: Seq[QValue] = Nil): Quads =
+    Quads(Seq(Dir.S -> s, Dir.P -> p, Dir.O -> o, Dir.L -> l).collect {
+      case (dir, vs) if vs.nonEmpty => QuadFilter(dir, Fixed(vs))
+    })
+
   /** Transitive closure of a morphism
     * (/root/reference/graph/iterator/recursive.go; default depth 50 at
     * :19). Lowered as an iterative frontier/seen driver loop.

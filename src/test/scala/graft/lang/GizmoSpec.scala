@@ -327,6 +327,11 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("value constructors: lang/typed/raw (environ.go:245-256)") {
+    check("""g.emit(g.IRI('x')); g.emit(lang('hello','en')); g.emit(typed('5','http://www.w3.org/2001/XMLSchema#integer')); g.emit(raw('<y>'))""",
+      Seq("<x>", "hello@en", "5", "<y>"))
+  }
+
   lazy val multiSession: Gizmo.Session = Gizmo.session(
     Graph.fromNQuads(spark,
       "/root/reference/data/testdata_multigraph.nq").cached())

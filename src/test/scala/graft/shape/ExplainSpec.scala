@@ -58,6 +58,24 @@ class ExplainSpec extends AnyFunSuite {
     assert(df2.isEmpty)
   }
 
+  test("stats-small quad sets get a broadcast hint (Materialize<100 analog)") {
+    val g = Graph.read(spark, dir).withStats()
+    // "follows" has 8 quads (<100): the hop join must be broadcast
+    val df = Exec.lower(g,
+      Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")).shape())
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin")
+      || !df.queryExecution.executedPlan.toString.contains("SortMergeJoin"))
+    assert(df.count() === 3)
+  }
+
+  test("FilterQuads convenience builds the quad pattern") {
+    import graft.shape.Shape
+    val g = Graph.read(spark, dir)
+    val df = new Lower(g).quads(Shape.filterQuads(
+      s = Seq(QValue.Iri("bob")), p = Seq(QValue.Iri("follows"))))
+    assert(df.count() === 1) // bob follows fred
+  }
+
   test("whole-stage codegen covers the traversal join pipeline") {
     val g = Graph.read(spark, dir)
     val df = Exec.lower(g, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows"))
