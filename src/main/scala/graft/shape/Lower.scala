@@ -312,21 +312,19 @@ final class Lower(g: Graph) {
     val maxD = if (maxDepth <= 0) DefaultMaxRecursive else maxDepth
     val start = nodes(from).select(ID).distinct().localCheckpoint()
     var frontier = start
-    var expanded = start     // ids already used as a frontier
     var emitted = emptyNodes() // ids already in the result set
     var acc: DataFrame = null
     var depth = 0
+    // Invariant: every previously-expanded node is either a start node or
+    // was emitted, so the next frontier is just `fresh \ start` — no
+    // separate `expanded` accumulator, one checkpoint per iteration
+    // (`fresh`, consumed by three downstream ops and the isEmpty action).
     while (depth < maxD && !frontier.isEmpty) {
       val stepDf = nodes(step(Shape.Embed(frontier)))
       // nodes first reached at iteration d carry depth d+1 (reference
       // recursive.go: depth increments before the morphism applies)
       val tagged = depthTags.foldLeft(stepDf)((d, t) =>
         d.withColumn(intTagCol(t), lit((depth + 1).toLong)))
-      // `fresh` and the next frontier are checkpointed every iteration
-      // (both are consumed by multiple downstream ops and the isEmpty
-      // action); the emitted/expanded accumulators are lazy unions over
-      // those checkpoints, re-materialized every few iterations so the
-      // anti-join build side doesn't grow into a deep union tree.
       val fresh = tagged
         .join(emitted.select(col(ID)), Seq(ID), "left_anti")
         .dropDuplicates(ID)
@@ -334,14 +332,10 @@ final class Lower(g: Graph) {
       acc = if (acc == null) fresh
         else acc.unionByName(fresh, allowMissingColumns = true)
       emitted = emitted.unionByName(fresh.select(ID))
-      val newFrontier = fresh.select(ID)
-        .join(expanded, Seq(ID), "left_anti").localCheckpoint()
-      expanded = expanded.unionByName(newFrontier)
-      if (depth % 3 == 2) {
-        emitted = emitted.localCheckpoint()
-        expanded = expanded.localCheckpoint()
-      }
-      frontier = newFrontier
+      // re-materialize the accumulator every few iterations so the
+      // anti-join build side doesn't grow into a deep union tree
+      if (depth % 3 == 2) emitted = emitted.localCheckpoint()
+      frontier = fresh.select(ID).join(start, Seq(ID), "left_anti")
       depth += 1
     }
     if (acc == null) emptyNodes() else acc
