@@ -17,7 +17,8 @@ object Bench {
     "q1_agg", "q3_join", "q_window", "q_topk_users",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "text_quality", "text_langid", "sim_topk", "sim_ann", "emb_neardup")
+    "dedup_clusters", "text_quality", "text_langid", "sim_topk", "sim_ann",
+    "emb_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

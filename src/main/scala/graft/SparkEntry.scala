@@ -367,6 +367,11 @@ object SparkEntry {
     "dedup_minhash" -> ((s, d) =>
       Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
+    // duplicate clusters: connected components over the exact J>=0.5 pair
+    // graph (min-label propagation; singletons label themselves)
+    "dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.5)),
     // SimHash near-dup pairs, exact for Hamming<=3 by pigeonhole banding;
     // the 60-bit md5-derived token hash is the shared oracle contract
     "dedup_simhash" -> ((s, d) =>
@@ -446,6 +451,18 @@ object SparkEntry {
     "dedup_ngram" -> jaccardPairSql(charShingleCte, 0.8),
     // brute-force Hamming<=3 over the shared 60-bit simhash
     "dedup_simhash" -> simhashOracle,
+    // connected components of the exact pair graph via recursive closure
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE ${wordShingleCte.stripPrefix("WITH ")},
+         |e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb FROM s a JOIN s b
+         |  ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |e AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+         |r(n, m) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea)
+         |SELECT n AS doc_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin,
     // exact all-pairs cosine >= 0.25 (double-precision, ids only)
     "emb_neardup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

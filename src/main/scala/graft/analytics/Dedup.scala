@@ -205,6 +205,43 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Duplicate clusters from near-dup pairs: connected components of the
+    * pair graph by iterative min-label propagation (each round, every node
+    * adopts the smallest label among itself and its neighbors; converges
+    * in O(component diameter) rounds — near-dup components are shallow).
+    * Returns (id, cluster) for EVERY document, singletons labeling
+    * themselves — the canonical-pick stage of a dedup pipeline keeps
+    * `min(id) == id` rows. Each round is one join + one aggregate;
+    * labels checkpoint per round to cut lineage.
+    */
+  def clusters(df: DataFrame, idCol: String, textCol: String,
+               threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold)
+      .select(col("id_a"), col("id_b"))
+    val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .localCheckpoint()
+    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
+      .localCheckpoint()
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 50) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("id", "id_b")
+          .withColumnRenamed("cluster", "nb"), Seq("id_b"))
+        .select(col("id_a").as("id"), col("nb").as("cand"))
+      val next = labels.unionByName(
+          viaEdges.withColumnRenamed("cand", "cluster"))
+        .groupBy("id").agg(min("cluster").as("cluster"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
+        .where(col("cluster") =!= col("old")).limit(1).count() > 0
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster"))
+  }
+
   /** 60-bit token hash shared with the SQL oracle contract: the first 15
     * hex chars of md5 parsed as an integer — reproducible in any engine
     * with a standard md5 (`conv(substr(md5(w),1,15),16,10)` here,

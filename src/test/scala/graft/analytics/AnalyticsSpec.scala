@@ -56,6 +56,15 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(expect.nonEmpty) // the fixture has near-dups above threshold
   }
 
+  test("clusters: connected components over near-dup pairs") {
+    val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.5)
+      .as[(Long, Long)].collect().toMap
+    // 0, 1, 3 are one near-dup component labeled by its min id
+    assert(cl(0L) === 0L && cl(1L) === 0L && cl(3L) === 0L)
+    assert(cl(2L) === 2L && cl(4L) === 4L) // singletons label themselves
+    assert(cl.size === 5)
+  }
+
   test("ngram jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)
