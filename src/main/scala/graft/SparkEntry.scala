@@ -391,6 +391,19 @@ object SparkEntry {
       Similarity.batchTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
         "embedding", k = 3).select("query_id", "id")
     }),
+    // batched LSH ANN (equi-join multi-probe), verified by its contract:
+    // every probe's recall@3 >= 2/3 vs the exact batch top-k
+    "sim_batch_ann" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.where(col("vec_id") < 5)
+      val ann = Similarity.lshBatchTopK(emb, probes, "vec_id", "embedding",
+        dim = 64, k = 3).select("query_id", "id")
+      val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding",
+        k = 3).select("query_id", "id")
+      ann.join(exact, Seq("query_id", "id"))
+        .groupBy("query_id").agg(count(lit(1)).as("hits"))
+        .agg((min("hits") >= 2).as("recall_ok"))
+    }),
     // LSH ANN, verified by its contract: recall@10 >= 0.8 vs brute force
     // (size-adaptive bits + 1-probe multi-probe)
     "sim_ann" -> ((s, d) =>
@@ -473,6 +486,9 @@ object SparkEntry {
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     "sim_ann" -> "SELECT TRUE AS recall_ok",
+    // batched ANN: every probe must recover >= 2 of its exact top-3
+    // (sim_batch_topk verifies the exact side row-exactly)
+    "sim_batch_ann" -> "SELECT TRUE AS recall_ok",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,

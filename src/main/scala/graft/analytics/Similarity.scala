@@ -89,6 +89,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batched LSH ANN for probe sets too large to broadcast-cross-join:
+    * both sides bucket with the same hyperplanes, the PROBE side explodes
+    * into its own bucket plus every Hamming-1 neighbor bucket (multi-probe
+    * as rows, so the candidate join is an EQUI-join on the bucket — never
+    * a quadratic non-equi join), then exact cosine + per-probe window
+    * top-k. Per probe the work is (bits+1) bucket lookups of ~n/2^bits
+    * rows each.
+    */
+  def lshBatchTopK(emb: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, dim: Int, k: Int,
+                   bits: Int = -1, probe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = if (bits >= 0) bits else autoBits(emb.count())
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      signBucketExpr(col(vecCol), dim, b).as("bucket"))
+    val flips: Seq[Column] =
+      if (probe >= 1 && b > 0)
+        lit(0L) +: (0 until b).map(j => lit(1L << j))
+      else Seq(lit(0L))
+    val probeExp = probes.select(col(idCol).as("query_id"),
+        col(vecCol).as("qv"),
+        signBucketExpr(col(vecCol), dim, b).as("qbucket"))
+      .select(col("query_id"), col("qv"),
+        explode(array(flips.map(f => col("qbucket").bitwiseXOR(f)): _*))
+          .as("bucket"))
+    val cand = corpus.join(probeExp, Seq("bucket"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("v"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** Recall@k of the LSH path against the exact brute-force top-k — the
     * verification harness for the approximate operator (its oracle-able
     * contract is `recall ≥ minRecall`, not row equality).

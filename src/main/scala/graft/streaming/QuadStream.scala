@@ -53,6 +53,22 @@ object QuadStream {
       .option("checkpointLocation", checkpoint)
   }
 
+  /** Streaming exact dedup: fingerprint the canonical text and keep the
+    * first arrival per fingerprint. With a watermark the dedup state is
+    * bounded (fingerprints older than the horizon age out — the standard
+    * trade for unbounded streams: duplicates farther apart than the
+    * watermark pass through and are caught by the periodic batch dedup
+    * compaction).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String = null,
+                  watermark: String = "1 hour"): DataFrame = {
+    val fp = docs.withColumn("fp",
+      graft.analytics.TextOps.fingerprint(col(textCol)))
+    if (tsCol == null) fp.dropDuplicates("fp")
+    else fp.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Event-stream analytics: watermarked tumbling-window counts — the
     * Structured-Streaming form of the batch `q_window` query.
     */

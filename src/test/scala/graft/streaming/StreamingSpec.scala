@@ -60,6 +60,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming dedup keeps first arrival per fingerprint") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    Seq(
+      ("2026-01-01 10:00:00", 1L, "the same doc"),
+      ("2026-01-01 10:01:00", 2L, "The  Same doc"), // same canonical form
+      ("2026-01-01 10:02:00", 3L, "a different doc"))
+      .toDF("ts_s", "doc_id", "text")
+      .select(col("ts_s").cast("timestamp").as("ts"), col("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("ts timestamp, doc_id bigint, text string").parquet(s"$tmp/in")
+    val q = QuadStream.dedupStream(stream, "text", "ts")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdedup").start()
+    q.processAllAvailable()
+    q.stop()
+    val kept = spark.sql("SELECT doc_id FROM sdedup")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.size === 2)
+    assert(kept.contains(3L))
+    assert(kept.intersect(Set(1L, 2L)).size === 1)
+  }
+
   test("multimodal: stubbed decode via mapPartitions, metadata pruning") {
     import spark.implicits._
     val rows = Seq(
