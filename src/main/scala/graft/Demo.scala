@@ -41,6 +41,42 @@ object Demo {
       Path.start().tag("who").out(status).tag("what"))
     saved.tagMaps().foreach(m => println(s"  status: ${m.map { case (k, v) => s"$k=${v.sortKey}" }.mkString(" ")}"))
 
+    // the same question through every front-end
+    println("front-ends (who follows bob):")
+    val gz = graft.lang.Gizmo.session(g)
+      .execute("""g.V("<bob>").in("<follows>").all()""")
+      .flatMap(_.get("id")).sorted
+    println(s"  gizmo    => ${gz.mkString(", ")}")
+    val gql = graft.lang.GraphQL.session(g)
+      .execute("""{ f(follows: <bob>) { id } }""")
+    println(s"  graphql  => ${graft.lang.QuerySession.toJson(gql)}")
+    val mql = graft.lang.MQL.session(g)
+      .execute("""[{"id": null, "<follows>": "<bob>"}]""")
+      .map(_("id").toString).sorted
+    println(s"  mql      => ${mql.mkString(", ")}")
+    val sx = graft.lang.Sexp.session(g)
+      .execute("""($a (:<follows> :<bob>))""").map(_("id")).sorted
+    println(s"  sexp     => ${sx.mkString(", ")}")
+    val lql = graft.lang.LinkedQL.execute(g,
+      """{"@type": "VisitReverse",
+        |  "from": {"@type": "Match", "pattern": {"@id": "bob"}},
+        |  "properties": "follows"}""".stripMargin)
+    println(s"  linkedql => ${graft.lang.QuerySession.toJson(lql)}")
+
+    // one HTTP round-trip against the /api/v2 facade
+    val api = new graft.server.HttpApi(g)
+    val port = api.start()
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val resp = client.send(java.net.http.HttpRequest
+        .newBuilder(java.net.URI.create(
+          s"http://localhost:$port/api/v2/query?lang=gizmo"))
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          """g.V("<bob>").out("<status>").all()"""))
+        .build(), java.net.http.HttpResponse.BodyHandlers.ofString())
+      println(s"  http     => ${resp.body().trim}")
+    } finally api.stop()
+
     spark.stop()
   }
 }
