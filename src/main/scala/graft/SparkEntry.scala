@@ -131,6 +131,11 @@ object SparkEntry {
     "g_filter_range" -> ((s, d) => run(s, d,
       Path.start().hasFilter(iri("c_acctbal"), rev = false,
         Comparison(GT, QValue.FloatV(9000.0)))).payloadDF("id" -> "node")),
+    // Within-type Int comparison (value_comparison.go semantics: only Int
+    // values can satisfy an Int range filter)
+    "g_filter_int" -> ((s, d) => run(s, d,
+      Path.start().out(iri("c_nationkey"))
+        .filter(Comparison(GT, QValue.IntV(20)))).payloadDF("id" -> "node")),
     // Regex filter over value strings
     "g_regex" -> ((s, d) => run(s, d,
       Path.start().out(iri("n_name")).regex("^NATION_1")).payloadDF("id" -> "node")),
@@ -278,6 +283,8 @@ object SparkEntry {
         |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
     "g_filter_range" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_acctbal > 9000",
     "g_regex" -> "SELECT n_name AS node FROM nation WHERE regexp_matches(n_name, '^NATION_1')",
+    "g_filter_int" ->
+      "SELECT CAST(c_nationkey AS VARCHAR) AS node FROM customer WHERE c_nationkey > 20",
     "g_order_page" -> "SELECT n_name AS node FROM (SELECT n_name FROM nation ORDER BY n_name OFFSET 5 LIMIT 10)",
     "g_recursive" ->
       """WITH RECURSIVE reach(k) AS (

@@ -58,6 +58,31 @@ class FormatsSpec extends AnyFunSuite {
     assert(names === Seq(QValue.Str("Bob")))
   }
 
+  test("typed comparisons stay within type (TestCompareTypedValues)") {
+    import graft.shape.ValueFilter._
+    val qs = Seq(
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("v"), QValue.IntV(5), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("v"), QValue.IntV(50), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("v"), QValue.FloatV(7.5), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("v"), QValue.Str("30"), None),
+      NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("v"),
+        QValue.TimeV(1405974733000000L), None))
+    val g = Graph.fromQuads(spark, qs)
+    def got(f: graft.shape.ValueFilter): Set[String] =
+      Exec.run(g, Path.start(QValue.Iri("n")).out(QValue.Iri("v"))
+        .filter(f)).values().map(_.sortKey).toSet
+    // Int filter sees only Int values — not 7.5, not "30", not the time
+    assert(got(Comparison(GT, QValue.IntV(4))) === Set("5", "50"))
+    assert(got(Comparison(GT, QValue.IntV(10))) === Set("50"))
+    // Float filter sees only Float values
+    assert(got(Comparison(LT, QValue.FloatV(100.0))) === Set("7.5"))
+    // String filter sees only strings (lexicographic)
+    assert(got(Comparison(GTE, QValue.Str("1"))) === Set("30"))
+    // Time filter sees only times
+    assert(got(Comparison(GT, QValue.TimeV(0L))) ===
+      Set(QValue.TimeV(1405974733000000L).sortKey))
+  }
+
   test("removeNode deletes the value and every touching quad") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val g2 = Inference.removeNode(g, QValue.Iri("bob"))
