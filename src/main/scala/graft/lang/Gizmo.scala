@@ -62,7 +62,7 @@ object Gizmo {
         while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.' ||
           q.charAt(i) == 'e' || q.charAt(i) == 'E')) i += 1
         toks += TNum(q.substring(start, i))
-      } else if ("().,;=[]{}:".indexOf(c) >= 0) {
+      } else if ("().,;=[]{}:+".indexOf(c) >= 0) {
         toks += TPunct(c); i += 1
       } else throw GizmoError(s"unexpected character '$c' (full JavaScript is not supported; use the fluent-chain subset)")
     }
@@ -80,6 +80,8 @@ object Gizmo {
   private case class GResult(rows: Seq[Map[String, String]]) extends GVal
   private case class GTagMap(m: Map[String, QValue]) extends GVal
   private case class GFunc(param: String, body: Vector[Tok]) extends GVal
+  /** count() result: a number in expressions, a count row as a final. */
+  private case class GCount(n: Long) extends GVal
   private case object GNull extends GVal
   private case object GEnv extends GVal
 
@@ -164,6 +166,7 @@ object Gizmo {
         case Some(_) =>
           parseExpr(c) match {
             case GResult(r) => out = out ++ r
+            case GCount(n)  => out = out :+ Map("count" -> n.toString)
             case _          => // expression without final: no output
           }
         case None =>
@@ -253,6 +256,7 @@ object Gizmo {
 
       private def emit(v: GVal): Unit = v match {
         case GValue(qv)  => out = out :+ Map("id" -> render(qv))
+        case GCount(n)   => out = out :+ Map("id" -> n.toString)
         case GNumV(d, i) => out = out :+ Map("id" -> (if (i) d.toLong.toString else d.toString))
         case GBoolV(b)   => out = out :+ Map("id" -> b.toString)
         case GTagMap(m)  => out = out :+ m.map { case (k, qv) => k -> render(qv) }
@@ -390,8 +394,7 @@ object Gizmo {
         // finals
         case "all"      => GResult(rows(p, limit))
         case "getLimit" => GResult(rows(p, argInt(args).toInt))
-        case "count" =>
-          GResult(Seq(Map("count" -> Exec.run(g, p).count().toString)))
+        case "count" => GCount(Exec.run(g, p).count())
         case "toArray" =>
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
           GArr(rawRows(p, lim).flatMap(_.get("id")).map(GValue(_)))
@@ -512,6 +515,27 @@ object Gizmo {
       }
 
       private def parseExpr(c: Cursor): GVal = {
+        var v = parsePostfix(c)
+        // additive arithmetic on numbers (enough for the corpus's count()+1)
+        while (c.peek.contains(TPunct('+'))) {
+          c.next()
+          val r = parsePostfix(c)
+          v = (num(v), num(r)) match {
+            case (Some(a), Some(b)) => GNumV(a + b,
+              isInt = a == a.floor && b == b.floor)
+            case _ => throw GizmoError(s"cannot add $v and $r")
+          }
+        }
+        v
+      }
+
+      private def num(v: GVal): Option[Double] = v match {
+        case GNumV(d, _) => Some(d)
+        case GCount(n)   => Some(n.toDouble)
+        case _           => None
+      }
+
+      private def parsePostfix(c: Cursor): GVal = {
         var v = parsePrimary(c)
         var done = false
         while (!done) {

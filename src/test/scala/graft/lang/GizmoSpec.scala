@@ -182,6 +182,9 @@ class GizmoSpec extends AnyFunSuite {
     assert(session.execute("""g.V().has("<status>").count()""") ===
       Seq(Map("count" -> "5")))
   }
+  test("use Count value (count()+1 arithmetic)") {
+    check("""g.emit(g.V().has("<status>").count()+1)""", Seq("6"))
+  }
   test("show a simple save") {
     checkTag("""g.V().save("<status>", "somecool").all()""", "somecool",
       Seq("cool_person", "cool_person", "cool_person", "smart_person", "smart_person"))
@@ -254,7 +257,7 @@ class GizmoSpec extends AnyFunSuite {
   }
   test("unsupported full JS raises a clear error") {
     intercept[Gizmo.GizmoError] {
-      session.execute("""g.emit(1 + 2)""") // arithmetic needs a real JS VM
+      session.execute("""g.emit(2 * 3)""") // beyond the additive subset
     }
   }
   test("show ToArray") {
