@@ -76,6 +76,28 @@ class ExplainSpec extends AnyFunSuite {
     assert(df.count() === 1) // bob follows fred
   }
 
+  test("analytics plans: partial aggregation and broadcast verify joins") {
+    import graft.analytics.Dedup
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L to 50L).map(i => (i, s"doc number $i words words"))
+      .toDF("doc_id", "text")
+    // minhash signatures: ONE hash-aggregate with map-side partial agg
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val sigPlan = sig.queryExecution.executedPlan.toString
+    assert(sigPlan.contains("HashAggregate"), sigPlan)
+    assert(!sigPlan.toLowerCase.contains("nestedloop"), sigPlan)
+    // the verify stage joins the (small) set side broadcast — never a
+    // shuffle of the pair stream against arrays
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val ver = Dedup.jaccardVerify(pairs,
+      Dedup.shingleSets(Dedup.wordShingleRows(docs, "doc_id", "text", 3)))
+    val verPlan = ver.queryExecution.executedPlan.toString
+    assert(verPlan.contains("BroadcastHashJoin"), verPlan)
+    assert(verPlan.contains("sorted_array_intersect_count"), verPlan)
+  }
+
   test("whole-stage codegen covers the traversal join pipeline") {
     val g = Graph.read(spark, dir)
     val df = Exec.lower(g, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows"))
