@@ -321,6 +321,23 @@ class GizmoSpec extends AnyFunSuite {
   test("find non-existent (forEach)") {
     check("""g.V('<not-existing>').forEach(function(d){ g.emit(d); })""", Nil)
   }
+  test("recursive follow") {
+    check("""g.V("<charlie>").followRecursive("<follows>").all();""",
+      Seq("<bob>", "<dani>", "<fred>", "<greg>"))
+  }
+  test("recursive follow path") {
+    check("""g.V("<charlie>").followRecursive(g.V().out("<follows>")).all();""",
+      Seq("<bob>", "<dani>", "<fred>", "<greg>"))
+  }
+  test("use order") {
+    val got = ids("""g.V().order().all()""")
+    assert(got.size === 14)
+    assert(got.head === "<alice>")
+  }
+  test("use order tags") {
+    checkTag("""g.V("<alice>","<bob>").Tag("target").order().all()""",
+      "target", Seq("<alice>", "<bob>"))
+  }
   test("use .in() (any)") {
     check("""g.V("<bob>").in().all()""", Seq("<alice>", "<charlie>", "<dani>"))
   }
