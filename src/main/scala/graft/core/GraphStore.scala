@@ -55,10 +55,17 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
     if (predicateBuckets > 0) {
       quads.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
         .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/quads")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$dir/graft_meta.json"),
-        s"""{"predicateBuckets":$predicateBuckets}""")
     } else quads.write.mode("overwrite").parquet(s"$dir/quads")
+    // persist per-predicate counts with the store (the QuadIndexer stats
+    // table): readers get plan-time size folding without running a job
+    val st = predStats.getOrElse(
+      quads.groupBy("p").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val statsJson = st.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/graft_meta.json"),
+      s"""{"predicateBuckets":$predicateBuckets,"predStats":$statsJson}""")
   }
 
   /** Delta application (the reference's `ApplyDeltas`,
@@ -141,14 +148,22 @@ object Graph {
 
   def read(spark: SparkSession, dir: String): Graph = {
     val metaPath = java.nio.file.Paths.get(s"$dir/graft_meta.json")
-    val buckets =
+    val (buckets, stats) =
       if (java.nio.file.Files.exists(metaPath)) {
         val m = java.nio.file.Files.readString(metaPath)
-        "\"predicateBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m)
+        val b = "\"predicateBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m)
           .map(_.group(1).toInt).getOrElse(0)
-      } else 0
+        val st = "\"predStats\"\\s*:\\s*\\{([^}]*)\\}".r.findFirstMatchIn(m)
+          .map(_.group(1)).filter(_.nonEmpty).map { body =>
+            body.split(',').map { kv =>
+              val Array(k, v) = kv.split(':')
+              k.trim.stripPrefix("\"").stripSuffix("\"").toLong -> v.trim.toLong
+            }.toMap
+          }
+        (b, st)
+      } else (0, None)
     Graph(spark.read.parquet(s"$dir/nodes"),
-      spark.read.parquet(s"$dir/quads"), buckets)
+      spark.read.parquet(s"$dir/quads"), buckets, stats)
   }
 
   /** Deterministically quad-ify a relational table: each row becomes

@@ -40,6 +40,12 @@ class ExplainSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("stats persist with the store: a read graph folds without a job") {
+    val g = Graph.read(spark, dir)
+    assert(g.predStats.nonEmpty, "written store should carry predicate stats")
+    assert(g.predStats.get.values.sum === 15)
+  }
+
   test("stats folding: unknown predicate collapses to an empty relation") {
     val g = Graph.read(spark, dir).withStats()
     val df = Exec.lower(g,
@@ -52,7 +58,7 @@ class ExplainSpec extends AnyFunSuite {
     assert(df.isEmpty)
     // without stats the plan keeps the scan (sanity: the rewrite is the
     // stats' doing, not a constant-folding accident)
-    val df2 = Exec.lower(Graph.read(spark, dir),
+    val df2 = Exec.lower(Graph.read(spark, dir).copy(predStats = None),
       Path.start().out(QValue.Iri("no_such_predicate")).shape())
     assert(df2.queryExecution.optimizedPlan.toString.contains("Relation"))
     assert(df2.isEmpty)
