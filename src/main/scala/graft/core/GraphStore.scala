@@ -83,7 +83,7 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
     val q = if (predicateBuckets > 0)
       merged.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
     else merged
-    val n = nodes.unionByName(g2.nodes.select(nodes.columns.map(col): _*))
+    val n = nodes.unionByName(g2.nodes.select(nodes.columns.toIndexedSeq.map(col): _*))
       .dropDuplicates("id")
     copy(nodes = n, quads = q, predStats = None) // stats are pre-mutation
   }
@@ -207,7 +207,7 @@ object Graph {
         qv(Kind.Iri, s = lit(f.name)).as("pred"), obj.as("obj"),
         lbl.as("lbl")))
     }
-    df.select(explode(array(quadStructs: _*)).as("q"))
+    df.select(explode(array(quadStructs.toIndexedSeq: _*)).as("q"))
       .where(col("q").isNotNull)
       .select(col("q.sub").as("sub"), col("q.pred").as("pred"),
         col("q.obj").as("obj"), col("q.lbl").as("lbl"))

@@ -115,7 +115,7 @@ object Inference {
     val vocabNodes = spark0.createDataset(vocab.map(QV(_))).toDF()
       .select(Values.idColOfFields(col).as("id"), col("*"))
       .withColumn("sk", Values.sortKeyCol(col))
-      .select(g.nodes.columns.map(col): _*)
+      .select(g.nodes.columns.toIndexedSeq.map(col): _*)
     Graph(g.nodes.unionByName(vocabNodes).dropDuplicates("id"), allQuads)
   }
 

@@ -79,6 +79,6 @@ object SchemaMapper {
           .cast(idType).as(idField))
     cur = cur.join(subjDict, col("__subj") === col("__sd"), "left")
       .drop("__subj", "__sd")
-    cur.select(schema.fieldNames.map(col): _*).as[T]
+    cur.select(schema.fieldNames.toIndexedSeq.map(col): _*).as[T]
   }
 }

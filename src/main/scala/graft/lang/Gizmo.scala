@@ -267,7 +267,7 @@ object Gizmo {
 
       private def call(c: Cursor, recv: GVal, name0: String, args: Seq[GVal]): GVal = {
         val name = if (name0.isEmpty) name0
-          else name0.charAt(0).toLower + name0.substring(1)
+          else s"${name0.charAt(0).toLower}${name0.substring(1)}"
         (recv, name) match {
           case (GEnv, "v" | "vertex") => GPath(Path.start(valuesOf(args): _*))
           case (GEnv, "m" | "morphism") => GPath(Path.morphism())

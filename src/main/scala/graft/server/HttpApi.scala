@@ -91,9 +91,35 @@ final class HttpApi(initial: Graph) {
     ok(res)
   }
 
-  /** POST /api/v2/write — N-Quads body appended to the store. */
+  /** POST /api/v2/write — quads appended to the store. N-Quads by
+    * default; `Content-Type: application/json` (or a JSON body) parses
+    * the JSON quad-lines format; `application/ld+json` parses a JSON-LD
+    * document.
+    */
   private def serveWrite(ex: HttpExchange): (Int, String, String) = {
-    val quads = body(ex).linesIterator.flatMap(NQuads.parseLine).toSeq
+    val b = body(ex)
+    val ct = Option(ex.getRequestHeaders.getFirst("Content-Type")).getOrElse("")
+    val quads: Seq[NQuads.ParsedQuad] =
+      if (ct.contains("ld+json"))
+        return { // JSON-LD: parse document, merge as a graph
+          val root = org.json4s.jackson.JsonMethods.parse(b).values
+            .asInstanceOf[Map[String, Any]]
+          val delta = Formats.readJsonLdRoot(g.spark, root)
+          val n = delta.stats._2
+          g = g.addQuads(delta)
+          (200, "application/json",
+            s"""{"result": "Successfully wrote $n quads.", "count": $n}""")
+        }
+      else if (ct.contains("application/json") || b.trim.headOption.contains('{'))
+        b.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+          val m = org.json4s.jackson.JsonMethods.parse(line).values
+            .asInstanceOf[Map[String, Any]]
+          def term(k: String) = m.get(k)
+            .map(v => NQuads.parseTermOrString(String.valueOf(v)))
+          for (s <- term("subject"); p <- term("predicate"); o <- term("object"))
+            yield NQuads.ParsedQuad(s, p, o, term("label"))
+        }.toSeq
+      else b.linesIterator.flatMap(NQuads.parseLine).toSeq
     g = g.addQuads(Graph.fromQuads(g.spark, quads))
     (200, "application/json",
       s"""{"result": "Successfully wrote ${quads.size} quads.", "count": ${quads.size}}""")

@@ -153,7 +153,7 @@ final class Lower(g: Graph) {
         .alias("__sr")
       l.join(r, col("__sl." + ID) === col("__sr.__sid"), "left")
         .orderBy(col("__sr.__sk"))
-        .select(df.columns.map(c => col("__sl." + c)): _*)
+        .select(df.columns.toIndexedSeq.map(c => col("__sl." + c)): _*)
 
     case Shape.Count(values) =>
       // Pre-resolved one-row result (the Count iterator emits a synthetic

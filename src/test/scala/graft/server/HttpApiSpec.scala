@@ -89,6 +89,20 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("write accepts JSON quad-lines") {
+    val api = new HttpApi(Graph.fromQuads(spark, Nil))
+    val port = api.start()
+    try {
+      val wrote = post(port, "/api/v2/write",
+        """{"subject":"<x>","predicate":"<knows>","object":"<y>"}
+          |{"subject":"<y>","predicate":"<knows>","object":"<z>"}""".stripMargin)
+      assert(wrote.contains(""""count": 2"""), wrote)
+      val gz = post(port, "/api/v2/query?lang=gizmo",
+        """g.V("<x>").out("<knows>").all()""")
+      assert(gz.contains("<y>"), gz)
+    } finally api.stop()
+  }
+
   test("session collations: JSON, REPL, JSONLD") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val json = QuerySession.execute(g, "gizmo",
