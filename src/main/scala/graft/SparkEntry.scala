@@ -384,10 +384,11 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) =>
       Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         maxHamming = 3)),
-    // exact char-5-gram Jaccard self-join via prefix filtering (PPJoin-lite)
+    // exact char-9-gram Jaccard self-join via prefix filtering (PPJoin-lite;
+    // longer shingles are rarer, so the prefix inverted index is sparser)
     "dedup_ngram" -> ((s, d) =>
       Dedup.jaccardJoin(t(s, d, "documents"), "doc_id", "text",
-        threshold = 0.8)),
+        threshold = 0.8, shingleN = 9)),
     // brute-force cosine top-k (ids only; scores are float-order sensitive)
     "sim_topk" -> ((s, d) =>
       Similarity.bruteTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -451,11 +452,11 @@ object SparkEntry {
       |  ELSE list_distinct(list_transform(range(0, len(ws) - 2),
       |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END AS sh FROM w)""".stripMargin
 
-  /** Char-5-gram shingle list in DuckDB (mirror of Dedup.shingles). */
+  /** Char-9-gram shingle list in DuckDB (mirror of Dedup.charShingleRows). */
   private val charShingleCte =
     """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
       |s AS (SELECT doc_id, list_distinct(list_transform(
-      |  range(1, greatest(length(t) - 4, 1) + 1), i -> substr(t, i, 5))) AS sh FROM d)""".stripMargin
+      |  range(1, greatest(length(t) - 8, 1) + 1), i -> substr(t, i, 9))) AS sh FROM d)""".stripMargin
 
   private def jaccardPairSql(cte: String, threshold: Double) =
     s"""$cte
@@ -467,7 +468,7 @@ object SparkEntry {
   private val pipelineOracles: Map[String, String] = Map(
     // exact all-pairs recomputation of the J>=0.5 word-shingle contract
     "dedup_minhash" -> jaccardPairSql(wordShingleCte, 0.5),
-    // exact all-pairs recomputation of the J>=0.8 char-5-gram contract
+    // exact all-pairs recomputation of the J>=0.8 char-9-gram contract
     "dedup_ngram" -> jaccardPairSql(charShingleCte, 0.8),
     // brute-force Hamming<=3 over the shared 60-bit simhash
     "dedup_simhash" -> simhashOracle,
