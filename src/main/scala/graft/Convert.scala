@@ -1,0 +1,55 @@
+package graft
+
+import graft.core.{Formats, Graph}
+import org.apache.spark.sql.SparkSession
+
+/** Format transcoder (the reference's `cayley convert`,
+  * /root/reference/cmd/cayley/command/convert.go): read any readable
+  * format, write any writable one.
+  *
+  * Usage: runMain graft.Convert <in> <inFormat> <out> <outFormat>
+  *   inFormat:  nquads | json | jsonld | parquet
+  *   outFormat: nquads | json | jsonld | graphml | gml | parquet
+  */
+object Convert {
+  def main(args: Array[String]): Unit = {
+    require(args.length == 4,
+      "usage: Convert <in> <inFormat> <out> <outFormat>")
+    val Array(in, inFmt, out, outFmt) = args
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val g = inFmt match {
+      case "nquads"  => Graph.fromNQuads(spark, in)
+      case "json"    => Formats.readJsonLines(spark, in)
+      case "jsonld"  => Formats.readJsonLd(spark, in)
+      case "parquet" => Graph.read(spark, in)
+      case other => sys.error(s"unreadable format: $other")
+    }
+    outFmt match {
+      case "nquads" => Formats.writeNQuads(g, out)
+      case "json"   => Formats.writeJsonLines(g, out)
+      case "jsonld" =>
+        val w = java.nio.file.Files.newBufferedWriter(
+          java.nio.file.Paths.get(out))
+        try Formats.writeJsonLd(g, w) finally w.close()
+      case "graphml" =>
+        val w = java.nio.file.Files.newBufferedWriter(
+          java.nio.file.Paths.get(out))
+        try Formats.writeGraphml(g, w) finally w.close()
+      case "gml" =>
+        val w = java.nio.file.Files.newBufferedWriter(
+          java.nio.file.Paths.get(out))
+        try Formats.writeGml(g, w) finally w.close()
+      case "parquet" => g.write(out)
+      case other => sys.error(s"unwritable format: $other")
+    }
+    val (n, q) = g.stats
+    println(s"converted $in ($inFmt) -> $out ($outFmt): $n nodes, $q quads")
+    spark.stop()
+  }
+}

@@ -203,6 +203,20 @@ object Formats {
     out.write("]}")
   }
 
+  /** Remote-backend reader (the reference's `graph/http` backend): pull
+    * the quad stream from another engine's /api/v2/read endpoint and build
+    * a local graph. The fetch is a single driver-side HTTP stream (the
+    * remote side serializes distributed); parsing distributes as usual.
+    */
+  def readRemote(spark: SparkSession, baseUrl: String): Graph = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val resp = client.send(java.net.http.HttpRequest
+      .newBuilder(java.net.URI.create(s"$baseUrl/api/v2/read")).GET().build(),
+      java.net.http.HttpResponse.BodyHandlers.ofString())
+    val quads = resp.body().linesIterator.flatMap(NQuads.parseLine).toSeq
+    Graph.fromQuads(spark, quads)
+  }
+
   /** (id, rendered term) per node — for streaming serializers. */
   def nodeTerms(g: Graph): DataFrame =
     g.nodes.select(col("id"), Values.sortKeyCol(c => col(c)).as("t"))

@@ -103,6 +103,21 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("remote backend: read another engine's store over HTTP") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val api = new HttpApi(g)
+    val port = api.start()
+    try {
+      val remote = graft.core.Formats.readRemote(spark, s"http://localhost:$port")
+      assert(remote.stats === g.stats)
+      val got = graft.exec.Exec.run(remote,
+        graft.path.Path.start(graft.core.QValue.Iri("bob"))
+          .in(graft.core.QValue.Iri("follows")))
+        .values().map(_.sortKey).sorted
+      assert(got === Seq("<alice>", "<charlie>", "<dani>"))
+    } finally api.stop()
+  }
+
   test("session collations: JSON, REPL, JSONLD") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val json = QuerySession.execute(g, "gizmo",
