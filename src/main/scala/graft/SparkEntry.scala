@@ -364,6 +364,9 @@ object SparkEntry {
     // language-ID heuristic (marker CASE-chain, mirrored in SQL)
     "text_langid" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextOps.langId(col("text")).as("lang_pred"))),
+    // vocabulary building: exact top-k token frequencies
+    "text_vocab_topk" -> ((s, d) =>
+      TextOps.topTokens(t(s, d, "documents"), "text", k = 50)),
     // BPE-ish subword counting
     "text_subwords" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"),
@@ -515,6 +518,11 @@ object SparkEntry {
         |  CAST(length(text) - length(replace(replace(replace(text,'.',''),'!',''),'?','')) AS BIGINT) AS n_punct,
         |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE list_max(list_transform(string_split(t,' '), w -> length(w))) END AS BIGINT) AS max_word_len
         |FROM n""".stripMargin,
+    "text_vocab_topk" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS token
+        |  FROM documents)
+        |SELECT token, COUNT(*) AS freq FROM tok WHERE length(token) > 0
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 50""".stripMargin,
     "text_subwords" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents)

@@ -78,4 +78,22 @@ object TextOps {
     * engine with a standard md5, so exact-dedup keys travel across systems.
     */
   def fingerprint(text: Column): Column = md5(normalize(text))
+
+  /** Corpus token frequencies: explode canonical tokens, one map-side-
+    * combined aggregate — the vocabulary-building pass of a tokenizer
+    * pipeline (at 100 TB: one scan, shuffle of |vocab| partial counts).
+    */
+  def tokenFrequencies(df: org.apache.spark.sql.DataFrame,
+                       textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(split(normalize(col(textCol)), " ")).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+
+  /** Top-k vocabulary by frequency (ties broken by token: deterministic —
+    * Spark plans this as TakeOrdered, no full sort).
+    */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+                k: Int): org.apache.spark.sql.DataFrame =
+    tokenFrequencies(df, textCol)
+      .orderBy(col("freq").desc, col("token")).limit(k)
 }
