@@ -53,6 +53,12 @@ class SexpSpec extends AnyFunSuite {
     assert(rows.map(_("$a")) === Seq("i"))
   }
 
+  test("quoted strings may contain spaces (reference quotedString charset)") {
+    val rows = run(Seq(q("i", "status", "cool person")),
+      """($a (:status "cool person"))""")
+    assert(rows.map(_("id")) === Seq("i"))
+  }
+
   test("reverse constraint") {
     val rows = run(Seq(q("i", "can", "win")), """($a (!:can "i"))""")
     assert(rows.map(_("id")) === Seq("win"))
