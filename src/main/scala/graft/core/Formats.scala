@@ -280,8 +280,12 @@ object Formats {
     val quads = Vector.newBuilder[NQuads.ParsedQuad]
     var blankCounter = 0
 
+    def idValue(id: String): QValue =
+      if (id.startsWith("_:")) QValue.BNode(id.substring(2))
+      else QValue.Iri(expand(id))
+
     def nodeId(obj: Map[String, Any]): QValue = obj.get("@id") match {
-      case Some(id: String) => QValue.Iri(expand(id))
+      case Some(id: String) => idValue(id)
       case _ =>
         blankCounter += 1
         QValue.BNode(s"b$blankCounter")
@@ -304,7 +308,7 @@ object Formats {
         val headV = head match {
           case m: Map[_, _] =>
             val mm = m.asInstanceOf[Map[String, Any]]
-            if (mm.keySet == Set("@id")) QValue.Iri(expand(mm("@id").toString))
+            if (mm.keySet == Set("@id")) idValue(mm("@id").toString)
             else walk(mm)
           case x => literal(x)
         }
@@ -329,7 +333,7 @@ object Formats {
           def objectOf(v: Any): QValue = v match {
             case m: Map[_, _] =>
               val mm = m.asInstanceOf[Map[String, Any]]
-              if (mm.keySet == Set("@id")) QValue.Iri(expand(mm("@id").toString))
+              if (mm.keySet == Set("@id")) idValue(mm("@id").toString)
               else if (mm.contains("@value")) literal(mm("@value"))
               else if (mm.contains("@list")) rdfList(
                 mm("@list").asInstanceOf[List[Any]])

@@ -154,6 +154,24 @@ class FormatsSpec extends AnyFunSuite {
     assert(knows.map(_.sortKey) === Seq("<http://example.com/bob>"))
   }
 
+  test("JSON-LD round-trips blank nodes") {
+    val qs = Seq(
+      NQuads.ParsedQuad(QValue.Iri("root"), QValue.Iri("p"),
+        QValue.BNode("x"), None),
+      NQuads.ParsedQuad(QValue.BNode("x"), QValue.Iri("q"),
+        QValue.Str("leaf"), None))
+    val g = Graph.fromQuads(spark, qs)
+    val w = new java.io.StringWriter()
+    Formats.writeJsonLd(g, w)
+    val g2 = Formats.readJsonLdRoot(spark,
+      org.json4s.jackson.JsonMethods.parse(w.toString).values
+        .asInstanceOf[Map[String, Any]])
+    assert(g2.stats._2 === 2)
+    val got = Exec.run(g2, Path.start(QValue.Iri("root"))
+      .out(QValue.Iri("p")).out(QValue.Iri("q"))).values()
+    assert(got === Seq(QValue.Str("leaf")))
+  }
+
   test("format registry exposes capabilities") {
     assert(Formats.byName("nquads").exists(f => f.read && f.write))
     assert(Formats.byName("graphml").exists(f => !f.read && f.write))
