@@ -51,9 +51,12 @@ object Bench {
         try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
         catch {
           case e: Throwable =>
+            // JSON-safe: backslash/quote escaped, ALL control chars (incl.
+            // \r from CRLF messages, tabs) dropped so the line stays parseable
             errors(name) = (e.getClass.getSimpleName + ": " +
               String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
               .replace("\\", "\\\\").replace("\"", "\\\"")
+              .filter(_ >= ' ')
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

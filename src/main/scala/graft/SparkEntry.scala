@@ -411,9 +411,13 @@ object SparkEntry {
         dim = 64, k = 3).select("query_id", "id")
       val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding",
         k = 3).select("query_id", "id")
-      ann.join(exact, Seq("query_id", "id"))
+      // anchor on the probe set: a probe recovering ZERO of its exact
+      // top-3 must count as 0 hits, not silently drop out of the min
+      val hits = ann.join(exact, Seq("query_id", "id"))
         .groupBy("query_id").agg(count(lit(1)).as("hits"))
-        .agg((min("hits") >= 2).as("recall_ok"))
+      probes.select(col("vec_id").as("query_id")).distinct()
+        .join(hits, Seq("query_id"), "left")
+        .agg((min(coalesce(col("hits"), lit(0L))) >= 2).as("recall_ok"))
     }),
     // LSH ANN, verified by its contract: recall@10 >= 0.8 vs brute force
     // (size-adaptive bits + 1-probe multi-probe)

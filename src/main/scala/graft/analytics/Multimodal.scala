@@ -65,7 +65,11 @@ object Multimodal {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, "US-ASCII")
       val sz = leInt(b, off + 4)
+      // A corrupt/negative size would advance <= 0 bytes (infinite loop) or
+      // read past the buffer — reject the container instead.
+      if (sz < 0 || off + 8 + sz.toLong > b.length) return None
       if (id == "fmt ") {
+        if (sz < 16) return None // truncated fmt chunk
         if (leShort(b, off + 8) != 1) return None // PCM only
         channels = leShort(b, off + 10)
         rate = leInt(b, off + 12)
@@ -101,6 +105,7 @@ object Multimodal {
     val w = leInt(b, 18); val h = leInt(b, 22)
     val bpp = leShort(b, 28)
     if (bpp != 24 || leInt(b, 30) != 0 || w <= 0 || h == 0) return None
+    if (pixOff < 54) return None // pixel data can't overlap the headers
     val rows = math.abs(h)
     val rowBytes = (w * 3 + 3) & ~3
     if (pixOff + rowBytes.toLong * rows > b.length) return None
@@ -123,12 +128,15 @@ object Multimodal {
   }
 
   /** Decode dispatch by magic bytes: real WAV/BMP parsing, stub fallback
-    * for codec formats. Returns (codec tag, features).
+    * for codec formats. Returns (codec tag, features). Corrupt payloads
+    * that slip past the parsers' bound checks degrade to the stub rather
+    * than killing the job — one bad media row must not fail the pipeline.
     */
   private def decode(bytes: Array[Byte]): (String, Array[Float]) =
-    decodeWav(bytes).map("wav" -> _)
-      .orElse(decodeBmp(bytes).map("bmp" -> _))
-      .getOrElse("stub" -> stubDecode(bytes))
+    scala.util.Try {
+      decodeWav(bytes).map("wav" -> _)
+        .orElse(decodeBmp(bytes).map("bmp" -> _))
+    }.toOption.flatten.getOrElse("stub" -> stubDecode(bytes))
 
   /** Partition-at-a-time feature extraction. The `mapPartitions` boundary
     * is where per-partition decoder initialization belongs (expensive

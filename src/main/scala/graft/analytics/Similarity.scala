@@ -94,8 +94,9 @@ object Similarity {
     * into its own bucket plus every Hamming-1 neighbor bucket (multi-probe
     * as rows, so the candidate join is an EQUI-join on the bucket — never
     * a quadratic non-equi join), then exact cosine + per-probe window
-    * top-k. Per probe the work is (bits+1) bucket lookups of ~n/2^bits
-    * rows each.
+    * top-k. `probe` is the full Hamming radius: every bucket within
+    * distance `probe` is visited, Σ_{i≤probe} C(bits,i) equi-lookups of
+    * ~n/2^bits rows per probe row.
     */
   def lshBatchTopK(emb: DataFrame, probes: DataFrame, idCol: String,
                    vecCol: String, dim: Int, k: Int,
@@ -104,10 +105,12 @@ object Similarity {
     val b = if (bits >= 0) bits else autoBits(emb.count())
     val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucketExpr(col(vecCol), dim, b).as("bucket"))
+    // all XOR masks with popcount ≤ probe — the caller's requested radius,
+    // not a silent radius-1 fallback
     val flips: Seq[Column] =
-      if (probe >= 1 && b > 0)
-        lit(0L) +: (0 until b).map(j => lit(1L << j))
-      else Seq(lit(0L))
+      (0 to math.min(math.max(probe, 0), b)).flatMap(d =>
+        (0 until b).combinations(d).map(c =>
+          lit(c.foldLeft(0L)((m, j) => m | (1L << j)))))
     val probeExp = probes.select(col(idCol).as("query_id"),
         col(vecCol).as("qv"),
         signBucketExpr(col(vecCol), dim, b).as("qbucket"))

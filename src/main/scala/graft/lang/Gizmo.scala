@@ -77,7 +77,10 @@ object Gizmo {
   private case class GArr(vs: Seq[GVal]) extends GVal
   private case class GNumV(d: Double, isInt: Boolean) extends GVal
   private case class GBoolV(b: Boolean) extends GVal
-  private case class GResult(rows: Seq[Map[String, String]]) extends GVal
+  // rendered rows (what the session returns) + raw bindings (what loop
+  // variables see — for-in over a result must not lose the row values)
+  private case class GResult(rows: Seq[Map[String, String]],
+                             raw: Seq[Map[String, QValue]]) extends GVal
   private case class GTagMap(m: Map[String, QValue]) extends GVal
   private case class GFunc(param: String, body: Vector[Tok]) extends GVal
   /** count() result: a number in expressions, a count row as a final. */
@@ -147,7 +150,7 @@ object Gizmo {
           }
           val arr = parseExpr(c) match {
             case GArr(vs)    => vs
-            case GResult(rs) => rs.map(m => GTagMap(Map.empty)) // index-only
+            case GResult(_, raw) => raw.map(GTagMap(_))
             case GNull       => Nil
             case other       => throw GizmoError(s"cannot iterate $other")
           }
@@ -165,7 +168,7 @@ object Gizmo {
           vars(name) = parseExpr(c)
         case Some(_) =>
           parseExpr(c) match {
-            case GResult(r) => out = out ++ r
+            case GResult(r, _) => out = out ++ r
             case GCount(n)  => out = out :+ Map("count" -> n.toString)
             case _          => // expression without final: no output
           }
@@ -392,15 +395,15 @@ object Gizmo {
         case "limit"  => GPath(p.limit(argInt(args)))
         case "order"  => GPath(p.order())
         // finals
-        case "all"      => GResult(rows(p, limit))
-        case "getLimit" => GResult(rows(p, argInt(args).toInt))
+        case "all"      => result(p, limit)
+        case "getLimit" => result(p, argInt(args).toInt)
         case "count" => GCount(Exec.run(g, p).count())
         case "toArray" =>
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
           GArr(rawRows(p, lim).flatMap(_.get("id")).map(GValue(_)))
         case "tagArray" =>
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
-          GResult(rows(p, lim))
+          result(p, lim)
         case "toValue" =>
           Exec.run(g, p.limit(1)).values().headOption
             .map(GValue(_)).getOrElse(GNull)
@@ -437,8 +440,10 @@ object Gizmo {
         Exec.run(g, limited.tag("id")).tagMaps()
       }
 
-      private def rows(p: Path, lim: Int): Seq[Map[String, String]] =
-        rawRows(p, lim).map(_.map { case (k, v) => k -> render(v) })
+      private def result(p: Path, lim: Int): GResult = {
+        val raw = rawRows(p, lim)
+        GResult(raw.map(_.map { case (k, v) => k -> render(v) }), raw)
+      }
 
       private def parsePrimary(c: Cursor): GVal = c.next() match {
         case TIdent("g")     => GEnv
@@ -557,6 +562,10 @@ object Gizmo {
             v = v match {
               case GArr(vs) if idx >= 0 && idx < vs.length => vs(idx)
               case GArr(_)  => GNull
+              // indexing a query result yields that row's bindings
+              case GResult(_, raw) if idx >= 0 && idx < raw.length =>
+                GTagMap(raw(idx))
+              case GResult(_, _) => GNull
               case other    => throw GizmoError(s"cannot index $other")
             }
           } else done = true

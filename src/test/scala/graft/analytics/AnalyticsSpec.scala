@@ -113,6 +113,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(b(0L) !== b(2L))
   }
 
+  test("lshBatchTopK honors the full requested probe radius") {
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") < 3)
+    val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding", k = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // probe = bits ⇒ every bucket within Hamming-6 of 6-bit codes = ALL
+    // buckets ⇒ the ANN result must equal the exact batch top-k
+    val full = Similarity.lshBatchTopK(emb, probes, "vec_id", "embedding",
+      dim = 8, k = 2, bits = 6, probe = 6)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+  }
+
   test("text ops: tokens, langid, fingerprint, quality") {
     val r = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("nt"),
@@ -124,6 +140,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r(4L)._2 === "de")
     assert(r(0L)._3 === r(3L)._3) // same canonical text, same fingerprint
     assert(r(0L)._3 !== r(1L)._3)
+  }
+
+  test("corrupt WAV payloads are rejected, not looped over or thrown") {
+    def riff(chunks: Array[Byte]*): Array[Byte] = {
+      val body = chunks.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(12 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(4 + body.length)
+      bb.put("WAVE".getBytes); bb.put(body)
+      bb.array()
+    }
+    def chunk(id: String, sz: Int, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(id.getBytes); bb.putInt(sz); bb.put(payload)
+      bb.array()
+    }
+    // negative chunk size: would advance 0 bytes per iteration (hang)
+    assert(Multimodal.decodeWav(
+      riff(chunk("junk", -8, Array.fill[Byte](36)(0)))) === None)
+    // declared size past the end of the buffer
+    assert(Multimodal.decodeWav(
+      riff(chunk("data", 1 << 20, Array.fill[Byte](36)(0)))) === None)
+    // truncated fmt chunk (claims 8 bytes — too short for the PCM header)
+    assert(Multimodal.decodeWav(
+      riff(chunk("fmt ", 8, Array.fill[Byte](8)(1)),
+        chunk("pad!", 28, Array.fill[Byte](28)(0)))) === None)
   }
 
   test("quality gate rejects short docs") {

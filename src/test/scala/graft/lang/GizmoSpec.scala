@@ -273,6 +273,14 @@ class GizmoSpec extends AnyFunSuite {
     assert(got.size === 2)
     assert(got.toSet.subsetOf(Set("<alice>", "<charlie>", "<dani>")))
   }
+  test("for-in over a query result carries the row bindings") {
+    // iterating .all()/.tagArray() results must expose each row's values
+    // (arr[i].id), not empty maps
+    check(
+      """arr = g.V("<bob>").in("<follows>").tagArray()
+        |for (i in arr) g.emit(arr[i].id);""".stripMargin,
+      Seq("<alice>", "<charlie>", "<dani>"))
+  }
   test("show ForEach") {
     check(
       """g.V("<bob>").in("<follows>").forEach(function(o){g.emit(o.id)});""",
