@@ -21,6 +21,10 @@ object Bench {
     "emb_neardup")
 
   def main(args: Array[String]): Unit = {
+    // optional arg: comma-separated query subset (iteration aid; the
+    // driver passes none and gets the full headline list)
+    val only: Option[Set[String]] =
+      if (args.nonEmpty) Some(args(0).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -38,6 +42,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // JIT/codegen warm-up, data-independent (no testdata touched): run the
+    // scan→shuffle→agg machinery once so the first timed query measures
+    // the engine, not JVM class-load and whole-stage-codegen compilation
+    {
+      import org.apache.spark.sql.functions.col
+      spark.range(1 << 20).selectExpr("sum(id)").collect()
+      spark.range(1 << 16).toDF("id").repartition(8, col("id"))
+        .groupBy("id").count().write.mode("overwrite").format("noop").save()
+    }
+
     // load phase: materialize the cached graph once (bulk-load metric)
     val loadSec = time { SparkEntry.graph(spark, sfDir).stats }
 
@@ -45,7 +59,8 @@ object Bench {
     // a failed query is an explicit -1 entry + an errors record, never a
     // silently-fast timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val results = headline.filter(qs.contains).map { name =>
+    val results = headline.filter(qs.contains)
+      .filter(n => only.forall(_.contains(n))).map { name =>
       val t0 = System.nanoTime()
       val ok =
         try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   * decides membership.
   */
 object Dedup {
+  /** Hash-partition docs by id BEFORE an explode, with an explicit
+    * partition count: the pre-explode row count is small (often one input
+    * split), so without this the explode AND every per-id aggregate after
+    * it run serialized — and an explicit count is required because AQE
+    * happily coalesces a column-only repartition of a few MB of docs back
+    * into one partition, re-serializing the ~100× larger exploded stream.
+    * Per-id aggregates/dedups downstream reuse this partitioning with no
+    * shuffle of the exploded rows.
+    *
+    * Worth it for the BIG explodes (char shingles ~300 rows/doc, token
+    * rows); measured NOT worth it for word shingles (~50 rows/doc), where
+    * the extra stage costs more than the small post-explode shuffle it
+    * saves — wordShingleRows deliberately skips it.
+    */
+  private def byId(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions,
+      col("id"))
   /** Exact dedup: canonical-form fingerprint, keep lowest id per group.
     * One hash-aggregate shuffle; with AQE skew handling for pathological
     * duplicate counts.
@@ -70,7 +87,7 @@ object Dedup {
   def charShingleRows(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 5): DataFrame = {
     val t = TextOps.normalize(col(textCol))
-    df.select(col(idCol).as("id"), t.as("t"))
+    byId(df.select(col(idCol).as("id"), t.as("t")))
       .select(col("id"), col("t"),
         explode(sequence(lit(1), greatest(length(col("t")) - (n - 1), lit(1))))
           .as("i"))
@@ -258,9 +275,9 @@ object Dedup {
     * is positive.
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = df.select(col(idCol).as("id"),
-        explode(array_distinct(split(TextOps.normalize(col(textCol)), " ")))
-          .as("tok"))
+    val tok = byId(df.select(col(idCol).as("id"),
+        array_distinct(split(TextOps.normalize(col(textCol)), " ")).as("toks")))
+      .select(col("id"), explode(col("toks")).as("tok"))
       .select(col("id"), tokenHash(col("tok")).as("h"))
     val sums = (0 until SimhashBits).map(b =>
       sum(when(shiftrightunsigned(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1L)

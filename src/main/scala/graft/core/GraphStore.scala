@@ -31,7 +31,12 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
 
   def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache())
 
-  def stats: (Long, Long) = (nodes.count(), quads.count())
+  /** (node count, quad count). Every quad has a predicate, so when the
+    * per-predicate stats are materialized their sum IS the quad count —
+    * one fewer pass over the quads table.
+    */
+  def stats: (Long, Long) =
+    (nodes.count(), predStats.map(_.values.sum).getOrElse(quads.count()))
 
   /** Materialize per-predicate quad counts (the reference's QuadIndexer
     * stats, shape.go:694-726): one small aggregate (predicates are
@@ -120,13 +125,17 @@ object Graph {
       idOf("sub").as("s"), idOf("pred").as("p"), idOf("obj").as("o"),
       when(col("lbl").isNull, lit(null).cast(LongType))
         .otherwise(idOf("lbl")).as("l"))
+    // dedup BEFORE computing the sort key: `sk` is a wide string-format
+    // CASE expression, so evaluate it once per distinct node (|dictionary|
+    // rows), not once per value occurrence (4×|quads| rows) — and keep the
+    // pre-shuffle rows narrow
     val nodes = raw
       .select(explode(array(col("sub"), col("pred"), col("obj"), col("lbl")))
         .as("v"))
       .where(col("v").isNotNull)
       .select(Values.idCol(col("v")).as("id"), col("v.*"))
-      .withColumn("sk", Values.sortKeyCol(col))
       .dropDuplicates("id")
+      .withColumn("sk", Values.sortKeyCol(col))
     Graph(nodes, quads)
   }
 
