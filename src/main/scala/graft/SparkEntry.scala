@@ -424,6 +424,15 @@ object SparkEntry {
     "sim_ann" -> ((s, d) =>
       Similarity.lshRecallAtK(t(s, d, "embeddings"), "vec_id", "embedding",
         dim = 64, queryId = 0L, k = 10, minRecall = 0.8)),
+    // trained-centroid IVF ANN (16 cells, half scanned), verified by its
+    // contract: MEAN recall@10 over the probe batch >= 0.6 vs exact batch
+    // top-k (probed 0.82-0.83 at sf0.01 and sf0.1 — wide margin)
+    "sim_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfMeanRecallAtK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", k = 10, minMeanRecall = 0.6,
+        nCells = 16, nprobe = 8)
+    }),
     // exact all-pairs embedding-cosine near-dup (ids only)
     "emb_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairsExact(t(s, d, "embeddings"), "vec_id",
@@ -501,6 +510,9 @@ object SparkEntry {
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     "sim_ann" -> "SELECT TRUE AS recall_ok",
+    // IVF contract: mean recall@10 over the probe batch >= 0.6
+    // (sim_batch_topk verifies the exact side row-exactly)
+    "sim_ivf" -> "SELECT TRUE AS recall_ok",
     // batched ANN: every probe must recover >= 2 of its exact top-3
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_batch_ann" -> "SELECT TRUE AS recall_ok",

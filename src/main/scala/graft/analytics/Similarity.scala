@@ -159,6 +159,123 @@ object Similarity {
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ bitwiseOR _)
 
+  // ------------------------------------------------------------ IVF ANN
+  // The trained-centroid counterpart to the sign-LSH path: fit a few
+  // spherical-k-means centroids, assign every vector to its nearest cell
+  // (inverted file), and answer a query by scanning only the nprobe cells
+  // nearest to it. Trades a small training job for data-adaptive buckets —
+  // on clustered corpora the same scan fraction buys far more recall than
+  // data-independent hyperplanes. At store scale the fit runs on a sample
+  // and the corpus is WRITTEN partitioned by cell id, so a probe is
+  // partition pruning, not a filter scan.
+
+  private def unitVec(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /** Spherical k-means centroids (unit vectors), a few Lloyd iterations.
+    * Deterministic seeding: the `nCells` vectors with the smallest id
+    * hashes. Each iteration is one scan (nearest-centroid assignment as a
+    * codegen'd expression) + one dim-wide average aggregate; only the
+    * nCells×dim centroid matrix ever reaches the driver. Cells that go
+    * empty keep their previous centroid.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                   nCells: Int, iters: Int = 3): Array[Array[Double]] = {
+    val init = emb
+      .select(col(vecCol).as("v"), xxhash64(col(idCol)).as("o"))
+      .orderBy("o").limit(nCells)
+      .collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var cents = init.map(unitVec)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    var it = 0
+    while (it < iters && dim > 0) {
+      val avgs = (0 until dim)
+        .map(i => avg(element_at(col("v"), i + 1)).as(s"c$i"))
+      val rows = emb
+        .select(cellExpr(col(vecCol), cents).as("cell"), col(vecCol).as("v"))
+        .groupBy("cell").agg(avgs.head, avgs.tail: _*)
+        .collect()
+      val next = cents.clone()
+      rows.foreach { r =>
+        next(r.getInt(0)) =
+          unitVec((0 until dim).map(i => r.getDouble(i + 1)).toArray)
+      }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Nearest-centroid cell id (0-based): argmax over cells of
+    * dot(vec, unit centroid) — |vec| is cell-invariant, so no per-row
+    * normalization. The centroid matrix folds into literal arrays at plan
+    * time; per row this is nCells codegen'd dot loops, no UDF. Ties break
+    * to the lowest cell id (array_position returns the first match).
+    */
+  def cellExpr(vec: Column, cents: Array[Array[Double]]): Column = {
+    val dots = array(cents.map(c => dot(vec, typedLit(c.toSeq))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Batched IVF ANN: corpus assigned to cells once; each probe joins its
+    * `nprobe` best cells (probe×centroid is a broadcast of nCells rows,
+    * then a broadcast equi-join on cell — the corpus never shuffles), then
+    * exact cosine + per-probe top-k. Scan fraction ≈ nprobe/nCells.
+    */
+  def ivfBatchTopK(emb: DataFrame, probes: DataFrame, idCol: String,
+                   vecCol: String, k: Int, nCells: Int = 16,
+                   nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells, iters)
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellExpr(col(vecCol), cents).as("cell"))
+    val centDF = cents.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cvec")
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cell"))
+    val probeCells = probes
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(broadcast(centDF))
+      .withColumn("cscore", dot(col("qv"), col("cvec")))
+      .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
+      .select("query_id", "qv", "cell")
+    val cand = corpus.join(broadcast(probeCells), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("v"), col("qv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** IVF verification contract: MEAN recall@k over the probe batch vs the
+    * exact batch top-k (anchored on the probe set — a probe with zero
+    * recovered neighbors counts 0, it does not drop out). Mean rather than
+    * min because single-query recall on weakly-clustered corpora is
+    * volatile; the batch mean is the quantity IVF actually trades against
+    * its scan fraction.
+    */
+  def ivfMeanRecallAtK(emb: DataFrame, probes: DataFrame, idCol: String,
+                       vecCol: String, k: Int, minMeanRecall: Double,
+                       nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val ann = ivfBatchTopK(emb, probes, idCol, vecCol, k, nCells, nprobe)
+      .select("query_id", "id")
+    val exact = batchTopK(emb, probes, idCol, vecCol, k)
+      .select("query_id", "id")
+    val hits = ann.join(exact, Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    probes.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(((avg(coalesce(col("hits"), lit(0L))) / k) >= minMeanRecall)
+        .as("recall_ok"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, approximate: bucket, pair
     * within bucket, verify with exact cosine ≥ threshold. `bits < 0`
     * derives bits from the corpus size. Same-bucket blocking has false

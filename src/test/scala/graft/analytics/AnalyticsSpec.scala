@@ -129,6 +129,41 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(full === exact)
   }
 
+  test("ivf cells separate opposite directions; co-direction shares a cell") {
+    val emb = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(2.0f)), // same direction as 0
+      (2L, Array.fill(8)(-1.0f)),
+      (3L, Array.fill(8)(-0.5f))).toDF("vec_id", "embedding")
+    val cents = Similarity.ivfCentroids(emb, "vec_id", "embedding", 2)
+    val cell = emb.select(col("vec_id"),
+        Similarity.cellExpr(col("embedding"), cents).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(cell(0L) === cell(1L))
+    assert(cell(2L) === cell(3L))
+    assert(cell(0L) !== cell(2L))
+  }
+
+  test("ivfBatchTopK with nprobe = nCells equals the exact batch top-k") {
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") < 3)
+    val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding", k = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    // probing every cell ⇒ full scan ⇒ must equal exact
+    val full = Similarity.ivfBatchTopK(emb, probes, "vec_id", "embedding",
+      k = 2, nCells = 4, nprobe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // mean-recall contract harness agrees at full scan
+    val ok = Similarity.ivfMeanRecallAtK(emb, probes, "vec_id", "embedding",
+      k = 2, minMeanRecall = 1.0, nCells = 4, nprobe = 4)
+      .head.getBoolean(0)
+    assert(ok)
+  }
+
   test("text ops: tokens, langid, fingerprint, quality") {
     val r = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("nt"),
