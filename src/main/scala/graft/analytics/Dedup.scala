@@ -244,8 +244,20 @@ object Dedup {
     val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
-    var labels = df.select(col(idCol).as("id"), col(idCol).as("cluster"))
+    // propagate only over nodes that HAVE an edge — in a near-dup graph
+    // that's a small minority; the singleton majority never changes label
+    // and joins back at the end as cluster = own id
+    var labels = edges.select(col("id_a").as("id"))
+      .distinct().withColumn("cluster", col("id"))
       .localCheckpoint()
+    // convergence check: an order-insensitive hash signature of the label
+    // table (one map-side-combined aggregate per round — no join, and on
+    // a fixed-point round the signature provably cannot change). XOR-fold,
+    // not sum: ANSI mode makes Long sums throw on overflow.
+    def sig(l: DataFrame): Long =
+      l.agg(coalesce(expr("bit_xor(xxhash64(id, cluster))"), lit(0L)))
+        .head.getLong(0)
+    var last = sig(labels)
     var changed = true
     var rounds = 0
     while (changed && rounds < 50) {
@@ -257,12 +269,15 @@ object Dedup {
           viaEdges.withColumnRenamed("cand", "cluster"))
         .groupBy("id").agg(min("cluster").as("cluster"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("cluster", "old"), Seq("id"))
-        .where(col("cluster") =!= col("old")).limit(1).count() > 0
+      val s = sig(next)
+      changed = s != last
+      last = s
       labels = next
       rounds += 1
     }
-    labels.select(col("id").as(idCol), col("cluster"))
+    df.select(col(idCol).as("id")).join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** 60-bit token hash shared with the SQL oracle contract: the first 15
@@ -322,7 +337,9 @@ object Dedup {
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).cast("long")
           .as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // membership test is a bitwise op — run it BEFORE the dedup shuffle
+      // so only true pairs (≤ bands copies each) get shuffled
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 }
