@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Dedup, Similarity, TextOps}
+import graft.analytics.{Dedup, Events, Similarity, TextOps}
 import graft.core.{Graph, QValue}
 import graft.exec.{Exec, Results}
 import graft.path.Path
@@ -436,7 +436,48 @@ object SparkEntry {
     // exact all-pairs embedding-cosine near-dup (ids only)
     "emb_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairsExact(t(s, d, "embeddings"), "vec_id",
-        "embedding", threshold = 0.25)))
+        "embedding", threshold = 0.25)),
+    // semantic dedup: connected components over the exact cosine>=0.25
+    // pair graph (every vec labeled; singletons label themselves)
+    "emb_clusters" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val pairs = Similarity.cosineNearDupPairsExact(emb, "vec_id",
+        "embedding", threshold = 0.25)
+      Dedup.connectedComponents(pairs, emb.select(col("vec_id").as("id")))
+        .select(col("id").as("vec_id"), col("cluster"))
+    }),
+    // decontamination: training docs sharing any word-8-gram with the
+    // held-out benchmark slice (doc_id % 20 == 0); count of distinct
+    // contaminated shingles per flagged doc
+    "decontam" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 8)
+    }),
+    // within-doc repetition ratio (1 - distinct/total word 3-grams)
+    "text_repetition" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.repetitionRatio(col("text"), n = 3).as("rep"))),
+    // deterministic stratified sample: md5-keyed, per-language rates —
+    // the same rows keep/drop on any engine (the oracle re-derives them)
+    "doc_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(t(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.2), defaultRate = 0.8).select("doc_id", "lang")),
+    // sessionization: split user event streams at >30 min inactivity gaps
+    // (lag + running sum over one (user, ts) exchange)
+    "q_sessionize" -> ((s, d) =>
+      Events.sessionize(events(s, d), "user_id", "ts")
+        .select(col("event_id"), col("user_id"), col("session_id"))),
+    // per-session features: count, span, exact integer-cents value total
+    // (floor(v*100 + 0.5) is engine-independent; double sums are not)
+    "q_session_stats" -> ((s, d) =>
+      Events.sessionFeatures(
+        events(s, d).withColumn("cents",
+          floor(col("value") * 100 + 0.5).cast("long")),
+        "user_id", "ts", "cents")
+        .withColumnRenamed("total_value", "value_cents")))
 
   /** DuckDB mirror of Dedup.simhashes: 60-bit md5-derived token hash,
     * per-bit ±1 sums over distinct tokens, then brute-force Hamming pairs.
@@ -507,6 +548,71 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.vec_id < b.vec_id
         |WHERE list_inner_product(a.e, b.e) /
         |  (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.25""".stripMargin,
+    // semantic dedup clusters: recursive closure over the exact cosine
+    // pair graph (mirror of the Spark min-label propagation fixed point)
+    "emb_clusters" ->
+      """WITH RECURSIVE v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        |e0 AS (SELECT a.vec_id AS ea, b.vec_id AS eb FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_inner_product(a.e, b.e) /
+        |    (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))) >= 0.25),
+        |e AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+        |r(n, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea)
+        |SELECT n AS vec_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin,
+    // decontamination: distinct word-8-gram overlap vs the doc_id%20==0
+    // benchmark slice (shingle semantics mirror wordShingleRows)
+    "decontam" -> {
+      val gram8 = (1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+         |s AS (SELECT doc_id, CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_distinct(list_transform(range(0, len(ws) - 7), i -> $gram8)) END AS sh FROM w),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+         |be AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)
+         |SELECT doc_id AS id, count(*) AS n_overlap FROM tr
+         |WHERE g IN (SELECT g FROM be) GROUP BY doc_id""".stripMargin
+    },
+    // repetition: 1 - distinct/total word 3-grams (0 for < 3 words)
+    "text_repetition" -> {
+      val gram3 = (1 to 3).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+         |g AS (SELECT doc_id, ws, list_transform(range(0, len(ws) - 2), i -> $gram3) AS gr FROM w)
+         |SELECT doc_id, CASE WHEN len(ws) < 3 THEN 0.0
+         |  ELSE 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr) END AS rep
+         |FROM g""".stripMargin
+    },
+    // deterministic stratified sample: the 60-bit md5 key in [0,1) travels
+    // across engines (floor-exact integer -> nearest-double on both sides)
+    "doc_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+        |  / 1152921504606846976.0 < CASE WHEN lang = 'en' THEN 0.2 ELSE 0.8 END""".stripMargin,
+    // sessionization: same lag + running-sum construction; floor-epoch
+    // seconds on both engines (Spark ts->long cast truncates micros)
+    "q_sessionize" ->
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+        |g AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts))
+        |SELECT event_id, user_id,
+        |  CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
+    "q_session_stats" ->
+      """WITH e AS (SELECT event_id, user_id, ts, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS tss FROM events),
+        |g AS (SELECT *, CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  max(tss) - min(tss) AS span_sec,
+        |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     "sim_ann" -> "SELECT TRUE AS recall_ok",

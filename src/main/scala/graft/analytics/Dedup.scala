@@ -241,12 +241,20 @@ object Dedup {
                threshold: Double = 0.5): DataFrame = {
     val pairs = minhashPairs(df, idCol, textCol, threshold)
       .select(col("id_a"), col("id_b"))
-    val edges = pairs.unionByName(
+    connectedComponents(pairs, df.select(col(idCol).as("id")))
+      .select(col("id").as(idCol), col("cluster"))
+  }
+
+  /** Connected components of an undirected pair graph `(id_a, id_b)` by
+    * iterative min-label propagation. Propagation runs only over nodes
+    * that HAVE an edge — in a near-dup graph that's a small minority; the
+    * singleton majority never changes label and joins back at the end as
+    * `cluster = own id`. Returns `(id, cluster)` for every id in `ids`.
+    */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
-    // propagate only over nodes that HAVE an edge — in a near-dup graph
-    // that's a small minority; the singleton majority never changes label
-    // and joins back at the end as cluster = own id
     var labels = edges.select(col("id_a").as("id"))
       .distinct().withColumn("cluster", col("id"))
       .localCheckpoint()
@@ -275,9 +283,26 @@ object Dedup {
       labels = next
       rounds += 1
     }
-    df.select(col(idCol).as("id")).join(labels, Seq("id"), "left")
-      .select(col("id").as(idCol),
-        coalesce(col("cluster"), col("id")).as("cluster"))
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+  }
+
+  /** Decontamination: training documents that share any word n-gram with a
+    * held-out benchmark corpus (the standard eval-leak gate before
+    * training). Both sides reduce to hashed shingle rows; the check is one
+    * distinct semi-join on the shingle hash — the benchmark side is tiny
+    * and broadcast, the training side never shuffles its text. Returns
+    * `(id, n_overlap)` with the count of DISTINCT contaminated shingles
+    * per flagged doc (n_overlap > 0 only; clean docs are absent).
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, n: Int = 8): DataFrame = {
+    val trainSh = wordShingleRows(train, idCol, textCol, n)
+      .dropDuplicates("id", "h")
+    val benchSh = wordShingleRows(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+    trainSh.join(broadcast(benchSh), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
 
   /** 60-bit token hash shared with the SQL oracle contract: the first 15

@@ -96,4 +96,42 @@ object TextOps {
                 k: Int): org.apache.spark.sql.DataFrame =
     tokenFrequencies(df, textCol)
       .orderBy(col("freq").desc, col("token")).limit(k)
+
+  /** Within-document repetition: 1 − distinct/total word n-grams (the
+    * Gopher/C4-style boilerplate signal — templated or looping text scores
+    * high). Returned as a ratio of two integer counts so the float is one
+    * division on both engines. Texts shorter than n words score 0.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val toks = split(normalize(text), " ")
+    val grams = transform(sequence(lit(0), size(toks) - n),
+      i => array_join(slice(toks, i + 1, lit(n)), " "))
+    when(size(toks) < n, lit(0.0d)).otherwise(
+      lit(1.0d) - size(array_distinct(grams)).cast("double") /
+        size(grams).cast("double"))
+  }
+
+  /** Deterministic sampling key in [0, 1): a 60-bit md5-derived hash of the
+    * id's decimal string — reproducible in ANY engine with a standard md5
+    * (NOT xxhash/rand, which don't travel). Stratified sampling is
+    * `sampleKey(id) < rate(stratum)`; the same doc keeps or drops on every
+    * engine, every run, any partitioning.
+    */
+  def sampleKey(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("double") /
+      lit((1L << 60).toDouble)
+
+  /** Deterministic stratified sample: per-stratum keep rates (e.g. keep
+    * 10% of English, 100% of rare languages). Plans as scan + filter — no
+    * shuffle, no RNG state; at 100 TB the sample IS the pushed-down
+    * filter. Strata absent from `rates` use `defaultRate`.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       stratumCol: String, rates: Map[String, Double],
+                       defaultRate: Double): org.apache.spark.sql.DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.where(sampleKey(col(idCol)) < rate)
+  }
 }

@@ -1,0 +1,87 @@
+package graft.analytics
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.sql.Timestamp
+
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    new Timestamp(1700000000000L + min * 60000L)
+
+  test("sessionize splits at gaps > 30 min, numbers sessions per user") {
+    val ev = Seq(
+      (1L, 10L, ts(0)), (2L, 10L, ts(10)), (3L, 10L, ts(50)), // gap 40 -> new
+      (4L, 10L, ts(60)),
+      (5L, 20L, ts(0)), (6L, 20L, ts(200))
+    ).toDF("event_id", "user_id", "ts")
+    val got = Events.sessionize(ev, "user_id", "ts")
+      .select("event_id", "session_id").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 1L, 6L -> 2L))
+  }
+
+  test("sessionFeatures aggregates count, span, value per session") {
+    val ev = Seq(
+      (1L, 10L, ts(0), 5L), (2L, 10L, ts(10), 7L), (3L, 10L, ts(50), 1L)
+    ).toDF("event_id", "user_id", "ts", "v")
+    val got = Events.sessionFeatures(ev, "user_id", "ts", "v")
+      .select("session_id", "n_events", "span_sec", "total_value")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 600L, 12L), (2L, 1L, 0L, 1L)))
+  }
+
+  test("decontaminate flags only docs sharing a benchmark shingle") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "completely unrelated content with different words entirely here now")
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "prefix words the quick brown fox jumps over the lazy dog")
+    ).toDF("doc_id", "text")
+    val got = Dedup.decontaminate(train, bench, "doc_id", "text", n = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got.contains(1L) && got(1L) >= 1L)
+    assert(!got.contains(2L))
+  }
+
+  test("repetitionRatio: looped text high, varied text 0, short text 0") {
+    val df = Seq(
+      (1L, "a b c a b c a b c a b c"),   // 10 grams, 3 distinct -> 0.7
+      (2L, "one two three four five"),   // all distinct -> 0.0
+      (3L, "hi there")                   // < 3 words -> 0.0
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextOps.repetitionRatio(col("text"), 3).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - 0.7) < 1e-12)
+    assert(got(2L) === 0.0 && got(3L) === 0.0)
+  }
+
+  test("stratifiedSample is deterministic and respects per-stratum rates") {
+    val df = (0L until 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "lang")
+    val s1 = TextOps.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.1), defaultRate = 0.9)
+    val s2 = TextOps.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0.1), defaultRate = 0.9)
+    val r1 = s1.select("doc_id").as[Long].collect().toSet
+    assert(r1 === s2.select("doc_id").as[Long].collect().toSet)
+    val en = s1.where(col("lang") === "en").count()
+    val de = s1.where(col("lang") === "de").count()
+    assert(en > 20 && en < 90)   // ~50 of 500
+    assert(de > 400 && de < 490) // ~450 of 500
+  }
+
+  test("connectedComponents: chain merges, isolated id keeps own label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
+    val got = Dedup.connectedComponents(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      99L -> 99L))
+  }
+}
