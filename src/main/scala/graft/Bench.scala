@@ -17,8 +17,9 @@ object Bench {
     "q1_agg", "q3_join", "q_window", "q_topk_users",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_clusters", "text_quality", "text_langid", "sim_topk", "sim_ann",
-    "emb_neardup")
+    "dedup_clusters", "decontam", "text_quality", "text_langid",
+    "text_repetition", "doc_sample", "q_sessionize", "q_session_stats",
+    "sim_topk", "sim_ann", "sim_ivf", "emb_neardup", "emb_clusters")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query subset (iteration aid; the

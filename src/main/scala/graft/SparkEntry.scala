@@ -457,9 +457,8 @@ object SparkEntry {
         "doc_id", "text", n = 8)
     }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
-    "text_repetition" -> ((s, d) => t(s, d, "documents")
-      .select(col("doc_id"),
-        TextOps.repetitionRatio(col("text"), n = 3).as("rep"))),
+    "text_repetition" -> ((s, d) =>
+      TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
     // deterministic stratified sample: md5-keyed, per-language rates —
     // the same rows keep/drop on any engine (the oracle re-derives them)
     "doc_sample" -> ((s, d) =>

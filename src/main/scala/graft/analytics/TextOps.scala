@@ -100,16 +100,22 @@ object TextOps {
   /** Within-document repetition: 1 − distinct/total word n-grams (the
     * Gopher/C4-style boilerplate signal — templated or looping text scores
     * high). Returned as a ratio of two integer counts so the float is one
-    * division on both engines. Texts shorter than n words score 0.
+    * division on both engines. Texts shorter than n words score 0 (their
+    * single whole-text shingle gives 1 − 1/1).
+    *
+    * Computed over [[Dedup.wordShingleRows]] — explode + one count/
+    * count-distinct aggregate, all codegen'd — NOT as a per-row
+    * `transform(...)` expression: Catalyst evaluates higher-order-function
+    * lambdas interpreted, which measured ~10× slower on the same corpus.
     */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val toks = split(normalize(text), " ")
-    val grams = transform(sequence(lit(0), size(toks) - n),
-      i => array_join(slice(toks, i + 1, lit(n)), " "))
-    when(size(toks) < n, lit(0.0d)).otherwise(
-      lit(1.0d) - size(array_distinct(grams)).cast("double") /
-        size(grams).cast("double"))
-  }
+  def repetitionRatios(df: org.apache.spark.sql.DataFrame, idCol: String,
+                       textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame =
+    Dedup.wordShingleRows(df, idCol, textCol, n)
+      .groupBy("id")
+      .agg(count(lit(1)).as("total"), count_distinct(col("h")).as("dist"))
+      .select(col("id").as(idCol),
+        (lit(1.0d) - col("dist").cast("double") / col("total").cast("double"))
+          .as("rep"))
 
   /** Deterministic sampling key in [0, 1): a 60-bit md5-derived hash of the
     * id's decimal string — reproducible in ANY engine with a standard md5

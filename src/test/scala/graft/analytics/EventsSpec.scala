@@ -54,8 +54,7 @@ class EventsSpec extends AnyFunSuite {
       (2L, "one two three four five"),   // all distinct -> 0.0
       (3L, "hi there")                   // < 3 words -> 0.0
     ).toDF("doc_id", "text")
-    val got = df.select(col("doc_id"),
-        TextOps.repetitionRatio(col("text"), 3).as("r"))
+    val got = TextOps.repetitionRatios(df, "doc_id", "text", 3)
       .as[(Long, Double)].collect().toMap
     assert(math.abs(got(1L) - 0.7) < 1e-12)
     assert(got(2L) === 0.0 && got(3L) === 0.0)
