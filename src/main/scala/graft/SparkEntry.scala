@@ -63,10 +63,12 @@ object SparkEntry {
         Graph.quadifyTable(region, "region", "r_regionkey", Some("tbl:region")),
         Graph.quadifyEdge(supplier, "supplier", "s_suppkey", "s_nation", "nation", "s_nationkey"),
         Graph.quadifyEdge(orders, "orders", "o_orderkey", "o_cust", "customer", "o_custkey"))
-      // cache the exploded quad-struct rows once: the dictionary build and
-      // the quads table both consume them, and materializing nodes+quads
-      // would otherwise re-run the per-table explodes twice
-      val raw = parts.reduce(_ unionAll _).cache()
+      // do NOT cache the exploded quad-struct rows: the dictionary build
+      // and the quads table each re-run the (codegen'd, scan-cheap) per-
+      // table explodes, which measures faster than materializing +
+      // deserializing a cache of wide nested structs — and the consumers'
+      // own caches make the third-and-later reads free anyway
+      val raw = parts.reduce(_ unionAll _)
       Graph.fromQuadDF(raw).cached().withStats()
     })
 

@@ -128,14 +128,18 @@ object Graph {
     // dedup BEFORE computing the sort key: `sk` is a wide string-format
     // CASE expression, so evaluate it once per distinct node (|dictionary|
     // rows), not once per value occurrence (4×|quads| rows) — and keep the
-    // pre-shuffle rows narrow
+    // pre-shuffle rows narrow. Dedup on the VALUE FIELDS, not the id: the
+    // id is a pure function of the value, and a keys-only group-by plans
+    // as a HashAggregate, where dropDuplicates("id") would need first()
+    // carry-along buffers and degrade to a double SortAggregate.
     val nodes = raw
       .select(explode(array(col("sub"), col("pred"), col("obj"), col("lbl")))
         .as("v"))
       .where(col("v").isNotNull)
-      .select(Values.idCol(col("v")).as("id"), col("v.*"))
-      .dropDuplicates("id")
-      .withColumn("sk", Values.sortKeyCol(col))
+      .select(col("v.*"))
+      .dropDuplicates()
+      .select((Values.idColOfFields(col).as("id") +:
+        Values.fieldNames.map(col)) :+ Values.sortKeyCol(col).as("sk"): _*)
     Graph(nodes, quads)
   }
 
@@ -191,12 +195,18 @@ object Graph {
       struct(lit(kind).as("kind"), s.as("s"), i.as("i"), d.as("d"), b.as("b"),
         t.as("t"), lang.as("lang"), dt.as("dt"))
 
-    val subj = qv(Kind.Iri,
-      s = concat(lit(table + ":"), col(pkCol).cast(StringType)))
     val lbl = label match {
       case Some(l) => qv(Kind.Iri, s = lit(l))
       case None    => lit(null).cast(Values.structType)
     }
+    // Stage the subject struct ONCE per row in a projection below the
+    // explode: referencing a named column keeps the generated code linear
+    // in the column count — inlining `subj` into every array element made
+    // Janino compile (and evaluate) the same concat/struct tree per
+    // attribute, a measurable slice of bulk-load time on wide tables.
+    val staged = df.select((col("*") +: Seq(
+      qv(Kind.Iri, s = concat(lit(table + ":"), col(pkCol).cast(StringType)))
+        .as("__subj"), lbl.as("__lbl"))): _*)
     // one scan: explode an array of per-column quad structs per row
     val quadStructs = df.schema.fields.filter(_.name != pkCol).map { f =>
       val c = col(f.name)
@@ -212,11 +222,11 @@ object Graph {
         case other =>
           qv(Kind.Str, s = c.cast(StringType))
       }
-      when(c.isNotNull, struct(subj.as("sub"),
+      when(c.isNotNull, struct(col("__subj").as("sub"),
         qv(Kind.Iri, s = lit(f.name)).as("pred"), obj.as("obj"),
-        lbl.as("lbl")))
+        col("__lbl").as("lbl")))
     }
-    df.select(explode(array(quadStructs.toIndexedSeq: _*)).as("q"))
+    staged.select(explode(array(quadStructs.toIndexedSeq: _*)).as("q"))
       .where(col("q").isNotNull)
       .select(col("q.sub").as("sub"), col("q.pred").as("pred"),
         col("q.obj").as("obj"), col("q.lbl").as("lbl"))
