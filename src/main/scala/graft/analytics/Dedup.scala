@@ -139,6 +139,9 @@ object Dedup {
     // one shingle scan feeds both the signature aggregate and the
     // verification sets — materialize it once
     val rows = wordShingleRows(df, idCol, textCol, shingleN).cache()
+    // NOT cached: the self-join consumes `mh` twice, but re-running the
+    // signature aggregate from the cached shingle rows measures faster
+    // than materializing + re-reading a cache of the posexploded table
     val mh = signaturesFromRows(rows, k)
       .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
     val cand = mh.alias("l").join(mh.alias("r"),
@@ -207,11 +210,15 @@ object Dedup {
       .cache()
     val rows = sets.select(col("id"), col("sz"), explode(col("sh")).as("h"))
     val freq = rows.groupBy("h").agg(count(lit(1)).as("df"))
+    // cache: BOTH sides of the self-join below consume `prefix`, and
+    // Catalyst does not dedup identical subplans across join sides — an
+    // uncached prefix recomputes the freq join + window per side
     val prefix = rows.join(freq, "h")
       .withColumn("rn", row_number().over(
         Window.partitionBy("id").orderBy(col("df"), col("h"))))
       .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
       .select("id", "h", "sz", "rn")
+      .cache()
     // Positional filter (PPJoin): a match at prefix ranks (rnA, rnB) can
     // contribute at most 1 + min(szA−rnA, szB−rnB) to the overlap, which
     // must reach ⌈t/(1+t)·(szA+szB)⌉ for J ≥ t — prunes pairs whose only
@@ -354,8 +361,11 @@ object Dedup {
       val width = (j + 1) * SimhashBits / bands - start
       shiftrightunsigned(col("sim"), start).bitwiseAND(lit((1L << width) - 1))
     }: _*)
+    // cache: both sides of the band-bucket self-join — uncached, the token
+    // explode + 60 bit-sum aggregates would run twice
     val banded = sh.select(col("id"), col("sim"),
       posexplode(bandKeys).as(Seq("bandIdx", "bandKey")))
+      .cache()
     banded.alias("l").join(banded.alias("r"),
         col("l.bandIdx") === col("r.bandIdx") &&
           col("l.bandKey") === col("r.bandKey") && col("l.id") < col("r.id"))

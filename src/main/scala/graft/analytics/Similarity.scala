@@ -286,8 +286,11 @@ object Similarity {
                          dim: Int, threshold: Double,
                          bits: Int = -1): DataFrame = {
     val bb = if (bits >= 0) bits else autoBits(emb.count())
+    // cache: both join sides consume `b`; uncached, the (interpreted-HOF)
+    // sign-bucket expression would evaluate twice per row
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucketExpr(col(vecCol), dim, bb).as("bucket"))
+      .cache()
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
