@@ -104,6 +104,42 @@ class ExplainSpec extends AnyFunSuite {
     assert(verPlan.contains("sorted_array_intersect_count"), verPlan)
   }
 
+  test("sessionize is ONE exchange end-to-end; features reuse it") {
+    import graft.analytics.Events
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val ev = (0L to 50L).map(i =>
+        (i, i % 5, new java.sql.Timestamp(1700000000000L + i * 60000L)))
+      .toDF("event_id", "user_id", "ts")
+    // lag and the running sum share the same (user, ts) window spec — the
+    // plan must sort+shuffle once, not once per window function
+    val plan = Events.sessionize(ev, "user_id", "ts")
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"sessionize should shuffle exactly once:\n$plan")
+    // per-session aggregation adds at most the (user, session) agg shuffle
+    val fplan = Events.sessionFeatures(ev, "user_id", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    val fex = "Exchange hashpartitioning".r.findAllIn(fplan).length
+    assert(fex <= 2, s"unexpected shuffle count $fex:\n$fplan")
+  }
+
+  test("decontaminate: benchmark side broadcasts, train side never shuffles text") {
+    import graft.analytics.Dedup
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = (0L to 50L).map(i => (i, s"doc number $i words and words again here"))
+      .toDF("doc_id", "text")
+    val plan = Dedup.decontaminate(
+        docs.where(org.apache.spark.sql.functions.col("doc_id") > 5),
+        docs.where(org.apache.spark.sql.functions.col("doc_id") <= 5),
+        "doc_id", "text", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("LeftSemi"), s"expected broadcast semi-join:\n$plan")
+  }
+
   test("whole-stage codegen covers the traversal join pipeline") {
     val g = Graph.read(spark, dir)
     val df = Exec.lower(g, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows"))
