@@ -254,6 +254,69 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Persist an IVF index as a cell-partitioned Parquet store: vectors
+    * land in `cell=<i>/` directories and the centroid matrix in a JSON
+    * sidecar. This is THE 100 TB layout: a probe's candidate read becomes
+    * static partition pruning (only nprobe/nCells of the files are even
+    * listed), not a filter over a full scan.
+    */
+  def ivfWrite(emb: DataFrame, dir: String, idCol: String, vecCol: String,
+               nCells: Int = 16, iters: Int = 3): Unit = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells, iters)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        cellExpr(col(vecCol), cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    val json = cents.map(_.mkString("[", ",", "]"))
+      .mkString("{\"centroids\":[", ",", "]}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ivf_meta.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load the centroid sidecar of an [[ivfWrite]] store. */
+  def ivfReadCentroids(dir: String): Array[Array[Double]] = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/ivf_meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    "\\[([^\\[\\]]*)\\]".r.findAllMatchIn(json)
+      .map(_.group(1).split(',').map(_.trim.toDouble)).toArray
+  }
+
+  /** Batched top-k over an [[ivfWrite]] store. The probe batch picks its
+    * nprobe cells driver-side from the sidecar (nCells dot products per
+    * probe — no cluster job), so the scan carries a LITERAL `cell IN (…)`
+    * predicate and Parquet partition pruning skips every other cell's
+    * files before a byte is read.
+    */
+  def ivfStoreTopK(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   probes: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfReadCentroids(dir)
+    val pb = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(array(cents.zipWithIndex.map { case (c, i) =>
+          dot(col(vecCol), typedLit(c.toSeq))
+        }: _*)).as(Seq("cell", "cscore")))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cell"))
+    val probeCells = pb
+      .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
+      .select("query_id", "qv", "cell").cache()
+    // literal cell set -> static partition pruning on the store scan
+    val cells = probeCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(cells: _*))
+    val cand = corpus.join(broadcast(probeCells), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("v"), col("qv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    cand.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .drop("rn")
+  }
+
   /** IVF verification contract: MEAN recall@k over the probe batch vs the
     * exact batch top-k (anchored on the probe set — a probe with zero
     * recovered neighbors counts 0, it does not drop out). Mean rather than

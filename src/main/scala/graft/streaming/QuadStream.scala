@@ -80,4 +80,65 @@ object QuadStream {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
+
+  /** Streaming sessionization — the Structured-Streaming form of the batch
+    * [[graft.analytics.Events.sessionize]]: per-user custom state via
+    * flatMapGroupsWithState (the lag+cumsum window trick needs the whole
+    * history; streams keep only (lastTs, sessionSeq) per user). Emits one
+    * row per closed session when the inactivity gap passes or the
+    * watermark times the user out. State is O(active users), the
+    * partitioning is the same user-key shuffle as the batch form.
+    */
+  def sessionizeStream(events: org.apache.spark.sql.Dataset[SessionEvent],
+                       gapMinutes: Int = 30)
+      : org.apache.spark.sql.Dataset[SessionRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, batch: Iterator[SessionEvent],
+         state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionRow(user, s.seq, s.n, (s.lastMs - s.firstMs) / 1000))
+          } else {
+            // events within a micro-batch arrive unordered — sort by time
+            // (driver never sees them; this is per-group, executor-side)
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var st = state.getOption.getOrElse(SessionState(0L, -1L, -1L, 0L))
+            val closed = Seq.newBuilder[SessionRow]
+            for (e <- evs) {
+              val t = e.ts.getTime
+              if (st.n == 0L) st = SessionState(st.seq + 1, t, t, 1L)
+              else if (t - st.lastMs > gapMs) {
+                closed += SessionRow(user, st.seq, st.n,
+                  (st.lastMs - st.firstMs) / 1000)
+                st = SessionState(st.seq + 1, t, t, 1L)
+              } else st = st.copy(lastMs = t, n = st.n + 1)
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+            closed.result().iterator
+          }
+      }
+  }
 }
+
+/** Input row for [[QuadStream.sessionizeStream]]. */
+final case class SessionEvent(event_id: Long, user_id: Long,
+                              ts: java.sql.Timestamp)
+
+/** Per-user session progress: monotone session seq, first/last event
+  * millis, event count.
+  */
+final case class SessionState(seq: Long, firstMs: Long, lastMs: Long, n: Long)
+
+/** One closed session. */
+final case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
+                            span_sec: Long)

@@ -164,6 +164,31 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ok)
   }
 
+  test("ivf store: partition-pruned probes equal exact at full scan") {
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    Similarity.ivfWrite(emb, dir, "vec_id", "embedding", nCells = 4)
+    val probes = emb.where(col("vec_id") < 3)
+    // full scan (nprobe = nCells) must equal the exact batch top-k
+    val full = Similarity.ivfStoreTopK(spark, dir, probes, "vec_id",
+      "embedding", k = 2, nprobe = 4)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding", k = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // pruned probe: the store scan must carry cell partition filters
+    val pruned = Similarity.ivfStoreTopK(spark, dir, probes, "vec_id",
+      "embedding", k = 2, nprobe = 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [cell") ||
+      plan.contains("PartitionFilters: [isnotnull(cell") ||
+      "PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).nonEmpty,
+      s"expected cell partition pruning:\n$plan")
+  }
+
   test("text ops: tokens, langid, fingerprint, quality") {
     val r = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("nt"),

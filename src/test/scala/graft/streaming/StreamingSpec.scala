@@ -60,6 +60,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming sessionization closes sessions at the inactivity gap") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val data = Seq(
+      SessionEvent(1L, 10L, ts(0)), SessionEvent(2L, 10L, ts(10)),
+      SessionEvent(3L, 10L, ts(50)),  // closes session 1 (gap 40)
+      SessionEvent(4L, 10L, ts(300)), // closes session 2 (gap 250)
+      SessionEvent(5L, 20L, ts(0))    // user 20: stays open
+    ).toDS()
+    data.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(data.schema).parquet(s"$tmp/in")
+      .as[SessionEvent]
+    val q = QuadStream.sessionizeStream(stream, gapMinutes = 30)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sessions").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+        "SELECT user_id, session_id, n_events, span_sec FROM sessions")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // sessions 1 and 2 of user 10 close on in-batch gaps; user 20's lone
+    // session closes via EVENT-TIME TIMEOUT (watermark = maxTs − gap =
+    // t270 passes its t30 deadline); user 10 session 3 (t300, deadline
+    // t330) is still open and stays in state
+    assert(rows === Set((10L, 1L, 2L, 600L), (10L, 2L, 1L, 0L),
+      (20L, 1L, 1L, 0L)))
+  }
+
   test("streaming dedup keeps first arrival per fingerprint") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-sdedup").toString
