@@ -317,9 +317,14 @@ final class Lower(g: Graph) {
     var depth = 0
     // Invariant: every previously-expanded node is either a start node or
     // was emitted, so the next frontier is just `fresh \ start` — no
-    // separate `expanded` accumulator, one checkpoint per iteration
-    // (`fresh`, consumed by three downstream ops and the isEmpty action).
-    while (depth < maxD && !frontier.isEmpty) {
+    // separate `expanded` accumulator, one checkpoint per iteration.
+    // The loop tests `fresh` emptiness (a first-row probe over the
+    // checkpointed blocks — no join) instead of `frontier` emptiness
+    // (an anti-join job per round): the cost is at most ONE extra
+    // iteration at the end, whose step input is empty and cheap, against
+    // an anti-join action saved on EVERY round.
+    var freshEmpty = frontier.isEmpty
+    while (depth < maxD && !freshEmpty) {
       val stepDf = nodes(step(Shape.Embed(frontier)))
       // nodes first reached at iteration d carry depth d+1 (reference
       // recursive.go: depth increments before the morphism applies)
@@ -329,13 +334,16 @@ final class Lower(g: Graph) {
         .join(emitted.select(col(ID)), Seq(ID), "left_anti")
         .dropDuplicates(ID)
         .localCheckpoint()
-      acc = if (acc == null) fresh
-        else acc.unionByName(fresh, allowMissingColumns = true)
-      emitted = emitted.unionByName(fresh.select(ID))
-      // re-materialize the accumulator every few iterations so the
-      // anti-join build side doesn't grow into a deep union tree
-      if (depth % 3 == 2) emitted = emitted.localCheckpoint()
-      frontier = fresh.select(ID).join(start, Seq(ID), "left_anti")
+      freshEmpty = fresh.isEmpty
+      if (!freshEmpty) {
+        acc = if (acc == null) fresh
+          else acc.unionByName(fresh, allowMissingColumns = true)
+        emitted = emitted.unionByName(fresh.select(ID))
+        // re-materialize the accumulator every few iterations so the
+        // anti-join build side doesn't grow into a deep union tree
+        if (depth % 3 == 2) emitted = emitted.localCheckpoint()
+        frontier = fresh.select(ID).join(start, Seq(ID), "left_anti")
+      }
       depth += 1
     }
     if (acc == null) emptyNodes() else acc
