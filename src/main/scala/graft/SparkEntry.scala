@@ -461,6 +461,18 @@ object SparkEntry {
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
+    // PII redaction over text augmented with synthetic email/IP/phone
+    // (the corpus itself is clean — augmenting exercises all 3 patterns)
+    "text_redact" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.redact(concat(col("text"),
+        lit(" contact: user"), col("doc_id"), lit("@example.com or "),
+        lit("555-123-4567 at 10.0.0."), pmod(col("doc_id"), lit(256))))
+        .as("red"))),
+    // concat-and-split sequence packing: md5-ordered sharded token stream,
+    // (shard, seq, offset) per doc — all-integer contract
+    "text_pack" -> ((s, d) =>
+      TextOps.packSequences(t(s, d, "documents"), "doc_id", "text",
+        seqLen = 128, nShards = 8)),
     // deterministic stratified sample: md5-keyed, per-language rates —
     // the same rows keep/drop on any engine (the oracle re-derives them)
     "doc_sample" -> ((s, d) =>
@@ -585,6 +597,28 @@ object SparkEntry {
          |  ELSE 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr) END AS rep
          |FROM g""".stripMargin
     },
+    // PII scrub: same regex chain, RE2-safe patterns, 'g' for DuckDB's
+    // default first-match-only semantics (Spark replaces all by default)
+    "text_redact" ->
+      """SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    text || ' contact: user' || CAST(doc_id AS VARCHAR) || '@example.com or '
+        |         || '555-123-4567 at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR),
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |  '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |  '\+?\d[\d() -]{6,}\d', '<PHONE>', 'g') AS red
+        |FROM documents""".stripMargin,
+    // concat-and-split packing: same md5 order, same per-shard prefix sums
+    "text_pack" ->
+      """WITH b AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS k,
+        |    CAST(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+        |      ELSE length(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, k % 8 AS shard, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY k % 8 ORDER BY k
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM b)
+        |SELECT doc_id, shard, CAST(floor(cum / 128.0) AS BIGINT) AS seq_in_shard,
+        |  cum % 128 AS offset FROM c""".stripMargin,
     // deterministic stratified sample: the 60-bit md5 key in [0,1) travels
     // across engines (floor-exact integer -> nearest-double on both sides)
     "doc_sample" ->

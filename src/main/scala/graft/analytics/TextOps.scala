@@ -117,6 +117,47 @@ object TextOps {
         (lit(1.0d) - col("dist").cast("double") / col("total").cast("double"))
           .as("rep"))
 
+  /** PII redaction: emails, long digit runs (phone-like), and IPv4
+    * literals replaced by typed placeholders — the scrub pass before a
+    * corpus leaves curation. One codegen'd regexp_replace chain per row;
+    * the patterns avoid backreferences/lookaround so the Java and RE2
+    * dialects (Spark vs DuckDB/the reference) agree, which makes the op
+    * oracle-exact. Order matters and is part of the contract: emails
+    * first (an email contains no spaces, a phone pattern could eat its
+    * digits), then IPs, then phones.
+    */
+  def redact(text: Column): Column = {
+    val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")
+    regexp_replace(ip, "\\+?\\d[\\d() -]{6,}\\d", "<PHONE>")
+  }
+
+  /** Concat-and-split sequence packing — the GPT-style pretraining layout:
+    * documents stream into fixed `seqLen`-token sequences, split wherever
+    * the budget lands. Deterministic global order via the md5 sample key;
+    * the stream is SHARDED (md5 % nShards) so every window runs per-shard
+    * in parallel — a single global cumulative sum would serialize 100 TB
+    * through one partition, per-shard streams are how packing actually
+    * runs at scale. Returns (id, shard, seq_in_shard, offset): doc starts
+    * at `offset` tokens into sequence `seq_in_shard` of its shard.
+    */
+  def packSequences(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, seqLen: Int,
+                    nShards: Int = 16): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val base = df.select(col(idCol), (key % nShards).as("shard"), key.as("k"),
+      tokenCount(col(textCol)).cast("long").as("n_tok"))
+    val w = Window.partitionBy("shard").orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("cum", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(col(idCol), col("shard"),
+        floor(col("cum") / lit(seqLen)).cast("long").as("seq_in_shard"),
+        (col("cum") % seqLen).as("offset"))
+  }
+
   /** Deterministic sampling key in [0, 1): a 60-bit md5-derived hash of the
     * id's decimal string — reproducible in ANY engine with a standard md5
     * (NOT xxhash/rand, which don't travel). Stratified sampling is

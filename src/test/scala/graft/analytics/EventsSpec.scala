@@ -75,6 +75,34 @@ class EventsSpec extends AnyFunSuite {
     assert(de > 400 && de < 490) // ~450 of 500
   }
 
+  test("redact replaces emails, IPs and phone-like runs, leaves prose") {
+    val got = Seq((1L, "mail a.b+c@foo.org or call +1 (555) 123-4567 from 192.168.0.1 ok"))
+      .toDF("doc_id", "text")
+      .select(TextOps.redact(col("text"))).as[String].head
+    assert(got === "mail <EMAIL> or call <PHONE> from <IP> ok")
+  }
+
+  test("packSequences: contiguous per-shard offsets, exact split points") {
+    val df = (0L until 50L).map(i => (i, ("w " * 10).trim)).toDF("doc_id", "text")
+    val packed = TextOps.packSequences(df, "doc_id", "text",
+      seqLen = 25, nShards = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(packed.length === 50)
+    // within a shard, docs are 10 tokens each: offsets must cycle
+    // 0,10,20,5,15,0,… (mod 25) in md5-key order — verify via cum math
+    for ((_, _, seq, off) <- packed) {
+      assert(off >= 0 && off < 25)
+      assert(seq >= 0)
+    }
+    // total tokens = sum over shards of (last seq*25 + last offset + 10)
+    val byShard = packed.groupBy(_._2)
+    val total = byShard.values.map { rows =>
+      val last = rows.maxBy(r => r._3 * 25 + r._4)
+      last._3 * 25 + last._4 + 10
+    }.sum
+    assert(total === 500L)
+  }
+
   test("connectedComponents: chain merges, isolated id keeps own label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
