@@ -85,7 +85,50 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    val all = ("graph_load" -> loadSec) +: results
+    // BASELINE.md parity block: the reference's own benchmark corpus
+    // (30kmoviedata, 471,705 quads) and its two published query timings
+    // (integration.go:102-117) — measured here so every round's bench
+    // line carries the direct baseline comparison
+    val movie: Seq[(String, Double)] =
+      try {
+        import graft.core.{Graph, QValue}
+        import graft.exec.Exec
+        import graft.path.Path
+        def iri(s: String) = QValue.Iri(s)
+        def str(s: String) = QValue.Str(s)
+        var g: Graph = null
+        val tLoad = time {
+          g = Graph.fromNQuads(spark,
+            "/root/reference/data/30kmoviedata.nq.gz").cached()
+          g.stats
+        }
+        val name = iri("name")
+        val perfActor = iri("/film/performance/actor")
+        val starring = iri("/film/film/starring")
+        def actorToFilm = Path.morphism().in(perfActor).in(starring)
+        def getId(n: String) = Path.start(str(n)).in(name)
+        val tTwo = time {
+          Exec.run(g, getId("Oliver Hardy").follow(actorToFilm).out(name)
+            .and(getId("Mel Blanc").follow(actorToFilm).out(name))).values()
+        }
+        val tThree = time {
+          val a = getId("Oliver Hardy").follow(actorToFilm).followReverse(actorToFilm)
+          val b = getId("Mel Blanc").follow(actorToFilm).followReverse(actorToFilm)
+          val c = getId("Billy Gilbert").follow(actorToFilm).followReverse(actorToFilm)
+          Exec.run(g, a.and(b).and(c).unique()).values()
+        }
+        g.nodes.unpersist(); g.quads.unpersist()
+        Seq("movie_load" -> tLoad, "movie_two_sets" -> tTwo,
+          "movie_three_huge" -> tThree)
+      } catch {
+        case e: Throwable =>
+          errors("movie") = (e.getClass.getSimpleName + ": " +
+            String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+            .replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
+          Seq("movie_load" -> -1.0)
+      }
+
+    val all = ("graph_load" -> loadSec) +: (results ++ movie)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
