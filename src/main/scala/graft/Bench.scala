@@ -18,7 +18,8 @@ object Bench {
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "decontam", "text_quality", "text_langid",
-    "text_repetition", "text_redact", "text_pack", "doc_sample",
+    "text_repetition", "text_redact", "text_pack", "text_chunks",
+    "text_tfidf", "doc_sample",
     "q_sessionize", "q_session_stats",
     "sim_topk", "sim_ann", "sim_ivf", "emb_neardup", "emb_clusters")
 

@@ -473,6 +473,13 @@ object SparkEntry {
     "text_pack" -> ((s, d) =>
       TextOps.packSequences(t(s, d, "documents"), "doc_id", "text",
         seqLen = 128, nShards = 8)),
+    // RAG chunking: 200-char chunks, 40-char overlap
+    "text_chunks" -> ((s, d) =>
+      TextOps.chunkRows(t(s, d, "documents"), "doc_id", "text",
+        size = 200, overlap = 40)),
+    // per-doc top-5 tf-idf terms (rational idf: ln is not cross-engine)
+    "text_tfidf" -> ((s, d) =>
+      TextOps.topTfidfTerms(t(s, d, "documents"), "doc_id", "text", k = 5)),
     // deterministic stratified sample: md5-keyed, per-language rates —
     // the same rows keep/drop on any engine (the oracle re-derives them)
     "doc_sample" -> ((s, d) =>
@@ -619,6 +626,28 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM b)
         |SELECT doc_id, shard, CAST(floor(cum / 128.0) AS BIGINT) AS seq_in_shard,
         |  cum % 128 AS offset FROM c""".stripMargin,
+    // chunking: same ceil-division chunk count, same substr windows
+    "text_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    CASE WHEN len <= 200 THEN 1
+        |      ELSE CAST(ceil((len - 200) / 160.0) AS BIGINT) + 1 END AS n FROM d)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  substr(text, CAST(i * 160 + 1 AS INT), 200) AS chunk
+        |FROM c, LATERAL unnest(range(0, n)) AS u(i)""".stripMargin,
+    // tf-idf: same tf/df aggregates, same (tf*N)/df rational score
+    "text_tfidf" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS nn FROM documents),
+        |s AS (SELECT tf.doc_id, tf.term,
+        |    CAST(tf.tf * n.nn AS DOUBLE) / dfr.df AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY CAST(tf.tf * n.nn AS DOUBLE) / dfr.df DESC, tf.term) AS rn
+        |  FROM tf JOIN dfr USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, score FROM s WHERE rn <= 5""".stripMargin,
     // deterministic stratified sample: the 60-bit md5 key in [0,1) travels
     // across engines (floor-exact integer -> nearest-double on both sides)
     "doc_sample" ->

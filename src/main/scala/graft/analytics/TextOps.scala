@@ -117,6 +117,54 @@ object TextOps {
         (lit(1.0d) - col("dist").cast("double") / col("total").cast("double"))
           .as("rep"))
 
+  /** Fixed-size overlapping chunks — the RAG/window-embedding splitter.
+    * Char-based: chunk i covers [i·stride, i·stride + size); the last
+    * chunk may be short; texts ≤ size yield one chunk. Codegen explode of
+    * a position sequence (no HOF lambda), mirrored exactly in SQL.
+    * Returns (id, chunk_idx, chunk).
+    */
+  def chunkRows(df: org.apache.spark.sql.DataFrame, idCol: String,
+                textCol: String, size: Int,
+                overlap: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < size, "need 0 <= overlap < size")
+    val stride = size - overlap
+    val len = length(col(textCol)).cast("long")
+    val n = when(len <= size, lit(1L)).otherwise(
+      ceil((len - size) / lit(stride.toDouble)).cast("long") + 1L)
+    df.select(col(idCol), col(textCol).as("__t"),
+        explode(sequence(lit(0L), n - 1L)).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx"),
+        col("__t").substr((col("chunk_idx") * stride + 1).cast("int"),
+          lit(size)).as("chunk"))
+  }
+
+  /** Per-doc top-k terms by tf·idf. The idf is the RATIONAL form
+    * `N / df(term)` rather than `ln(N/df)`: a log's last-ulp differs
+    * across libm builds and would break cross-engine hash equality, while
+    * `(tf·N)/df` is two exact integer products and ONE IEEE division —
+    * identical on any engine, and rank-equivalent to the log form for a
+    * fixed corpus. Two aggregates + a window; every shuffle key is
+    * (doc) or (term) — the natural 100 TB partitioning.
+    */
+  def topTfidfTerms(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(idCol),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+    val tf = tok.groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .select(col(idCol), col("term"), col("score"))
+  }
+
   /** PII redaction: emails, long digit runs (phone-like), and IPv4
     * literals replaced by typed placeholders — the scrub pass before a
     * corpus leaves curation. One codegen'd regexp_replace chain per row;

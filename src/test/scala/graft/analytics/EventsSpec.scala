@@ -103,6 +103,26 @@ class EventsSpec extends AnyFunSuite {
     assert(total === 500L)
   }
 
+  test("chunkRows: overlap windows cover the text, short text one chunk") {
+    val df = Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text")
+    val got = TextOps.chunkRows(df, "doc_id", "text", size = 4, overlap = 2)
+      .as[(Long, Long, String)].collect().toSet
+    // stride 2: ceil((10-4)/2)+1 = 4 chunks
+    assert(got === Set((1L, 0L, "abcd"), (1L, 1L, "cdef"), (1L, 2L, "efgh"),
+      (1L, 3L, "ghij"), (2L, 0L, "xy")))
+  }
+
+  test("topTfidfTerms ranks rare terms over common ones") {
+    val df = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common other other common"),
+      (3L, "common thing thing common")).toDF("doc_id", "text")
+    val top = TextOps.topTfidfTerms(df, "doc_id", "text", k = 1)
+      .select("doc_id", "term").as[(Long, String)].collect().toMap
+    // "common" appears in all 3 docs (df=3); each doc's unique term wins
+    assert(top === Map(1L -> "rare1", 2L -> "other", 3L -> "thing"))
+  }
+
   test("connectedComponents: chain merges, isolated id keeps own label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
