@@ -23,7 +23,7 @@ object Probe {
           .groupBy("query_id").agg(count(lit(1)).as("hits"))
         val mean = probes.select(col("vec_id").as("query_id")).distinct()
           .join(hits, Seq("query_id"), "left")
-          .agg(avg(coalesce(col("hits"), lit(0L))).as("m")).head.getDouble(0) / 10
+          .agg(avg(coalesce(col("hits"), lit(0L))).as("m")).head().getDouble(0) / 10
         println(f"PROBE $sf iters=$iters meanRecall=$mean%.3f (${(System.nanoTime()-t0)/1e9}%.1f s)")
       }
     }

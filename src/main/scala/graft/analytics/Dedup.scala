@@ -271,7 +271,7 @@ object Dedup {
     // not sum: ANSI mode makes Long sums throw on overflow.
     def sig(l: DataFrame): Long =
       l.agg(coalesce(expr("bit_xor(xxhash64(id, cluster))"), lit(0L)))
-        .head.getLong(0)
+        .head().getLong(0)
     var last = sig(labels)
     var changed = true
     var rounds = 0

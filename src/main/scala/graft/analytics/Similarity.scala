@@ -216,7 +216,7 @@ object Similarity {
     * to the lowest cell id (array_position returns the first match).
     */
   def cellExpr(vec: Column, cents: Array[Array[Double]]): Column = {
-    val dots = array(cents.map(c => dot(vec, typedLit(c.toSeq))): _*)
+    val dots = array(cents.toIndexedSeq.map(c => dot(vec, typedLit(c.toSeq))): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
@@ -294,7 +294,7 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val cents = ivfReadCentroids(dir)
     val pb = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        posexplode(array(cents.zipWithIndex.map { case (c, i) =>
+        posexplode(array(cents.toIndexedSeq.zipWithIndex.map { case (c, i) =>
           dot(col(vecCol), typedLit(c.toSeq))
         }: _*)).as(Seq("cell", "cscore")))
     val pw = Window.partitionBy("query_id")
