@@ -19,7 +19,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "decontam", "text_quality", "text_langid",
     "text_repetition", "text_redact", "text_pack", "text_chunks",
-    "text_tfidf", "doc_sample",
+    "text_tfidf", "corpus_stats", "doc_sample",
     "q_sessionize", "q_session_stats",
     "sim_topk", "sim_ann", "sim_ivf", "emb_neardup", "emb_clusters")
 

@@ -480,6 +480,9 @@ object SparkEntry {
     // per-doc top-5 tf-idf terms (rational idf: ln is not cross-engine)
     "text_tfidf" -> ((s, d) =>
       TextOps.topTfidfTerms(t(s, d, "documents"), "doc_id", "text", k = 5)),
+    // data-card stats per language (exact interpolated percentiles)
+    "corpus_stats" -> ((s, d) =>
+      TextOps.corpusStats(t(s, d, "documents"), "text", "lang")),
     // deterministic stratified sample: md5-keyed, per-language rates —
     // the same rows keep/drop on any engine (the oracle re-derives them)
     "doc_sample" -> ((s, d) =>
@@ -626,6 +629,19 @@ object SparkEntry {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM b)
         |SELECT doc_id, shard, CAST(floor(cum / 128.0) AS BIGINT) AS seq_in_shard,
         |  cum % 128 AS offset FROM c""".stripMargin,
+    // data-card stats: quantile_cont mirrors Spark's interpolating
+    // percentile (both linear-interpolate the sorted values)
+    "corpus_stats" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+        |      ELSE length(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_tok) AS DOUBLE) / count(*) AS mean_tokens,
+        |  quantile_cont(n_tok, 0.5) AS p50_tokens,
+        |  quantile_cont(n_tok, 0.9) AS p90_tokens
+        |FROM d GROUP BY lang""".stripMargin,
     // chunking: same ceil-division chunk count, same substr windows
     "text_chunks" ->
       """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),

@@ -117,6 +117,25 @@ object TextOps {
         (lit(1.0d) - col("dist").cast("double") / col("total").cast("double"))
           .as("rep"))
 
+  /** Data-card corpus statistics per stratum (language/source): doc
+    * count, token totals, mean and exact interpolated p50/p90 token
+    * counts — the summary table every dataset release ships. One
+    * map-side-combined aggregate; the exact percentiles sort only within
+    * each stratum's aggregation buffer (at 100 TB swap in approx
+    * percentile sketches — same plan shape).
+    */
+  def corpusStats(df: org.apache.spark.sql.DataFrame, textCol: String,
+                  stratumCol: String): org.apache.spark.sql.DataFrame = {
+    val nTok = tokenCount(col(textCol)).cast("long")
+    df.select(col(stratumCol), nTok.as("n_tok"))
+      .groupBy(stratumCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        (sum(col("n_tok")).cast("double") / count(lit(1))).as("mean_tokens"),
+        percentile(col("n_tok"), lit(0.5)).as("p50_tokens"),
+        percentile(col("n_tok"), lit(0.9)).as("p90_tokens"))
+  }
+
   /** Fixed-size overlapping chunks — the RAG/window-embedding splitter.
     * Char-based: chunk i covers [i·stride, i·stride + size); the last
     * chunk may be short; texts ≤ size yield one chunk. Codegen explode of

@@ -123,6 +123,21 @@ class EventsSpec extends AnyFunSuite {
     assert(top === Map(1L -> "rare1", 2L -> "other", 3L -> "thing"))
   }
 
+  test("corpusStats: exact per-stratum counts and interpolated quantiles") {
+    val df = Seq(
+      (1L, "en", "a b c d"), (2L, "en", "a b"), (3L, "en", "a b c d e f"),
+      (4L, "de", "x y z")).toDF("doc_id", "lang", "text")
+    val got = TextOps.corpusStats(df, "text", "lang")
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val en = got("en")
+    assert(en._2 === 3L && en._3 === 12L)
+    assert(math.abs(en._4 - 4.0) < 1e-12)     // mean of 4,2,6
+    assert(math.abs(en._5 - 4.0) < 1e-12)     // p50 of {2,4,6}
+    assert(math.abs(en._6 - 5.6) < 1e-12)     // p90 interpolated 4+0.8*2
+    assert(got("de")._2 === 1L)
+  }
+
   test("connectedComponents: chain merges, isolated id keeps own label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
     val ids = Seq(1L, 2L, 3L, 7L, 8L, 99L).toDF("id")
