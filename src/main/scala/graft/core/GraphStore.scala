@@ -157,10 +157,10 @@ object Graph {
     // gzip input is non-splittable: without an explicit repartition the
     // whole parse AND the cached quads land on ONE partition, serializing
     // every later scan. Repartition proportionally to input size (~32 MB
-    // of compressed text per partition, min 2) — a fixed large count
+    // of compressed text per partition, min 8) — a fixed large count
     // measured SLOWER here: task overhead dominates small cached graphs.
     val lines = spark.read.textFile(path)
-    val nPart = math.max(2, (lines.inputFiles.map { f =>
+    val nPart = math.max(8, (lines.inputFiles.map { f =>
       try new java.io.File(new java.net.URI(f)).length() catch {
         case _: Exception => 0L }
     }.sum / (32L << 20)).toInt)
