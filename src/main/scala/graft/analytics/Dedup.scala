@@ -259,11 +259,22 @@ object Dedup {
     * `cluster = own id`. Returns `(id, cluster)` for every id in `ids`.
     */
   def connectedComponents(pairs: DataFrame, ids: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b")).unionByName(
+    var edges = pairs.select(col("id_a"), col("id_b")).unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .localCheckpoint()
+    // Size-adaptive parallelism: the near-dup edge set is usually a tiny
+    // fraction of the corpus, and iterating 32-partition shuffles over a
+    // few hundred rows is pure task overhead. One count (already
+    // materialized by the checkpoint) picks the loop's partitioning;
+    // large edge sets keep full parallelism.
+    val nEdges = edges.count()
+    val loopParts = math.max(1, math.min(
+      edges.sparkSession.sessionState.conf.numShufflePartitions,
+      (nEdges / 50000L).toInt + 1))
+    edges = edges.coalesce(loopParts).localCheckpoint()
     var labels = edges.select(col("id_a").as("id"))
       .distinct().withColumn("cluster", col("id"))
+      .coalesce(loopParts)
       .localCheckpoint()
     // convergence check: an order-insensitive hash signature of the label
     // table (one map-side-combined aggregate per round — no join, and on
