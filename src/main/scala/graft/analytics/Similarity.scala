@@ -324,9 +324,12 @@ object Similarity {
     * volatile; the batch mean is the quantity IVF actually trades against
     * its scan fraction.
     */
-  def ivfMeanRecallAtK(emb: DataFrame, probes: DataFrame, idCol: String,
+  def ivfMeanRecallAtK(emb0: DataFrame, probes: DataFrame, idCol: String,
                        vecCol: String, k: Int, minMeanRecall: Double,
                        nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    // the harness scans the corpus ~6× (centroid fit iterations, cell
+    // assignment, exact batch top-k) — cache it once
+    val emb = emb0.cache()
     val ann = ivfBatchTopK(emb, probes, idCol, vecCol, k, nCells, nprobe)
       .select("query_id", "id")
     val exact = batchTopK(emb, probes, idCol, vecCol, k)
