@@ -448,6 +448,41 @@ object SparkEntry {
       Dedup.connectedComponents(pairs, emb.select(col("vec_id").as("id")))
         .select(col("id").as("vec_id"), col("cluster"))
     }),
+    // cross-corpus incremental dedup: new-batch docs (doc_id%10==0) near-dup
+    // to the existing corpus (doc_id%10!=0); batch×corpus band join only,
+    // exact J>=0.5 verify — the oracle recomputes the cross pairs brute-force
+    "dedup_cross" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.crossPairs(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
+    // Bloom-prefiltered incremental exact dedup: batch docs whose
+    // fingerprint is absent from the corpus (bloom cuts the join input;
+    // the exact anti-join keeps the output exact). The corpus slice
+    // overlaps half the batch (doc_id%20==0) so the dup path really fires.
+    "dedup_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.newDocs(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0 ||
+          pmod(col("doc_id"), lit(20)) === 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text")
+    }),
+    // per-source cap: keep <=10 docs per source in deterministic
+    // md5-sample-key order (the per-domain cap of crawl curation)
+    "q_source_cap" -> ((s, d) =>
+      TextOps.capPerKey(t(s, d, "documents"), "doc_id", "source", cap = 10)
+        .select("doc_id", "source")),
+    // temperature mixture: keep ceil(3*sqrt(count)) docs per source
+    // (alpha=0.5 reweighting with integer per-stratum thresholds)
+    "q_mixture" -> ((s, d) =>
+      TextOps.mixtureSample(t(s, d, "documents"), "doc_id", "source",
+        scale = 3.0).select("doc_id", "source")),
+    // LM count table: exact top-50 word bigrams
+    "text_ngram_counts" -> ((s, d) =>
+      TextOps.topNgrams(t(s, d, "documents"), "text", n = 2, k = 50)),
     // decontamination: training docs sharing any word-8-gram with the
     // held-out benchmark slice (doc_id % 20 == 0); count of distinct
     // contaminated shingles per flagged doc
@@ -584,6 +619,48 @@ object SparkEntry {
         |  UNION
         |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea)
         |SELECT n AS vec_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin,
+    // cross-corpus pairs: brute-force J>=0.5 between the two slices
+    "dedup_cross" ->
+      s"""$wordShingleCte
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |  CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / len(list_distinct(b.sh || c.sh)) AS jaccard
+         |FROM s b JOIN s c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / len(list_distinct(b.sh || c.sh)) >= 0.5""".stripMargin,
+    // incremental exact dedup: batch fingerprints absent from the corpus
+    "dedup_incr" ->
+      """WITH f AS (SELECT doc_id,
+        |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |  FROM documents)
+        |SELECT b.doc_id FROM f b
+        |WHERE b.doc_id % 10 = 0
+        |  AND b.fp NOT IN (SELECT fp FROM f
+        |                   WHERE doc_id % 10 <> 0 OR doc_id % 20 = 0)""".stripMargin,
+    // per-source cap in md5-key order (ordering by the integer key is
+    // order-equivalent to Spark's key/2^60 double)
+    "q_source_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 10""".stripMargin,
+    // temperature mixture: integer per-stratum threshold ceil(3*sqrt(n))
+    "q_mixture" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |WHERE rn <= ceil(3.0 * sqrt(n))""".stripMargin,
+    // exact top-50 word bigram counts (ties broken by gram text)
+    "text_ngram_counts" ->
+      """WITH d AS (SELECT trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |w AS (SELECT string_split(t, ' ') AS ws FROM d),
+        |g AS (SELECT unnest(list_transform(range(0, len(ws) - 1),
+        |    i -> ws[i+1] || ' ' || ws[i+2])) AS gram FROM w WHERE len(ws) >= 2)
+        |SELECT gram, count(*) AS freq FROM g
+        |GROUP BY gram ORDER BY freq DESC, gram LIMIT 50""".stripMargin,
     // decontamination: distinct word-8-gram overlap vs the doc_id%20==0
     // benchmark slice (shingle semantics mirror wordShingleRows)
     "decontam" -> {

@@ -305,6 +305,60 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
+  /** Cross-corpus near-dup (incremental-ingest dedup): for each document in
+    * `batch`, the documents in `corpus` with word-shingle Jaccard ≥
+    * threshold — dedup a new snapshot against the existing corpus WITHOUT
+    * re-pairing the corpus against itself. The MinHash band join runs batch
+    * × corpus only (the corpus side never self-joins), so ingesting 1% new
+    * data costs ~1% of a full-corpus dedup. Same exact contract as
+    * [[minhashPairs]]: bands generate candidates (miss prob (1−j)^k), exact
+    * Jaccard decides membership. Returns (batch_id, corpus_id, jaccard).
+    */
+  def crossPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
+                 textCol: String, threshold: Double = 0.5, k: Int = 64,
+                 shingleN: Int = 3): DataFrame = {
+    val cRows = wordShingleRows(corpus, idCol, textCol, shingleN).cache()
+    val bRows = wordShingleRows(batch, idCol, textCol, shingleN).cache()
+    def posting(rows: DataFrame) = signaturesFromRows(rows, k)
+      .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
+    // no l.id < r.id: the sides are distinct corpora, every (batch, corpus)
+    // match is wanted exactly once
+    val cand = posting(bRows).alias("l").join(posting(cRows).alias("r"),
+        col("l.pos") === col("r.pos") && col("l.mh") === col("r.mh"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    jaccardVerify(cand, shingleSets(bRows.unionByName(cRows)))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+        col("jaccard"))
+  }
+
+  /** Incremental exact dedup: batch documents whose canonical fingerprint
+    * does NOT already occur in the corpus. A Bloom filter over corpus
+    * fingerprints (one aggregate pass, result broadcast inside the
+    * predicate closure) prefilters the batch: rows failing the filter are
+    * definitely new and skip the join entirely; only true dups plus the
+    * ~fpp false-positive sliver join against the corpus for the exact
+    * decision. At 100 TB this turns the anti-join shuffle from |batch|
+    * rows into |dups| + fpp·|batch| rows while the output stays EXACT —
+    * the Bloom stage can only send extra rows to the verify join, never
+    * drop a new document. Returns the batch id column.
+    */
+  def newDocs(corpus: DataFrame, batch: DataFrame, idCol: String,
+              textCol: String, expectedItems: Long = 0L,
+              fpp: Double = 0.01): DataFrame = {
+    val cfp = corpus.select(TextOps.fingerprint(col(textCol)).as("fp"))
+    val n = if (expectedItems > 0) expectedItems else math.max(cfp.count(), 1L)
+    val bloom = cfp.stat.bloomFilter("fp", n, fpp)
+    val mightContain = udf((s: String) => bloom.mightContainString(s))
+    val b = batch.select(col(idCol),
+      TextOps.fingerprint(col(textCol)).as("fp"))
+    val definitelyNew = b.where(!mightContain(col("fp")))
+    val maybeDup = b.where(mightContain(col("fp")))
+      .join(cfp, Seq("fp"), "left_anti") // exact verify of the FP sliver
+    definitelyNew.unionByName(maybeDup).select(idCol)
+  }
+
   /** Decontamination: training documents that share any word n-gram with a
     * held-out benchmark corpus (the standard eval-leak gate before
     * training). Both sides reduce to hashed shingle rows; the check is one

@@ -1,6 +1,7 @@
 package graft.analytics
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-pipeline primitives for training-data curation at scale. All are
@@ -234,6 +235,60 @@ object TextOps {
   def sampleKey(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("double") /
       lit((1L << 60).toDouble)
+
+  /** Deterministic per-stratum cap: keep at most `cap` rows per value of
+    * `keyCol`, chosen in md5-sample-key order (the Common-Crawl-style
+    * per-domain cap that stops one giant domain dominating the corpus).
+    * One exchange on the stratum key; the kept set is engine- and
+    * run-independent because the order is [[sampleKey]], not ingestion
+    * order. A skewed stratum is one window partition — at 100 TB pair this
+    * with AQE skew handling or pre-split pathological keys.
+    */
+  def capPerKey(df: org.apache.spark.sql.DataFrame, idCol: String,
+                keyCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap).drop("rn")
+  }
+
+  /** Temperature-style mixture sampling: per stratum keep
+    * ⌈scale · √count⌉ rows (deterministic md5-key order). Down-weights
+    * huge strata toward √-proportional representation — the α=0.5
+    * temperature reweighting of pretraining mixtures — with an INTEGER
+    * per-stratum threshold, so the kept set is reproducible bit-for-bit on
+    * any engine (no cross-stratum float normalizer whose summation order
+    * could differ). Same single-exchange window plan as [[capPerKey]].
+    */
+  def mixtureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    keyCol: String, scale: Double): org.apache.spark.sql.DataFrame = {
+    val part = Window.partitionBy(keyCol)
+    val w = part.orderBy(sampleKey(col(idCol)), col(idCol))
+    df.withColumn("rn", row_number().over(w))
+      .withColumn("n_key", count(lit(1)).over(part))
+      .where(col("rn") <= ceil(lit(scale) * sqrt(col("n_key"))))
+      .drop("rn", "n_key")
+  }
+
+  /** Language-model count table: the k most frequent word n-grams with
+    * exact counts (ties broken by gram text). Documents shorter than n
+    * words contribute nothing. Codegen-only construction (explode a
+    * position sequence + concat_ws — no interpreted HOF lambdas), one
+    * map-side-combined aggregate, TakeOrdered for the top-k.
+    */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, textCol: String,
+                n: Int = 2, k: Int = 50): org.apache.spark.sql.DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    df.select(toks.as("toks"))
+      .where(size(col("toks")) >= n)
+      .select(col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - n)).as("i"))
+      .select(concat_ws(" ",
+        (0 until n).map(j => element_at(col("toks"), col("i") + (j + 1))): _*)
+        .as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("gram")).limit(k)
+  }
 
   /** Deterministic stratified sample: per-stratum keep rates (e.g. keep
     * 10% of English, 100% of rare languages). Plans as scan + filter — no

@@ -56,6 +56,52 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(expect.nonEmpty) // the fixture has near-dups above threshold
   }
 
+  test("crossPairs: batch near-dups against the corpus, no corpus self-pairs") {
+    val corpus = docs.where(col("doc_id") =!= 1L)
+    val batch = docs.where(col("doc_id") === 1L)
+    val pairs = Dedup.crossPairs(corpus, batch, "doc_id", "text",
+      threshold = 0.5).select("batch_id", "corpus_id")
+      .as[(Long, Long)].collect().toSet
+    // doc 1 is a near-dup of 0 and 3 (identical texts) and nothing else
+    assert(pairs === Set((1L, 0L), (1L, 3L)))
+  }
+
+  test("newDocs: bloom-prefiltered incremental dedup is exact") {
+    val corpus = docs.where(col("doc_id") < 3L)
+    val batch = docs // 0,1,2 are already in corpus; 3's TEXT equals 0's
+    val fresh = Dedup.newDocs(corpus, batch, "doc_id", "text")
+      .as[Long].collect().toSet
+    assert(fresh === Set(4L)) // 3 is a dup by fingerprint, 4 is new
+  }
+
+  test("capPerKey keeps at most n per stratum, deterministically") {
+    val df = Seq.tabulate(20)(i => (i.toLong, if (i < 15) "a" else "b"))
+      .toDF("id", "k")
+    val kept = TextOps.capPerKey(df, "id", "k", cap = 4)
+    val byK = kept.groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(byK("a") === 4L && byK("b") === 4L)
+    // deterministic: same result on re-run
+    val again = TextOps.capPerKey(df, "id", "k", cap = 4)
+      .select("id").as[Long].collect().toSet
+    assert(again === kept.select("id").as[Long].collect().toSet)
+  }
+
+  test("mixtureSample keeps ceil(scale*sqrt(n)) per stratum") {
+    val df = Seq.tabulate(120)(i =>
+      (i.toLong, if (i < 100) "big" else "small")).toDF("id", "k")
+    val kept = TextOps.mixtureSample(df, "id", "k", scale = 1.5)
+      .groupBy("k").count().as[(String, Long)].collect().toMap
+    assert(kept("big") === 15L) // ceil(1.5*10)
+    assert(kept("small") === math.ceil(1.5 * math.sqrt(20.0)).toLong)
+  }
+
+  test("topNgrams: exact bigram counts, short docs contribute nothing") {
+    val df = Seq("a b a b", "a b", "x").toDF("text")
+    val got = TextOps.topNgrams(df, "text", n = 2, k = 10)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a b" -> 3L, "b a" -> 1L)) // "x" has no bigram
+  }
+
   test("clusters: connected components over near-dup pairs") {
     val cl = Dedup.clusters(docs, "doc_id", "text", threshold = 0.5)
       .as[(Long, Long)].collect().toMap
