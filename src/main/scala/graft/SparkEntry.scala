@@ -24,6 +24,24 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Harness corpus for the banded near-dup contract: the embeddings table
+    * plus a deterministically perturbed copy of every 10th vector
+    * (id + 10M, each coordinate scaled by 1 + ε with ε ∈ [−0.15, 0.15)
+    * hash-derived from (vec_id, i)). cos(v, v′) ≈ 0.996, far above the
+    * 0.9 contract threshold, while the synthetic base vectors stay below
+    * 0.7 pairwise — so the planted pairs ARE the ≥0.9 ground truth and the
+    * recall contract is non-vacuous at every SF.
+    */
+  private def plantedNearDups(emb: DataFrame): DataFrame = {
+    val planted = emb.where(pmod(col("vec_id"), lit(10)) === 0)
+      .select((col("vec_id") + 10000000L).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x * (lit(1.0d) + (pmod(xxhash64(col("vec_id"), i), lit(1000))
+            .cast("double") / 1000.0d - 0.5d) * 0.3d)).cast("float"))
+          .as("embedding"))
+    emb.select("vec_id", "embedding").unionByName(planted)
+  }
+
   /** The events table carries TIMESTAMP(NANOS) which Spark reads only as
     * long via the legacy conf; normalize to a microsecond TimestampType
     * column regardless of the session's setting.
@@ -435,10 +453,49 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, minMeanRecall = 0.6,
         nCells = 16, nprobe = 8)
     }),
-    // exact all-pairs embedding-cosine near-dup (ids only)
+    // exact all-pairs embedding-cosine near-dup (ids only) — the
+    // small-corpus/oracle anchor; the scale default is the banded path
+    // verified by emb_neardup_ann below
     "emb_neardup" -> ((s, d) =>
       Similarity.cosineNearDupPairsExact(t(s, d, "embeddings"), "vec_id",
         "embedding", threshold = 0.25)),
+    // banded sign-LSH near-dup (the 100 TB path: equi-join on
+    // (band,bucket), exact-cosine verify, no cartesian anywhere), verified
+    // by its contract: recall >= 0.9 of the exact >=0.9-cosine pairs over a
+    // corpus with deterministically planted near-duplicates, zero false
+    // positives (the verify stage makes precision exact by construction),
+    // and a non-vacuous ground truth (nExact > 0)
+    "emb_neardup_ann" -> ((s, d) => {
+      val aug = plantedNearDups(t(s, d, "embeddings")).cache()
+      val ann = Similarity.cosineNearDupPairsBanded(aug, "vec_id",
+        "embedding", dim = 64, threshold = 0.9)
+      val exact = Similarity.cosineNearDupPairsExact(aug, "vec_id",
+        "embedding", threshold = 0.9)
+      val j = ann.withColumn("a", lit(1))
+        .join(exact.withColumn("e", lit(1)), Seq("id_a", "id_b"),
+          "full_outer")
+      j.agg((
+        count(col("e")) > 0 &&
+        count(when(col("a").isNotNull && col("e").isNull, 1)) === 0 &&
+        (count(when(col("a").isNotNull && col("e").isNotNull, 1))
+          .cast("double") / count(col("e")) >= 0.9)).as("recall_ok"))
+    }),
+    // semantic dedup over the banded pairs (the scale default for
+    // clustering), verified by its contract: >=95% of vectors land in the
+    // same cluster as the exact-pair connected components
+    "emb_clusters_ann" -> ((s, d) => {
+      val aug = plantedNearDups(t(s, d, "embeddings")).cache()
+      val nodes = aug.select(col("vec_id").as("id"))
+      val annCc = Dedup.connectedComponents(
+        Similarity.cosineNearDupPairsBanded(aug, "vec_id", "embedding",
+          dim = 64, threshold = 0.9), nodes)
+      val exactCc = Dedup.connectedComponents(
+        Similarity.cosineNearDupPairsExact(aug, "vec_id", "embedding",
+          threshold = 0.9), nodes)
+      annCc.alias("a").join(exactCc.alias("e"), Seq("id"))
+        .agg((avg(when(col("a.cluster") === col("e.cluster"), 1.0d)
+          .otherwise(0.0d)) >= 0.95).as("recall_ok"))
+    }),
     // semantic dedup: connected components over the exact cosine>=0.25
     // pair graph (every vec labeled; singletons label themselves)
     "emb_clusters" -> ((s, d) => {
@@ -468,7 +525,10 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(10)) =!= 0 ||
           pmod(col("doc_id"), lit(20)) === 0),
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text")
+        "doc_id", "text",
+        // stats-provided size bound (documents ≈ 50k/SF ≪ this): keeps the
+        // bloom ~1.2 MB instead of the no-stats 4M-item default
+        expectedItems = 1000000L)
     }),
     // per-source cap: keep <=10 docs per source in deterministic
     // md5-sample-key order (the per-domain cap of crawl curation)
@@ -705,7 +765,7 @@ object SparkEntry {
         |    COALESCE(SUM(n_tok) OVER (PARTITION BY k % 8 ORDER BY k
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM b)
         |SELECT doc_id, shard, CAST(floor(cum / 128.0) AS BIGINT) AS seq_in_shard,
-        |  cum % 128 AS offset FROM c""".stripMargin,
+        |  CAST(cum % 128 AS BIGINT) AS offset FROM c""".stripMargin,
     // data-card stats: quantile_cont mirrors Spark's interpolating
     // percentile (both linear-interpolate the sorted values)
     "corpus_stats" ->
@@ -779,6 +839,10 @@ object SparkEntry {
     // batched ANN: every probe must recover >= 2 of its exact top-3
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_batch_ann" -> "SELECT TRUE AS recall_ok",
+    // banded near-dup + its clustering verify as contracts (recall vs the
+    // in-harness exact ground truth over planted near-duplicates)
+    "emb_neardup_ann" -> "SELECT TRUE AS recall_ok",
+    "emb_clusters_ann" -> "SELECT TRUE AS recall_ok",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,

@@ -347,10 +347,37 @@ object Dedup {
   def newDocs(corpus: DataFrame, batch: DataFrame, idCol: String,
               textCol: String, expectedItems: Long = 0L,
               fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     val cfp = corpus.select(TextOps.fingerprint(col(textCol)).as("fp"))
-    val n = if (expectedItems > 0) expectedItems else math.max(cfp.count(), 1L)
-    val bloom = cfp.stat.bloomFilter("fp", n, fpp)
-    val mightContain = udf((s: String) => bloom.mightContainString(s))
+    // n: caller/stats-provided, else a fixed over-estimate — over-sizing
+    // costs bits (~1.2 MB/M items at 1% fpp), an extra corpus COUNT pass
+    // costs a full scan. Never count here.
+    val n = if (expectedItems > 0) expectedItems else 4000000L
+    // optimal bits for the requested fpp: m = −n·ln(p)/ln²2 (the 2-arg
+    // constructor would take the session's fixed numBits default, which at
+    // n=4M is ~2 bits/item ≈ useless)
+    val numBits = math.ceil(-n * math.log(fpp) /
+      (math.log(2.0) * math.log(2.0))).toLong
+    // one corpus pass: bloom_filter_agg over the fingerprint hash, handed
+    // to might_contain as a SCALAR SUBQUERY (the shape Spark's own
+    // InjectRuntimeFilter builds) — the subquery executes once, its binary
+    // result folds into the batch filters, and no driver-held-filter UDF
+    // or extra COUNT pass exists anywhere in the plan
+    val bloomDF = cfp.agg(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("fp"))),
+        org.apache.spark.sql.catalyst.expressions.Literal(n),
+        org.apache.spark.sql.catalyst.expressions.Literal(numBits))
+        .toAggregateExpression()).as("bloom"))
+    def mightContain(v: Column): Column =
+      ColumnBridge.column(BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          bloomDF.queryExecution.analyzed, Seq.empty,
+          org.apache.spark.sql.catalyst.expressions.NamedExpression.newExprId,
+          Seq.empty, None, None, None),
+        ColumnBridge.expression(xxhash64(v))))
     val b = batch.select(col(idCol),
       TextOps.fingerprint(col(textCol)).as("fp"))
     val definitelyNew = b.where(!mightContain(col("fp")))

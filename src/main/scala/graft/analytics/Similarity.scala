@@ -144,20 +144,16 @@ object Similarity {
 
   /** Random-hyperplane sign bucket: bit j = sign(Σᵢ rᵢⱼ·embᵢ) with
     * rᵢⱼ ∈ {−1,+1} derived from a hash of (j,i) — deterministic,
-    * data-independent (no training job). The plane matrix is folded into
-    * literal coefficient arrays at plan time, so each row costs exactly
-    * bits×dim fused multiply-adds inside codegen.
+    * data-independent (no training job). Evaluated by the native codegen
+    * [[graft.functions.SignBucket]] expression (bits×dim fused loop; the
+    * earlier `aggregate(zip_with(...))` column form was interpreted and
+    * needed compensating caches whenever bucketing fed a join).
+    * `planeOffset` selects an independent hyperplane band (band k of
+    * b bits passes k·b) for OR-amplified banded blocking.
     */
-  def signBucketExpr(vec: Column, dim: Int, bits: Int): Column =
-    (0 until bits).map { j =>
-      val coefs = array((0 until dim).map { i =>
-        lit(if ((graft.core.XXH64.hashInt(j * dim + i, 42L) & 1L) == 1L)
-          1.0d else -1.0d)
-      }: _*)
-      val s = aggregate(zip_with(vec, coefs, (x, c) => x.cast("double") * c),
-        lit(0.0d), (acc, x) => acc + x)
-      when(s > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
+  def signBucketExpr(vec: Column, dim: Int, bits: Int,
+                     planeOffset: Int = 0): Column =
+    graft.functions.SignBucket(vec, dim, bits, planeOffset)
 
   // ------------------------------------------------------------ IVF ANN
   // The trained-centroid counterpart to the sign-LSH path: fit a few
@@ -352,17 +348,52 @@ object Similarity {
                          dim: Int, threshold: Double,
                          bits: Int = -1): DataFrame = {
     val bb = if (bits >= 0) bits else autoBits(emb.count())
-    // cache: both join sides consume `b`; uncached, the (interpreted-HOF)
-    // sign-bucket expression would evaluate twice per row
+    // no cache: SignBucket is codegen'd, so recomputing the bucket on each
+    // join side is cheaper than a cache round-trip (the old HOF form needed
+    // the cache to avoid double interpreted evaluation)
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       signBucketExpr(col(vecCol), dim, bb).as("bucket"))
-      .cache()
     val l = b.alias("l")
     val r = b.alias("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
         cosine(col("l.v"), col("r.v")).as("cos"))
       .where(col("cos") >= threshold)
+  }
+
+  /** Banded (OR-amplified) sign-LSH near-duplicate pairs: each vector
+    * buckets under `bands` INDEPENDENT hyperplane bands of `bitsPerBand`
+    * bits; candidates are same-(band,bucket) pairs; membership is decided
+    * by an exact cosine ≥ threshold verify — so precision is exact and the
+    * only approximation is missed pairs. A pair with cosine c collides in
+    * one band with probability p^b (p = 1 − arccos(c)/π), so its miss
+    * probability is (1 − p^b)^R — e.g. c = 0.95 with b = 12, R = 8 misses
+    * 6×10⁻³; c = 0.996 misses 5×10⁻⁵. Unrelated pairs (c ≈ 0) collide with
+    * p ≈ 2⁻ᵇ per band, so candidate volume is ~R·n²/2ᵇ — the shuffle key is
+    * (band, bucket) and nothing is quadratic in the plan (equi-join, never
+    * a cartesian). This is the default near-dup path at scale;
+    * [[cosineNearDupPairsExact]] remains the small-corpus/oracle anchor.
+    *
+    * Reference counterpart: none (the reference has no embedding ops);
+    * the banding mirrors Dedup.minhash's LSH-band + exact-verify contract.
+    */
+  def cosineNearDupPairsBanded(emb: DataFrame, idCol: String,
+                               vecCol: String, dim: Int, threshold: Double,
+                               bands: Int = 8,
+                               bitsPerBand: Int = 12): DataFrame = {
+    val buckets = array((0 until bands).map(k =>
+      signBucketExpr(col(vecCol), dim, bitsPerBand, k * bitsPerBand)): _*)
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        posexplode(buckets).as(Seq("band", "bucket")))
+    val l = b.alias("l")
+    val r = b.alias("r")
+    // exact-cosine verify BEFORE the pair dedup, so the dedup exchange
+    // carries only true pairs (ids), never the candidate volume
+    l.join(r, col("l.band") === col("r.band") &&
+        col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .where(cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** EXACT embedding-cosine near-duplicate pairs: all-pairs self-join with

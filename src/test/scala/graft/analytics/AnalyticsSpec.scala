@@ -159,6 +159,48 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(b(0L) !== b(2L))
   }
 
+  test("SignBucket: interpreted eval equals codegen; planeOffset varies band") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 32L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    // codegen path (whole-stage)
+    val fromDf = emb.select(col("vec_id"),
+        Similarity.signBucketExpr(col("embedding"), 16, 10).as("b0"),
+        Similarity.signBucketExpr(col("embedding"), 16, 10, 10).as("b1"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // interpreted path (direct Expression.eval)
+    vecs.foreach { case (id, v) =>
+      val litArr = Literal.create(v, ArrayType(FloatType))
+      val b0 = graft.functions.SignBucket(litArr, 16, 10, 0).eval(null)
+      val b1 = graft.functions.SignBucket(litArr, 16, 10, 10).eval(null)
+      assert((b0, b1) === fromDf(id), s"interpreted/codegen mismatch for $id")
+    }
+    // bands are genuinely independent plane families
+    assert(vecs.exists { case (id, _) => fromDf(id)._1 !== fromDf(id)._2 })
+  }
+
+  test("banded near-dup pairs: finds planted near-dups, exact precision") {
+    val rnd = new scala.util.Random(3)
+    val base = (0L until 60L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    // plant a near-dup of every 10th vector: tiny relative perturbation
+    val planted = base.collect { case (i, v) if i % 10 == 0 =>
+      (i + 1000L, v.map(x => x * (1.0f + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val ann = Similarity.cosineNearDupPairsBanded(emb, "vec_id", "embedding",
+        dim = 32, threshold = 0.9, bands = 8, bitsPerBand = 12)
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding",
+        threshold = 0.9).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "ground truth must be non-vacuous")
+    // precision is exact by construction; recall: planted pairs at
+    // cos≈0.999 have per-band collision ~0.97^12, miss < 1e-4
+    assert(ann.subsetOf(exact))
+    assert(ann === exact, s"missed pairs: ${exact -- ann}")
+  }
+
   test("lshBatchTopK honors the full requested probe radius") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 40L)

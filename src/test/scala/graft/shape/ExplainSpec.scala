@@ -140,6 +140,30 @@ class ExplainSpec extends AnyFunSuite {
       plan.contains("LeftSemi"), s"expected broadcast semi-join:\n$plan")
   }
 
+  test("banded near-dup: equi-join on (band,bucket), never a cartesian") {
+    import graft.analytics.Similarity
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(5)
+    val emb = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val plan = Similarity.cosineNearDupPairsBanded(emb, "vec_id", "embedding",
+        dim = 16, threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      s"banded path must not be quadratic:\n$plan")
+    assert(!plan.toLowerCase.contains("nestedloop"),
+      s"banded path must not nested-loop:\n$plan")
+    // the candidate join IS an equi-join keyed on the band bucket
+    assert(plan.contains("graft_sign_bucket"), plan)
+    // contrast: the exact path is the cartesian (documented anchor)
+    val exactPlan = Similarity.cosineNearDupPairsExact(emb, "vec_id",
+        "embedding", threshold = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("CartesianProduct") ||
+      exactPlan.toLowerCase.contains("nestedloop"), exactPlan)
+  }
+
   test("whole-stage codegen covers the traversal join pipeline") {
     val g = Graph.read(spark, dir)
     val df = Exec.lower(g, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows"))
