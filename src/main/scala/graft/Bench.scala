@@ -21,7 +21,8 @@ object Bench {
     "text_repetition", "text_redact", "text_pack", "text_chunks",
     "text_tfidf", "corpus_stats", "doc_sample",
     "q_sessionize", "q_session_stats",
-    "sim_topk", "sim_ann", "sim_ivf", "emb_neardup", "emb_clusters")
+    "sim_topk", "sim_ann", "sim_ivf", "emb_neardup", "emb_clusters",
+    "emb_neardup_ann", "emb_clusters_ann")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query subset (iteration aid; the
@@ -68,6 +69,11 @@ object Bench {
         try SparkEntry.queries(n)(spark, warmDir)
           .write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
+        // warm-up is for codegen/JIT, not caches: queries sharing cached
+        // subplans would otherwise re-cache and warn (keep the sf0.001
+        // GRAPH cached though — the g_* warm-ups all reuse it)
+        if (!n.startsWith("g_"))
+          spark.sharedState.cacheManager.clearCache()
       }
       // the N-Quads parse path (movie_load) compiles separately — warm it
       // on the 15-quad reference fixture
@@ -78,6 +84,12 @@ object Bench {
       } catch { case _: Throwable => () }
     }
 
+    // drop every cache the warm-up phase left behind (sf0.001 graph,
+    // per-query intermediates): timing starts from a clean cache manager,
+    // so no "Asked to cache already cached data" noise and no cross-scale
+    // cache pressure
+    spark.sharedState.cacheManager.clearCache()
+
     // load phase: materialize the cached graph once (bulk-load metric)
     val loadSec = time { SparkEntry.graph(spark, sfDir).stats }
 
@@ -85,12 +97,24 @@ object Bench {
     // a failed query is an explicit -1 entry + an errors record, never a
     // silently-fast timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // min of 2 independent runs per query: a single contended sample on a
+    // shared machine produced a 4× phantom regression in round 3. Graph
+    // (g_*) queries share the cached graph and never re-cache, so both
+    // runs are independent as-is; every other query gets a cache clear
+    // after EACH run so run 2 recomputes from parquet rather than reading
+    // run 1's intermediates back (and so one query's caches never distort
+    // the next query's memory budget).
     val results = headline.filter(qs.contains)
       .filter(n => only.forall(_.contains(n))).map { name =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save(); true }
-        catch {
+      val usesGraph = name.startsWith("g_")
+      def once(): Double =
+        try {
+          val t0 = System.nanoTime()
+          qs(name)(spark, sfDir).write.mode("overwrite").format("noop").save()
+          val dt = (System.nanoTime() - t0) / 1e9
+          if (!usesGraph) spark.sharedState.cacheManager.clearCache()
+          dt
+        } catch {
           case e: Throwable =>
             // JSON-safe: backslash/quote escaped, ALL control chars (incl.
             // \r from CRLF messages, tabs) dropped so the line stays parseable
@@ -98,9 +122,12 @@ object Bench {
               String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
               .replace("\\", "\\\\").replace("\"", "\\\"")
               .filter(_ >= ' ')
-            false
+            if (!usesGraph) spark.sharedState.cacheManager.clearCache()
+            -1.0
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val r1 = once()
+      val r2 = if (r1 >= 0) once() else -1.0
+      name -> (if (r1 >= 0 && r2 >= 0) math.min(r1, r2) else -1.0)
     }
 
     // BASELINE.md parity block: the reference's own benchmark corpus
@@ -125,11 +152,12 @@ object Bench {
         val starring = iri("/film/film/starring")
         def actorToFilm = Path.morphism().in(perfActor).in(starring)
         def getId(n: String) = Path.start(str(n)).in(name)
-        val tTwo = time {
+        def min2(f: => Unit): Double = { val a = time(f); math.min(a, time(f)) }
+        val tTwo = min2 {
           Exec.run(g, getId("Oliver Hardy").follow(actorToFilm).out(name)
             .and(getId("Mel Blanc").follow(actorToFilm).out(name))).values()
         }
-        val tThree = time {
+        val tThree = min2 {
           val a = getId("Oliver Hardy").follow(actorToFilm).followReverse(actorToFilm)
           val b = getId("Mel Blanc").follow(actorToFilm).followReverse(actorToFilm)
           val c = getId("Billy Gilbert").follow(actorToFilm).followReverse(actorToFilm)
