@@ -235,6 +235,23 @@ object SparkEntry {
         """g.V(iri("customer:1")).out(iri("c_mktsegment")).forEach(function(o){ g.emit(o.id) })""")
         .map(_("id")).toDF("node")
     }),
+    // a general multi-statement Gizmo PROGRAM: user-defined helper function
+    // with return, while loop, for-in over a traversal result, if/else,
+    // arithmetic and string concatenation — the gizmo.go JS-host surface
+    // beyond fluent chains
+    "g_gizmo_program" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """function regionName(r) { return g.V(r).out(iri("r_name")).toValue(); }
+          |var regions = g.V().out(iri("n_region")).unique().toArray();
+          |var i = 0;
+          |var n = 0;
+          |while (i < regions.length) { n = n + 1; i = i + 1; }
+          |for (j in regions) { g.emit(regionName(regions[j])); }
+          |g.emit("regions=" + n);
+          |if (n > 3) { g.emit("many"); } else { g.emit("few"); }""".stripMargin)
+        .map(_("id")).toDF("node")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -334,6 +351,15 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin,
     "g_gizmo_emit" ->
       "SELECT c_mktsegment AS node FROM customer WHERE c_custkey = 1",
+    // the program emits: each referenced region's name (via the helper
+    // function), "regions=<count>", and the if-branch label
+    "g_gizmo_program" ->
+      """SELECT r_name AS node FROM region r
+        |WHERE EXISTS (SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey)
+        |UNION ALL
+        |SELECT 'regions=' || CAST(COUNT(DISTINCT n_regionkey) AS VARCHAR) FROM nation
+        |UNION ALL
+        |SELECT CASE WHEN COUNT(DISTINCT n_regionkey) > 3 THEN 'many' ELSE 'few' END FROM nation""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->

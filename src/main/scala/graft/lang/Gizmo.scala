@@ -9,14 +9,22 @@ import graft.shape.ValueFilter._
 /** Gizmo-style front-end: the reference's primary query surface is
   * JavaScript hosting the traversal API
   * (/root/reference/query/gizmo/gizmo.go:85-121). Embedding a JS engine is
-  * out of scope (SURVEY §7.4); this interprets the statement/expression
-  * subset the Gizmo corpus actually uses — `var x = ...` statements, method
+  * out of scope (SURVEY §7.4); this interprets a general STATEMENT subset:
+  * `var` declarations and assignment, full operator expressions with JS
+  * precedence (`+ - * / %`, `< <= > >= == != === !==`, `&& || !`, string
+  * concatenation with `+`), `if`/`else`, `while`, user-defined functions
+  * (`function f(a, b) { ... return ...; }`, recursion included), method
   * chains, `g.M()` morphisms, value builders (iri/bnode/gt/lt/regex/like),
   * finals (all/getLimit/count/toArray/tagArray/toValue/tagValue),
-  * `g.emit(...)`, single-parameter `function(x){...}` callbacks for
-  * forEach/map, `for (i in arr)` loops with `arr[i]` indexing, and
-  * namespaces (addNamespace/addDefaultNamespaces). Anything beyond that
-  * (arithmetic, object literals, closures) raises a clear parse error.
+  * `g.emit(...)`, `function(x){...}` callbacks for forEach/map,
+  * `for (i in arr)` loops with `arr[i]` indexing, `.length`, and
+  * namespaces (addNamespace/addDefaultNamespaces).
+  *
+  * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent): object
+  * literals (`{k: v}`), closures capturing loop variables by reference,
+  * classic `for(;;)` loops, `+=`-style compound assignment, bitwise
+  * operators, prototype/builtin JS methods (e.g. `Array.push`,
+  * `String.substring`). While-loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -30,11 +38,18 @@ object Gizmo {
   private case class TStr(s: String) extends Tok
   private case class TNum(s: String) extends Tok
   private case class TPunct(c: Char) extends Tok
+  private case class TOp(s: String) extends Tok
 
   private def tokenize(q: String): Vector[Tok] = {
-    val toks = Vector.newBuilder[Tok]
+    var toks = Vector.empty[Tok]
     var i = 0
     val n = q.length
+    // a '-' after an operand is binary subtraction; otherwise the sign of
+    // a numeric literal
+    def afterOperand: Boolean = toks.lastOption.exists {
+      case TNum(_) | TIdent(_) | TStr(_) | TPunct(')') | TPunct(']') => true
+      case _ => false
+    }
     while (i < n) {
       val c = q.charAt(i)
       if (c.isWhitespace) i += 1
@@ -51,22 +66,34 @@ object Gizmo {
         }
         if (i >= n) throw GizmoError("unterminated string")
         i += 1
-        toks += TStr(sb.toString)
+        toks :+= TStr(sb.toString)
       } else if (c.isLetter || c == '_' || c == '$') {
         val start = i
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_' || q.charAt(i) == '$')) i += 1
-        toks += TIdent(q.substring(start, i))
-      } else if (c.isDigit || (c == '-' && i + 1 < n && q.charAt(i + 1).isDigit)) {
+        toks :+= TIdent(q.substring(start, i))
+      } else if (c.isDigit ||
+        (c == '-' && !afterOperand && i + 1 < n && q.charAt(i + 1).isDigit)) {
         val start = i
         i += 1
         while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.' ||
           q.charAt(i) == 'e' || q.charAt(i) == 'E')) i += 1
-        toks += TNum(q.substring(start, i))
-      } else if ("().,;=[]{}:+".indexOf(c) >= 0) {
-        toks += TPunct(c); i += 1
-      } else throw GizmoError(s"unexpected character '$c' (full JavaScript is not supported; use the fluent-chain subset)")
+        toks :+= TNum(q.substring(start, i))
+      } else if (c == '=' || c == '!' || c == '<' || c == '>') {
+        // ===, ==, =, !==, !=, !, <=, <, >=, >
+        var op = c.toString
+        i += 1
+        while (i < n && q.charAt(i) == '=' && op.length < 3) { op += "="; i += 1 }
+        if (op == "=") toks :+= TPunct('=') else toks :+= TOp(op)
+      } else if (c == '&' || c == '|') {
+        if (i + 1 < n && q.charAt(i + 1) == c) { toks :+= TOp(s"$c$c"); i += 2 }
+        else throw GizmoError(s"unexpected character '$c' (bitwise operators are not supported)")
+      } else if (c == '+' || c == '-' || c == '*' || c == '/' || c == '%') {
+        toks :+= TOp(c.toString); i += 1
+      } else if ("().,;=[]{}:".indexOf(c) >= 0) {
+        toks :+= TPunct(c); i += 1
+      } else throw GizmoError(s"unexpected character '$c' (full JavaScript is not supported; use the statement subset)")
     }
-    toks.result()
+    toks
   }
 
   // ------------------------------------------------------- parsed values
@@ -82,7 +109,10 @@ object Gizmo {
   private case class GResult(rows: Seq[Map[String, String]],
                              raw: Seq[Map[String, QValue]]) extends GVal
   private case class GTagMap(m: Map[String, QValue]) extends GVal
-  private case class GFunc(param: String, body: Vector[Tok]) extends GVal
+  private case class GFunc(params: Seq[String], body: Vector[Tok]) extends GVal
+  /** `return` unwinds to the nearest enclosing function call. */
+  private case class ReturnSignal(v: GVal)
+      extends scala.util.control.ControlThrowable
   /** count() result: a number in expressions, a count row as a final. */
   private case class GCount(n: Long) extends GVal
   private case object GNull extends GVal
@@ -120,9 +150,21 @@ object Gizmo {
 
       def run(toks: Vector[Tok]): Seq[Map[String, String]] = {
         val c = new Cursor(toks)
-        while (c.more) statement(c)
+        try while (c.more) statement(c)
+        catch {
+          case ReturnSignal(_) =>
+            throw GizmoError("return outside of a function")
+        }
         out
       }
+
+      private def runToks(toks: Vector[Tok]): Unit = {
+        val bc = new Cursor(toks)
+        while (bc.more) statement(bc)
+      }
+
+      private def evalToks(toks: Vector[Tok]): GVal =
+        if (toks.isEmpty) GNull else parseExpr(new Cursor(toks))
 
       private def statement(c: Cursor): Unit = c.peek match {
         case Some(TPunct(';')) => c.next()
@@ -138,6 +180,46 @@ object Gizmo {
           }
           c.expect('=')
           vars(name) = parseExpr(c)
+        case Some(TIdent("if")) =>
+          c.next()
+          val cond = captureParen(c)
+          val thenB = captureStatement(c)
+          // `if (x) stmt; else ...` — the ';' ends the then-branch but must
+          // not hide the else keyword
+          if (c.peek.contains(TPunct(';')) &&
+            c.pos + 1 < c.toks.length && c.toks(c.pos + 1) == TIdent("else"))
+            c.next()
+          val elseB =
+            if (c.peek.contains(TIdent("else"))) { c.next(); captureStatement(c) }
+            else Vector.empty[Tok]
+          if (truthy(evalToks(cond))) runToks(thenB) else runToks(elseB)
+        case Some(TIdent("while")) =>
+          c.next()
+          val cond = captureParen(c)
+          val body = captureStatement(c)
+          var iters = 0
+          while (truthy(evalToks(cond))) {
+            runToks(body)
+            iters += 1
+            if (iters > 1000000)
+              throw GizmoError("while loop exceeded 1,000,000 iterations")
+          }
+        case Some(TIdent("function"))
+          if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
+          // named declaration: function name(p1, p2) { ... }
+          c.next()
+          val name = c.next() match {
+            case TIdent(s) => s
+            case other     => throw GizmoError(s"expected function name, got $other")
+          }
+          vars(name) = parseFunctionRest(c)
+        case Some(TIdent("return")) =>
+          c.next()
+          val v =
+            if (!c.more || c.peek.contains(TPunct(';')) ||
+              c.peek.contains(TPunct('}'))) GNull
+            else parseExpr(c)
+          throw ReturnSignal(v)
         case Some(TIdent("for")) =>
           c.next(); c.expect('(')
           val idx = c.next() match {
@@ -146,7 +228,7 @@ object Gizmo {
           }
           c.next() match {
             case TIdent("in") =>
-            case other => throw GizmoError(s"expected 'in', got $other")
+            case other => throw GizmoError(s"expected 'in', got $other (only for-in loops are supported)")
           }
           val arr = parseExpr(c) match {
             case GArr(vs)    => vs
@@ -159,8 +241,7 @@ object Gizmo {
           val body = captureStatement(c)
           arr.indices.foreach { i =>
             vars(idx) = GNumV(i.toDouble, isInt = true)
-            val bc = new Cursor(body)
-            while (bc.more) statement(bc)
+            runToks(body)
           }
         case Some(TIdent(name))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1) == TPunct('=') =>
@@ -173,6 +254,60 @@ object Gizmo {
             case _          => // expression without final: no output
           }
         case None =>
+      }
+
+      /** Parse `(p1, p2, ...) { body }` after the `function` keyword (and
+        * optional name) have been consumed.
+        */
+      private def parseFunctionRest(c: Cursor): GFunc = {
+        c.expect('(')
+        val params = Vector.newBuilder[String]
+        var first = true
+        while (!c.peek.contains(TPunct(')'))) {
+          if (!first) c.expect(',')
+          first = false
+          c.next() match {
+            case TIdent(s) => params += s
+            case other     => throw GizmoError(s"expected parameter name, got $other")
+          }
+        }
+        c.expect(')')
+        if (!c.peek.contains(TPunct('{')))
+          throw GizmoError("expected function body { ... }")
+        GFunc(params.result(), captureStatement(c))
+      }
+
+      /** Call a user function: parameters shadow (and restore) outer vars,
+        * `return` unwinds via ReturnSignal. Recursion works because each
+        * call saves/restores its own shadow set.
+        */
+      private def callFunction(f: GFunc, args: Seq[GVal]): GVal = {
+        val saved = f.params.map(p => p -> vars.get(p))
+        f.params.zipWithIndex.foreach { case (p, i) =>
+          vars(p) = args.lift(i).getOrElse(GNull)
+        }
+        try { runToks(f.body); GNull }
+        catch { case ReturnSignal(v) => v }
+        finally saved.foreach {
+          case (p, Some(old)) => vars(p) = old
+          case (p, None)      => vars.remove(p)
+        }
+      }
+
+      /** Capture the parenthesized condition tokens (excl. the parens). */
+      private def captureParen(c: Cursor): Vector[Tok] = {
+        c.expect('(')
+        val start = c.pos
+        var depth = 1
+        while (depth > 0 && c.more) {
+          c.next() match {
+            case TPunct('(') => depth += 1
+            case TPunct(')') => depth -= 1
+            case _           =>
+          }
+        }
+        if (depth > 0) throw GizmoError("unterminated ( ... )")
+        c.toks.slice(start, c.pos - 1)
       }
 
       /** Capture one statement (a `{...}` block or up to `;`/`}`/EOF) as a
@@ -195,8 +330,8 @@ object Gizmo {
           var done = false
           while (!done && c.more) {
             c.toks(c.pos) match {
-              case TPunct('(') | TPunct('[') => depth += 1; c.next()
-              case TPunct(')') | TPunct(']') => depth -= 1; c.next()
+              case TPunct('(') | TPunct('[') | TPunct('{') => depth += 1; c.next()
+              case TPunct(')') | TPunct(']') | TPunct('}') => depth -= 1; c.next()
               case TPunct(';') if depth == 0 => done = true
               case _                         => c.next()
             }
@@ -302,6 +437,12 @@ object Gizmo {
           case (GEnv, "addDefaultNamespaces") =>
             namespaces ++= DefaultNamespaces; GNull
           case (GPath(p), m) => pathCall(p, m, args)
+          case (GArr(vs), "length") if args.isEmpty =>
+            GNumV(vs.length.toDouble, isInt = true)
+          case (GResult(rows, _), "length") if args.isEmpty =>
+            GNumV(rows.length.toDouble, isInt = true)
+          case (GValue(QValue.Str(s)), "length") if args.isEmpty =>
+            GNumV(s.length.toDouble, isInt = true)
           case (GTagMap(tm), field) if args.isEmpty =>
             tm.get(field).map(GValue(_)).getOrElse(GNull)
           case (recv, m) => throw GizmoError(s"cannot call .$m on $recv")
@@ -415,10 +556,12 @@ object Gizmo {
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
           val fn = args.collectFirst { case f: GFunc => f }.getOrElse(
             throw GizmoError(s".$m requires a function(x){...} callback"))
+          val param = fn.params.headOption.getOrElse(
+            throw GizmoError(s".$m callback needs one parameter"))
           rawRows(p, lim).foreach { row =>
-            vars(fn.param) = GTagMap(row)
-            val bc = new Cursor(fn.body)
-            while (bc.more) statement(bc)
+            vars(param) = GTagMap(row)
+            try runToks(fn.body)
+            catch { case ReturnSignal(_) => () } // a return ends this row
           }
           GNull
         case other => throw GizmoError(s"unknown traversal .$other")
@@ -452,15 +595,11 @@ object Gizmo {
         case TIdent("false") => GBoolV(false)
         case TIdent("null")  => GNull
         case TIdent("function") =>
-          c.expect('(')
-          val param = c.next() match {
-            case TIdent(s) => s
-            case other     => throw GizmoError(s"expected parameter name, got $other")
-          }
-          c.expect(')')
-          if (!c.peek.contains(TPunct('{')))
-            throw GizmoError("expected function body { ... }")
-          GFunc(param, captureStatement(c))
+          parseFunctionRest(c) // anonymous: function(p1, p2) { ... }
+        case TIdent(fn) if c.peek.contains(TPunct('(')) &&
+          vars.get(fn).exists(_.isInstanceOf[GFunc]) =>
+          // user-defined function call — user bindings shadow builtins
+          callFunction(vars(fn).asInstanceOf[GFunc], parseArgs(c))
         case TIdent(fn) if c.peek.contains(TPunct('(')) =>
           val args = parseArgs(c)
           fn match {
@@ -509,6 +648,10 @@ object Gizmo {
           }
           c.expect(']')
           GArr(vs.result())
+        case TPunct('(') => // parenthesized sub-expression
+          val v = parseExpr(c)
+          c.expect(')')
+          v
         case TPunct('{') =>
           throw GizmoError("object literals are not supported (issue #254 semantics)")
         case other => throw GizmoError(s"unexpected token $other")
@@ -519,25 +662,187 @@ object Gizmo {
         case other => throw GizmoError(s"expected string arg, got $other")
       }
 
-      private def parseExpr(c: Cursor): GVal = {
-        var v = parsePostfix(c)
-        // additive arithmetic on numbers (enough for the corpus's count()+1)
-        while (c.peek.contains(TPunct('+'))) {
+      // --------------------------------------- expressions (JS precedence)
+      // || < && < equality < relational < additive < multiplicative < unary
+      private def parseExpr(c: Cursor): GVal = parseOr(c)
+
+      private def parseOr(c: Cursor): GVal = {
+        var v = parseAnd(c)
+        while (c.peek.contains(TOp("||"))) {
           c.next()
-          val r = parsePostfix(c)
-          v = (num(v), num(r)) match {
-            case (Some(a), Some(b)) => GNumV(a + b,
-              isInt = a == a.floor && b == b.floor)
-            case _ => throw GizmoError(s"cannot add $v and $r")
-          }
+          val r = parseAnd(c) // eager RHS; JS value semantics preserved
+          v = if (truthy(v)) v else r
         }
         v
+      }
+
+      private def parseAnd(c: Cursor): GVal = {
+        var v = parseEq(c)
+        while (c.peek.contains(TOp("&&"))) {
+          c.next()
+          val r = parseEq(c)
+          v = if (!truthy(v)) v else r
+        }
+        v
+      }
+
+      private def parseEq(c: Cursor): GVal = {
+        var v = parseRel(c)
+        var done = false
+        while (!done) c.peek match {
+          case Some(TOp(op @ ("==" | "!=" | "===" | "!=="))) =>
+            c.next()
+            val r = parseRel(c)
+            val eq = eqVals(v, r, strict = op.length == 3)
+            v = GBoolV(if (op.startsWith("!")) !eq else eq)
+          case _ => done = true
+        }
+        v
+      }
+
+      private def parseRel(c: Cursor): GVal = {
+        var v = parseAdd(c)
+        var done = false
+        while (!done) c.peek match {
+          case Some(TOp(op @ ("<" | "<=" | ">" | ">="))) =>
+            c.next()
+            val r = parseAdd(c)
+            val cmp = compareVals(v, r, op)
+            v = GBoolV(cmp)
+          case _ => done = true
+        }
+        v
+      }
+
+      private def parseAdd(c: Cursor): GVal = {
+        var v = parseMul(c)
+        var done = false
+        while (!done) c.peek match {
+          case Some(TOp("+")) =>
+            c.next()
+            val r = parseMul(c)
+            v = addVals(v, r)
+          case Some(TOp("-")) =>
+            c.next()
+            val r = parseMul(c)
+            v = arith(v, r, "-")
+          case _ => done = true
+        }
+        v
+      }
+
+      private def parseMul(c: Cursor): GVal = {
+        var v = parseUnary(c)
+        var done = false
+        while (!done) c.peek match {
+          case Some(TOp(op @ ("*" | "/" | "%"))) =>
+            c.next()
+            val r = parseUnary(c)
+            v = arith(v, r, op)
+          case _ => done = true
+        }
+        v
+      }
+
+      private def parseUnary(c: Cursor): GVal = c.peek match {
+        case Some(TOp("!")) =>
+          c.next(); GBoolV(!truthy(parseUnary(c)))
+        case Some(TOp("-")) =>
+          c.next()
+          num(parseUnary(c)) match {
+            case Some(d) => GNumV(-d, isInt = d == d.floor)
+            case None    => throw GizmoError("unary - expects a number")
+          }
+        case _ => parsePostfix(c)
       }
 
       private def num(v: GVal): Option[Double] = v match {
         case GNumV(d, _) => Some(d)
         case GCount(n)   => Some(n.toDouble)
+        case GBoolV(b)   => Some(if (b) 1.0 else 0.0)
         case _           => None
+      }
+
+      private def truthy(v: GVal): Boolean = v match {
+        case GBoolV(b)             => b
+        case GNumV(d, _)           => d != 0
+        case GCount(n)             => n != 0
+        case GNull                 => false
+        case GValue(QValue.Str(s)) => s.nonEmpty
+        case _                     => true
+      }
+
+      /** JS-ish rendering for string concatenation and loose equality. */
+      private def renderVal(v: GVal): String = v match {
+        case GNumV(d, true)        => d.toLong.toString
+        case GNumV(d, _)           => d.toString
+        case GCount(n)             => n.toString
+        case GBoolV(b)             => b.toString
+        case GNull                 => "null"
+        case GValue(QValue.Str(s)) => s
+        case GValue(qv)            => qv.sortKey
+        case other                 => throw GizmoError(s"cannot render $other as a string")
+      }
+
+      private def isStr(v: GVal): Boolean = v match {
+        case GValue(QValue.Str(_)) => true
+        case _                     => false
+      }
+
+      private def addVals(a: GVal, b: GVal): GVal =
+        if (isStr(a) || isStr(b))
+          GValue(QValue.Str(renderVal(a) + renderVal(b)))
+        else arith(a, b, "+")
+
+      private def arith(a: GVal, b: GVal, op: String): GVal =
+        (num(a), num(b)) match {
+          case (Some(x), Some(y)) =>
+            val d = op match {
+              case "+" => x + y
+              case "-" => x - y
+              case "*" => x * y
+              case "/" => x / y
+              case "%" => x % y
+            }
+            GNumV(d, isInt = !d.isNaN && !d.isInfinite && d == d.floor)
+          case _ => throw GizmoError(s"cannot apply $op to $a and $b")
+        }
+
+      private def eqVals(a: GVal, b: GVal, strict: Boolean): Boolean =
+        if (strict) (a, b) match {
+          case (x, y) if numLike(x) && numLike(y) => num(x) == num(y)
+          case (GBoolV(x), GBoolV(y)) => x == y
+          case (GValue(x), GValue(y)) => x == y
+          case (GNull, GNull)         => true
+          case _                      => false
+        } else (num(a), num(b)) match {
+          case (Some(x), Some(y)) => x == y
+          case _ => (a, b) match {
+            case (GNull, GNull) => true
+            case (GNull, _) | (_, GNull) => false
+            case _ => renderVal(a) == renderVal(b)
+          }
+        }
+
+      private def numLike(v: GVal): Boolean = v match {
+        case GNumV(_, _) | GCount(_) => true
+        case _                       => false
+      }
+
+      private def compareVals(a: GVal, b: GVal, op: String): Boolean = {
+        val c0 = (num(a), num(b)) match {
+          case (Some(x), Some(y)) => java.lang.Double.compare(x, y)
+          case _ => (a, b) match {
+            case (GValue(QValue.Str(x)), GValue(QValue.Str(y))) => x.compareTo(y)
+            case _ => throw GizmoError(s"cannot compare $a $op $b")
+          }
+        }
+        op match {
+          case "<" => c0 < 0
+          case "<=" => c0 <= 0
+          case ">" => c0 > 0
+          case ">=" => c0 >= 0
+        }
       }
 
       private def parsePostfix(c: Cursor): GVal = {

@@ -256,9 +256,74 @@ class GizmoSpec extends AnyFunSuite {
       Seq("cool_person"))
   }
   test("unsupported full JS raises a clear error") {
+    // the documented error surface: each unsupported form fails loudly
     intercept[Gizmo.GizmoError] {
-      session.execute("""g.emit(2 * 3)""") // beyond the additive subset
+      session.execute("""var o = {a: 1}; g.emit(o)""") // object literal
     }
+    intercept[Gizmo.GizmoError] {
+      session.execute("""var i = 0; i += 1; g.emit(i)""") // compound assign
+    }
+    intercept[Gizmo.GizmoError] {
+      session.execute("""for (var i = 0; i < 3; i = i + 1) g.emit(i)""") // classic for
+    }
+    intercept[Gizmo.GizmoError] {
+      session.execute("""g.emit(1 & 2)""") // bitwise
+    }
+    intercept[Gizmo.GizmoError] {
+      session.execute("""return 4""") // return outside a function
+    }
+  }
+
+  test("general statements: arithmetic, precedence, string concat") {
+    check("""g.emit(2 * 3 + 4)""", Seq("10"))
+    check("""g.emit(2 + 3 * 4)""", Seq("14"))
+    check("""g.emit((2 + 3) * 4)""", Seq("20"))
+    check("""g.emit(7 % 3)""", Seq("1"))
+    check("""g.emit(10 - 2 - 3)""", Seq("5"))
+    check("""g.emit(-3 + 5)""", Seq("2"))
+    check("""var n = 2; g.emit("n=" + n)""", Seq("n=2"))
+  }
+
+  test("general statements: if/else and comparisons") {
+    check("""var x = 3; if (x > 2) { g.emit("big") } else { g.emit("small") }""",
+      Seq("big"))
+    check("""var x = 1; if (x >= 2) g.emit("big"); else g.emit("small");""",
+      Seq("small"))
+    check("""if (1 == 1 && 2 != 3) g.emit("and")""", Seq("and"))
+    check("""if (1 === 2 || !false) g.emit("or")""", Seq("or"))
+    check("""if ("a" < "b") g.emit("lex")""", Seq("lex"))
+  }
+
+  test("general statements: while loop with assignment") {
+    check(
+      """var i = 0
+        |var total = 0
+        |while (i < 5) { total = total + i; i = i + 1 }
+        |g.emit(total)""".stripMargin,
+      Seq("10"))
+  }
+
+  test("general statements: user-defined functions with return") {
+    check(
+      """function add(a, b) { return a + b; }
+        |g.emit(add(2, 3))""".stripMargin,
+      Seq("5"))
+    // recursion
+    check(
+      """function fact(n) { if (n <= 1) { return 1; } return n * fact(n - 1); }
+        |g.emit(fact(5))""".stripMargin,
+      Seq("120"))
+    // functions can run traversals and return results
+    check(
+      """function followers(x) { return g.V(x).in("<follows>").toArray(); }
+        |var arr = followers("<bob>")
+        |g.emit(arr.length)""".stripMargin,
+      Seq("3"))
+  }
+
+  test("general statements: .length on arrays and strings") {
+    check("""g.emit([1, 2, 3].length)""", Seq("3"))
+    check("""g.emit("hello".length)""", Seq("5"))
   }
   test("show ToArray") {
     check(
