@@ -8,8 +8,8 @@ import org.apache.spark.sql.SparkSession
   * format, write any writable one.
   *
   * Usage: runMain graft.Convert <in> <inFormat> <out> <outFormat>
-  *   inFormat:  nquads | json | jsonld | parquet
-  *   outFormat: nquads | json | jsonld | graphml | gml | parquet
+  *   inFormat:  nquads | json | jsonld | graphml | gml | pq | parquet
+  *   outFormat: nquads | json | jsonld | graphml | gml | pq | parquet
   */
 object Convert {
   def main(args: Array[String]): Unit = {
@@ -27,6 +27,9 @@ object Convert {
       case "nquads"  => Graph.fromNQuads(spark, in)
       case "json"    => Formats.readJsonLines(spark, in)
       case "jsonld"  => Formats.readJsonLd(spark, in)
+      case "graphml" => Formats.readGraphml(spark, in)
+      case "gml"     => Formats.readGml(spark, in)
+      case "pq"      => graft.core.Pquads.readFile(spark, in)
       case "parquet" => Graph.read(spark, in)
       case other => sys.error(s"unreadable format: $other")
     }
@@ -45,6 +48,7 @@ object Convert {
         val w = java.nio.file.Files.newBufferedWriter(
           java.nio.file.Paths.get(out))
         try Formats.writeGml(g, w) finally w.close()
+      case "pq"      => graft.core.Pquads.writeFile(g, out)
       case "parquet" => g.write(out)
       case other => sys.error(s"unwritable format: $other")
     }

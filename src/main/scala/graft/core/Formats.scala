@@ -49,8 +49,9 @@ object Formats {
     Format("nquads", read = true, write = true, Seq("application/n-quads")),
     Format("json", read = true, write = true, Seq("application/json")),
     Format("jsonld", read = true, write = true, Seq("application/ld+json")),
-    Format("graphml", read = false, write = true, Seq("application/xml")),
-    Format("gml", read = false, write = true, Seq("text/x-gml")),
+    Format("graphml", read = true, write = true, Seq("application/xml")),
+    Format("gml", read = true, write = true, Seq("text/x-gml")),
+    Format("pq", read = true, write = true, Seq("application/x-protobuf")),
     Format("parquet", read = true, write = true,
       Seq("application/vnd.apache.parquet")))
   def byName(id: String): Option[Format] = registry.find(_.id == id)
@@ -125,9 +126,10 @@ object Formats {
         lit("\"^^<http://www.w3.org/2001/XMLSchema#dateTime>")))
   }
 
-  /** GraphML document (write-only, like the reference's graphml format):
-    * nodes + edges labeled by predicate. Terms render in N-Quads form.
-    * Edge rows stream from the cluster; the document envelope is
+  /** GraphML document: nodes + edges labeled by predicate. Terms render
+    * in full N-Quads syntax (as the reference's graphml writer renders
+    * `quad.Value.String()`), so [[readGraphml]] round-trips every value
+    * kind. Edge rows stream from the cluster; the document envelope is
     * driver-written.
     */
   def writeGraphml(g: Graph, out: java.io.Writer): Unit = {
@@ -137,33 +139,145 @@ object Formats {
     out.write("""<graphml xmlns="http://graphml.graphdrawing.org/xmlns">""" + "\n")
     out.write("""<key id="d0" for="edge" attr.name="predicate" attr.type="string"/>""" + "\n")
     out.write("""<graph id="G" edgedefault="directed">""" + "\n")
-    val spark = g.spark
-    val nodeTerms = g.nodes
-      .select(Values.sortKeyCol(c => col(c)).as("t")).distinct()
-    nodeTerms.toLocalIterator().forEachRemaining { r =>
-      out.write(s"""<node id="${xml(r.getString(0))}"/>""" + "\n")
-    }
-    val edges = spOTerms(g)
-    edges.toLocalIterator().forEachRemaining { r =>
+    nodeTermsNq(g).select("t").distinct().toLocalIterator()
+      .forEachRemaining { r =>
+        out.write(s"""<node id="${xml(r.getString(0))}"/>""" + "\n")
+      }
+    quadTerms(g).toLocalIterator().forEachRemaining { r =>
       out.write(s"""<edge source="${xml(r.getString(0))}" target="${xml(r.getString(2))}">""" +
         s"""<data key="d0">${xml(r.getString(1))}</data></edge>""" + "\n")
     }
     out.write("</graph>\n</graphml>\n")
   }
 
-  /** GML document (write-only). Node ids are the dictionary hashes. */
+  /** GML document. Node ids are the dictionary hashes; node labels and
+    * edge labels (the predicate) carry the rendered N-Quads terms with
+    * GML entity escaping (`&quot;`/`&amp;`, the ISO-8859-1 entity form the
+    * GML spec prescribes for embedded quotes), so [[readGml]] round-trips
+    * every value kind exactly.
+    */
   def writeGml(g: Graph, out: java.io.Writer): Unit = {
-    def q(s: String): String = "\"" + s.replace("\"", "'") + "\""
+    def q(s: String): String =
+      "\"" + s.replace("&", "&amp;").replace("\"", "&quot;") + "\""
     out.write("graph [\n  directed 1\n")
-    g.nodes.select(col("id"), Values.sortKeyCol(c => col(c)).as("t"))
-      .toLocalIterator().forEachRemaining { r =>
-        out.write(s"  node [ id ${r.getLong(0)} label ${q(r.getString(1))} ]\n")
-      }
-    g.quads.select(col("s"), col("o"), col("p")).toLocalIterator()
+    nodeTermsNq(g).toLocalIterator().forEachRemaining { r =>
+      out.write(s"  node [ id ${r.getLong(0)} label ${q(r.getString(1))} ]\n")
+    }
+    val predTerm = nodeTermsNq(g).select(col("id").as("__p"), col("t").as("ptm"))
+    g.quads.join(predTerm, col("p") === col("__p"))
+      .select(col("s"), col("o"), col("ptm")).toLocalIterator()
       .forEachRemaining { r =>
-        out.write(s"  edge [ source ${r.getLong(0)} target ${r.getLong(1)} ]\n")
+        out.write(s"  edge [ source ${r.getLong(0)} target ${r.getLong(1)}" +
+          s" label ${q(r.getString(2))} ]\n")
       }
     out.write("]\n")
+  }
+
+  /** GML reader (round-trips [[writeGml]] output): nodes resolve by id to
+    * their label term, edges rebuild (subject, predicate, object) quads.
+    */
+  def readGml(spark: SparkSession, path: String): Graph = {
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8)
+    // tokenizer: idents, integers, quoted strings, brackets
+    val tok = """"([^"]*)"|(-?\d+)|([A-Za-z_][A-Za-z0-9_]*)|(\[)|(\])""".r
+    def unent(s: String): String =
+      s.replace("&quot;", "\"").replace("&amp;", "&")
+    val toks = tok.findAllMatchIn(text).map { m =>
+      if (m.group(1) != null) ("str", unent(m.group(1)))
+      else if (m.group(2) != null) ("num", m.group(2))
+      else if (m.group(3) != null) ("id", m.group(3))
+      else if (m.group(4) != null) ("open", "[")
+      else ("close", "]")
+    }.toVector
+    val nodeTerm = scala.collection.mutable.Map.empty[Long, QValue]
+    val quads = Vector.newBuilder[NQuads.ParsedQuad]
+    var i = 0
+    def parseAttrs(): Map[String, String] = {
+      // positioned after '[': read key/value pairs until ']'
+      val m = scala.collection.mutable.Map.empty[String, String]
+      while (i < toks.length && toks(i)._1 != "close") {
+        val key = toks(i)._2; i += 1
+        if (i < toks.length && (toks(i)._1 == "num" || toks(i)._1 == "str")) {
+          m(key) = toks(i)._2; i += 1
+        }
+      }
+      if (i < toks.length) i += 1 // consume ']'
+      m.toMap
+    }
+    while (i < toks.length) {
+      toks(i) match {
+        case ("id", kind @ ("node" | "edge"))
+          if i + 1 < toks.length && toks(i + 1)._1 == "open" =>
+          i += 2
+          val attrs = parseAttrs()
+          if (kind == "node")
+            for (id <- attrs.get("id"); lbl <- attrs.get("label"))
+              nodeTerm(id.toLong) = NQuads.parseTermOrString(lbl)
+          else
+            for (s <- attrs.get("source"); t <- attrs.get("target");
+                 lbl <- attrs.get("label")) {
+              val pred = NQuads.parseTermOrString(lbl)
+              quads += NQuads.ParsedQuad(
+                nodeTerm.getOrElse(s.toLong,
+                  throw new IllegalArgumentException(s"gml: edge before node $s")),
+                pred,
+                nodeTerm.getOrElse(t.toLong,
+                  throw new IllegalArgumentException(s"gml: edge before node $t")),
+                None)
+            }
+        case _ => i += 1
+      }
+    }
+    Graph.fromQuads(spark, quads.result())
+  }
+
+  /** GraphML reader (round-trips [[writeGraphml]] output): StAX stream
+    * over `<node id>` / `<edge source target><data key="d0">pred</data>`.
+    * Node ids and the d0 data value are N-Quads terms.
+    */
+  def readGraphml(spark: SparkSession, path: String): Graph = {
+    val in = java.nio.file.Files.newInputStream(java.nio.file.Paths.get(path))
+    val quads = Vector.newBuilder[NQuads.ParsedQuad]
+    try {
+      val f = javax.xml.stream.XMLInputFactory.newInstance()
+      f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+      val r = f.createXMLStreamReader(in)
+      var src: String = null
+      var tgt: String = null
+      var inData = false
+      val data = new StringBuilder
+      while (r.hasNext) {
+        r.next() match {
+          case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+            r.getLocalName match {
+              case "edge" =>
+                src = r.getAttributeValue(null, "source")
+                tgt = r.getAttributeValue(null, "target")
+              case "data" if src != null =>
+                inData = true; data.clear()
+              case _ =>
+            }
+          case javax.xml.stream.XMLStreamConstants.CHARACTERS if inData =>
+            data.append(r.getText)
+          case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
+            r.getLocalName match {
+              case "data" if inData =>
+                inData = false
+              case "edge" if src != null && tgt != null =>
+                quads += NQuads.ParsedQuad(
+                  NQuads.parseTermOrString(src),
+                  NQuads.parseTermOrString(data.toString),
+                  NQuads.parseTermOrString(tgt), None)
+                src = null; tgt = null; data.clear()
+              case _ =>
+            }
+          case _ =>
+        }
+      }
+      r.close()
+    } finally in.close()
+    Graph.fromQuads(spark, quads.result())
   }
 
   /** JSON-LD writer: one node object per subject with its predicate
@@ -217,9 +331,37 @@ object Formats {
     Graph.fromQuads(spark, quads)
   }
 
-  /** (id, rendered term) per node — for streaming serializers. */
+  /** (id, rendered term) per node — display form (sort key), for the
+    * Gephi stream and other human-facing surfaces.
+    */
   def nodeTerms(g: Graph): DataFrame =
     g.nodes.select(col("id"), Values.sortKeyCol(c => col(c)).as("t"))
+
+  /** (id, N-Quads term) per node — lossless form for format writers whose
+    * readers must reconstruct value kinds.
+    */
+  def nodeTermsNq(g: Graph): DataFrame =
+    g.nodes.select(col("id"),
+      struct(Values.fieldNames.map(col): _*).as("nv"))
+      .select(col("id"), termColumn("nv").as("t"))
+
+  /** (st, pt, ot, lt) N-Quads-syntax terms per quad, lt nullable — the
+    * row stream behind the binary [[Pquads]] serializer.
+    */
+  def quadTerms(g: Graph): DataFrame = {
+    val n = g.nodes
+    def dict(keyCol: String, alias: String) =
+      n.select(col("id").as(keyCol), struct(Values.fieldNames.map(col): _*)
+        .as(alias))
+    g.quads
+      .join(dict("__s", "sv"), col("s") === col("__s"))
+      .join(dict("__p", "pv"), col("p") === col("__p"))
+      .join(dict("__o", "ov"), col("o") === col("__o"))
+      .join(dict("__l", "lv"), col("l") === col("__l"), "left")
+      .select(termColumn("sv").as("st"), termColumn("pv").as("pt"),
+        termColumn("ov").as("ot"),
+        when(col("l").isNotNull, termColumn("lv")).as("lt"))
+  }
 
   /** (subject term, predicate term, object term) rows. */
   private def spOTerms(g: Graph): DataFrame =

@@ -174,8 +174,84 @@ class FormatsSpec extends AnyFunSuite {
 
   test("format registry exposes capabilities") {
     assert(Formats.byName("nquads").exists(f => f.read && f.write))
-    assert(Formats.byName("graphml").exists(f => !f.read && f.write))
+    assert(Formats.byName("graphml").exists(f => f.read && f.write))
+    assert(Formats.byName("gml").exists(f => f.read && f.write))
+    assert(Formats.byName("pq").exists(f => f.read && f.write))
     assert(Formats.byName("nosuch").isEmpty)
+  }
+
+  /** Typed-value fixture shared by the binary/document round-trip tests:
+    * every value kind, escapes included.
+    */
+  private def typedGraph(): Graph = Graph.fromQuads(spark, Seq(
+    NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("int"), QValue.IntV(-42), None),
+    NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("flt"), QValue.FloatV(-1.5), None),
+    NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("bool"), QValue.BoolV(true), None),
+    NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("time"),
+      QValue.TimeV(1405974733000000L), None),
+    NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("lang"),
+      QValue.LangStr("hello", "en"), None),
+    NQuads.ParsedQuad(QValue.Iri("n"), QValue.Iri("esc"),
+      QValue.Str("a \"quoted\" \\ string"), None),
+    NQuads.ParsedQuad(QValue.BNode("b1"), QValue.Iri("p"),
+      QValue.Str("from bnode"), Some(QValue.Iri("ctx")))))
+
+  private def nquadSet(g: Graph): Set[String] =
+    Formats.nquadLines(g).collect().map(_.getString(0)).toSet
+
+  /** Drop the optional 4th (label) term of an N-Quads line. */
+  private def stripLabel(line: String): String = {
+    val parts = line.split(" (?=(?:[^\"]*\"[^\"]*\")*[^\"]*$)")
+    if (parts.length == 5) (parts.take(3) :+ ".").mkString(" ") else line
+  }
+
+  test("pq binary round-trip preserves every value kind and the label") {
+    val g = typedGraph()
+    val dir = Files.createTempDirectory("graft-pq").toString
+    for (path <- Seq(s"$dir/out.pq", s"$dir/out.pq.gz")) {
+      Pquads.writeFile(g, path)
+      val g2 = Pquads.readFile(spark, path)
+      assert(g2.stats === g.stats, path)
+      assert(nquadSet(g2) === nquadSet(g), path)
+    }
+  }
+
+  test("graphml write/read round-trip preserves the edge structure") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val dir = Files.createTempDirectory("graft-gml").toString
+    val w = Files.newBufferedWriter(java.nio.file.Paths.get(s"$dir/g.graphml"))
+    try Formats.writeGraphml(g, w) finally w.close()
+    val g2 = Formats.readGraphml(spark, s"$dir/g.graphml")
+    // graphml carries no label column: quad count holds, the label-only
+    // node drops out of the dictionary
+    assert(g2.stats._2 === g.stats._2)
+    assert(nquadSet(g2) === nquadSet(g).map(stripLabel))
+    val got = Exec.run(g2, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>"))
+  }
+
+  test("graphml round-trips typed values (labels are not carried)") {
+    val g = typedGraph()
+    val dir = Files.createTempDirectory("graft-gml2").toString
+    val w = Files.newBufferedWriter(java.nio.file.Paths.get(s"$dir/g.graphml"))
+    try Formats.writeGraphml(g, w) finally w.close()
+    val g2 = Formats.readGraphml(spark, s"$dir/g.graphml")
+    // graphml carries no label column; compare label-stripped quad sets
+    assert(nquadSet(g2) === nquadSet(g).map(stripLabel))
+  }
+
+  test("gml write/read round-trip preserves the edge structure") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val dir = Files.createTempDirectory("graft-gmldoc").toString
+    val w = Files.newBufferedWriter(java.nio.file.Paths.get(s"$dir/g.gml"))
+    try Formats.writeGml(g, w) finally w.close()
+    val g2 = Formats.readGml(spark, s"$dir/g.gml")
+    assert(g2.stats._2 === g.stats._2)
+    assert(nquadSet(g2) === nquadSet(g).map(stripLabel))
+    val got = Exec.run(g2, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
   test("addQuads on a bucketed store keeps pb partitioning and pruning") {
