@@ -31,7 +31,7 @@ final class HttpApi(initial: Graph) {
     server.createContext("/api/v2/write", handler(serveWrite))
     server.createContext("/api/v2/delete", handler(serveDelete))
     server.createContext("/api/v2/node/delete", handler(serveNodeDelete))
-    server.createContext("/api/v2/read", handler(serveRead))
+    server.createContext("/api/v2/read", streamHandler(serveRead))
     server.createContext("/api/v2/formats", handler(serveFormats))
     server.createContext("/gephi/gs", handler(serveGephi))
     server.setExecutor(null) // default single-thread executor
@@ -57,6 +57,44 @@ final class HttpApi(initial: Graph) {
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()
+  }
+
+  /** Like `handler`, but the route may answer with a chunked body: it
+    * returns either a buffered error triple or (contentType, writeFn);
+    * writeFn streams into the response writer while Spark's
+    * toLocalIterator pulls partitions, so an export of the whole store
+    * never materializes in driver memory (reference api_v2.go streams
+    * quad-by-quad the same way). A length of 0 in sendResponseHeaders
+    * selects chunked transfer encoding.
+    */
+  private def streamHandler(
+      f: HttpExchange => Either[(Int, String, String), (String, java.io.Writer => Unit)])
+      : com.sun.net.httpserver.HttpHandler = { ex =>
+    (try f(ex)
+    catch {
+      case e: Throwable =>
+        Left((400, "application/json",
+          QuerySession.toJson(Map("error" ->
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))))))
+    }) match {
+      case Left((status, contentType, body)) =>
+        val bytes = body.getBytes(UTF_8)
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(status, bytes.length.toLong)
+        ex.getResponseBody.write(bytes)
+        ex.close()
+      case Right((contentType, writeFn)) =>
+        ex.getResponseHeaders.set("Content-Type", contentType)
+        ex.sendResponseHeaders(200, 0L) // 0 = chunked
+        val w = new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(ex.getResponseBody, UTF_8), 1 << 16)
+        // past this point the status line is gone — a mid-stream failure
+        // can only truncate the body (inherent to chunked transfer)
+        try writeFn(w) finally {
+          try w.flush() catch { case _: Throwable => () }
+          ex.close()
+        }
+    }
   }
 
   private def body(ex: HttpExchange): String =
@@ -145,9 +183,11 @@ final class HttpApi(initial: Graph) {
 
   /** GET/POST /api/v2/read[?sub=&pred=&obj=&label=][&format=nquads|json|
     * jsonld|graphml|gml] — serialized stream of the (optionally filtered)
-    * store. Serialization is distributed; the driver only streams lines.
+    * store. Serialization is distributed; the driver streams lines out as
+    * a chunked response, never holding the whole export in memory.
     */
-  private def serveRead(ex: HttpExchange): (Int, String, String) = {
+  private def serveRead(ex: HttpExchange)
+      : Either[(Int, String, String), (String, java.io.Writer => Unit)] = {
     import graft.core.QValue
     import org.apache.spark.sql.functions.col
     val ps = params(ex)
@@ -162,24 +202,22 @@ final class HttpApi(initial: Graph) {
     filter("label", "l")
     val format = ps.getOrElse("format", "nquads")
     val fmt = Formats.byName(format).filter(_.write).getOrElse(
-      return (400, "application/json",
-        s"""{"error": "format is not supported for reading data: $format"}"""))
-    val sw = new java.io.StringWriter()
+      return Left((400, "application/json",
+        s"""{"error": "format is not supported for reading data: $format"}""")))
+    def lineStream(df: org.apache.spark.sql.DataFrame)(w: java.io.Writer): Unit =
+      df.toLocalIterator().forEachRemaining { r =>
+        w.write(r.getString(0)); w.write('\n')
+      }
     format match {
-      case "nquads" =>
-        Formats.nquadLines(sub).toLocalIterator().forEachRemaining(r =>
-          sw.write(r.getString(0) + "\n"))
-      case "json" =>
-        Formats.jsonQuadLines(sub).toLocalIterator().forEachRemaining(r =>
-          sw.write(r.getString(0) + "\n"))
-      case "jsonld" => Formats.writeJsonLd(sub, sw)
-      case "graphml" => Formats.writeGraphml(sub, sw)
-      case "gml" => Formats.writeGml(sub, sw)
+      case "nquads" => Right((fmt.mime.head, lineStream(Formats.nquadLines(sub))))
+      case "json"   => Right((fmt.mime.head, lineStream(Formats.jsonQuadLines(sub))))
+      case "jsonld" => Right((fmt.mime.head, w => Formats.writeJsonLd(sub, w)))
+      case "graphml" => Right((fmt.mime.head, w => Formats.writeGraphml(sub, w)))
+      case "gml"     => Right((fmt.mime.head, w => Formats.writeGml(sub, w)))
       case other =>
-        return (400, "application/json",
-          s"""{"error": "format is not servable over HTTP: $other"}""")
+        Left((400, "application/json",
+          s"""{"error": "format is not servable over HTTP: $other"}"""))
     }
-    (200, fmt.mime.head, sw.toString)
   }
 
   /** GET /gephi/gs[?limit=N] — Gephi GraphStream events

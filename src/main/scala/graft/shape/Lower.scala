@@ -99,12 +99,14 @@ final class Lower(g: Graph) {
         if (rest.isEmpty) nodes(fixed.head)
         else rest.map(nodes).reduce(joinOnId(_, _, "inner"))
       val fixedToFilter = if (rest.isEmpty) fixed.tail else fixed
-      fixedToFilter.foreach { case Shape.Fixed(vs) =>
-        val ids = vs.map(QValue.id)
-        df = ids match {
-          case Seq(one) => df.where(col(ID) === lit(one))
-          case many     => df.where(col(ID).isin(many: _*))
-        }
+      fixedToFilter.foreach {
+        case Shape.Fixed(vs) =>
+          val ids = vs.map(QValue.id)
+          df = ids match {
+            case Seq(one) => df.where(col(ID) === lit(one))
+            case many     => df.where(col(ID).isin(many: _*))
+          }
+        case _ => () // partition above keeps only Fixed here
       }
       opt.foldLeft(df)(optionalJoin)
 

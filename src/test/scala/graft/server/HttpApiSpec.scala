@@ -76,6 +76,13 @@ class HttpApiSpec extends AnyFunSuite {
       val json = get(port, "/api/v2/read?format=json")
       assert(json.linesIterator.count(_.nonEmpty) === 15)
       assert(json.linesIterator.next().contains("\"subject\""))
+      // exports stream chunked — no Content-Length, no full in-memory body
+      val resp = client.send(
+        HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port/api/v2/read")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.headers().firstValue("Content-Length").isEmpty, resp.headers())
+      assert(resp.body().linesIterator.count(_.nonEmpty) === 15)
       val graphml = get(port, "/api/v2/read?format=graphml")
       assert(graphml.contains("<graphml"))
       val jsonld = get(port, "/api/v2/read?format=jsonld")
