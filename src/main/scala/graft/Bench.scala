@@ -97,6 +97,12 @@ object Bench {
     // a failed query is an explicit -1 entry + an errors record, never a
     // silently-fast timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // JSON-safe error text: backslash/quote escaped, ALL control chars
+    // (incl. \r from CRLF messages, tabs) dropped so the line stays parseable
+    def errText(e: Throwable): String =
+      (e.getClass.getSimpleName + ": " +
+        String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
+        .replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
     // min of 2 independent runs per query: a single contended sample on a
     // shared machine produced a 4× phantom regression in round 3. Graph
     // (g_*) queries share the cached graph and never re-cache, so both
@@ -116,12 +122,7 @@ object Bench {
           dt
         } catch {
           case e: Throwable =>
-            // JSON-safe: backslash/quote escaped, ALL control chars (incl.
-            // \r from CRLF messages, tabs) dropped so the line stays parseable
-            errors(name) = (e.getClass.getSimpleName + ": " +
-              String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
-              .replace("\\", "\\\\").replace("\"", "\\\"")
-              .filter(_ >= ' ')
+            errors(name) = errText(e)
             if (!usesGraph) spark.sharedState.cacheManager.clearCache()
             -1.0
         }
@@ -135,7 +136,8 @@ object Bench {
     // (integration.go:102-117) — measured here so every round's bench
     // line carries the direct baseline comparison
     val movie: Seq[(String, Double)] =
-      try {
+      if (!only.forall(_.exists(_.startsWith("movie")))) Seq.empty
+      else try {
         import graft.core.{Graph, QValue}
         import graft.exec.Exec
         import graft.path.Path
@@ -168,13 +170,109 @@ object Bench {
           "movie_three_huge" -> tThree)
       } catch {
         case e: Throwable =>
-          errors("movie") = (e.getClass.getSimpleName + ": " +
-            String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
-            .replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
+          errors("movie") = errText(e)
           Seq("movie_load" -> -1.0)
       }
 
-    val all = ("graph_load" -> loadSec) +: (results ++ movie)
+    // 10× scale-linearity smoke: synthesize corpora 10× the timed scale and
+    // re-run the heaviest operators once each. Each x10_* entry divided by
+    // its same-name headline entry in this JSON is the scale ratio; ≈10 (or
+    // below — fixed per-job overhead amortizes away) means the plan is
+    // linear in the data, ≫10 means a superlinear stage crept in. The 10×
+    // corpora are constructed so the right answer scales exactly 10×:
+    //  - movie quads: IRIs/bnodes suffixed per copy (dictionary grows 10×),
+    //    predicates and literal values shared, like real growth;
+    //  - documents: ids offset per copy, text Caesar-rotated per copy — a
+    //    char bijection, so intra-copy shingle sets (and thus the duplicate
+    //    pair structure) are EXACTLY the base corpus's, while cross-copy
+    //    shingles are disjoint → total dedup work and output are 10× the
+    //    headline run, no quadratic cross-copy pair blow-up;
+    //  - embeddings: ids offset per copy, vectors unchanged (IVF work is
+    //    row-linear; probes filter to base ids so the batch stays 10).
+    val x10: Seq[(String, Double)] =
+      if (!only.forall(_.exists(_.startsWith("x10")))) Seq.empty
+      else {
+        import org.apache.spark.sql.functions._
+        import graft.analytics.{Dedup, Similarity}
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        def smoke(name: String)(f: => Unit): Unit = {
+          out += name -> (try time(f) catch {
+            case e: Throwable => errors(name) = errText(e); -1.0
+          })
+          spark.sharedState.cacheManager.clearCache()
+        }
+        def noop(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").format("noop").save()
+
+        val x10Dir = "/tmp/graft_movie10x"
+        try {
+          import spark.implicits._
+          import graft.core.{Graph, NQuads, QValue}
+          import NQuads.ParsedQuad
+          def remap(v: QValue, k: Int): QValue = v match {
+            case QValue.Iri(s)   => QValue.Iri(s + "/x" + k)
+            case QValue.BNode(s) => QValue.BNode(s + "x" + k)
+            case other           => other
+          }
+          // synth (untimed): ~4.7 M quads as uncompressed, SPLITTABLE text
+          spark.read.textFile("/root/reference/data/30kmoviedata.nq.gz")
+            .repartition(16)
+            .flatMap { l =>
+              NQuads.parseLine(l).toSeq.flatMap { q =>
+                (0 until 10).map { k =>
+                  if (k == 0) NQuads.serialize(q)
+                  else NQuads.serialize(
+                    ParsedQuad(remap(q.s, k), q.p, remap(q.o, k), q.l))
+                }
+              }
+            }.write.mode("overwrite").text(x10Dir)
+          var g: Graph = null
+          smoke("x10_movie_load") {
+            g = Graph.fromNQuads(spark, x10Dir).cached(); g.stats
+          }
+          if (g != null) { g.nodes.unpersist(); g.quads.unpersist() }
+        } catch { case e: Throwable => errors("x10_movie_load") = errText(e) }
+
+        val alpha = "abcdefghijklmnopqrstuvwxyz"
+        val doc = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select("doc_id", "text")
+        val doc10 = (0 until 10).map { k =>
+          val rot = alpha.drop(k) + alpha.take(k)
+          doc.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+            translate(col("text"), alpha + alpha.toUpperCase,
+              rot + rot.toUpperCase).as("text"))
+        }.reduce(_ union _)
+        smoke("x10_dedup_minhash") {
+          noop(Dedup.minhashPairs(doc10, "doc_id", "text", threshold = 0.5))
+        }
+        smoke("x10_dedup_ngram") {
+          noop(Dedup.jaccardJoin(doc10, "doc_id", "text", threshold = 0.8,
+            shingleN = 9))
+        }
+        smoke("x10_dedup_clusters") {
+          noop(Dedup.clusters(doc10, "doc_id", "text", threshold = 0.5))
+        }
+
+        val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        val emb10 = (0 until 10).map { k =>
+          emb.select((col("vec_id") + lit(k * 100000000L)).as("vec_id"),
+            col("embedding"))
+        }.reduce(_ union _)
+        // raw IVF probe (train + assign + probe join) at 1× then 10×, same
+        // params as the sim_ivf harness's inner operator; probes stay 10
+        smoke("x1_ivf_probe") {
+          noop(Similarity.ivfBatchTopK(emb, emb.where(col("vec_id") < 10),
+            "vec_id", "embedding", k = 10, nCells = 16, nprobe = 8))
+        }
+        smoke("x10_ivf_probe") {
+          noop(Similarity.ivfBatchTopK(emb10,
+            emb10.where(col("vec_id") < 10), "vec_id", "embedding", k = 10,
+            nCells = 16, nprobe = 8))
+        }
+        out.toSeq
+      }
+
+    val all = ("graph_load" -> loadSec) +: (results ++ movie ++ x10)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
