@@ -294,7 +294,59 @@ object SparkEntry {
     "g_followr" -> ((s, d) => run(s, d,
       Path.start(iri("region:1"))
         .followReverse(Path.morphism().out(iri("n_region"))))
-      .payloadDF("id" -> "node")))
+      .payloadDF("id" -> "node")),
+    // Local fast-path parity contract: a battery of representative shapes
+    // evaluated by BOTH engines — graft.shape.LocalEval (the interactive
+    // point-lookup index, Graph.interactive()) and the distributed Lower
+    // plan — must produce identical value / tag-binding multisets. This is
+    // the driver-gated guarantee that the fast path is the same engine,
+    // not a lookalike.
+    "g_local_parity" -> ((s, d) => {
+      import s.implicits._
+      val g0 = graph(s, d)
+      val gi = g0.interactive()
+      val battery: Seq[Path] = Seq(
+        Path.start().out(iri("c_nation")).out(iri("n_region"))
+          .out(iri("r_name")),
+        Path.start(iri("customer:1")).outPredicates(),
+        Path.start().has(iri("c_mktsegment"), str("BUILDING")).tag("c")
+          .out(iri("c_nation")).save(iri("n_name"), "nn"),
+        Path.start().out(iri("c_nation"))
+          .and(Path.start(iri("nation:3")).in(iri("n_prev"))
+            .or(Path.start(iri("nation:3")))),
+        Path.start().out(iri("n_region")).unique()
+          .except(Path.start(iri("region:1"))),
+        Path.start(iri("nation:5"))
+          .followRecursive(Path.morphism().out(iri("n_prev")), 0,
+            Seq("depth")),
+        Path.start().out(iri("n_name"))
+          .filter(ValueFilter.Regexp("^NATION_1", withRefs = false)),
+        Path.start().out(iri("c_acctbal"))
+          .filter(Comparison(GT, QValue.FloatV(9000.0))),
+        Path.start(iri("customer:1")).labels(),
+        Path.start().out(iri("n_region")).in(iri("n_region"))
+          .optional(Path.morphism().out(iri("n_name")).tag("oname")),
+        Path.start().out(iri("n_name"))
+          .filter(ValueFilter.Wildcard("NATION_1%")),
+        Path.start(iri("nation:3")).tag("n").out(iri("n_region"))
+          .back("n").out(iri("n_name")))
+      def vkey(vs: Seq[QValue]): Seq[String] = vs.map(_.nquads).sorted
+      def mkey(ms: Seq[Map[String, QValue]]): Seq[String] =
+        ms.map(m => m.toSeq.map { case (k, v) => k + "=" + v.nquads }
+          .sorted.mkString(";")).sorted
+      val ok = battery.forall { p =>
+        val shape = p.shape()
+        graft.shape.LocalEval.tryRun(gi, shape) match {
+          case None => false // every battery shape must be local-supported
+          case Some(lr) =>
+            val loc = new graft.exec.LocalResults(gi, lr)
+            val dist = new graft.exec.SparkResults(g0, Exec.lower(g0, shape))
+            vkey(loc.values()) == vkey(dist.values()) &&
+              mkey(loc.tagMaps()) == mkey(dist.tagMaps())
+        }
+      }
+      Seq(ok).toDF("parity_ok")
+    }))
 
   private val graphOracles: Map[String, String] = Map(
     "g_out" -> "SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS node FROM customer",
@@ -858,6 +910,8 @@ object SparkEntry {
         |FROM s GROUP BY user_id, session_id""".stripMargin,
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
+    // contract: battery of shapes agrees between local and distributed
+    "g_local_parity" -> "SELECT TRUE AS parity_ok",
     "sim_ann" -> "SELECT TRUE AS recall_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)

@@ -26,10 +26,22 @@ import org.apache.spark.sql.types._
   */
 final case class Graph(nodes: DataFrame, quads: DataFrame,
                        predicateBuckets: Int = 0,
-                       predStats: Option[Map[Long, Long]] = None) {
+                       predStats: Option[Map[Long, Long]] = None,
+                       interactiveMaxQuads: Long = 0L) {
   def spark: SparkSession = nodes.sparkSession
 
   def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache())
+
+  /** Opt into the driver-local point-lookup fast path
+    * (graft.shape.LocalEval): queries on this graph evaluate against an
+    * in-memory index — the reference memstore's role — when the quad count
+    * is under `maxQuads`, and fall back to the distributed path otherwise.
+    * The cap keeps this an interactive-store feature: at warehouse scale
+    * the gate never opens. Mutations produce new DataFrames, so a mutated
+    * graph re-derives (or re-rejects) its index automatically.
+    */
+  def interactive(maxQuads: Long = graft.shape.LocalEval.DefaultMaxQuads): Graph =
+    copy(interactiveMaxQuads = maxQuads)
 
   /** (node count, quad count). Every quad has a predicate, so when the
     * per-predicate stats are materialized their sum IS the quad count —

@@ -2,16 +2,42 @@ package graft.exec
 
 import graft.core.{Graph, QValue}
 import graft.path.Path
-import graft.shape.{Lower, Shape}
+import graft.shape.{LocalEval, LocalResult, LocalTable, Lower, Shape}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Finals / collation — the chain-driver analog
-  * (/root/reference/graph/iterator/iterate.go): turn a lowered working set
-  * into values / tag maps, resolving ids against the nodes dictionary.
-  * Count results arrive pre-resolved (a `kind` column) and skip the join.
+  * (/root/reference/graph/iterator/iterate.go): turn a working set into
+  * values / tag maps / result DataFrames. Two implementations, one
+  * semantics: [[SparkResults]] over a lowered DataFrame (the distributed
+  * engine) and [[LocalResults]] over a driver-local working set (the
+  * interactive fast path); `Exec.run` picks per graph/shape.
   */
-final class Results(g: Graph, val df: DataFrame) {
+sealed trait Results {
+  /** Top-level result values (AllValues, iterate.go). */
+  def values(): Seq[QValue]
+
+  /** Values bound to one tag across all paths (TagEach). `keepEmpty`
+    * substitutes `""` for rows without the tag (pathtest runTag).
+    */
+  def tagValues(tag: String, keepEmpty: Boolean = false): Seq[QValue]
+
+  /** All tag bindings per path row (TagEach with all tags). */
+  def tagMaps(includeTopLevel: Boolean = false): Seq[Map[String, QValue]]
+
+  def count(): Long
+
+  /** Distributed finals: resolve id-valued columns to their scalar payload
+    * and return a DataFrame (see [[SparkResults.payloadDF]]).
+    */
+  def payloadDF(mapping: (String, String)*): DataFrame
+
+  /** The working set as a DataFrame (pre-resolved for Count results). */
+  def df: DataFrame
+}
+
+final class SparkResults(g: Graph, val df: DataFrame) extends Results {
   import Lower.{ID, TagPrefix, tagCol}
 
   private def isPreResolved: Boolean = df.columns.contains("kind")
@@ -162,9 +188,147 @@ final class Results(g: Graph, val df: DataFrame) {
   }
 }
 
-/** Query execution entry: Path/Shape → optimized Shape → DataFrame. */
+/** Finals over a locally-evaluated working set (graft.shape.LocalEval) —
+  * the same contracts as [[SparkResults]], resolved against the in-memory
+  * dictionary instead of a join. `payloadDF`/`df` synthesize small
+  * DataFrames so downstream consumers are oblivious to which engine ran.
+  */
+final class LocalResults(g: Graph, res: LocalResult) extends Results {
+  import Lower.{ID, intTagCol, tagCol}
+  import graft.core.Kind
+
+  private def idx = res.idx
+
+  private def table: LocalTable =
+    res.table.getOrElse(throw new IllegalStateException("count result"))
+
+  private def resolve(id: java.lang.Long): Option[QValue] =
+    if (id == null) None
+    else Option(idx.nodeById.get(id)).map(_.toQValue)
+
+  def values(): Seq[QValue] = res.countValue match {
+    case Some(n) => Seq(QValue.IntV(n)) // pre-resolved Count (Lower.scala:160)
+    case None =>
+      val at = table.colIdx(ID)
+      table.rows.flatMap(r => resolve(r(at)))
+  }
+
+  def tagValues(tag: String, keepEmpty: Boolean = false): Seq[QValue] =
+    res.countValue match {
+      case Some(_) => // one pre-resolved row, no tag columns
+        if (keepEmpty) Seq(QValue.Str("")) else Nil
+      case None =>
+        val t = table
+        val ic = t.colIdx(intTagCol(tag))
+        val c = t.colIdx(tagCol(tag))
+        if (ic >= 0) {
+          val vs = t.rows.map { r =>
+            if (r(ic) == null) QValue.Str("") else QValue.IntV(r(ic))
+          }
+          if (keepEmpty) vs else vs.filterNot(_ == QValue.Str(""))
+        } else if (c < 0) {
+          if (keepEmpty) Seq.fill(t.rows.size)(QValue.Str("")) else Nil
+        } else {
+          val vs = t.rows.map(r => resolve(r(c)))
+          if (keepEmpty) vs.map(_.getOrElse(QValue.Str(""))) else vs.flatten
+        }
+    }
+
+  def tagMaps(includeTopLevel: Boolean = false): Seq[Map[String, QValue]] =
+    res.countValue match {
+      case Some(_) => Seq(Map.empty)
+      case None =>
+        val t = table
+        val cols = (if (includeTopLevel) Vector(ID) else Vector.empty) ++ t.tagCols
+        val spec = cols.map(c => (t.colIdx(c),
+          if (c == ID) ID else Lower.decodeTag(c), Lower.isIntTagCol(c)))
+        t.rows.map { r =>
+          spec.flatMap { case (at, name, isInt) =>
+            if (r(at) == null) None
+            else if (isInt) Some(name -> QValue.IntV(r(at)))
+            else resolve(r(at)).map(name -> _)
+          }.toMap
+        }
+    }
+
+  def count(): Long =
+    res.countValue.map(_ => 1L).getOrElse(table.rows.size.toLong)
+
+  def payloadDF(mapping: (String, String)*): DataFrame =
+    res.countValue match {
+      case Some(_) => new SparkResults(g, df).payloadDF(mapping: _*)
+      case None =>
+        // scalar payload rendering — same when-chain as
+        // SparkResults.payloadDF (strings for ref/text kinds, cast-style
+        // renderings for numerics/bool, ISO micros for time)
+        def payload(n: graft.shape.LocalNode): String = n.kind match {
+          case Kind.Iri | Kind.BNode | Kind.Str | Kind.LangStr |
+               Kind.TypedStr => n.s
+          case Kind.IntK   => if (n.i == null) null else n.i.toString
+          case Kind.FloatK => if (n.d == null) null else n.d.toString
+          case Kind.BoolK  => if (n.b == null) null else n.b.toString
+          case Kind.TimeK  =>
+            if (n.t == null) null else QValue.TimeV.iso(n.t)
+          case _ => null
+        }
+        val t = table
+        val out = t.rows.map { r =>
+          org.apache.spark.sql.Row.fromSeq(mapping.map { case (c, _) =>
+            val at = t.colIdx(c)
+            if (at < 0 || r(at) == null) null
+            else if (Lower.isIntTagCol(c)) r(at).toString
+            else {
+              val n = idx.nodeById.get(r(at))
+              if (n == null) null else payload(n)
+            }
+          })
+        }
+        val schema = StructType(mapping.map { case (_, name) =>
+          StructField(name, StringType, nullable = true)
+        })
+        import scala.jdk.CollectionConverters._
+        g.spark.createDataFrame(new java.util.ArrayList(out.asJava), schema)
+    }
+
+  lazy val df: DataFrame = {
+    import scala.jdk.CollectionConverters._
+    res.countValue match {
+      case Some(n) => // the pre-resolved Count schema (Lower.scala:160-168)
+        val schema = StructType(Seq(
+          StructField("kind", IntegerType, nullable = false),
+          StructField("s", StringType, nullable = true),
+          StructField("i", LongType, nullable = true),
+          StructField("d", DoubleType, nullable = true),
+          StructField("b", BooleanType, nullable = true),
+          StructField("t", LongType, nullable = true),
+          StructField("lang", StringType, nullable = true),
+          StructField("dt", StringType, nullable = true)))
+        val row = org.apache.spark.sql.Row(
+          Kind.IntK, null, n, null, null, null, null, null)
+        g.spark.createDataFrame(
+          java.util.Collections.singletonList(row), schema)
+      case None =>
+        val t = table
+        val schema = StructType(t.cols.map(c =>
+          StructField(c, LongType, nullable = true)))
+        val rows = t.rows.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toIndexedSeq))
+        g.spark.createDataFrame(new java.util.ArrayList(rows.asJava), schema)
+    }
+  }
+}
+
+/** Query execution entry: Path/Shape → optimized Shape → working set.
+  * Graphs that opted in via `Graph.interactive()` get the driver-local
+  * fast path when the shape supports it; everything else lowers to a
+  * DataFrame plan for Catalyst.
+  */
 object Exec {
   def lower(g: Graph, s: Shape): DataFrame = new Lower(g)(s)
-  def run(g: Graph, p: Path): Results = new Results(g, lower(g, p.shape()))
-  def run(g: Graph, s: Shape): Results = new Results(g, lower(g, s))
+  def run(g: Graph, p: Path): Results = run(g, p.shape())
+  def run(g: Graph, s: Shape): Results =
+    LocalEval.tryRun(g, s) match {
+      case Some(r) => new LocalResults(g, r)
+      case None    => new SparkResults(g, lower(g, s))
+    }
 }

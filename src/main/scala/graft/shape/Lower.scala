@@ -74,6 +74,7 @@ object Lower {
 
 final class Lower(g: Graph) {
   import Lower._
+  import scala.jdk.CollectionConverters._
   private val spark = g.spark
   import spark.implicits._
 
@@ -86,6 +87,16 @@ final class Lower(g: Graph) {
     case Shape.Fixed(vs) =>
       vs.map(QValue.id).toDS().toDF(ID)
     case Shape.Embed(df) => df
+    case Shape.EmbedLocal(t) =>
+      // a locally-evaluated working set handed to the distributed path
+      // (only reachable when a Recursive step bails out mid-evaluation)
+      val schema = StructType(t.cols.map(c => StructField(c, LongType,
+        nullable = true)))
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          t.rows.map(r =>
+            org.apache.spark.sql.Row.fromSeq(r.toIndexedSeq)).asJava),
+        schema)
 
     case Shape.NodesFrom(dir, q) =>
       val qdf = quads(q)

@@ -57,6 +57,10 @@ object Shape {
     * optional-branch evaluation; analog of `PreFetched` refs).
     */
   final case class Embed(df: DataFrame) extends Shape
+  /** The local-path analog of [[Embed]]: an already-evaluated in-memory
+    * working set, injected by [[LocalEval]]'s recursive driver loop.
+    */
+  final case class EmbedLocal(t: LocalTable) extends Shape
 
   /** One constraint on a quad direction (shape.go:440-459). */
   final case class QuadFilter(dir: Dir, values: Shape)
