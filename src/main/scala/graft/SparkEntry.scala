@@ -1,7 +1,7 @@
 package graft
 
 import graft.analytics.{Dedup, Events, Similarity, TextOps}
-import graft.core.{Graph, QValue}
+import graft.core.{FieldRule, Graph, QValue, SchemaMapper, SchemaRules}
 import graft.exec.{Exec, Results}
 import graft.path.Path
 import graft.shape.{Lower, ValueFilter}
@@ -17,6 +17,10 @@ import org.apache.spark.sql.functions._
   * their oracles are the equivalent relational SQL. Pipeline operators
   * (dedup/similarity/text) run the analytics modules directly.
   */
+/** Typed-object fixtures for the schema_* entries (SchemaMapper). */
+case class SchemaNation(nid: Long, nname: String)
+case class SchemaCustomer(cid: Long, cname: String, nation: SchemaNation)
+
 object SparkEntry {
   import scala.collection.concurrent.TrieMap
   private val graphCache = TrieMap.empty[String, Graph]
@@ -346,6 +350,30 @@ object SparkEntry {
         }
       }
       Seq(ok).toDF("parity_ok")
+    }),
+    // Schema package (reference schema/schema.go + loader.go): typed
+    // objects with a NESTED object field save to quads (child objects get
+    // their own identity + rdf:type) and load back through per-predicate
+    // joins. The oracle is the equivalent relational join — so the whole
+    // object→quads→object cycle is driver-verified, not just spec'd.
+    "schema_nested" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "customer")
+        .join(t(s, d, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey").cast("long").as("cid"),
+          col("c_name").as("cname"),
+          struct(col("n_nationkey").cast("long").as("nid"),
+            col("n_name").as("nname")).as("nation"))
+        .as[SchemaCustomer]
+      val rules = SchemaRules(fields = Map(
+        "nation" -> FieldRule(pred = "memberOf", nestedType = "snation",
+          nestedId = "nid")))
+      val g = Graph.fromQuadDF(
+        SchemaMapper.toQuads(ds, "scust", "cid", rules))
+      SchemaMapper.fromQuads[SchemaCustomer](g, "scust", "cid", rules)
+        .select(col("cid"), col("cname"),
+          col("nation.nname").as("nation_name"))
     }))
 
   private val graphOracles: Map[String, String] = Map(
@@ -912,6 +940,10 @@ object SparkEntry {
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed
     "g_local_parity" -> "SELECT TRUE AS parity_ok",
+    "schema_nested" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS cid, c_name AS cname,
+        |       n_name AS nation_name
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
     "sim_ann" -> "SELECT TRUE AS recall_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
