@@ -624,13 +624,12 @@ private final class LocalEval(g: Graph, idx: LocalGraphIndex) {
           n => n.kind == other.kind && n.sk != null && cmpS(n.sk, sk)
       }
     case ValueFilter.Regexp(pattern, withRefs) =>
-      graft.functions.Re2Compat.validate(pattern)
-      val p = java.util.regex.Pattern.compile(pattern)
+      val p = graft.functions.Re2.compile(pattern)
       val kinds =
         if (withRefs)
           Set(Kind.Str, Kind.LangStr, Kind.TypedStr, Kind.Iri, Kind.BNode)
         else Set(Kind.Str, Kind.LangStr, Kind.TypedStr)
-      n => kinds.contains(n.kind) && n.s != null && p.matcher(n.s).find()
+      n => kinds.contains(n.kind) && n.s != null && p.matches(n.s)
     case ValueFilter.Wildcard(pattern) =>
       val regex = "^" + pattern.flatMap {
         case '%' => ".*"
@@ -638,8 +637,8 @@ private final class LocalEval(g: Graph, idx: LocalGraphIndex) {
         case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
         case c => c.toString
       } + "$"
-      val p = java.util.regex.Pattern.compile(regex)
-      n => n.s != null && p.matcher(n.s).find()
+      val p = graft.functions.Re2.compile(regex)
+      n => n.s != null && p.matches(n.s)
   }
 
   /** Frontier/seen transitive closure — mirrors Lower.recursive

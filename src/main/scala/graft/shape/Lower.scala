@@ -294,11 +294,12 @@ final class Lower(g: Graph) {
         case other => col("kind") === other.kind && cmp(col("sk"), lit(other.sortKey))
       }
     case ValueFilter.Regexp(pattern, withRefs) =>
-      // plan-time dialect gate: reject what RE2 would reject (regex.go)
-      graft.functions.Re2Compat.validate(pattern)
+      // true RE2 matching (regex.go): plan-time compile rejects what RE2
+      // rejects; the Pike VM gives linear-time, RE2-semantics evaluation
       val strKinds = Seq(Kind.Str, Kind.LangStr, Kind.TypedStr)
       val kinds = if (withRefs) strKinds ++ Seq(Kind.Iri, Kind.BNode) else strKinds
-      col("kind").isin(kinds.map(Integer.valueOf): _*) && col("s").rlike(pattern)
+      col("kind").isin(kinds.map(Integer.valueOf): _*) &&
+        graft.functions.Re2Match(col("s"), pattern)
     case ValueFilter.Wildcard(pattern) =>
       // %/? wildcard over the string payload, refs included
       // (shape.go:362-407; the pathtest corpus matches IRIs).
@@ -308,7 +309,7 @@ final class Lower(g: Graph) {
         case c if "\\.[]{}()*+-?^$|".contains(c) => "\\" + c
         case c   => c.toString
       } + "$"
-      col("s").isNotNull && col("s").rlike(regex)
+      col("s").isNotNull && graft.functions.Re2Match(col("s"), regex)
   }
 
   /** Iterative transitive closure: frontier/seen loop with localCheckpoint

@@ -24,8 +24,11 @@ class Re2CompatSpec extends AnyFunSuite {
     Re2Compat.validate("ar?li.*e")
     Re2Compat.validate("(?i)case")
     Re2Compat.validate("(?:group)+")
-    Re2Compat.validate("[a\\1]") // class member, not a backreference
-    Re2Compat.validate("a\\0")   // octal escape
+    // Go's octal rule: lone nonzero digit = backreference error, even in
+    // a class; digit runs are octal (regexp/syntax/parse.go parseEscape)
+    intercept[Re2Compat.Re2SyntaxError](Re2Compat.validate("[a\\1]"))
+    Re2Compat.validate("a\\0")  // octal escape
+    Re2Compat.validate("a\\12") // octal \n, not a backreference
   }
 
   test("a backreference pattern fails at plan time through the Path API") {

@@ -1,0 +1,276 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The RE2 engine itself: parser, compiler, Pike VM. Matching semantics
+  * are Go's regexp.MatchString (unanchored boolean); rejection is RE2's
+  * grammar; evaluation is linear-time by construction.
+  */
+class Re2Spec extends AnyFunSuite {
+  private def m(pat: String, in: String): Boolean = Re2.matches(pat, in)
+
+  test("literals and concatenation") {
+    assert(m("abc", "xxabcxx"))
+    assert(!m("abc", "ab"))
+    assert(m("", "anything")) // empty pattern matches everywhere
+    assert(m("", ""))
+  }
+
+  test("alternation and grouping") {
+    assert(m("cat|dog", "hotdog"))
+    assert(m("a(b|c)d", "xacdx"))
+    assert(!m("a(b|c)d", "aed"))
+    assert(m("(ab)+", "abab"))
+    assert(m("a|", "zzz")) // empty alternative matches empty
+  }
+
+  test("quantifiers, greedy and lazy") {
+    assert(m("ab*c", "ac"))
+    assert(m("ab*c", "abbbc"))
+    assert(m("ab+c", "abc"))
+    assert(!m("ab+c", "ac"))
+    assert(m("ab?c", "ac"))
+    assert(m("ab??c", "abc"))
+    assert(!m("colou?r", "colur"))
+  }
+
+  test("counted repetition") {
+    assert(m("a{3}", "baaab"))
+    assert(!m("^a{3}$", "aa"))
+    assert(m("^a{2,}$", "aaaa"))
+    assert(!m("^a{2,}$", "a"))
+    assert(m("^a{2,4}$", "aaa"))
+    assert(!m("^a{2,4}$", "aaaaa"))
+    assert(m("^x{0,2}$", ""))
+    // `{` not starting a valid count is a literal
+    assert(m("a{x}", "za{x}z"))
+    assert(m("a{", "a{"))
+  }
+
+  test("character classes") {
+    assert(m("[abc]+", "cab"))
+    assert(!m("^[abc]$", "d"))
+    assert(m("[a-fA-F0-9]+", "BEEF"))
+    assert(m("[^abc]", "xyz"))
+    assert(!m("^[^abc]$", "b"))
+    assert(m("[-a]", "-"))   // leading/trailing dash is literal
+    assert(m("[a-]", "-"))
+    assert(m("[\\]]", "]"))  // escaped ] in class
+    assert(m("[a\\-c]", "-")) // escaped dash
+    assert(!m("^[a\\-c]$", "b")) // ...is not a range
+  }
+
+  test("perl classes are ASCII (Go perl_groups.go)") {
+    assert(m("^\\d+$", "0123456789"))
+    assert(!m("^\\d$", "٣")) // ARABIC-INDIC THREE: Java \d with U flag would match
+    assert(m("^\\w+$", "a_Z9"))
+    assert(!m("^\\w$", "é"))
+    assert(m("^\\s$", " "))
+    assert(!m("^\\s$", "\u000b")) // vertical tab NOT in Go's \s
+    assert(m("^\\S+$", "abc"))
+    assert(m("^\\D$", "x"))
+    assert(m("[\\d]+", "42"))
+    assert(m("^[\\D]$", "x"))
+    assert(!m("^[\\D]$", "7"))
+  }
+
+  test("posix classes — RE2 syntax, Java would treat as literals") {
+    assert(m("^[[:digit:]]+$", "123"))
+    assert(!m("^[[:digit:]]+$", "12a"))
+    assert(m("^[[:alpha:]]+$", "abcXYZ"))
+    assert(m("^[[:upper:]][[:lower:]]+$", "Hello"))
+    assert(m("^[[:^digit:]]+$", "abc"))
+    assert(!m("^[[:^digit:]]$", "5"))
+    assert(m("^[[:xdigit:]]+$", "DEADbeef123"))
+    assert(m("^[[:space:][:alnum:]]+$", "a b2"))
+  }
+
+  test("dot: excludes only \\n (Java also excludes \\r)") {
+    assert(m("^.$", "x"))
+    assert(!m("^.$", "\n"))
+    assert(m("^.$", "\r")) // divergence from java.util.regex default
+    assert(m("(?s)^.$", "\n"))
+    assert(m("a.c", "a\rc"))
+  }
+
+  test("anchors and boundaries") {
+    assert(m("^abc", "abcdef"))
+    assert(!m("^bcd", "abcdef"))
+    assert(m("def$", "abcdef"))
+    assert(!m("def$", "defabc"))
+    assert(m("\\Aab", "abc"))
+    assert(m("bc\\z", "abc"))
+    // RE2 $ without m is end-of-text: no Java-style pre-\n match
+    assert(!m("abc$", "abc\n"))
+    assert(m("(?m)abc$", "abc\ndef"))
+    assert(m("(?m)^def", "abc\ndef"))
+    assert(m("\\bword\\b", "a word here"))
+    assert(!m("\\bword\\b", "wordy"))
+    assert(m("\\Bord\\b", "word"))
+    assert(!m("\\Bword", "a word"))
+  }
+
+  test("flags: i, s, m, U, scoped groups, cross-| persistence") {
+    assert(m("(?i)hello", "HELLO"))
+    assert(m("(?i)[a-z]+", "ABC"))
+    assert(m("(?i:abc)d", "ABCd"))
+    assert(!m("(?i:abc)d", "abcD"))
+    // (?i) persists across | within the group (RE2 scoping)
+    assert(m("^((?i)abc|def)$", "DEF"))
+    // ...but not outside its group
+    assert(!m("^((?i)a)b$", "AB"))
+    assert(m("^((?i)a)b$", "Ab"))
+    // (?U) swaps greedy/lazy — boolean match unaffected, parse must work
+    assert(m("(?U)a+", "aaa"))
+    // clearing: (?i) then (?-i)
+    assert(m("(?i)a(?-i)b", "Ab"))
+    assert(!m("(?i)a(?-i)b", "aB"))
+  }
+
+  test("case folding covers non-ASCII simple folds") {
+    assert(m("(?i)é", "É"))
+    assert(m("(?i)[à-ö]", "Ä"))
+    assert(m("(?i)k", "K")) // Kelvin sign folds to k
+  }
+
+  test("escapes") {
+    assert(m("a\\.b", "a.b"))
+    assert(!m("a\\.b", "axb"))
+    assert(m("\\$\\^\\*", "$^*"))
+    assert(m("\\x41", "A"))
+    assert(m("\\x{1F600}", "😀"))
+    assert(m("\\t", "\t"))
+    assert(m("\\012", "\n"))
+    assert(m("\\07", "\u0007"))
+    assert(m("\\Qa.b*c\\E", "xa.b*cx"))
+    assert(!m("\\Qa.b\\E", "axb"))
+    assert(m("\\Qlit", "lit")) // unterminated \Q runs to end
+  }
+
+  test("unicode classes \\p") {
+    assert(m("^\\p{L}+$", "abcé漢"))
+    assert(!m("^\\p{L}$", "5"))
+    assert(m("^\\pN$", "5"))
+    assert(m("^\\p{Lu}$", "A"))
+    assert(!m("^\\p{Lu}$", "a"))
+    assert(m("^\\P{L}$", "5"))
+    assert(m("^\\p{Greek}+$", "αβγ"))
+    assert(!m("^\\p{Greek}$", "a"))
+    assert(m("^[\\p{L}\\d]+$", "ab12"))
+    assert(m("^\\p{Any}$", "x"))
+  }
+
+  test("surrogate-pair inputs step by code point") {
+    assert(m("^.$", "😀")) // one emoji = one .
+    assert(m("^..$", "a😀"))
+    assert(!m("^.$", "ab"))
+  }
+
+  test("rejection: RE2 grammar errors") {
+    import Re2Compat.Re2SyntaxError
+    intercept[Re2SyntaxError](Re2.compile("(a)\\1"))
+    intercept[Re2SyntaxError](Re2.compile("a(?=b)"))
+    intercept[Re2SyntaxError](Re2.compile("a(?!b)"))
+    intercept[Re2SyntaxError](Re2.compile("(?<=a)b"))
+    intercept[Re2SyntaxError](Re2.compile("(?<!a)b"))
+    intercept[Re2SyntaxError](Re2.compile("a*+"))
+    intercept[Re2SyntaxError](Re2.compile("a++"))
+    intercept[Re2SyntaxError](Re2.compile("a**"))
+    intercept[Re2SyntaxError](Re2.compile("*a"))
+    intercept[Re2SyntaxError](Re2.compile("+"))
+    intercept[Re2SyntaxError](Re2.compile("a{1001}"))
+    intercept[Re2SyntaxError](Re2.compile("a{3,2}"))
+    intercept[Re2SyntaxError](Re2.compile("\\Z"))   // Java-only
+    intercept[Re2SyntaxError](Re2.compile("\\G"))   // Java-only
+    intercept[Re2SyntaxError](Re2.compile("\\k<n>"))
+    intercept[Re2SyntaxError](Re2.compile("\\e"))   // unknown letter escape
+    intercept[Re2SyntaxError](Re2.compile("abc("))
+    intercept[Re2SyntaxError](Re2.compile("abc)"))
+    intercept[Re2SyntaxError](Re2.compile("[abc"))
+    intercept[Re2SyntaxError](Re2.compile("[]"))    // Go: missing closing ]
+    intercept[Re2SyntaxError](Re2.compile("[]a]"))  // Go rejects, unlike POSIX
+    intercept[Re2SyntaxError](Re2.compile("[z-a]"))
+    intercept[Re2SyntaxError](Re2.compile("a\\"))
+    intercept[Re2SyntaxError](Re2.compile("\\p{Nope}"))
+    intercept[Re2SyntaxError](Re2.compile("[[:nope:]]"))
+    intercept[Re2SyntaxError](Re2.compile("(?P<>a)"))     // empty name
+    intercept[Re2SyntaxError](Re2.compile("(?P<ba d>a)")) // invalid name char
+    intercept[Re2SyntaxError](Re2.compile("(?x)a")) // flag RE2 lacks... (x is comments in Java)
+  }
+
+  test("named groups and non-capturing groups parse") {
+    assert(m("(?P<year>\\d{4})-(?P<month>\\d{2})", "2024-03"))
+    assert(m("(?<year>\\d{4})", "1999"))
+    assert(m("(?:abc)+", "abcabc"))
+  }
+
+  test("linear time on patterns that are exponential under backtracking") {
+    // java.util.regex takes O(2^n) on these; the Pike VM must be instant
+    val evil = "(a|a)*c"
+    val input = "a" * 300
+    val t0 = System.nanoTime()
+    assert(!Re2.matches(evil, input))
+    assert(!Re2.matches("(a*)*b", input))
+    assert(!Re2.matches("(a+)+b", input))
+    assert(!Re2.matches("(x+x+)+y", "x" * 300))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 2000.0, s"pathological patterns took ${ms} ms — VM is not linear")
+  }
+
+  test("agreement with java.util.regex on the shared dialect (randomized)") {
+    // deterministic pseudo-random patterns from a grammar both dialects
+    // interpret identically; inputs avoid \r, \n, \x0b (documented
+    // divergences of dot, $, \s)
+    val rnd = new scala.util.Random(20260812L)
+    val alphabet = "abcAB _9"
+    def randAtom(depth: Int): String = rnd.nextInt(if (depth > 2) 6 else 8) match {
+      case 0 =>
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        if (c == ' ') "\\ " else c.toString
+      case 1 => "[ab9]"
+      case 2 => "[^c]"
+      case 3 => "\\d"
+      case 4 => "\\w"
+      case 5 => "."
+      case 6 => "(" + randExpr(depth + 1) + ")"
+      case 7 => "(?:" + randExpr(depth + 1) + ")"
+    }
+    def randTerm(depth: Int): String = {
+      val a = randAtom(depth)
+      rnd.nextInt(5) match {
+        case 0 => a + "*"
+        case 1 => a + "+"
+        case 2 => a + "?"
+        case 3 => a + "{1,2}"
+        case _ => a
+      }
+    }
+    def randExpr(depth: Int): String = {
+      val terms = (0 to rnd.nextInt(3)).map(_ => randTerm(depth)).mkString
+      if (rnd.nextInt(4) == 0 && depth < 3) terms + "|" + randTerm(depth)
+      else if (terms.isEmpty) "a" else terms
+    }
+    var checked = 0
+    (1 to 400).foreach { _ =>
+      val anchorL = if (rnd.nextBoolean()) "^" else ""
+      val anchorR = if (rnd.nextBoolean()) "$" else ""
+      val pat = anchorL + randExpr(0) + anchorR
+      val jp =
+        try Some(java.util.regex.Pattern.compile(pat))
+        catch { case _: Exception => None }
+      jp.foreach { p =>
+        val mine = Re2.compile(pat)
+        (1 to 10).foreach { _ =>
+          val in = (0 until rnd.nextInt(12))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+          val expected = p.matcher(in).find()
+          val got = mine.matches(in)
+          assert(got == expected,
+            s"pattern `$pat` on input `$in`: re2=$got java=$expected")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 3000)
+  }
+}
