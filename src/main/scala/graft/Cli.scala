@@ -41,7 +41,9 @@ object Cli {
   private[graft] def formatOf(path: String): String = {
     val p = if (path.endsWith(".gz")) path.dropRight(3) else path
     p.substring(p.lastIndexOf('.') + 1) match {
-      case "nq" | "nt"  => "nquads"
+      case "nq"         => "nquads"
+      case "nt"         => "ntriples"
+      case "dot" | "gv" => "dot"
       case "json"       => "json"
       case "jsonld"     => "jsonld"
       case "pq"         => "pq"
@@ -54,7 +56,7 @@ object Cli {
 
   private def readAs(s: SparkSession, in: String, fmt: String): Graph =
     fmt match {
-      case "nquads"  => Graph.fromNQuads(s, in)
+      case "nquads" | "ntriples" => Graph.fromNQuads(s, in)
       case "json"    => Formats.readJsonLines(s, in)
       case "jsonld"  => Formats.readJsonLd(s, in)
       case "graphml" => Formats.readGraphml(s, in)
@@ -65,17 +67,19 @@ object Cli {
     }
 
   private def writeAs(g: Graph, out: String, fmt: String): Unit = fmt match {
-    case "nquads" => Formats.writeNQuads(g, out)
-    case "json"   => Formats.writeJsonLines(g, out)
-    case "pq"     => Pquads.writeFile(g, out)
-    case "parquet" => g.write(out)
-    case "jsonld" | "graphml" | "gml" =>
+    case "nquads"   => Formats.writeNQuads(g, out)
+    case "ntriples" => Formats.writeNTriples(g, out)
+    case "json"     => Formats.writeJsonLines(g, out)
+    case "pq"       => Pquads.writeFile(g, out)
+    case "parquet"  => g.write(out)
+    case "jsonld" | "graphml" | "gml" | "dot" =>
       val w = java.nio.file.Files.newBufferedWriter(
         java.nio.file.Paths.get(out))
       try fmt match {
         case "jsonld"  => Formats.writeJsonLd(g, w)
         case "graphml" => Formats.writeGraphml(g, w)
         case "gml"     => Formats.writeGml(g, w)
+        case "dot"     => Formats.writeDot(g, w)
       } finally w.close()
     case other => sys.error(s"unwritable format: $other")
   }

@@ -24,7 +24,7 @@ object Convert {
     spark.sparkContext.setLogLevel("WARN")
 
     val g = inFmt match {
-      case "nquads"  => Graph.fromNQuads(spark, in)
+      case "nquads" | "ntriples" => Graph.fromNQuads(spark, in)
       case "json"    => Formats.readJsonLines(spark, in)
       case "jsonld"  => Formats.readJsonLd(spark, in)
       case "graphml" => Formats.readGraphml(spark, in)
@@ -34,8 +34,13 @@ object Convert {
       case other => sys.error(s"unreadable format: $other")
     }
     outFmt match {
-      case "nquads" => Formats.writeNQuads(g, out)
-      case "json"   => Formats.writeJsonLines(g, out)
+      case "nquads"   => Formats.writeNQuads(g, out)
+      case "ntriples" => Formats.writeNTriples(g, out)
+      case "json"     => Formats.writeJsonLines(g, out)
+      case "dot" =>
+        val w = java.nio.file.Files.newBufferedWriter(
+          java.nio.file.Paths.get(out))
+        try Formats.writeDot(g, w) finally w.close()
       case "jsonld" =>
         val w = java.nio.file.Files.newBufferedWriter(
           java.nio.file.Paths.get(out))

@@ -36,6 +36,47 @@ object Formats {
   def writeNQuads(g: Graph, path: String): Unit =
     nquadLines(g).write.mode(SaveMode.Overwrite).text(path)
 
+  /** One N-Triples line per quad — N-Quads minus the graph term (labels
+    * are dropped; the reference's quad module registers ntriples beside
+    * nquads with the same codec). Distributed; reading N-Triples is the
+    * N-Quads reader (a triple is a label-less quad).
+    */
+  def ntripleLines(g: Graph): DataFrame = {
+    val n = g.nodes
+    def term(alias: String): org.apache.spark.sql.Column = termColumn(alias)
+    def dict(keyCol: String, alias: String) =
+      n.select(col("id").as(keyCol), struct(Values.fieldNames.map(col): _*)
+        .as(alias))
+    val q = g.quads
+      .join(dict("__s", "sv"), col("s") === col("__s"))
+      .join(dict("__p", "pv"), col("p") === col("__p"))
+      .join(dict("__o", "ov"), col("o") === col("__o"))
+    q.select(concat_ws(" ", term("sv"), term("pv"), term("ov"), lit("."))
+      .as("value"))
+  }
+
+  /** Serialize to N-Triples text files (distributed write, labels
+    * dropped).
+    */
+  def writeNTriples(g: Graph, path: String): Unit =
+    ntripleLines(g).write.mode(SaveMode.Overwrite).text(path)
+
+  /** Graphviz dot document (write-only, as in the reference's quad
+    * module): one `"s" -> "o" [ label = "p" ];` edge per quad. Edge rows
+    * stream from the cluster; the digraph envelope is driver-written.
+    */
+  def writeDot(g: Graph, out: java.io.Writer): Unit = {
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
+    out.write("digraph cayley_graph {\n")
+    quadTerms(g).toLocalIterator().forEachRemaining { r =>
+      out.write("\t\"" + esc(r.getString(0)) + "\" -> \"" +
+        esc(r.getString(2)) + "\" [ label = \"" + esc(r.getString(1)) +
+        "\" ];\n")
+    }
+    out.write("}\n")
+  }
+
   // ------------------------------------------------------ format registry
   /** The reference negotiates any registered quad format
     * (internal/load.go:99 FormatByName, server /api/v2/formats). Document
@@ -47,6 +88,8 @@ object Formats {
                           mime: Seq[String])
   val registry: Seq[Format] = Seq(
     Format("nquads", read = true, write = true, Seq("application/n-quads")),
+    Format("ntriples", read = true, write = true, Seq("application/n-triples")),
+    Format("dot", read = false, write = true, Seq("text/vnd.graphviz")),
     Format("json", read = true, write = true, Seq("application/json")),
     Format("jsonld", read = true, write = true, Seq("application/ld+json")),
     Format("graphml", read = true, write = true, Seq("application/xml")),

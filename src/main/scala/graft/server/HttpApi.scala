@@ -209,11 +209,13 @@ final class HttpApi(initial: Graph) {
         w.write(r.getString(0)); w.write('\n')
       }
     format match {
-      case "nquads" => Right((fmt.mime.head, lineStream(Formats.nquadLines(sub))))
+      case "nquads"   => Right((fmt.mime.head, lineStream(Formats.nquadLines(sub))))
+      case "ntriples" => Right((fmt.mime.head, lineStream(Formats.ntripleLines(sub))))
       case "json"   => Right((fmt.mime.head, lineStream(Formats.jsonQuadLines(sub))))
       case "jsonld" => Right((fmt.mime.head, w => Formats.writeJsonLd(sub, w)))
       case "graphml" => Right((fmt.mime.head, w => Formats.writeGraphml(sub, w)))
       case "gml"     => Right((fmt.mime.head, w => Formats.writeGml(sub, w)))
+      case "dot"     => Right((fmt.mime.head, w => Formats.writeDot(sub, w)))
       case other =>
         Left((400, "application/json",
           s"""{"error": "format is not servable over HTTP: $other"}"""))

@@ -177,7 +177,42 @@ class FormatsSpec extends AnyFunSuite {
     assert(Formats.byName("graphml").exists(f => f.read && f.write))
     assert(Formats.byName("gml").exists(f => f.read && f.write))
     assert(Formats.byName("pq").exists(f => f.read && f.write))
+    assert(Formats.byName("ntriples").exists(f => f.read && f.write))
+    assert(Formats.byName("dot").exists(f => !f.read && f.write))
     assert(Formats.byName("nosuch").isEmpty)
+  }
+
+  test("ntriples: labels dropped, triples round-trip through the nq parser") {
+    val g = typedGraph()
+    val lines = Formats.ntripleLines(g).collect().map(_.getString(0))
+    assert(lines.length === 7)
+    // a triple is four-or-three tokens ending in '.'; no labeled line
+    val labeled = Formats.nquadLines(g).collect().map(_.getString(0))
+      .filter(_.contains("<ctx>"))
+    assert(labeled.length === 1)
+    assert(!lines.exists(_.contains("<ctx>")))
+    // every emitted line reparses to the original (label-less) quad
+    val reparsed = lines.map(NQuads.parseLine(_).get)
+    val g2 = Graph.fromQuads(spark, reparsed.toSeq)
+    assert(g2.stats._2 === 7)
+    val got = Exec.run(g2, Path.start(QValue.Iri("n"))
+      .out(QValue.Iri("esc"))).values()
+    assert(got === Seq(QValue.Str("a \"quoted\" \\ string")))
+  }
+
+  test("dot: digraph document with one labeled edge per quad") {
+    val g = typedGraph()
+    val w = new java.io.StringWriter()
+    Formats.writeDot(g, w)
+    val doc = w.toString
+    assert(doc.startsWith("digraph cayley_graph {\n"))
+    assert(doc.endsWith("}\n"))
+    val edges = doc.linesIterator.filter(_.contains("->")).toSeq
+    assert(edges.length === 7)
+    assert(edges.exists(e => e.contains("<n>") && e.contains("-42")))
+    // dot-escaping on top of N-Quads term escaping: the embedded quote
+    // arrives as \" in the term and \\\" in the dot attribute
+    assert(edges.exists(_.contains("\\\\\\\"quoted")))
   }
 
   /** Typed-value fixture shared by the binary/document round-trip tests:
