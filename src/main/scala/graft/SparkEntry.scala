@@ -256,6 +256,23 @@ object SparkEntry {
           |if (n > 3) { g.emit("many"); } else { g.emit("few"); }""".stripMargin)
         .map(_("id")).toDF("node")
     }),
+    // Gizmo program over the round-4 interpreter surface: object
+    // literals, mutable arrays (push), classic for, Math, string methods
+    "g_gizmo_program2" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """var rows = [];
+          |var regions = g.V().out(iri("n_region")).unique().toArray();
+          |for (var i = 0; i < regions.length; i++) {
+          |  var name = g.V(regions[i]).out(iri("r_name")).toValue();
+          |  var cnt = g.V(regions[i]).in(iri("n_region")).count();
+          |  rows.push({region: name, cnt: cnt});
+          |}
+          |for (k in rows) { g.emit(rows[k]); }
+          |g.emit({region: "TOTAL".toLowerCase() + "-" + Math.min(9, rows.length),
+          |        cnt: 0});""".stripMargin)
+        .map(r => (r("region"), r("cnt"))).toDF("region", "cnt")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -440,6 +457,15 @@ object SparkEntry {
         |SELECT 'regions=' || CAST(COUNT(DISTINCT n_regionkey) AS VARCHAR) FROM nation
         |UNION ALL
         |SELECT CASE WHEN COUNT(DISTINCT n_regionkey) > 3 THEN 'many' ELSE 'few' END FROM nation""".stripMargin,
+    // per-region nation counts built imperatively (objects/arrays/for),
+    // plus one synthesized summary row from string/Math builtins
+    "g_gizmo_program2" ->
+      """SELECT r.r_name AS region, CAST(COUNT(n.n_nationkey) AS VARCHAR) AS cnt
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |UNION ALL
+        |SELECT 'total-' || CAST(LEAST(9, COUNT(DISTINCT n_regionkey)) AS VARCHAR),
+        |       '0' FROM nation""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->

@@ -10,21 +10,27 @@ import graft.shape.ValueFilter._
   * JavaScript hosting the traversal API
   * (/root/reference/query/gizmo/gizmo.go:85-121). Embedding a JS engine is
   * out of scope (SURVEY §7.4); this interprets a general STATEMENT subset:
-  * `var` declarations and assignment, full operator expressions with JS
+  * `var` declarations and assignment (incl. `+= -= *= /= %=`, `++`/`--`,
+  * `obj.field = v`, `arr[i] = v`), full operator expressions with JS
   * precedence (`+ - * / %`, `< <= > >= == != === !==`, `&& || !`, string
-  * concatenation with `+`), `if`/`else`, `while`, user-defined functions
+  * concatenation with `+`), `if`/`else`, `while`, classic
+  * `for(init;cond;update)` and `for (k in …)` (indices for arrays/results,
+  * keys for objects), user-defined functions
   * (`function f(a, b) { ... return ...; }`, recursion included), method
   * chains, `g.M()` morphisms, value builders (iri/bnode/gt/lt/regex/like),
   * finals (all/getLimit/count/toArray/tagArray/toValue/tagValue),
-  * `g.emit(...)`, `function(x){...}` callbacks for forEach/map,
-  * `for (i in arr)` loops with `arr[i]` indexing, `.length`, and
-  * namespaces (addNamespace/addDefaultNamespaces).
+  * `g.emit(...)`, `function(x){...}` callbacks for forEach/map, object
+  * literals `{k: v}` (reference-shared, like JS), mutable arrays with the
+  * Array.prototype subset (push/pop/shift/join/indexOf/slice/concat/
+  * includes/reverse), the String.prototype subset (indexOf/substring/
+  * slice/split/replace/toLowerCase/toUpperCase/trim/charAt/startsWith/
+  * endsWith/includes/concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/
+  * max), `.length`, and namespaces (addNamespace/addDefaultNamespaces).
   *
-  * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent): object
-  * literals (`{k: v}`), closures capturing loop variables by reference,
-  * classic `for(;;)` loops, `+=`-style compound assignment, bitwise
-  * operators, prototype/builtin JS methods (e.g. `Array.push`,
-  * `String.substring`). While-loops abort after 1M iterations.
+  * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent): closures
+  * capturing loop variables by reference, bitwise operators, regex
+  * literals, try/catch, `new`/`this`/prototypes, JS builtins outside the
+  * subsets above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -88,7 +94,11 @@ object Gizmo {
         if (i + 1 < n && q.charAt(i + 1) == c) { toks :+= TOp(s"$c$c"); i += 2 }
         else throw GizmoError(s"unexpected character '$c' (bitwise operators are not supported)")
       } else if (c == '+' || c == '-' || c == '*' || c == '/' || c == '%') {
-        toks :+= TOp(c.toString); i += 1
+        if (i + 1 < n && q.charAt(i + 1) == '=') {
+          toks :+= TOp(c.toString + "="); i += 2 // += -= *= /= %=
+        } else if ((c == '+' || c == '-') && i + 1 < n && q.charAt(i + 1) == c) {
+          toks :+= TOp(s"$c$c"); i += 2 // ++ --
+        } else { toks :+= TOp(c.toString); i += 1 }
       } else if ("().,;=[]{}:".indexOf(c) >= 0) {
         toks :+= TPunct(c); i += 1
       } else throw GizmoError(s"unexpected character '$c' (full JavaScript is not supported; use the statement subset)")
@@ -101,7 +111,14 @@ object Gizmo {
   private case class GPath(p: Path) extends GVal
   private case class GValue(v: QValue) extends GVal
   private case class GFilter(f: ValueFilter) extends GVal
-  private case class GArr(vs: Seq[GVal]) extends GVal
+  // mutable, shared by reference like a JS array (push/element assignment
+  // seen through every binding of the same array)
+  private case class GArr(vs: scala.collection.mutable.ArrayBuffer[GVal])
+      extends GVal
+  // object literal {k: v}: insertion-ordered, shared by reference
+  private case class GObj(m: scala.collection.mutable.LinkedHashMap[String, GVal])
+      extends GVal
+  private case object GMath extends GVal
   private case class GNumV(d: Double, isInt: Boolean) extends GVal
   private case class GBoolV(b: Boolean) extends GVal
   // rendered rows (what the session returns) + raw bindings (what loop
@@ -222,31 +239,96 @@ object Gizmo {
           throw ReturnSignal(v)
         case Some(TIdent("for")) =>
           c.next(); c.expect('(')
-          val idx = c.next() match {
-            case TIdent(s) => s
-            case other     => throw GizmoError(s"expected loop variable, got $other")
+          // `for (x in e)` / `for (var x in e)` vs classic `for(init;cond;upd)`
+          val isForIn = {
+            val at = if (c.peek.contains(TIdent("var"))) c.pos + 1 else c.pos
+            c.toks.lift(at).exists(_.isInstanceOf[TIdent]) &&
+              c.toks.lift(at + 1).contains(TIdent("in"))
           }
-          c.next() match {
-            case TIdent("in") =>
-            case other => throw GizmoError(s"expected 'in', got $other (only for-in loops are supported)")
-          }
-          val arr = parseExpr(c) match {
-            case GArr(vs)    => vs
-            case GResult(_, raw) => raw.map(GTagMap(_))
-            case GNull       => Nil
-            case other       => throw GizmoError(s"cannot iterate $other")
-          }
-          c.expect(')')
-          // capture the body tokens (single statement or block)
-          val body = captureStatement(c)
-          arr.indices.foreach { i =>
-            vars(idx) = GNumV(i.toDouble, isInt = true)
-            runToks(body)
+          if (isForIn) {
+            if (c.peek.contains(TIdent("var"))) c.next()
+            val idx = c.next() match {
+              case TIdent(s) => s
+              case other     => throw GizmoError(s"expected loop variable, got $other")
+            }
+            c.next() // 'in'
+            val iter: Seq[GVal] = parseExpr(c) match {
+              // JS for-in: indices for arrays/results, keys for objects
+              case GArr(vs) =>
+                vs.indices.map(i => GNumV(i.toDouble, isInt = true))
+              case GResult(_, raw) =>
+                raw.indices.map(i => GNumV(i.toDouble, isInt = true))
+              case GObj(m) => m.keys.toSeq.map(k => GValue(QValue.Str(k)))
+              case GNull   => Nil
+              case other   => throw GizmoError(s"cannot iterate $other")
+            }
+            c.expect(')')
+            val body = captureStatement(c)
+            iter.foreach { v =>
+              vars(idx) = v
+              runToks(body)
+            }
+          } else {
+            // classic for: run init once, then body+update while cond holds
+            val init = captureUntilSemi(c)
+            val cond = captureUntilSemi(c)
+            val update = captureParenRest(c)
+            val body = captureStatement(c)
+            runToks(init)
+            var iters = 0
+            while (cond.isEmpty || truthy(evalToks(cond))) {
+              runToks(body)
+              runToks(update)
+              iters += 1
+              if (iters > 1000000)
+                throw GizmoError("for loop exceeded 1,000,000 iterations")
+            }
           }
         case Some(TIdent(name))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1) == TPunct('=') =>
           c.next(); c.next()
           vars(name) = parseExpr(c)
+        case Some(TIdent(name)) if compoundOpAt(c).isDefined =>
+          val op = compoundOpAt(c).get
+          c.next(); c.next()
+          val old = vars.getOrElse(name, throw GizmoError(s"undefined variable $name"))
+          val r = parseExpr(c)
+          vars(name) = if (op == "+") addVals(old, r) else arith(old, r, op)
+        case Some(TIdent(name))
+          if c.toks.lift(c.pos + 1).exists(t => t == TOp("++") || t == TOp("--")) =>
+          c.next()
+          val op = c.next().asInstanceOf[TOp].s
+          val old = vars.getOrElse(name, throw GizmoError(s"undefined variable $name"))
+          vars(name) = arith(old, GNumV(1, isInt = true), op.substring(0, 1))
+        case Some(TIdent(name))
+          if c.toks.lift(c.pos + 1).contains(TPunct('.')) &&
+            c.toks.lift(c.pos + 2).exists(_.isInstanceOf[TIdent]) &&
+            c.toks.lift(c.pos + 3).contains(TPunct('=')) =>
+          // property assignment: obj.field = expr
+          c.next(); c.next()
+          val field = c.next().asInstanceOf[TIdent].s
+          c.next() // '='
+          val v = parseExpr(c)
+          vars.getOrElse(name, throw GizmoError(s"undefined variable $name")) match {
+            case GObj(m) => m(field) = v
+            case other   => throw GizmoError(s"cannot set .$field on $other")
+          }
+        case Some(TIdent(name)) if isIndexAssign(c) =>
+          // element assignment: arr[i] = expr / obj[key] = expr
+          c.next(); c.next() // name '['
+          val key = parseExpr(c)
+          c.expect(']'); c.expect('=')
+          val v = parseExpr(c)
+          vars.getOrElse(name, throw GizmoError(s"undefined variable $name")) match {
+            case GArr(vs) =>
+              val i = num(key).map(_.toInt).getOrElse(
+                throw GizmoError("array index must be a number"))
+              if (i >= 0 && i < vs.length) vs(i) = v
+              else if (i == vs.length) vs += v
+              else throw GizmoError(s"array index $i out of bounds (sparse arrays unsupported)")
+            case GObj(m) => m(renderVal(key)) = v
+            case other   => throw GizmoError(s"cannot index-assign $other")
+          }
         case Some(_) =>
           parseExpr(c) match {
             case GResult(r, _) => out = out ++ r
@@ -292,6 +374,71 @@ object Gizmo {
           case (p, Some(old)) => vars(p) = old
           case (p, None)      => vars.remove(p)
         }
+      }
+
+      /** `name += …`-style compound operator at the cursor, if any. */
+      private def compoundOpAt(c: Cursor): Option[String] =
+        c.toks.lift(c.pos + 1).collect {
+          case TOp(op) if op.length == 2 && op.charAt(1) == '=' &&
+            "+-*/%".indexOf(op.charAt(0)) >= 0 => op.substring(0, 1)
+        }
+
+      /** Lookahead: `name [ … ] =` element assignment? */
+      private def isIndexAssign(c: Cursor): Boolean = {
+        if (!c.toks.lift(c.pos + 1).contains(TPunct('['))) return false
+        var depth = 0
+        var i = c.pos + 1
+        while (i < c.toks.length) {
+          c.toks(i) match {
+            case TPunct('[') => depth += 1
+            case TPunct(']') =>
+              depth -= 1
+              if (depth == 0)
+                return c.toks.lift(i + 1).contains(TPunct('='))
+            case _ =>
+          }
+          i += 1
+        }
+        false
+      }
+
+      /** Capture tokens up to (and consuming) a top-level ';'. */
+      private def captureUntilSemi(c: Cursor): Vector[Tok] = {
+        val start = c.pos
+        var depth = 0
+        while (c.more) {
+          c.toks(c.pos) match {
+            case TPunct('(') | TPunct('[') | TPunct('{') => depth += 1; c.next()
+            case TPunct(')') | TPunct(']') | TPunct('}') => depth -= 1; c.next()
+            case TPunct(';') if depth == 0 =>
+              val slice = c.toks.slice(start, c.pos)
+              c.next()
+              return slice
+            case _ => c.next()
+          }
+        }
+        throw GizmoError("expected ';' in for(init; cond; update)")
+      }
+
+      /** Capture tokens up to (and consuming) the ')' closing the `for (`. */
+      private def captureParenRest(c: Cursor): Vector[Tok] = {
+        val start = c.pos
+        var depth = 1
+        while (c.more) {
+          c.toks(c.pos) match {
+            case TPunct('(') => depth += 1; c.next()
+            case TPunct(')') =>
+              depth -= 1
+              if (depth == 0) {
+                val slice = c.toks.slice(start, c.pos)
+                c.next()
+                return slice
+              }
+              c.next()
+            case _ => c.next()
+          }
+        }
+        throw GizmoError("unterminated for ( ... )")
       }
 
       /** Capture the parenthesized condition tokens (excl. the parens). */
@@ -365,7 +512,7 @@ object Gizmo {
       private def valuesOf(args: Seq[GVal]): Seq[QValue] = args.flatMap {
         case GNull          => Nil
         case GValue(v)      => Seq(v)
-        case GArr(vs)       => valuesOf(vs)
+        case GArr(vs)       => valuesOf(vs.toSeq)
         case GNumV(d, true) => Seq(QValue.IntV(d.toLong))
         case GNumV(d, _)    => Seq(QValue.FloatV(d))
         case GBoolV(b)      => Seq(QValue.BoolV(b))
@@ -398,6 +545,8 @@ object Gizmo {
         case GNumV(d, i) => out = out :+ Map("id" -> (if (i) d.toLong.toString else d.toString))
         case GBoolV(b)   => out = out :+ Map("id" -> b.toString)
         case GTagMap(m)  => out = out :+ m.map { case (k, qv) => k -> render(qv) }
+        case GObj(m)     =>
+          out = out :+ m.map { case (k, gv) => k -> renderVal(gv) }.toMap
         case GArr(vs)    => vs.foreach(emit)
         case GNull       =>
         case other       => throw GizmoError(s"cannot emit $other")
@@ -443,9 +592,128 @@ object Gizmo {
             GNumV(rows.length.toDouble, isInt = true)
           case (GValue(QValue.Str(s)), "length") if args.isEmpty =>
             GNumV(s.length.toDouble, isInt = true)
+          case (GValue(QValue.Str(s)), m) if strMethods(m) =>
+            stringCall(s, m, args)
+          case (GArr(vs), m) if arrMethods(m) => arrayCall(vs, m, args)
+          case (GMath, m) => mathCall(m, args)
+          case (GObj(om), field) if args.isEmpty =>
+            om.getOrElse(field, GNull) // JS undefined ~ null
           case (GTagMap(tm), field) if args.isEmpty =>
             tm.get(field).map(GValue(_)).getOrElse(GNull)
           case (recv, m) => throw GizmoError(s"cannot call .$m on $recv")
+        }
+      }
+
+      private val strMethods = Set("indexOf", "substring", "slice",
+        "toLowerCase", "toUpperCase", "charAt", "trim", "split", "replace",
+        "startsWith", "endsWith", "includes", "contains", "concat")
+
+      /** JS String.prototype subset (the reference's goja VM exposes the
+        * full prototype; these are the methods its corpus and docs use).
+        */
+      private def stringCall(s: String, m: String, args: Seq[GVal]): GVal = {
+        def gstr(v: String) = GValue(QValue.Str(v))
+        def a0 = argStrOne(args.head)
+        def i0 = num(args.head).map(_.toInt).getOrElse(
+          throw GizmoError(s".$m expects a number"))
+        def clamp(i: Int) = math.max(0, math.min(s.length, i))
+        m match {
+          case "indexOf"     => GNumV(s.indexOf(a0).toDouble, isInt = true)
+          case "toLowerCase" => gstr(s.toLowerCase)
+          case "toUpperCase" => gstr(s.toUpperCase)
+          case "trim"        => gstr(s.trim)
+          case "charAt"      => gstr(if (i0 >= 0 && i0 < s.length) s.charAt(i0).toString else "")
+          case "substring" | "slice" =>
+            val from0 = i0
+            val to0 = args.lift(1).flatMap(num).map(_.toInt).getOrElse(s.length)
+            val (from, to) =
+              if (m == "slice") { // slice: negatives count from the end
+                def wrap(i: Int) = if (i < 0) s.length + i else i
+                (clamp(wrap(from0)), clamp(wrap(to0)))
+              } else (clamp(from0), clamp(to0))
+            gstr(if (from <= to) s.substring(from, to)
+              else if (m == "substring") s.substring(to, from) // JS swaps
+              else "")
+          case "split" =>
+            val parts =
+              if (args.isEmpty) Seq(s)
+              else if (a0.isEmpty) s.map(_.toString)
+              else {
+                // literal separator split, -1 to keep trailing empties (JS)
+                s.split(java.util.regex.Pattern.quote(a0), -1).toSeq
+              }
+            GArr(scala.collection.mutable.ArrayBuffer.from(parts.map(gstr)))
+          case "replace" => // first occurrence, literal (JS string arg)
+            val by = argStrOne(args(1))
+            val at = s.indexOf(a0)
+            gstr(if (at < 0) s else s.substring(0, at) + by + s.substring(at + a0.length))
+          case "startsWith" => GBoolV(s.startsWith(a0))
+          case "endsWith"   => GBoolV(s.endsWith(a0))
+          case "includes" | "contains" => GBoolV(s.contains(a0))
+          case "concat" => gstr(s + args.map(renderVal).mkString)
+          case other    => throw GizmoError(s"unknown string method .$other")
+        }
+      }
+
+      private val arrMethods = Set("push", "pop", "join", "indexOf",
+        "slice", "concat", "includes", "contains", "shift", "reverse")
+
+      /** JS Array.prototype subset; push/pop/shift/reverse mutate the
+        * shared buffer, as JS does.
+        */
+      private def arrayCall(vs: scala.collection.mutable.ArrayBuffer[GVal],
+                            m: String, args: Seq[GVal]): GVal = m match {
+        case "push" =>
+          vs ++= args; GNumV(vs.length.toDouble, isInt = true)
+        case "pop" =>
+          if (vs.isEmpty) GNull else vs.remove(vs.length - 1)
+        case "shift" =>
+          if (vs.isEmpty) GNull else vs.remove(0)
+        case "reverse" =>
+          val r = vs.reverse; vs.clear(); vs ++= r; GArr(vs)
+        case "join" =>
+          val sep = args.headOption.map(argStrOne).getOrElse(",")
+          GValue(QValue.Str(vs.map(renderVal).mkString(sep)))
+        case "indexOf" =>
+          GNumV(vs.indexWhere(v => eqVals(v, args.head, strict = true))
+            .toDouble, isInt = true)
+        case "includes" | "contains" =>
+          GBoolV(vs.exists(v => eqVals(v, args.head, strict = true)))
+        case "slice" =>
+          def wrap(i: Int) = if (i < 0) vs.length + i else i
+          val from = math.max(0, wrap(args.headOption.flatMap(num)
+            .map(_.toInt).getOrElse(0)))
+          val to = math.min(vs.length, wrap(args.lift(1).flatMap(num)
+            .map(_.toInt).getOrElse(vs.length)))
+          GArr(scala.collection.mutable.ArrayBuffer.from(
+            if (from < to) vs.slice(from, to) else Nil))
+        case "concat" =>
+          val out = scala.collection.mutable.ArrayBuffer.from(vs)
+          args.foreach {
+            case GArr(other) => out ++= other
+            case v           => out += v
+          }
+          GArr(out)
+        case other => throw GizmoError(s"unknown array method .$other")
+      }
+
+      private def mathCall(m: String, args: Seq[GVal]): GVal = {
+        def n0 = num(args.head).getOrElse(
+          throw GizmoError(s"Math.$m expects a number"))
+        def n1 = num(args(1)).getOrElse(
+          throw GizmoError(s"Math.$m expects numbers"))
+        m match {
+          case "floor" => GNumV(math.floor(n0), isInt = true)
+          case "ceil"  => GNumV(math.ceil(n0), isInt = true)
+          case "round" => GNumV(math.round(n0).toDouble, isInt = true)
+          case "abs"   => val d = math.abs(n0); GNumV(d, isInt = d == d.floor)
+          case "sqrt"  => val d = math.sqrt(n0); GNumV(d, isInt = d == d.floor)
+          case "pow"   => val d = math.pow(n0, n1); GNumV(d, isInt = d == d.floor)
+          case "min" =>
+            val d = args.flatMap(num).min; GNumV(d, isInt = d == d.floor)
+          case "max" =>
+            val d = args.flatMap(num).max; GNumV(d, isInt = d == d.floor)
+          case other => throw GizmoError(s"unknown Math method .$other")
         }
       }
 
@@ -541,7 +809,8 @@ object Gizmo {
         case "count" => GCount(Exec.run(g, p).count())
         case "toArray" =>
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
-          GArr(rawRows(p, lim).flatMap(_.get("id")).map(GValue(_)))
+          GArr(scala.collection.mutable.ArrayBuffer.from(
+            rawRows(p, lim).flatMap(_.get("id")).map(GValue(_))))
         case "tagArray" =>
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
           result(p, lim)
@@ -633,13 +902,15 @@ object Gizmo {
             case other  => throw GizmoError(s"unknown function $other()")
           }
         case TIdent(name) =>
-          vars.getOrElse(name, throw GizmoError(s"undefined variable $name"))
+          vars.getOrElse(name,
+            if (name == "Math") GMath
+            else throw GizmoError(s"undefined variable $name"))
         case TStr(s) => GValue(strToValue(s))
         case TNum(s) =>
           if (s.matches("-?\\d+")) GNumV(s.toDouble, isInt = true)
           else GNumV(s.toDouble, isInt = false)
         case TPunct('[') =>
-          val vs = Vector.newBuilder[GVal]
+          val vs = scala.collection.mutable.ArrayBuffer.empty[GVal]
           var first = true
           while (!c.peek.contains(TPunct(']'))) {
             if (!first) c.expect(',')
@@ -647,13 +918,28 @@ object Gizmo {
             vs += parseExpr(c)
           }
           c.expect(']')
-          GArr(vs.result())
+          GArr(vs)
         case TPunct('(') => // parenthesized sub-expression
           val v = parseExpr(c)
           c.expect(')')
           v
-        case TPunct('{') =>
-          throw GizmoError("object literals are not supported (issue #254 semantics)")
+        case TPunct('{') => // object literal {k: v, "k2": v2}
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, GVal]
+          var first = true
+          while (!c.peek.contains(TPunct('}'))) {
+            if (!first) c.expect(',')
+            first = false
+            val key = c.next() match {
+              case TIdent(s) => s
+              case TStr(s)   => s
+              case TNum(s)   => s
+              case other     => throw GizmoError(s"expected object key, got $other")
+            }
+            c.expect(':')
+            m(key) = parseExpr(c)
+          }
+          c.expect('}')
+          GObj(m)
         case other => throw GizmoError(s"unexpected token $other")
       }
 
@@ -859,19 +1145,19 @@ object Gizmo {
             v = call(c, v, name, args)
           } else if (c.peek.contains(TPunct('['))) {
             c.next()
-            val idx = parseExpr(c) match {
-              case GNumV(d, _) => d.toInt
-              case other       => throw GizmoError(s"array index must be a number, got $other")
-            }
+            val key = parseExpr(c)
             c.expect(']')
+            def idx = num(key).map(_.toInt).getOrElse(
+              throw GizmoError(s"array index must be a number, got $key"))
             v = v match {
-              case GArr(vs) if idx >= 0 && idx < vs.length => vs(idx)
-              case GArr(_)  => GNull
+              case GArr(vs) =>
+                if (idx >= 0 && idx < vs.length) vs(idx) else GNull
               // indexing a query result yields that row's bindings
-              case GResult(_, raw) if idx >= 0 && idx < raw.length =>
-                GTagMap(raw(idx))
-              case GResult(_, _) => GNull
-              case other    => throw GizmoError(s"cannot index $other")
+              case GResult(_, raw) =>
+                if (idx >= 0 && idx < raw.length) GTagMap(raw(idx)) else GNull
+              case GObj(m)    => m.getOrElse(renderVal(key), GNull)
+              case GTagMap(m) => m.get(renderVal(key)).map(GValue(_)).getOrElse(GNull)
+              case other      => throw GizmoError(s"cannot index $other")
             }
           } else done = true
         }

@@ -258,20 +258,20 @@ class GizmoSpec extends AnyFunSuite {
   test("unsupported full JS raises a clear error") {
     // the documented error surface: each unsupported form fails loudly
     intercept[Gizmo.GizmoError] {
-      session.execute("""var o = {a: 1}; g.emit(o)""") // object literal
-    }
-    intercept[Gizmo.GizmoError] {
-      session.execute("""var i = 0; i += 1; g.emit(i)""") // compound assign
-    }
-    intercept[Gizmo.GizmoError] {
-      session.execute("""for (var i = 0; i < 3; i = i + 1) g.emit(i)""") // classic for
-    }
-    intercept[Gizmo.GizmoError] {
       session.execute("""g.emit(1 & 2)""") // bitwise
     }
     intercept[Gizmo.GizmoError] {
       session.execute("""return 4""") // return outside a function
     }
+    intercept[Gizmo.GizmoError] {
+      session.execute("""try { g.emit(1) } catch (e) {}""") // try/catch
+    }
+  }
+  test("previously-unsupported forms now run") {
+    check("""var o = {a: 1}; g.emit(o.a)""", Seq("1"))
+    check("""var i = 0; i += 1; g.emit(i)""", Seq("1"))
+    assert(ids("""for (var i = 0; i < 3; i = i + 1) g.emit(i)""")
+      === Seq("0", "1", "2"))
   }
 
   test("general statements: arithmetic, precedence, string concat") {
@@ -383,10 +383,90 @@ class GizmoSpec extends AnyFunSuite {
       """g.V("<charlie>").followRecursive("<follows>", "depth").all();""",
       "depth", Seq("1", "1", "2", "2"))
   }
-  test("issue #254: object literals error") {
+  test("issue #254: object literals are not vertex args") {
     intercept[Gizmo.GizmoError] {
       session.execute("""g.V({"id":"<alice>"}).all()""")
     }
+  }
+  test("object literals: emit builds multi-column rows") {
+    val rows = session.execute(
+      """var n = g.V("<alice>").out("<follows>").toValue();
+        |g.emit({who: "alice", follows: n, n: 1 + 1});""".stripMargin)
+    assert(rows === Seq(Map("who" -> "alice", "follows" -> "<bob>", "n" -> "2")))
+  }
+  test("object literals: field get/set, bracket access, for-in keys") {
+    val rows = session.execute(
+      """var o = {a: 1};
+        |o.b = o.a + 1;
+        |o["c"] = o["b"] + 1;
+        |var keys = "";
+        |var total = 0;
+        |for (k in o) { keys = keys + k; total += o[k]; }
+        |g.emit({keys: keys, total: total});""".stripMargin)
+    assert(rows === Seq(Map("keys" -> "abc", "total" -> "6")))
+  }
+  test("arrays are mutable and shared by reference") {
+    val rows = session.execute(
+      """var a = [1, 2];
+        |var b = a;
+        |b.push(3);
+        |a[0] = 10;
+        |g.emit({len: a.length, first: b[0], joined: a.join("-")});""".stripMargin)
+    assert(rows === Seq(Map("len" -> "3", "first" -> "10", "joined" -> "10-2-3")))
+  }
+  test("array prototype subset") {
+    val rows = session.execute(
+      """var a = ["x", "y", "z"];
+        |var popped = a.pop();
+        |var s = a.concat(["w"]).slice(1).join("");
+        |g.emit({popped: popped, s: s, has: a.includes("x"), at: a.indexOf("y")});
+        |""".stripMargin)
+    assert(rows === Seq(Map("popped" -> "z", "s" -> "yw", "has" -> "true", "at" -> "1")))
+  }
+  test("string prototype subset") {
+    val rows = session.execute(
+      """var s = "Hello World";
+        |g.emit({lo: s.toLowerCase(), i: s.indexOf("World"),
+        |        sub: s.substring(0, 5), sl: s.slice(-5),
+        |        parts: s.split(" ").length, rep: s.replace("World", "Gizmo"),
+        |        sw: s.startsWith("Hell")});""".stripMargin)
+    assert(rows === Seq(Map("lo" -> "hello world", "i" -> "6",
+      "sub" -> "Hello", "sl" -> "World", "parts" -> "2",
+      "rep" -> "Hello Gizmo", "sw" -> "true")))
+  }
+  test("classic for loop with compound assignment and ++") {
+    val rows = session.execute(
+      """var sum = 0;
+        |for (var i = 0; i < 5; i++) { sum += i; }
+        |var prod = 1;
+        |for (var j = 1; j <= 4; j += 1) prod *= j;
+        |g.emit({sum: sum, prod: prod});""".stripMargin)
+    assert(rows === Seq(Map("sum" -> "10", "prod" -> "24")))
+  }
+  test("Math subset") {
+    val rows = session.execute(
+      """g.emit({f: Math.floor(2.7), c: Math.ceil(2.1), a: Math.abs(-3),
+        |        mx: Math.max(1, 9, 4), p: Math.pow(2, 10)});""".stripMargin)
+    assert(rows === Seq(Map("f" -> "2", "c" -> "3", "a" -> "3",
+      "mx" -> "9", "p" -> "1024")))
+  }
+  test("program: count followers into an object, emit sorted summary") {
+    val rows = session.execute(
+      """var people = g.V("<alice>", "<bob>", "<charlie>").toArray();
+        |var rowsOut = [];
+        |for (var i = 0; i < people.length; i++) {
+        |  var c = g.V(people[i]).in("<follows>").count();
+        |  rowsOut.push({person: people[i], followers: c});
+        |}
+        |for (k in rowsOut) { g.emit(rowsOut[k]); }""".stripMargin)
+    assert(rows.length === 3)
+    val byPerson = rows.map(r => r("person") -> r("followers")).toMap
+    assert(byPerson("<bob>") === "3")
+  }
+  test("still errors: bitwise, regex literals, prototypes outside subset") {
+    intercept[Gizmo.GizmoError](session.execute("var x = 1 & 2;"))
+    intercept[Gizmo.GizmoError](session.execute("""var s = "a"; s.padStart(3);"""))
+    intercept[Gizmo.GizmoError](session.execute("var a = [1]; a.flatMap(f);"))
   }
   test("default limit All") {
     assert(session.execute("g.V().all()", limit = 5).size === 5)
