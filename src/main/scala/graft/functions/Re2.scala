@@ -77,6 +77,33 @@ object Re2 {
       false
     }
 
+    /** The single non-folded literal code point this set denotes, if that
+      * is what it is — feeds the mandatory-literal prescan.
+      */
+    private[Re2] def singleLiteral: Option[Int] =
+      if (!negated && !foldCase && preds.isEmpty &&
+        ranges.length == 2 && ranges(0) == ranges(1)) Some(ranges(0))
+      else None
+
+    /** Mark the ASCII code points this set can match in `mask`; returns
+      * whether it may also match any non-ASCII code point (conservative).
+      * Feeds the first-character skip.
+      */
+    private[Re2] def firstInfo(mask: Array[Boolean]): Boolean = {
+      var c = 0
+      while (c < 128) {
+        if (matches(c)) mask(c) = true
+        c += 1
+      }
+      var hiRange = false
+      var i = 1
+      while (i < ranges.length) {
+        if (ranges(i) >= 128) hiRange = true
+        i += 2
+      }
+      negated || foldCase || preds.nonEmpty || hiRange
+    }
+
     def matches(cp: Int): Boolean = {
       var hit = inSet(cp)
       if (!hit && foldCase) {
@@ -621,22 +648,93 @@ object Re2 {
   private final val OpAssert = 3 // a1 = assertion kind
   private final val OpMatch = 4
 
+  /** Longest literal substring every match must contain (RE2 computes
+    * required prefixes the same way): concatenation accumulates adjacent
+    * single-literal chars; a repetition with min ≥ 1 requires its body's
+    * literal; alternation and optional parts guarantee nothing.
+    */
+  private def mandatoryLiteral(ast: Ast): String = ast match {
+    case ChrA(cs) => cs.singleLiteral
+        .map(cp => new String(Character.toChars(cp))).getOrElse("")
+    case CatA(xs) =>
+      var best = ""
+      val cur = new StringBuilder
+      def flush(): Unit = {
+        if (cur.length > best.length) best = cur.toString
+        cur.clear()
+      }
+      xs.foreach {
+        case ChrA(cs) if cs.singleLiteral.isDefined =>
+          cur.appendAll(Character.toChars(cs.singleLiteral.get))
+        case AssertA(_) => // zero-width: does not break adjacency
+        case other =>
+          flush()
+          val m = mandatoryLiteral(other)
+          if (m.length > best.length) best = m
+      }
+      flush()
+      best
+    case PlusA(x, _)                   => mandatoryLiteral(x)
+    case RepA(x, min, _, _) if min > 0 => mandatoryLiteral(x)
+    case _                             => ""
+  }
+
   /** Compiled program. Immutable; share freely across partitions. */
   final class Prog private[Re2] (
       private val ops: Array[Int],
       private val a1: Array[Int],
       private val a2: Array[Int],
-      private val sets: Array[CharSet])
+      private val sets: Array[CharSet],
+      private val required: String)
       extends Serializable {
 
     private def isWord(cp: Int): Boolean =
       (cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') ||
         (cp >= 'a' && cp <= 'z') || cp == '_'
 
+    /** Code points a match can start with: union of the char sets
+      * reachable from pc 0 through epsilon ops (assertions treated as
+      * passable — conservative). When no threads are live, the VM skips
+      * straight to the next position whose char is in this set. `null`
+      * mask = any char can start (e.g. a leading `.*`), skip disabled.
+      */
+    @transient private lazy val (firstAscii, firstNonAscii) = {
+      val mask = new Array[Boolean](128)
+      var nonAscii = false
+      var anyStart = false // OpMatch reachable at start: every position "starts"
+      val seen = new Array[Boolean](ops.length)
+      var stack = List(0)
+      while (stack.nonEmpty) {
+        val pc = stack.head
+        stack = stack.tail
+        if (!seen(pc)) {
+          seen(pc) = true
+          (ops(pc): @annotation.switch) match {
+            case OpJmp    => stack = a1(pc) :: stack
+            case OpSplit  => stack = a1(pc) :: a2(pc) :: stack
+            case OpAssert => stack = (pc + 1) :: stack
+            case OpChar =>
+              if (sets(a1(pc)).firstInfo(mask)) nonAscii = true
+            case _ => anyStart = true
+          }
+        }
+      }
+      if (anyStart) (null: Array[Boolean], true) else (mask, nonAscii)
+    }
+
+    private def canStart(cp: Int): Boolean =
+      if (firstAscii == null) true
+      else if (cp < 128) firstAscii(cp)
+      else firstNonAscii
+
     /** Unanchored boolean match (Go regexp.MatchString semantics), Pike
       * VM: O(|input| × |prog|) worst case, no backtracking ever.
       */
     def matches(s: String): Boolean = {
+      // prescan: a row that lacks the mandatory literal cannot match —
+      // one intrinsified indexOf instead of a VM run (the common case
+      // for selective filters over large corpora)
+      if (required.length > 0 && s.indexOf(required) < 0) return false
       val np = ops.length
       val mark = new Array[Int](np)
       java.util.Arrays.fill(mark, 0)
@@ -706,13 +804,23 @@ object Re2 {
             nlen = add(nlist, nlen, pc + 1, cur, nxt)
           k += 1
         }
-        // unanchored search: restart a thread at every position
-        nlen = add(nlist, nlen, 0, cur, nxt)
         val tmp = clist; clist = nlist; nlist = tmp
         clen = nlen
         i += Character.charCount(cur)
         prev = cur
         cur = nxt
+        if (clen == 0) {
+          // no live threads: skip to the next char a match can start with
+          while (cur != -1 && !canStart(cur)) {
+            i += Character.charCount(cur)
+            prev = cur
+            cur = if (i >= slen) -1 else s.codePointAt(i)
+          }
+          // marks from the abandoned position must not suppress the seed
+          gen += 1
+        }
+        // unanchored search: a fresh attempt starts at every position
+        clen = add(clist, clen, 0, prev, cur)
       }
       false
     }
@@ -799,10 +907,10 @@ object Re2 {
         }
     }
 
-    def compile(ast: Ast): Prog = {
+    def compile(ast: Ast, required: String): Prog = {
       comp(ast)
       emit(OpMatch)
-      new Prog(ops.toArray, a1.toArray, a2.toArray, sets.toArray)
+      new Prog(ops.toArray, a1.toArray, a2.toArray, sets.toArray, required)
     }
   }
 
@@ -812,7 +920,7 @@ object Re2 {
     */
   def compile(pattern: String): Prog = {
     val ast = new Parser(pattern).parse()
-    new Compiler().compile(ast)
+    new Compiler().compile(ast, mandatoryLiteral(ast))
   }
 
   /** Convenience: one-shot unanchored match. */
