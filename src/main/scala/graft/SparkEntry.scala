@@ -585,6 +585,17 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, minMeanRecall = 0.6,
         nCells = 16, nprobe = 8)
     }),
+    // int8-quantized IVF store (4x smaller candidate scan + exact rerank)
+    // through a real on-disk cell-partitioned store; quantization must
+    // not cost recall vs the same probe budget's float path
+    "sim_ivf_q" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_q").toString
+      Similarity.ivfQuantizedMeanRecallAtK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10,
+        minMeanRecall = 0.6, dir = dir, nCells = 16, nprobe = 8)
+    }),
     // exact all-pairs embedding-cosine near-dup (ids only) — the
     // small-corpus/oracle anchor; the scale default is the banded path
     // verified by emb_neardup_ann below
@@ -974,6 +985,7 @@ object SparkEntry {
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",
+    "sim_ivf_q" -> "SELECT TRUE AS recall_ok",
     // batched ANN: every probe must recover >= 2 of its exact top-3
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_batch_ann" -> "SELECT TRUE AS recall_ok",

@@ -313,6 +313,110 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Quantized IVF store: same cell-partitioned layout as [[ivfWrite]],
+    * plus an int8-quantized copy of each vector (`q8`, 8-byte scale +
+    * 1 byte/dim — see [[graft.functions.Int8Vec]]) and its precomputed
+    * norm. The probe scan reads ONLY (cell, id, q8, norm) — Parquet
+    * column pruning never touches the float32 column — so the candidate
+    * scan moves ~4× fewer vector bytes; the full-precision column is
+    * read once more for the tiny rerank set. At 100 TB of embeddings
+    * that byte ratio, not compute, is the probe cost.
+    */
+  def ivfWriteQuantized(emb: DataFrame, dir: String, idCol: String,
+                        vecCol: String, nCells: Int = 16,
+                        iters: Int = 3): Unit = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells, iters)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        graft.functions.Int8Vec.quantize(col(vecCol)).as("q8"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("norm"),
+        cellExpr(col(vecCol), cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    val json = cents.map(_.mkString("[", ",", "]"))
+      .mkString("{\"centroids\":[", ",", "]}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ivf_meta.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Batched top-k over an [[ivfWriteQuantized]] store: partition-pruned
+    * int8 scan scores `rerank·k` candidates per probe approximately
+    * (integer dot × scales), then ONE exact-cosine rescore pass over the
+    * candidate sliver picks the final k. Approximation error only
+    * reorders the approximate shortlist — anything the int8 scan ranks
+    * within rerank·k of the top survives to exact scoring.
+    */
+  def ivfStoreTopKQuantized(spark: org.apache.spark.sql.SparkSession,
+                            dir: String, probes: DataFrame, idCol: String,
+                            vecCol: String, k: Int, nprobe: Int = 4,
+                            rerank: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = ivfReadCentroids(dir)
+    val pb = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(array(cents.toIndexedSeq.map { c =>
+          dot(col(vecCol), typedLit(c.toSeq))
+        }: _*)).as(Seq("cell", "cscore")))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cell"))
+    val probeCells = pb
+      .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"),
+        graft.functions.Int8Vec.quantize(col("qv")).as("p8"),
+        sqrt(dot(col("qv"), col("qv"))).as("pnorm"), col("cell"))
+      .cache()
+    val cells = probeCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    // approximate scoring scan: int8 codes + norm only, float32 unread
+    val corpusQ = spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id"), col("q8"), col("norm"))
+    val aw = Window.partitionBy("query_id")
+      .orderBy(col("ascore").desc, col("id"))
+    val cand = corpusQ.join(broadcast(probeCells), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("cell"), col("qv"),
+        (graft.functions.Int8Vec.dot8(col("q8"), col("p8")) /
+          (col("norm") * col("pnorm"))).as("ascore"))
+      .withColumn("rn", row_number().over(aw))
+      .where(col("rn") <= k.toLong * rerank)
+      .drop("rn", "ascore")
+    // exact rerank: second pruned read, full vectors for the sliver only
+    val full = spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id"), col("v"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    full.join(broadcast(cand), Seq("cell", "id"))
+      .select(col("query_id"), col("id"),
+        cosine(col("v"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Contract for the quantized store path: mean recall@k over the probe
+    * batch vs the exact batch top-k (same anchoring as
+    * [[ivfMeanRecallAtK]]), end-to-end through a real on-disk store.
+    */
+  def ivfQuantizedMeanRecallAtK(emb0: DataFrame, probes: DataFrame,
+                                idCol: String, vecCol: String, k: Int,
+                                minMeanRecall: Double, dir: String,
+                                nCells: Int = 16, nprobe: Int = 4,
+                                rerank: Int = 4): DataFrame = {
+    val emb = emb0.cache()
+    ivfWriteQuantized(emb, dir, idCol, vecCol, nCells)
+    val spark = emb.sparkSession
+    val ann = ivfStoreTopKQuantized(spark, dir, probes, idCol, vecCol, k,
+        nprobe, rerank)
+      .select("query_id", "id")
+    val exact = batchTopK(emb, probes, idCol, vecCol, k)
+      .select("query_id", "id")
+    val hits = ann.join(exact, Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    probes.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(((avg(coalesce(col("hits"), lit(0L))) / k) >= minMeanRecall)
+        .as("recall_ok"))
+  }
+
   /** IVF verification contract: MEAN recall@k over the probe batch vs the
     * exact batch top-k (anchored on the probe set — a probe with zero
     * recovered neighbors counts 0, it does not drop out). Mean rather than

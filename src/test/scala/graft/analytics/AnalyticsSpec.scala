@@ -277,6 +277,62 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected cell partition pruning:\n$plan")
   }
 
+  test("int8 quantization: bounded dot error, exact on axis vectors") {
+    import graft.functions.Int8Vec
+    val rnd = new scala.util.Random(17)
+    (1 to 200).foreach { _ =>
+      val a = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val b = Array.fill(64)(rnd.nextDouble() * 2 - 1)
+      val exact = a.zip(b).map { case (x, y) => x * y }.sum
+      val approx = Int8Vec.dotQuantized(
+        Int8Vec.quantizeArray(a), Int8Vec.quantizeArray(b))
+      // per-element error <= scale/2 = maxAbs/254; for unit-range dims the
+      // accumulated error stays well under 2% of the vector magnitude
+      assert(math.abs(approx - exact) <= 0.02 * 64 / 8,
+        s"dot error too large: exact=$exact approx=$approx")
+    }
+    // codes hit the grid exactly: max-magnitude elements are lossless
+    val axis = Array(0.0, -1.0, 0.5, 0.0)
+    val selfDot = Int8Vec.dotQuantized(Int8Vec.quantizeArray(axis),
+      Int8Vec.quantizeArray(axis))
+    assert(math.abs(selfDot - 1.25) < 0.005)
+    // zero vector: scale 0, dot 0
+    assert(Int8Vec.dotQuantized(
+      Int8Vec.quantizeArray(Array(0.0, 0.0)),
+      Int8Vec.quantizeArray(Array(1.0, 1.0))) === 0.0)
+  }
+
+  test("quantized ivf store: recall, rerank exactness, float column unread") {
+    val rnd = new scala.util.Random(19)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfq").toString
+    Similarity.ivfWriteQuantized(emb, dir, "vec_id", "embedding", nCells = 4)
+    val probes = emb.where(col("vec_id") < 3)
+    // full scan + generous rerank: quantization can only reorder the
+    // shortlist, so the exact rerank must reproduce the exact top-k
+    val full = Similarity.ivfStoreTopKQuantized(spark, dir, probes,
+      "vec_id", "embedding", k = 2, nprobe = 4, rerank = 30)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding", k = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // the approximate scoring scan must not read the float32 vector column
+    val pruned = Similarity.ivfStoreTopKQuantized(spark, dir, probes,
+      "vec_id", "embedding", k = 2, nprobe = 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(scanSchemas.exists(s => s.contains("q8") && !s.contains("v:")),
+      s"expected an int8-only scan schema:\n$plan")
+    // end-to-end contract harness through a fresh store
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfq2").toString
+    val ok = Similarity.ivfQuantizedMeanRecallAtK(emb, probes, "vec_id",
+      "embedding", k = 2, minMeanRecall = 1.0, dir = dir2, nCells = 4,
+      nprobe = 4, rerank = 30).head.getBoolean(0)
+    assert(ok)
+  }
+
   test("text ops: tokens, langid, fingerprint, quality") {
     val r = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("nt"),
