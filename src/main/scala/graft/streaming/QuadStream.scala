@@ -69,6 +69,64 @@ object QuadStream {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming NEAR-duplicate detection on ingest — the Structured-
+    * Streaming form of [[graft.analytics.Dedup.minhashPairs]]' candidate
+    * stage. Each arriving document gets its k-band MinHash signature
+    * per-row (codegen [[graft.functions.MinHashSig]], bit-identical to
+    * the batch signature family, so stream and batch candidates agree);
+    * state holds the FIRST arrival per (band, minhash) bucket and later
+    * arrivals emit a hit with the signature-estimated Jaccard (fraction
+    * of agreeing positions). Approximate by contract: the estimate is the
+    * unbiased k-sample Jaccard estimator, and a true near-dup pair is
+    * missed only if it agrees on no band (prob (1−j)^k). A doc colliding
+    * in several bands emits one hit per band — consumers dedup by id
+    * (kept as-is because a second stateful op in the same query is not
+    * allowed). State is O(distinct buckets) — for bounded state over
+    * endless streams, window the corpus upstream and restart per epoch.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 16, shingleN: Int = 3,
+                    minEstJaccard: Double = 0.5)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // same shingle construction as Dedup.wordShingleRows, as one array
+    // column (the short-doc fallback keeps every doc ≥1 shingle); the
+    // transform lambda is interpreted but runs once per row
+    val toks = split(graft.analytics.TextOps.normalize(col(textCol)), " ")
+    val shArr = when(size(toks) < shingleN, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - shingleN),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(shingleN)))))
+    val banded = docs
+      .select(col(idCol).cast("long").as("id"),
+        graft.functions.MinHashSig(shArr, k).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(col("sig")).as(Seq("band", "mh")))
+      .as[BandedDoc]
+    banded.groupByKey(d => (d.band, d.mh))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), batch: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          // micro-batch arrivals are unordered — earliest id claims the
+          // bucket deterministically
+          val arrivals = batch.toSeq.sortBy(_.id)
+          var st = state.getOption
+          val hits = Seq.newBuilder[NearDupHit]
+          for (d <- arrivals) st match {
+            case None => st = Some(BucketState(d.id, d.sig))
+            case Some(s) if s.firstId == d.id => () // re-ingest of the owner
+            case Some(s) =>
+              val est = graft.functions.MinHashSig.estJaccard(s.sig, d.sig)
+              if (est >= minEstJaccard)
+                hits += NearDupHit(d.id, s.firstId, d.band, est)
+          }
+          st.foreach(state.update)
+          hits.result().iterator
+      }
+  }
+
   /** Event-stream analytics: watermarked tumbling-window counts — the
     * Structured-Streaming form of the batch `q_window` query.
     */
@@ -129,6 +187,16 @@ object QuadStream {
       }
   }
 }
+
+/** One banded signature row for [[QuadStream.nearDupStream]]. */
+final case class BandedDoc(id: Long, sig: Seq[Long], band: Int, mh: Long)
+
+/** First-arrival owner of an LSH bucket. */
+final case class BucketState(firstId: Long, sig: Seq[Long])
+
+/** A streaming near-dup candidate: `id` matched `dup_of` in `band`. */
+final case class NearDupHit(id: Long, dup_of: Long, band: Int,
+                            est_jaccard: Double)
 
 /** Input row for [[QuadStream.sessionizeStream]]. */
 final case class SessionEvent(event_id: Long, user_id: Long,

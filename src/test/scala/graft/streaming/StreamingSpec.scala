@@ -113,6 +113,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept.intersect(Set(1L, 2L)).size === 1)
   }
 
+  test("streaming near-dup: stateful LSH flags the dup, spares the rest") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sneardup").toString
+    val base = "the quick brown fox jumps over the lazy dog near the river bank"
+    Seq(
+      (0L, s"$base today and every day"),
+      (1L, s"$base today and every night"), // near-dup of 0
+      (2L, "completely unrelated content about database query engines"),
+      (3L, s"$base today and every day")) // exact dup of 0
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream
+      .schema("doc_id bigint, text string").parquet(s"$tmp/in")
+    val q = QuadStream.nearDupStream(stream, "doc_id", "text",
+        k = 16, minEstJaccard = 0.5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sneardup").start()
+    q.processAllAvailable()
+    q.stop()
+    val hits = spark.sql("SELECT id, dup_of, est_jaccard FROM sneardup")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // each flagged doc resolves to one earliest owner; 2 never appears
+    val byId = hits.groupBy(_._1)
+    assert(byId.keySet.subsetOf(Set(1L, 3L)))
+    assert(byId.contains(3L) && byId(3L).forall(h => h._2 === 0L && h._3 === 1.0))
+    assert(byId.contains(1L) && byId(1L).forall(_._2 === 0L))
+    assert(!hits.exists(h => h._1 === 2L || h._2 === 2L))
+  }
+
+  test("streaming MinHashSig equals the batch signature aggregate") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "tiny"), // short-doc fallback path
+      (2L, "a different longer document about engines and queries today"))
+      .toDF("doc_id", "text")
+    val n = 3
+    val toks = split(graft.analytics.TextOps.normalize(col("text")), " ")
+    val shArr = when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    val perRow = docs.select(col("doc_id").as("id"),
+        graft.functions.MinHashSig(shArr, 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val batch = graft.analytics.Dedup
+      .minhashSignatures(docs, "doc_id", "text", k = 16, shingleN = n)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(perRow === batch)
+  }
+
   test("multimodal: stubbed decode via mapPartitions, metadata pruning") {
     import spark.implicits._
     val rows = Seq(
