@@ -21,8 +21,8 @@ object Bench {
     "text_repetition", "text_redact", "text_pack", "text_chunks",
     "text_tfidf", "corpus_stats", "doc_sample",
     "q_sessionize", "q_session_stats",
-    "sim_topk", "sim_ann", "sim_ivf", "emb_neardup", "emb_clusters",
-    "emb_neardup_ann", "emb_clusters_ann")
+    "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "emb_neardup",
+    "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query subset (iteration aid; the
@@ -283,6 +283,21 @@ object Bench {
             emb10.where(col("vec_id") < 10), "vec_id", "embedding", k = 10,
             nCells = 16, nprobe = 8))
         }
+        // quantized on-disk store probe at 10×: write once (int8 codes +
+        // norms, cell-partitioned), then probe reads (cell,id,q8,norm)
+        // only — evidencing the 4× byte cut end-to-end at scale
+        val qDir = "/tmp/graft_ivfq10x"
+        try {
+          smoke("x10_ivf_q_write") {
+            Similarity.ivfWriteQuantized(emb10, qDir, "vec_id", "embedding",
+              nCells = 16)
+          }
+          smoke("x10_ivf_q_probe") {
+            noop(Similarity.ivfStoreTopKQuantized(spark, qDir,
+              emb10.where(col("vec_id") < 10), "vec_id", "embedding",
+              k = 10, nprobe = 8))
+          }
+        } catch { case e: Throwable => errors("x10_ivf_q_probe") = errText(e) }
         out.toSeq
       }
 
