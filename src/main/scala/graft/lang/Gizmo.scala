@@ -858,7 +858,8 @@ object Gizmo {
       }
 
       private def parsePrimary(c: Cursor): GVal = c.next() match {
-        case TIdent("g")     => GEnv
+        // the reference binds both `graph` and its alias `g` (gizmo.go:113-114)
+        case TIdent("g") | TIdent("graph") => GEnv
         case TIdent("var")   => throw GizmoError("internal: var in expr")
         case TIdent("true")  => GBoolV(true)
         case TIdent("false") => GBoolV(false)

@@ -32,6 +32,9 @@ class GizmoSpec extends AnyFunSuite {
   test("get a single vertex (legacy caps)") {
     check("""g.V("<alice>").All()""", Seq("<alice>"))
   }
+  test("graph is an alias for g (gizmo.go:113-114)") {
+    check("""graph.Vertex("<alice>").all()""", Seq("<alice>"))
+  }
   test("use .getLimit") {
     assert(ids("g.V().getLimit(5)").size === 5)
   }
