@@ -466,6 +466,23 @@ class GizmoSpec extends AnyFunSuite {
     val byPerson = rows.map(r => r("person") -> r("followers")).toMap
     assert(byPerson("<bob>") === "3")
   }
+  test("issue #160: object emit inside forEach (gizmo_test.go:791-803), verbatim") {
+    import graft.core.{NQuads, QValue}
+    val g160 = Graph.fromQuads(spark, Seq(
+      ("alice", "follows", "bob"), ("bob", "follows", "alice"),
+      ("charlie", "follows", "bob"), ("dani", "follows", "charlie"),
+      ("dani", "follows", "alice"), ("alice", "is", "cool"),
+      ("bob", "is", "not cool"), ("charlie", "is", "cool"),
+      ("danie", "is", "not cool")).map { case (s, p, o) =>
+      NQuads.ParsedQuad(QValue.Str(s), QValue.Str(p), QValue.Str(o), None)
+    })
+    val rows = Gizmo.session(g160).execute(
+      """g.V().tag('query').out(raw('follows')).out(raw('follows')).forEach(function (item) {
+        |  if (item.id !== item.query) g.emit({ id: item.id });
+        |})""".stripMargin, limit = 100)
+    assert(rows.flatMap(_.get("id")).sorted === Seq("alice", "bob", "bob"))
+  }
+
   test("still errors: bitwise, regex literals, prototypes outside subset") {
     intercept[Gizmo.GizmoError](session.execute("var x = 1 & 2;"))
     intercept[Gizmo.GizmoError](session.execute("""var s = "a"; s.padStart(3);"""))
