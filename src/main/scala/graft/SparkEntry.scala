@@ -678,6 +678,12 @@ object SparkEntry {
     "q_source_cap" -> ((s, d) =>
       TextOps.capPerKey(t(s, d, "documents"), "doc_id", "source", cap = 10)
         .select("doc_id", "source")),
+    // one-call curation pipeline: exact dedup -> quality gate ->
+    // per-source cap, every stage exact and engine-portable
+    "pipeline_curate" -> ((s, d) =>
+      graft.analytics.Curate.curate(t(s, d, "documents"), "doc_id", "text",
+        "source", minTokens = 5, maxTokens = 100000, maxWordLen = 40,
+        perSourceCap = 12)),
     // temperature mixture: keep ceil(3*sqrt(count)) docs per source
     // (alpha=0.5 reweighting with integer per-stratum thresholds)
     "q_mixture" -> ((s, d) =>
@@ -847,6 +853,30 @@ object SparkEntry {
         |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+    // the curate() composition, stage for stage: dedup CTE = dedup_exact,
+    // quality predicate = text_quality facets, cap = q_source_cap
+    "pipeline_curate" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source, text,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |survivors AS (
+        |  SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(t)),
+        |feat AS (
+        |  SELECT n.doc_id, n.source,
+        |    CASE WHEN length(t)=0 THEN 0
+        |         ELSE length(string_split(t, ' ')) END AS n_tokens,
+        |    CASE WHEN length(t)=0 THEN 0
+        |         ELSE list_max(list_transform(string_split(t, ' '), w -> length(w))) END AS mwl
+        |  FROM norm n JOIN survivors s ON n.doc_id = s.doc_id),
+        |filt AS (
+        |  SELECT doc_id, source, n_tokens FROM feat
+        |  WHERE n_tokens BETWEEN 5 AND 100000 AND mwl <= 40)
+        |SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+        |  FROM filt)
+        |WHERE rn <= 12""".stripMargin,
     // temperature mixture: integer per-stratum threshold ceil(3*sqrt(n))
     "q_mixture" ->
       """SELECT doc_id, source FROM (

@@ -277,6 +277,32 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected cell partition pruning:\n$plan")
   }
 
+  test("curate: dedup survivor, quality gate and cap compose; card sums") {
+    val corpus = Seq(
+      (0L, "web", "the quick brown fox jumps over the lazy dog today"),
+      (1L, "web", "the quick brown fox jumps over the lazy dog today"), // exact dup of 0
+      (2L, "web", "tiny"), // fails min-token gate
+      (3L, "web", "a perfectly reasonable document with enough distinct tokens"),
+      (4L, "books", "another acceptable document that clears every quality gate"),
+      (5L, "books", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa single giant word here") // fails word-len gate
+    ).toDF("doc_id", "source", "text")
+    val out = Curate.curate(corpus, "doc_id", "text", "source",
+      minTokens = 5, maxTokens = 100, maxWordLen = 40, perSourceCap = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).toSet === Set(0L, 3L, 4L)) // 1 deduped, 2+5 gated
+    val card = Curate.dataCard(
+      Curate.curate(corpus, "doc_id", "text", "source", minTokens = 5,
+        maxTokens = 100, maxWordLen = 40))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(card("web")._1 === 2 && card("books")._1 === 1)
+    assert(card("books")._2 === 8) // token mass of doc 4
+    // cap binds: per-source cap of 1 keeps exactly one doc per source
+    val capped = Curate.curate(corpus, "doc_id", "text", "source",
+      minTokens = 5, maxTokens = 100, maxWordLen = 40, perSourceCap = 1)
+      .collect()
+    assert(capped.length === 2)
+  }
+
   test("int8 quantization: bounded dot error, exact on axis vectors") {
     import graft.functions.Int8Vec
     val rnd = new scala.util.Random(17)
