@@ -678,6 +678,29 @@ object SparkEntry {
     "q_source_cap" -> ((s, d) =>
       TextOps.capPerKey(t(s, d, "documents"), "doc_id", "source", cap = 10)
         .select("doc_id", "source")),
+    // BPE tokenizer training contract: one distributed word-count pass
+    // feeds a deterministic driver-local merge loop (the scale shape —
+    // per-merge corpus rescans would be numMerges full scans). Verified
+    // properties: retraining yields the identical merge list, and greedy
+    // segmentation with the trained merges reassembles every document's
+    // normalized text exactly (lossless round-trip)
+    "text_bpe" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents")
+      val m1 = graft.analytics.Bpe.train(docs, "text", numMerges = 60)
+      val m2 = graft.analytics.Bpe.train(docs, "text", numMerges = 60)
+      val seg = graft.analytics.Bpe.segment(docs, "doc_id", "text", m1)
+      val rebuilt = seg.select(col("id").as("doc_id"),
+        trim(regexp_replace(concat_ws("", col("tokens")),
+          java.util.regex.Pattern.quote(graft.analytics.Bpe.EndOfWord), " "))
+          .as("rebuilt"))
+      val mismatches = docs
+        .select(col("doc_id"),
+          graft.analytics.TextOps.normalize(col("text")).as("norm"))
+        .join(rebuilt, Seq("doc_id"))
+        .where(col("norm") =!= col("rebuilt")).count()
+      Seq(m1.nonEmpty && m1 == m2 && mismatches == 0L).toDF("bpe_ok")
+    }),
     // one-call curation pipeline: exact dedup -> quality gate ->
     // per-source cap, every stage exact and engine-portable
     "pipeline_curate" -> ((s, d) =>
@@ -853,6 +876,7 @@ object SparkEntry {
         |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
+    "text_bpe" -> "SELECT TRUE AS bpe_ok",
     // the curate() composition, stage for stage: dedup CTE = dedup_exact,
     // quality predicate = text_quality facets, cap = q_source_cap
     "pipeline_curate" ->

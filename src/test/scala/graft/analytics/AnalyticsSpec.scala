@@ -277,6 +277,29 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected cell partition pruning:\n$plan")
   }
 
+  test("bpe: frequent words collapse to one token; segmentation lossless") {
+    val corpus = (1 to 50).map(i => (i.toLong, "hello world and hello again"))
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(corpus, "text", numMerges = 30)
+    assert(merges.nonEmpty)
+    // determinism: identical retrain
+    assert(merges === Bpe.train(corpus, "text", numMerges = 30))
+    // the most frequent word ends up a single symbol
+    val hello = Bpe.segmentWord("hello", merges)
+    assert(hello === Seq("hello" + Bpe.EndOfWord))
+    // a never-seen word degrades to finer pieces, never fails
+    val unseen = Bpe.segmentWord("zzz", merges)
+    assert(unseen.mkString("") === "zzz" + Bpe.EndOfWord)
+    // corpus segmentation round-trips the normalized text
+    val seg = Bpe.segment(corpus, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(seg(1L).mkString("").replace(Bpe.EndOfWord, " ").trim
+      === "hello world and hello again")
+    // merge loop recount semantics: counts below 2 stop training
+    val tiny = Bpe.trainFromCounts(Seq(("ab", 1L)), numMerges = 10)
+    assert(tiny.isEmpty)
+  }
+
   test("curate: dedup survivor, quality gate and cap compose; card sums") {
     val corpus = Seq(
       (0L, "web", "the quick brown fox jumps over the lazy dog today"),
