@@ -19,7 +19,7 @@ object Bench {
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "decontam", "text_quality", "text_langid",
     "text_repetition", "text_redact", "text_pack", "text_chunks",
-    "text_tfidf", "corpus_stats", "doc_sample",
+    "text_tfidf", "corpus_stats", "doc_sample", "pipeline_curate",
     "q_sessionize", "q_session_stats",
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "emb_neardup",
     "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
