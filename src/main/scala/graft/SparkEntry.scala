@@ -678,6 +678,15 @@ object SparkEntry {
     "q_source_cap" -> ((s, d) =>
       TextOps.capPerKey(t(s, d, "documents"), "doc_id", "source", cap = 10)
         .select("doc_id", "source")),
+    // Gopher document-quality rules (Rae et al. 2021 A1.1): exact
+    // integer facets + cross-multiplied keep gate, one scan, no shuffle
+    "text_gopher" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val facets = TextOps.gopherFacets(col("text"))
+        .map { case (n, c) => c.as(n) }
+      docs.select((col("doc_id") +: facets :+
+        TextOps.gopherOk(col("text"), minWords = 10).as("keep")): _*)
+    }),
     // BPE tokenizer training contract: one distributed word-count pass
     // feeds a deterministic driver-local merge loop (the scale shape —
     // per-merge corpus rescans would be numMerges full scans). Verified
@@ -877,6 +886,24 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
     "text_bpe" -> "SELECT TRUE AS bpe_ok",
+    "text_gopher" ->
+      """WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |f AS (SELECT doc_id,
+        |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE len(string_split(t,' ')) END AS BIGINT) AS n_words,
+        |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE list_sum(list_transform(string_split(t,' '), x -> length(x))) END AS BIGINT) AS sum_word_len,
+        |  CAST(len(list_filter(string_split(t,' '), x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha_words,
+        |  CAST((length(t) - length(replace(t,'#',''))) + (length(t) - length(replace(t,'...','')))/3 AS BIGINT) AS n_symbol,
+        |  CAST(CASE WHEN length(t)=0 THEN 0 ELSE len(list_filter(string_split(t,' '),
+        |    x -> x IN ('the','be','to','of','and','that','have','with'))) END AS BIGINT) AS n_stop_hits
+        |  FROM n)
+        |SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_symbol, n_stop_hits,
+        |  (n_words BETWEEN 10 AND 100000
+        |   AND sum_word_len >= n_words*3 AND sum_word_len <= n_words*10
+        |   AND n_alpha_words*10 >= n_words*8
+        |   AND n_symbol*10 < n_words
+        |   AND n_stop_hits >= 2) AS keep
+        |FROM f""".stripMargin,
     // the curate() composition, stage for stage: dedup CTE = dedup_exact,
     // quality predicate = text_quality facets, cap = q_source_cap
     "pipeline_curate" ->

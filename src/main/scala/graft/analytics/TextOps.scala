@@ -64,6 +64,60 @@ object TextOps {
           .otherwise(array_max(transform(split(t, " "), w => length(w))).cast("long")))
   }
 
+  /** Gopher-rule quality facets (Rae et al. 2021 §A1.1, the canonical
+    * pretraining document gates), as exact integer/rational columns so
+    * any engine computes the identical values — ratios are given as
+    * (numerator, denominator) pairs, never floats, to keep cross-engine
+    * hash parity. Pure per-row expressions: one scan, no shuffle, at any
+    * corpus size.
+    *
+    *  - `n_words`, `mean_word_len_num`/`n_words` = mean word length
+    *  - `n_alpha_words`: words containing at least one a–z char
+    *  - `n_symbol`: '#' and "..." occurrences (symbol-to-word ratio)
+    *  - `n_stop_hits`: occurrences of the 8 Gopher stopwords
+    *    (the/be/to/of/and/that/have/with)
+    */
+  def gopherFacets(text: Column): Seq[(String, Column)] = {
+    val t = normalize(text)
+    val words = split(t, " ")
+    val nWords = when(length(t) === 0, lit(0)).otherwise(size(words))
+    def occurrences(needle: String): Column =
+      when(length(t) === 0, lit(0)).otherwise(
+        ((length(t) - length(regexp_replace(t,
+          java.util.regex.Pattern.quote(needle), ""))) / needle.length)
+          .cast("long"))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => size(filter(words, x => x === w)))
+      .reduce(_ + _)
+    Seq(
+      "n_words" -> nWords.cast("long"),
+      "sum_word_len" -> when(length(t) === 0, lit(0L))
+        .otherwise(aggregate(words, lit(0), (acc, w) => acc + length(w))
+          .cast("long")),
+      "n_alpha_words" -> size(filter(words, w => w.rlike("[a-z]")))
+        .cast("long"),
+      "n_symbol" -> (occurrences("#") + occurrences("...")),
+      "n_stop_hits" -> when(length(t) === 0, lit(0L))
+        .otherwise(stopHits.cast("long")))
+  }
+
+  /** The Gopher keep-gate over [[gopherFacets]] (word-count window,
+    * mean word length window, ≥80 % alphabetic words, symbol ratio < 0.1,
+    * ≥2 stopword hits) — ratio comparisons cross-multiplied so the gate
+    * is pure integer arithmetic.
+    */
+  def gopherOk(text: Column, minWords: Int = 50, maxWords: Int = 100000,
+               minMeanWordLen: Int = 3, maxMeanWordLen: Int = 10): Column = {
+    val f = gopherFacets(text).toMap
+    val n = f("n_words")
+    n.between(minWords, maxWords) &&
+      (f("sum_word_len") >= n * minMeanWordLen) &&
+      (f("sum_word_len") <= n * maxMeanWordLen) &&
+      (f("n_alpha_words") * 10 >= n * 8) &&
+      (f("n_symbol") * 10 < n) &&
+      (f("n_stop_hits") >= 2)
+  }
+
   /** Quality gate: token count and word-shape bounds — the usual cheap
     * pre-filter before expensive dedup/embedding stages.
     */

@@ -277,6 +277,28 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected cell partition pruning:\n$plan")
   }
 
+  test("gopher rules: facets count exactly, gate cross-multiplies") {
+    val good = ("the quick brown fox and the lazy dog have fun with " +
+      "words that keep being ordinary prose sentences all day") // 20 words
+    val rows = Seq(
+      (0L, good),
+      (1L, "short text"), // under min words
+      (2L, ("# " * 12) + good), // symbol ratio too high
+      (3L, Seq.fill(12)("12345 67890").mkString(" ")) // no alpha, no stopwords
+    ).toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"),
+        TextOps.gopherOk(col("text"), minWords = 10).as("keep"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out === Map(0L -> true, 1L -> false, 2L -> false, 3L -> false))
+    val f = rows.where(col("doc_id") === 0)
+      .select(TextOps.gopherFacets(col("text"))
+        .map { case (n, c) => c.as(n) }: _*).head
+    assert(f.getLong(0) === 20)           // n_words
+    assert(f.getLong(2) === 20)           // every word has an alpha char
+    assert(f.getLong(3) === 0)            // no symbols
+    assert(f.getLong(4) >= 4)             // the, and, the, have, with...
+  }
+
   test("bpe: frequent words collapse to one token; segmentation lossless") {
     val corpus = (1 to 50).map(i => (i.toLong, "hello world and hello again"))
       .toDF("doc_id", "text")
