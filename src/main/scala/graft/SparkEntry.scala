@@ -678,6 +678,14 @@ object SparkEntry {
     "q_source_cap" -> ((s, d) =>
       TextOps.capPerKey(t(s, d, "documents"), "doc_id", "source", cap = 10)
         .select("doc_id", "source")),
+    // deterministic train/holdout split: side = pure function of the id,
+    // stable under growth so the holdout never leaks into training
+    "q_holdout" -> ((s, d) => {
+      val (train, holdout) = TextOps.holdoutSplit(
+        t(s, d, "documents"), "doc_id", holdoutFraction = 0.1)
+      train.select(col("doc_id"), lit("train").as("split"))
+        .unionAll(holdout.select(col("doc_id"), lit("holdout").as("split")))
+    }),
     // Gopher document-quality rules (Rae et al. 2021 A1.1): exact
     // integer facets + cross-multiplied keep gate, one scan, no shuffle
     "text_gopher" -> ((s, d) => {
@@ -886,6 +894,12 @@ object SparkEntry {
         |  FROM documents)
         |WHERE rn <= 10""".stripMargin,
     "text_bpe" -> "SELECT TRUE AS bpe_ok",
+    "q_holdout" ->
+      """SELECT doc_id,
+        |  CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |         / 1152921504606846976.0 < 0.1
+        |       THEN 'holdout' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
     "text_gopher" ->
       """WITH n AS (SELECT doc_id,
         |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),

@@ -357,4 +357,19 @@ object TextOps {
     }
     df.where(sampleKey(col(idCol)) < rate)
   }
+
+  /** Deterministic train/holdout split: a row lands in the holdout iff
+    * its md5 [[sampleKey]] falls below `holdoutFraction`. The assignment
+    * is a pure function of the id — stable across engines, runs,
+    * repartitions, and INCREMENTAL ingests (a document added next month
+    * lands on the same side it would have landed today, so the holdout
+    * never leaks into training as the corpus grows). Plans as scan +
+    * filter, no shuffle; both sides are pushdown-able predicates.
+    */
+  def holdoutSplit(df: org.apache.spark.sql.DataFrame, idCol: String,
+                   holdoutFraction: Double)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val k = sampleKey(col(idCol))
+    (df.where(k >= holdoutFraction), df.where(k < holdoutFraction))
+  }
 }
