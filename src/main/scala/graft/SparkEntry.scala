@@ -163,6 +163,12 @@ object SparkEntry {
     // Regex filter over value strings
     "g_regex" -> ((s, d) => run(s, d,
       Path.start().out(iri("n_name")).regex("^NATION_1")).payloadDF("id" -> "node")),
+    // POSIX classes are RE2 syntax that java.util.regex reads as literal
+    // chars — this entry only matches DuckDB's RE2 if the engine's regex
+    // path really is RE2 (functions/Re2.scala), not rlike
+    "g_regex_posix" -> ((s, d) => run(s, d,
+      Path.start().out(iri("n_name"))
+        .regex("^[[:upper:]]+_[[:digit:]]+$")).payloadDF("id" -> "node")),
     // Sort + Page (offset/limit after value ordering)
     "g_order_page" -> ((s, d) => run(s, d,
       Path.start().out(iri("n_name")).order().skip(5).limit(10))
@@ -417,6 +423,8 @@ object SparkEntry {
         |FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey""".stripMargin,
     "g_filter_range" -> "SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node FROM customer WHERE c_acctbal > 9000",
     "g_regex" -> "SELECT n_name AS node FROM nation WHERE regexp_matches(n_name, '^NATION_1')",
+    "g_regex_posix" ->
+      "SELECT n_name AS node FROM nation WHERE regexp_matches(n_name, '^[[:upper:]]+_[[:digit:]]+$')",
     "g_filter_int" ->
       "SELECT CAST(c_nationkey AS VARCHAR) AS node FROM customer WHERE c_nationkey > 20",
     "g_order_page" -> "SELECT n_name AS node FROM (SELECT n_name FROM nation ORDER BY n_name OFFSET 5 LIMIT 10)",
