@@ -127,6 +127,36 @@ object QuadStream {
       }
   }
 
+  /** Streaming decontamination flag — the Structured-Streaming form of
+    * [[graft.analytics.Dedup.decontaminate]]: the benchmark's n-gram
+    * hash set (small by definition — it is an eval set) rides as a plan
+    * literal, and each arriving document gets a row-local
+    * `arrays_overlap` test against its own n-gram hashes. Entirely
+    * STATELESS — no aggregation, no watermark, composes with any other
+    * single stateful op in the same query — which is why the batch
+    * shape (semi-join + groupBy) is restructured rather than reused.
+    */
+  def contaminationFlags(docs: DataFrame, idCol: String, textCol: String,
+                         benchHashes: Seq[Long], n: Int = 8): DataFrame = {
+    val toks = split(graft.analytics.TextOps.normalize(col(textCol)), " ")
+    val shArr = when(size(toks) < n, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(n)))))
+    docs.select(col(idCol).as("id"),
+      arrays_overlap(transform(shArr, s => xxhash64(s)),
+        typedLit(benchHashes)).as("contaminated"))
+  }
+
+  /** Collect a benchmark's n-gram hashes for [[contaminationFlags]]
+    * (driver-side; run once per eval set, reuse across streams).
+    */
+  def benchNgramHashes(bench: DataFrame, idCol: String, textCol: String,
+                       n: Int = 8): Seq[Long] = {
+    import bench.sparkSession.implicits._
+    graft.analytics.Dedup.wordShingleRows(bench, idCol, textCol, n)
+      .select(col("h")).distinct().as[Long].collect().toSeq
+  }
+
   /** Event-stream analytics: watermarked tumbling-window counts — the
     * Structured-Streaming form of the batch `q_window` query.
     */

@@ -277,6 +277,17 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected cell partition pruning:\n$plan")
   }
 
+  test("curate plan: three exchanges (fingerprint agg, survivor join, cap window)") {
+    val corpus = (0L until 100L)
+      .map(i => (i, s"src${i % 4}", s"document number $i with some distinct tokens here"))
+      .toDF("doc_id", "source", "text")
+    val plan = Curate.curate(corpus, "doc_id", "text", "source",
+        perSourceCap = 5)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+  }
+
   test("gopher rules: facets count exactly, gate cross-multiplies") {
     val good = ("the quick brown fox and the lazy dog have fun with " +
       "words that keep being ordinary prose sentences all day") // 20 words

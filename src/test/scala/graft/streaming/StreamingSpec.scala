@@ -142,6 +142,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(!hits.exists(h => h._1 === 2L || h._2 === 2L))
   }
 
+  test("streaming decontamination: stateless flag matches the batch op") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-sdecon").toString
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    Seq(
+      (0L, s"prefix words then $leak and a suffix"),
+      (1L, "totally clean document with none of the benchmark grams at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/in")
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val hashes = QuadStream.benchNgramHashes(bench, "doc_id", "text", n = 8)
+    assert(hashes.nonEmpty)
+    val stream = spark.readStream
+      .schema("doc_id bigint, text string").parquet(s"$tmp/in")
+    val q = QuadStream.contaminationFlags(stream, "doc_id", "text", hashes)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("sdecon").start()
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.sql("SELECT id, contaminated FROM sdecon")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags === Map(0L -> true, 1L -> false))
+  }
+
   test("streaming MinHashSig equals the batch signature aggregate") {
     import spark.implicits._
     val docs = Seq(
