@@ -266,6 +266,21 @@ object Bench {
         smoke("x10_dedup_clusters") {
           noop(Dedup.clusters(doc10, "doc_id", "text", threshold = 0.5))
         }
+        // curation pipeline at 10×: per-copy sources keep the cap stage's
+        // work proportional (same cap selectivity as 1×)
+        smoke("x10_pipeline_curate") {
+          val docS = spark.read.parquet(s"$sfDir/documents.parquet")
+            .select("doc_id", "source", "text")
+          val d10 = (0 until 10).map { k =>
+            val rot = alpha.drop(k) + alpha.take(k)
+            docS.select((col("doc_id") + lit(k * 100000000L)).as("doc_id"),
+              concat_ws("_", col("source"), lit(k)).as("source"),
+              translate(col("text"), alpha + alpha.toUpperCase,
+                rot + rot.toUpperCase).as("text"))
+          }.reduce(_ union _)
+          noop(graft.analytics.Curate.curate(d10, "doc_id", "text",
+            "source", perSourceCap = 12))
+        }
 
         val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
         val emb10 = (0 until 10).map { k =>

@@ -147,7 +147,14 @@ object Gizmo {
   // ----------------------------------------------------------- evaluator
   final class Session(g: Graph) {
     def execute(query: String, limit: Int = -1): Seq[Map[String, String]] =
-      new Interp(limit).run(tokenize(query))
+      try new Interp(limit).run(tokenize(query))
+      catch {
+        // the depth cap catches runaway recursion deterministically;
+        // this converts an overflow on a shallow host thread too (the
+        // stack has already unwound when a SOE reaches this boundary)
+        case _: StackOverflowError =>
+          throw GizmoError("call stack exhausted")
+      }
 
     private final class Cursor(val toks: Vector[Tok]) {
       var pos = 0
@@ -359,11 +366,25 @@ object Gizmo {
         GFunc(params.result(), captureStatement(c))
       }
 
+      private var callDepth = 0
+
       /** Call a user function: parameters shadow (and restore) outer vars,
         * `return` unwinds via ReturnSignal. Recursion works because each
-        * call saves/restores its own shadow set.
+        * call saves/restores its own shadow set; depth is capped so a
+        * runaway recursion raises GizmoError instead of blowing the JVM
+        * stack (goja enforces its own stack limit the same way).
         */
       private def callFunction(f: GFunc, args: Seq[GVal]): GVal = {
+        callDepth += 1
+        if (callDepth > 256) {
+          callDepth -= 1
+          throw GizmoError("call stack exceeded 256 frames")
+        }
+        try callFunctionInner(f, args)
+        finally callDepth -= 1
+      }
+
+      private def callFunctionInner(f: GFunc, args: Seq[GVal]): GVal = {
         val saved = f.params.map(p => p -> vars.get(p))
         f.params.zipWithIndex.foreach { case (p, i) =>
           vars(p) = args.lift(i).getOrElse(GNull)

@@ -483,6 +483,16 @@ class GizmoSpec extends AnyFunSuite {
     assert(rows.flatMap(_.get("id")).sorted === Seq("alice", "bob", "bob"))
   }
 
+  test("runaway recursion raises GizmoError, not a JVM stack overflow") {
+    val err = intercept[Gizmo.GizmoError] {
+      session.execute("function f(n) { return f(n + 1); } g.emit(f(0));")
+    }
+    assert(err.getMessage.contains("call stack"))
+    // bounded recursion still works
+    check("""function fac(n) { if (n <= 1) { return 1; } return n * fac(n - 1); }
+            |g.emit(fac(10));""".stripMargin, Seq("3628800"))
+  }
+
   test("still errors: bitwise, regex literals, prototypes outside subset") {
     intercept[Gizmo.GizmoError](session.execute("var x = 1 & 2;"))
     intercept[Gizmo.GizmoError](session.execute("""var s = "a"; s.padStart(3);"""))
