@@ -281,6 +281,25 @@ object SchemaMapper {
     loaded.select(schema.fieldNames.toIndexedSeq.map(col): _*).as[T]
   }
 
+  /** The reference's LoadPathTo (schema/loader.go:123-126): load typed
+    * objects whose ROOTS are a Path's result set instead of every
+    * instance of the type — iterator-restricted loading over the same
+    * per-level join machinery, so the restriction is pushed into the
+    * first subject set (no full-type scan, then filter).
+    */
+  def fromPath[T: Encoder](g: Graph, p: graft.path.Path, typeIri: String,
+                           idField: String,
+                           rules: SchemaRules = SchemaRules()): Dataset[T] = {
+    val enc = implicitly[Encoder[T]]
+    val schema = enc.schema
+    val full = Namespaces.expand(typeIri)
+    val subjects = graft.exec.Exec.run(g, p).df
+      .select(col("id").as("__subj")).distinct()
+    val loaded =
+      loadLevel(g, subjects, schema, Some(idField), Some(full), rules, "")
+    loaded.select(schema.fieldNames.toIndexedSeq.map(col): _*).as[T]
+  }
+
   /** Load one nesting level: returns `__subj` + one column per field. */
   private def loadLevel(g: Graph, subjects: DataFrame, schema: StructType,
                         idField: Option[String], typePrefix: Option[String],

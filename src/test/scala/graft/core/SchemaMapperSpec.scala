@@ -52,6 +52,24 @@ class SchemaMapperSpec extends AnyFunSuite {
       Person(1L, "Alice", 30L, 9.5), Person(2L, "Bob", 25L, 7.25)))
   }
 
+  test("fromPath loads only the path's result set (LoadPathTo)") {
+    import spark.implicits._
+    val people = Seq(
+      Person(1L, "Alice", 30L, 9.5),
+      Person(2L, "Bob", 25L, 7.25),
+      Person(3L, "Cara", 41L, 8.0)).toDS()
+    val g = Graph.fromQuadDF(SchemaMapper.toQuads(people, "person", "pid"))
+    // roots restricted by a traversal: people with age > 28
+    val p = Path.start()
+      .hasFilter(QValue.Iri("age"), rev = false,
+        graft.shape.ValueFilter.Comparison(
+          graft.shape.ValueFilter.GT, QValue.IntV(28L)))
+    val loaded = SchemaMapper.fromPath[Person](g, p, "person", "pid")
+      .collect().sortBy(_.pid)
+    assert(loaded.toSeq === Seq(
+      Person(1L, "Alice", 30L, 9.5), Person(3L, "Cara", 41L, 8.0)))
+  }
+
   test("nested object with its own identity round-trips") {
     import spark.implicits._
     val rules = SchemaRules(fields = Map(

@@ -217,6 +217,26 @@ class Re2Spec extends AnyFunSuite {
     assert(ms < 2000.0, s"pathological patterns took ${ms} ms — VM is not linear")
   }
 
+  test("parser fuzz: random inputs only ever raise Re2SyntaxError") {
+    import Re2Compat.Re2SyntaxError
+    val rnd = new scala.util.Random(424242L)
+    val chars = "ab01(){}[]\\^$.|*+?-:=<>!pPdDsSwWxQEzAbB{}#/ \t字😀"
+    var compiled = 0
+    (1 to 3000).foreach { _ =>
+      val pat = (0 until rnd.nextInt(14))
+        .map(_ => chars(rnd.nextInt(chars.length))).mkString
+      try {
+        val p = Re2.compile(pat)
+        compiled += 1
+        // matching must also never crash, on hostile inputs too
+        p.matches(""); p.matches("abc 123"); p.matches(" ￿😀")
+      } catch {
+        case _: Re2SyntaxError => () // the ONLY permitted failure mode
+      }
+    }
+    assert(compiled > 100) // the fuzz actually exercises the VM too
+  }
+
   test("agreement with java.util.regex on the shared dialect (randomized)") {
     // deterministic pseudo-random patterns from a grammar both dialects
     // interpret identically; inputs avoid \r, \n, \x0b (documented
