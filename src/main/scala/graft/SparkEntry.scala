@@ -20,6 +20,7 @@ import org.apache.spark.sql.functions._
 /** Typed-object fixtures for the schema_* entries (SchemaMapper). */
 case class SchemaNation(nid: Long, nname: String)
 case class SchemaCustomer(cid: Long, cname: String, nation: SchemaNation)
+case class SchemaPerson(pid: Long, name: String, age: Long, score: Double)
 
 object SparkEntry {
   import scala.collection.concurrent.TrieMap
@@ -397,6 +398,24 @@ object SparkEntry {
       SchemaMapper.fromQuads[SchemaCustomer](g, "scust", "cid", rules)
         .select(col("cid"), col("cname"),
           col("nation.nname").as("nation_name"))
+    }),
+    // LoadPathTo: typed load restricted to a traversal's result set —
+    // only customers whose balance quad clears the filter are
+    // materialized as objects (the restriction IS the root subject set)
+    "schema_from_path" -> ((s, d) => {
+      import s.implicits._
+      val ds = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("pid"),
+          col("c_name").as("name"),
+          col("c_nationkey").cast("long").as("age"),
+          col("c_acctbal").cast("double").as("score"))
+        .as[SchemaPerson]
+      val g = Graph.fromQuadDF(SchemaMapper.toQuads(ds, "sperson", "pid"))
+      val p = graft.path.Path.start().hasFilter(iri("score"), rev = false,
+        graft.shape.ValueFilter.Comparison(graft.shape.ValueFilter.GT,
+          graft.core.QValue.FloatV(5000.0)))
+      SchemaMapper.fromPath[SchemaPerson](g, p, "sperson", "pid")
+        .select(col("pid"), col("name"), col("score"))
     }))
 
   private val graphOracles: Map[String, String] = Map(
@@ -1084,6 +1103,10 @@ object SparkEntry {
       """SELECT CAST(c_custkey AS BIGINT) AS cid, c_name AS cname,
         |       n_name AS nation_name
         |FROM customer JOIN nation ON c_nationkey = n_nationkey""".stripMargin,
+    "schema_from_path" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS pid, c_name AS name,
+        |       CAST(c_acctbal AS DOUBLE) AS score
+        |FROM customer WHERE c_acctbal > 5000""".stripMargin,
     "sim_ann" -> "SELECT TRUE AS recall_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
