@@ -295,12 +295,16 @@ object Similarity {
         }: _*)).as(Seq("cell", "cscore")))
     val pw = Window.partitionBy("query_id")
       .orderBy(col("cscore").desc, col("cell"))
-    val probeCells = pb
+    // tiny probe side (probes × nprobe rows), broadcast-only: collect once
+    // and rebuild a local relation — the literal cell set for partition
+    // pruning falls out of the same collect, and nothing stays cached.
+    val pcPlan = pb
       .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
-      .select("query_id", "qv", "cell").cache()
-    // literal cell set -> static partition pruning on the store scan
-    val cells = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+      .select("query_id", "qv", "cell")
+    val pcRows = pcPlan.collect()
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(pcRows: _*), pcPlan.schema)
+    val cells = pcRows.map(_.getInt(2)).distinct.toSeq
     val corpus = spark.read.parquet(s"$dir/vectors")
       .where(col("cell").isin(cells: _*))
     val cand = corpus.join(broadcast(probeCells), Seq("cell"))
@@ -357,15 +361,22 @@ object Similarity {
         }: _*)).as(Seq("cell", "cscore")))
     val pw = Window.partitionBy("query_id")
       .orderBy(col("cscore").desc, col("cell"))
-    val probeCells = pb
+    // The probe side is tiny by construction (probes × nprobe rows) and is
+    // only ever broadcast — collect it ONCE and rebuild a local relation:
+    // the cell list for partition pruning falls out of the same collect
+    // (one job, nothing left cached on the cluster).
+    val pcPlan = pb
       .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
       .select(col("query_id"), col("qv"),
         graft.functions.Int8Vec.quantize(col("qv")).as("p8"),
         sqrt(dot(col("qv"), col("qv"))).as("pnorm"), col("cell"))
-      .cache()
-    val cells = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
-    // approximate scoring scan: int8 codes + norm only, float32 unread
+    val pcRows = pcPlan.collect()
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(pcRows: _*), pcPlan.schema)
+    val cells = pcRows.map(_.getInt(4)).distinct.toSeq
+    // approximate scoring scan: int8 codes + norm only, float32 unread.
+    // Zero-norm rows (scale 0) score -1, not NaN: NaN would sort ABOVE
+    // every real score under a descending sort and crowd the shortlist.
     val corpusQ = spark.read.parquet(s"$dir/vectors")
       .where(col("cell").isin(cells: _*))
       .select(col("cell"), col("id"), col("q8"), col("norm"))
@@ -374,12 +385,16 @@ object Similarity {
     val cand = corpusQ.join(broadcast(probeCells), Seq("cell"))
       .where(col("id") =!= col("query_id"))
       .select(col("query_id"), col("id"), col("cell"), col("qv"),
-        (graft.functions.Int8Vec.dot8(col("q8"), col("p8")) /
-          (col("norm") * col("pnorm"))).as("ascore"))
+        col("norm"), col("pnorm"),
+        when(col("norm") * col("pnorm") === 0, lit(-1.0))
+          .otherwise(graft.functions.Int8Vec.dot8(col("q8"), col("p8")) /
+            (col("norm") * col("pnorm"))).as("ascore"))
       .withColumn("rn", row_number().over(aw))
       .where(col("rn") <= k.toLong * rerank)
       .drop("rn", "ascore")
-    // exact rerank: second pruned read, full vectors for the sliver only
+    // exact rerank: second pruned read, full vectors for the sliver only;
+    // norms ride along from the store/probe (same sqrt(dot(v,v)) floats),
+    // with the same zero-norm guard.
     val full = spark.read.parquet(s"$dir/vectors")
       .where(col("cell").isin(cells: _*))
       .select(col("cell"), col("id"), col("v"))
@@ -387,7 +402,9 @@ object Similarity {
       .orderBy(col("score").desc, col("id"))
     full.join(broadcast(cand), Seq("cell", "id"))
       .select(col("query_id"), col("id"),
-        cosine(col("v"), col("qv")).as("score"))
+        when(col("norm") * col("pnorm") === 0, lit(-1.0))
+          .otherwise(dot(col("v"), col("qv")) /
+            (col("norm") * col("pnorm"))).as("score"))
       .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
       .drop("rn")
   }

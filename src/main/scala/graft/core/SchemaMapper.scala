@@ -394,8 +394,14 @@ object SchemaMapper {
             cur = cur.withColumn(f.name,
               coalesce(col(f.name), array().cast(f.dataType)))
         case dt if isScalar(dt) =>
+          // Non-slice fields load ONE value per subject (loader.go keeps a
+          // single object per subject for scalar fields); a subject with
+          // several quads for this predicate would otherwise fan out one
+          // loaded object per value. min(o) makes the survivor
+          // deterministic (node ids are content hashes).
           val vals = g.quads.where(col("p") === lit(predIdOf(f.name)))
-            .select(col("s").as(s"__s$n"), col("o").as(s"__o$n"))
+            .groupBy(col("s").as(s"__s$n"))
+            .agg(min(col("o")).as(s"__o$n"))
           val dict = g.nodes.select(col("id").as(s"__d$n"),
             payloadFor(dt).cast(dt).as(f.name))
           cur = cur

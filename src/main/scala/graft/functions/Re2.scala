@@ -322,12 +322,14 @@ object Re2 {
                 terms += ChrA(CharSet.single('{', (flags & FlagI) != 0))
                 lastRepeatable = true
               case Some((min, max)) =>
-                if (terms.isEmpty || !lastRepeatable)
-                  err("missing argument to repetition operator: `{`")
-                if (min > 1000 || (max != -1 && max > 1000))
+                // Go checks range before missing-argument (parse.go):
+                // min/max == -1/-2 are parseInt's overflow sentinels.
+                if (min < 0 || max == -2 || min > 1000 || max > 1000)
                   err(s"invalid repeat count")
                 if (max != -1 && max < min)
                   err(s"invalid repeat count")
+                if (terms.isEmpty || !lastRepeatable)
+                  err("missing argument to repetition operator: `{`")
                 val greedy0 = !eat('?')
                 val greedy = if ((flags & FlagU) != 0) !greedy0 else greedy0
                 val last = terms.remove(terms.length - 1)
@@ -432,29 +434,41 @@ object Re2 {
     }
 
     /** `{m}` / `{m,}` / `{m,n}` lookahead at a '{'; None = literal brace
-      * (RE2 treats a non-count `{` as a literal).
+      * (RE2 treats a non-count `{` as a literal). Mirrors Go's
+      * regexp/syntax parseInt: a leading-zero digit run is NOT a count
+      * (literal brace), while an overflowing count (>= 1e8 while
+      * accumulating) IS a count that the caller must reject with
+      * "invalid repeat count" — signalled here as -1 (min) / -2 (max).
       */
     private def parseRepeatCount(): Option[(Int, Int)] = {
       var p = pos + 1
-      var min = 0; var digits = 0
-      while (p < n && pat.charAt(p).isDigit) {
-        min = min * 10 + (pat.charAt(p) - '0'); digits += 1; p += 1
-        if (digits > 8) return None
+      // Go parseInt: None = not a count; Some(-1) = overflowed count.
+      def parseIntAt(): Option[Int] = {
+        val start = p
+        while (p < n && pat.charAt(p).isDigit) p += 1
+        if (p == start) return None
+        if (p - start >= 2 && pat.charAt(start) == '0') return None
+        var v = 0; var i = start
+        while (i < p && v < 100000000) { v = v * 10 + (pat.charAt(i) - '0'); i += 1 }
+        Some(if (i < p || v >= 100000000) -1 else v)
       }
-      if (digits == 0 || p >= n) return None
+      val min = parseIntAt() match {
+        case None => return None
+        case Some(v) => v
+      }
+      if (p >= n) return None
       pat.charAt(p) match {
         case '}' =>
           pos = p + 1; Some((min, min))
         case ',' =>
           p += 1
           if (p < n && pat.charAt(p) == '}') { pos = p + 1; return Some((min, -1)) }
-          var max = 0; var d2 = 0
-          while (p < n && pat.charAt(p).isDigit) {
-            max = max * 10 + (pat.charAt(p) - '0'); d2 += 1; p += 1
-            if (d2 > 8) return None
+          parseIntAt() match {
+            case None => None
+            case Some(mx) =>
+              if (p >= n || pat.charAt(p) != '}') None
+              else { pos = p + 1; Some((min, if (mx == -1) -2 else mx)) }
           }
-          if (d2 == 0 || p >= n || pat.charAt(p) != '}') None
-          else { pos = p + 1; Some((min, max)) }
         case _ => None
       }
     }

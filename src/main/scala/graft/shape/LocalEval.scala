@@ -375,16 +375,33 @@ private final class LocalEval(g: Graph, idx: LocalGraphIndex) {
       if (src < 0) throw new Unsupported(s"Back: missing tag column $tag")
       t.withCol(ID, r => r(src))
 
-    case Shape.Unique(from) => // dropDuplicates(ID): first row per id,
-      // nulls form one group (Lower.scala:143)
+    case Shape.Unique(from) => // one row per id, nulls form one group;
+      // survivor = min tag tuple (name-sorted, nulls first), mirroring
+      // Lower's min(struct(...)) so the two engines agree deterministically
       val t = nodes(from); val at = t.colIdx(ID)
-      val seen = new java.util.HashSet[JLong]()
-      var sawNull = false
-      new LocalTable(t.cols, t.rows.filter { r =>
-        val v = r(at)
-        if (v == null) { val first = !sawNull; sawNull = true; first }
-        else seen.add(v)
-      })
+      val restIdx: Array[Int] = t.cols.zipWithIndex
+        .filter(_._1 != ID).sortBy(_._1).map(_._2).toArray
+      def less(a: Array[JLong], b: Array[JLong]): Boolean = {
+        var i = 0
+        while (i < restIdx.length) {
+          val x = a(restIdx(i)); val y = b(restIdx(i))
+          if (x == null && y != null) return true
+          if (x != null && y == null) return false
+          if (x != null && y != null && x.longValue != y.longValue)
+            return x.longValue < y.longValue
+          i += 1
+        }
+        false
+      }
+      val best = new java.util.LinkedHashMap[JLong, Array[JLong]]()
+      t.rows.foreach { r =>
+        val k = r(at)
+        val cur = best.get(k)
+        if ((cur == null && !best.containsKey(k)) || (cur != null && less(r, cur)))
+          best.put(k, r)
+      }
+      import scala.jdk.CollectionConverters._
+      new LocalTable(t.cols, best.values.asScala.toVector)
 
     case Shape.Page(from, skip, limit) => // Lower.scala:145-149
       val full = nodes(from)

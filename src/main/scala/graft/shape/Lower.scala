@@ -151,7 +151,19 @@ final class Lower(g: Graph) {
     case Shape.Back(from, tag) =>
       nodes(from).withColumn(ID, col(tagCol(tag)))
 
-    case Shape.Unique(from) => nodes(from).dropDuplicates(ID)
+    case Shape.Unique(from) =>
+      // dropDuplicates(ID) keeps an ARBITRARY row per id; when tag columns
+      // differ across duplicates the surviving bindings would depend on
+      // partitioning. Pick the min tag tuple (name-sorted, nulls first) so
+      // both engines (see LocalEval's Unique case) agree deterministically.
+      val df = nodes(from)
+      val rest = df.columns.filterNot(_ == ID).sorted.toIndexedSeq
+      if (rest.isEmpty) df.dropDuplicates(ID)
+      else
+        df.groupBy(col(ID))
+          .agg(min(struct(rest.map(col): _*)).as("__u"))
+          .select(df.columns.toIndexedSeq.map(c =>
+            if (c == ID) col(ID) else col("__u." + c).as(c)): _*)
 
     case Shape.Page(from, skip, limit) =>
       var df = nodes(from)

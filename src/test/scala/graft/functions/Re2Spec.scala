@@ -45,6 +45,10 @@ class Re2Spec extends AnyFunSuite {
     // `{` not starting a valid count is a literal
     assert(m("a{x}", "za{x}z"))
     assert(m("a{", "a{"))
+    // …while leading-zero digit runs are NOT counts: literal brace (Go)
+    assert(m("a{01}", "za{01}z"))
+    assert(m("a{1,02}", "a{1,02}"))
+    assert(!m("a{01}", "a"))
   }
 
   test("character classes") {
@@ -180,6 +184,10 @@ class Re2Spec extends AnyFunSuite {
     intercept[Re2SyntaxError](Re2.compile("+"))
     intercept[Re2SyntaxError](Re2.compile("a{1001}"))
     intercept[Re2SyntaxError](Re2.compile("a{3,2}"))
+    // Go parseInt margins: overflowing counts ERROR (not literal brace)…
+    intercept[Re2SyntaxError](Re2.compile("a{999999999}"))
+    intercept[Re2SyntaxError](Re2.compile("a{99999999999}"))
+    intercept[Re2SyntaxError](Re2.compile("a{1,999999999}"))
     intercept[Re2SyntaxError](Re2.compile("\\Z"))   // Java-only
     intercept[Re2SyntaxError](Re2.compile("\\G"))   // Java-only
     intercept[Re2SyntaxError](Re2.compile("\\k<n>"))
