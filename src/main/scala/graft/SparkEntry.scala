@@ -280,6 +280,31 @@ object SparkEntry {
           |        cnt: 0});""".stripMargin)
         .map(r => (r("region"), r("cnt"))).toDF("region", "cnt")
     }),
+    // Gizmo program exercising the round-5 surface: a closure over a
+    // loop-local var mutated inside a forEach callback, a regex literal
+    // on the Re2 engine, bitwise ops, and try/catch over a host error
+    "g_gizmo_program3" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """var rows = [];
+          |var regions = g.V().out(iri("n_region")).unique().toArray();
+          |for (var i = 0; i < regions.length; i++) {
+          |  var name = g.V(regions[i]).out(iri("r_name")).toValue();
+          |  if (/^A/.test(name)) {
+          |    var n = 0;
+          |    g.V(regions[i]).in(iri("n_region")).forEach(function(d) {
+          |      n = n + 1;
+          |    });
+          |    rows.push({region: name, cnt: n, flag: n & 3});
+          |  }
+          |}
+          |var err = "none";
+          |try { g.V().bogus(); } catch (e) { err = e.message; }
+          |for (k in rows) { g.emit(rows[k]); }
+          |g.emit({region: "err:" + err, cnt: 0, flag: 0});""".stripMargin)
+        .map(r => (r("region"), r("cnt"), r("flag")))
+        .toDF("region", "cnt", "flag")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -493,6 +518,15 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'total-' || CAST(LEAST(9, COUNT(DISTINCT n_regionkey)) AS VARCHAR),
         |       '0' FROM nation""".stripMargin,
+    "g_gizmo_program3" ->
+      """SELECT r.r_name AS region,
+        |       CAST(COUNT(n.n_nationkey) AS VARCHAR) AS cnt,
+        |       CAST(COUNT(n.n_nationkey) & 3 AS VARCHAR) AS flag
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name LIKE 'A%'
+        |GROUP BY r.r_name
+        |UNION ALL
+        |SELECT 'err:unknown traversal .bogus', '0', '0'""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->

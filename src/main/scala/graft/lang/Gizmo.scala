@@ -12,25 +12,31 @@ import graft.shape.ValueFilter._
   * out of scope (SURVEY §7.4); this interprets a general STATEMENT subset:
   * `var` declarations and assignment (incl. `+= -= *= /= %=`, `++`/`--`,
   * `obj.field = v`, `arr[i] = v`), full operator expressions with JS
-  * precedence (`+ - * / %`, `< <= > >= == != === !==`, `&& || !`, string
-  * concatenation with `+`), `if`/`else`, `while`, classic
-  * `for(init;cond;update)` and `for (k in …)` (indices for arrays/results,
-  * keys for objects), user-defined functions
-  * (`function f(a, b) { ... return ...; }`, recursion included), method
-  * chains, `g.M()` morphisms, value builders (iri/bnode/gt/lt/regex/like),
-  * finals (all/getLimit/count/toArray/tagArray/toValue/tagValue),
-  * `g.emit(...)`, `function(x){...}` callbacks for forEach/map, object
-  * literals `{k: v}` (reference-shared, like JS), mutable arrays with the
-  * Array.prototype subset (push/pop/shift/join/indexOf/slice/concat/
-  * includes/reverse), the String.prototype subset (indexOf/substring/
-  * slice/split/replace/toLowerCase/toUpperCase/trim/charAt/startsWith/
-  * endsWith/includes/concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/
-  * max), `.length`, and namespaces (addNamespace/addDefaultNamespaces).
+  * precedence (`+ - * / %`, `< <= > >= == != === !==`, `&& || !`, bitwise
+  * `& | ^ ~ << >> >>>` with ToInt32 semantics, string concatenation with
+  * `+`), `if`/`else`, `while`, classic `for(init;cond;update)` and
+  * `for (k in …)` (indices for arrays/results, keys for objects),
+  * user-defined functions (`function f(a, b) { ... return ...; }`,
+  * recursion included) with LEXICAL CLOSURES (capture by reference
+  * through a scope chain — a callback closing over an outer `var` reads
+  * and writes the variable itself), `try`/`catch`/`finally` + `throw`
+  * (host GizmoErrors surface as Error-shaped objects, as goja wraps Go
+  * errors), regex literals `/pat/imsg` (the RE2-backed regex() filter),
+  * method chains, `g.M()` morphisms, value builders
+  * (iri/bnode/gt/lt/regex/like), finals (all/getLimit/count/toArray/
+  * tagArray/toValue/tagValue), `g.emit(...)`, `function(x){...}`
+  * callbacks for forEach/map, object literals `{k: v}`
+  * (reference-shared, like JS), mutable arrays with the Array.prototype
+  * subset (push/pop/shift/join/indexOf/slice/concat/includes/reverse),
+  * the String.prototype subset (indexOf/substring/slice/split/replace/
+  * toLowerCase/toUpperCase/trim/charAt/startsWith/endsWith/includes/
+  * concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/max), `.length`,
+  * and namespaces (addNamespace/addDefaultNamespaces).
   *
-  * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent): closures
-  * capturing loop variables by reference, bitwise operators, regex
-  * literals, try/catch, `new`/`this`/prototypes, JS builtins outside the
-  * subsets above. Loops abort after 1M iterations.
+  * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
+  * `new`/`this`/prototypes, `let`/`const`, switch, labeled
+  * break/continue, getters/setters, JS builtins outside the subsets
+  * above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -45,6 +51,7 @@ object Gizmo {
   private case class TNum(s: String) extends Tok
   private case class TPunct(c: Char) extends Tok
   private case class TOp(s: String) extends Tok
+  private case class TRegex(pat: String, flags: String) extends Tok
 
   private def tokenize(q: String): Vector[Tok] = {
     var toks = Vector.empty[Tok]
@@ -53,6 +60,9 @@ object Gizmo {
     // a '-' after an operand is binary subtraction; otherwise the sign of
     // a numeric literal
     def afterOperand: Boolean = toks.lastOption.exists {
+      // keywords do not end an operand: `return -1`, `throw /x/.…`
+      case TIdent("return" | "throw" | "in" | "else" | "typeof" | "case" |
+                  "do" | "void" | "instanceof" | "new" | "delete") => false
       case TNum(_) | TIdent(_) | TStr(_) | TPunct(')') | TPunct(']') => true
       case _ => false
     }
@@ -61,6 +71,29 @@ object Gizmo {
       if (c.isWhitespace) i += 1
       else if (c == '/' && i + 1 < n && q.charAt(i + 1) == '/') {
         while (i < n && q.charAt(i) != '\n') i += 1
+      } else if (c == '/' && i + 1 < n && q.charAt(i + 1) == '*') {
+        val end = q.indexOf("*/", i + 2)
+        if (end < 0) throw GizmoError("unterminated block comment")
+        i = end + 2
+      } else if (c == '/' && !afterOperand) {
+        // regex literal /pat/flags — '/' in operand position is division
+        val sb = new StringBuilder
+        i += 1
+        var inClass = false
+        while (i < n && (q.charAt(i) != '/' || inClass)) {
+          val rc = q.charAt(i)
+          if (rc == '\\' && i + 1 < n) { sb.append(rc).append(q.charAt(i + 1)); i += 2 }
+          else {
+            if (rc == '[') inClass = true
+            else if (rc == ']') inClass = false
+            sb.append(rc); i += 1
+          }
+        }
+        if (i >= n) throw GizmoError("unterminated regex literal")
+        i += 1
+        val fs = new StringBuilder
+        while (i < n && q.charAt(i).isLetter) { fs.append(q.charAt(i)); i += 1 }
+        toks :+= TRegex(sb.toString, fs.toString)
       } else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder
@@ -84,6 +117,11 @@ object Gizmo {
         while (i < n && (q.charAt(i).isDigit || q.charAt(i) == '.' ||
           q.charAt(i) == 'e' || q.charAt(i) == 'E')) i += 1
         toks :+= TNum(q.substring(start, i))
+      } else if (c == '<' && i + 1 < n && q.charAt(i + 1) == '<') {
+        toks :+= TOp("<<"); i += 2
+      } else if (c == '>' && i + 1 < n && q.charAt(i + 1) == '>') {
+        if (i + 2 < n && q.charAt(i + 2) == '>') { toks :+= TOp(">>>"); i += 3 }
+        else { toks :+= TOp(">>"); i += 2 }
       } else if (c == '=' || c == '!' || c == '<' || c == '>') {
         // ===, ==, =, !==, !=, !, <=, <, >=, >
         var op = c.toString
@@ -92,7 +130,9 @@ object Gizmo {
         if (op == "=") toks :+= TPunct('=') else toks :+= TOp(op)
       } else if (c == '&' || c == '|') {
         if (i + 1 < n && q.charAt(i + 1) == c) { toks :+= TOp(s"$c$c"); i += 2 }
-        else throw GizmoError(s"unexpected character '$c' (bitwise operators are not supported)")
+        else { toks :+= TOp(c.toString); i += 1 } // bitwise & |
+      } else if (c == '^' || c == '~') {
+        toks :+= TOp(c.toString); i += 1
       } else if (c == '+' || c == '-' || c == '*' || c == '/' || c == '%') {
         if (i + 1 < n && q.charAt(i + 1) == '=') {
           toks :+= TOp(c.toString + "="); i += 2 // += -= *= /= %=
@@ -119,6 +159,12 @@ object Gizmo {
   private case class GObj(m: scala.collection.mutable.LinkedHashMap[String, GVal])
       extends GVal
   private case object GMath extends GVal
+  /** Regex literal `/pat/flags` — a JS RegExp VALUE, deliberately NOT a
+    * GFilter: the reference errors on `filter(/re/)` ("filter with a
+    * wrong type", gizmo_test.go:195); traversal filters require the
+    * regex() builder. Usable driver-side via .test(s), backed by Re2.
+    */
+  private case class GRegex(pat: String) extends GVal
   private case class GNumV(d: Double, isInt: Boolean) extends GVal
   private case class GBoolV(b: Boolean) extends GVal
   // rendered rows (what the session returns) + raw bindings (what loop
@@ -126,10 +172,43 @@ object Gizmo {
   private case class GResult(rows: Seq[Map[String, String]],
                              raw: Seq[Map[String, QValue]]) extends GVal
   private case class GTagMap(m: Map[String, QValue]) extends GVal
-  private case class GFunc(params: Seq[String], body: Vector[Tok]) extends GVal
+  /** A function value closes over its defining environment: captured
+    * variables are read and written THROUGH the chain (capture by
+    * reference, as in JS), so a closure over a `var` loop variable sees
+    * the variable, not a copy.
+    */
+  private case class GFunc(params: Seq[String], body: Vector[Tok],
+                           env: Env) extends GVal
   /** `return` unwinds to the nearest enclosing function call. */
   private case class ReturnSignal(v: GVal)
       extends scala.util.control.ControlThrowable
+  /** `throw expr` unwinds to the nearest enclosing try/catch. */
+  private case class ThrowSignal(v: GVal)
+      extends scala.util.control.ControlThrowable
+
+  /** Lexical scope chain: one frame per function call (and per catch
+    * block), `var` declares in the current frame, plain assignment writes
+    * to the owning frame — or the global frame when undeclared (JS
+    * non-strict semantics).
+    */
+  private final class Env(val parent: Env) {
+    val slots = scala.collection.mutable.Map.empty[String, GVal]
+    private def owner(name: String): Env = {
+      var e: Env = this
+      while (e != null) { if (e.slots.contains(name)) return e; e = e.parent }
+      null
+    }
+    def get(name: String): Option[GVal] = {
+      val o = owner(name)
+      if (o == null) None else Some(o.slots(name))
+    }
+    def set(name: String, v: GVal): Unit = {
+      var o = owner(name)
+      if (o == null) { o = this; while (o.parent != null) o = o.parent }
+      o.slots(name) = v
+    }
+    def declare(name: String, v: GVal): Unit = slots(name) = v
+  }
   /** count() result: a number in expressions, a count row as a final. */
   private case class GCount(n: Long) extends GVal
   private case object GNull extends GVal
@@ -168,7 +247,8 @@ object Gizmo {
     }
 
     private final class Interp(limit: Int) {
-      private val vars = scala.collection.mutable.Map.empty[String, GVal]
+      private val global = new Env(null)
+      private var env: Env = global
       private val namespaces = scala.collection.mutable.Map.empty[String, String]
       private var out = Seq.empty[Map[String, String]]
 
@@ -178,6 +258,11 @@ object Gizmo {
         catch {
           case ReturnSignal(_) =>
             throw GizmoError("return outside of a function")
+          case ThrowSignal(v) =>
+            val rendered =
+              try renderVal(v)
+              catch { case GizmoError(_) => v.toString }
+            throw GizmoError(s"uncaught exception: $rendered")
         }
         out
       }
@@ -203,7 +288,7 @@ object Gizmo {
             case other     => throw GizmoError(s"expected name, got $other")
           }
           c.expect('=')
-          vars(name) = parseExpr(c)
+          env.declare(name, parseExpr(c))
         case Some(TIdent("if")) =>
           c.next()
           val cond = captureParen(c)
@@ -236,7 +321,7 @@ object Gizmo {
             case TIdent(s) => s
             case other     => throw GizmoError(s"expected function name, got $other")
           }
-          vars(name) = parseFunctionRest(c)
+          env.declare(name, parseFunctionRest(c))
         case Some(TIdent("return")) =>
           c.next()
           val v =
@@ -244,6 +329,55 @@ object Gizmo {
               c.peek.contains(TPunct('}'))) GNull
             else parseExpr(c)
           throw ReturnSignal(v)
+        case Some(TIdent("throw")) =>
+          c.next()
+          throw ThrowSignal(parseExpr(c))
+        case Some(TIdent("try")) =>
+          c.next()
+          if (!c.peek.contains(TPunct('{')))
+            throw GizmoError("expected block after try")
+          val tryB = captureStatement(c)
+          var catchParam: Option[String] = None
+          var catchB: Vector[Tok] = null
+          if (c.peek.contains(TIdent("catch"))) {
+            c.next()
+            if (c.peek.contains(TPunct('('))) { // ES2019: binding optional
+              c.next()
+              catchParam = c.next() match {
+                case TIdent(s) => Some(s)
+                case other => throw GizmoError(s"expected catch binding, got $other")
+              }
+              c.expect(')')
+            }
+            if (!c.peek.contains(TPunct('{')))
+              throw GizmoError("expected block after catch")
+            catchB = captureStatement(c)
+          }
+          val finB =
+            if (c.peek.contains(TIdent("finally"))) {
+              c.next()
+              if (!c.peek.contains(TPunct('{')))
+                throw GizmoError("expected block after finally")
+              captureStatement(c)
+            } else null
+          if (catchB == null && finB == null)
+            throw GizmoError("try requires catch or finally")
+          def runCatch(v: GVal): Unit = {
+            val saved = env
+            env = new Env(saved)
+            catchParam.foreach(p => env.declare(p, v))
+            try runToks(catchB) finally env = saved
+          }
+          try runToks(tryB)
+          catch {
+            // host errors surface as Error-shaped objects, like goja
+            // wrapping a Go error thrown mid-query (gizmo.go:85-121)
+            case ThrowSignal(v) if catchB != null => runCatch(v)
+            case GizmoError(msg) if catchB != null =>
+              runCatch(GObj(scala.collection.mutable.LinkedHashMap(
+                "name" -> GValue(QValue.Str("Error")),
+                "message" -> GValue(QValue.Str(msg)))))
+          } finally { if (finB != null) runToks(finB) }
         case Some(TIdent("for")) =>
           c.next(); c.expect('(')
           // `for (x in e)` / `for (var x in e)` vs classic `for(init;cond;upd)`
@@ -253,7 +387,8 @@ object Gizmo {
               c.toks.lift(at + 1).contains(TIdent("in"))
           }
           if (isForIn) {
-            if (c.peek.contains(TIdent("var"))) c.next()
+            val hadVar = c.peek.contains(TIdent("var"))
+            if (hadVar) c.next()
             val idx = c.next() match {
               case TIdent(s) => s
               case other     => throw GizmoError(s"expected loop variable, got $other")
@@ -272,7 +407,7 @@ object Gizmo {
             c.expect(')')
             val body = captureStatement(c)
             iter.foreach { v =>
-              vars(idx) = v
+              if (hadVar) env.declare(idx, v) else env.set(idx, v)
               runToks(body)
             }
           } else {
@@ -294,19 +429,21 @@ object Gizmo {
         case Some(TIdent(name))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1) == TPunct('=') =>
           c.next(); c.next()
-          vars(name) = parseExpr(c)
+          env.set(name, parseExpr(c))
         case Some(TIdent(name)) if compoundOpAt(c).isDefined =>
           val op = compoundOpAt(c).get
           c.next(); c.next()
-          val old = vars.getOrElse(name, throw GizmoError(s"undefined variable $name"))
+          val old = env.get(name).getOrElse(
+            throw GizmoError(s"undefined variable $name"))
           val r = parseExpr(c)
-          vars(name) = if (op == "+") addVals(old, r) else arith(old, r, op)
+          env.set(name, if (op == "+") addVals(old, r) else arith(old, r, op))
         case Some(TIdent(name))
           if c.toks.lift(c.pos + 1).exists(t => t == TOp("++") || t == TOp("--")) =>
           c.next()
           val op = c.next().asInstanceOf[TOp].s
-          val old = vars.getOrElse(name, throw GizmoError(s"undefined variable $name"))
-          vars(name) = arith(old, GNumV(1, isInt = true), op.substring(0, 1))
+          val old = env.get(name).getOrElse(
+            throw GizmoError(s"undefined variable $name"))
+          env.set(name, arith(old, GNumV(1, isInt = true), op.substring(0, 1)))
         case Some(TIdent(name))
           if c.toks.lift(c.pos + 1).contains(TPunct('.')) &&
             c.toks.lift(c.pos + 2).exists(_.isInstanceOf[TIdent]) &&
@@ -316,7 +453,8 @@ object Gizmo {
           val field = c.next().asInstanceOf[TIdent].s
           c.next() // '='
           val v = parseExpr(c)
-          vars.getOrElse(name, throw GizmoError(s"undefined variable $name")) match {
+          env.get(name).getOrElse(
+            throw GizmoError(s"undefined variable $name")) match {
             case GObj(m) => m(field) = v
             case other   => throw GizmoError(s"cannot set .$field on $other")
           }
@@ -326,7 +464,8 @@ object Gizmo {
           val key = parseExpr(c)
           c.expect(']'); c.expect('=')
           val v = parseExpr(c)
-          vars.getOrElse(name, throw GizmoError(s"undefined variable $name")) match {
+          env.get(name).getOrElse(
+            throw GizmoError(s"undefined variable $name")) match {
             case GArr(vs) =>
               val i = num(key).map(_.toInt).getOrElse(
                 throw GizmoError("array index must be a number"))
@@ -363,16 +502,17 @@ object Gizmo {
         c.expect(')')
         if (!c.peek.contains(TPunct('{')))
           throw GizmoError("expected function body { ... }")
-        GFunc(params.result(), captureStatement(c))
+        GFunc(params.result(), captureStatement(c), env)
       }
 
       private var callDepth = 0
 
-      /** Call a user function: parameters shadow (and restore) outer vars,
-        * `return` unwinds via ReturnSignal. Recursion works because each
-        * call saves/restores its own shadow set; depth is capped so a
-        * runaway recursion raises GizmoError instead of blowing the JVM
-        * stack (goja enforces its own stack limit the same way).
+      /** Call a user function: a fresh frame chained to the DEFINING
+        * environment (lexical scoping — closures read and write captured
+        * variables through the chain), `return` unwinds via ReturnSignal.
+        * Depth is capped so a runaway recursion raises GizmoError instead
+        * of blowing the JVM stack (goja enforces its own stack limit the
+        * same way).
         */
       private def callFunction(f: GFunc, args: Seq[GVal]): GVal = {
         callDepth += 1
@@ -385,16 +525,15 @@ object Gizmo {
       }
 
       private def callFunctionInner(f: GFunc, args: Seq[GVal]): GVal = {
-        val saved = f.params.map(p => p -> vars.get(p))
+        val frame = new Env(f.env)
         f.params.zipWithIndex.foreach { case (p, i) =>
-          vars(p) = args.lift(i).getOrElse(GNull)
+          frame.declare(p, args.lift(i).getOrElse(GNull))
         }
+        val saved = env
+        env = frame
         try { runToks(f.body); GNull }
         catch { case ReturnSignal(v) => v }
-        finally saved.foreach {
-          case (p, Some(old)) => vars(p) = old
-          case (p, None)      => vars.remove(p)
-        }
+        finally env = saved
       }
 
       /** `name += …`-style compound operator at the cursor, if any. */
@@ -617,6 +756,11 @@ object Gizmo {
             stringCall(s, m, args)
           case (GArr(vs), m) if arrMethods(m) => arrayCall(vs, m, args)
           case (GMath, m) => mathCall(m, args)
+          case (GRegex(pat), "test") =>
+            // unanchored search, like JS RegExp.test — on the Re2 engine
+            GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
+          case (GRegex(pat), "source") if args.isEmpty =>
+            GValue(QValue.Str(pat))
           case (GObj(om), field) if args.isEmpty =>
             om.getOrElse(field, GNull) // JS undefined ~ null
           case (GTagMap(tm), field) if args.isEmpty =>
@@ -846,12 +990,11 @@ object Gizmo {
           val lim = args.collectFirst { case GNumV(d, _) => d.toInt }.getOrElse(-1)
           val fn = args.collectFirst { case f: GFunc => f }.getOrElse(
             throw GizmoError(s".$m requires a function(x){...} callback"))
-          val param = fn.params.headOption.getOrElse(
-            throw GizmoError(s".$m callback needs one parameter"))
+          // a real call per row: the callback's frame chains to its
+          // DEFINING env, so closures over outer variables work and the
+          // row parameter never leaks into the caller's scope
           rawRows(p, lim).foreach { row =>
-            vars(param) = GTagMap(row)
-            try runToks(fn.body)
-            catch { case ReturnSignal(_) => () } // a return ends this row
+            callFunction(fn, Seq(GTagMap(row)))
           }
           GNull
         case other => throw GizmoError(s"unknown traversal .$other")
@@ -888,9 +1031,9 @@ object Gizmo {
         case TIdent("function") =>
           parseFunctionRest(c) // anonymous: function(p1, p2) { ... }
         case TIdent(fn) if c.peek.contains(TPunct('(')) &&
-          vars.get(fn).exists(_.isInstanceOf[GFunc]) =>
+          env.get(fn).exists(_.isInstanceOf[GFunc]) =>
           // user-defined function call — user bindings shadow builtins
-          callFunction(vars(fn).asInstanceOf[GFunc], parseArgs(c))
+          callFunction(env.get(fn).get.asInstanceOf[GFunc], parseArgs(c))
         case TIdent(fn) if c.peek.contains(TPunct('(')) =>
           val args = parseArgs(c)
           fn match {
@@ -924,9 +1067,17 @@ object Gizmo {
             case other  => throw GizmoError(s"unknown function $other()")
           }
         case TIdent(name) =>
-          vars.getOrElse(name,
+          env.get(name).getOrElse(
             if (name == "Math") GMath
             else throw GizmoError(s"undefined variable $name"))
+        case TRegex(pat, flags) =>
+          // JS flags map to RE2 inline flags ('g' is a JS iteration
+          // detail — no meaning for matching itself)
+          val inline = flags.filter(_ != 'g').distinct.map {
+            case f @ ('i' | 'm' | 's') => f
+            case f => throw GizmoError(s"unsupported regex flag '$f'")
+          }
+          GRegex(if (inline.isEmpty) pat else s"(?$inline)$pat")
         case TStr(s) => GValue(strToValue(s))
         case TNum(s) =>
           if (s.matches("-?\\d+")) GNumV(s.toDouble, isInt = true)
@@ -971,8 +1122,55 @@ object Gizmo {
       }
 
       // --------------------------------------- expressions (JS precedence)
-      // || < && < equality < relational < additive < multiplicative < unary
+      // || < && < | < ^ < & < equality < relational < shift < additive
+      //    < multiplicative < unary
       private def parseExpr(c: Cursor): GVal = parseOr(c)
+
+      /** JS ToInt32 (trunc toward zero, wrap mod 2^32, reinterpret
+        * signed) — the operand conversion for every bitwise operator.
+        */
+      private def toInt32(v: GVal): Int = num(v) match {
+        case Some(d) if !d.isNaN && !d.isInfinite => (d.toLong & 0xffffffffL).toInt
+        case Some(_) => 0
+        case None => throw GizmoError(s"bitwise operand must be a number, got $v")
+      }
+
+      private def bitwise(a: GVal, b: GVal, op: String): GVal = {
+        val x = toInt32(a)
+        val r: Double = op match {
+          case "&"   => (x & toInt32(b)).toDouble
+          case "|"   => (x | toInt32(b)).toDouble
+          case "^"   => (x ^ toInt32(b)).toDouble
+          case "<<"  => (x << (toInt32(b) & 31)).toDouble
+          case ">>"  => (x >> (toInt32(b) & 31)).toDouble
+          case ">>>" => ((x.toLong & 0xffffffffL) >>> (toInt32(b) & 31)).toDouble
+        }
+        GNumV(r, isInt = true)
+      }
+
+      private def parseBitOr(c: Cursor): GVal = {
+        var v = parseBitXor(c)
+        while (c.peek.contains(TOp("|"))) {
+          c.next(); v = bitwise(v, parseBitXor(c), "|")
+        }
+        v
+      }
+
+      private def parseBitXor(c: Cursor): GVal = {
+        var v = parseBitAnd(c)
+        while (c.peek.contains(TOp("^"))) {
+          c.next(); v = bitwise(v, parseBitAnd(c), "^")
+        }
+        v
+      }
+
+      private def parseBitAnd(c: Cursor): GVal = {
+        var v = parseEq(c)
+        while (c.peek.contains(TOp("&"))) {
+          c.next(); v = bitwise(v, parseEq(c), "&")
+        }
+        v
+      }
 
       private def parseOr(c: Cursor): GVal = {
         var v = parseAnd(c)
@@ -985,10 +1183,10 @@ object Gizmo {
       }
 
       private def parseAnd(c: Cursor): GVal = {
-        var v = parseEq(c)
+        var v = parseBitOr(c)
         while (c.peek.contains(TOp("&&"))) {
           c.next()
-          val r = parseEq(c)
+          val r = parseBitOr(c)
           v = if (!truthy(v)) v else r
         }
         v
@@ -1009,14 +1207,26 @@ object Gizmo {
       }
 
       private def parseRel(c: Cursor): GVal = {
-        var v = parseAdd(c)
+        var v = parseShift(c)
         var done = false
         while (!done) c.peek match {
           case Some(TOp(op @ ("<" | "<=" | ">" | ">="))) =>
             c.next()
-            val r = parseAdd(c)
+            val r = parseShift(c)
             val cmp = compareVals(v, r, op)
             v = GBoolV(cmp)
+          case _ => done = true
+        }
+        v
+      }
+
+      private def parseShift(c: Cursor): GVal = {
+        var v = parseAdd(c)
+        var done = false
+        while (!done) c.peek match {
+          case Some(TOp(op @ ("<<" | ">>" | ">>>"))) =>
+            c.next()
+            v = bitwise(v, parseAdd(c), op)
           case _ => done = true
         }
         v
@@ -1055,6 +1265,8 @@ object Gizmo {
       private def parseUnary(c: Cursor): GVal = c.peek match {
         case Some(TOp("!")) =>
           c.next(); GBoolV(!truthy(parseUnary(c)))
+        case Some(TOp("~")) =>
+          c.next(); GNumV((~toInt32(parseUnary(c))).toDouble, isInt = true)
         case Some(TOp("-")) =>
           c.next()
           num(parseUnary(c)) match {
@@ -1089,6 +1301,9 @@ object Gizmo {
         case GNull                 => "null"
         case GValue(QValue.Str(s)) => s
         case GValue(qv)            => qv.sortKey
+        // Error-shaped objects (try/catch binding): "Error: msg", like JS
+        case GObj(m) if m.contains("message") && m.contains("name") =>
+          renderVal(m("name")) + ": " + renderVal(m("message"))
         case other                 => throw GizmoError(s"cannot render $other as a string")
       }
 
@@ -1165,6 +1380,9 @@ object Gizmo {
             }
             val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
             v = call(c, v, name, args)
+          } else if (c.peek.contains(TPunct('(')) && v.isInstanceOf[GFunc]) {
+            // invoking a call/index result directly: makeAdder(2)(3)
+            v = callFunction(v.asInstanceOf[GFunc], parseArgs(c))
           } else if (c.peek.contains(TPunct('['))) {
             c.next()
             val key = parseExpr(c)

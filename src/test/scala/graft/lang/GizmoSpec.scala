@@ -261,13 +261,10 @@ class GizmoSpec extends AnyFunSuite {
   test("unsupported full JS raises a clear error") {
     // the documented error surface: each unsupported form fails loudly
     intercept[Gizmo.GizmoError] {
-      session.execute("""g.emit(1 & 2)""") // bitwise
-    }
-    intercept[Gizmo.GizmoError] {
       session.execute("""return 4""") // return outside a function
     }
     intercept[Gizmo.GizmoError] {
-      session.execute("""try { g.emit(1) } catch (e) {}""") // try/catch
+      session.execute("""var x = new Date()""") // new/this/prototypes
     }
   }
   test("previously-unsupported forms now run") {
@@ -275,6 +272,92 @@ class GizmoSpec extends AnyFunSuite {
     check("""var i = 0; i += 1; g.emit(i)""", Seq("1"))
     assert(ids("""for (var i = 0; i < 3; i = i + 1) g.emit(i)""")
       === Seq("0", "1", "2"))
+  }
+
+  test("bitwise operators: ToInt32 semantics and JS precedence") {
+    check("""g.emit(1 & 2); g.emit(5 & 3); g.emit(5 | 3); g.emit(5 ^ 3)""",
+      Seq("0", "1", "7", "6"))
+    check("""g.emit(~5); g.emit(1 << 4); g.emit(-16 >> 2); g.emit(-1 >>> 28)""",
+      Seq("-6", "16", "-4", "15"))
+    // & binds tighter than ^, ^ tighter than |, all below ==
+    check("""g.emit(1 | 2 ^ 2 & 3); g.emit(3.9 & 7); g.emit(-3.9 & 7)""",
+      Seq("1", "3", "5"))
+    // shifts sit between additive and relational: (1+1)<<2, (1<<2)>3
+    check("""g.emit(1 + 1 << 2); if (1 << 2 > 3) g.emit("y")""",
+      Seq("8", "y"))
+  }
+
+  test("closures: capture by reference through the scope chain") {
+    // a returned closure keeps its defining frame alive
+    check(
+      """function makeAdder(n) { return function(x) { return x + n; }; }
+        |var add2 = makeAdder(2);
+        |g.emit(add2(3)); g.emit(makeAdder(10)(4))""".stripMargin,
+      Seq("5", "14"))
+    // a closure WRITES the captured variable (shared counter)
+    check(
+      """function counter() {
+        |  var c = 0;
+        |  return function() { c = c + 1; return c; };
+        |}
+        |var next = counter();
+        |next(); next();
+        |g.emit(next())""".stripMargin,
+      Seq("3"))
+    // JS var semantics: closures over a var loop variable share ONE cell
+    check(
+      """var fns = [];
+        |for (var i = 0; i < 3; i++) { fns.push(function() { return i; }); }
+        |g.emit(fns[0]()); g.emit(fns[2]())""".stripMargin,
+      Seq("3", "3"))
+  }
+
+  test("closures over loop variables inside forEach callbacks") {
+    // the most common real-world idiom the old flat scope rejected:
+    // a forEach callback closing over (and mutating) outer state
+    check(
+      """var seen = [];
+        |var n = 0;
+        |g.V("<bob>").in("<follows>").forEach(function(d) {
+        |  n = n + 1;
+        |  seen.push(d.id);
+        |});
+        |g.emit(n); g.emit(seen.length)""".stripMargin,
+      Seq("3", "3"))
+  }
+
+  test("try/catch/finally and throw") {
+    // a thrown value lands in the catch binding; finally always runs
+    check(
+      """var log = [];
+        |try { throw "boom"; } catch (e) { log.push(e); }
+        |finally { log.push("fin"); }
+        |g.emit(log.join(","))""".stripMargin,
+      Seq("boom,fin"))
+    // host errors surface as Error-shaped objects with .message
+    check(
+      """var msg = "none";
+        |try { g.V().nosuchmethod(); } catch (e) { msg = e.message; }
+        |g.emit(msg)""".stripMargin,
+      Seq("unknown traversal .nosuchmethod"))
+    // catch binding is scoped to the catch block; uncaught throws escape
+    intercept[Gizmo.GizmoError] {
+      session.execute("""try { g.emit(1) } finally { } throw "up"; """)
+    }
+    // return through finally still returns
+    check(
+      """function f() { try { return 1; } finally { g.emit("ran"); } }
+        |g.emit(f())""".stripMargin,
+      Seq("ran", "1"))
+  }
+
+  test("regex literals: RegExp values on the Re2 engine") {
+    check("""g.emit(/ab?c/.test("ac")); g.emit(/ab?c/.test("zz"))""",
+      Seq("true", "false"))
+    check("""var re = /^A[0-9]+$/i; g.emit(re.test("a42"))""", Seq("true"))
+    check("""if (/b.b/.test("bob")) g.emit("hit")""", Seq("hit"))
+    // division still tokenizes as division in operand position
+    check("""var x = 10; g.emit(x / 2 / 5)""", Seq("1"))
   }
 
   test("general statements: arithmetic, precedence, string concat") {
@@ -493,8 +576,7 @@ class GizmoSpec extends AnyFunSuite {
             |g.emit(fac(10));""".stripMargin, Seq("3628800"))
   }
 
-  test("still errors: bitwise, regex literals, prototypes outside subset") {
-    intercept[Gizmo.GizmoError](session.execute("var x = 1 & 2;"))
+  test("still errors: builtins outside the documented subsets") {
     intercept[Gizmo.GizmoError](session.execute("""var s = "a"; s.padStart(3);"""))
     intercept[Gizmo.GizmoError](session.execute("var a = [1]; a.flatMap(f);"))
   }
