@@ -803,6 +803,36 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", n = 8)
     }),
+    // streaming near-dup (stateful MinHash LSH) recall contract: the
+    // micro-batch path must recover >=80% of the docs the exact batch
+    // operator flags as later members of a J>=0.5 pair on the same
+    // corpus. Deterministic: one micro-batch, bit-identical signatures
+    // (shared codegen MinHashSig), earliest-id bucket ownership.
+    "stream_neardup" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sneardup").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema("doc_id bigint, text string").parquet(s"$tmp/in")
+      val q = graft.streaming.QuadStream
+        .nearDupStream(stream, "doc_id", "text", k = 16,
+          minEstJaccard = 0.5)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_neardup_sink").start()
+      q.processAllAvailable(); q.stop()
+      val streamIds = s.sql(
+        "SELECT DISTINCT id FROM stream_neardup_sink")
+      val batchLater = Dedup
+        .minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+        .select(col("id_b").as("id")).distinct().cache()
+      val total = batchLater.count()
+      val hit =
+        batchLater.join(streamIds, Seq("id"), "left_semi").count()
+      batchLater.unpersist()
+      Seq(total == 0 || hit.toDouble / total >= 0.8).toDF("recall_ok")
+    }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -1142,6 +1172,10 @@ object SparkEntry {
         |       CAST(c_acctbal AS DOUBLE) AS score
         |FROM customer WHERE c_acctbal > 5000""".stripMargin,
     "sim_ann" -> "SELECT TRUE AS recall_ok",
+    // streaming near-dup contract: stateful LSH recovers >=80% of the
+    // exact batch J>=0.5 later-pair docs (dedup_minhash verifies the
+    // batch side row-exactly on the same corpus)
+    "stream_neardup" -> "SELECT TRUE AS recall_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",

@@ -27,6 +27,9 @@ object GraphQL {
   val LimitKey = "first"
   val SkipKey = "offset"
 
+  /** Default per-level page size when a query gives no `first`. */
+  val DefaultFirst = 100
+
   final case class Field(alias: String, via: String,
                          has: Seq[(String, Seq[QValue])] = Nil,
                          isConstraint: Seq[QValue] = Nil,
@@ -180,7 +183,13 @@ object GraphQL {
     * never by the corpus (contrast the reference's per-object recursion,
     * graphql.go:156-396, a query per node).
     */
-  final class Session(g: Graph) {
+  /** @param defaultFirst page cap applied to any level that specifies no
+    *        `first` of its own: an unpaginated query over a huge result
+    *        set must not materialize an unbounded tree on the driver
+    *        (each nesting level is collected). <= 0 disables the cap
+    *        (the reference's unbounded iteration, graphql.go:217).
+    */
+  final class Session(g: Graph, defaultFirst: Int = DefaultFirst) {
     import org.apache.spark.sql.expressions.Window
 
     private def hid(v: QValue): Long = QValue.id(v)
@@ -233,14 +242,15 @@ object GraphQL {
       * this is a plain distributed sort (no single-partition window).
       */
     private def orderPage(f: Field, cand: DataFrame): DataFrame = {
+      val limit = if (f.limit >= 0) f.limit else defaultFirst
       val withSk = cand.join(sk, Seq("id"))
-      if (f.offset <= 0 && f.limit < 0)
+      if (f.offset <= 0 && limit < 0)
         withSk.select("pid", "id", "sk")
       else {
         val w = Window.partitionBy("pid").orderBy(col("sk"), col("id"))
         var out = withSk.withColumn("rn", row_number().over(w))
           .where(col("rn") > f.offset)
-        if (f.limit >= 0) out = out.where(col("rn") <= f.offset + f.limit)
+        if (limit >= 0) out = out.where(col("rn") <= f.offset + limit)
         out.select("pid", "id", "sk")
       }
     }
@@ -346,4 +356,6 @@ object GraphQL {
   }
 
   def session(g: Graph): Session = new Session(g)
+  def session(g: Graph, defaultFirst: Int): Session =
+    new Session(g, defaultFirst)
 }

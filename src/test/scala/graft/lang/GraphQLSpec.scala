@@ -171,4 +171,19 @@ class GraphQLSpec extends AnyFunSuite {
         Map("id" -> "<predicates>"), Map("id" -> "<are>"),
         Map("id" -> "smart_person"), Map("id" -> "<smart_graph>"))))
   }
+
+  test("default first cap bounds an unpaginated level") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+      .cached()
+    // a session with a tiny default: an unpaginated level collects at
+    // most defaultFirst objects per parent instead of the full set
+    val capped = GraphQL.session(g, 3)
+    val got = capped.execute("{ nodes { id } }")
+    assert(got("nodes").asInstanceOf[Seq[_]].size === 3)
+    // an explicit `first` overrides the default in either direction
+    val explicit = capped.execute("{ nodes(first: 5) { id } }")
+    assert(explicit("nodes").asInstanceOf[Seq[_]].size === 5)
+    // the shipped default is the reference's page size
+    assert(GraphQL.DefaultFirst === 100)
+  }
 }
