@@ -423,17 +423,27 @@ object Formats {
       .select("st", "pt", "ot", "okind")
   }
 
-  /** Pragmatic JSON-LD reader: @context prefix/vocab expansion, @graph
-    * arrays, @id/@type, nested node objects, literal values. Covers the
-    * document shapes the reference ships (people.jsonld); not a full
-    * JSON-LD 1.1 processor.
+  /** JSON-LD reader: @context expansion (prefixes, @vocab, @base, plain
+    * term→IRI mappings, expanded term definitions with @type/@language/
+    * @container coercion, default @language, node-scoped contexts),
+    * @graph arrays, top-level array documents, @id/@type, nested node
+    * objects, @value objects with @language/@type, @list. Covers the
+    * JSON-LD 1.0 expansion features the reference's quad reader applies
+    * to documents like data/people.jsonld; not a full 1.1 processor
+    * (no @reverse, @index, framing).
     */
   def readJsonLd(spark: SparkSession, path: String): Graph = {
     val text = String.join("\n",
       java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path)))
-    readJsonLdRoot(spark,
-      org.json4s.jackson.JsonMethods.parse(text).values
-        .asInstanceOf[Map[String, Any]])
+    org.json4s.jackson.JsonMethods.parse(text).values match {
+      case m: Map[_, _] =>
+        readJsonLdRoot(spark, m.asInstanceOf[Map[String, Any]])
+      case l: List[_] => // top-level array: an implicit @graph
+        readJsonLdRoot(spark, Map("@graph" -> l))
+      case other =>
+        throw new IllegalArgumentException(
+          s"JSON-LD document must be an object or array, got $other")
+    }
   }
 
   /** The RDF list vocabulary (JSON-LD `@list` encodes as
@@ -443,40 +453,84 @@ object Formats {
   val RdfRest = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
   val RdfNil = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
 
-  def readJsonLdRoot(spark: SparkSession, root: Map[String, Any]): Graph = {
-    val ctx = root.getOrElse("@context", Map.empty).asInstanceOf[Map[String, Any]]
-    val vocab = ctx.get("@vocab").map(_.toString).getOrElse("")
-    val base = ctx.get("@base").map(_.toString).getOrElse(vocab)
-    val prefixes = ctx.collect {
-      case (k, v: String) if !k.startsWith("@") => k -> v
+  /** One expanded @context term definition: target IRI (possibly itself
+    * compact until expansion), plus @type/@language/@container coercion.
+    */
+  private final case class LdTerm(iri: String, tpe: Option[String],
+                                  lang: Option[String],
+                                  container: Option[String])
+
+  /** Active @context state; node-scoped contexts layer via [[merged]]. */
+  private final case class LdCtx(vocab: String, base: String,
+                                 defaultLang: Option[String],
+                                 terms: Map[String, LdTerm]) {
+    def merged(raw: Any): LdCtx = raw match {
+      case m: Map[_, _] =>
+        val ctx = m.asInstanceOf[Map[String, Any]]
+        val v = ctx.get("@vocab").map(_.toString).getOrElse(vocab)
+        val b = ctx.get("@base").map(_.toString)
+          .getOrElse(if (base.nonEmpty) base else v)
+        val dl = ctx.get("@language").map(_.toString).orElse(defaultLang)
+        val ts = terms ++ ctx.collect {
+          case (k, s: String) if !k.startsWith("@") =>
+            k -> LdTerm(s, None, None, None)
+          case (k, tm: Map[_, _]) if !k.startsWith("@") =>
+            val mm = tm.asInstanceOf[Map[String, Any]]
+            k -> LdTerm(mm.get("@id").map(_.toString).getOrElse(k),
+              mm.get("@type").map(_.toString),
+              mm.get("@language").map(_.toString),
+              mm.get("@container").map(_.toString))
+        }
+        LdCtx(v, if (b.isEmpty) v else b, dl, ts)
+      case _ => this
     }
 
-    def expandWith(term: String, default: String): String = {
+    /** Compact-IRI / absolute-IRI / default-vocab expansion (no term
+      * re-lookup — term indirection resolves exactly one level).
+      */
+    private def expandCompact(term: String, default: String): String = {
       val i = term.indexOf(':')
-      if (i > 0 && prefixes.contains(term.substring(0, i)))
-        prefixes(term.substring(0, i)) + term.substring(i + 1)
-      else if (term.startsWith("http:") || term.startsWith("https:")) term
+      if (i > 0 && terms.contains(term.substring(0, i)))
+        terms(term.substring(0, i)).iri + term.substring(i + 1)
+      else if (i > 0 && term.substring(0, i).forall(c =>
+        c.isLetterOrDigit || c == '+' || c == '-' || c == '.'))
+        term // absolute IRI (http:, urn:, mailto:, …)
       else default + term
     }
-    // identifiers expand against @base, vocabulary terms against @vocab
-    def expand(term: String): String = expandWith(term, base)
+
+    private def expandWith(term: String, default: String): String = {
+      if (term.startsWith("@")) return term // keywords pass through
+      terms.get(term) match {
+        case Some(td) if td.iri != term => // term → (maybe compact) IRI
+          expandCompact(td.iri, default)
+        case _ => expandCompact(term, default)
+      }
+    }
+    /** Identifiers expand against @base, vocabulary terms against @vocab. */
+    def expandId(term: String): String = expandWith(term, base)
     def expandProp(term: String): String = expandWith(term, vocab)
+  }
+
+  def readJsonLdRoot(spark: SparkSession, root: Map[String, Any]): Graph = {
+    val rootCtx = LdCtx("", "", None, Map.empty)
+      .merged(root.getOrElse("@context", Map.empty))
 
     val quads = Vector.newBuilder[NQuads.ParsedQuad]
     var blankCounter = 0
 
-    def idValue(id: String): QValue =
+    def idValue(id: String, ctx: LdCtx): QValue =
       if (id.startsWith("_:")) QValue.BNode(id.substring(2))
-      else QValue.Iri(expand(id))
+      else QValue.Iri(ctx.expandId(id))
 
-    def nodeId(obj: Map[String, Any]): QValue = obj.get("@id") match {
-      case Some(id: String) => idValue(id)
-      case _ =>
-        blankCounter += 1
-        QValue.BNode(s"b$blankCounter")
-    }
+    def nodeId(obj: Map[String, Any], ctx: LdCtx): QValue =
+      obj.get("@id") match {
+        case Some(id: String) => idValue(id, ctx)
+        case _ =>
+          blankCounter += 1
+          QValue.BNode(s"b$blankCounter")
+      }
 
-    def literal(v: Any): QValue = v match {
+    def plainLiteral(v: Any): QValue = v match {
       case s: String  => QValue.Str(s)
       case b: Boolean => QValue.BoolV(b)
       case i: BigInt  => QValue.IntV(i.toLong)
@@ -484,51 +538,81 @@ object Formats {
       case other      => QValue.Str(String.valueOf(other))
     }
 
-    /** `@list` → rdf:first/rdf:rest chain, returns the head (or rdf:nil). */
-    def rdfList(items: List[Any]): QValue = items match {
-      case Nil => QValue.Iri(RdfNil)
-      case head :: tail =>
-        blankCounter += 1
-        val cell = QValue.BNode(s"b$blankCounter")
-        val headV = head match {
-          case m: Map[_, _] =>
-            val mm = m.asInstanceOf[Map[String, Any]]
-            if (mm.keySet == Set("@id")) idValue(mm("@id").toString)
-            else walk(mm)
-          case x => literal(x)
+    /** A string under a term definition: @type:@id → node ref, other
+      * @type → typed literal, @language (term or context default) →
+      * language string, else plain.
+      */
+    def coerced(s: String, td: Option[LdTerm], ctx: LdCtx): QValue =
+      td.flatMap(_.tpe) match {
+        case Some("@id") => idValue(s, ctx)
+        case Some(t)     => NQuads.typedValue(s, ctx.expandId(t))
+        case None => td.flatMap(_.lang).orElse(ctx.defaultLang) match {
+          case Some(l) => QValue.LangStr(s, l)
+          case None    => QValue.Str(s)
         }
-        quads += NQuads.ParsedQuad(cell, QValue.Iri(RdfFirst), headV, None)
-        quads += NQuads.ParsedQuad(cell, QValue.Iri(RdfRest), rdfList(tail), None)
-        cell
+      }
+
+    /** `@value` object → literal with optional @language / @type. */
+    def valueObject(mm: Map[String, Any], ctx: LdCtx): QValue = {
+      val raw = mm("@value")
+      (mm.get("@language"), mm.get("@type")) match {
+        case (Some(l), _) => QValue.LangStr(String.valueOf(raw), l.toString)
+        case (_, Some(t)) =>
+          NQuads.typedValue(String.valueOf(raw), ctx.expandId(t.toString))
+        case _ => plainLiteral(raw)
+      }
     }
 
-    def walk(obj: Map[String, Any]): QValue = {
-      val subj = nodeId(obj)
+    /** `@list` → rdf:first/rdf:rest chain, returns the head (or rdf:nil). */
+    def rdfList(items: List[Any], td: Option[LdTerm], ctx: LdCtx): QValue =
+      items match {
+        case Nil => QValue.Iri(RdfNil)
+        case head :: tail =>
+          blankCounter += 1
+          val cell = QValue.BNode(s"b$blankCounter")
+          val headV = objectOf(head, td, ctx)
+          quads += NQuads.ParsedQuad(cell, QValue.Iri(RdfFirst), headV, None)
+          quads += NQuads.ParsedQuad(cell, QValue.Iri(RdfRest),
+            rdfList(tail, td, ctx), None)
+          cell
+      }
+
+    def objectOf(v: Any, td: Option[LdTerm], ctx: LdCtx): QValue = v match {
+      case m: Map[_, _] =>
+        val mm = m.asInstanceOf[Map[String, Any]]
+        if (mm.keySet == Set("@id")) idValue(mm("@id").toString, ctx)
+        else if (mm.contains("@value")) valueObject(mm, ctx)
+        else if (mm.contains("@list"))
+          rdfList(mm("@list").asInstanceOf[List[Any]], td, ctx)
+        else walk(mm, ctx)
+      case s: String => coerced(s, td, ctx)
+      case x => plainLiteral(x)
+    }
+
+    def walk(obj0: Map[String, Any], ctx0: LdCtx): QValue = {
+      // node-scoped @context layers over the active one
+      val ctx = obj0.get("@context").map(ctx0.merged).getOrElse(ctx0)
+      val obj = obj0 - "@context"
+      val subj = nodeId(obj, ctx)
       obj.foreach {
-        case ("@id", _) | ("@context", _) =>
+        case ("@id", _) =>
         case ("@type", t) =>
           val types = t match { case l: List[_] => l; case x => List(x) }
           types.foreach(tv => quads += NQuads.ParsedQuad(subj,
             QValue.Iri("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
-            QValue.Iri(expandProp(tv.toString)), None))
+            QValue.Iri(ctx.expandProp(tv.toString)), None))
         case ("@graph", l: List[_]) =>
-          l.foreach(x => walk(x.asInstanceOf[Map[String, Any]]))
+          l.foreach(x => walk(x.asInstanceOf[Map[String, Any]], ctx))
         case (pred, value) =>
-          val p = QValue.Iri(expandProp(pred))
-          def objectOf(v: Any): QValue = v match {
-            case m: Map[_, _] =>
-              val mm = m.asInstanceOf[Map[String, Any]]
-              if (mm.keySet == Set("@id")) idValue(mm("@id").toString)
-              else if (mm.contains("@value")) literal(mm("@value"))
-              else if (mm.contains("@list")) rdfList(
-                mm("@list").asInstanceOf[List[Any]])
-              else walk(mm)
-            case x => literal(x)
-          }
+          val td = ctx.terms.get(pred)
+          val p = QValue.Iri(ctx.expandProp(pred))
           def emit(v: Any): Unit = v match {
+            case l: List[_] if td.exists(_.container.contains("@list")) =>
+              quads += NQuads.ParsedQuad(subj, p, rdfList(l, td, ctx), None)
             case l: List[_] => l.foreach(e =>
-              quads += NQuads.ParsedQuad(subj, p, objectOf(e), None))
-            case x => quads += NQuads.ParsedQuad(subj, p, objectOf(x), None)
+              quads += NQuads.ParsedQuad(subj, p, objectOf(e, td, ctx), None))
+            case x =>
+              quads += NQuads.ParsedQuad(subj, p, objectOf(x, td, ctx), None)
           }
           emit(value)
       }
@@ -537,8 +621,8 @@ object Formats {
 
     root.get("@graph") match {
       case Some(l: List[_]) =>
-        l.foreach(x => walk(x.asInstanceOf[Map[String, Any]]))
-      case _ => walk(root - "@context")
+        l.foreach(x => walk(x.asInstanceOf[Map[String, Any]], rootCtx))
+      case _ => walk(root - "@context", rootCtx)
     }
     Graph.fromQuads(spark, quads.result())
   }

@@ -58,6 +58,75 @@ class FormatsSpec extends AnyFunSuite {
     assert(names === Seq(QValue.Str("Bob")))
   }
 
+  test("JSON-LD expansion: term definitions, coercions, @value, scoped contexts") {
+    def load(doc: String): Graph = {
+      val f = java.nio.file.Files.createTempFile("graft-ld", ".jsonld")
+      java.nio.file.Files.write(f, doc.getBytes("UTF-8"))
+      Formats.readJsonLd(spark, f.toString)
+    }
+    // expanded term definitions: term→IRI, @type:@id node coercion,
+    // datatype coercion, term-level @language, context default @language
+    val g = load("""{
+      "@context": {
+        "ex": "http://example.com/",
+        "foaf": "http://xmlns.com/foaf/0.1/",
+        "name": "foaf:name",
+        "knows": {"@id": "foaf:knows", "@type": "@id"},
+        "age": {"@id": "ex:age",
+                "@type": "http://www.w3.org/2001/XMLSchema#integer"},
+        "bio": {"@id": "ex:bio", "@language": "fr"},
+        "@language": "en"
+      },
+      "@id": "ex:alice",
+      "name": "Alice",
+      "knows": "ex:bob",
+      "age": "42",
+      "bio": "salut",
+      "motto": {"@value": "onward", "@language": "de"}
+    }""")
+    def out(p: String) = Exec.run(g,
+      Path.start(QValue.Iri("http://example.com/alice"))
+        .out(QValue.Iri(p))).values()
+    // plain term mapping resolves through the foaf prefix
+    assert(out("http://xmlns.com/foaf/0.1/name") ===
+      Seq(QValue.LangStr("Alice", "en"))) // context default @language
+    // @type:@id makes the string a node reference, expanded against @base
+    assert(out("http://xmlns.com/foaf/0.1/knows").map(_.sortKey) ===
+      Seq("<http://example.com/bob>"))
+    // datatype coercion parses the integer
+    assert(out("http://example.com/age") === Seq(QValue.IntV(42L)))
+    // term-level @language beats the context default
+    assert(out("http://example.com/bio") === Seq(QValue.LangStr("salut", "fr")))
+    // explicit @value object with @language
+    assert(out("motto") === Seq(QValue.LangStr("onward", "de")))
+
+    // top-level array document + node-scoped context override
+    val g2 = load("""[
+      {"@context": {"@vocab": "http://a.org/"}, "@id": "http://n/1", "p": "x"},
+      {"@context": {"@vocab": "http://b.org/"}, "@id": "http://n/2", "p": "y"}
+    ]""")
+    assert(Exec.run(g2, Path.start(QValue.Iri("http://n/1"))
+      .out(QValue.Iri("http://a.org/p"))).values() === Seq(QValue.Str("x")))
+    assert(Exec.run(g2, Path.start(QValue.Iri("http://n/2"))
+      .out(QValue.Iri("http://b.org/p"))).values() === Seq(QValue.Str("y")))
+
+    // @container:@list coerces a plain JSON array to an rdf list chain
+    val g3 = load("""{
+      "@context": {"items": {"@id": "http://e/items", "@container": "@list"}},
+      "@id": "http://n/l",
+      "items": ["a", "b"]
+    }""")
+    val first = Exec.run(g3, Path.start(QValue.Iri("http://n/l"))
+      .out(QValue.Iri("http://e/items"))
+      .out(QValue.Iri(Formats.RdfFirst))).values()
+    assert(first === Seq(QValue.Str("a")))
+    val second = Exec.run(g3, Path.start(QValue.Iri("http://n/l"))
+      .out(QValue.Iri("http://e/items"))
+      .out(QValue.Iri(Formats.RdfRest))
+      .out(QValue.Iri(Formats.RdfFirst))).values()
+    assert(second === Seq(QValue.Str("b")))
+  }
+
   test("typed comparisons stay within type (TestCompareTypedValues)") {
     import graft.shape.ValueFilter._
     val qs = Seq(

@@ -110,6 +110,26 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("write negotiation: Content-Type application/ld+json loads a JSON-LD doc") {
+    val api = new HttpApi(Graph.fromQuads(spark, Nil))
+    val port = api.start()
+    try {
+      val doc = String.join("\n", java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/root/reference/data/people.jsonld")))
+      val resp = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/api/v2/write"))
+          .header("Content-Type", "application/ld+json")
+          .POST(HttpRequest.BodyPublishers.ofString(doc)).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() === 200, resp.body())
+      assert(resp.body().contains(""""count": 6"""), resp.body())
+      val gz = post(port, "/api/v2/query?lang=gizmo",
+        """g.V("<http://example.com/alice>")
+          |  .out("<http://xmlns.com/foaf/0.1/knows>").all()""".stripMargin)
+      assert(gz.contains("http://example.com/bob"), gz)
+    } finally api.stop()
+  }
+
   test("remote backend: read another engine's store over HTTP") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val api = new HttpApi(g)
