@@ -252,57 +252,101 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"))
   }
 
-  /** Connected components of an undirected pair graph `(id_a, id_b)` by
-    * iterative min-label propagation. Propagation runs only over nodes
-    * that HAVE an edge — in a near-dup graph that's a small minority; the
-    * singleton majority never changes label and joins back at the end as
-    * `cluster = own id`. Returns `(id, cluster)` for every id in `ids`.
+  /** Edge-count gate for the driver-local union-find fast path: 5 M pairs
+    * ≈ 80 MB of longs — trivially driver-sized, and far above any
+    * realistic near-dup edge count for corpora this engine benches. Above
+    * the gate, components run distributed (min-label propagation with
+    * label shortcutting).
     */
-  def connectedComponents(pairs: DataFrame, ids: DataFrame): DataFrame = {
-    var edges = pairs.select(col("id_a"), col("id_b")).unionByName(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-      .localCheckpoint()
-    // Size-adaptive parallelism: the near-dup edge set is usually a tiny
-    // fraction of the corpus, and iterating 32-partition shuffles over a
-    // few hundred rows is pure task overhead. One count (already
-    // materialized by the checkpoint) picks the loop's partitioning;
-    // large edge sets keep full parallelism.
-    val nEdges = edges.count()
-    val loopParts = math.max(1, math.min(
-      edges.sparkSession.sessionState.conf.numShufflePartitions,
-      (nEdges / 50000L).toInt + 1))
-    edges = edges.coalesce(loopParts).localCheckpoint()
-    var labels = edges.select(col("id_a").as("id"))
-      .distinct().withColumn("cluster", col("id"))
-      .coalesce(loopParts)
-      .localCheckpoint()
-    // convergence check: an order-insensitive hash signature of the label
-    // table (one map-side-combined aggregate per round — no join, and on
-    // a fixed-point round the signature provably cannot change). XOR-fold,
-    // not sum: ANSI mode makes Long sums throw on overflow.
-    def sig(l: DataFrame): Long =
-      l.agg(coalesce(expr("bit_xor(xxhash64(id, cluster))"), lit(0L)))
-        .head().getLong(0)
-    var last = sig(labels)
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < 50) {
-      val viaEdges = edges
-        .join(labels.withColumnRenamed("id", "id_b")
-          .withColumnRenamed("cluster", "nb"), Seq("id_b"))
-        .select(col("id_a").as("id"), col("nb").as("cand"))
-      val next = labels.unionByName(
-          viaEdges.withColumnRenamed("cand", "cluster"))
-        .groupBy("id").agg(min("cluster").as("cluster"))
+  val DriverCcMaxEdges: Long = 5_000_000L
+
+  /** Connected components of an undirected pair graph `(id_a, id_b)`.
+    * Propagation runs only over nodes that HAVE an edge — in a near-dup
+    * graph that's a small minority; the singleton majority never changes
+    * label and joins back at the end as `cluster = own id`. Returns
+    * `(id, cluster)` for every id in `ids`, cluster = min id in the
+    * component.
+    *
+    * Two tiers (same answer, guarded by DedupPropertySpec):
+    *  - pair set ≤ [[DriverCcMaxEdges]]: ONE collect + driver union-find
+    *    (min-root, path-compressed). A Spark round costs ~100 ms of
+    *    scheduling; a million-edge union-find costs less than one round.
+    *  - above the gate: distributed min-label propagation, with a label
+    *    SHORTCUT join each round (label ← label(label)) — pointer
+    *    doubling makes deep components converge in O(log diameter)
+    *    rounds instead of O(diameter).
+    */
+  def connectedComponents(pairs: DataFrame, ids: DataFrame,
+                          maxDriverEdges: Long = DriverCcMaxEdges)
+      : DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val pr = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val nPairs = pr.count()
+    if (nPairs <= maxDriverEdges) {
+      // driver union-find; roots are component minima by construction
+      // (union parents the larger root under the smaller)
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val nx = parent.get(c); parent.put(c, r); c = nx
+        }
+        r
+      }
+      pr.collect().foreach { row =>
+        val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      val labels = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
+      val labelsDf = labels.toDF("id", "cluster")
+      ids.join(broadcast(labelsDf), Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    } else {
+      var edges = pr.unionByName(
+          pr.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .localCheckpoint()
-      val s = sig(next)
-      changed = s != last
-      last = s
-      labels = next
-      rounds += 1
+      var labels = edges.select(col("id_a").as("id"))
+        .distinct().withColumn("cluster", col("id"))
+        .localCheckpoint()
+      // convergence check: an order-insensitive hash signature of the
+      // label table (one map-side-combined aggregate per round — no join,
+      // and on a fixed-point round the signature provably cannot change).
+      // XOR-fold, not sum: ANSI mode makes Long sums throw on overflow.
+      def sig(l: DataFrame): Long =
+        l.agg(coalesce(expr("bit_xor(xxhash64(id, cluster))"), lit(0L)))
+          .head().getLong(0)
+      var last = sig(labels)
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 50) {
+        val viaEdges = edges
+          .join(labels.withColumnRenamed("id", "id_b")
+            .withColumnRenamed("cluster", "nb"), Seq("id_b"))
+          .select(col("id_a").as("id"), col("nb").as("cluster"))
+        // shortcut: adopt the label of one's label (pointer doubling);
+        // every cluster value is itself an edge-node id, so the self-join
+        // always resolves
+        val viaSelf = labels.as("l1")
+          .join(labels.as("l2"), col("l1.cluster") === col("l2.id"))
+          .select(col("l1.id").as("id"), col("l2.cluster").as("cluster"))
+        val next = labels.unionByName(viaEdges).unionByName(viaSelf)
+          .groupBy("id").agg(min("cluster").as("cluster"))
+          .localCheckpoint()
+        val s = sig(next)
+        changed = s != last
+        last = s
+        labels = next
+        rounds += 1
+      }
+      ids.join(labels, Seq("id"), "left")
+        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     }
-    ids.join(labels, Seq("id"), "left")
-      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
   }
 
   /** Cross-corpus near-dup (incremental-ingest dedup): for each document in

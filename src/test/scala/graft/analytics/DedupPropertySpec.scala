@@ -121,4 +121,23 @@ class DedupPropertySpec extends AnyFunSuite {
       assert(got === expect)
     }
   }
+
+  test("law: distributed CC tier (shortcutting) equals the driver tier") {
+    // force the distributed branch with maxDriverEdges = -1; include a
+    // long path (deep component — exercises pointer doubling), a clique,
+    // and singletons
+    val pairs = ((0L until 40L).map(i => (i, i + 1)) ++ // path 0..40
+      Seq((100L, 101L), (100L, 102L), (101L, 102L)) ++  // triangle
+      Seq((200L, 201L))).toDF("id_a", "id_b")
+    val ids = ((0L to 40L) ++ (100L to 102L) ++
+      (200L to 202L)).toDF("id")
+    val dist = Dedup.connectedComponents(pairs, ids, maxDriverEdges = -1)
+      .as[(Long, Long)].collect().toMap
+    val drv = Dedup.connectedComponents(pairs, ids)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === drv)
+    assert((0L to 40L).forall(i => dist(i) == 0L))
+    assert((100L to 102L).forall(i => dist(i) == 100L))
+    assert(dist(200L) == 200L && dist(201L) == 200L && dist(202L) == 202L)
+  }
 }
