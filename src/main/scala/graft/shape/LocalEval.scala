@@ -469,14 +469,48 @@ private final class LocalEval(g: Graph, idx: LocalGraphIndex) {
         case _ => ()
       }
     }
+    // sub-shape filters evaluate FIRST (the join needs them anyway): a
+    // small frontier is usually the most selective seed — `in(pred)` from
+    // one node must walk that node's postings, not materialize every quad
+    // of the predicate and join down (memstore iterates the same way,
+    // graph/memstore/quadstore.go QuadIterator: per-value posting lists)
+    val subTables = mutable.LinkedHashMap.empty[Int, LocalTable]
+    filters.zipWithIndex.foreach { case (f, i) =>
+      f.values match {
+        case Shape.AllNodes | Shape.Null | _: Shape.Fixed
+           | Shape.Save(_, Shape.AllNodes) | Shape.Save(_, _: Shape.Fixed) => ()
+        case sub => subTables(i) = nodes(sub)
+      }
+    }
+    // candidate seeds: every literal constraint, plus every sub-shape
+    // frontier small enough that summing its posting lengths is free
+    final case class SeedC(d: Dir, ids: Array[Long], cost: Long)
+    val seeds = mutable.ArrayBuffer.empty[SeedC]
+    literal.foreach { case (d, ids) =>
+      seeds += SeedC(d, ids.toArray,
+        ids.map(idx.postings(d, _).length.toLong).sum)
+    }
+    val MaxSeedFrontier = 4096
+    filters.zipWithIndex.foreach { case (f, i) =>
+      subTables.get(i).foreach { nt =>
+        val ni = nt.colIdx(ID)
+        val set = new java.util.HashSet[JLong]()
+        nt.rows.foreach(r => if (r(ni) != null) set.add(r(ni)))
+        if (set.size <= MaxSeedFrontier) {
+          val ids = new Array[Long](set.size)
+          val it = set.iterator(); var j = 0
+          while (it.hasNext) { ids(j) = it.next().longValue(); j += 1 }
+          seeds += SeedC(f.dir, ids,
+            ids.map(idx.postings(f.dir, _).length.toLong).sum)
+        }
+      }
+    }
     // stats folding (Lower.scala:195-201) falls out of empty postings.
     var cand: Array[Int] =
-      if (literal.isEmpty) Array.range(0, idx.nQuads)
+      if (seeds.isEmpty) Array.range(0, idx.nQuads)
       else {
-        val (seedDir, seedIds) = literal.minBy { case (d, ids) =>
-          ids.map(idx.postings(d, _).length.toLong).sum
-        }
-        seedIds.toArray.flatMap(idx.postings(seedDir, _))
+        val s = seeds.minBy(_.cost)
+        s.ids.flatMap(idx.postings(s.d, _))
       }
     // apply every literal constraint (postings per id are disjoint, so the
     // seed list has no duplicates; re-checking the seed dir is a no-op)
@@ -491,7 +525,7 @@ private final class LocalEval(g: Graph, idx: LocalGraphIndex) {
       Array[JLong](JLong.valueOf(idx.qs(q)), JLong.valueOf(idx.qp(q)),
         JLong.valueOf(idx.qo(q)), idx.ql(q))))
     // now the non-literal work, in filter order
-    filters.foreach { f =>
+    filters.zipWithIndex.foreach { case (f, fi) =>
       val dirIdx = t.colIdx(f.dir.colName)
       f.values match {
         case Shape.AllNodes | Shape.Null | _: Shape.Fixed => ()
@@ -501,8 +535,8 @@ private final class LocalEval(g: Graph, idx: LocalGraphIndex) {
         case Shape.Save(tags, _: Shape.Fixed) => // filter applied above
           t = tags.foldLeft(t)((t2, tag) =>
             t2.withCol(tagCol(tag), r => r(dirIdx)))
-        case sub => // inner join quads.dir == nodes.id (Lower.scala:227-231)
-          val nt = nodes(sub)
+        case _ => // inner join quads.dir == nodes.id (Lower.scala:227-231)
+          val nt = subTables(fi)
           val keep = nt.tagCols.filterNot(t.cols.contains)
           val ni = nt.colIdx(ID)
           val keepIdx = keep.map(nt.colIdx)
