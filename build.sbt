@@ -28,5 +28,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the x100 bench tier (47 M quads / 500 k docs) needs
+  // execution-memory headroom beyond 8g, while 32g measurably slows the
+  // x10 tier (GC sizing); SPARK_DRIVER_MEM overrides
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -17,12 +17,15 @@ import org.apache.spark.sql.functions._
   *   3. per-source cap in deterministic md5-sample order (one window
   *      exchange on source; the Common-Crawl-style per-domain cap).
   *
-  * Three shuffles total at any scale: fingerprint aggregate, survivor
-  * join (both on doc identity — co-partitioned), source window. The
-  * near-dup stages (minhash/simhash/embedding) are deliberately NOT
-  * folded in here: they are candidate-generating and corpus-dependent —
-  * chain [[Dedup.minhashPairs]]/[[Dedup.clusters]] on the curated output
-  * when wanted.
+  * Four shuffles total at any scale: fingerprint aggregate, survivor
+  * join (both on doc identity — co-partitioned), and the two-phase
+  * source cap (salted pre-cap + exact window — skew-safe: the heaviest
+  * task is bounded by max-source/32 even when one source holds half the
+  * corpus, see [[TextOps.capPerKey]]). The near-dup stages
+  * (minhash/simhash/embedding) are deliberately NOT folded in here:
+  * they are candidate-generating and corpus-dependent — chain
+  * [[Dedup.minhashPairs]]/[[Dedup.clusters]] on the curated output when
+  * wanted.
   */
 object Curate {
 

@@ -293,16 +293,31 @@ object TextOps {
   /** Deterministic per-stratum cap: keep at most `cap` rows per value of
     * `keyCol`, chosen in md5-sample-key order (the Common-Crawl-style
     * per-domain cap that stops one giant domain dominating the corpus).
-    * One exchange on the stratum key; the kept set is engine- and
-    * run-independent because the order is [[sampleKey]], not ingestion
-    * order. A skewed stratum is one window partition — at 100 TB pair this
-    * with AQE skew handling or pre-split pathological keys.
+    * The kept set is engine- and run-independent because the order is
+    * [[sampleKey]], not ingestion order.
+    *
+    * SKEW-SAFE BY CONSTRUCTION: a window partitioned only by `keyCol`
+    * would sort a 50%-hot stratum in ONE task (AQE cannot split window
+    * groups). Instead the cap runs two-phase: rows first split into
+    * `salts` deterministic buckets per key (xxhash64 of the id) and take
+    * the per-bucket top-`cap` — the global top-`cap` in a total order is
+    * always a subset of the union of per-bucket top-`cap`s — then the
+    * exact window runs over at most `salts·cap` rows per key. The
+    * heaviest task is bounded by max-stratum/salts regardless of key
+    * distribution; both phases keep the same total order (sampleKey,
+    * id), so the result is bit-identical to the single-window form.
     */
   def capPerKey(df: org.apache.spark.sql.DataFrame, idCol: String,
-                keyCol: String, cap: Int): org.apache.spark.sql.DataFrame = {
-    val w = Window.partitionBy(keyCol)
-      .orderBy(sampleKey(col(idCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w))
+                keyCol: String, cap: Int,
+                salts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val order = Seq(sampleKey(col(idCol)), col(idCol))
+    val w1 = Window
+      .partitionBy(col(keyCol), pmod(xxhash64(col(idCol)), lit(salts)))
+      .orderBy(order: _*)
+    val pruned = df.withColumn("__rn1", row_number().over(w1))
+      .where(col("__rn1") <= cap).drop("__rn1")
+    val w = Window.partitionBy(keyCol).orderBy(order: _*)
+    pruned.withColumn("rn", row_number().over(w))
       .where(col("rn") <= cap).drop("rn")
   }
 

@@ -277,7 +277,7 @@ class AnalyticsSpec extends AnyFunSuite {
       s"expected cell partition pruning:\n$plan")
   }
 
-  test("curate plan: three exchanges (fingerprint agg, survivor join, cap window)") {
+  test("curate plan: four exchanges (fingerprint agg, survivor join, 2-phase cap)") {
     val corpus = (0L until 100L)
       .map(i => (i, s"src${i % 4}", s"document number $i with some distinct tokens here"))
       .toDF("doc_id", "source", "text")
@@ -285,7 +285,26 @@ class AnalyticsSpec extends AnyFunSuite {
         perSourceCap = 5)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange ".r.findAllIn(plan).length
-    assert(exchanges <= 3, s"expected <=3 exchanges, got $exchanges:\n$plan")
+    assert(exchanges <= 4, s"expected <=4 exchanges, got $exchanges:\n$plan")
+    // the cap is two windows: salted pre-cap then the exact per-key pass
+    // (skew-safe — no single-task sort of a hot source)
+    assert("Window".r.findAllIn(plan).length >= 2, plan)
+  }
+
+  test("capPerKey: two-phase result equals the single-window definition") {
+    val df = (0L until 500L)
+      .map(i => (i, s"k${i % 3}")).toDF("id", "key")
+    val got = TextOps.capPerKey(df, "id", "key", 7)
+      .as[(Long, String)].collect().toSet
+    // reference: single window, same total order
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key")
+      .orderBy(TextOps.sampleKey(col("id")), col("id"))
+    val expect = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 7).drop("rn")
+      .as[(Long, String)].collect().toSet
+    assert(got === expect)
+    assert(got.groupBy(_._2).forall(_._2.size == 7))
   }
 
   test("gopher rules: facets count exactly, gate cross-multiplies") {

@@ -181,4 +181,42 @@ class ExplainSpec extends AnyFunSuite {
       .findAllIn(plan).length
     assert(exchanges <= 2, s"unexpected shuffle count $exchanges:\n$plan")
   }
+
+  test("AQE splits the skewed 2-hop join under a super-predicate") {
+    // a 2-hop whose frontier concentrates on 10 hot join keys (the
+    // SURVEY §7.4 super-predicate risk). With thresholds scaled to the
+    // test corpus, AQE's skew-join mitigation must actually fire — at
+    // 100 TB this (with production thresholds) is the engine's answer
+    // to hot-key joins, so the plan marker is pinned here.
+    val confs = Seq(
+      // force a sort-merge join (a broadcast join has no shuffle to skew)
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32k",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1k")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val tmp = Files.createTempDirectory("graft-skew").toString
+      spark.range(200000).selectExpr(
+          "concat('<s', id, '> <hot> <c', id % 10, '> .') AS value")
+        .union(spark.range(500).selectExpr(
+          "concat('<c', id % 10, '> <info> <leaf', id, '> .') AS value"))
+        .write.mode("overwrite").text(tmp)
+      val g = Graph.fromNQuads(spark, tmp).cached()
+      g.stats
+      val df = Exec.lower(g, Path.start()
+        .out(QValue.Iri("hot")).out(QValue.Iri("info")).shape())
+      // drive THIS QueryExecution so its adaptive plan finalizes
+      // (df.count() would execute a separate one)
+      val qe = df.queryExecution
+      val n = qe.toRdd.count()
+      assert(n === 200000L * 50) // 200k frontier rows × 50 leaves per hot key
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join mitigation did not fire:\n$plan")
+      g.nodes.unpersist(); g.quads.unpersist()
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
 }
