@@ -330,13 +330,35 @@ object TextOps {
     * could differ). Same single-exchange window plan as [[capPerKey]].
     */
   def mixtureSample(df: org.apache.spark.sql.DataFrame, idCol: String,
-                    keyCol: String, scale: Double): org.apache.spark.sql.DataFrame = {
-    val part = Window.partitionBy(keyCol)
-    val w = part.orderBy(sampleKey(col(idCol)), col(idCol))
-    df.withColumn("rn", row_number().over(w))
-      .withColumn("n_key", count(lit(1)).over(part))
-      .where(col("rn") <= ceil(lit(scale) * sqrt(col("n_key"))))
-      .drop("rn", "n_key")
+                    keyCol: String, scale: Double,
+                    salts: Int = 0): org.apache.spark.sql.DataFrame = {
+    if (salts <= 0) { // single-exchange plan: right call for uniform strata
+      val part = Window.partitionBy(keyCol)
+      val w = part.orderBy(sampleKey(col(idCol)), col(idCol))
+      df.withColumn("rn", row_number().over(w))
+        .withColumn("n_key", count(lit(1)).over(part))
+        .where(col("rn") <= ceil(lit(scale) * sqrt(col("n_key"))))
+        .drop("rn", "n_key")
+    } else {
+      // skew-safe opt-in (same selection, more exchanges): per-key counts
+      // via hash aggregate, then the two-phase salted cap of
+      // [[capPerKey]] with the per-key sqrt threshold. Use when one
+      // stratum dominates the corpus — the single-window form sorts the
+      // whole hot stratum in ONE task.
+      val counts = df.groupBy(keyCol).agg(count(lit(1)).as("__nk"))
+      val capExpr = ceil(lit(scale) * sqrt(col("__nk")))
+      val order = Seq(sampleKey(col(idCol)), col(idCol))
+      val w1 = Window
+        .partitionBy(col(keyCol), pmod(xxhash64(col(idCol)), lit(salts)))
+        .orderBy(order: _*)
+      val w = Window.partitionBy(keyCol).orderBy(order: _*)
+      df.join(counts, Seq(keyCol))
+        .withColumn("__rn1", row_number().over(w1))
+        .where(col("__rn1") <= capExpr)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= capExpr)
+        .select(df.columns.toIndexedSeq.map(col): _*) // join put keyCol first
+    }
   }
 
   /** Language-model count table: the k most frequent word n-grams with

@@ -148,13 +148,24 @@ object QuadStream {
   }
 
   /** Collect a benchmark's n-gram hashes for [[contaminationFlags]]
-    * (driver-side; run once per eval set, reuse across streams).
+    * (driver-side; run once per eval set, reuse across streams). Eval
+    * sets are small BY DEFINITION — the collect is guarded so a misuse
+    * ("bench = the whole corpus") fails loudly instead of OOMing the
+    * driver; raise `maxHashes` deliberately if an eval set really is
+    * that large.
     */
   def benchNgramHashes(bench: DataFrame, idCol: String, textCol: String,
-                       n: Int = 8): Seq[Long] = {
+                       n: Int = 8, maxHashes: Long = 50_000_000L): Seq[Long] = {
     import bench.sparkSession.implicits._
-    graft.analytics.Dedup.wordShingleRows(bench, idCol, textCol, n)
-      .select(col("h")).distinct().as[Long].collect().toSeq
+    val distinctH = graft.analytics.Dedup
+      .wordShingleRows(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+    val cnt = distinctH.count()
+    require(cnt <= maxHashes,
+      s"benchNgramHashes: $cnt distinct n-gram hashes exceeds maxHashes=" +
+        s"$maxHashes — this collects to the driver and is meant for EVAL " +
+        "sets, not corpora; raise maxHashes only if that is intentional")
+    distinctH.as[Long].collect().toSeq
   }
 
   /** Event-stream analytics: watermarked tumbling-window counts — the

@@ -307,6 +307,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.groupBy(_._2).forall(_._2.size == 7))
   }
 
+  test("mixtureSample: skew-safe salted form equals the single-window form") {
+    val df = (0L until 600L)
+      .map(i => (i, if (i < 500) "hot" else s"k${i % 4}"))
+      .toDF("id", "key")
+    val single = TextOps.mixtureSample(df, "id", "key", scale = 1.5)
+      .as[(Long, String)].collect().toSet
+    val salted = TextOps.mixtureSample(df, "id", "key", scale = 1.5,
+        salts = 16)
+      .as[(Long, String)].collect().toSet
+    assert(salted === single)
+    // sqrt cap actually bit: hot keeps ceil(1.5*sqrt(500)) = 34 of 500
+    assert(single.count(_._2 == "hot") === 34)
+  }
+
   test("gopher rules: facets count exactly, gate cross-multiplies") {
     val good = ("the quick brown fox and the lazy dog have fun with " +
       "words that keep being ordinary prose sentences all day") // 20 words
