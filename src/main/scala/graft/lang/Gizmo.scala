@@ -16,6 +16,8 @@ import graft.shape.ValueFilter._
   * `& | ^ ~ << >> >>>` with ToInt32 semantics, string concatenation with
   * `+`), `if`/`else`, `while`, classic `for(init;cond;update)` and
   * `for (k in …)` (indices for arrays/results, keys for objects),
+  * `do`/`while`, `break`/`continue`, `switch` (strict-equality cases,
+  * fall-through, default),
   * user-defined functions (`function f(a, b) { ... return ...; }`,
   * recursion included) with LEXICAL CLOSURES (capture by reference
   * through a scope chain — a callback closing over an outer `var` reads
@@ -34,9 +36,9 @@ import graft.shape.ValueFilter._
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * `new`/`this`/prototypes, `let`/`const`, switch, labeled
-  * break/continue, getters/setters, JS builtins outside the subsets
-  * above. Loops abort after 1M iterations.
+  * `new`/`this`/prototypes, `let`/`const`, labeled break/continue,
+  * getters/setters, JS builtins outside the subsets above. Loops abort
+  * after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -185,6 +187,13 @@ object Gizmo {
   /** `throw expr` unwinds to the nearest enclosing try/catch. */
   private case class ThrowSignal(v: GVal)
       extends scala.util.control.ControlThrowable
+  /** `break` / `continue` unwind to the nearest enclosing loop (or, for
+    * break, switch); a function boundary converts a leak to GizmoError.
+    */
+  private case object BreakSignal
+      extends scala.util.control.ControlThrowable
+  private case object ContinueSignal
+      extends scala.util.control.ControlThrowable
 
   /** Lexical scope chain: one frame per function call (and per catch
     * block), `var` declares in the current frame, plain assignment writes
@@ -258,6 +267,8 @@ object Gizmo {
         catch {
           case ReturnSignal(_) =>
             throw GizmoError("return outside of a function")
+          case BreakSignal | ContinueSignal =>
+            throw GizmoError("break/continue outside of a loop")
           case ThrowSignal(v) =>
             val rendered =
               try renderVal(v)
@@ -307,11 +318,82 @@ object Gizmo {
           val cond = captureParen(c)
           val body = captureStatement(c)
           var iters = 0
-          while (truthy(evalToks(cond))) {
-            runToks(body)
+          var broke = false
+          while (!broke && truthy(evalToks(cond))) {
+            try runToks(body)
+            catch {
+              case ContinueSignal => ()
+              case BreakSignal    => broke = true
+            }
             iters += 1
             if (iters > 1000000)
               throw GizmoError("while loop exceeded 1,000,000 iterations")
+          }
+        case Some(TIdent("do")) =>
+          c.next()
+          val body = captureStatement(c)
+          if (!c.peek.contains(TIdent("while")))
+            throw GizmoError("expected while after do block")
+          c.next()
+          val cond = captureParen(c)
+          var iters = 0
+          var broke = false
+          var first = true
+          while (!broke && (first || truthy(evalToks(cond)))) {
+            first = false
+            try runToks(body)
+            catch {
+              case ContinueSignal => ()
+              case BreakSignal    => broke = true
+            }
+            iters += 1
+            if (iters > 1000000)
+              throw GizmoError("do loop exceeded 1,000,000 iterations")
+          }
+        case Some(TIdent("break")) =>
+          c.next(); throw BreakSignal
+        case Some(TIdent("continue")) =>
+          c.next(); throw ContinueSignal
+        case Some(TIdent("switch")) =>
+          c.next()
+          val scrutToks = captureParen(c)
+          val scrut = evalToks(scrutToks)
+          c.expect('{')
+          // split the block into (caseExpr?, body) segments; ':' inside
+          // nested braces/brackets/parens belongs to the case body
+          val segs = scala.collection.mutable
+            .ArrayBuffer.empty[(Option[Vector[Tok]], Vector[Tok])]
+          while (!c.peek.contains(TPunct('}'))) c.peek match {
+            case Some(TIdent("case")) =>
+              c.next()
+              val expr = Vector.newBuilder[Tok]
+              var depth = 0
+              var done = false
+              while (!done) c.next() match {
+                case TPunct(':') if depth == 0 => done = true
+                case t @ TPunct('(' | '[' | '{') => depth += 1; expr += t
+                case t @ TPunct(')' | ']' | '}') => depth -= 1; expr += t
+                case t => expr += t
+              }
+              segs += ((Some(expr.result()), captureCaseBody(c)))
+            case Some(TIdent("default")) =>
+              c.next(); c.expect(':')
+              segs += ((None, captureCaseBody(c)))
+            case other =>
+              throw GizmoError(s"expected case/default in switch, got $other")
+          }
+          c.expect('}')
+          // first strictly-equal case, else default; fall through until
+          // break (JS semantics)
+          val start = segs.indexWhere {
+            case (Some(e), _) => eqVals(scrut, evalToks(e), strict = true)
+            case _            => false
+          }
+          val from =
+            if (start >= 0) start else segs.indexWhere(_._1.isEmpty)
+          if (from >= 0) {
+            try segs.drop(from).foreach { case (_, b) => runToks(b) }
+            catch { case BreakSignal => () }
           }
         case Some(TIdent("function"))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
@@ -406,9 +488,16 @@ object Gizmo {
             }
             c.expect(')')
             val body = captureStatement(c)
-            iter.foreach { v =>
+            val it = iter.iterator
+            var broke = false
+            while (!broke && it.hasNext) {
+              val v = it.next()
               if (hadVar) env.declare(idx, v) else env.set(idx, v)
-              runToks(body)
+              try runToks(body)
+              catch {
+                case ContinueSignal => ()
+                case BreakSignal    => broke = true
+              }
             }
           } else {
             // classic for: run init once, then body+update while cond holds
@@ -418,9 +507,14 @@ object Gizmo {
             val body = captureStatement(c)
             runToks(init)
             var iters = 0
-            while (cond.isEmpty || truthy(evalToks(cond))) {
-              runToks(body)
-              runToks(update)
+            var broke = false
+            while (!broke && (cond.isEmpty || truthy(evalToks(cond)))) {
+              try runToks(body)
+              catch { // continue still runs the update (JS semantics)
+                case ContinueSignal => ()
+                case BreakSignal    => broke = true
+              }
+              if (!broke) runToks(update)
               iters += 1
               if (iters > 1000000)
                 throw GizmoError("for loop exceeded 1,000,000 iterations")
@@ -532,7 +626,11 @@ object Gizmo {
         val saved = env
         env = frame
         try { runToks(f.body); GNull }
-        catch { case ReturnSignal(v) => v }
+        catch {
+          case ReturnSignal(v) => v
+          case BreakSignal | ContinueSignal => // never crosses a function
+            throw GizmoError("break/continue outside of a loop")
+        }
         finally env = saved
       }
 
@@ -560,6 +658,29 @@ object Gizmo {
           i += 1
         }
         false
+      }
+
+      /** Capture a switch-case body: tokens up to (not consuming) the
+        * next top-level `case`/`default` label or the closing '}'.
+        */
+      private def captureCaseBody(c: Cursor): Vector[Tok] = {
+        val out = Vector.newBuilder[Tok]
+        var depth = 0
+        var done = false
+        while (!done && c.more) c.peek match {
+          case Some(TIdent("case" | "default")) if depth == 0 => done = true
+          case Some(TPunct('}')) if depth == 0 => done = true
+          case Some(t) =>
+            c.next()
+            t match {
+              case TPunct('{' | '(' | '[') => depth += 1
+              case TPunct('}' | ')' | ']') => depth -= 1
+              case _                       =>
+            }
+            out += t
+          case None => done = true
+        }
+        out.result()
       }
 
       /** Capture tokens up to (and consuming) a top-level ';'. */

@@ -351,6 +351,80 @@ class GizmoSpec extends AnyFunSuite {
       Seq("ran", "1"))
   }
 
+  test("break/continue in while, for, for-in; do/while") {
+    check(
+      """var s = 0;
+        |for (var i = 0; i < 10; i++) {
+        |  if (i == 3) continue;
+        |  if (i == 6) break;
+        |  s += i;
+        |}
+        |g.emit(s); g.emit(i)""".stripMargin, // 0+1+2+4+5 = 12; i stops at 6
+      Seq("12", "6"))
+    check(
+      """var n = 0;
+        |while (true) { n++; if (n >= 4) break; }
+        |g.emit(n)""".stripMargin,
+      Seq("4"))
+    check(
+      """var seen = [];
+        |var a = [10, 11, 12, 13];
+        |for (k in a) { if (a[k] == 12) break; seen.push(a[k]); }
+        |g.emit(seen.join("-"))""".stripMargin,
+      Seq("10-11"))
+    check(
+      """var n = 0;
+        |do { n++; } while (n < 3);
+        |var m = 9;
+        |do { m++; } while (false);
+        |g.emit(n); g.emit(m)""".stripMargin, // body runs at least once
+      Seq("3", "10"))
+    // break never crosses a function boundary
+    intercept[Gizmo.GizmoError] {
+      session.execute(
+        """var f = function() { break; };
+          |while (true) { f(); }""".stripMargin)
+    }
+    intercept[Gizmo.GizmoError](session.execute("break;"))
+  }
+
+  test("switch: strict cases, fall-through, default, break") {
+    check(
+      """function label(x) {
+        |  var r = "";
+        |  switch (x) {
+        |    case 1: r = "one"; break;
+        |    case 2:
+        |    case 3: r = "few"; break;
+        |    default: r = "many";
+        |  }
+        |  return r;
+        |}
+        |g.emit(label(1)); g.emit(label(2)); g.emit(label(3)); g.emit(label(9))""".stripMargin,
+      Seq("one", "few", "few", "many"))
+    // fall-through without break accumulates; strict equality ("2" != 2)
+    check(
+      """var log = [];
+        |switch (2) {
+        |  case "2": log.push("str"); break;
+        |  case 2: log.push("a");
+        |  default: log.push("b");
+        |}
+        |g.emit(log.join(","))""".stripMargin,
+      Seq("a,b"))
+    // continue inside a switch inside a loop applies to the loop
+    check(
+      """var s = 0;
+        |for (var i = 0; i < 5; i++) {
+        |  switch (i % 2) {
+        |    case 0: continue;
+        |    default: s += i;
+        |  }
+        |}
+        |g.emit(s)""".stripMargin, // 1 + 3 = 4
+      Seq("4"))
+  }
+
   test("regex literals: RegExp values on the Re2 engine") {
     check("""g.emit(/ab?c/.test("ac")); g.emit(/ab?c/.test("zz"))""",
       Seq("true", "false"))
