@@ -305,6 +305,39 @@ object SparkEntry {
         .map(r => (r("region"), r("cnt"), r("flag")))
         .toDF("region", "cnt", "flag")
     }),
+    // Gizmo program exercising do/while, switch fall-through, and
+    // break/continue inside for and while loops
+    "g_gizmo_program4" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """var rows = [];
+          |var regions = g.V().out(iri("n_region")).unique().toArray();
+          |var i = 0;
+          |do {
+          |  var name = g.V(regions[i]).out(iri("r_name")).toValue();
+          |  var cls = "?";
+          |  switch (name) {
+          |    case "AFRICA":
+          |    case "AMERICA": cls = "A"; break;
+          |    case "EUROPE": cls = "E"; break;
+          |    default: cls = "other";
+          |  }
+          |  var members = g.V(regions[i]).in(iri("n_region")).toArray();
+          |  var n = 0;
+          |  for (var j = 0; j < members.length; j++) {
+          |    if (j >= 4) break;
+          |    n = n + 1;
+          |  }
+          |  rows.push({region: name, cls: cls, cnt: n});
+          |  i = i + 1;
+          |} while (i < regions.length);
+          |var t = 0; var j = 0;
+          |while (j < 10) { j = j + 1; if (j % 2 == 1) continue; t = t + 1; }
+          |for (k in rows) { g.emit(rows[k]); }
+          |g.emit({region: "t:" + t, cls: "x", cnt: 0});""".stripMargin)
+        .map(r => (r("region"), r("cls"), r("cnt")))
+        .toDF("region", "cls", "cnt")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -527,6 +560,16 @@ object SparkEntry {
         |GROUP BY r.r_name
         |UNION ALL
         |SELECT 'err:unknown traversal .bogus', '0', '0'""".stripMargin,
+    "g_gizmo_program4" ->
+      """SELECT r.r_name AS region,
+        |       CASE WHEN r.r_name IN ('AFRICA','AMERICA') THEN 'A'
+        |            WHEN r.r_name = 'EUROPE' THEN 'E'
+        |            ELSE 'other' END AS cls,
+        |       CAST(LEAST(4, COUNT(n.n_nationkey)) AS VARCHAR) AS cnt
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |UNION ALL
+        |SELECT 't:5', 'x', '0'""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->
