@@ -16,8 +16,11 @@ import graft.shape.ValueFilter._
   * `& | ^ ~ << >> >>>` with ToInt32 semantics, string concatenation with
   * `+`), `if`/`else`, `while`, classic `for(init;cond;update)` and
   * `for (k in …)` (indices for arrays/results, keys for objects),
-  * `do`/`while`, `break`/`continue`, `switch` (strict-equality cases,
-  * fall-through, default),
+  * `do`/`while`, `break`/`continue` (with labels), labeled statements,
+  * `switch` (strict-equality cases, fall-through, default), `let`/`const`
+  * with true block scoping (`var` hoists past block frames; `for (let …)`
+  * makes a fresh per-iteration binding, so closures capture each value;
+  * `const` reassignment throws),
   * user-defined functions (`function f(a, b) { ... return ...; }`,
   * recursion included) with LEXICAL CLOSURES (capture by reference
   * through a scope chain — a callback closing over an outer `var` reads
@@ -36,9 +39,8 @@ import graft.shape.ValueFilter._
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * `new`/`this`/prototypes, `let`/`const`, labeled break/continue,
-  * getters/setters, JS builtins outside the subsets above. Loops abort
-  * after 1M iterations.
+  * `new`/`this`/prototypes, getters/setters, JS builtins outside the
+  * subsets above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -187,21 +189,25 @@ object Gizmo {
   /** `throw expr` unwinds to the nearest enclosing try/catch. */
   private case class ThrowSignal(v: GVal)
       extends scala.util.control.ControlThrowable
-  /** `break` / `continue` unwind to the nearest enclosing loop (or, for
-    * break, switch); a function boundary converts a leak to GizmoError.
+  /** `break [label]` / `continue [label]` unwind to the nearest enclosing
+    * loop (or, for break, switch / labeled statement); a function boundary
+    * converts a leak to GizmoError.
     */
-  private case object BreakSignal
+  private case class BreakSignal(label: Option[String])
       extends scala.util.control.ControlThrowable
-  private case object ContinueSignal
+  private case class ContinueSignal(label: Option[String])
       extends scala.util.control.ControlThrowable
 
-  /** Lexical scope chain: one frame per function call (and per catch
-    * block), `var` declares in the current frame, plain assignment writes
-    * to the owning frame — or the global frame when undeclared (JS
-    * non-strict semantics).
+  /** Lexical scope chain: one frame per function call, per `{}` block,
+    * and per catch block. `var` (and named function declarations) hoist
+    * past block frames to the nearest function/global frame; `let`/`const`
+    * declare in the current (block) frame; plain assignment writes to the
+    * owning frame — or the global frame when undeclared (JS non-strict
+    * semantics). `const` bindings reject reassignment.
     */
-  private final class Env(val parent: Env) {
+  private final class Env(val parent: Env, val isBlock: Boolean = false) {
     val slots = scala.collection.mutable.Map.empty[String, GVal]
+    val consts = scala.collection.mutable.Set.empty[String]
     private def owner(name: String): Env = {
       var e: Env = this
       while (e != null) { if (e.slots.contains(name)) return e; e = e.parent }
@@ -214,9 +220,26 @@ object Gizmo {
     def set(name: String, v: GVal): Unit = {
       var o = owner(name)
       if (o == null) { o = this; while (o.parent != null) o = o.parent }
+      if (o.consts.contains(name))
+        throw GizmoError(s"assignment to constant variable $name")
       o.slots(name) = v
     }
-    def declare(name: String, v: GVal): Unit = slots(name) = v
+    def declare(name: String, v: GVal, isConst: Boolean = false): Unit = {
+      slots(name) = v
+      if (isConst) consts += name
+    }
+    /** `var`/function-declaration hoisting target: nearest non-block frame. */
+    def declareVar(name: String, v: GVal): Unit = {
+      var e: Env = this
+      while (e.isBlock) e = e.parent
+      e.slots(name) = v
+    }
+    /** var without initializer: declare undefined only if absent anywhere. */
+    def declareVarBare(name: String): Unit = {
+      var e: Env = this
+      while (e.isBlock) e = e.parent
+      if (owner(name) == null) e.slots(name) = GNull
+    }
   }
   /** count() result: a number in expressions, a count row as a final. */
   private case class GCount(n: Long) extends GVal
@@ -267,7 +290,7 @@ object Gizmo {
         catch {
           case ReturnSignal(_) =>
             throw GizmoError("return outside of a function")
-          case BreakSignal | ContinueSignal =>
+          case BreakSignal(_) | ContinueSignal(_) =>
             throw GizmoError("break/continue outside of a loop")
           case ThrowSignal(v) =>
             val rendered =
@@ -286,20 +309,38 @@ object Gizmo {
       private def evalToks(toks: Vector[Tok]): GVal =
         if (toks.isEmpty) GNull else parseExpr(new Cursor(toks))
 
-      private def statement(c: Cursor): Unit = c.peek match {
+      /** Labels currently in scope (for validating `break foo`). */
+      private var activeLabels: List[String] = Nil
+
+      private def statement(c: Cursor, labels: List[String] = Nil): Unit = c.peek match {
         case Some(TPunct(';')) => c.next()
-        case Some(TPunct('{')) => // block
+        case Some(TPunct('{')) => // block — own let/const scope
           c.next()
-          while (!c.peek.contains(TPunct('}'))) statement(c)
+          val saved = env
+          env = new Env(saved, isBlock = true)
+          try while (!c.peek.contains(TPunct('}'))) statement(c)
+          finally env = saved
           c.expect('}')
-        case Some(TIdent("var")) =>
+        case Some(TIdent(kw @ ("var" | "let" | "const"))) =>
           c.next()
-          val name = c.next() match {
-            case TIdent(s) => s
-            case other     => throw GizmoError(s"expected name, got $other")
+          var first = true
+          while (first || c.peek.contains(TPunct(','))) {
+            if (!first) c.next()
+            first = false
+            val name = c.next() match {
+              case TIdent(s) => s
+              case other     => throw GizmoError(s"expected name, got $other")
+            }
+            if (c.peek.contains(TPunct('='))) {
+              c.next()
+              val v = parseExpr(c)
+              if (kw == "var") env.declareVar(name, v)
+              else env.declare(name, v, isConst = kw == "const")
+            } else if (kw == "const")
+              throw GizmoError(s"missing initializer in const declaration of $name")
+            else if (kw == "var") env.declareVarBare(name)
+            else env.declare(name, GNull)
           }
-          c.expect('=')
-          env.declare(name, parseExpr(c))
         case Some(TIdent("if")) =>
           c.next()
           val cond = captureParen(c)
@@ -322,8 +363,8 @@ object Gizmo {
           while (!broke && truthy(evalToks(cond))) {
             try runToks(body)
             catch {
-              case ContinueSignal => ()
-              case BreakSignal    => broke = true
+              case ContinueSignal(l) if l.forall(labels.contains) => ()
+              case BreakSignal(l) if l.forall(labels.contains) => broke = true
             }
             iters += 1
             if (iters > 1000000)
@@ -343,17 +384,17 @@ object Gizmo {
             first = false
             try runToks(body)
             catch {
-              case ContinueSignal => ()
-              case BreakSignal    => broke = true
+              case ContinueSignal(l) if l.forall(labels.contains) => ()
+              case BreakSignal(l) if l.forall(labels.contains) => broke = true
             }
             iters += 1
             if (iters > 1000000)
               throw GizmoError("do loop exceeded 1,000,000 iterations")
           }
         case Some(TIdent("break")) =>
-          c.next(); throw BreakSignal
+          c.next(); throw BreakSignal(takeLabel(c))
         case Some(TIdent("continue")) =>
-          c.next(); throw ContinueSignal
+          c.next(); throw ContinueSignal(takeLabel(c))
         case Some(TIdent("switch")) =>
           c.next()
           val scrutToks = captureParen(c)
@@ -393,7 +434,7 @@ object Gizmo {
             if (start >= 0) start else segs.indexWhere(_._1.isEmpty)
           if (from >= 0) {
             try segs.drop(from).foreach { case (_, b) => runToks(b) }
-            catch { case BreakSignal => () }
+            catch { case BreakSignal(None) => () }
           }
         case Some(TIdent("function"))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
@@ -403,7 +444,7 @@ object Gizmo {
             case TIdent(s) => s
             case other     => throw GizmoError(s"expected function name, got $other")
           }
-          env.declare(name, parseFunctionRest(c))
+          env.declareVar(name, parseFunctionRest(c))
         case Some(TIdent("return")) =>
           c.next()
           val v =
@@ -446,7 +487,7 @@ object Gizmo {
             throw GizmoError("try requires catch or finally")
           def runCatch(v: GVal): Unit = {
             val saved = env
-            env = new Env(saved)
+            env = new Env(saved, isBlock = true)
             catchParam.foreach(p => env.declare(p, v))
             try runToks(catchB) finally env = saved
           }
@@ -463,14 +504,18 @@ object Gizmo {
         case Some(TIdent("for")) =>
           c.next(); c.expect('(')
           // `for (x in e)` / `for (var x in e)` vs classic `for(init;cond;upd)`
+          val declKw = c.peek.collect {
+            case TIdent(kw @ ("var" | "let" | "const")) => kw
+          }
           val isForIn = {
-            val at = if (c.peek.contains(TIdent("var"))) c.pos + 1 else c.pos
+            val at = if (declKw.isDefined) c.pos + 1 else c.pos
             c.toks.lift(at).exists(_.isInstanceOf[TIdent]) &&
               c.toks.lift(at + 1).contains(TIdent("in"))
           }
           if (isForIn) {
-            val hadVar = c.peek.contains(TIdent("var"))
-            if (hadVar) c.next()
+            val hadVar = declKw.contains("var")
+            val hadLet = declKw.exists(k => k == "let" || k == "const")
+            if (declKw.isDefined) c.next()
             val idx = c.next() match {
               case TIdent(s) => s
               case other     => throw GizmoError(s"expected loop variable, got $other")
@@ -490,36 +535,73 @@ object Gizmo {
             val body = captureStatement(c)
             val it = iter.iterator
             var broke = false
-            while (!broke && it.hasNext) {
+            val savedEnv = env
+            try while (!broke && it.hasNext) {
               val v = it.next()
-              if (hadVar) env.declare(idx, v) else env.set(idx, v)
+              if (hadLet) {
+                // fresh per-iteration binding: closures capture each value
+                env = new Env(savedEnv, isBlock = true)
+                env.declare(idx, v, isConst = declKw.contains("const"))
+              } else if (hadVar) env.declareVar(idx, v)
+              else env.set(idx, v)
               try runToks(body)
               catch {
-                case ContinueSignal => ()
-                case BreakSignal    => broke = true
+                case ContinueSignal(l) if l.forall(labels.contains) => ()
+                case BreakSignal(l) if l.forall(labels.contains) => broke = true
               }
-            }
+            } finally env = savedEnv
           } else {
             // classic for: run init once, then body+update while cond holds
+            val isLet = c.peek.exists(t =>
+              t == TIdent("let") || t == TIdent("const"))
             val init = captureUntilSemi(c)
             val cond = captureUntilSemi(c)
             val update = captureParenRest(c)
             val body = captureStatement(c)
-            runToks(init)
-            var iters = 0
-            var broke = false
-            while (!broke && (cond.isEmpty || truthy(evalToks(cond)))) {
-              try runToks(body)
-              catch { // continue still runs the update (JS semantics)
-                case ContinueSignal => ()
-                case BreakSignal    => broke = true
-              }
-              if (!broke) runToks(update)
-              iters += 1
-              if (iters > 1000000)
-                throw GizmoError("for loop exceeded 1,000,000 iterations")
+            val savedEnv = env
+            // `let` loop vars live in a per-iteration frame (copied between
+            // body and update, per the spec's CreatePerIterationEnvironment)
+            // so a closure made in iteration k sees iteration k's values
+            if (isLet) env = new Env(savedEnv, isBlock = true)
+            def freshCopy(): Unit = if (isLet) {
+              val f = new Env(savedEnv, isBlock = true)
+              f.slots ++= env.slots
+              f.consts ++= env.consts
+              env = f
             }
+            try {
+              runToks(init)
+              freshCopy()
+              var iters = 0
+              var broke = false
+              while (!broke && (cond.isEmpty || truthy(evalToks(cond)))) {
+                try runToks(body)
+                catch { // continue still runs the update (JS semantics)
+                  case ContinueSignal(l) if l.forall(labels.contains) => ()
+                  case BreakSignal(l) if l.forall(labels.contains) => broke = true
+                }
+                if (!broke) { freshCopy(); runToks(update) }
+                iters += 1
+                if (iters > 1000000)
+                  throw GizmoError("for loop exceeded 1,000,000 iterations")
+              }
+            } finally env = savedEnv
           }
+        case Some(TIdent(name))
+          if c.toks.lift(c.pos + 1).contains(TPunct(':')) =>
+          // labeled statement: `name: stmt`; `break name` exits it and
+          // `continue name` re-enters the labeled loop's next iteration.
+          // A signal that escapes (labeled block/if) aborts parsing
+          // mid-statement, so resync the cursor past the statement.
+          c.next(); c.next()
+          val start = c.pos
+          activeLabels ::= name
+          try statement(c, name :: labels)
+          catch {
+            case BreakSignal(Some(`name`)) =>
+              c.pos = start; skipStatement(c)
+          }
+          finally activeLabels = activeLabels.tail
         case Some(TIdent(name))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1) == TPunct('=') =>
           c.next(); c.next()
@@ -628,7 +710,7 @@ object Gizmo {
         try { runToks(f.body); GNull }
         catch {
           case ReturnSignal(v) => v
-          case BreakSignal | ContinueSignal => // never crosses a function
+          case BreakSignal(_) | ContinueSignal(_) => // never crosses a function
             throw GizmoError("break/continue outside of a loop")
         }
         finally env = saved
@@ -658,6 +740,68 @@ object Gizmo {
           i += 1
         }
         false
+      }
+
+      /** Advance the cursor past exactly one statement, syntactically (no
+        * evaluation) — used to resynchronize after a labeled statement is
+        * exited early by `break label`.
+        */
+      private def skipStatement(c: Cursor): Unit = c.peek match {
+        case Some(TPunct(';')) => c.next()
+        case Some(TPunct('{')) => skipBraces(c)
+        case Some(TIdent("while" | "for")) =>
+          c.next(); captureParen(c); skipStatement(c)
+        case Some(TIdent("switch")) =>
+          c.next(); captureParen(c); skipBraces(c)
+        case Some(TIdent("do")) =>
+          c.next(); skipStatement(c)
+          if (c.peek.contains(TIdent("while"))) { c.next(); captureParen(c) }
+          if (c.peek.contains(TPunct(';'))) c.next()
+        case Some(TIdent("if")) =>
+          c.next(); captureParen(c); skipStatement(c)
+          if (c.peek.contains(TPunct(';')) &&
+            c.toks.lift(c.pos + 1).contains(TIdent("else"))) c.next()
+          if (c.peek.contains(TIdent("else"))) { c.next(); skipStatement(c) }
+        case Some(TIdent("try")) =>
+          c.next(); skipBraces(c)
+          if (c.peek.contains(TIdent("catch"))) {
+            c.next()
+            if (c.peek.contains(TPunct('('))) captureParen(c)
+            skipBraces(c)
+          }
+          if (c.peek.contains(TIdent("finally"))) { c.next(); skipBraces(c) }
+        case Some(TIdent(_)) if c.toks.lift(c.pos + 1).contains(TPunct(':')) =>
+          c.next(); c.next(); skipStatement(c)
+        case _ => // expression/declaration: to top-level ';' or block close
+          var depth = 0
+          var done = false
+          while (!done && c.more) c.toks(c.pos) match {
+            case TPunct('}') if depth == 0 => done = true
+            case TPunct('(' | '[' | '{') => depth += 1; c.next()
+            case TPunct(')' | ']' | '}') => depth -= 1; c.next()
+            case TPunct(';') if depth == 0 => c.next(); done = true
+            case _ => c.next()
+          }
+      }
+      private def skipBraces(c: Cursor): Unit = {
+        var depth = 0
+        do {
+          c.next() match {
+            case TPunct('{') => depth += 1
+            case TPunct('}') => depth -= 1
+            case _           =>
+          }
+        } while (depth > 0 && c.more)
+      }
+
+      /** `break foo` / `continue foo`: consume a following ident as the
+        * label only when it names a label currently in scope (the
+        * tokenizer drops newlines, so a bare ident after `break` could
+        * otherwise be the start of the next statement).
+        */
+      private def takeLabel(c: Cursor): Option[String] = c.peek match {
+        case Some(TIdent(s)) if activeLabels.contains(s) => c.next(); Some(s)
+        case _ => None
       }
 
       /** Capture a switch-case body: tokens up to (not consuming) the

@@ -707,4 +707,100 @@ class GizmoSpec extends AnyFunSuite {
       .flatMap(_.get("who"))
     assert(got === Seq("<fred>"))
   }
+
+  test("let/const: block scoping, shadowing, var hoists past blocks") {
+    // let is scoped to its block; the outer binding is untouched
+    check(
+      """var x = "outer";
+        |{ let x = "inner"; g.emit(x); }
+        |g.emit(x)""".stripMargin,
+      Seq("inner", "outer"))
+    // a let declared in a block is gone after it (reads resolve to nothing)
+    intercept[Gizmo.GizmoError] {
+      session.execute("""{ let only = 1; } g.emit(only + 1);""")
+    }
+    // var inside a block hoists to function/global scope (unchanged)
+    check("""{ var v = 7; } g.emit(v)""", Seq("7"))
+    // multi-declarators and let without initializer
+    check(
+      """let a = 1, b = 2, c;
+        |c = a + b;
+        |g.emit(c)""".stripMargin,
+      Seq("3"))
+    // const reassignment throws; property mutation of a const obj is fine
+    val err = intercept[Gizmo.GizmoError] {
+      session.execute("const k = 1; k = 2;")
+    }
+    assert(err.getMessage.contains("constant"))
+    intercept[Gizmo.GizmoError](session.execute("const nope;"))
+    check(
+      """const o = {n: 1};
+        |o.n = 5;
+        |g.emit(o.n)""".stripMargin,
+      Seq("5"))
+  }
+
+  test("for (let i ...): fresh per-iteration binding captured by closures") {
+    // the classic test: let captures 0,1,2 where var shares one cell
+    check(
+      """var fns = [];
+        |for (let i = 0; i < 3; i++) { fns.push(function() { return i; }); }
+        |g.emit(fns[0]()); g.emit(fns[1]()); g.emit(fns[2]())""".stripMargin,
+      Seq("0", "1", "2"))
+    // for-in with let: per-iteration binding too
+    check(
+      """var fns = [];
+        |var a = ["x", "y"];
+        |for (let k in a) { fns.push(function() { return a[k]; }); }
+        |g.emit(fns[0]()); g.emit(fns[1]())""".stripMargin,
+      Seq("x", "y"))
+    // loop variable is not visible after the loop
+    intercept[Gizmo.GizmoError] {
+      session.execute("""for (let j = 0; j < 2; j++) {} g.emit(j);""")
+    }
+  }
+
+  test("labeled break/continue") {
+    // break out of both loops at once
+    check(
+      """var hits = [];
+        |outer: for (var i = 0; i < 4; i++) {
+        |  for (var j = 0; j < 4; j++) {
+        |    if (i * j >= 4) break outer;
+        |    hits.push(i + "" + j);
+        |  }
+        |}
+        |g.emit(hits.join(","))""".stripMargin,
+      Seq("00,01,02,03,10,11,12,13,20,21"))
+    // continue the OUTER loop from the inner one
+    check(
+      """var s = 0;
+        |top: for (var i = 0; i < 3; i++) {
+        |  for (var j = 0; j < 3; j++) {
+        |    if (j > i) continue top;
+        |    s = s + 1;
+        |  }
+        |}
+        |g.emit(s)""".stripMargin, // j runs 0..i → 1+2+3
+      Seq("6"))
+    // break with a label exits a labeled plain block
+    check(
+      """var log = [];
+        |blk: {
+        |  log.push("a");
+        |  if (log.length == 1) break blk;
+        |  log.push("never");
+        |}
+        |log.push("after");
+        |g.emit(log.join(","))""".stripMargin,
+      Seq("a,after"))
+    // an ident after break that is NOT an active label starts a new
+    // statement (tokenizer has no line terminators)
+    check(
+      """var n = 0;
+        |while (true) { break
+        |n = 5; }
+        |g.emit(n)""".stripMargin,
+      Seq("0"))
+  }
 }
