@@ -22,7 +22,10 @@ import graft.shape.ValueFilter._
   * makes a fresh per-iteration binding, so closures capture each value;
   * `const` reassignment throws),
   * user-defined functions (`function f(a, b) { ... return ...; }`,
-  * recursion included) with LEXICAL CLOSURES (capture by reference
+  * recursion included), constructor functions with `new`/`this`
+  * (`new F(x)` binds a fresh object as `this`; function-valued object
+  * fields called with `()` are methods with `this` bound to the
+  * receiver), with LEXICAL CLOSURES (capture by reference
   * through a scope chain — a callback closing over an outer `var` reads
   * and writes the variable itself), `try`/`catch`/`finally` + `throw`
   * (host GizmoErrors surface as Error-shaped objects, as goja wraps Go
@@ -39,8 +42,8 @@ import graft.shape.ValueFilter._
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * `new`/`this`/prototypes, getters/setters, JS builtins outside the
-  * subsets above. Loops abort after 1M iterations.
+  * `.prototype` chains, getters/setters, JS builtins outside the subsets
+  * above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -690,18 +693,25 @@ object Gizmo {
         * of blowing the JVM stack (goja enforces its own stack limit the
         * same way).
         */
-      private def callFunction(f: GFunc, args: Seq[GVal]): GVal = {
+      private def callFunction(f: GFunc, args: Seq[GVal],
+                               thisVal: Option[GVal] = None): GVal = {
         callDepth += 1
         if (callDepth > 256) {
           callDepth -= 1
           throw GizmoError("call stack exceeded 256 frames")
         }
-        try callFunctionInner(f, args)
+        try callFunctionInner(f, args, thisVal)
         finally callDepth -= 1
       }
 
-      private def callFunctionInner(f: GFunc, args: Seq[GVal]): GVal = {
+      private def callFunctionInner(f: GFunc, args: Seq[GVal],
+                                    thisVal: Option[GVal]): GVal = {
         val frame = new Env(f.env)
+        // `this` is bound per-call (method receiver or `new` target); an
+        // unbound `this` reads as an undefined variable. A plain nested
+        // function sees the enclosing `this` through the chain (arrow-like;
+        // goja non-strict would give the global object instead).
+        thisVal.foreach(frame.declare("this", _))
         f.params.zipWithIndex.foreach { case (p, i) =>
           frame.declare(p, args.lift(i).getOrElse(GNull))
         }
@@ -1295,6 +1305,25 @@ object Gizmo {
         case TIdent("null")  => GNull
         case TIdent("function") =>
           parseFunctionRest(c) // anonymous: function(p1, p2) { ... }
+        case TIdent("new") =>
+          // `new F(args)`: fresh object bound as `this` during the call;
+          // an object-valued return overrides it (JS semantics). Callee is
+          // a simple identifier (no member-expression constructors).
+          val ctorName = c.next() match {
+            case TIdent(s) => s
+            case other => throw GizmoError(s"expected constructor name, got $other")
+          }
+          val ctor = env.get(ctorName).getOrElse(
+            throw GizmoError(s"undefined constructor $ctorName")) match {
+            case f: GFunc => f
+            case other => throw GizmoError(s"new requires a function, got $other")
+          }
+          val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
+          val obj = GObj(scala.collection.mutable.LinkedHashMap.empty[String, GVal])
+          callFunction(ctor, args, thisVal = Some(obj)) match {
+            case o: GObj => o
+            case _       => obj
+          }
         case TIdent(fn) if c.peek.contains(TPunct('(')) &&
           env.get(fn).exists(_.isInstanceOf[GFunc]) =>
           // user-defined function call — user bindings shadow builtins
@@ -1643,8 +1672,17 @@ object Gizmo {
               case TIdent(s) => s
               case other     => throw GizmoError(s"expected method name, got $other")
             }
-            val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
-            v = call(c, v, name, args)
+            v = if (c.peek.contains(TPunct('('))) {
+              val args = parseArgs(c)
+              v match {
+                // a function-valued object field called with () is a
+                // method: bind `this` to the receiver (JS semantics)
+                case obj @ GObj(om) if om.get(name).exists(_.isInstanceOf[GFunc]) =>
+                  callFunction(om(name).asInstanceOf[GFunc], args,
+                    thisVal = Some(obj))
+                case _ => call(c, v, name, args)
+              }
+            } else call(c, v, name, Seq())
           } else if (c.peek.contains(TPunct('(')) && v.isInstanceOf[GFunc]) {
             // invoking a call/index result directly: makeAdder(2)(3)
             v = callFunction(v.asInstanceOf[GFunc], parseArgs(c))

@@ -760,6 +760,44 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("new/this: constructor functions and bound methods") {
+    // classic pre-class OO: constructor assigns state and methods on this
+    check(
+      """function Counter(start) {
+        |  this.n = start;
+        |  this.bump = function(by) { this.n = this.n + by; return this.n; };
+        |}
+        |var c = new Counter(10);
+        |c.bump(1); c.bump(2);
+        |g.emit(c.n); g.emit(c.bump(0))""".stripMargin,
+      Seq("13", "13"))
+    // two instances do not share state
+    check(
+      """function Box(v) { this.v = v; }
+        |var a = new Box("x");
+        |var b = new Box("y");
+        |g.emit(a.v); g.emit(b.v)""".stripMargin,
+      Seq("x", "y"))
+    // an object-valued return overrides the fresh `this` (JS semantics)
+    check(
+      """function F() { this.a = 1; return {b: 2}; }
+        |function G() { this.a = 3; return 7; }
+        |g.emit(new F().b); g.emit(new G().a)""".stripMargin,
+      Seq("2", "3"))
+    // method on a plain object literal binds this to the receiver
+    check(
+      """var o = {n: 5};
+        |o.double = function() { return o.n * 2; };
+        |o.viaThis = function() { return this.n * 2; };
+        |g.emit(o.double()); g.emit(o.viaThis())""".stripMargin,
+      Seq("10", "10"))
+    // still errors: undefined constructor, prototypes
+    intercept[Gizmo.GizmoError](session.execute("var d = new Date();"))
+    intercept[Gizmo.GizmoError] {
+      session.execute("function F() {} F.prototype.m = 1;")
+    }
+  }
+
   test("labeled break/continue") {
     // break out of both loops at once
     check(
