@@ -38,7 +38,10 @@ import graft.shape.ValueFilter._
   * subset (push/pop/shift/join/indexOf/slice/concat/includes/reverse),
   * the String.prototype subset (indexOf/substring/slice/split/replace/
   * toLowerCase/toUpperCase/trim/charAt/startsWith/endsWith/includes/
-  * concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/max), `.length`,
+  * concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/max),
+  * `JSON.stringify`/`JSON.parse`, `Object.keys`/`Object.values`,
+  * `Array.isArray`, the global conversions parseInt/parseFloat/isNaN/
+  * String/Number/Boolean, `.length`,
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
@@ -107,7 +110,24 @@ object Gizmo {
         i += 1
         while (i < n && q.charAt(i) != quote) {
           if (q.charAt(i) == '\\' && i + 1 < n) {
-            sb.append(q.charAt(i + 1)); i += 2
+            // JS escape sequences; an unrecognized \X is X itself
+            q.charAt(i + 1) match {
+              case 'n' => sb.append('\n'); i += 2
+              case 't' => sb.append('\t'); i += 2
+              case 'r' => sb.append('\r'); i += 2
+              case 'b' => sb.append('\b'); i += 2
+              case 'f' => sb.append('\f'); i += 2
+              case 'v' => sb.append(11.toChar); i += 2
+              case '0' if i + 2 >= n || !q.charAt(i + 2).isDigit =>
+                sb.append(0.toChar); i += 2
+              case 'x' if i + 3 < n =>
+                sb.append(Integer.parseInt(q.substring(i + 2, i + 4), 16).toChar)
+                i += 4
+              case 'u' if i + 5 < n =>
+                sb.append(Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar)
+                i += 6
+              case other => sb.append(other); i += 2
+            }
           } else { sb.append(q.charAt(i)); i += 1 }
         }
         if (i >= n) throw GizmoError("unterminated string")
@@ -166,6 +186,12 @@ object Gizmo {
   private case class GObj(m: scala.collection.mutable.LinkedHashMap[String, GVal])
       extends GVal
   private case object GMath extends GVal
+  // JSON / Object / Array namespace objects (stringify/parse, keys/values,
+  // isArray) — the goja VM exposes the full globals; these are the
+  // members real gizmo programs use
+  private case object GJson extends GVal
+  private case object GObjectNS extends GVal
+  private case object GArrayNS extends GVal
   /** Regex literal `/pat/flags` — a JS RegExp VALUE, deliberately NOT a
     * GFilter: the reference errors on `filter(/re/)` ("filter with a
     * wrong type", gizmo_test.go:195); traversal filters require the
@@ -977,7 +1003,8 @@ object Gizmo {
       private def emit(v: GVal): Unit = v match {
         case GValue(qv)  => out = out :+ Map("id" -> render(qv))
         case GCount(n)   => out = out :+ Map("id" -> n.toString)
-        case GNumV(d, i) => out = out :+ Map("id" -> (if (i) d.toLong.toString else d.toString))
+        case GNumV(d, i) => out = out :+ Map("id" ->
+          (if (i || (d.isWhole && !d.isInfinite)) d.toLong.toString else d.toString))
         case GBoolV(b)   => out = out :+ Map("id" -> b.toString)
         case GTagMap(m)  => out = out :+ m.map { case (k, qv) => k -> render(qv) }
         case GObj(m)     =>
@@ -1031,6 +1058,27 @@ object Gizmo {
             stringCall(s, m, args)
           case (GArr(vs), m) if arrMethods(m) => arrayCall(vs, m, args)
           case (GMath, m) => mathCall(m, args)
+          case (GJson, "stringify") =>
+            GValue(QValue.Str(jsonStringify(args.headOption.getOrElse(GNull))))
+          case (GJson, "parse") =>
+            jsonParse(argStrOne(args.headOption.getOrElse(
+              throw GizmoError("JSON.parse expects a string"))))
+          case (GObjectNS, "keys") => args.headOption match {
+            case Some(GObj(om)) => GArr(scala.collection.mutable.ArrayBuffer(
+              om.keys.toSeq.map(k => GValue(QValue.Str(k)): GVal): _*))
+            case Some(GTagMap(tm)) => GArr(scala.collection.mutable.ArrayBuffer(
+              tm.keys.toSeq.map(k => GValue(QValue.Str(k)): GVal): _*))
+            case other => throw GizmoError(s"Object.keys expects an object, got $other")
+          }
+          case (GObjectNS, "values") => args.headOption match {
+            case Some(GObj(om)) =>
+              GArr(scala.collection.mutable.ArrayBuffer(om.values.toSeq: _*))
+            case Some(GTagMap(tm)) => GArr(scala.collection.mutable.ArrayBuffer(
+              tm.values.toSeq.map(GValue(_): GVal): _*))
+            case other => throw GizmoError(s"Object.values expects an object, got $other")
+          }
+          case (GArrayNS, "isArray") =>
+            GBoolV(args.headOption.exists(_.isInstanceOf[GArr]))
           case (GRegex(pat), "test") =>
             // unanchored search, like JS RegExp.test — on the Re2 engine
             GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
@@ -1155,6 +1203,146 @@ object Gizmo {
             val d = args.flatMap(num).max; GNumV(d, isInt = d == d.floor)
           case other => throw GizmoError(s"unknown Math method .$other")
         }
+      }
+
+      /** JSON.stringify: function-valued object fields are dropped and
+        * array slots become null, as in JS; query values render as their
+        * string form.
+        */
+      private def jsonStringify(v: GVal): String = v match {
+        case GNull       => "null"
+        case GBoolV(b)   => b.toString
+        case GNumV(d, i) =>
+          if (d.isNaN || d.isInfinite) "null"
+          else if (i || d.isWhole) d.toLong.toString else d.toString
+        case GCount(n)   => n.toString
+        case GValue(QValue.Str(s)) => jsonQuote(s)
+        case GValue(qv)  => jsonQuote(qv.sortKey)
+        case GArr(vs)    =>
+          vs.map(x => if (x.isInstanceOf[GFunc]) "null" else jsonStringify(x))
+            .mkString("[", ",", "]")
+        case GObj(m)     =>
+          m.iterator.filterNot(_._2.isInstanceOf[GFunc])
+            .map { case (k, x) => jsonQuote(k) + ":" + jsonStringify(x) }
+            .mkString("{", ",", "}")
+        case GTagMap(m)  =>
+          m.iterator.map { case (k, qv) => jsonQuote(k) + ":" + jsonQuote(qv.sortKey) }
+            .mkString("{", ",", "}")
+        case other => throw GizmoError(s"JSON.stringify: cannot serialize $other")
+      }
+      private def jsonQuote(s: String): String = {
+        val b = new StringBuilder("\"")
+        s.foreach {
+          case '"'  => b.append("\\\"")
+          case '\\' => b.append("\\\\")
+          case '\n' => b.append("\\n")
+          case '\r' => b.append("\\r")
+          case '\t' => b.append("\\t")
+          case '\b' => b.append("\\b")
+          case '\f' => b.append("\\f")
+          case ch if ch < ' ' => b.append(f"\\u${ch.toInt}%04x")
+          case ch => b.append(ch)
+        }
+        b.append('"').toString
+      }
+
+      /** JSON.parse → GObj/GArr/number/string/bool/null (mutable,
+        * reference-shared, like every other Gizmo object).
+        */
+      private def jsonParse(s: String): GVal = {
+        var i = 0
+        def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        def fail(msg: String) = throw GizmoError(s"JSON.parse: $msg at $i")
+        def value(): GVal = {
+          ws()
+          if (i >= s.length) fail("unexpected end")
+          s.charAt(i) match {
+            case '{' =>
+              i += 1
+              val m = scala.collection.mutable.LinkedHashMap.empty[String, GVal]
+              ws()
+              if (i < s.length && s.charAt(i) == '}') { i += 1; return GObj(m) }
+              while (true) {
+                ws()
+                if (i >= s.length || s.charAt(i) != '"') fail("expected key")
+                val k = str()
+                ws()
+                if (i >= s.length || s.charAt(i) != ':') fail("expected ':'")
+                i += 1
+                m(k) = value()
+                ws()
+                if (i < s.length && s.charAt(i) == ',') i += 1
+                else if (i < s.length && s.charAt(i) == '}') { i += 1; return GObj(m) }
+                else fail("expected ',' or '}'")
+              }
+              GObj(m)
+            case '[' =>
+              i += 1
+              val a = scala.collection.mutable.ArrayBuffer.empty[GVal]
+              ws()
+              if (i < s.length && s.charAt(i) == ']') { i += 1; return GArr(a) }
+              while (true) {
+                a += value()
+                ws()
+                if (i < s.length && s.charAt(i) == ',') i += 1
+                else if (i < s.length && s.charAt(i) == ']') { i += 1; return GArr(a) }
+                else fail("expected ',' or ']'")
+              }
+              GArr(a)
+            case '"' => GValue(QValue.Str(str()))
+            case 't' =>
+              if (s.startsWith("true", i)) { i += 4; GBoolV(true) }
+              else fail("bad literal")
+            case 'f' =>
+              if (s.startsWith("false", i)) { i += 5; GBoolV(false) }
+              else fail("bad literal")
+            case 'n' =>
+              if (s.startsWith("null", i)) { i += 4; GNull }
+              else fail("bad literal")
+            case _ =>
+              val start = i
+              if (i < s.length && (s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
+              while (i < s.length && (s.charAt(i).isDigit || "+-.eE".indexOf(s.charAt(i)) >= 0)) i += 1
+              if (i == start) fail("unexpected character")
+              val t = s.substring(start, i)
+              scala.util.Try(t.toDouble).toOption
+                .map(d => GNumV(d, isInt = d.isWhole && !t.contains('.') &&
+                  !t.toLowerCase.contains('e')))
+                .getOrElse(fail("bad number"))
+          }
+        }
+        def str(): String = {
+          i += 1 // opening quote
+          val b = new StringBuilder
+          while (i < s.length && s.charAt(i) != '"') {
+            s.charAt(i) match {
+              case '\\' if i + 1 < s.length =>
+                i += 1
+                s.charAt(i) match {
+                  case '"'  => b.append('"'); i += 1
+                  case '\\' => b.append('\\'); i += 1
+                  case '/'  => b.append('/'); i += 1
+                  case 'n'  => b.append('\n'); i += 1
+                  case 'r'  => b.append('\r'); i += 1
+                  case 't'  => b.append('\t'); i += 1
+                  case 'b'  => b.append('\b'); i += 1
+                  case 'f'  => b.append('\f'); i += 1
+                  case 'u' if i + 4 < s.length =>
+                    b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+                    i += 5
+                  case other => fail(s"bad escape \\$other")
+                }
+              case ch => b.append(ch); i += 1
+            }
+          }
+          if (i >= s.length) fail("unterminated string")
+          i += 1 // closing quote
+          b.toString
+        }
+        val v = value()
+        ws()
+        if (i < s.length) fail("trailing content")
+        v
       }
 
       private def argStr(args: Seq[GVal]): String = args match {
@@ -1358,12 +1546,57 @@ object Gizmo {
               val refs = args.lift(1).contains(GBoolV(true))
               GFilter(Regexp(pat, refs))
             case "like" => GFilter(Wildcard(argStrTop(args)))
+            // JS global conversion functions (goja exposes the full set)
+            case "parseInt" =>
+              val s = renderVal(args.headOption.getOrElse(GNull)).trim
+              val radix = args.lift(1).flatMap(num).map(_.toInt).getOrElse(10)
+              val (sign, rest0) =
+                if (s.startsWith("-")) (-1L, s.drop(1))
+                else if (s.startsWith("+")) (1L, s.drop(1)) else (1L, s)
+              val (rdx, rest) =
+                if ((radix == 16 || radix == 10) &&
+                  (rest0.startsWith("0x") || rest0.startsWith("0X")))
+                  (16, rest0.drop(2))
+                else (radix, rest0)
+              val digits = rest.takeWhile(ch => Character.digit(ch, rdx) >= 0)
+              if (digits.isEmpty) GNumV(Double.NaN, isInt = false)
+              else GNumV((sign * java.lang.Long.parseLong(digits, rdx)).toDouble,
+                isInt = true)
+            case "parseFloat" =>
+              val s = renderVal(args.headOption.getOrElse(GNull)).trim
+              val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r
+                .findFirstIn(s)
+              m.map(t => GNumV(t.toDouble, isInt = false))
+                .getOrElse(GNumV(Double.NaN, isInt = false))
+            case "isNaN" =>
+              GBoolV(args.headOption.flatMap(num).forall(_.isNaN))
+            case "String" =>
+              GValue(QValue.Str(renderVal(args.headOption.getOrElse(GNull))))
+            case "Number" => args.headOption match {
+              case None | Some(GNull) => GNumV(0, isInt = true)
+              case Some(GBoolV(b)) => GNumV(if (b) 1 else 0, isInt = true)
+              case Some(v) => num(v) match {
+                case Some(d) => GNumV(d, isInt = d.isWhole && !d.isNaN)
+                case None =>
+                  val s = renderVal(v).trim
+                  if (s.isEmpty) GNumV(0, isInt = true)
+                  else scala.util.Try(s.toDouble).toOption
+                    .map(d => GNumV(d, isInt = d.isWhole))
+                    .getOrElse(GNumV(Double.NaN, isInt = false))
+              }
+            }
+            case "Boolean" =>
+              GBoolV(args.headOption.exists(truthy))
             case other  => throw GizmoError(s"unknown function $other()")
           }
         case TIdent(name) =>
-          env.get(name).getOrElse(
-            if (name == "Math") GMath
-            else throw GizmoError(s"undefined variable $name"))
+          env.get(name).getOrElse(name match {
+            case "Math"   => GMath
+            case "JSON"   => GJson
+            case "Object" => GObjectNS
+            case "Array"  => GArrayNS
+            case _ => throw GizmoError(s"undefined variable $name")
+          })
         case TRegex(pat, flags) =>
           // JS flags map to RE2 inline flags ('g' is a JS iteration
           // detail — no meaning for matching itself)
@@ -1588,7 +1821,9 @@ object Gizmo {
 
       /** JS-ish rendering for string concatenation and loose equality. */
       private def renderVal(v: GVal): String = v match {
+        // JS number-to-string: whole doubles render without a decimal
         case GNumV(d, true)        => d.toLong.toString
+        case GNumV(d, _) if d.isWhole && !d.isInfinite => d.toLong.toString
         case GNumV(d, _)           => d.toString
         case GCount(n)             => n.toString
         case GBoolV(b)             => b.toString

@@ -760,6 +760,38 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON.stringify/parse, Object.keys/values, Array.isArray, conversions") {
+    check(
+      """var o = {a: 1, b: "x\n", c: [true, null, 2.5], d: {e: 1}};
+        |o.fn = function() { return 0; };
+        |g.emit(JSON.stringify(o))""".stripMargin,
+      Seq("""{"a":1,"b":"x\n","c":[true,null,2.5],"d":{"e":1}}"""))
+    check(
+      """var v = JSON.parse('{"k": [1, "two", {"three": 3}], "ok": true}');
+        |g.emit(v.k[1]); g.emit(v.k[2].three); g.emit(v.ok);
+        |g.emit(JSON.stringify(v))""".stripMargin,
+      Seq("two", "3", "true", """{"k":[1,"two",{"three":3}],"ok":true}"""))
+    // round-trip through parse keeps mutability (reference-shared)
+    check(
+      """var v = JSON.parse('{"a": [1]}');
+        |v.a.push(2);
+        |g.emit(JSON.stringify(v))""".stripMargin,
+      Seq("""{"a":[1,2]}"""))
+    check(
+      """var o = {x: 1, y: 2};
+        |g.emit(Object.keys(o).join(",")); g.emit(Object.values(o).join("-"));
+        |g.emit(Array.isArray([1])); g.emit(Array.isArray("no"))""".stripMargin,
+      Seq("x,y", "1-2", "true", "false"))
+    check(
+      """g.emit(parseInt("42px")); g.emit(parseInt("0x1F"));
+        |g.emit(parseInt("-7")); g.emit(isNaN(parseInt("zz")));
+        |g.emit(parseFloat("3.5e2suffix")); g.emit(Number("12"));
+        |g.emit(String(12) + "!"); g.emit(Boolean("")); g.emit(Boolean(3))""".stripMargin,
+      Seq("42", "31", "-7", "true", "350", "12", "12!", "false", "true"))
+    // bad JSON fails loudly
+    intercept[Gizmo.GizmoError](session.execute("""JSON.parse("{oops}");"""))
+  }
+
   test("new/this: constructor functions and bound methods") {
     // classic pre-class OO: constructor assigns state and methods on this
     check(
