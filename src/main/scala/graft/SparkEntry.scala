@@ -876,6 +876,39 @@ object SparkEntry {
       batchLater.unpersist()
       Seq(total == 0 || hit.toDouble / total >= 0.8).toDF("recall_ok")
     }),
+    // multimodal image pipeline: deterministic 24-bit BMPs synthesized
+    // per doc_id, resized for real (decode -> nearest-neighbor -> re-encode
+    // in mapPartitions), features re-extracted; the contract checks every
+    // row came back as a valid BMP at the target dims with the exact
+    // constant-color channel means preserved by the resample
+    "mm_resize" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val w = 4 + (id % 5).toInt
+          val h = 3 + (id % 4).toInt
+          val g = (id % 256).toInt // constant green level per image
+          val px = Array.tabulate(w * h * 3)(i =>
+            if (i % 3 == 1) g.toByte else 0.toByte)
+          (id, "image", Multimodal.encodeBmp(w, h, px), g)
+        }.toDF("media_id", "kind", "payload", "green")
+        .withColumn("meta", struct(
+          (lit(4) + pmod(col("media_id"), lit(5))).cast("int").as("width"),
+          (lit(3) + pmod(col("media_id"), lit(4))).cast("int").as("height"),
+          lit(0).as("sample_rate"), lit(0L).as("duration_ms")))
+      val resized = Multimodal.resizeImages(
+        media.select("media_id", "kind", "payload", "meta"), 8, 6)
+      val feats = Multimodal.extractFeatures(resized)
+        .join(media.select(col("media_id"), col("green")), Seq("media_id"))
+      val bad = feats.where(col("codec") =!= "bmp" ||
+        abs(col("feature")(0) - lit(8 / 4096.0)) > 1e-6 ||
+        abs(col("feature")(1) - lit(6 / 4096.0)) > 1e-6 ||
+        abs(col("feature")(3) - col("green") / 255.0) > 1e-5 ||
+        col("feature")(2) =!= 0.0 || col("feature")(4) =!= 0.0).count()
+      val total = feats.count()
+      Seq(total == 200 && bad == 0).toDF("contract_ok")
+    }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -1219,6 +1252,9 @@ object SparkEntry {
     // exact batch J>=0.5 later-pair docs (dedup_minhash verifies the
     // batch side row-exactly on the same corpus)
     "stream_neardup" -> "SELECT TRUE AS recall_ok",
+    // multimodal resize pipeline: exact-contract boolean (decode ->
+    // resample -> re-encode round-trip preserves constant-color means)
+    "mm_resize" -> "SELECT TRUE AS contract_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",

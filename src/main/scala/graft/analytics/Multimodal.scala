@@ -99,7 +99,7 @@ object Multimodal {
   /** Real BMP decode (uncompressed 24-bit, bottom-up): returns
     * [w/4096, h/4096, meanR, meanG, meanB, 0, 0, 0].
     */
-  private[analytics] def decodeBmp(b: Array[Byte]): Option[Array[Float]] = {
+  private[graft] def decodeBmp(b: Array[Byte]): Option[Array[Float]] = {
     if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
     val pixOff = leInt(b, 10)
     val w = leInt(b, 18); val h = leInt(b, 22)
@@ -155,6 +155,110 @@ object Multimodal {
           MediaFeatures(id, kind, bytes.length.toLong, codec, feat)
         }
       }
+  }
+
+  /** Raw BGR pixels of an uncompressed 24-bit BMP: (width, rows, pixels)
+    * with pixels unpadded, kept in the container's bottom-up row order.
+    */
+  private[graft] def decodeBmpPixels(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val pixOff = leInt(b, 10)
+    val w = leInt(b, 18); val h = leInt(b, 22)
+    if (leShort(b, 28) != 24 || leInt(b, 30) != 0 || w <= 0 || h == 0) return None
+    if (pixOff < 54) return None
+    val rows = math.abs(h)
+    val rowBytes = (w * 3 + 3) & ~3
+    if (pixOff + rowBytes.toLong * rows > b.length) return None
+    val out = new Array[Byte](w * rows * 3)
+    var y = 0
+    while (y < rows) {
+      System.arraycopy(b, pixOff + y * rowBytes, out, y * w * 3, w * 3)
+      y += 1
+    }
+    Some((w, rows, out))
+  }
+
+  /** Encode BGR pixels (unpadded, bottom-up) as an uncompressed 24-bit
+    * BMP — a valid container any external viewer/decoder reads back.
+    */
+  private[graft] def encodeBmp(w: Int, rows: Int,
+                                   pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * rows * 3, "pixel buffer shape mismatch")
+    val rowBytes = (w * 3 + 3) & ~3
+    val size = 54 + rowBytes * rows
+    val b = new Array[Byte](size)
+    def putInt(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+      b(off + 2) = (v >> 16).toByte; b(off + 3) = (v >> 24).toByte
+    }
+    def putShort(off: Int, v: Int): Unit = {
+      b(off) = v.toByte; b(off + 1) = (v >> 8).toByte
+    }
+    b(0) = 'B'; b(1) = 'M'
+    putInt(2, size); putInt(10, 54)      // file size, pixel offset
+    putInt(14, 40)                        // BITMAPINFOHEADER
+    putInt(18, w); putInt(22, rows)       // bottom-up (positive height)
+    putShort(26, 1); putShort(28, 24)     // planes, bpp
+    putInt(30, 0)                         // BI_RGB (uncompressed)
+    putInt(34, rowBytes * rows)
+    var y = 0
+    while (y < rows) {
+      System.arraycopy(pixels, y * w * 3, b, 54 + y * rowBytes, w * 3)
+      y += 1
+    }
+    b
+  }
+
+  /** Real nearest-neighbor BMP resize: decode → resample → re-encode.
+    * None for payloads that are not uncompressed 24-bit BMPs.
+    */
+  private[graft] def resizeBmp(b: Array[Byte], newW: Int,
+                                   newH: Int): Option[Array[Byte]] =
+    decodeBmpPixels(b).map { case (w, rows, px) =>
+      val out = new Array[Byte](newW * newH * 3)
+      var y = 0
+      while (y < newH) {
+        val sy = (y.toLong * rows / newH).toInt
+        var x = 0
+        while (x < newW) {
+          val sx = (x.toLong * w / newW).toInt
+          val s = (sy * w + sx) * 3
+          val d = (y * newW + x) * 3
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(newW, newH, out)
+    }
+
+  /** Partition-at-a-time image resize: BMP payloads are resampled for
+    * real (and `meta.width`/`meta.height` updated); codec formats pass
+    * through unchanged (the stub boundary — a real JPEG path plugs into
+    * `resizeBmp`'s slot). The binary column never reaches the driver.
+    */
+  def resizeImages(media: DataFrame, newW: Int, newH: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    val resized = media
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("meta.width").as("w"), col("meta.height").as("h"),
+        col("meta.sample_rate").as("sr"), col("meta.duration_ms").as("dur"))
+      .as[(Long, String, Array[Byte], Option[Int], Option[Int],
+        Option[Int], Option[Long])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload, w0, h0, sr, dur) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          resizeBmp(bytes, newW, newH) match {
+            case Some(out) => (id, kind, out, Some(newW), Some(newH), sr, dur)
+            case None      => (id, kind, payload, w0, h0, sr, dur)
+          }
+        }
+      }
+      .toDF("media_id", "kind", "payload", "w", "h", "sr", "dur")
+    resized.select(col("media_id"), col("kind"), col("payload"),
+      struct(col("w").as("width"), col("h").as("height"),
+        col("sr").as("sample_rate"), col("dur").as("duration_ms")).as("meta"))
   }
 
   /** Metadata-only operations stay pure column expressions — filtering by

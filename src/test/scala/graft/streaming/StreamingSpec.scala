@@ -261,4 +261,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(i.feature(3)) < 1e-6)               // mean G
     assert(math.abs(i.feature(4)) < 1e-6)               // mean B
   }
+
+  test("multimodal: real BMP resize (decode -> resample -> re-encode)") {
+    import spark.implicits._
+    // encode/decode round-trip on a 5x3 gradient (exercises row padding)
+    val px = Array.tabulate(5 * 3 * 3)(i => (i * 7 % 251).toByte)
+    val bmp = Multimodal.encodeBmp(5, 3, px)
+    assert(Multimodal.decodeBmpPixels(bmp).exists {
+      case (w, h, p) => w == 5 && h == 3 && p.sameElements(px)
+    })
+
+    // a constant-color image resized keeps exact channel means at any size
+    val green = Multimodal.encodeBmp(6, 4,
+      Array.tabulate(6 * 4 * 3)(i => if (i % 3 == 1) 200.toByte else 0.toByte))
+    for ((w, h) <- Seq((8, 8), (2, 2), (13, 1))) {
+      val out = Multimodal.resizeBmp(green, w, h).get
+      val feat = Multimodal.decodeBmp(out).get
+      assert(math.abs(feat(0) - w / 4096.0f) < 1e-7)
+      assert(math.abs(feat(1) - h / 4096.0f) < 1e-7)
+      assert(math.abs(feat(3) - 200 / 255.0f) < 1e-6) // mean G preserved
+      assert(feat(2) === 0.0f && feat(4) === 0.0f)
+    }
+    // nearest-neighbor identity: resizing to the same dims is lossless
+    assert(Multimodal.resizeBmp(bmp, 5, 3).flatMap(Multimodal.decodeBmpPixels)
+      .exists { case (w, h, p) => w == 5 && h == 3 && p.sameElements(px) })
+    // non-BMP payloads are not resizable
+    assert(Multimodal.resizeBmp(Array[Byte](1, 2, 3), 2, 2).isEmpty)
+
+    // the DataFrame op: BMPs resampled + meta updated, stubs pass through
+    val rows = Seq(
+      (1L, "image", bmp, (5, 3, 0, 0L)),
+      (2L, "image", Array[Byte](9, 9), (100, 100, 0, 0L)))
+      .toDF("media_id", "kind", "payload", "meta")
+      .select(col("media_id"), col("kind"), col("payload"),
+        col("meta").cast("struct<width:int,height:int,sample_rate:int,duration_ms:bigint>").as("meta"))
+    val resized = Multimodal.resizeImages(rows, 4, 4)
+    val metas = resized.select("media_id", "meta.width", "meta.height")
+      .as[(Long, Int, Int)].collect()
+      .map { case (k, w, h) => k -> ((w, h)) }.toMap
+    assert(metas(1L) === ((4, 4)) && metas(2L) === ((100, 100)))
+    val outPayload = resized.where(col("media_id") === 1L)
+      .select("payload").as[Array[Byte]].head()
+    assert(Multimodal.decodeBmpPixels(outPayload).exists {
+      case (w, h, _) => w == 4 && h == 4
+    })
+  }
 }
