@@ -35,7 +35,9 @@ import graft.shape.ValueFilter._
   * tagArray/toValue/tagValue), `g.emit(...)`, `function(x){...}`
   * callbacks for forEach/map, object literals `{k: v}`
   * (reference-shared, like JS), mutable arrays with the Array.prototype
-  * subset (push/pop/shift/join/indexOf/slice/concat/includes/reverse),
+  * subset (push/pop/shift/unshift/join/indexOf/slice/concat/includes/
+  * reverse/sort and the higher-order forEach/map/filter/reduce/some/
+  * every/find/findIndex calling back into user functions),
   * the String.prototype subset (indexOf/substring/slice/split/replace/
   * toLowerCase/toUpperCase/trim/charAt/startsWith/endsWith/includes/
   * concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/max),
@@ -1144,10 +1146,14 @@ object Gizmo {
       }
 
       private val arrMethods = Set("push", "pop", "join", "indexOf",
-        "slice", "concat", "includes", "contains", "shift", "reverse")
+        "slice", "concat", "includes", "contains", "shift", "reverse",
+        "forEach", "map", "filter", "reduce", "some", "every", "find",
+        "findIndex", "sort", "unshift")
 
-      /** JS Array.prototype subset; push/pop/shift/reverse mutate the
-        * shared buffer, as JS does.
+      /** JS Array.prototype subset; push/pop/shift/unshift/reverse/sort
+        * mutate the shared buffer, as JS does; the higher-order methods
+        * (forEach/map/filter/reduce/some/every/find) call back into user
+        * functions with (element, index).
         */
       private def arrayCall(vs: scala.collection.mutable.ArrayBuffer[GVal],
                             m: String, args: Seq[GVal]): GVal = m match {
@@ -1182,8 +1188,79 @@ object Gizmo {
             case v           => out += v
           }
           GArr(out)
+        case "unshift" =>
+          vs.prependAll(args); GNumV(vs.length.toDouble, isInt = true)
+        case "forEach" =>
+          val f = arrCb(m, args)
+          vs.zipWithIndex.foreach { case (v, i) =>
+            callFunction(f, Seq(v, GNumV(i.toDouble, isInt = true)))
+          }
+          GNull
+        case "map" =>
+          val f = arrCb(m, args)
+          GArr(vs.zipWithIndex.map { case (v, i) =>
+            callFunction(f, Seq(v, GNumV(i.toDouble, isInt = true)))
+          })
+        case "filter" =>
+          val f = arrCb(m, args)
+          GArr(vs.zipWithIndex.collect {
+            case (v, i) if truthy(callFunction(f,
+              Seq(v, GNumV(i.toDouble, isInt = true)))) => v
+          })
+        case "reduce" =>
+          val f = arrCb(m, args)
+          val hasInit = args.length > 1
+          if (vs.isEmpty && !hasInit)
+            throw GizmoError("reduce of empty array with no initial value")
+          var acc = if (hasInit) args(1) else vs.head
+          var i = if (hasInit) 0 else 1
+          while (i < vs.length) {
+            acc = callFunction(f,
+              Seq(acc, vs(i), GNumV(i.toDouble, isInt = true)))
+            i += 1
+          }
+          acc
+        case "some" =>
+          val f = arrCb(m, args)
+          GBoolV(vs.zipWithIndex.exists { case (v, i) =>
+            truthy(callFunction(f, Seq(v, GNumV(i.toDouble, isInt = true))))
+          })
+        case "every" =>
+          val f = arrCb(m, args)
+          GBoolV(vs.zipWithIndex.forall { case (v, i) =>
+            truthy(callFunction(f, Seq(v, GNumV(i.toDouble, isInt = true))))
+          })
+        case "find" | "findIndex" =>
+          val f = arrCb(m, args)
+          val idx = vs.zipWithIndex.indexWhere { case (v, i) =>
+            truthy(callFunction(f, Seq(v, GNumV(i.toDouble, isInt = true))))
+          }
+          if (m == "findIndex") GNumV(idx.toDouble, isInt = true)
+          else if (idx >= 0) vs(idx) else GNull
+        case "sort" =>
+          // default: JS string-comparison sort; with a comparator, its
+          // numeric sign decides (in-place, returns the same array)
+          val sorted = args.headOption match {
+            case Some(f: GFunc) =>
+              vs.sortWith { (a, b) =>
+                num(callFunction(f, Seq(a, b))).getOrElse(0.0) < 0
+              }
+            case None => vs.sortBy(renderVal)
+            case Some(other) =>
+              throw GizmoError(s".sort expects a comparator function, got $other")
+          }
+          vs.clear(); vs ++= sorted; GArr(vs)
         case other => throw GizmoError(s"unknown array method .$other")
       }
+
+      /** First argument of an array higher-order method must be a
+        * function value.
+        */
+      private def arrCb(m: String, args: Seq[GVal]): GFunc =
+        args.headOption match {
+          case Some(f: GFunc) => f
+          case other => throw GizmoError(s".$m expects a function, got $other")
+        }
 
       private def mathCall(m: String, args: Seq[GVal]): GVal = {
         def n0 = num(args.head).getOrElse(

@@ -760,6 +760,51 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("array higher-order methods: map/filter/reduce/forEach/sort/find") {
+    check(
+      """var a = [3, 1, 4, 1, 5, 9, 2, 6];
+        |g.emit(a.map(function(x) { return x * 2; }).join(","));
+        |g.emit(a.filter(function(x) { return x % 2 == 0; }).join(","));
+        |g.emit(a.reduce(function(acc, x) { return acc + x; }, 0));
+        |g.emit(a.reduce(function(acc, x) { return acc + x; }));
+        |g.emit(a.some(function(x) { return x > 8; }));
+        |g.emit(a.every(function(x) { return x > 0; }));
+        |g.emit(a.find(function(x) { return x > 4; }));
+        |g.emit(a.findIndex(function(x) { return x > 4; }));
+        |g.emit(a.findIndex(function(x) { return x > 100; }))""".stripMargin,
+      Seq("6,2,8,2,10,18,4,12", "4,2,6", "31", "31", "true", "true",
+        "5", "4", "-1"))
+    // callback gets (element, index); forEach drives side effects
+    check(
+      """var seen = [];
+        |["a", "b"].forEach(function(v, i) { seen.push(i + ":" + v); });
+        |g.emit(seen.join(","))""".stripMargin,
+      Seq("0:a,1:b"))
+    // sort: comparator + default string sort; in-place, returns the array
+    check(
+      """var n = [10, 9, 2, 30];
+        |g.emit(n.sort(function(a, b) { return a - b; }).join(","));
+        |g.emit(n.join(","));
+        |g.emit([10, 9, 2, 30].sort().join(","))""".stripMargin,
+      Seq("2,9,10,30", "2,9,10,30", "10,2,30,9"))
+    // closures over outer state work inside the callbacks
+    check(
+      """var total = 0;
+        |[1, 2, 3].forEach(function(x) { total += x; });
+        |g.emit(total);
+        |var empty = [];
+        |g.emit(empty.every(function(x) { return false; }));
+        |g.emit(empty.some(function(x) { return true; }))""".stripMargin,
+      Seq("6", "true", "false"))
+    intercept[Gizmo.GizmoError] {
+      session.execute("[].reduce(function(a, b) { return a; });")
+    }
+    // unshift mutates in place like push
+    check(
+      """var u = [2, 3]; u.unshift(0, 1); g.emit(u.join(","))""".stripMargin,
+      Seq("0,1,2,3"))
+  }
+
   test("JSON.stringify/parse, Object.keys/values, Array.isArray, conversions") {
     check(
       """var o = {a: 1, b: "x\n", c: [true, null, 2.5], d: {e: 1}};
