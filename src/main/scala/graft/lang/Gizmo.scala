@@ -38,10 +38,13 @@ import graft.shape.ValueFilter._
   * subset (push/pop/shift/unshift/join/indexOf/slice/concat/includes/
   * reverse/sort and the higher-order forEach/map/filter/reduce/some/
   * every/find/findIndex calling back into user functions),
-  * the String.prototype subset (indexOf/substring/slice/split/replace/
-  * toLowerCase/toUpperCase/trim/charAt/startsWith/endsWith/includes/
-  * concat), `Math` (floor/ceil/round/abs/sqrt/pow/min/max),
-  * `JSON.stringify`/`JSON.parse`, `Object.keys`/`Object.values`,
+  * the String.prototype subset (indexOf/lastIndexOf/substring/slice/
+  * split/replace/replaceAll/toLowerCase/toUpperCase/trim/charAt/
+  * charCodeAt/startsWith/endsWith/includes/concat/repeat/padStart/
+  * padEnd + String.fromCharCode), `Math` (floor/ceil/round/abs/sqrt/
+  * pow/min/max/log/log2/log10/exp/trunc/sign),
+  * `JSON.stringify`/`JSON.parse`, `Object.keys`/`Object.values`/
+  * `Object.assign`,
   * `Array.isArray`, the global conversions parseInt/parseFloat/isNaN/
   * String/Number/Boolean, `.length`,
   * and namespaces (addNamespace/addDefaultNamespaces).
@@ -194,6 +197,7 @@ object Gizmo {
   private case object GJson extends GVal
   private case object GObjectNS extends GVal
   private case object GArrayNS extends GVal
+  private case object GStringNS extends GVal
   /** Regex literal `/pat/flags` — a JS RegExp VALUE, deliberately NOT a
     * GFilter: the reference errors on `filter(/re/)` ("filter with a
     * wrong type", gizmo_test.go:195); traversal filters require the
@@ -1081,6 +1085,18 @@ object Gizmo {
           }
           case (GArrayNS, "isArray") =>
             GBoolV(args.headOption.exists(_.isInstanceOf[GArr]))
+          case (GStringNS, "fromCharCode") =>
+            GValue(QValue.Str(args.flatMap(num).map(_.toInt.toChar).mkString))
+          case (GObjectNS, "assign") => args.headOption match {
+            case Some(tgt @ GObj(tm)) =>
+              args.drop(1).foreach {
+                case GObj(sm) => sm.foreach { case (k, v) => tm(k) = v }
+                case GNull    => ()
+                case other => throw GizmoError(s"Object.assign: cannot merge $other")
+              }
+              tgt
+            case other => throw GizmoError(s"Object.assign expects an object target, got $other")
+          }
           case (GRegex(pat), "test") =>
             // unanchored search, like JS RegExp.test — on the Re2 engine
             GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
@@ -1096,7 +1112,9 @@ object Gizmo {
 
       private val strMethods = Set("indexOf", "substring", "slice",
         "toLowerCase", "toUpperCase", "charAt", "trim", "split", "replace",
-        "startsWith", "endsWith", "includes", "contains", "concat")
+        "startsWith", "endsWith", "includes", "contains", "concat",
+        "lastIndexOf", "charCodeAt", "repeat", "padStart", "padEnd",
+        "replaceAll")
 
       /** JS String.prototype subset (the reference's goja VM exposes the
         * full prototype; these are the methods its corpus and docs use).
@@ -1141,6 +1159,27 @@ object Gizmo {
           case "endsWith"   => GBoolV(s.endsWith(a0))
           case "includes" | "contains" => GBoolV(s.contains(a0))
           case "concat" => gstr(s + args.map(renderVal).mkString)
+          case "lastIndexOf" =>
+            GNumV(s.lastIndexOf(a0).toDouble, isInt = true)
+          case "charCodeAt" =>
+            val i = args.headOption.flatMap(num).map(_.toInt).getOrElse(0)
+            if (i >= 0 && i < s.length)
+              GNumV(s.charAt(i).toDouble, isInt = true)
+            else GNumV(Double.NaN, isInt = false)
+          case "repeat" =>
+            if (i0 < 0) throw GizmoError(".repeat expects a non-negative count")
+            gstr(s * i0)
+          case "padStart" | "padEnd" =>
+            val target = i0
+            val pad = args.lift(1).map(argStrOne).getOrElse(" ")
+            if (s.length >= target || pad.isEmpty) gstr(s)
+            else {
+              val fill = (pad * ((target - s.length) / pad.length + 1))
+                .take(target - s.length)
+              gstr(if (m == "padStart") fill + s else s + fill)
+            }
+          case "replaceAll" => // every occurrence, literal
+            gstr(s.replace(a0, argStrOne(args(1))))
           case other    => throw GizmoError(s"unknown string method .$other")
         }
       }
@@ -1278,6 +1317,12 @@ object Gizmo {
             val d = args.flatMap(num).min; GNumV(d, isInt = d == d.floor)
           case "max" =>
             val d = args.flatMap(num).max; GNumV(d, isInt = d == d.floor)
+          case "log"   => GNumV(math.log(n0), isInt = false)
+          case "log2"  => GNumV(math.log(n0) / math.log(2), isInt = false)
+          case "log10" => GNumV(math.log10(n0), isInt = false)
+          case "exp"   => GNumV(math.exp(n0), isInt = false)
+          case "trunc" => GNumV(n0.toLong.toDouble, isInt = true)
+          case "sign"  => GNumV(math.signum(n0), isInt = true)
           case other => throw GizmoError(s"unknown Math method .$other")
         }
       }
@@ -1672,6 +1717,7 @@ object Gizmo {
             case "JSON"   => GJson
             case "Object" => GObjectNS
             case "Array"  => GArrayNS
+            case "String" => GStringNS
             case _ => throw GizmoError(s"undefined variable $name")
           })
         case TRegex(pat, flags) =>

@@ -651,7 +651,7 @@ class GizmoSpec extends AnyFunSuite {
   }
 
   test("still errors: builtins outside the documented subsets") {
-    intercept[Gizmo.GizmoError](session.execute("""var s = "a"; s.padStart(3);"""))
+    intercept[Gizmo.GizmoError](session.execute("""var s = "a"; s.localeCompare("b");"""))
     intercept[Gizmo.GizmoError](session.execute("var a = [1]; a.flatMap(f);"))
   }
   test("default limit All") {
@@ -758,6 +758,26 @@ class GizmoSpec extends AnyFunSuite {
     intercept[Gizmo.GizmoError] {
       session.execute("""for (let j = 0; j < 2; j++) {} g.emit(j);""")
     }
+  }
+
+  test("string/Math/Object subset extensions") {
+    check(
+      """var s = "abcabc";
+        |g.emit(s.lastIndexOf("b")); g.emit(s.charCodeAt(0));
+        |g.emit("ab".repeat(3)); g.emit("5".padStart(3, "0"));
+        |g.emit("5".padEnd(3, "x")); g.emit(s.replaceAll("b", "_"));
+        |g.emit(String.fromCharCode(72, 105))""".stripMargin,
+      Seq("4", "97", "ababab", "005", "5xx", "a_ca_c", "Hi"))
+    check(
+      """g.emit(Math.trunc(-3.7)); g.emit(Math.sign(-9));
+        |g.emit(Math.log2(8)); g.emit(Math.exp(0))""".stripMargin,
+      Seq("-3", "-1", "3", "1"))
+    check(
+      """var t = {a: 1};
+        |Object.assign(t, {b: 2}, {a: 3});
+        |g.emit(JSON.stringify(t))""".stripMargin,
+      Seq("""{"a":3,"b":2}"""))
+    intercept[Gizmo.GizmoError](session.execute(""""x".normalize();"""))
   }
 
   test("array higher-order methods: map/filter/reduce/forEach/sort/find") {
