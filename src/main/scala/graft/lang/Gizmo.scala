@@ -25,7 +25,10 @@ import graft.shape.ValueFilter._
   * recursion included), constructor functions with `new`/`this`
   * (`new F(x)` binds a fresh object as `this`; function-valued object
   * fields called with `()` are methods with `this` bound to the
-  * receiver), with LEXICAL CLOSURES (capture by reference
+  * receiver; `F.prototype.m = function(){...}` methods are found on
+  * instances through the __proto__ chain, shadowable per instance and
+  * live — prototype edits after construction are visible), with
+  * LEXICAL CLOSURES (capture by reference
   * through a scope chain — a callback closing over an outer `var` reads
   * and writes the variable itself), `try`/`catch`/`finally` + `throw`
   * (host GizmoErrors surface as Error-shaped objects, as goja wraps Go
@@ -50,7 +53,7 @@ import graft.shape.ValueFilter._
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * `.prototype` chains, getters/setters, JS builtins outside the subsets
+  * getters/setters, class syntax, JS builtins outside the subsets
   * above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
@@ -217,7 +220,16 @@ object Gizmo {
     * the variable, not a copy.
     */
   private case class GFunc(params: Seq[String], body: Vector[Tok],
-                           env: Env) extends GVal
+                           env: Env) extends GVal {
+    /** `F.prototype`: methods assigned here are found by property lookup
+      * on `new F()` instances through their `__proto__` link.
+      */
+    val proto: GObj = GObj(scala.collection.mutable.LinkedHashMap.empty)
+  }
+  /** Hidden instance→prototype link key; excluded from enumeration
+    * (for-in, Object.keys/values, JSON.stringify, emit).
+    */
+  private val ProtoKey = "__proto__"
   /** `return` unwinds to the nearest enclosing function call. */
   private case class ReturnSignal(v: GVal)
       extends scala.util.control.ControlThrowable
@@ -562,7 +574,8 @@ object Gizmo {
                 vs.indices.map(i => GNumV(i.toDouble, isInt = true))
               case GResult(_, raw) =>
                 raw.indices.map(i => GNumV(i.toDouble, isInt = true))
-              case GObj(m) => m.keys.toSeq.map(k => GValue(QValue.Str(k)))
+              case GObj(m) => m.keys.toSeq.filterNot(_ == ProtoKey)
+                .map(k => GValue(QValue.Str(k)))
               case GNull   => Nil
               case other   => throw GizmoError(s"cannot iterate $other")
             }
@@ -655,6 +668,32 @@ object Gizmo {
           val old = env.get(name).getOrElse(
             throw GizmoError(s"undefined variable $name"))
           env.set(name, arith(old, GNumV(1, isInt = true), op.substring(0, 1)))
+        case Some(TIdent(name))
+          if c.toks.lift(c.pos + 1).contains(TPunct('.')) &&
+            c.toks.lift(c.pos + 2).exists(_.isInstanceOf[TIdent]) &&
+            c.toks.lift(c.pos + 3).contains(TPunct('.')) &&
+            c.toks.lift(c.pos + 4).exists(_.isInstanceOf[TIdent]) &&
+            c.toks.lift(c.pos + 5).contains(TPunct('=')) =>
+          // two-level property assignment: a.b.c = expr — notably
+          // `F.prototype.m = function(...) {...}` method definitions
+          c.next(); c.next()
+          val f1 = c.next().asInstanceOf[TIdent].s
+          c.next()
+          val f2 = c.next().asInstanceOf[TIdent].s
+          c.next() // '='
+          val v = parseExpr(c)
+          val base = env.get(name).getOrElse(
+            throw GizmoError(s"undefined variable $name"))
+          val mid = base match {
+            case f: GFunc if f1 == "prototype" => f.proto
+            case GObj(m) => protoLookup(m, f1).getOrElse(
+              throw GizmoError(s"cannot read .$f1 of $name"))
+            case other => throw GizmoError(s"cannot set .$f1.$f2 on $other")
+          }
+          mid match {
+            case GObj(mm) => mm(f2) = v
+            case other => throw GizmoError(s"cannot set .$f2 on $other")
+          }
         case Some(TIdent(name))
           if c.toks.lift(c.pos + 1).contains(TPunct('.')) &&
             c.toks.lift(c.pos + 2).exists(_.isInstanceOf[TIdent]) &&
@@ -1014,7 +1053,8 @@ object Gizmo {
         case GBoolV(b)   => out = out :+ Map("id" -> b.toString)
         case GTagMap(m)  => out = out :+ m.map { case (k, qv) => k -> render(qv) }
         case GObj(m)     =>
-          out = out :+ m.map { case (k, gv) => k -> renderVal(gv) }.toMap
+          out = out :+ m.iterator.filterNot(_._1 == ProtoKey)
+            .map { case (k, gv) => k -> renderVal(gv) }.toMap
         case GArr(vs)    => vs.foreach(emit)
         case GNull       =>
         case other       => throw GizmoError(s"cannot emit $other")
@@ -1071,14 +1111,16 @@ object Gizmo {
               throw GizmoError("JSON.parse expects a string"))))
           case (GObjectNS, "keys") => args.headOption match {
             case Some(GObj(om)) => GArr(scala.collection.mutable.ArrayBuffer(
-              om.keys.toSeq.map(k => GValue(QValue.Str(k)): GVal): _*))
+              om.keys.toSeq.filterNot(_ == ProtoKey)
+                .map(k => GValue(QValue.Str(k)): GVal): _*))
             case Some(GTagMap(tm)) => GArr(scala.collection.mutable.ArrayBuffer(
               tm.keys.toSeq.map(k => GValue(QValue.Str(k)): GVal): _*))
             case other => throw GizmoError(s"Object.keys expects an object, got $other")
           }
           case (GObjectNS, "values") => args.headOption match {
             case Some(GObj(om)) =>
-              GArr(scala.collection.mutable.ArrayBuffer(om.values.toSeq: _*))
+              GArr(scala.collection.mutable.ArrayBuffer(
+                om.iterator.filterNot(_._1 == ProtoKey).map(_._2).toSeq: _*))
             case Some(GTagMap(tm)) => GArr(scala.collection.mutable.ArrayBuffer(
               tm.values.toSeq.map(GValue(_): GVal): _*))
             case other => throw GizmoError(s"Object.values expects an object, got $other")
@@ -1097,13 +1139,14 @@ object Gizmo {
               tgt
             case other => throw GizmoError(s"Object.assign expects an object target, got $other")
           }
+          case (f: GFunc, "prototype") if args.isEmpty => f.proto
           case (GRegex(pat), "test") =>
             // unanchored search, like JS RegExp.test — on the Re2 engine
             GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
           case (GRegex(pat), "source") if args.isEmpty =>
             GValue(QValue.Str(pat))
           case (GObj(om), field) if args.isEmpty =>
-            om.getOrElse(field, GNull) // JS undefined ~ null
+            protoLookup(om, field).getOrElse(GNull) // JS undefined ~ null
           case (GTagMap(tm), field) if args.isEmpty =>
             tm.get(field).map(GValue(_)).getOrElse(GNull)
           case (recv, m) => throw GizmoError(s"cannot call .$m on $recv")
@@ -1292,6 +1335,24 @@ object Gizmo {
         case other => throw GizmoError(s"unknown array method .$other")
       }
 
+      /** Own-then-prototype-chain property lookup (depth-capped; a cycle
+        * via __proto__ assignment cannot loop forever).
+        */
+      private def protoLookup(
+          m: scala.collection.mutable.LinkedHashMap[String, GVal],
+          name: String): Option[GVal] = {
+        var cur = m
+        var depth = 0
+        while (depth < 32) {
+          if (cur.contains(name)) return Some(cur(name))
+          cur.get(ProtoKey) match {
+            case Some(GObj(pm)) => cur = pm; depth += 1
+            case _              => return None
+          }
+        }
+        None
+      }
+
       /** First argument of an array higher-order method must be a
         * function value.
         */
@@ -1344,7 +1405,8 @@ object Gizmo {
           vs.map(x => if (x.isInstanceOf[GFunc]) "null" else jsonStringify(x))
             .mkString("[", ",", "]")
         case GObj(m)     =>
-          m.iterator.filterNot(_._2.isInstanceOf[GFunc])
+          m.iterator.filterNot { case (k, x) =>
+            x.isInstanceOf[GFunc] || k == ProtoKey }
             .map { case (k, x) => jsonQuote(k) + ":" + jsonStringify(x) }
             .mkString("{", ",", "}")
         case GTagMap(m)  =>
@@ -1630,6 +1692,7 @@ object Gizmo {
           }
           val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
           val obj = GObj(scala.collection.mutable.LinkedHashMap.empty[String, GVal])
+          obj.m(ProtoKey) = ctor.proto // live link: later F.prototype.m adds show
           callFunction(ctor, args, thisVal = Some(obj)) match {
             case o: GObj => o
             case _       => obj
@@ -2033,11 +2096,12 @@ object Gizmo {
             v = if (c.peek.contains(TPunct('('))) {
               val args = parseArgs(c)
               v match {
-                // a function-valued object field called with () is a
-                // method: bind `this` to the receiver (JS semantics)
-                case obj @ GObj(om) if om.get(name).exists(_.isInstanceOf[GFunc]) =>
-                  callFunction(om(name).asInstanceOf[GFunc], args,
-                    thisVal = Some(obj))
+                // a function-valued field (own or prototype-inherited)
+                // called with () is a method: bind `this` to the receiver
+                case obj @ GObj(om)
+                  if protoLookup(om, name).exists(_.isInstanceOf[GFunc]) =>
+                  callFunction(protoLookup(om, name).get.asInstanceOf[GFunc],
+                    args, thisVal = Some(obj))
                 case _ => call(c, v, name, args)
               }
             } else call(c, v, name, Seq())

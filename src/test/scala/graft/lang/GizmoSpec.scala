@@ -888,11 +888,49 @@ class GizmoSpec extends AnyFunSuite {
         |o.viaThis = function() { return this.n * 2; };
         |g.emit(o.double()); g.emit(o.viaThis())""".stripMargin,
       Seq("10", "10"))
-    // still errors: undefined constructor, prototypes
+    // still errors: undefined constructor
     intercept[Gizmo.GizmoError](session.execute("var d = new Date();"))
-    intercept[Gizmo.GizmoError] {
-      session.execute("function F() {} F.prototype.m = 1;")
-    }
+  }
+
+  test("prototype methods: shared, live, shadowable, non-enumerable link") {
+    // methods on F.prototype are found by instances and bind this
+    check(
+      """function Point(x, y) { this.x = x; this.y = y; }
+        |Point.prototype.norm1 = function() {
+        |  return Math.abs(this.x) + Math.abs(this.y);
+        |};
+        |var p = new Point(3, -4);
+        |var q = new Point(1, 1);
+        |g.emit(p.norm1()); g.emit(q.norm1())""".stripMargin,
+      Seq("7", "2"))
+    // prototype edits AFTER construction are visible (live chain), and
+    // instance properties shadow the prototype
+    check(
+      """function F() { this.k = 1; }
+        |var a = new F();
+        |F.prototype.tag = function() { return "proto"; };
+        |var viaProto = a.tag();
+        |a.tag = function() { return "own"; };
+        |g.emit(viaProto); g.emit(a.tag())""".stripMargin,
+      Seq("proto", "own"))
+    // prototype DATA properties are readable through the chain too
+    check(
+      """function F() {}
+        |F.prototype.kind = "widget";
+        |var w = new F();
+        |g.emit(w.kind)""".stripMargin,
+      Seq("widget"))
+    // the __proto__ link and inherited members stay out of enumeration
+    check(
+      """function F() { this.own = 1; }
+        |F.prototype.m = function() { return 0; };
+        |var o = new F();
+        |g.emit(Object.keys(o).join(","));
+        |g.emit(JSON.stringify(o));
+        |var seen = [];
+        |for (k in o) { seen.push(k); }
+        |g.emit(seen.join(","))""".stripMargin,
+      Seq("own", """{"own":1}""", "own"))
   }
 
   test("labeled break/continue") {
