@@ -338,6 +338,33 @@ object SparkEntry {
         .map(r => (r("region"), r("cls"), r("cnt")))
         .toDF("region", "cls", "cnt")
     }),
+    // Gizmo program exercising constructor prototypes, array
+    // higher-order methods, and JSON.stringify end-to-end
+    "g_gizmo_program5" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """function Tally(name) { this.name = name; this.n = 0; }
+          |Tally.prototype.add = function(k) { this.n = this.n + k; };
+          |Tally.prototype.row = function() {
+          |  return {region: this.name, cnt: this.n};
+          |};
+          |var tallies = g.V().out(iri("n_region")).unique().toArray()
+          |  .map(function(r) {
+          |    var t = new Tally(g.V(r).out(iri("r_name")).toValue());
+          |    g.V(r).in(iri("n_region")).forEach(function(d) { t.add(1); });
+          |    return t;
+          |  })
+          |  .filter(function(t) { return t.n > 0; });
+          |tallies.sort(function(a, b) {
+          |  return a.name < b.name ? -1 : 1;
+          |});
+          |var names = tallies.map(function(t) { return t.name; });
+          |tallies.forEach(function(t) { g.emit(t.row()); });
+          |g.emit({region: JSON.stringify(names),
+          |        cnt: tallies.reduce(function(a, t) { return a + t.n; }, 0)});
+          |""".stripMargin)
+        .map(r => (r("region"), r("cnt"))).toDF("region", "cnt")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -560,6 +587,14 @@ object SparkEntry {
         |GROUP BY r.r_name
         |UNION ALL
         |SELECT 'err:unknown traversal .bogus', '0', '0'""".stripMargin,
+    "g_gizmo_program5" ->
+      """SELECT r.r_name AS region, CAST(COUNT(*) AS VARCHAR) AS cnt
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+        |GROUP BY r.r_name
+        |UNION ALL
+        |SELECT '["' || string_agg(DISTINCT r.r_name, '","' ORDER BY r.r_name) || '"]',
+        |       CAST(COUNT(*) AS VARCHAR)
+        |FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey""".stripMargin,
     "g_gizmo_program4" ->
       """SELECT r.r_name AS region,
         |       CASE WHEN r.r_name IN ('AFRICA','AMERICA') THEN 'A'

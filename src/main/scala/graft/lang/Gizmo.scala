@@ -14,7 +14,7 @@ import graft.shape.ValueFilter._
   * `obj.field = v`, `arr[i] = v`), full operator expressions with JS
   * precedence (`+ - * / %`, `< <= > >= == != === !==`, `&& || !`, bitwise
   * `& | ^ ~ << >> >>>` with ToInt32 semantics, string concatenation with
-  * `+`), `if`/`else`, `while`, classic `for(init;cond;update)` and
+  * `+`, the conditional operator `c ? a : b` with lazy branches), `if`/`else`, `while`, classic `for(init;cond;update)` and
   * `for (k in …)` (indices for arrays/results, keys for objects),
   * `do`/`while`, `break`/`continue` (with labels), labeled statements,
   * `switch` (strict-equality cases, fall-through, default), `let`/`const`
@@ -174,7 +174,7 @@ object Gizmo {
         } else if ((c == '+' || c == '-') && i + 1 < n && q.charAt(i + 1) == c) {
           toks :+= TOp(s"$c$c"); i += 2 // ++ --
         } else { toks :+= TOp(c.toString); i += 1 }
-      } else if ("().,;=[]{}:".indexOf(c) >= 0) {
+      } else if ("().,;=[]{}:?".indexOf(c) >= 0) {
         toks :+= TPunct(c); i += 1
       } else throw GizmoError(s"unexpected character '$c' (full JavaScript is not supported; use the statement subset)")
     }
@@ -1837,7 +1837,48 @@ object Gizmo {
       // --------------------------------------- expressions (JS precedence)
       // || < && < | < ^ < & < equality < relational < shift < additive
       //    < multiplicative < unary
-      private def parseExpr(c: Cursor): GVal = parseOr(c)
+      /** Conditional expression `cond ? a : b` — LAZY: only the taken
+        * branch is evaluated (the untaken branch's tokens are skipped by
+        * bracket-and-ternary-balanced scan), right-associative as in JS.
+        */
+      private def parseExpr(c: Cursor): GVal = {
+        val cond = parseOr(c)
+        if (!c.peek.contains(TPunct('?'))) cond
+        else {
+          c.next()
+          if (truthy(cond)) {
+            val v = parseExpr(c)
+            c.expect(':')
+            skipCondExpr(c)
+            v
+          } else {
+            skipCondExpr(c)
+            c.expect(':')
+            parseExpr(c)
+          }
+        }
+      }
+
+      /** Skip one conditional-expression worth of tokens (no evaluation):
+        * stops BEFORE a top-level `:` `,` `;` `)` `]` `}` or end of input;
+        * nested `?:` pairs are balanced so an inner ternary's colon (and
+        * object-literal colons, which sit inside braces) are skipped.
+        */
+      private def skipCondExpr(c: Cursor): Unit = {
+        var depth = 0
+        var qdepth = 0
+        var done = false
+        while (!done && c.more) c.peek.get match {
+          case TPunct('(' | '[' | '{') => depth += 1; c.next()
+          case TPunct(')' | ']' | '}') =>
+            if (depth == 0) done = true else { depth -= 1; c.next() }
+          case TPunct(',' | ';') if depth == 0 => done = true
+          case TPunct('?') if depth == 0 => qdepth += 1; c.next()
+          case TPunct(':') if depth == 0 =>
+            if (qdepth > 0) { qdepth -= 1; c.next() } else done = true
+          case _ => c.next()
+        }
+      }
 
       /** JS ToInt32 (trunc toward zero, wrap mod 2^32, reinterpret
         * signed) — the operand conversion for every bitwise operator.

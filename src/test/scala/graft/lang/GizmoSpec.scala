@@ -760,6 +760,34 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("conditional operator: lazy branches, nesting, precedence") {
+    check(
+      """g.emit(1 < 2 ? "yes" : "no");
+        |g.emit(false ? 1 : true ? 2 : 3);
+        |var x = 10;
+        |g.emit(x > 5 ? x > 8 ? "high" : "mid" : "low");
+        |g.emit((x > 5 ? "a" : "b") + (x < 5 ? "c" : "d"))""".stripMargin,
+      Seq("yes", "2", "high", "ad"))
+    // ONLY the taken branch evaluates (untaken side effects must not run)
+    check(
+      """var log = [];
+        |function hit(tag, v) { log.push(tag); return v; }
+        |g.emit(true ? hit("t", 1) : hit("f", 2));
+        |g.emit(false ? hit("t2", 3) : hit("f2", 4));
+        |g.emit(log.join(","))""".stripMargin,
+      Seq("1", "4", "t,f2"))
+    // untaken branch may even reference undefined names (never evaluated)
+    check("""g.emit(true ? "ok" : nope.bad())""", Seq("ok"))
+    // ternary inside object literals and call args
+    check(
+      """var o = {v: 1 == 1 ? "eq" : "ne"};
+        |g.emit(o.v);
+        |g.emit([3 > 2 ? "g" : "l", "z"].join("-"))""".stripMargin,
+      Seq("eq", "g-z"))
+    // string relational comparison feeds sort comparators
+    check("""g.emit("apple" < "banana" ? "lt" : "gte")""", Seq("lt"))
+  }
+
   test("string/Math/Object subset extensions") {
     check(
       """var s = "abcabc";
