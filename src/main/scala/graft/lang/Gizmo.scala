@@ -27,7 +27,9 @@ import graft.shape.ValueFilter._
   * fields called with `()` are methods with `this` bound to the
   * receiver; `F.prototype.m = function(){...}` methods are found on
   * instances through the __proto__ chain, shadowable per instance and
-  * live — prototype edits after construction are visible), with
+  * live — prototype edits after construction are visible; `class Name
+  * { constructor(..){..} method(..){..} }` declarations desugar onto
+  * exactly that machinery), with
   * LEXICAL CLOSURES (capture by reference
   * through a scope chain — a callback closing over an outer `var` reads
   * and writes the variable itself), `try`/`catch`/`finally` + `throw`
@@ -53,8 +55,8 @@ import graft.shape.ValueFilter._
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * getters/setters, class syntax, JS builtins outside the subsets
-  * above. Loops abort after 1M iterations.
+  * getters/setters, class extends/static members, JS builtins outside
+  * the subsets above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -483,6 +485,36 @@ object Gizmo {
             try segs.drop(from).foreach { case (_, b) => runToks(b) }
             catch { case BreakSignal(None) => () }
           }
+        case Some(TIdent("class")) =>
+          // class declaration: sugar over constructor function + prototype
+          // methods (no extends/static/getters — documented errors)
+          c.next()
+          val cname = c.next() match {
+            case TIdent(s) => s
+            case other => throw GizmoError(s"expected class name, got $other")
+          }
+          if (c.peek.contains(TIdent("extends")))
+            throw GizmoError("class extends is not supported")
+          c.expect('{')
+          var ctor: GFunc = null
+          val methods = Vector.newBuilder[(String, GFunc)]
+          while (!c.peek.contains(TPunct('}'))) c.peek match {
+            case Some(TPunct(';')) => c.next()
+            case Some(TIdent("static" | "get" | "set")) =>
+              throw GizmoError(
+                "static/get/set class members are not supported")
+            case Some(TIdent(mname)) =>
+              c.next()
+              val f = parseFunctionRest(c)
+              if (mname == "constructor") ctor = f else methods += mname -> f
+            case other =>
+              throw GizmoError(s"expected class member, got $other")
+          }
+          c.expect('}')
+          val ctorFn = if (ctor != null) ctor
+            else GFunc(Nil, Vector.empty, env) // default empty constructor
+          methods.result().foreach { case (mn, f) => ctorFn.proto.m(mn) = f }
+          env.declareVar(cname, ctorFn)
         case Some(TIdent("function"))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
           // named declaration: function name(p1, p2) { ... }

@@ -920,6 +920,33 @@ class GizmoSpec extends AnyFunSuite {
     intercept[Gizmo.GizmoError](session.execute("var d = new Date();"))
   }
 
+  test("class declarations desugar to constructor + prototype") {
+    check(
+      """class Acc {
+        |  constructor(start) { this.total = start; }
+        |  add(v) { this.total = this.total + v; return this; }
+        |  value() { return this.total; }
+        |}
+        |var a = new Acc(10);
+        |a.add(5).add(7);
+        |g.emit(a.value());
+        |g.emit(new Acc(0).add(1).value())""".stripMargin,
+      Seq("22", "1"))
+    // default constructor when none declared; methods via prototype
+    check(
+      """class Greeter { hi(name) { return "hi " + name; } }
+        |g.emit(new Greeter().hi("bob"));
+        |g.emit(Object.keys(new Greeter()).length)""".stripMargin,
+      Seq("hi bob", "0"))
+    // unsupported class forms fail loudly
+    intercept[Gizmo.GizmoError] {
+      session.execute("class B extends A { }")
+    }
+    intercept[Gizmo.GizmoError] {
+      session.execute("class C { static m() { return 1; } }")
+    }
+  }
+
   test("prototype methods: shared, live, shadowable, non-enumerable link") {
     // methods on F.prototype are found by instances and bind this
     check(
