@@ -14,7 +14,10 @@ import graft.shape.ValueFilter._
   * `obj.field = v`, `arr[i] = v`), full operator expressions with JS
   * precedence (`+ - * / %`, `< <= > >= == != === !==`, `&& || !`, bitwise
   * `& | ^ ~ << >> >>>` with ToInt32 semantics, string concatenation with
-  * `+`, the conditional operator `c ? a : b` with lazy branches), `if`/`else`, `while`, classic `for(init;cond;update)` and
+  * `+`, the conditional operator `c ? a : b` with lazy branches),
+  * template literals `\`a ${expr} b\`` (token-level desugar to string
+  * concatenation), ARROW FUNCTIONS `x => e` / `(a, b) => { ... }`
+  * (expression bodies return implicitly; lexical `this`), `if`/`else`, `while`, classic `for(init;cond;update)` and
   * `for (k in …)` (indices for arrays/results, keys for objects),
   * `do`/`while`, `break`/`continue` (with labels), labeled statements,
   * `switch` (strict-equality cases, fall-through, default), `let`/`const`
@@ -114,6 +117,60 @@ object Gizmo {
         val fs = new StringBuilder
         while (i < n && q.charAt(i).isLetter) { fs.append(q.charAt(i)); i += 1 }
         toks :+= TRegex(sb.toString, fs.toString)
+      } else if (c == '`') {
+        // template literal: desugared at the token level into
+        // ( "part" + ( inner tokens ) + "part" ... ) — string `+`
+        // coercion then matches JS interpolation semantics
+        i += 1
+        val out = Vector.newBuilder[Tok]
+        out += TPunct('(')
+        val part = new StringBuilder
+        var first = true
+        def flushPart(): Unit = {
+          if (!first) out += TOp("+")
+          out += TStr(part.toString); part.clear(); first = false
+        }
+        var closed = false
+        while (!closed && i < n) {
+          val tc = q.charAt(i)
+          if (tc == '`') { closed = true; i += 1 }
+          else if (tc == '\\' && i + 1 < n) {
+            q.charAt(i + 1) match {
+              case 'n' => part.append('\n'); i += 2
+              case 't' => part.append('\t'); i += 2
+              case 'r' => part.append('\r'); i += 2
+              case o   => part.append(o); i += 2
+            }
+          } else if (tc == '$' && i + 1 < n && q.charAt(i + 1) == '{') {
+            flushPart()
+            // find the balanced closing brace and tokenize the inside
+            var depth = 1
+            var j = i + 2
+            while (j < n && depth > 0) {
+              q.charAt(j) match {
+                case '{' => depth += 1; j += 1
+                case '}' => depth -= 1; j += 1
+                case qc @ ('"' | '\'') => // skip strings: a '}' inside
+                  j += 1                  // one must not close the hole
+                  while (j < n && q.charAt(j) != qc) {
+                    if (q.charAt(j) == '\\') j += 1
+                    j += 1
+                  }
+                  j += 1
+                case _ => j += 1
+              }
+            }
+            if (depth > 0) throw GizmoError("unterminated ${ in template")
+            out += TOp("+"); out += TPunct('(')
+            tokenize(q.substring(i + 2, j - 1)).foreach(out += _)
+            out += TPunct(')')
+            i = j
+          } else { part.append(tc); i += 1 }
+        }
+        if (!closed) throw GizmoError("unterminated template literal")
+        if (part.nonEmpty || first) flushPart()
+        out += TPunct(')')
+        toks ++= out.result()
       } else if (c == '"' || c == '\'') {
         val quote = c
         val sb = new StringBuilder
@@ -159,6 +216,8 @@ object Gizmo {
       } else if (c == '>' && i + 1 < n && q.charAt(i + 1) == '>') {
         if (i + 2 < n && q.charAt(i + 2) == '>') { toks :+= TOp(">>>"); i += 3 }
         else { toks :+= TOp(">>"); i += 2 }
+      } else if (c == '=' && i + 1 < n && q.charAt(i + 1) == '>') {
+        toks :+= TOp("=>"); i += 2 // arrow function
       } else if (c == '=' || c == '!' || c == '<' || c == '>') {
         // ===, ==, =, !==, !=, !, <=, <, >=, >
         var op = c.toString
@@ -1806,6 +1865,9 @@ object Gizmo {
               GBoolV(args.headOption.exists(truthy))
             case other  => throw GizmoError(s"unknown function $other()")
           }
+        case TIdent(pname) if c.peek.contains(TOp("=>")) =>
+          c.next() // single-parameter arrow: x => body
+          arrowRest(c, Seq(pname))
         case TIdent(name) =>
           env.get(name).getOrElse(name match {
             case "Math"   => GMath
@@ -1837,10 +1899,29 @@ object Gizmo {
           }
           c.expect(']')
           GArr(vs)
-        case TPunct('(') => // parenthesized sub-expression
-          val v = parseExpr(c)
-          c.expect(')')
-          v
+        case TPunct('(') =>
+          // lookahead: `(p1, p2) => ...` arrow function vs parenthesized
+          // sub-expression
+          if (isArrowParams(c)) {
+            val params = Vector.newBuilder[String]
+            var first = true
+            while (!c.peek.contains(TPunct(')'))) {
+              if (!first) c.expect(',')
+              first = false
+              c.next() match {
+                case TIdent(ps) => params += ps
+                case other =>
+                  throw GizmoError(s"expected parameter name, got $other")
+              }
+            }
+            c.expect(')')
+            c.next() // '=>'
+            arrowRest(c, params.result())
+          } else {
+            val v = parseExpr(c)
+            c.expect(')')
+            v
+          }
         case TPunct('{') => // object literal {k: v, "k2": v2}
           val m = scala.collection.mutable.LinkedHashMap.empty[String, GVal]
           var first = true
@@ -1889,6 +1970,34 @@ object Gizmo {
             parseExpr(c)
           }
         }
+      }
+
+      /** Arrow function tail: cursor just past `=>`. A `{ ... }` body is
+        * statements; an expression body desugars to `return <expr>`. The
+        * closure environment is the CURRENT env (lexical `this` included —
+        * an arrow sees the enclosing `this` through the scope chain).
+        */
+      private def arrowRest(c: Cursor, params: Seq[String]): GFunc =
+        if (c.peek.contains(TPunct('{'))) GFunc(params, captureStatement(c), env)
+        else {
+          val start = c.pos
+          skipCondExpr(c)
+          GFunc(params, TIdent("return") +: c.toks.slice(start, c.pos), env)
+        }
+
+      /** Lookahead from just past '(': is this a `(params) =>` head? */
+      private def isArrowParams(c: Cursor): Boolean = {
+        var depth = 1
+        var j = c.pos
+        while (j < c.toks.length && depth > 0) {
+          c.toks(j) match {
+            case TPunct('(') => depth += 1
+            case TPunct(')') => depth -= 1
+            case _           =>
+          }
+          j += 1
+        }
+        depth == 0 && c.toks.lift(j).contains(TOp("=>"))
       }
 
       /** Skip one conditional-expression worth of tokens (no evaluation):

@@ -760,6 +760,51 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("arrow functions and template literals") {
+    check(
+      """var inc = x => x + 1;
+        |var add = (a, b) => a + b;
+        |var mk = () => "made";
+        |var blk = (n) => { var t = n * 2; return t + 1; };
+        |g.emit(inc(4)); g.emit(add(2, 3)); g.emit(mk()); g.emit(blk(10))""".stripMargin,
+      Seq("5", "5", "made", "21"))
+    // arrows as HOF callbacks, with closures and ternaries inside
+    check(
+      """var a = [3, 1, 4, 1, 5];
+        |g.emit(a.map(x => x * 10).join(","));
+        |g.emit(a.filter(x => x % 2 == 1).join(","));
+        |g.emit(a.reduce((acc, x) => acc + x, 0));
+        |g.emit(a.map(x => x > 2 ? "big" : "small").join(","));
+        |var base = 100;
+        |g.emit(a.map(x => x + base).join(","))""".stripMargin,
+      Seq("30,10,40,10,50", "3,1,1,5", "14", "big,small,big,small,big",
+        "103,101,104,101,105"))
+    // lexical this: an arrow inside a method sees the method's this
+    check(
+      """function Box(v) { this.v = v; }
+        |Box.prototype.twice = function() {
+        |  var f = () => this.v * 2;
+        |  return f();
+        |};
+        |g.emit(new Box(21).twice())""".stripMargin,
+      Seq("42"))
+    // template literals: interpolation, escapes, nesting in expressions
+    check(
+      """var who = "world";
+        |g.emit(`hello ${who}!`);
+        |g.emit(`1+2=${1 + 2}`);
+        |g.emit(`${who}`);
+        |g.emit(`a${`b${"c"}`}d`);
+        |g.emit(`brace ${"}"} ok`)""".stripMargin,
+      Seq("hello world!", "1+2=3", "world", "abcd", "brace } ok"))
+    // traversal forEach with an arrow callback
+    check(
+      """var n = 0;
+        |g.V("<bob>").in("<follows>").forEach(d => { n = n + 1; });
+        |g.emit(n)""".stripMargin,
+      Seq("3"))
+  }
+
   test("conditional operator: lazy branches, nesting, precedence") {
     check(
       """g.emit(1 < 2 ? "yes" : "no");
