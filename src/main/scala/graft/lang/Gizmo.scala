@@ -19,6 +19,7 @@ import graft.shape.ValueFilter._
   * concatenation), ARROW FUNCTIONS `x => e` / `(a, b) => { ... }`
   * (expression bodies return implicitly; lexical `this`), `if`/`else`, `while`, classic `for(init;cond;update)` and
   * `for (k in …)` (indices for arrays/results, keys for objects),
+  * `for (v of …)` (values: array elements, result rows, characters),
   * `do`/`while`, `break`/`continue` (with labels), labeled statements,
   * `switch` (strict-equality cases, fall-through, default), `let`/`const`
   * with true block scoping (`var` hoists past block frames; `for (let …)`
@@ -645,12 +646,15 @@ object Gizmo {
           val declKw = c.peek.collect {
             case TIdent(kw @ ("var" | "let" | "const")) => kw
           }
-          val isForIn = {
+          val inOrOf = {
             val at = if (declKw.isDefined) c.pos + 1 else c.pos
-            c.toks.lift(at).exists(_.isInstanceOf[TIdent]) &&
-              c.toks.lift(at + 1).contains(TIdent("in"))
+            if (c.toks.lift(at).exists(_.isInstanceOf[TIdent]))
+              c.toks.lift(at + 1).collect {
+                case TIdent(k @ ("in" | "of")) => k
+              }
+            else None
           }
-          if (isForIn) {
+          if (inOrOf.isDefined) {
             val hadVar = declKw.contains("var")
             val hadLet = declKw.exists(k => k == "let" || k == "const")
             if (declKw.isDefined) c.next()
@@ -658,17 +662,25 @@ object Gizmo {
               case TIdent(s) => s
               case other     => throw GizmoError(s"expected loop variable, got $other")
             }
-            c.next() // 'in'
+            c.next() // 'in' / 'of'
+            val isOf = inOrOf.contains("of")
             val iter: Seq[GVal] = parseExpr(c) match {
-              // JS for-in: indices for arrays/results, keys for objects
+              // for-in: indices for arrays/results, keys for objects;
+              // for-of: VALUES (array elements, result rows, characters)
               case GArr(vs) =>
-                vs.indices.map(i => GNumV(i.toDouble, isInt = true))
+                if (isOf) vs.toSeq
+                else vs.indices.map(i => GNumV(i.toDouble, isInt = true))
               case GResult(_, raw) =>
-                raw.indices.map(i => GNumV(i.toDouble, isInt = true))
-              case GObj(m) => m.keys.toSeq.filterNot(_ == ProtoKey)
+                if (isOf) raw.map(GTagMap(_))
+                else raw.indices.map(i => GNumV(i.toDouble, isInt = true))
+              case GObj(m) if !isOf => m.keys.toSeq.filterNot(_ == ProtoKey)
                 .map(k => GValue(QValue.Str(k)))
+              case GValue(QValue.Str(str)) if isOf =>
+                str.map(ch => GValue(QValue.Str(ch.toString)))
               case GNull   => Nil
-              case other   => throw GizmoError(s"cannot iterate $other")
+              case other   =>
+                throw GizmoError(s"cannot iterate $other" +
+                  (if (isOf) " with for-of" else ""))
             }
             c.expect(')')
             val body = captureStatement(c)

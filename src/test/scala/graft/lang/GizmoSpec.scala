@@ -760,6 +760,29 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("for...of iterates values") {
+    check(
+      """var sum = 0;
+        |for (var v of [10, 20, 12]) { sum += v; }
+        |var parts = [];
+        |for (let ch of "abc") { parts.push(ch); }
+        |for (const x of [1, 2, 3]) { if (x == 2) break; }
+        |g.emit(sum); g.emit(parts.join("-"))""".stripMargin,
+      Seq("42", "a-b-c"))
+    // for-of over a traversal result yields rows (tag maps)
+    check(
+      """var names = [];
+        |for (var row of g.V("<bob>").in("<follows>").toArray()) {
+        |  names.push(row);
+        |}
+        |g.emit(names.length)""".stripMargin,
+      Seq("3"))
+    // objects are not for-of iterable (JS parity)
+    intercept[Gizmo.GizmoError] {
+      session.execute("for (var x of {a: 1}) { }")
+    }
+  }
+
   test("arrow functions and template literals") {
     check(
       """var inc = x => x + 1;
