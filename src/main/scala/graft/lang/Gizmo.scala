@@ -25,6 +25,8 @@ import graft.shape.ValueFilter._
   * with true block scoping (`var` hoists past block frames; `for (let …)`
   * makes a fresh per-iteration binding, so closures capture each value;
   * `const` reassignment throws),
+  * destructuring declarations (`var {a, b: alias} = obj`,
+  * `let [x, , y] = arr`),
   * user-defined functions (`function f(a, b) { ... return ...; }`,
   * recursion included), constructor functions with `new`/`this`
   * (`new F(x)` binds a fresh object as `this`; function-valued object
@@ -432,10 +434,47 @@ object Gizmo {
           c.expect('}')
         case Some(TIdent(kw @ ("var" | "let" | "const"))) =>
           c.next()
-          var first = true
-          while (first || c.peek.contains(TPunct(','))) {
-            if (!first) c.next()
-            first = false
+          // destructuring declarator: `{a, b: alias} = o` / `[x, , y] = a`
+          def destructure(): Unit = {
+            val isObj = c.peek.contains(TPunct('{'))
+            val binds = Vector.newBuilder[(String, String)] // (target, key)
+            val close = if (isObj) '}' else ']'
+            c.next()
+            var idx = 0
+            while (!c.peek.contains(TPunct(close))) c.peek match {
+              case Some(TPunct(',')) => c.next(); idx += 1
+              case Some(TIdent(n)) =>
+                c.next()
+                if (isObj && c.peek.contains(TPunct(':'))) {
+                  c.next()
+                  c.next() match {
+                    case TIdent(alias) => binds += ((alias, n))
+                    case other =>
+                      throw GizmoError(s"expected binding name, got $other")
+                  }
+                } else binds += ((n, if (isObj) n else idx.toString))
+              case other =>
+                throw GizmoError(s"unsupported destructuring element $other")
+            }
+            c.expect(close)
+            c.expect('=')
+            val src = parseExpr(c)
+            binds.result().foreach { case (tgt, key) =>
+              val v = (src, isObj) match {
+                case (GObj(m), true) => protoLookup(m, key).getOrElse(GNull)
+                case (GTagMap(tm), true) =>
+                  tm.get(key).map(GValue(_): GVal).getOrElse(GNull)
+                case (GArr(vs), false) =>
+                  val i = key.toInt
+                  if (i < vs.length) vs(i) else GNull
+                case _ =>
+                  throw GizmoError(s"cannot destructure $src")
+              }
+              if (kw == "var") env.declareVar(tgt, v)
+              else env.declare(tgt, v, isConst = kw == "const")
+            }
+          }
+          def declareOne(): Unit = {
             val name = c.next() match {
               case TIdent(s) => s
               case other     => throw GizmoError(s"expected name, got $other")
@@ -449,6 +488,14 @@ object Gizmo {
               throw GizmoError(s"missing initializer in const declaration of $name")
             else if (kw == "var") env.declareVarBare(name)
             else env.declare(name, GNull)
+          }
+          var first = true
+          while (first || c.peek.contains(TPunct(','))) {
+            if (!first) c.next()
+            first = false
+            if (c.peek.exists(t => t == TPunct('{') || t == TPunct('[')))
+              destructure()
+            else declareOne()
           }
         case Some(TIdent("if")) =>
           c.next()

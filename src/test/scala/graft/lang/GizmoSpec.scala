@@ -760,6 +760,29 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("destructuring declarations") {
+    check(
+      """var o = {a: 1, b: 2, c: 3};
+        |var {a, c: cc} = o;
+        |let [x, , z] = [10, 20, 30];
+        |const {missing} = o;
+        |g.emit(a); g.emit(cc); g.emit(x); g.emit(z);
+        |g.emit(missing == null ? "absent" : "present")""".stripMargin,
+      Seq("1", "3", "10", "30", "absent"))
+    // destructuring a traversal row (tag map) pulls bindings by name
+    check(
+      """var n = 0;
+        |g.V("<bob>").in("<follows>").tag("who").forEach(function(r) {
+        |  var {who} = r;
+        |  if (who != null) n = n + 1;
+        |});
+        |g.emit(n)""".stripMargin,
+      Seq("3"))
+    intercept[Gizmo.GizmoError] {
+      session.execute("var {a} = 5;")
+    }
+  }
+
   test("for...of iterates values") {
     check(
       """var sum = 0;
