@@ -60,9 +60,14 @@ import graft.shape.ValueFilter._
   * String/Number/Boolean, `.length`,
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
+  * Getters/setters are supported in object literals and class bodies
+  * (`get x() {...}` / `set x(v) {...}` — reads call the getter,
+  * assignments the setter, `this` bound to the owner; enumeration
+  * surfaces resolve getters like JS).
+  *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * getters/setters, class extends/static members, JS builtins outside
-  * the subsets above. Loops abort after 1M iterations.
+  * class extends/static members, JS builtins outside the subsets
+  * above. Loops abort after 1M iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -294,6 +299,12 @@ object Gizmo {
     * (for-in, Object.keys/values, JSON.stringify, emit).
     */
   private val ProtoKey = "__proto__"
+  /** Accessor property: `get x() {...}` / `set x(v) {...}` (object
+    * literals and class bodies). Reads invoke the getter, assignments
+    * the setter, each with `this` bound to the owning object.
+    */
+  private case class GAccessor(getter: Option[GFunc],
+                               setter: Option[GFunc]) extends GVal
   /** `return` unwinds to the nearest enclosing function call. */
   private case class ReturnSignal(v: GVal)
       extends scala.util.control.ControlThrowable
@@ -461,7 +472,8 @@ object Gizmo {
             val src = parseExpr(c)
             binds.result().foreach { case (tgt, key) =>
               val v = (src, isObj) match {
-                case (GObj(m), true) => protoLookup(m, key).getOrElse(GNull)
+                case (GObj(m), true) =>
+                  resolveProp(src, protoLookup(m, key).getOrElse(GNull))
                 case (GTagMap(tm), true) =>
                   tm.get(key).map(GValue(_): GVal).getOrElse(GNull)
                 case (GArr(vs), false) =>
@@ -605,11 +617,23 @@ object Gizmo {
           c.expect('{')
           var ctor: GFunc = null
           val methods = Vector.newBuilder[(String, GFunc)]
+          val accessors =
+            scala.collection.mutable.LinkedHashMap.empty[String, GAccessor]
           while (!c.peek.contains(TPunct('}'))) c.peek match {
             case Some(TPunct(';')) => c.next()
-            case Some(TIdent("static" | "get" | "set")) =>
-              throw GizmoError(
-                "static/get/set class members are not supported")
+            case Some(TIdent("static")) =>
+              throw GizmoError("static class members are not supported")
+            case Some(TIdent(kind @ ("get" | "set")))
+              if c.toks.lift(c.pos + 1).exists(_.isInstanceOf[TIdent]) &&
+                c.toks.lift(c.pos + 2).contains(TPunct('(')) =>
+              c.next()
+              val aname = c.next().asInstanceOf[TIdent].s
+              val f = parseFunctionRest(c)
+              accessors(aname) = {
+                val prev = accessors.getOrElse(aname, GAccessor(None, None))
+                if (kind == "get") prev.copy(getter = Some(f))
+                else prev.copy(setter = Some(f))
+              }
             case Some(TIdent(mname)) =>
               c.next()
               val f = parseFunctionRest(c)
@@ -621,6 +645,7 @@ object Gizmo {
           val ctorFn = if (ctor != null) ctor
             else GFunc(Nil, Vector.empty, env) // default empty constructor
           methods.result().foreach { case (mn, f) => ctorFn.proto.m(mn) = f }
+          accessors.foreach { case (an, a) => ctorFn.proto.m(an) = a }
           env.declareVar(cname, ctorFn)
         case Some(TIdent("function"))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
@@ -841,7 +866,12 @@ object Gizmo {
             case other => throw GizmoError(s"cannot set .$f1.$f2 on $other")
           }
           mid match {
-            case GObj(mm) => mm(f2) = v
+            case obj @ GObj(mm) => protoLookup(mm, f2) match {
+              case Some(GAccessor(_, Some(st))) =>
+                callFunction(st, Seq(v), thisVal = Some(obj))
+              case Some(GAccessor(_, None)) => ()
+              case _ => mm(f2) = v
+            }
             case other => throw GizmoError(s"cannot set .$f2 on $other")
           }
         case Some(TIdent(name))
@@ -855,7 +885,12 @@ object Gizmo {
           val v = parseExpr(c)
           env.get(name).getOrElse(
             throw GizmoError(s"undefined variable $name")) match {
-            case GObj(m) => m(field) = v
+            case obj @ GObj(m) => protoLookup(m, field) match {
+              case Some(GAccessor(_, Some(st))) =>
+                callFunction(st, Seq(v), thisVal = Some(obj))
+              case Some(GAccessor(_, None)) => () // getter-only: JS no-op
+              case _ => m(field) = v
+            }
             case other   => throw GizmoError(s"cannot set .$field on $other")
           }
         case Some(TIdent(name)) if isIndexAssign(c) =>
@@ -866,6 +901,33 @@ object Gizmo {
           val v = parseExpr(c)
           env.get(name).getOrElse(
             throw GizmoError(s"undefined variable $name")) match {
+            case GArr(vs) =>
+              val i = num(key).map(_.toInt).getOrElse(
+                throw GizmoError("array index must be a number"))
+              if (i >= 0 && i < vs.length) vs(i) = v
+              else if (i == vs.length) vs += v
+              else throw GizmoError(s"array index $i out of bounds (sparse arrays unsupported)")
+            case GObj(m) => m(renderVal(key)) = v
+            case other   => throw GizmoError(s"cannot index-assign $other")
+          }
+        case Some(TIdent(name)) if isPropIndexAssign(c) =>
+          // property-element assignment: obj.field[key] = expr
+          // (notably `this.m[k] = v` inside methods)
+          c.next(); c.next()
+          val field = c.next().asInstanceOf[TIdent].s
+          c.next() // '['
+          val key = parseExpr(c)
+          c.expect(']'); c.expect('=')
+          val v = parseExpr(c)
+          val owner = env.get(name).getOrElse(
+            throw GizmoError(s"undefined variable $name"))
+          val target = owner match {
+            case GObj(m) =>
+              resolveProp(owner, protoLookup(m, field).getOrElse(
+                throw GizmoError(s"cannot read .$field of $name")))
+            case other => throw GizmoError(s"cannot read .$field of $other")
+          }
+          target match {
             case GArr(vs) =>
               val i = num(key).map(_.toInt).getOrElse(
                 throw GizmoError("array index must be a number"))
@@ -953,6 +1015,27 @@ object Gizmo {
           case TOp(op) if op.length == 2 && op.charAt(1) == '=' &&
             "+-*/%".indexOf(op.charAt(0)) >= 0 => op.substring(0, 1)
         }
+
+      /** Lookahead: `name . field [ … ] =` property-element assignment? */
+      private def isPropIndexAssign(c: Cursor): Boolean = {
+        if (!c.toks.lift(c.pos + 1).contains(TPunct('.'))) return false
+        if (!c.toks.lift(c.pos + 2).exists(_.isInstanceOf[TIdent])) return false
+        if (!c.toks.lift(c.pos + 3).contains(TPunct('['))) return false
+        var depth = 0
+        var i = c.pos + 3
+        while (i < c.toks.length) {
+          c.toks(i) match {
+            case TPunct('[') => depth += 1
+            case TPunct(']') =>
+              depth -= 1
+              if (depth == 0)
+                return c.toks.lift(i + 1).contains(TPunct('='))
+            case _ =>
+          }
+          i += 1
+        }
+        false
+      }
 
       /** Lookahead: `name [ … ] =` element assignment? */
       private def isIndexAssign(c: Cursor): Boolean = {
@@ -1202,9 +1285,10 @@ object Gizmo {
           (if (i || (d.isWhole && !d.isInfinite)) d.toLong.toString else d.toString))
         case GBoolV(b)   => out = out :+ Map("id" -> b.toString)
         case GTagMap(m)  => out = out :+ m.map { case (k, qv) => k -> render(qv) }
-        case GObj(m)     =>
+        case obj @ GObj(m) =>
           out = out :+ m.iterator.filterNot(_._1 == ProtoKey)
-            .map { case (k, gv) => k -> renderVal(gv) }.toMap
+            .map { case (k, gv) => k -> renderVal(resolveProp(obj, gv)) }
+            .toMap
         case GArr(vs)    => vs.foreach(emit)
         case GNull       =>
         case other       => throw GizmoError(s"cannot emit $other")
@@ -1268,9 +1352,10 @@ object Gizmo {
             case other => throw GizmoError(s"Object.keys expects an object, got $other")
           }
           case (GObjectNS, "values") => args.headOption match {
-            case Some(GObj(om)) =>
+            case Some(obj @ GObj(om)) =>
               GArr(scala.collection.mutable.ArrayBuffer(
-                om.iterator.filterNot(_._1 == ProtoKey).map(_._2).toSeq: _*))
+                om.iterator.filterNot(_._1 == ProtoKey)
+                  .map(kv => resolveProp(obj, kv._2)).toSeq: _*))
             case Some(GTagMap(tm)) => GArr(scala.collection.mutable.ArrayBuffer(
               tm.values.toSeq.map(GValue(_): GVal): _*))
             case other => throw GizmoError(s"Object.values expects an object, got $other")
@@ -1295,8 +1380,8 @@ object Gizmo {
             GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
           case (GRegex(pat), "source") if args.isEmpty =>
             GValue(QValue.Str(pat))
-          case (GObj(om), field) if args.isEmpty =>
-            protoLookup(om, field).getOrElse(GNull) // JS undefined ~ null
+          case (obj @ GObj(om), field) if args.isEmpty =>
+            resolveProp(obj, protoLookup(om, field).getOrElse(GNull))
           case (GTagMap(tm), field) if args.isEmpty =>
             tm.get(field).map(GValue(_)).getOrElse(GNull)
           case (recv, m) => throw GizmoError(s"cannot call .$m on $recv")
@@ -1503,6 +1588,16 @@ object Gizmo {
         None
       }
 
+      /** Resolve a read property value: accessor properties invoke their
+        * getter with `this` bound to the owning object.
+        */
+      private def resolveProp(owner: GVal, v: GVal): GVal = v match {
+        case GAccessor(g, _) =>
+          g.map(f => callFunction(f, Nil, thisVal = Some(owner)))
+            .getOrElse(GNull)
+        case other => other
+      }
+
       /** First argument of an array higher-order method must be a
         * function value.
         */
@@ -1554,10 +1649,11 @@ object Gizmo {
         case GArr(vs)    =>
           vs.map(x => if (x.isInstanceOf[GFunc]) "null" else jsonStringify(x))
             .mkString("[", ",", "]")
-        case GObj(m)     =>
+        case obj @ GObj(m) =>
           m.iterator.filterNot { case (k, x) =>
             x.isInstanceOf[GFunc] || k == ProtoKey }
-            .map { case (k, x) => jsonQuote(k) + ":" + jsonStringify(x) }
+            .map { case (k, x) =>
+              jsonQuote(k) + ":" + jsonStringify(resolveProp(obj, x)) }
             .mkString("{", ",", "}")
         case GTagMap(m)  =>
           m.iterator.map { case (k, qv) => jsonQuote(k) + ":" + jsonQuote(qv.sortKey) }
@@ -1981,20 +2077,37 @@ object Gizmo {
             c.expect(')')
             v
           }
-        case TPunct('{') => // object literal {k: v, "k2": v2}
+        case TPunct('{') => // object literal {k: v, get k2() {...}, ...}
           val m = scala.collection.mutable.LinkedHashMap.empty[String, GVal]
           var first = true
           while (!c.peek.contains(TPunct('}'))) {
             if (!first) c.expect(',')
             first = false
-            val key = c.next() match {
-              case TIdent(s) => s
-              case TStr(s)   => s
-              case TNum(s)   => s
-              case other     => throw GizmoError(s"expected object key, got $other")
+            val isAccessor = c.peek.exists(t =>
+              t == TIdent("get") || t == TIdent("set")) &&
+              c.toks.lift(c.pos + 1).exists(_.isInstanceOf[TIdent]) &&
+              c.toks.lift(c.pos + 2).contains(TPunct('('))
+            if (isAccessor) {
+              val kind = c.next().asInstanceOf[TIdent].s
+              val aname = c.next().asInstanceOf[TIdent].s
+              val f = parseFunctionRest(c)
+              val prev = m.get(aname) match {
+                case Some(a: GAccessor) => a
+                case _ => GAccessor(None, None)
+              }
+              m(aname) =
+                if (kind == "get") prev.copy(getter = Some(f))
+                else prev.copy(setter = Some(f))
+            } else {
+              val key = c.next() match {
+                case TIdent(s) => s
+                case TStr(s)   => s
+                case TNum(s)   => s
+                case other     => throw GizmoError(s"expected object key, got $other")
+              }
+              c.expect(':')
+              m(key) = parseExpr(c)
             }
-            c.expect(':')
-            m(key) = parseExpr(c)
           }
           c.expect('}')
           GObj(m)
@@ -2337,12 +2450,17 @@ object Gizmo {
             v = if (c.peek.contains(TPunct('('))) {
               val args = parseArgs(c)
               v match {
-                // a function-valued field (own or prototype-inherited)
-                // called with () is a method: bind `this` to the receiver
-                case obj @ GObj(om)
-                  if protoLookup(om, name).exists(_.isInstanceOf[GFunc]) =>
-                  callFunction(protoLookup(om, name).get.asInstanceOf[GFunc],
-                    args, thisVal = Some(obj))
+                // a function-valued field (own, prototype-inherited, or
+                // getter-returned) called with () is a method: bind
+                // `this` to the receiver
+                case obj @ GObj(om) if protoLookup(om, name).exists(p =>
+                  p.isInstanceOf[GFunc] || p.isInstanceOf[GAccessor]) =>
+                  resolveProp(obj, protoLookup(om, name).get) match {
+                    case f: GFunc =>
+                      callFunction(f, args, thisVal = Some(obj))
+                    case other =>
+                      throw GizmoError(s".$name is not a function ($other)")
+                  }
                 case _ => call(c, v, name, args)
               }
             } else call(c, v, name, Seq())
@@ -2361,7 +2479,8 @@ object Gizmo {
               // indexing a query result yields that row's bindings
               case GResult(_, raw) =>
                 if (idx >= 0 && idx < raw.length) GTagMap(raw(idx)) else GNull
-              case GObj(m)    => m.getOrElse(renderVal(key), GNull)
+              case obj @ GObj(m) =>
+                resolveProp(obj, m.getOrElse(renderVal(key), GNull))
               case GTagMap(m) => m.get(renderVal(key)).map(GValue(_)).getOrElse(GNull)
               case other      => throw GizmoError(s"cannot index $other")
             }

@@ -760,6 +760,52 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("getters and setters: object literals and class accessors") {
+    check(
+      """var o = {
+        |  first: "ada", last: "l",
+        |  get full() { return this.first + " " + this.last; },
+        |  set full(v) { var parts = v.split(" ");
+        |                this.first = parts[0]; this.last = parts[1]; }
+        |};
+        |g.emit(o.full);
+        |o.full = "grace h";
+        |g.emit(o.first); g.emit(o.last); g.emit(o.full)""".stripMargin,
+      Seq("ada l", "grace", "h", "grace h"))
+    // class accessors live on the prototype; getter-only set is a no-op
+    check(
+      """class Temp {
+        |  constructor(c) { this.c = c; }
+        |  get f() { return this.c * 9 / 5 + 32; }
+        |}
+        |var t = new Temp(100);
+        |g.emit(t.f);
+        |t.f = 0;
+        |g.emit(t.f)""".stripMargin,
+      Seq("212", "212"))
+    // enumeration resolves getters: JSON.stringify / Object.values / emit
+    check(
+      """var o = {n: 2, get sq() { return this.n * this.n; }};
+        |g.emit(JSON.stringify(o));
+        |g.emit(Object.values(o).join(","));
+        |g.emit(o)""".stripMargin,
+      Seq("""{"n":2,"sq":4}""", "2,4")
+        // the bare emit(o) produces a row {n: "2", sq: "4"} — covered by
+        // the multi-column row below
+        )
+    // a method literally named get/set still parses as a method
+    check(
+      """class Bag {
+        |  constructor() { this.m = {}; }
+        |  get(k) { return this.m[k]; }
+        |  set(k, v) { this.m[k] = v; return this; }
+        |}
+        |var b = new Bag();
+        |b.set("x", 7);
+        |g.emit(b.get("x"))""".stripMargin,
+      Seq("7"))
+  }
+
   test("destructuring declarations") {
     check(
       """var o = {a: 1, b: 2, c: 3};
