@@ -944,6 +944,31 @@ object SparkEntry {
       val total = feats.count()
       Seq(total == 200 && bad == 0).toDF("contract_ok")
     }),
+    // multimodal audio pipeline: per-doc PCM16 square waves encoded as
+    // real RIFF/WAVE containers, decoded back by the WAV parser; the
+    // contract checks exact RMS == peak == amplitude/32768 and the rate
+    // feature for every row (square waves make the RMS integer-exact)
+    "mm_audio" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val feats = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val amp = (1000 + (id % 100) * 300).toShort
+          val samples = Array.tabulate(160)(i =>
+            if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+          (id, "audio", Multimodal.encodeWav(8000, samples),
+            amp.toInt)
+        }.toDF("media_id", "kind", "payload", "amp")
+      val decoded = Multimodal
+        .extractFeatures(feats.select("media_id", "kind", "payload"))
+        .join(feats.select(col("media_id"), col("amp")), Seq("media_id"))
+      val bad = decoded.where(col("codec") =!= "wav" ||
+        abs(col("feature")(0) - lit(8000f / 48000f)) > 1e-9 ||
+        abs(col("feature")(2) - col("amp") / 32768.0) > 1e-6 ||
+        col("feature")(2) =!= col("feature")(4)).count()
+      val total = decoded.count()
+      Seq(total == 200 && bad == 0).toDF("contract_ok")
+    }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -1290,6 +1315,8 @@ object SparkEntry {
     // multimodal resize pipeline: exact-contract boolean (decode ->
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",
+    // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
+    "mm_audio" -> "SELECT TRUE AS contract_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",

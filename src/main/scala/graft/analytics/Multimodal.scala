@@ -261,6 +261,23 @@ object Multimodal {
         col("sr").as("sample_rate"), col("dur").as("duration_ms")).as("meta"))
   }
 
+  /** Encode PCM16 mono samples as a RIFF/WAVE container (the inverse of
+    * [[decodeWav]] — a valid file any audio tool reads back).
+    */
+  private[graft] def encodeWav(rate: Int, samples: Array[Short]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length * 2)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)          // PCM, mono
+    bb.putInt(rate); bb.putInt(rate * 2)    // byte rate
+    bb.putShort(2); bb.putShort(16)         // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
+    samples.foreach(bb.putShort(_))
+    bb.array()
+  }
+
   /** Metadata-only operations stay pure column expressions — filtering by
     * resolution/duration must prune without touching payload bytes
     * (column pruning keeps the binary column out of the scan entirely).

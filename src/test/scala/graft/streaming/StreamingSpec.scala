@@ -254,6 +254,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(math.abs(a.feature(3) - 3.0f / 8) < 1e-6)        // 3 crossings / 8
     assert(math.abs(a.feature(4) - 1.0f) < 1e-3)            // peak
 
+    // encodeWav is the exact inverse of the hand-built container above
+    assert(Multimodal.encodeWav(8000, samples.toArray).sameElements(wav))
+
     val i = feats(2L)
     assert(i.codec === "bmp")
     assert(math.abs(i.feature(0) - 2 / 4096.0f) < 1e-7) // width
