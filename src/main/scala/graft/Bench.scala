@@ -278,6 +278,40 @@ object Bench {
         smoke(s"${tag}_movie_load") {
           g = Graph.fromNQuads(spark, movieDir).cached(); g.stats
         }
+        // the two BASELINE queries at N× on the distributed path: literal
+        // values are shared across copies, so each name resolves to N
+        // disjoint actors and the traversal does exactly N× the work
+        if (g != null) {
+          import graft.exec.Exec
+          import graft.path.Path
+          def iriv(s: String) = QValue.Iri(s)
+          val nameP = iriv("name")
+          val perfActor = iriv("/film/performance/actor")
+          val starring = iriv("/film/film/starring")
+          def actorToFilm = Path.morphism().in(perfActor).in(starring)
+          def getId(n: String) =
+            Path.start(QValue.Str(n)).in(nameP)
+          g.cached(); g.stats // smoke() cleared the cache — re-warm
+          def timed(name: String)(f: => Unit): Unit =
+            scaleOut += name -> (try time(f) catch {
+              case e: Throwable => errors(name) = errText(e); -1.0
+            })
+          timed(s"${tag}_movie_two_sets_dist") {
+            Exec.run(g, getId("Oliver Hardy").follow(actorToFilm).out(nameP)
+              .and(getId("Mel Blanc").follow(actorToFilm).out(nameP)))
+              .values()
+          }
+          timed(s"${tag}_movie_three_huge_dist") {
+            val a = getId("Oliver Hardy").follow(actorToFilm)
+              .followReverse(actorToFilm)
+            val b = getId("Mel Blanc").follow(actorToFilm)
+              .followReverse(actorToFilm)
+            val c = getId("Billy Gilbert").follow(actorToFilm)
+              .followReverse(actorToFilm)
+            Exec.run(g, a.and(b).and(c).unique()).values()
+          }
+          spark.sharedState.cacheManager.clearCache()
+        }
         if (g != null) { g.nodes.unpersist(); g.quads.unpersist() }
       } catch {
         case e: Throwable => errors(s"${tag}_movie_load") = errText(e)
