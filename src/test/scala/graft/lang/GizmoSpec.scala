@@ -760,6 +760,48 @@ class GizmoSpec extends AnyFunSuite {
     }
   }
 
+  test("JSON property: stringify∘parse is identity on random value trees") {
+    // random JSON texts generated host-side; the Gizmo program must
+    // round-trip each through parse -> stringify byte-identically
+    val rnd = new scala.util.Random(20260813)
+    def gen(depth: Int): String = {
+      // top level: never a bare string — Gizmo string literals starting
+      // with '"' parse as N-Quads terms (the "<iri>"/literal convention),
+      // which would strip the JSON quotes before parse ever sees them
+      val pick =
+        if (depth == 0) 4 + rnd.nextInt(2)
+        else if (depth >= 3) rnd.nextInt(4) else rnd.nextInt(6)
+      pick match {
+        case 0 => rnd.nextInt(2000).toString
+        case 1 => if (rnd.nextBoolean()) "true" else "false"
+        case 2 => "null"
+        case 3 =>
+          // printable strings incl. escapes the serializer must emit
+          val chars = Seq("a", "b", "\\\"", "\\\\", "\\n", "\\t", "x", "7")
+          "\"" + Seq.fill(rnd.nextInt(6))(chars(rnd.nextInt(chars.length)))
+            .mkString + "\""
+        case 4 =>
+          "[" + Seq.fill(rnd.nextInt(4))(gen(depth + 1)).mkString(",") + "]"
+        case _ =>
+          val n = rnd.nextInt(4)
+          "{" + (0 until n).map(i => s""""k$i":${gen(depth + 1)}""")
+            .mkString(",") + "}"
+      }
+    }
+    (1 to 60).foreach { _ =>
+      val doc = gen(0)
+      val got = try session.execute(
+        s"""g.emit(JSON.stringify(JSON.parse('${doc.replace("\\", "\\\\")
+          .replace("'", "\\'")}')) == '${doc.replace("\\", "\\\\")
+          .replace("'", "\\'")}' ? "same" : JSON.stringify(JSON.parse('${
+          doc.replace("\\", "\\\\").replace("'", "\\'")}')))""")
+        .flatMap(_.get("id"))
+      catch { case e: Gizmo.GizmoError =>
+        fail(s"doc <<$doc>> : ${e.getMessage}") }
+      assert(got === Seq("same"), s"round-trip changed: $doc -> $got")
+    }
+  }
+
   test("getters and setters: object literals and class accessors") {
     check(
       """var o = {
