@@ -35,7 +35,11 @@ import graft.shape.ValueFilter._
   * instances through the __proto__ chain, shadowable per instance and
   * live — prototype edits after construction are visible; `class Name
   * { constructor(..){..} method(..){..} }` declarations desugar onto
-  * exactly that machinery), with
+  * exactly that machinery, including `extends` (prototype chain +
+  * implicit arg-forwarding default constructor), `super(...)` /
+  * `super.m(...)` (resolved against the executing member's parent
+  * class), and `static` methods living on — and inherited through —
+  * the constructor function), with
   * LEXICAL CLOSURES (capture by reference
   * through a scope chain — a callback closing over an outer `var` reads
   * and writes the variable itself), `try`/`catch`/`finally` + `throw`
@@ -66,8 +70,8 @@ import graft.shape.ValueFilter._
   * surfaces resolve getters like JS).
   *
   * DOCUMENTED ERROR SURFACE (raises GizmoError, never silent):
-  * class extends/static members, JS builtins outside the subsets
-  * above. Loops abort after 1M iterations.
+  * JS builtins outside the subsets above. Loops abort after 1M
+  * iterations.
   *
   * Method surface mirrors /root/reference/query/gizmo/traversals.go; both
   * capitalizations accepted (`All`/`all`), as upstream does.
@@ -294,6 +298,12 @@ object Gizmo {
       * on `new F()` instances through their `__proto__` link.
       */
     val proto: GObj = GObj(scala.collection.mutable.LinkedHashMap.empty)
+    /** For class members of a derived class: the parent constructor —
+      * the target `super(...)` / `super.m(...)` resolve against.
+      */
+    var classParent: Option[GFunc] = None
+    /** `static` class members live on the constructor function itself. */
+    val statics = scala.collection.mutable.LinkedHashMap.empty[String, GVal]
   }
   /** Hidden instance→prototype link key; excluded from enumeration
     * (for-in, Object.keys/values, JSON.stringify, emit).
@@ -612,17 +622,32 @@ object Gizmo {
             case TIdent(s) => s
             case other => throw GizmoError(s"expected class name, got $other")
           }
-          if (c.peek.contains(TIdent("extends")))
-            throw GizmoError("class extends is not supported")
+          val parentFn: Option[GFunc] =
+            if (c.peek.contains(TIdent("extends"))) {
+              c.next()
+              val pn = c.next() match {
+                case TIdent(p) => p
+                case other => throw GizmoError(s"expected parent class name, got $other")
+              }
+              env.get(pn) match {
+                case Some(f: GFunc) => Some(f)
+                case other => throw GizmoError(s"extends target $pn is not a class/function ($other)")
+              }
+            } else None
           c.expect('{')
           var ctor: GFunc = null
           val methods = Vector.newBuilder[(String, GFunc)]
           val accessors =
             scala.collection.mutable.LinkedHashMap.empty[String, GAccessor]
+          val statics = Vector.newBuilder[(String, GFunc)]
           while (!c.peek.contains(TPunct('}'))) c.peek match {
             case Some(TPunct(';')) => c.next()
-            case Some(TIdent("static")) =>
-              throw GizmoError("static class members are not supported")
+            case Some(TIdent("static"))
+              if c.toks.lift(c.pos + 1).exists(_.isInstanceOf[TIdent]) &&
+                c.toks.lift(c.pos + 2).contains(TPunct('(')) =>
+              c.next()
+              val sname = c.next().asInstanceOf[TIdent].s
+              statics += sname -> parseFunctionRest(c)
             case Some(TIdent(kind @ ("get" | "set")))
               if c.toks.lift(c.pos + 1).exists(_.isInstanceOf[TIdent]) &&
                 c.toks.lift(c.pos + 2).contains(TPunct('(')) =>
@@ -642,10 +667,42 @@ object Gizmo {
               throw GizmoError(s"expected class member, got $other")
           }
           c.expect('}')
-          val ctorFn = if (ctor != null) ctor
-            else GFunc(Nil, Vector.empty, env) // default empty constructor
+          val ctorFn =
+            if (ctor != null) ctor
+            else parentFn match {
+              // JS default derived constructor forwards its args to super
+              case Some(p) =>
+                val forward = Vector(TIdent("super"), TPunct('(')) ++
+                  p.params.zipWithIndex.flatMap { case (pp, i) =>
+                    (if (i > 0) Vector(TPunct(',')) else Vector.empty) :+
+                      TIdent(pp)
+                  } :+ TPunct(')')
+                GFunc(p.params, forward, env)
+              case None => GFunc(Nil, Vector.empty, env)
+            }
           methods.result().foreach { case (mn, f) => ctorFn.proto.m(mn) = f }
           accessors.foreach { case (an, a) => ctorFn.proto.m(an) = a }
+          statics.result().foreach { case (sn, f) => ctorFn.statics(sn) = f }
+          parentFn.foreach { p =>
+            ctorFn.proto.m(ProtoKey) = p.proto // prototype chain
+            ctorFn.classParent = Some(p)
+            // members of a derived class resolve super against the parent
+            ctorFn.proto.m.valuesIterator.foreach {
+              case f: GFunc => f.classParent = Some(p)
+              case GAccessor(g, st) =>
+                g.foreach(_.classParent = Some(p))
+                st.foreach(_.classParent = Some(p))
+              case _ =>
+            }
+            ctorFn.statics.valuesIterator.foreach {
+              case f: GFunc => f.classParent = Some(p)
+              case _ =>
+            }
+            // static members inherit through the class, like JS
+            p.statics.foreach { case (k, v) =>
+              if (!ctorFn.statics.contains(k)) ctorFn.statics(k) = v
+            }
+          }
           env.declareVar(cname, ctorFn)
         case Some(TIdent("function"))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
@@ -968,6 +1025,10 @@ object Gizmo {
       }
 
       private var callDepth = 0
+      /** Stack of functions currently executing (innermost first) —
+        * `super` resolves against the top one's classParent.
+        */
+      private var fnStack: List[GFunc] = Nil
 
       /** Call a user function: a fresh frame chained to the DEFINING
         * environment (lexical scoping — closures read and write captured
@@ -983,8 +1044,9 @@ object Gizmo {
           callDepth -= 1
           throw GizmoError("call stack exceeded 256 frames")
         }
+        fnStack ::= f
         try callFunctionInner(f, args, thisVal)
-        finally callDepth -= 1
+        finally { callDepth -= 1; fnStack = fnStack.tail }
       }
 
       private def callFunctionInner(f: GFunc, args: Seq[GVal],
@@ -1375,6 +1437,8 @@ object Gizmo {
             case other => throw GizmoError(s"Object.assign expects an object target, got $other")
           }
           case (f: GFunc, "prototype") if args.isEmpty => f.proto
+          case (f: GFunc, nm) if args.isEmpty && f.statics.contains(nm) =>
+            resolveProp(f, f.statics(nm))
           case (GRegex(pat), "test") =>
             // unanchored search, like JS RegExp.test — on the Re2 engine
             GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
@@ -1921,6 +1985,31 @@ object Gizmo {
         case TIdent("true")  => GBoolV(true)
         case TIdent("false") => GBoolV(false)
         case TIdent("null")  => GNull
+        case TIdent("super") =>
+          val parent = fnStack.headOption.flatMap(_.classParent).getOrElse(
+            throw GizmoError("super outside a derived-class member"))
+          val thisV = env.get("this").getOrElse(
+            throw GizmoError("super requires a bound this"))
+          if (c.peek.contains(TPunct('('))) {
+            // super(args): run the parent constructor on this instance
+            callFunction(parent, parseArgs(c), thisVal = Some(thisV))
+            GNull
+          } else {
+            c.expect('.')
+            val mname = c.next() match {
+              case TIdent(m) => m
+              case other => throw GizmoError(s"expected member after super., got $other")
+            }
+            val member = protoLookup(parent.proto.m, mname).getOrElse(
+              throw GizmoError(s"super.$mname is not defined"))
+            if (c.peek.contains(TPunct('('))) {
+              val args = parseArgs(c)
+              resolveProp(thisV, member) match {
+                case f: GFunc => callFunction(f, args, thisVal = Some(thisV))
+                case other => throw GizmoError(s"super.$mname is not a function ($other)")
+              }
+            } else resolveProp(thisV, member)
+          }
         case TIdent("function") =>
           parseFunctionRest(c) // anonymous: function(p1, p2) { ... }
         case TIdent("new") =>
@@ -2453,6 +2542,10 @@ object Gizmo {
                 // a function-valued field (own, prototype-inherited, or
                 // getter-returned) called with () is a method: bind
                 // `this` to the receiver
+                case fn: GFunc if fn.statics.get(name)
+                  .exists(_.isInstanceOf[GFunc]) =>
+                  callFunction(fn.statics(name).asInstanceOf[GFunc], args,
+                    thisVal = Some(fn))
                 case obj @ GObj(om) if protoLookup(om, name).exists(p =>
                   p.isInstanceOf[GFunc] || p.isInstanceOf[GAccessor]) =>
                   resolveProp(obj, protoLookup(om, name).get) match {

@@ -1117,12 +1117,43 @@ class GizmoSpec extends AnyFunSuite {
         |g.emit(new Greeter().hi("bob"));
         |g.emit(Object.keys(new Greeter()).length)""".stripMargin,
       Seq("hi bob", "0"))
-    // unsupported class forms fail loudly
+    // extends an undefined parent still fails loudly
     intercept[Gizmo.GizmoError] {
-      session.execute("class B extends A { }")
+      session.execute("class B extends NotDefined { }")
     }
+  }
+
+  test("class extends / super / static") {
+    check(
+      """class Shape {
+        |  constructor(name) { this.name = name; }
+        |  describe() { return this.name; }
+        |  static kind() { return "shape"; }
+        |}
+        |class Circle extends Shape {
+        |  constructor(r) { super("circle"); this.r = r; }
+        |  describe() { return super.describe() + " r=" + this.r; }
+        |  area() { return 3 * this.r * this.r; }
+        |}
+        |var c = new Circle(2);
+        |g.emit(c.describe()); g.emit(c.area()); g.emit(c.name);
+        |g.emit(Shape.kind()); g.emit(Circle.kind())""".stripMargin,
+      Seq("circle r=2", "12", "circle", "shape", "shape"))
+    // default derived constructor forwards args to super
+    check(
+      """class A { constructor(x, y) { this.sum = x + y; } }
+        |class B extends A { }
+        |g.emit(new B(3, 4).sum)""".stripMargin,
+      Seq("7"))
+    // inherited methods resolve through the prototype chain
+    check(
+      """class P { hello() { return "hi"; } }
+        |class Q extends P { }
+        |g.emit(new Q().hello())""".stripMargin,
+      Seq("hi"))
+    // super outside a derived member fails loudly
     intercept[Gizmo.GizmoError] {
-      session.execute("class C { static m() { return 1; } }")
+      session.execute("function f() { return super.x(); } f();")
     }
   }
 
