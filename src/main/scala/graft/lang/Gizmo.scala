@@ -26,7 +26,8 @@ import graft.shape.ValueFilter._
   * makes a fresh per-iteration binding, so closures capture each value;
   * `const` reassignment throws),
   * destructuring declarations (`var {a, b: alias} = obj`,
-  * `let [x, , y] = arr`),
+  * `let [x, , y] = arr`), spread syntax in array/object literals and
+  * call arguments (`[...a, x]`, `{...o, k: v}`, `f(...args)`),
   * user-defined functions (`function f(a, b) { ... return ...; }`,
   * recursion included), constructor functions with `new`/`this`
   * (`new F(x)` binds a fresh object as `this`; function-valued object
@@ -1297,6 +1298,14 @@ object Gizmo {
         else s
       }
 
+      /** Consume a `...` spread marker if present (three '.' puncts). */
+      private def takeSpread(c: Cursor): Boolean =
+        if (c.peek.contains(TPunct('.')) &&
+          c.toks.lift(c.pos + 1).contains(TPunct('.')) &&
+          c.toks.lift(c.pos + 2).contains(TPunct('.'))) {
+          c.next(); c.next(); c.next(); true
+        } else false
+
       private def parseArgs(c: Cursor): Seq[GVal] = {
         c.expect('(')
         val args = Vector.newBuilder[GVal]
@@ -1304,7 +1313,12 @@ object Gizmo {
         while (!c.peek.contains(TPunct(')'))) {
           if (!first) c.expect(',')
           first = false
-          args += parseExpr(c)
+          if (takeSpread(c)) parseExpr(c) match {
+            case GArr(vs) => vs.foreach(args += _)
+            case GNull    => ()
+            case other => throw GizmoError(s"cannot spread $other as arguments")
+          }
+          else args += parseExpr(c)
         }
         c.expect(')')
         args.result()
@@ -2139,7 +2153,14 @@ object Gizmo {
           while (!c.peek.contains(TPunct(']'))) {
             if (!first) c.expect(',')
             first = false
-            vs += parseExpr(c)
+            if (takeSpread(c)) parseExpr(c) match {
+              case GArr(inner) => vs ++= inner
+              case GValue(QValue.Str(str)) =>
+                str.foreach(ch => vs += GValue(QValue.Str(ch.toString)))
+              case GNull => ()
+              case other => throw GizmoError(s"cannot spread $other into an array")
+            }
+            else vs += parseExpr(c)
           }
           c.expect(']')
           GArr(vs)
@@ -2176,7 +2197,18 @@ object Gizmo {
               t == TIdent("get") || t == TIdent("set")) &&
               c.toks.lift(c.pos + 1).exists(_.isInstanceOf[TIdent]) &&
               c.toks.lift(c.pos + 2).contains(TPunct('('))
-            if (isAccessor) {
+            if (takeSpread(c)) {
+              parseExpr(c) match {
+                case GObj(src) => src.iterator
+                  .filterNot(_._1 == ProtoKey).foreach { case (k, v) =>
+                    m(k) = v
+                  }
+                case GTagMap(tm) =>
+                  tm.foreach { case (k, qv) => m(k) = GValue(qv) }
+                case GNull => ()
+                case other => throw GizmoError(s"cannot spread $other into an object")
+              }
+            } else if (isAccessor) {
               val kind = c.next().asInstanceOf[TIdent].s
               val aname = c.next().asInstanceOf[TIdent].s
               val f = parseFunctionRest(c)

@@ -848,6 +848,28 @@ class GizmoSpec extends AnyFunSuite {
       Seq("7"))
   }
 
+  test("spread syntax: arrays, objects, call arguments") {
+    check(
+      """var a = [2, 3];
+        |g.emit([1, ...a, 4].join(","));
+        |g.emit([..."hi"].join("-"));
+        |function add3(x, y, z) { return x + y + z; }
+        |g.emit(add3(...a, 10));
+        |var o = {x: 1, y: 2};
+        |var merged = {...o, y: 9, z: 3};
+        |g.emit(JSON.stringify(merged));
+        |g.emit(Math.max(...[5, 12, 7]))""".stripMargin,
+      Seq("1,2,3,4", "h-i", "15", """{"x":1,"y":9,"z":3}""", "12"))
+    // spreading a copy does not alias the source array
+    check(
+      """var src = [1];
+        |var copy = [...src];
+        |copy.push(2);
+        |g.emit(src.length); g.emit(copy.length)""".stripMargin,
+      Seq("1", "2"))
+    intercept[Gizmo.GizmoError](session.execute("var b = [...5];"))
+  }
+
   test("destructuring declarations") {
     check(
       """var o = {a: 1, b: 2, c: 3};
