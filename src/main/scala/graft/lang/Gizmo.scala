@@ -60,7 +60,7 @@ import graft.shape.ValueFilter._
   * padEnd + String.fromCharCode), `Math` (floor/ceil/round/abs/sqrt/
   * pow/min/max/log/log2/log10/exp/trunc/sign),
   * `JSON.stringify`/`JSON.parse`, `Object.keys`/`Object.values`/
-  * `Object.assign`,
+  * `Object.entries`/`Object.assign`, `Array.from`,
   * `Array.isArray`, the global conversions parseInt/parseFloat/isNaN/
   * String/Number/Boolean, `.length`,
   * and namespaces (addNamespace/addDefaultNamespaces).
@@ -1438,6 +1438,27 @@ object Gizmo {
           }
           case (GArrayNS, "isArray") =>
             GBoolV(args.headOption.exists(_.isInstanceOf[GArr]))
+          case (GArrayNS, "from") => args.headOption match {
+            case Some(GArr(vs)) =>
+              GArr(scala.collection.mutable.ArrayBuffer.from(vs))
+            case Some(GValue(QValue.Str(str))) =>
+              GArr(scala.collection.mutable.ArrayBuffer.from(
+                str.map(ch => GValue(QValue.Str(ch.toString)): GVal)))
+            case Some(GNull) | None =>
+              throw GizmoError("Array.from expects an iterable")
+            case Some(other) =>
+              throw GizmoError(s"Array.from: cannot iterate $other")
+          }
+          case (GObjectNS, "entries") => args.headOption match {
+            case Some(obj @ GObj(om)) =>
+              GArr(scala.collection.mutable.ArrayBuffer.from(
+                om.iterator.filterNot(_._1 == ProtoKey).map { case (k, v) =>
+                  GArr(scala.collection.mutable.ArrayBuffer(
+                    GValue(QValue.Str(k)), resolveProp(obj, v))): GVal
+                }))
+            case other =>
+              throw GizmoError(s"Object.entries expects an object, got $other")
+          }
           case (GStringNS, "fromCharCode") =>
             GValue(QValue.Str(args.flatMap(num).map(_.toInt.toChar).mkString))
           case (GObjectNS, "assign") => args.headOption match {

@@ -848,6 +848,18 @@ class GizmoSpec extends AnyFunSuite {
       Seq("7"))
   }
 
+  test("Object.entries and Array.from") {
+    check(
+      """var o = {a: 1, b: "x"};
+        |var parts = Object.entries(o).map(e => e[0] + "=" + e[1]);
+        |g.emit(parts.join(","));
+        |g.emit(Array.from("abc").join("-"));
+        |var copy = Array.from([1, 2]);
+        |copy.push(3);
+        |g.emit(copy.join(""))""".stripMargin,
+      Seq("a=1,b=x", "a-b-c", "123"))
+  }
+
   test("spread syntax: arrays, objects, call arguments") {
     check(
       """var a = [2, 3];
