@@ -60,7 +60,9 @@ import graft.shape.ValueFilter._
   * padEnd + String.fromCharCode), `Math` (floor/ceil/round/abs/sqrt/
   * pow/min/max/log/log2/log10/exp/trunc/sign),
   * `JSON.stringify`/`JSON.parse`, `Object.keys`/`Object.values`/
-  * `Object.entries`/`Object.assign`, `Array.from`,
+  * `Object.entries`/`Object.assign`, `Array.from`, `new Map()`/
+  * `new Set()` (SameValueZero keys; keys()/values()/entries() return
+  * arrays; iterable by for-of/spread/Array.from),
   * `Array.isArray`, the global conversions parseInt/parseFloat/isNaN/
   * String/Number/Boolean, `.length`,
   * and namespaces (addNamespace/addDefaultNamespaces).
@@ -271,6 +273,16 @@ object Gizmo {
   // JSON / Object / Array namespace objects (stringify/parse, keys/values,
   // isArray) — the goja VM exposes the full globals; these are the
   // members real gizmo programs use
+  /** JS Map/Set: insertion-ordered; keys compared SameValueZero-style
+    * via [[Interp.mapKeyOf]] (primitives by value, objects by identity).
+    * keys()/values()/entries() return ARRAYS (pragmatic stand-in for
+    * iterators — they feed for-of/spread/HOFs the same way).
+    */
+  private case class GMapV(
+      m: scala.collection.mutable.LinkedHashMap[String, (GVal, GVal)])
+      extends GVal
+  private case class GSetV(
+      m: scala.collection.mutable.LinkedHashMap[String, GVal]) extends GVal
   private case object GJson extends GVal
   private case object GObjectNS extends GVal
   private case object GArrayNS extends GVal
@@ -807,6 +819,10 @@ object Gizmo {
                 .map(k => GValue(QValue.Str(k)))
               case GValue(QValue.Str(str)) if isOf =>
                 str.map(ch => GValue(QValue.Str(ch.toString)))
+              case sv: GSetV if isOf => sv.m.values.toSeq
+              case mv: GMapV if isOf => mv.m.values.toSeq.map { case (k, v) =>
+                GArr(scala.collection.mutable.ArrayBuffer(k, v)): GVal
+              }
               case GNull   => Nil
               case other   =>
                 throw GizmoError(s"cannot iterate $other" +
@@ -1414,6 +1430,8 @@ object Gizmo {
             stringCall(s, m, args)
           case (GArr(vs), m) if arrMethods(m) => arrayCall(vs, m, args)
           case (GMath, m) => mathCall(m, args)
+          case (mv: GMapV, m) => mapCall(mv, m, args)
+          case (sv: GSetV, m) => setCall(sv, m, args)
           case (GJson, "stringify") =>
             GValue(QValue.Str(jsonStringify(args.headOption.getOrElse(GNull))))
           case (GJson, "parse") =>
@@ -1444,6 +1462,13 @@ object Gizmo {
             case Some(GValue(QValue.Str(str))) =>
               GArr(scala.collection.mutable.ArrayBuffer.from(
                 str.map(ch => GValue(QValue.Str(ch.toString)): GVal)))
+            case Some(sv: GSetV) =>
+              GArr(scala.collection.mutable.ArrayBuffer.from(sv.m.values))
+            case Some(mv: GMapV) =>
+              GArr(scala.collection.mutable.ArrayBuffer.from(
+                mv.m.values.map { case (k, v) =>
+                  GArr(scala.collection.mutable.ArrayBuffer(k, v)): GVal
+                }))
             case Some(GNull) | None =>
               throw GizmoError("Array.from expects an iterable")
             case Some(other) =>
@@ -1685,6 +1710,67 @@ object Gizmo {
           }
         }
         None
+      }
+
+      /** SameValueZero-ish key for Map/Set: primitives by typed value,
+        * everything else by object identity (like JS reference keys).
+        */
+      private def mapKeyOf(v: GVal): String = v match {
+        case GNumV(d, _) =>
+          "n:" + (if (d.isWhole && !d.isInfinite) d.toLong.toString
+                  else d.toString)
+        case GCount(n)  => "n:" + n
+        case GBoolV(b)  => "b:" + b
+        case GNull      => "null"
+        case GValue(qv) => "q:" + qv.getClass.getSimpleName + ":" + qv.sortKey
+        case other      => "ref:" + System.identityHashCode(other)
+      }
+
+      private def mapCall(mv: GMapV, m: String, args: Seq[GVal]): GVal = m match {
+        case "set" =>
+          mv.m(mapKeyOf(args.head)) =
+            (args.head, args.lift(1).getOrElse(GNull))
+          mv
+        case "get" =>
+          mv.m.get(mapKeyOf(args.head)).map(_._2).getOrElse(GNull)
+        case "has" => GBoolV(mv.m.contains(mapKeyOf(args.head)))
+        case "delete" =>
+          GBoolV(mv.m.remove(mapKeyOf(args.head)).isDefined)
+        case "clear" => mv.m.clear(); GNull
+        case "size" if args.isEmpty =>
+          GNumV(mv.m.size.toDouble, isInt = true)
+        case "forEach" =>
+          val f = arrCb(m, args)
+          mv.m.values.toVector.foreach { case (k, v) =>
+            callFunction(f, Seq(v, k))
+          }
+          GNull
+        case "keys" => GArr(scala.collection.mutable.ArrayBuffer.from(
+          mv.m.values.map(_._1)))
+        case "values" => GArr(scala.collection.mutable.ArrayBuffer.from(
+          mv.m.values.map(_._2)))
+        case "entries" => GArr(scala.collection.mutable.ArrayBuffer.from(
+          mv.m.values.map { case (k, v) =>
+            GArr(scala.collection.mutable.ArrayBuffer(k, v)): GVal
+          }))
+        case other => throw GizmoError(s"unknown Map method .$other")
+      }
+
+      private def setCall(sv: GSetV, m: String, args: Seq[GVal]): GVal = m match {
+        case "add" => sv.m(mapKeyOf(args.head)) = args.head; sv
+        case "has" => GBoolV(sv.m.contains(mapKeyOf(args.head)))
+        case "delete" =>
+          GBoolV(sv.m.remove(mapKeyOf(args.head)).isDefined)
+        case "clear" => sv.m.clear(); GNull
+        case "size" if args.isEmpty =>
+          GNumV(sv.m.size.toDouble, isInt = true)
+        case "forEach" =>
+          val f = arrCb(m, args)
+          sv.m.values.toVector.foreach(v => callFunction(f, Seq(v, v)))
+          GNull
+        case "values" | "keys" =>
+          GArr(scala.collection.mutable.ArrayBuffer.from(sv.m.values))
+        case other => throw GizmoError(s"unknown Set method .$other")
       }
 
       /** Resolve a read property value: accessor properties invoke their
@@ -2055,7 +2141,37 @@ object Gizmo {
             case TIdent(s) => s
             case other => throw GizmoError(s"expected constructor name, got $other")
           }
-          val ctor = env.get(ctorName).getOrElse(
+          val userCtor = env.get(ctorName)
+          if (userCtor.isEmpty && (ctorName == "Map" || ctorName == "Set")) {
+            val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
+            if (ctorName == "Map") {
+              val mv = GMapV(scala.collection.mutable.LinkedHashMap.empty)
+              args.headOption.foreach {
+                case GArr(pairs) => pairs.foreach {
+                  case GArr(kv) if kv.nonEmpty =>
+                    mv.m(mapKeyOf(kv(0))) = (kv(0), kv.lift(1).getOrElse(GNull))
+                  case other =>
+                    throw GizmoError(s"new Map expects [key, value] pairs, got $other")
+                }
+                case GNull => ()
+                case other => throw GizmoError(s"new Map: cannot iterate $other")
+              }
+              return mv
+            } else {
+              val sv = GSetV(scala.collection.mutable.LinkedHashMap.empty)
+              args.headOption.foreach {
+                case GArr(vs) => vs.foreach(v => sv.m(mapKeyOf(v)) = v)
+                case GValue(QValue.Str(str)) =>
+                  str.foreach { ch =>
+                    val v = GValue(QValue.Str(ch.toString)); sv.m(mapKeyOf(v)) = v
+                  }
+                case GNull => ()
+                case other => throw GizmoError(s"new Set: cannot iterate $other")
+              }
+              return sv
+            }
+          }
+          val ctor = userCtor.getOrElse(
             throw GizmoError(s"undefined constructor $ctorName")) match {
             case f: GFunc => f
             case other => throw GizmoError(s"new requires a function, got $other")
@@ -2178,6 +2294,10 @@ object Gizmo {
               case GArr(inner) => vs ++= inner
               case GValue(QValue.Str(str)) =>
                 str.foreach(ch => vs += GValue(QValue.Str(ch.toString)))
+              case sv: GSetV => vs ++= sv.m.values
+              case mv: GMapV => mv.m.values.foreach { case (k, v) =>
+                vs += GArr(scala.collection.mutable.ArrayBuffer(k, v))
+              }
               case GNull => ()
               case other => throw GizmoError(s"cannot spread $other into an array")
             }

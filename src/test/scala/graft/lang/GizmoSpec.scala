@@ -848,6 +848,47 @@ class GizmoSpec extends AnyFunSuite {
       Seq("7"))
   }
 
+  test("Map and Set") {
+    check(
+      """var m = new Map();
+        |m.set("a", 1).set("b", 2).set("a", 9);
+        |g.emit(m.size); g.emit(m.get("a")); g.emit(m.has("c"));
+        |m.delete("b");
+        |g.emit(m.size);
+        |var fromPairs = new Map([["x", 10], ["y", 20]]);
+        |var acc = [];
+        |fromPairs.forEach((v, k) => acc.push(k + ":" + v));
+        |g.emit(acc.join(","))""".stripMargin,
+      Seq("2", "9", "false", "1", "x:10,y:20"))
+    // numeric and string keys are distinct (SameValueZero, not coercion)
+    check(
+      """var m = new Map();
+        |m.set(1, "num").set("1", "str");
+        |g.emit(m.size); g.emit(m.get(1)); g.emit(m.get("1"))""".stripMargin,
+      Seq("2", "num", "str"))
+    check(
+      """var s = new Set([1, 2, 2, 3]);
+        |g.emit(s.size); g.emit(s.has(2));
+        |s.add(4); s.delete(1);
+        |g.emit([...s].join(","));
+        |var uniq = new Set("ababc");
+        |g.emit(Array.from(uniq).join(""))""".stripMargin,
+      Seq("3", "true", "2,3,4", "abc"))
+    // for-of over Set values and Map entries
+    check(
+      """var total = 0;
+        |for (var v of new Set([5, 6])) { total += v; }
+        |var parts = [];
+        |for (var e of new Map([["k", 7]])) { parts.push(e[0] + "=" + e[1]); }
+        |g.emit(total); g.emit(parts.join(","))""".stripMargin,
+      Seq("11", "k=7"))
+    // a user-defined Map class shadows the builtin
+    check(
+      """class Map { constructor() { this.custom = true; } }
+        |g.emit(new Map().custom)""".stripMargin,
+      Seq("true"))
+  }
+
   test("Object.entries and Array.from") {
     check(
       """var o = {a: 1, b: "x"};
