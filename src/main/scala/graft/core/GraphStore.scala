@@ -74,9 +74,13 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
         .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/quads")
     } else quads.write.mode("overwrite").parquet(s"$dir/quads")
     // persist per-predicate counts with the store (the QuadIndexer stats
-    // table): readers get plan-time size folding without running a job
+    // table): readers get plan-time size folding without running a job.
+    // Count from the files just written, not the input plan — when the
+    // quads DataFrame is an expensive uncached pipeline (bulk load), a
+    // second full evaluation would double the load cost.
     val st = predStats.getOrElse(
-      quads.groupBy("p").count().collect()
+      nodes.sparkSession.read.parquet(s"$dir/quads")
+        .groupBy("p").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap)
     val statsJson = st.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
@@ -171,12 +175,17 @@ object Graph {
     // every later scan. Repartition proportionally to input size (~32 MB
     // of compressed text per partition, min 8) — a fixed large count
     // measured SLOWER here: task overhead dominates small cached graphs.
+    // Uncompressed text is SPLITTABLE: the file source already yields
+    // maxPartitionBytes-sized splits, so the repartition would only add a
+    // full shuffle of the raw text before parsing — skip it.
     val lines = spark.read.textFile(path)
+    val compressed = lines.inputFiles.exists(f =>
+      f.endsWith(".gz") || f.endsWith(".bz2"))
     val nPart = math.max(8, (lines.inputFiles.map { f =>
       try new java.io.File(new java.net.URI(f)).length() catch {
         case _: Exception => 0L }
     }.sum / (32L << 20)).toInt)
-    val rows = lines.repartition(nPart)
+    val rows = (if (compressed) lines.repartition(nPart) else lines)
       .flatMap(l => NQuads.parseLine(l).map(QuadRow(_)))
     fromQuadDF(rows.toDF())
   }

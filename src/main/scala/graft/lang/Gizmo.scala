@@ -91,6 +91,18 @@ object Gizmo {
   private case class TOp(s: String) extends Tok
   private case class TRegex(pat: String, flags: String) extends Tok
 
+  /** Parse the hex digits of a \xHH / \uHHHH escape. Malformed digits are
+    * a GizmoError (JS: SyntaxError), not a raw NumberFormatException —
+    * everything the interpreter raises must be catchable by Gizmo
+    * try/catch and rendered as a query error, never a bare JVM exception.
+    */
+  private def hexEscape(digits: String): Int =
+    try Integer.parseInt(digits, 16)
+    catch {
+      case _: NumberFormatException =>
+        throw GizmoError(s"invalid escape sequence \\${digits}")
+    }
+
   private def tokenize(q: String): Vector[Tok] = {
     var toks = Vector.empty[Tok]
     var i = 0
@@ -203,10 +215,10 @@ object Gizmo {
               case '0' if i + 2 >= n || !q.charAt(i + 2).isDigit =>
                 sb.append(0.toChar); i += 2
               case 'x' if i + 3 < n =>
-                sb.append(Integer.parseInt(q.substring(i + 2, i + 4), 16).toChar)
+                sb.append(hexEscape(q.substring(i + 2, i + 4)).toChar)
                 i += 4
               case 'u' if i + 5 < n =>
-                sb.append(Integer.parseInt(q.substring(i + 2, i + 6), 16).toChar)
+                sb.append(hexEscape(q.substring(i + 2, i + 6)).toChar)
                 i += 6
               case other => sb.append(other); i += 2
             }
@@ -1943,7 +1955,7 @@ object Gizmo {
                   case 'b'  => b.append('\b'); i += 1
                   case 'f'  => b.append('\f'); i += 1
                   case 'u' if i + 4 < s.length =>
-                    b.append(Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar)
+                    b.append(hexEscape(s.substring(i + 1, i + 5)).toChar)
                     i += 5
                   case other => fail(s"bad escape \\$other")
                 }
@@ -2231,8 +2243,18 @@ object Gizmo {
                 else (radix, rest0)
               val digits = rest.takeWhile(ch => Character.digit(ch, rdx) >= 0)
               if (digits.isEmpty) GNumV(Double.NaN, isInt = false)
-              else GNumV((sign * java.lang.Long.parseLong(digits, rdx)).toDouble,
-                isInt = true)
+              else
+                try GNumV((sign * java.lang.Long.parseLong(digits, rdx)).toDouble,
+                  isInt = true)
+                catch {
+                  // > Long digits: JS parseInt keeps going in double
+                  // precision rather than raising — accumulate the same
+                  // way (never a raw NumberFormatException to the host)
+                  case _: NumberFormatException =>
+                    val d = digits.foldLeft(0.0)((acc, ch) =>
+                      acc * rdx + Character.digit(ch, rdx))
+                    GNumV(sign * d, isInt = false)
+                }
             case "parseFloat" =>
               val s = renderVal(args.headOption.getOrElse(GNull)).trim
               val m = "^[+-]?(\\d+(\\.\\d*)?|\\.\\d+)([eE][+-]?\\d+)?".r

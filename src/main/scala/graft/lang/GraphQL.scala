@@ -27,8 +27,22 @@ object GraphQL {
   val LimitKey = "first"
   val SkipKey = "offset"
 
-  /** Default per-level page size when a query gives no `first`. */
+  /** Default per-level page size when a query gives no `first`. The
+    * reference iterates unbounded (graphql.go:163 sets limit=-1) — a
+    * deliberate divergence for the served path, where every nesting level
+    * is driver-collected; pass `defaultFirst <= 0` for reference-exact
+    * unbounded behavior. Whenever this default (or [[MaxFirst]]) actually
+    * drops rows, the response carries a top-level `"truncated": true` so
+    * the cap is never silent.
+    */
   val DefaultFirst = 100
+
+  /** Hard server-side ceiling on user-supplied `first` for the served
+    * (HTTP/REPL) path: a request with `first: 10000000` must not re-open
+    * the unbounded driver-materialization door that [[DefaultFirst]]
+    * closes. Clamping is reported via the `"truncated"` indicator.
+    */
+  val MaxFirst = 10000
 
   final case class Field(alias: String, via: String,
                          has: Seq[(String, Seq[QValue])] = Nil,
@@ -188,9 +202,20 @@ object GraphQL {
     *        set must not materialize an unbounded tree on the driver
     *        (each nesting level is collected). <= 0 disables the cap
     *        (the reference's unbounded iteration, graphql.go:217).
+    * @param maxFirst hard ceiling on EXPLICIT `first` values (and on the
+    *        default): the served path passes [[MaxFirst]] so no request
+    *        can driver-materialize an unbounded level. <= 0 disables.
+    *        Whenever defaultFirst or maxFirst actually drops rows the
+    *        result map carries `"truncated" -> true`.
     */
-  final class Session(g: Graph, defaultFirst: Int = DefaultFirst) {
+  final class Session(g: Graph, defaultFirst: Int = DefaultFirst,
+                      maxFirst: Int = -1) {
     import org.apache.spark.sql.expressions.Window
+
+    /** Set when a SILENT cap (default page size or maxFirst clamp — not a
+      * user-requested `first`) dropped at least one row this execute().
+      */
+    private var truncatedFlag = false
 
     private def hid(v: QValue): Long = QValue.id(v)
     private def sk = g.nodes.select(col("id"), col("sk"))
@@ -240,27 +265,62 @@ object GraphQL {
 
     /** Order by value sort-key and paginate per parent. Without pagination
       * this is a plain distributed sort (no single-partition window).
+      * Returns the paged frame plus Some(effectiveLimit) when a SILENT cap
+      * (default page size, or maxFirst clamping an explicit `first`)
+      * applies — in that case one extra row per parent is fetched so the
+      * collector can tell "exactly limit rows" from "rows were dropped".
       */
-    private def orderPage(f: Field, cand: DataFrame): DataFrame = {
-      val limit = if (f.limit >= 0) f.limit else defaultFirst
+    private def orderPage(f: Field, cand: DataFrame): (DataFrame, Option[Int]) = {
+      val requested = if (f.limit >= 0) f.limit else defaultFirst
+      val limit =
+        if (maxFirst > 0 && (requested < 0 || requested > maxFirst)) maxFirst
+        else requested
+      // silent = the user did not ask for this bound: the shipped default,
+      // or the server ceiling clamping a larger explicit request
+      val silent = limit >= 0 && (f.limit < 0 || limit < f.limit)
       val withSk = cand.join(sk, Seq("id"))
       if (f.offset <= 0 && limit < 0)
-        withSk.select("pid", "id", "sk")
+        (withSk.select("pid", "id", "sk"), None)
       else {
         val w = Window.partitionBy("pid").orderBy(col("sk"), col("id"))
         var out = withSk.withColumn("rn", row_number().over(w))
           .where(col("rn") > f.offset)
-        if (limit >= 0) out = out.where(col("rn") <= f.offset + limit)
-        out.select("pid", "id", "sk")
+        if (limit >= 0)
+          out = out.where(col("rn") <= f.offset + limit + (if (silent) 1 else 0))
+        (out.select("pid", "id", "sk"), if (silent) Some(limit) else None)
+      }
+    }
+
+    /** Collect a paged level as (pid, id, sk) rows sorted by
+      * (pid, sk, id). When a silent cap fetched a sentinel extra row for
+      * some parent, drop it and raise the truncation indicator.
+      */
+    private def collectPaged(f: Field, cand: DataFrame): Array[(Long, Long, String)] = {
+      val (df, silentCap) = orderPage(f, cand)
+      val rows = df.orderBy(col("pid"), col("sk"), col("id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      silentCap match {
+        case Some(cap) =>
+          // Array.groupBy preserves per-parent encounter order
+          val trimmed = rows.groupBy(_._1).valuesIterator.flatMap { rs =>
+            if (rs.length > cap) { truncatedFlag = true; rs.take(cap) }
+            else rs
+          }.toArray
+          trimmed.sortBy(r => (r._1, r._3, r._2))
+        case None => rows
       }
     }
 
     def execute(query: String): Map[String, Any] = {
       val roots = parse(query)
-      roots.map { f =>
+      truncatedFlag = false
+      val out = roots.map { f =>
         val frontier = g.nodes.select(lit(0L).as("pid"), col("id"))
         f.alias -> renderField(f, frontier).getOrElse(0L, null)
       }.toMap
+      // a silent cap is never invisible: flag the response when the
+      // default page size or the server ceiling dropped rows
+      if (truncatedFlag) out + ("truncated" -> true) else out
     }
 
     /** Render one field for every parent in the frontier. Returns
@@ -269,9 +329,7 @@ object GraphQL {
       * paged level rows are collected.
       */
     private def renderField(f: Field, frontier: DataFrame): Map[Long, Any] = {
-      val paged = orderPage(f, requireLeaves(f, constrain(f, frontier)))
-      val rows = paged.orderBy(col("pid"), col("sk"), col("id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      val rows = collectPaged(f, requireLeaves(f, constrain(f, frontier)))
       if (rows.isEmpty) return Map.empty
       // the level's (answer-bounded) row set doubles as the next frontier —
       // a local relation, so sub-field hops don't re-execute the upstream
@@ -309,9 +367,8 @@ object GraphQL {
               sub -> renderField(sub, hop(levelIds, sub))
             else {
               // leaf: values per parent, sorted and paged by window
-              val vals = orderPage(sub, hop(levelIds, sub))
-                .orderBy(col("pid"), col("sk"), col("id")).collect()
-                .map(r => (r.getLong(0), r.getString(2)))
+              val vals = collectPaged(sub, hop(levelIds, sub))
+                .map(r => (r._1, r._3))
               sub -> vals.groupBy(_._1).map { case (id, vs) =>
                 id -> multiplicity(vs.map(_._2).toSeq)
               }
@@ -358,4 +415,6 @@ object GraphQL {
   def session(g: Graph): Session = new Session(g)
   def session(g: Graph, defaultFirst: Int): Session =
     new Session(g, defaultFirst)
+  def session(g: Graph, defaultFirst: Int, maxFirst: Int): Session =
+    new Session(g, defaultFirst, maxFirst)
 }

@@ -38,7 +38,11 @@ object QuerySession {
       case "gizmo" =>
         Gizmo.session(g).execute(query, opt.limit).toList
       case "graphql" =>
-        GraphQL.session(g).execute(query)
+        // served path: default page size AND a hard ceiling on explicit
+        // `first` — no HTTP request can driver-materialize an unbounded
+        // level; caps that fire surface as `"truncated": true`
+        GraphQL.session(g, GraphQL.DefaultFirst, GraphQL.MaxFirst)
+          .execute(query)
       case "mql" =>
         val rows = MQL.session(g).execute(query)
         (if (opt.limit > 0) rows.take(opt.limit) else rows).toList

@@ -157,15 +157,23 @@ object QuadStream {
   def benchNgramHashes(bench: DataFrame, idCol: String, textCol: String,
                        n: Int = 8, maxHashes: Long = 50_000_000L): Seq[Long] = {
     import bench.sparkSession.implicits._
-    val distinctH = graft.analytics.Dedup
+    // single evaluation: collect once, check the collected size — a
+    // count() guard before collect() would run the shingle/distinct
+    // pipeline twice. Eval sets are small by definition, so collecting
+    // first is safe; toLocalIterator caps driver exposure at maxHashes
+    // even when the guard is about to fire.
+    val it = graft.analytics.Dedup
       .wordShingleRows(bench, idCol, textCol, n)
-      .select(col("h")).distinct()
-    val cnt = distinctH.count()
-    require(cnt <= maxHashes,
-      s"benchNgramHashes: $cnt distinct n-gram hashes exceeds maxHashes=" +
-        s"$maxHashes — this collects to the driver and is meant for EVAL " +
-        "sets, not corpora; raise maxHashes only if that is intentional")
-    distinctH.as[Long].collect().toSeq
+      .select(col("h")).distinct().as[Long].toLocalIterator()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (it.hasNext) {
+      require(buf.length < maxHashes,
+        s"benchNgramHashes: over $maxHashes distinct n-gram hashes — " +
+          "this collects to the driver and is meant for EVAL sets, not " +
+          "corpora; raise maxHashes only if that is intentional")
+      buf += it.next()
+    }
+    buf.toSeq
   }
 
   /** Event-stream analytics: watermarked tumbling-window counts — the

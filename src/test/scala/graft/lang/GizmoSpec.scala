@@ -1316,4 +1316,24 @@ class GizmoSpec extends AnyFunSuite {
         |g.emit(n)""".stripMargin,
       Seq("0"))
   }
+
+  test("malformed escapes and overflowing parseInt stay inside GizmoError") {
+    // every interpreter failure must surface as GizmoError (catchable by
+    // Gizmo try/catch), never a raw JVM NumberFormatException
+    intercept[Gizmo.GizmoError](session.execute("""var s = "\xZZ";"""))
+    // (\ u split keeps scalac's own unicode-escape pass out of the way)
+    intercept[Gizmo.GizmoError](
+      session.execute("var s = \"\\" + "uZZZZ\";"))
+    intercept[Gizmo.GizmoError](
+      session.execute("""JSON.parse("\"a\\uQQQQb\"");"""))
+    // a Gizmo-level catch sees them too
+    check(
+      """var got = "no";
+        |try { JSON.parse("\"\\uXYZW\""); } catch (e) { got = "caught"; }
+        |g.emit(got)""".stripMargin,
+      Seq("caught"))
+    // parseInt beyond Long.MaxValue follows JS into double precision
+    check("""g.emit(parseInt("99999999999999999999999") > 1e22)""",
+      Seq("true"))
+  }
 }

@@ -176,14 +176,45 @@ class GraphQLSpec extends AnyFunSuite {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
       .cached()
     // a session with a tiny default: an unpaginated level collects at
-    // most defaultFirst objects per parent instead of the full set
+    // most defaultFirst objects per parent instead of the full set.
+    // NOTE this DIVERGES from the reference, which iterates unbounded
+    // (graphql.go:163 limit=-1) — the divergence is deliberate (every
+    // nesting level is driver-collected) and never silent: the response
+    // carries `truncated -> true` whenever the cap drops rows.
     val capped = GraphQL.session(g, 3)
     val got = capped.execute("{ nodes { id } }")
     assert(got("nodes").asInstanceOf[Seq[_]].size === 3)
-    // an explicit `first` overrides the default in either direction
+    assert(got("truncated") === true)
+    // an explicit `first` overrides the default in either direction,
+    // and a user-requested page is pagination, not truncation
     val explicit = capped.execute("{ nodes(first: 5) { id } }")
     assert(explicit("nodes").asInstanceOf[Seq[_]].size === 5)
-    // the shipped default is the reference's page size
-    assert(GraphQL.DefaultFirst === 100)
+    assert(!explicit.contains("truncated"))
+    // defaultFirst <= 0 restores the reference's unbounded behavior
+    val unbounded = GraphQL.session(g, -1).execute("{ nodes { id } }")
+    assert(unbounded("nodes").asInstanceOf[Seq[_]].size > 10)
+    assert(!unbounded.contains("truncated"))
+  }
+
+  test("maxFirst is a hard ceiling on explicit first (served path)") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+      .cached()
+    // `first: 10000000` must not re-open unbounded driver
+    // materialization: the server ceiling clamps it and flags truncation
+    val served = GraphQL.session(g, 3, 4)
+    val clamped = served.execute("{ nodes(first: 10000000) { id } }")
+    assert(clamped("nodes").asInstanceOf[Seq[_]].size === 4)
+    assert(clamped("truncated") === true)
+    // an explicit first within the ceiling is honored untouched
+    val ok = served.execute("{ nodes(first: 2) { id } }")
+    assert(ok("nodes").asInstanceOf[Seq[_]].size === 2)
+    assert(!ok.contains("truncated"))
+    // a capped level that happens to have fewer rows than the cap is
+    // complete, not truncated
+    val small = GraphQL.session(g, 100, 100)
+      .execute("""{ nodes(id: "<alice>") { id } }""")
+    assert(!small.contains("truncated"))
+    // the served path ships default 100 under a 10k ceiling
+    assert(GraphQL.DefaultFirst === 100 && GraphQL.MaxFirst === 10000)
   }
 }

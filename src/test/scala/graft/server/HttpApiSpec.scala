@@ -68,6 +68,25 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("served graphql pages unpaginated levels and clamps huge first") {
+    val empty = Graph.fromQuads(spark, Nil)
+    val api = new HttpApi(empty)
+    val port = api.start()
+    try {
+      // 150 subjects: more than GraphQL.DefaultFirst=100 at one level
+      val nq = (0 until 150).map(i => s"<n$i> <t> <hub> .").mkString("\n")
+      post(port, "/api/v2/write", nq)
+      // unpaginated level → default page cap fires and is NOT silent
+      val gql = post(port, "/api/v2/query?lang=graphql", "{ nodes { id } }")
+      assert(gql.contains("truncated"), gql)
+      // an explicit first beyond MaxFirst is clamped server-side (still
+      // succeeds; the level is small enough that nothing is dropped here)
+      val big = post(port, "/api/v2/query?lang=graphql",
+        "{ nodes(first: 10000000) { id } }")
+      assert(big.contains("n1") && !big.contains("error"), big)
+    } finally api.stop()
+  }
+
   test("read format negotiation and gephi stream") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val api = new HttpApi(g)
