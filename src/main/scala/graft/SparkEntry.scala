@@ -365,6 +365,29 @@ object SparkEntry {
           |""".stripMargin)
         .map(r => (r("region"), r("cnt"))).toDF("region", "cnt")
     }),
+    // Gizmo program exercising regex CAPTURE GROUPS on the Re2 engine:
+    // exec submatches, $n/$-template replace, and match(/re/g) counting
+    "g_gizmo_program6" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """var rows = [];
+          |var re = /^([A-Z]+)_(\d+)$/;
+          |var names = g.V().out(iri("n_name")).unique().toArray();
+          |for (var i = 0; i < names.length; i++) {
+          |  var name = "" + names[i];
+          |  var m = re.exec(name);
+          |  if (m === null) { continue; }
+          |  rows.push({
+          |    word: m[1],
+          |    num: m[2],
+          |    swapped: name.replace(re, "$2-$1"),
+          |    digits: "" + name.match(/\d/g).length
+          |  });
+          |}
+          |for (k in rows) { g.emit(rows[k]); }""".stripMargin)
+        .map(r => (r("word"), r("num"), r("swapped"), r("digits")))
+        .toDF("word", "num", "swapped", "digits")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -605,6 +628,13 @@ object SparkEntry {
         |GROUP BY r.r_name
         |UNION ALL
         |SELECT 't:5', 'x', '0'""".stripMargin,
+    "g_gizmo_program6" ->
+      """SELECT regexp_extract(n_name, '^([A-Z]+)_([0-9]+)$', 1) AS word,
+        |       regexp_extract(n_name, '^([A-Z]+)_([0-9]+)$', 2) AS num,
+        |       regexp_replace(n_name, '^([A-Z]+)_([0-9]+)$', '\2-\1') AS swapped,
+        |       CAST(LENGTH(regexp_replace(n_name, '[^0-9]', '', 'g')) AS VARCHAR) AS digits
+        |FROM nation
+        |WHERE regexp_matches(n_name, '^([A-Z]+)_([0-9]+)$')""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->

@@ -19,9 +19,10 @@ import scala.collection.mutable.ArrayBuffer
   *      100 TB of text. The Pike VM is O(pattern × input) worst case,
   *      RE2's defining guarantee.
   *
-  * Scope: boolean unanchored match (the only use the engine has — Go's
-  * `regexp.MatchString`, mirrored by the DuckDB oracle's
-  * `regexp_matches`). No submatch capture. Surface: literals, `.`,
+  * Scope: boolean unanchored match (Go's `regexp.MatchString`, mirrored
+  * by the DuckDB oracle's `regexp_matches`) plus leftmost-first submatch
+  * capture ([[Prog.find]], Go's `FindStringSubmatchIndex` — feeds Gizmo's
+  * `exec`/`match`/regex `replace`). Surface: literals, `.`,
   * classes (ranges, negation, Perl `\d\s\w`, POSIX `[:alpha:]`, Unicode
   * `\p{L}`/`\pL`/scripts), escapes (`\n`, `\x41`, `\x{10FFFF}`, `\012`,
   * `\Q..\E`), anchors `^ $ \A \z \b \B`, groups (capturing, `(?:`,
@@ -244,6 +245,8 @@ object Re2 {
   private final case class QuestA(x: Ast, greedy: Boolean) extends Ast
   private final case class RepA(x: Ast, min: Int, max: Int, greedy: Boolean) extends Ast
   private final case class AssertA(kind: Int) extends Ast
+  /** Capturing group `idx` (1-based; 0 is the whole match). */
+  private final case class GroupA(idx: Int, x: Ast) extends Ast
 
   // assertion kinds
   private final val ABot = 0 // \A, or ^ without m
@@ -257,6 +260,10 @@ object Re2 {
   private final class Parser(pat: String) {
     private var pos = 0
     private val n = pat.length
+    /** Capture groups, numbered by '(' position like RE2. */
+    private[Re2] var ngroups = 0
+    private[Re2] val groupNames =
+      scala.collection.mutable.Map.empty[Int, String]
 
     private def next(): Int = {
       val c = pat.codePointAt(pos); pos += Character.charCount(c); c
@@ -352,10 +359,15 @@ object Re2 {
                 val name = pat.substring(pos, end)
                 if (name.isEmpty || !name.forall(ch => ch.isLetterOrDigit || ch == '_'))
                   err(s"invalid named capture group: `$name`")
+                if (groupNames.valuesIterator.contains(name))
+                  err(s"duplicate capture group name: `$name`")
                 pos = end + 1
+                ngroups += 1
+                val idx = ngroups // numbered at '(', before the body parses
+                groupNames(idx) = name
                 val inner = alternation(flags)
                 if (!eat(')')) err("missing closing )")
-                terms += inner
+                terms += GroupA(idx, inner)
                 lastRepeatable = true
               } else if (more && (pat.charAt(pos) == '=' || pat.charAt(pos) == '!')) {
                 err("invalid or unsupported Perl syntax: lookahead")
@@ -391,9 +403,11 @@ object Re2 {
                 }
               }
             } else {
+              ngroups += 1
+              val idx = ngroups
               val inner = alternation(flags)
               if (!eat(')')) err("missing closing )")
-              terms += inner
+              terms += GroupA(idx, inner)
               lastRepeatable = true
             }
           case '[' =>
@@ -661,6 +675,22 @@ object Re2 {
   private final val OpJmp = 2 // a1 = target
   private final val OpAssert = 3 // a1 = assertion kind
   private final val OpMatch = 4
+  private final val OpSave = 5 // a1 = capture slot (2*group / 2*group+1)
+
+  /** Capture-group wrappers do not affect the matched TEXT — strip them
+    * so the mandatory-literal prescan sees `a(b)c` as the literal "abc",
+    * not three length-1 fragments.
+    */
+  private def stripGroups(ast: Ast): Ast = ast match {
+    case GroupA(_, x)       => stripGroups(x)
+    case CatA(xs)           => CatA(xs.map(stripGroups))
+    case AltA(xs)           => AltA(xs.map(stripGroups))
+    case StarA(x, g)        => StarA(stripGroups(x), g)
+    case PlusA(x, g)        => PlusA(stripGroups(x), g)
+    case QuestA(x, g)       => QuestA(stripGroups(x), g)
+    case RepA(x, mn, mx, g) => RepA(stripGroups(x), mn, mx, g)
+    case other              => other
+  }
 
   /** Longest literal substring every match must contain (RE2 computes
     * required prefixes the same way): concatenation accumulates adjacent
@@ -699,8 +729,17 @@ object Re2 {
       private val a1: Array[Int],
       private val a2: Array[Int],
       private val sets: Array[CharSet],
-      private val required: String)
+      private val required: String,
+      private val ncap: Int,
+      private val names: Array[String])
       extends Serializable {
+
+    /** Number of capture groups (not counting group 0, the whole match). */
+    def groupCount: Int = ncap
+
+    /** Name of capture group `i` (1-based), or null if unnamed. */
+    def groupName(i: Int): String =
+      if (names != null && i >= 0 && i < names.length) names(i) else null
 
     private def isWord(cp: Int): Boolean =
       (cp >= '0' && cp <= '9') || (cp >= 'A' && cp <= 'Z') ||
@@ -727,6 +766,7 @@ object Re2 {
             case OpJmp    => stack = a1(pc) :: stack
             case OpSplit  => stack = a1(pc) :: a2(pc) :: stack
             case OpAssert => stack = (pc + 1) :: stack
+            case OpSave   => stack = (pc + 1) :: stack
             case OpChar =>
               if (sets(a1(pc)).firstInfo(mask)) nonAscii = true
             case _ => anyStart = true
@@ -774,6 +814,8 @@ object Re2 {
               case OpSplit =>
                 stack(sp) = a2(pc); sp += 1
                 stack(sp) = a1(pc); sp += 1
+              case OpSave => // boolean match: captures are pass-through
+                stack(sp) = pc + 1; sp += 1
               case OpAssert =>
                 val ok = (a1(pc): @annotation.switch) match {
                   case ABot => prev == -1
@@ -838,6 +880,122 @@ object Re2 {
       }
       false
     }
+
+    /** Leftmost-first submatch search from `from` (Go
+      * `FindStringSubmatchIndex` semantics, which JS exec shares). Returns
+      * the slot array `[m0s, m0e, g1s, g1e, …]` in Java char indices with
+      * -1 for unset groups, or null when there is no match. Same Pike VM
+      * as [[matches]] — O(input × prog) — with threads carrying capture
+      * slots, copied on write at each OpSave (slot arrays are small; a
+      * thread forks its captures only when it actually records one).
+      */
+    def find(s: String, from: Int): Array[Int] = {
+      if (required.length > 0 && s.indexOf(required, from) < 0) return null
+      val np = ops.length
+      val nslots = 2 * (ncap + 1)
+      val mark = new Array[Int](np)
+      val stackPc = new Array[Int](2 * np + 4)
+      val stackCaps = new Array[Array[Int]](2 * np + 4)
+      var clistPc = new Array[Int](np)
+      var clistCaps = new Array[Array[Int]](np)
+      var nlistPc = new Array[Int](np)
+      var nlistCaps = new Array[Array[Int]](np)
+      var clen = 0
+      var gen = 0
+      var matched: Array[Int] = null
+
+      // `pos` is the string index a thread stands at (where an OpSave
+      // records); `prev`/`cur` drive assertions exactly like matches()
+      def add(listPc: Array[Int], listCaps: Array[Array[Int]], len0: Int,
+              pc0: Int, caps0: Array[Int], pos: Int,
+              prev: Int, cur: Int): Int = {
+        var len = len0
+        var sp = 0
+        stackPc(sp) = pc0; stackCaps(sp) = caps0; sp += 1
+        while (sp > 0) {
+          sp -= 1
+          val pc = stackPc(sp)
+          val caps = stackCaps(sp)
+          if (mark(pc) != gen) {
+            mark(pc) = gen
+            (ops(pc): @annotation.switch) match {
+              case OpJmp =>
+                stackPc(sp) = a1(pc); stackCaps(sp) = caps; sp += 1
+              case OpSplit =>
+                stackPc(sp) = a2(pc); stackCaps(sp) = caps; sp += 1
+                stackPc(sp) = a1(pc); stackCaps(sp) = caps; sp += 1
+              case OpSave =>
+                val nc = caps.clone(); nc(a1(pc)) = pos
+                stackPc(sp) = pc + 1; stackCaps(sp) = nc; sp += 1
+              case OpAssert =>
+                val ok = (a1(pc): @annotation.switch) match {
+                  case ABot => prev == -1
+                  case AEot => cur == -1
+                  case ABol => prev == -1 || prev == '\n'.toInt
+                  case AEol => cur == -1 || cur == '\n'.toInt
+                  case AWb  => isWord(prev) != isWord(cur)
+                  case _    => isWord(prev) == isWord(cur)
+                }
+                if (ok) { stackPc(sp) = pc + 1; stackCaps(sp) = caps; sp += 1 }
+              case _ =>
+                listPc(len) = pc; listCaps(len) = caps; len += 1
+            }
+          }
+        }
+        len
+      }
+
+      val slen = s.length
+      var i = math.max(0, math.min(from, slen))
+      var prev = if (i == 0) -1 else s.codePointBefore(i)
+      var cur = if (i >= slen) -1 else s.codePointAt(i)
+      gen += 1
+      clen = add(clistPc, clistCaps, 0, 0,
+        Array.fill(nslots)(-1), i, prev, cur)
+      while (true) {
+        val ni = if (cur == -1) i else i + Character.charCount(cur)
+        val nxt = if (cur == -1) -1 else if (ni >= slen) -1 else s.codePointAt(ni)
+        gen += 1
+        var nlen = 0
+        var k = 0
+        var cut = false
+        while (k < clen && !cut) {
+          val pc = clistPc(k)
+          if (ops(pc) == OpMatch) {
+            // leftmost-first: this is the best match reachable from the
+            // still-live HIGHER-priority threads' failure — record it and
+            // cut every lower-priority thread at this position
+            matched = clistCaps(k)
+            cut = true
+          } else if (ops(pc) == OpChar && cur != -1 &&
+            sets(a1(pc)).matches(cur))
+            nlen = add(nlistPc, nlistCaps, nlen, pc + 1, clistCaps(k),
+              ni, cur, nxt)
+          k += 1
+        }
+        if (cur == -1) return matched
+        var t = clistPc; clistPc = nlistPc; nlistPc = t
+        val tc = clistCaps; clistCaps = nlistCaps; nlistCaps = tc
+        clen = nlen
+        i = ni; prev = cur; cur = nxt
+        if (matched != null) {
+          // no new attempts may start right of a found match
+          if (clen == 0) return matched
+        } else {
+          if (clen == 0) {
+            while (cur != -1 && !canStart(cur)) {
+              i += Character.charCount(cur)
+              prev = cur
+              cur = if (i >= slen) -1 else s.codePointAt(i)
+            }
+            gen += 1
+          }
+          clen = add(clistPc, clistCaps, clen, 0,
+            Array.fill(nslots)(-1), i, prev, cur)
+        }
+      }
+      matched
+    }
   }
 
   private final class Compiler {
@@ -860,6 +1018,10 @@ object Re2 {
       case EmptyA     => ()
       case ChrA(cs)   => emit(OpChar, setIdx(cs))
       case AssertA(k) => emit(OpAssert, k)
+      case GroupA(idx, x) =>
+        emit(OpSave, 2 * idx)
+        comp(x)
+        emit(OpSave, 2 * idx + 1)
       case CatA(xs)   => xs.foreach(comp)
       case AltA(xs) =>
         val jmps = ArrayBuffer.empty[Int]
@@ -921,10 +1083,15 @@ object Re2 {
         }
     }
 
-    def compile(ast: Ast, required: String): Prog = {
+    def compile(ast: Ast, required: String, ncap: Int,
+                names: Array[String]): Prog = {
+      // group 0 = the whole match, saved around the entire program
+      emit(OpSave, 0)
       comp(ast)
+      emit(OpSave, 1)
       emit(OpMatch)
-      new Prog(ops.toArray, a1.toArray, a2.toArray, sets.toArray, required)
+      new Prog(ops.toArray, a1.toArray, a2.toArray, sets.toArray, required,
+        ncap, names)
     }
   }
 
@@ -933,8 +1100,12 @@ object Re2 {
     * syntax RE2 rejects. Compiled programs are immutable and thread-safe.
     */
   def compile(pattern: String): Prog = {
-    val ast = new Parser(pattern).parse()
-    new Compiler().compile(ast, mandatoryLiteral(ast))
+    val p = new Parser(pattern)
+    val ast = p.parse()
+    val names = new Array[String](p.ngroups + 1)
+    p.groupNames.foreach { case (i, nm) => names(i) = nm }
+    new Compiler().compile(ast, mandatoryLiteral(stripGroups(ast)),
+      p.ngroups, names)
   }
 
   /** Convenience: one-shot unanchored match. */

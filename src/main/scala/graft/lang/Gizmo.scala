@@ -45,7 +45,13 @@ import graft.shape.ValueFilter._
   * through a scope chain — a callback closing over an outer `var` reads
   * and writes the variable itself), `try`/`catch`/`finally` + `throw`
   * (host GizmoErrors surface as Error-shaped objects, as goja wraps Go
-  * errors), regex literals `/pat/imsg` (the RE2-backed regex() filter),
+  * errors), regex literals `/pat/imsg` with full CAPTURE-GROUP support
+  * on the Re2 Pike VM (`re.exec(s)` → [full, g1, …] or null,
+  * `re.test`, `s.match(re)` incl. /g, `s.search(re)`, `s.split(re)`
+  * with captures in the output, and regex `s.replace`/`s.replaceAll`
+  * with ECMAScript GetSubstitution templates ($$, $&, backtick/quote
+  * context refs, $1…$99, $&lt;name&gt;) or a callback
+  * `(match, g1…gn, offset, whole)`),
   * method chains, `g.M()` morphisms, value builders
   * (iri/bnode/gt/lt/regex/like), finals (all/getLimit/count/toArray/
   * tagArray/toValue/tagValue), `g.emit(...)`, `function(x){...}`
@@ -102,6 +108,29 @@ object Gizmo {
       case _: NumberFormatException =>
         throw GizmoError(s"invalid escape sequence \\${digits}")
     }
+
+  /** Driver-side compiled-regex cache: exec/match/replace inside loops
+    * would otherwise recompile their pattern on every call. Patterns are
+    * program literals so growth is bounded in practice; cleared
+    * defensively past 1024 entries anyway.
+    */
+  private val reCache =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.functions.Re2.Prog]()
+  private def reProg(pat: String): graft.functions.Re2.Prog = {
+    val hit = reCache.get(pat)
+    if (hit != null) hit
+    else {
+      val p =
+        try graft.functions.Re2.compile(pat)
+        catch {
+          case e: graft.functions.Re2Compat.Re2SyntaxError =>
+            throw GizmoError(s"invalid regex: ${e.getMessage}")
+        }
+      if (reCache.size > 1024) reCache.clear()
+      reCache.putIfAbsent(pat, p)
+      p
+    }
+  }
 
   private def tokenize(q: String): Vector[Tok] = {
     var toks = Vector.empty[Tok]
@@ -304,7 +333,7 @@ object Gizmo {
     * wrong type", gizmo_test.go:195); traversal filters require the
     * regex() builder. Usable driver-side via .test(s), backed by Re2.
     */
-  private case class GRegex(pat: String) extends GVal
+  private case class GRegex(pat: String, global: Boolean = false) extends GVal
   private case class GNumV(d: Double, isInt: Boolean) extends GVal
   private case class GBoolV(b: Boolean) extends GVal
   // rendered rows (what the session returns) + raw bindings (what loop
@@ -1511,11 +1540,17 @@ object Gizmo {
           case (f: GFunc, "prototype") if args.isEmpty => f.proto
           case (f: GFunc, nm) if args.isEmpty && f.statics.contains(nm) =>
             resolveProp(f, f.statics(nm))
-          case (GRegex(pat), "test") =>
+          case (GRegex(pat, _), "test") =>
             // unanchored search, like JS RegExp.test — on the Re2 engine
-            GBoolV(graft.functions.Re2.matches(pat, renderVal(args.head)))
-          case (GRegex(pat), "source") if args.isEmpty =>
+            GBoolV(reProg(pat).find(renderVal(args.head), 0) != null)
+          case (GRegex(pat, _), "exec") =>
+            // JS RegExp.exec: [full, group1, …] (undefined→null for unset
+            // groups) or null — submatches from the Re2 Pike VM
+            execArr(pat, renderVal(args.head), 0)
+          case (GRegex(pat, _), "source") if args.isEmpty =>
             GValue(QValue.Str(pat))
+          case (GRegex(_, global), "global") if args.isEmpty =>
+            GBoolV(global)
           case (obj @ GObj(om), field) if args.isEmpty =>
             resolveProp(obj, protoLookup(om, field).getOrElse(GNull))
           case (GTagMap(tm), field) if args.isEmpty =>
@@ -1524,11 +1559,118 @@ object Gizmo {
         }
       }
 
+      /** Submatch slots → JS exec result array ([full, g1, …], unset
+        * groups as null), or GNull when there is no match.
+        */
+      private def execArr(pat: String, s: String, from: Int): GVal = {
+        val sl = reProg(pat).find(s, from)
+        if (sl == null) GNull
+        else GArr(scala.collection.mutable.ArrayBuffer.from(
+          (0 until sl.length / 2).map { g =>
+            if (sl(2 * g) < 0) GNull
+            else GValue(QValue.Str(s.substring(sl(2 * g), sl(2 * g + 1))))
+          }))
+      }
+
+      /** JS replacement-template expansion: $$ $& $` $' $1…$99 $<name>.
+        * Unset-but-valid groups expand to ""; an invalid $n stays
+        * literal (ECMAScript GetSubstitution).
+        */
+      private def expandDollar(tmpl: String, s: String, start: Int,
+                               end: Int, groups: IndexedSeq[String],
+                               p: graft.functions.Re2.Prog): String = {
+        // java.lang.StringBuilder: the 3-arg append(CharSequence,from,to)
+        // exists here; on scala's StringBuilder it would auto-tuple
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < tmpl.length) {
+          val c = tmpl.charAt(i)
+          if (c == '$' && i + 1 < tmpl.length) {
+            tmpl.charAt(i + 1) match {
+              case '$'  => sb.append('$'); i += 2
+              case '&'  => sb.append(groups(0)); i += 2
+              case '`'  => sb.append(s, 0, start); i += 2
+              case '\'' => sb.append(s, end, s.length); i += 2
+              case d if d.isDigit =>
+                val two =
+                  if (i + 2 < tmpl.length && tmpl.charAt(i + 2).isDigit)
+                    (d - '0') * 10 + (tmpl.charAt(i + 2) - '0')
+                  else -1
+                if (two >= 1 && two <= p.groupCount) {
+                  sb.append(Option(groups(two)).getOrElse("")); i += 3
+                } else if (d - '0' >= 1 && d - '0' <= p.groupCount) {
+                  sb.append(Option(groups(d - '0')).getOrElse("")); i += 2
+                } else { sb.append(c); i += 1 }
+              case '<' =>
+                val close = tmpl.indexOf('>', i + 2)
+                val byName =
+                  if (close < 0) None
+                  else {
+                    val nm = tmpl.substring(i + 2, close)
+                    (1 to p.groupCount).find(g => p.groupName(g) == nm)
+                  }
+                byName match {
+                  case Some(g) =>
+                    sb.append(Option(groups(g)).getOrElse(""))
+                    i = close + 1
+                  case None => sb.append(c); i += 1
+                }
+              case _ => sb.append(c); i += 1
+            }
+          } else { sb.append(c); i += 1 }
+        }
+        sb.toString
+      }
+
+      /** Regex-driven String.replace: first match, or every match when
+        * `all`. `by` is a template string or a callback
+        * (match, g1…gn, offset, whole) — JS semantics including the
+        * advance-by-one rule after an empty match.
+        */
+      private def regexReplace(s: String, pat: String, all: Boolean,
+                               by: GVal): GVal = {
+        val p = reProg(pat)
+        val sb = new java.lang.StringBuilder
+        var at = 0
+        var done = false
+        while (!done && at <= s.length) {
+          val sl = p.find(s, at)
+          if (sl == null) done = true
+          else {
+            sb.append(s, at, sl(0))
+            val groups: IndexedSeq[String] = (0 until sl.length / 2).map {
+              g =>
+                if (sl(2 * g) < 0) null
+                else s.substring(sl(2 * g), sl(2 * g + 1))
+            }
+            by match {
+              case f: GFunc =>
+                val fargs = groups.map { gv =>
+                  if (gv == null) GNull else GValue(QValue.Str(gv))
+                } ++ Seq(GNumV(sl(0).toDouble, isInt = true),
+                  GValue(QValue.Str(s)))
+                sb.append(renderVal(callFunction(f, fargs.toSeq)))
+              case other =>
+                sb.append(expandDollar(argStrOne(other), s, sl(0), sl(1),
+                  groups, p))
+            }
+            at = sl(1)
+            if (sl(1) == sl(0)) { // empty match: emit one char, step past
+              if (at < s.length) sb.append(s.charAt(at))
+              at += 1
+            }
+            if (!all) done = true
+          }
+        }
+        if (at < s.length) sb.append(s, at, s.length)
+        GValue(QValue.Str(sb.toString))
+      }
+
       private val strMethods = Set("indexOf", "substring", "slice",
         "toLowerCase", "toUpperCase", "charAt", "trim", "split", "replace",
         "startsWith", "endsWith", "includes", "contains", "concat",
         "lastIndexOf", "charCodeAt", "repeat", "padStart", "padEnd",
-        "replaceAll")
+        "replaceAll", "match", "search")
 
       /** JS String.prototype subset (the reference's goja VM exposes the
         * full prototype; these are the methods its corpus and docs use).
@@ -1556,19 +1698,81 @@ object Gizmo {
             gstr(if (from <= to) s.substring(from, to)
               else if (m == "substring") s.substring(to, from) // JS swaps
               else "")
-          case "split" =>
-            val parts =
-              if (args.isEmpty) Seq(s)
-              else if (a0.isEmpty) s.map(_.toString)
-              else {
-                // literal separator split, -1 to keep trailing empties (JS)
-                s.split(java.util.regex.Pattern.quote(a0), -1).toSeq
+          case "split" => args.headOption match {
+            case Some(GRegex(pat, _)) =>
+              // ES SplitMatcher via repeated find: capture groups join
+              // the output, empty matches never produce empty segments
+              // at the current split point
+              val p = reProg(pat)
+              val out = scala.collection.mutable.ArrayBuffer.empty[GVal]
+              if (s.isEmpty) {
+                if (p.find(s, 0) == null) out += gstr(s)
+              } else {
+                var p0 = 0
+                var q = 0
+                while (q < s.length) {
+                  val sl = p.find(s, q)
+                  if (sl == null || sl(0) >= s.length) q = s.length
+                  else if (sl(1) == p0) q = sl(0) + 1
+                  else {
+                    out += gstr(s.substring(p0, sl(0)))
+                    (1 until sl.length / 2).foreach { g =>
+                      out += (if (sl(2 * g) < 0) GNull
+                        else gstr(s.substring(sl(2 * g), sl(2 * g + 1))))
+                    }
+                    p0 = sl(1)
+                    q = if (sl(1) == sl(0)) sl(0) + 1 else sl(1)
+                  }
+                }
+                out += gstr(s.substring(p0))
               }
-            GArr(scala.collection.mutable.ArrayBuffer.from(parts.map(gstr)))
-          case "replace" => // first occurrence, literal (JS string arg)
-            val by = argStrOne(args(1))
-            val at = s.indexOf(a0)
-            gstr(if (at < 0) s else s.substring(0, at) + by + s.substring(at + a0.length))
+              GArr(out)
+            case _ =>
+              val parts =
+                if (args.isEmpty) Seq(s)
+                else if (a0.isEmpty) s.map(_.toString)
+                else {
+                  // literal separator split, -1 keeps trailing empties (JS)
+                  s.split(java.util.regex.Pattern.quote(a0), -1).toSeq
+                }
+              GArr(scala.collection.mutable.ArrayBuffer.from(parts.map(gstr)))
+          }
+          case "match" => args.headOption match {
+            // non-global: exec result; global: every full match (JS)
+            case Some(GRegex(pat, global)) =>
+              if (!global) execArr(pat, s, 0)
+              else {
+                val p = reProg(pat)
+                val out = scala.collection.mutable.ArrayBuffer.empty[GVal]
+                var at = 0
+                var done = false
+                while (!done && at <= s.length) {
+                  val sl = p.find(s, at)
+                  if (sl == null) done = true
+                  else {
+                    out += gstr(s.substring(sl(0), sl(1)))
+                    at = if (sl(1) == sl(0)) sl(1) + 1 else sl(1)
+                  }
+                }
+                if (out.isEmpty) GNull else GArr(out)
+              }
+            case _ => throw GizmoError(".match expects a regex literal")
+          }
+          case "search" => args.headOption match {
+            case Some(GRegex(pat, _)) =>
+              val sl = reProg(pat).find(s, 0)
+              GNumV(if (sl == null) -1 else sl(0).toDouble, isInt = true)
+            case _ => throw GizmoError(".search expects a regex literal")
+          }
+          case "replace" => args.head match {
+            case GRegex(pat, global) => // all matches iff /g (JS)
+              regexReplace(s, pat, all = global, args(1))
+            case _ => // first occurrence, literal (JS string arg)
+              val by = argStrOne(args(1))
+              val at = s.indexOf(a0)
+              gstr(if (at < 0) s
+                else s.substring(0, at) + by + s.substring(at + a0.length))
+          }
           case "startsWith" => GBoolV(s.startsWith(a0))
           case "endsWith"   => GBoolV(s.endsWith(a0))
           case "includes" | "contains" => GBoolV(s.contains(a0))
@@ -1592,8 +1796,15 @@ object Gizmo {
                 .take(target - s.length)
               gstr(if (m == "padStart") fill + s else s + fill)
             }
-          case "replaceAll" => // every occurrence, literal
-            gstr(s.replace(a0, argStrOne(args(1))))
+          case "replaceAll" => args.head match {
+            case GRegex(pat, global) =>
+              if (!global) // JS TypeError
+                throw GizmoError(
+                  "replaceAll must be called with a global RegExp")
+              regexReplace(s, pat, all = true, args(1))
+            case _ => // every occurrence, literal
+              gstr(s.replace(a0, argStrOne(args(1))))
+          }
           case other    => throw GizmoError(s"unknown string method .$other")
         }
       }
@@ -2295,13 +2506,14 @@ object Gizmo {
             case _ => throw GizmoError(s"undefined variable $name")
           })
         case TRegex(pat, flags) =>
-          // JS flags map to RE2 inline flags ('g' is a JS iteration
-          // detail — no meaning for matching itself)
+          // JS flags map to RE2 inline flags; 'g' has no meaning for a
+          // single match but drives match()/replace() iteration
           val inline = flags.filter(_ != 'g').distinct.map {
             case f @ ('i' | 'm' | 's') => f
             case f => throw GizmoError(s"unsupported regex flag '$f'")
           }
-          GRegex(if (inline.isEmpty) pat else s"(?$inline)$pat")
+          GRegex(if (inline.isEmpty) pat else s"(?$inline)$pat",
+            global = flags.contains('g'))
         case TStr(s) => GValue(strToValue(s))
         case TNum(s) =>
           if (s.matches("-?\\d+")) GNumV(s.toDouble, isInt = true)

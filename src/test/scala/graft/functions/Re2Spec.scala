@@ -301,4 +301,157 @@ class Re2Spec extends AnyFunSuite {
     }
     assert(checked > 3000)
   }
+
+  // ------------------------------------------------------- submatch capture
+
+  private def slots(pat: String, in: String): Array[Int] =
+    Re2.compile(pat).find(in, 0)
+  private def groups(pat: String, in: String): Seq[String] = {
+    val sl = slots(pat, in)
+    assert(sl != null, s"`$pat` should match `$in`")
+    (0 until sl.length / 2).map { g =>
+      if (sl(2 * g) < 0) null else in.substring(sl(2 * g), sl(2 * g + 1))
+    }
+  }
+
+  test("submatch: basic groups, leftmost-first") {
+    assert(groups("(a+)(b+)", "xxaaabbby") === Seq("aaabbb", "aaa", "bbb"))
+    assert(groups("a(b|c)d", "zacdz") === Seq("acd", "c"))
+    // leftmost wins over longer matches further right
+    assert(groups("(a+)", "aXaaa") === Seq("a", "a"))
+    // alternation priority: first branch preferred
+    assert(groups("(a|ab)", "ab") === Seq("a", "a"))
+    // lazy vs greedy
+    assert(groups("a(.*)c", "abcbc") === Seq("abcbc", "bcb"))
+    assert(groups("a(.*?)c", "abcbc") === Seq("abc", "b"))
+  }
+
+  test("submatch: unset, empty, nested, and repeated groups") {
+    assert(groups("(a)|(b)", "b") === Seq("b", null, "b"))
+    assert(groups("(a*)b", "b") === Seq("b", ""))
+    // nested groups record both levels
+    assert(groups("((a+)b)+", "aabab") === Seq("aabab", "ab", "a"))
+    // quantified group keeps its LAST iteration (Go/JS agree)
+    assert(groups("(a|b)+", "ab") === Seq("ab", "b"))
+    assert(slots("(x)(y)", "xz") === null)
+  }
+
+  test("submatch: named groups and groupCount") {
+    val p = Re2.compile("(?P<year>\\d{4})-(?P<month>\\d{2})")
+    assert(p.groupCount === 2)
+    assert(p.groupName(1) === "year" && p.groupName(2) === "month")
+    val sl = p.find("on 2026-08-13", 0)
+    assert("on 2026-08-13".substring(sl(2), sl(3)) === "2026")
+    assert("on 2026-08-13".substring(sl(4), sl(5)) === "08")
+  }
+
+  test("submatch: find from an offset (exec /g resume)") {
+    val p = Re2.compile("(\\d+)")
+    val s = "a12b345c"
+    val m1 = p.find(s, 0)
+    assert(s.substring(m1(0), m1(1)) === "12")
+    val m2 = p.find(s, m1(1))
+    assert(s.substring(m2(0), m2(1)) === "345")
+    assert(p.find(s, m2(1)) === null)
+    // \b still sees the true left context when resuming mid-string
+    val wb = Re2.compile("\\bb\\w+")
+    assert(wb.find("ab bc", 1) != null) // resumes inside "ab": next hit "bc"
+    val at = wb.find("ab bc", 1)
+    assert("ab bc".substring(at(0), at(1)) === "bc")
+  }
+
+  test("submatch: surrogate pairs produce Java char indices") {
+    val s = "x😀y" // x😀y
+    val sl = slots("(\\p{So})y", s)
+    assert(sl != null && s.substring(sl(2), sl(3)) === "😀")
+  }
+
+  test("submatch agreement with java.util.regex (randomized)") {
+    // same shared-dialect grammar as the boolean differential; both
+    // engines are leftmost-first with Perl alternation/greed priority,
+    // so match AND group spans must agree exactly
+    val rnd = new scala.util.Random(20260813L)
+    val alphabet = "abcAB _9"
+    def randAtom(depth: Int): String = rnd.nextInt(if (depth > 2) 6 else 8) match {
+      case 0 =>
+        val c = alphabet(rnd.nextInt(alphabet.length))
+        if (c == ' ') "\\ " else c.toString
+      case 1 => "[ab9]"
+      case 2 => "[^c]"
+      case 3 => "\\d"
+      case 4 => "\\w"
+      case 5 => "."
+      case 6 => "(" + randExpr(depth + 1) + ")"
+      case 7 => "(?:" + randExpr(depth + 1) + ")"
+    }
+    def randTerm(depth: Int): String = {
+      val a = randAtom(depth)
+      // a LOOP (*/+/{n,m}) around an empty-matching atom is the known
+      // Java-vs-ECMAScript divergence family (Java's Loop exits on a
+      // zero-length iteration without backtracking into the other
+      // alternative; JS fails the empty iteration and backtracks — this
+      // engine follows JS). Only `?` (artifact covered below) and loops
+      // around non-empty atoms are in the shared dialect.
+      val canBeEmpty =
+        try java.util.regex.Pattern.compile(a).matcher("").matches()
+        catch { case _: Exception => true }
+      rnd.nextInt(5) match {
+        case 0 if !canBeEmpty => a + "*"
+        case 1 if !canBeEmpty => a + "+"
+        case 2 => a + "?"
+        case 3 if !canBeEmpty => a + "{1,2}"
+        case _ => a
+      }
+    }
+    def randExpr(depth: Int): String = {
+      val terms = (0 to rnd.nextInt(3)).map(_ => randTerm(depth)).mkString
+      if (rnd.nextInt(4) == 0 && depth < 3) terms + "|" + randTerm(depth)
+      else if (terms.isEmpty) "a" else terms
+    }
+    var checked = 0
+    (1 to 400).foreach { _ =>
+      val pat = randExpr(0)
+      val jp =
+        try Some(java.util.regex.Pattern.compile(pat))
+        catch { case _: Exception => None }
+      jp.foreach { p =>
+        val mine = Re2.compile(pat)
+        (1 to 10).foreach { _ =>
+          val in = (0 until rnd.nextInt(12))
+            .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+          val jm = p.matcher(in)
+          val sl = mine.find(in, 0)
+          if (!jm.find()) assert(sl == null, s"`$pat` on `$in`: java no-match")
+          else {
+            assert(sl != null, s"`$pat` on `$in`: java matched, re2 did not")
+            assert(sl(0) == jm.start() && sl(1) == jm.end(),
+              s"`$pat` on `$in`: span re2=(${sl(0)},${sl(1)}) " +
+                s"java=(${jm.start()},${jm.end()})")
+            (1 to jm.groupCount()).foreach { g =>
+              val (js, je) = (jm.start(g), jm.end(g))
+              // Documented divergence: Java lets a quantified group run a
+              // zero-width iteration and records the empty span, where
+              // ECMAScript (and this engine) reject zero-width iterations
+              // — /(\d*)*/.exec("x") is ["", undefined] in JS but group
+              // (0,0) in Java; /(\d*)*\w?/ on "9 " keeps "9" in JS but
+              // Java overwrites with the trailing (1,1). So: skip the
+              // comparison whenever Java's group is a zero-width span
+              // (the artifact family); when Java leaves a group unset,
+              // this engine may at most differ by an empty span;
+              // everything else must agree exactly.
+              if (js == je && js >= 0) () // zero-width-iteration artifact
+              else if (js < 0)
+                assert(sl(2 * g) < 0 || sl(2 * g) == sl(2 * g + 1),
+                  s"`$pat` on `$in` group $g: re2=(${sl(2 * g)},${sl(2 * g + 1)}) java=unset")
+              else
+                assert(sl(2 * g) == js && sl(2 * g + 1) == je,
+                  s"`$pat` on `$in` group $g: re2=(${sl(2 * g)},${sl(2 * g + 1)}) java=($js,$je)")
+            }
+          }
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 3000)
+  }
 }

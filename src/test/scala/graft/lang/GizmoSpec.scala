@@ -1317,6 +1317,59 @@ class GizmoSpec extends AnyFunSuite {
       Seq("0"))
   }
 
+  test("regex capture groups: exec, match, search, split") {
+    // exec: [full, g1, ...] with null for unset groups; null on no match
+    check(
+      """var m = /(\d{4})-(\d{2})/.exec("on 2026-08-13 we shipped");
+        |g.emit(m[0]); g.emit(m[1]); g.emit(m[2]);
+        |g.emit(/x(y)?/.exec("xz")[1] === null);
+        |g.emit(/nope/.exec("abc") === null)""".stripMargin,
+      Seq("2026-08", "2026", "08", "true", "true"))
+    // named groups via template expansion come from the same machinery;
+    // exec only carries positional entries (JS .groups is documented out)
+    check(
+      """var m = "a12b345".match(/\d+/g);
+        |g.emit(m.length); g.emit(m[0]); g.emit(m[1]);
+        |g.emit("a12b".match(/(\d+)/)[1]);
+        |g.emit("abc".match(/z/g) === null);
+        |g.emit("xaybz".search(/b/)); g.emit("xay".search(/q/))""".stripMargin,
+      Seq("2", "12", "345", "12", "true", "3", "-1"))
+    check(
+      """var parts = "a1b22c".split(/\d+/);
+        |g.emit(parts.join("|"));
+        |g.emit("a1b2c".split(/(\d)/).join("|"))""".stripMargin,
+      Seq("a|b|c", "a|1|b|2|c"))
+  }
+
+  test("regex replace: templates, callbacks, global flag") {
+    check(
+      """g.emit("2026-08-13".replace(/(\d+)-(\d+)-(\d+)/, "$3/$2/$1"));
+        |g.emit("a1b2".replace(/\d/, "#"));
+        |g.emit("a1b2".replace(/\d/g, "#"));
+        |g.emit("ab".replace(/b/, "[$&][$`][$$]"));
+        |g.emit("x".replace(/x/, "$99"))""".stripMargin,
+      Seq("13/08/2026", "a#b2", "a#b#", "a[b][a][$]", "$99"))
+    // callback form gets (match, groups..., offset, whole)
+    check(
+      """var out = "a1b22".replace(/(\d+)/g, function (m, d, off) {
+        |  return "<" + parseInt(d) * 2 + "@" + off + ">";
+        |});
+        |g.emit(out)""".stripMargin,
+      Seq("a<2@1>b<44@3>"))
+    // named-group template expansion on the RE2 (?P<name>) form
+    check(
+      """g.emit("2026-08".replace(/(?P<y>\d{4})-(?P<m>\d{2})/, "$<m> of $<y>"));
+        |g.emit("aaa".replaceAll(/a/g, "b"))""".stripMargin,
+      Seq("08 of 2026", "bbb"))
+    intercept[Gizmo.GizmoError] { // JS TypeError parity
+      session.execute(""""aaa".replaceAll(/a/, "b");""")
+    }
+    // filter(/re/) must STAY an error (gizmo_test.go:195)
+    intercept[Gizmo.GizmoError] {
+      session.execute("""g.V().filter(/re/).all();""")
+    }
+  }
+
   test("malformed escapes and overflowing parseInt stay inside GizmoError") {
     // every interpreter failure must surface as GizmoError (catchable by
     // Gizmo try/catch), never a raw JVM NumberFormatException
