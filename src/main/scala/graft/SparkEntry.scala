@@ -999,6 +999,43 @@ object SparkEntry {
       val total = decoded.count()
       Seq(total == 200 && bad == 0).toDF("contract_ok")
     }),
+    // image near-dup via 64-bit pHash + banded Hamming join: 200 BMPs in
+    // 25 gradient families (8 near-identical variants each, one pixel
+    // nudged per variant), exactness contract = the banded pipeline's
+    // pair set EQUALS brute force over the same hashes (pigeonhole
+    // recall 1, exact verify precision 1), with pairs actually present
+    "mm_phash" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val group = (id % 25).toInt
+          val variant = ((id / 25) % 8).toInt
+          val w = 32; val h = 32
+          val px = Array.tabulate(w * h * 3) { i =>
+            val p = i / 3
+            val x = p % w; val y = p / w
+            val base = (x * (3 + group) + y * (5 + 2 * group)) % 251
+            (if (x == variant && y == variant) (base + 40) % 251
+             else base).toByte
+          }
+          (id, "image", Multimodal.encodeBmp(w, h, px))
+        }.toDF("media_id", "kind", "payload")
+      val hashed = Multimodal.imagePhashes(media).cache()
+      val banded = Multimodal.phashPairs(media, maxHamming = 6)
+        .select("id_a", "id_b")
+      val brute = hashed.select(col("media_id").as("id_a"),
+          col("phash").as("ha"))
+        .join(hashed.select(col("media_id").as("id_b"),
+          col("phash").as("hb")), col("id_a") < col("id_b"))
+        .where(bit_count(col("ha").bitwiseXOR(col("hb"))) <= 6)
+        .select("id_a", "id_b")
+      val nBrute = brute.count()
+      val diff = banded.exceptAll(brute).count() +
+        brute.exceptAll(banded).count()
+      Seq(hashed.count() == 200 && nBrute > 0 && diff == 0)
+        .toDF("contract_ok")
+    }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -1345,6 +1382,7 @@ object SparkEntry {
     // multimodal resize pipeline: exact-contract boolean (decode ->
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",
+    "mm_phash" -> "SELECT TRUE AS contract_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6

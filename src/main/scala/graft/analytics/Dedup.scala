@@ -487,29 +487,44 @@ object Dedup {
     * the scale cost of a larger radius).
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3): DataFrame =
+    hammingBandPairs(
+      simhashes(df, idCol, textCol).select(col("id"), col("sim").as("h")),
+      SimhashBits, maxHamming)
+
+  /** Banded Hamming self-join over a `bits`-wide hash table `(id, h)` —
+    * the pigeonhole machinery shared by [[simhashPairs]] (60-bit text
+    * simhash) and [[Multimodal.phashPairs]] (64-bit image pHash): split
+    * the hash into `maxHamming + 1` bands so any pair within the radius
+    * agrees exactly on at least one band, equi-join on (band, key), then
+    * verify with an exact bit_count — bands are candidate generators
+    * ONLY, membership is always the exact test, so the result equals
+    * brute force by construction. The verify runs BEFORE the dedup
+    * shuffle so only true pairs (≤ bands copies each) get shuffled.
+    */
+  private[graft] def hammingBandPairs(hashed: DataFrame, bits: Int,
+                                      maxHamming: Int): DataFrame = {
     val bands = maxHamming + 1
-    val sh = simhashes(df, idCol, textCol)
-    // band j covers bits [j*60/bands, (j+1)*60/bands) — boundaries are
-    // plan-time constants
+    // band j covers bits [j*bits/bands, (j+1)*bits/bands) — plan-time
+    // constants; a full-width band masks with -1 (1L<<64 wraps)
     val bandKeys = array((0 until bands).map { j =>
-      val start = j * SimhashBits / bands
-      val width = (j + 1) * SimhashBits / bands - start
-      shiftrightunsigned(col("sim"), start).bitwiseAND(lit((1L << width) - 1))
+      val start = j * bits / bands
+      val width = (j + 1) * bits / bands - start
+      val mask = if (width >= 64) lit(-1L) else lit((1L << width) - 1)
+      shiftrightunsigned(col("h"), start).bitwiseAND(mask)
     }: _*)
-    // cache: both sides of the band-bucket self-join — uncached, the token
-    // explode + 60 bit-sum aggregates would run twice
-    val banded = sh.select(col("id"), col("sim"),
+    // cache: both sides of the band-bucket self-join — uncached, the
+    // hash computation (token explode + bit sums, or an image decode)
+    // would run twice
+    val banded = hashed.select(col("id"), col("h"),
       posexplode(bandKeys).as(Seq("bandIdx", "bandKey")))
       .cache()
     banded.alias("l").join(banded.alias("r"),
         col("l.bandIdx") === col("r.bandIdx") &&
           col("l.bandKey") === col("r.bandKey") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        bit_count(col("l.sim").bitwiseXOR(col("r.sim"))).cast("long")
+        bit_count(col("l.h").bitwiseXOR(col("r.h"))).cast("long")
           .as("hamming"))
-      // membership test is a bitwise op — run it BEFORE the dedup shuffle
-      // so only true pairs (≤ bands copies each) get shuffled
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }

@@ -278,6 +278,103 @@ object Multimodal {
     bb.array()
   }
 
+  /** 64-bit perceptual hash (classic pHash) of an uncompressed 24-bit
+    * BMP: grayscale 32×32 nearest-neighbor downsample → separable 2-D
+    * DCT-II → the low-frequency 8×8 block thresholded on its mean
+    * (excluding DC). Visually-near images differ in few bits; the
+    * Hamming distance is the near-dup metric. None for payloads that are
+    * not decodable BMPs (codec formats are the documented stub boundary).
+    */
+  private[graft] def phashBmp(b: Array[Byte]): Option[Long] =
+    decodeBmpPixels(b).map { case (w, rows, px) =>
+      val N = 32
+      val g = new Array[Double](N * N)
+      var y = 0
+      while (y < N) {
+        val sy = (y.toLong * rows / N).toInt
+        var x = 0
+        while (x < N) {
+          val sx = (x.toLong * w / N).toInt
+          val s = (sy * w + sx) * 3 // BGR
+          g(y * N + x) = 0.114 * (px(s) & 0xFF) + 0.587 * (px(s + 1) & 0xFF) +
+            0.299 * (px(s + 2) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      // DCT-II, separable: rows then columns; only the first 8 output
+      // frequencies of each pass are ever used, so compute just those
+      val K = 8
+      val cosT = Array.tabulate(K, N)((k, n) =>
+        math.cos(((2 * n + 1) * k * math.Pi) / (2.0 * N)))
+      def alpha(k: Int): Double =
+        if (k == 0) math.sqrt(1.0 / N) else math.sqrt(2.0 / N)
+      val tmp = new Array[Double](K * N) // tmp(v)(x): DCT over y
+      var v = 0
+      while (v < K) {
+        var x = 0
+        while (x < N) {
+          var acc = 0.0
+          var yy = 0
+          while (yy < N) { acc += g(yy * N + x) * cosT(v)(yy); yy += 1 }
+          tmp(v * N + x) = alpha(v) * acc
+          x += 1
+        }
+        v += 1
+      }
+      val dct = new Array[Double](K * K)
+      v = 0
+      while (v < K) {
+        var u = 0
+        while (u < K) {
+          var acc = 0.0
+          var xx = 0
+          while (xx < N) { acc += tmp(v * N + xx) * cosT(u)(xx); xx += 1 }
+          dct(v * K + u) = alpha(u) * acc
+          u += 1
+        }
+        v += 1
+      }
+      var mean = 0.0
+      var i = 1
+      while (i < K * K) { mean += dct(i); i += 1 }
+      mean /= (K * K - 1)
+      var bitsOut = 0L
+      i = 0
+      while (i < K * K) {
+        if (dct(i) > mean) bitsOut |= (1L << i)
+        i += 1
+      }
+      bitsOut
+    }
+
+  /** `(media_id, phash)` for decodable BMP rows, partition-at-a-time (the
+    * decoder-init boundary, like [[extractFeatures]]); undecodable rows
+    * drop out rather than polluting the near-dup space with stub hashes.
+    */
+  def imagePhashes(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (p == null) None else phashBmp(p).map(h => (id, h))
+      })
+      .toDF("media_id", "phash")
+  }
+
+  /** Image near-duplicate pairs: pHash each image, then the same banded
+    * Hamming pigeonhole join + exact verify as text simhash
+    * ([[Dedup.hammingBandPairs]], 64-bit variant). Output equals brute
+    * force over the hashes by construction — bands only generate
+    * candidates; at scale the shuffle carries (id, hash) postings, never
+    * image bytes.
+    */
+  def phashPairs(media: DataFrame, maxHamming: Int = 6): DataFrame =
+    Dedup.hammingBandPairs(
+      imagePhashes(media)
+        .select(col("media_id").as("id"), col("phash").as("h")),
+      bits = 64, maxHamming = maxHamming)
+
   /** Metadata-only operations stay pure column expressions — filtering by
     * resolution/duration must prune without touching payload bytes
     * (column pruning keeps the binary column out of the scan entirely).

@@ -494,4 +494,46 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(docs.where(col("doc_id") === 0)
       .select(TextOps.qualityOk(col("text"))).as[Boolean].head() === true)
   }
+
+  private def gradBmp(seed: Int, nudge: Int): Array[Byte] = {
+    val w = 32; val h = 32
+    val px = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      val base = (x * (3 + seed) + y * (5 + 2 * seed)) % 251
+      (if (nudge >= 0 && x == nudge && y == nudge) (base + 40) % 251
+       else base).toByte
+    }
+    Multimodal.encodeBmp(w, h, px)
+  }
+
+  test("pHash: identical BMPs collide, one-pixel nudges stay near") {
+    def ph(b: Array[Byte]): Long = Multimodal.phashBmp(b).get
+    assert(ph(gradBmp(1, -1)) === ph(gradBmp(1, -1)))
+    (0 until 8).foreach { n =>
+      val d = java.lang.Long.bitCount(ph(gradBmp(1, -1)) ^ ph(gradBmp(1, n)))
+      assert(d <= 6, s"nudge $n drifted $d bits")
+    }
+    // non-BMP payloads yield no hash (stub boundary, not a fake hash)
+    assert(Multimodal.phashBmp("not an image".getBytes) === None)
+  }
+
+  test("phashPairs: banded Hamming join equals brute force over hashes") {
+    val rnd = new scala.util.Random(42)
+    val media = (0 until 60).map { i =>
+      (i.toLong, "image",
+        gradBmp(i % 8, if (rnd.nextBoolean()) rnd.nextInt(8) else -1))
+    }.toDF("media_id", "kind", "payload")
+    val hs = Multimodal.imagePhashes(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hs.size === 60)
+    val banded = Multimodal.phashPairs(media, maxHamming = 6)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys
+      if a < b && java.lang.Long.bitCount(hs(a) ^ hs(b)) <= 6
+    } yield (a, b)).toSet
+    assert(brute.nonEmpty) // planted same-family variants must pair up
+    assert(banded === brute)
+  }
 }
