@@ -417,6 +417,22 @@ object Bench {
       } catch {
         case e: Throwable => errors(s"${tag}_ivf_q_probe") = errText(e)
       }
+      // product-quantized store at N×: the ADC scan reads 8 code bytes
+      // per 64-dim vector (vs 72 for int8) — the probe's byte floor
+      val pqDir = s"/tmp/graft_ivfpq$tag"
+      try {
+        smoke(s"${tag}_ivf_pq_write") {
+          Similarity.ivfWritePq(embX, pqDir, "vec_id", "embedding",
+            nCells = 16, m = 8)
+        }
+        smoke(s"${tag}_ivf_pq_probe") {
+          noop(Similarity.ivfStoreTopKPq(spark, pqDir,
+            embX.where(col("vec_id") < 10), "vec_id", "embedding",
+            k = 10, nprobe = 8))
+        }
+      } catch {
+        case e: Throwable => errors(s"${tag}_ivf_pq_probe") = errText(e)
+      }
     }
     if (wants("x10")) scaleTier(10, full = true)
     // the 100× tier: the judge's scale-proof block (47 M quads / 500 k

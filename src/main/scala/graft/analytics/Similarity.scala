@@ -434,6 +434,161 @@ object Similarity {
         .as("recall_ok"))
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** Product-quantized IVF store (IVFADC, Jégou et al. TPAMI 2011): same
+    * cell-partitioned layout, but the scoring copy of each vector is `m`
+    * PQ code BYTES (8 for dim 64 — 32× below float32, 9× below the int8
+    * layout) plus the precomputed norm. At 100 TB of embeddings the
+    * probe sweep is byte-bound: this is the difference between reading
+    * ~25 TB (float) / ~6 TB (int8) and ~1 TB per full-corpus sweep.
+    * Codebooks train driver-side on a bounded sample (standard PQ
+    * recipe — they are m·k·subDim doubles, generalize from a sample, and
+    * a distributed k-means over all rows would add jobs for no recall).
+    */
+  def ivfWritePq(emb: DataFrame, dir: String, idCol: String,
+                 vecCol: String, nCells: Int = 16, m: Int = 8,
+                 kCodes: Int = 256, iters: Int = 3,
+                 sampleN: Int = 16384): Unit = {
+    import graft.functions.PqVec
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells, iters)
+    val sample = emb.select(col(vecCol)).limit(sampleN).collect()
+      .map(_.getSeq[Any](0).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray)
+    val books = PqVec.train(sample, m, kCodes)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+        PqVec.encode(col(vecCol), books).as("pq"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("norm"),
+        cellExpr(col(vecCol), cents).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    val json = cents.map(_.mkString("[", ",", "]"))
+      .mkString("{\"centroids\":[", ",", "]}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/ivf_meta.json"),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // PQ sidecar: shape + ONE flat centroid array (regex-parseable like
+    // the ivf sidecar)
+    val pqJson = s"""{"m":${books.m},"k":${books.k},""" +
+      s""""subDim":${books.subDim},""" +
+      books.flat.mkString("\"flat\":[", ",", "]}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/pq_meta.json"),
+      pqJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Load the PQ codebook sidecar of an [[ivfWritePq]] store. */
+  def ivfReadPqBooks(dir: String): graft.functions.PqVec.Books = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/pq_meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def intOf(key: String): Int =
+      ("\"" + key + "\"\\s*:\\s*(\\d+)").r.findFirstMatchIn(json).get
+        .group(1).toInt
+    val flat = "\\[([^\\[\\]]*)\\]".r.findFirstMatchIn(json).get
+      .group(1).split(',').map(_.trim.toDouble)
+    graft.functions.PqVec.Books(intOf("m"), intOf("k"), intOf("subDim"), flat)
+  }
+
+  /** Batched top-k over an [[ivfWritePq]] store: the partition-pruned
+    * candidate scan reads ONLY (cell, id, pq, norm) — m code bytes per
+    * row — and scores by ADC table lookup (the probe's m×k lut is
+    * computed once driver-side and broadcast as a column). The exact
+    * rerank then reads full vectors for the k·rerank sliver, exactly
+    * like the int8 path — PQ only ever reorders the shortlist.
+    */
+  def ivfStoreTopKPq(spark: org.apache.spark.sql.SparkSession,
+                     dir: String, probes: DataFrame, idCol: String,
+                     vecCol: String, k: Int, nprobe: Int = 4,
+                     rerank: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.PqVec
+    val cents = ivfReadCentroids(dir)
+    val books = ivfReadPqBooks(dir)
+    val pb = probes.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        posexplode(array(cents.toIndexedSeq.map { c =>
+          dot(col(vecCol), typedLit(c.toSeq))
+        }: _*)).as(Seq("cell", "cscore")))
+    val pw = Window.partitionBy("query_id")
+      .orderBy(col("cscore").desc, col("cell"))
+    val pcPlan = pb
+      .withColumn("rn", row_number().over(pw)).where(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"),
+        sqrt(dot(col("qv"), col("qv"))).as("pnorm"), col("cell"))
+    // tiny by construction (probes × nprobe rows): collect once, attach
+    // each probe's ADC lut driver-side, rebuild a local relation
+    val pcRows = pcPlan.collect()
+    val withLut = pcRows.map { r =>
+      val q = r.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+      org.apache.spark.sql.Row.fromSeq(
+        r.toSeq :+ (PqVec.lut(q, books).toSeq: Seq[Double]))
+    }
+    val probeCells = spark.createDataFrame(
+      java.util.Arrays.asList(withLut: _*),
+      pcPlan.schema.add("lut", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType)))
+    val cells = pcRows.map(_.getInt(3)).distinct.toSeq
+    // ADC scan: code bytes + norm only; float32 never read here
+    val corpusQ = spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id"), col("pq"), col("norm"))
+    val aw = Window.partitionBy("query_id")
+      .orderBy(col("ascore").desc, col("id"))
+    val cand = corpusQ.join(broadcast(probeCells), Seq("cell"))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("cell"), col("qv"),
+        col("norm"), col("pnorm"),
+        when(col("norm") * col("pnorm") === 0, lit(-1.0))
+          .otherwise(PqVec.adc(col("pq"), col("lut")) /
+            (col("norm") * col("pnorm"))).as("ascore"))
+      .withColumn("rn", row_number().over(aw))
+      .where(col("rn") <= k.toLong * rerank)
+      .drop("rn", "ascore")
+    val full = spark.read.parquet(s"$dir/vectors")
+      .where(col("cell").isin(cells: _*))
+      .select(col("cell"), col("id"), col("v"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    full.join(broadcast(cand), Seq("cell", "id"))
+      .select(col("query_id"), col("id"),
+        when(col("norm") * col("pnorm") === 0, lit(-1.0))
+          .otherwise(dot(col("v"), col("qv")) /
+            (col("norm") * col("pnorm"))).as("score"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Contract for the IVF-PQ store path: mean recall@k vs the exact
+    * batch top-k, end-to-end through a real on-disk store (same
+    * anchoring as [[ivfQuantizedMeanRecallAtK]]).
+    */
+  def ivfPqMeanRecallAtK(emb0: DataFrame, probes: DataFrame,
+                         idCol: String, vecCol: String, k: Int,
+                         minMeanRecall: Double, dir: String,
+                         nCells: Int = 16, m: Int = 8, nprobe: Int = 4,
+                         rerank: Int = 8): DataFrame = {
+    val emb = emb0.cache()
+    ivfWritePq(emb, dir, idCol, vecCol, nCells, m)
+    val spark = emb.sparkSession
+    val ann = ivfStoreTopKPq(spark, dir, probes, idCol, vecCol, k,
+        nprobe, rerank)
+      .select("query_id", "id")
+    val exact = batchTopK(emb, probes, idCol, vecCol, k)
+      .select("query_id", "id")
+    val hits = ann.join(exact, Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    probes.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(((avg(coalesce(col("hits"), lit(0L))) / k) >= minMeanRecall)
+        .as("recall_ok"))
+  }
+
   /** IVF verification contract: MEAN recall@k over the probe batch vs the
     * exact batch top-k (anchored on the probe set — a probe with zero
     * recovered neighbors counts 0, it does not drop out). Mean rather than

@@ -175,17 +175,22 @@ object Graph {
     // every later scan. Repartition proportionally to input size (~32 MB
     // of compressed text per partition, min 8) — a fixed large count
     // measured SLOWER here: task overhead dominates small cached graphs.
-    // Uncompressed text is SPLITTABLE: the file source already yields
-    // maxPartitionBytes-sized splits, so the repartition would only add a
-    // full shuffle of the raw text before parsing — skip it.
+    // LARGE uncompressed text is SPLITTABLE: the file source already
+    // yields maxPartitionBytes-sized splits, so a repartition would only
+    // add a full shuffle of the raw text before parsing — skip it. Small
+    // uncompressed inputs still repartition: file packing can collapse
+    // them to a couple of partitions, serializing the parse AND the
+    // cached quads exactly like the gz case.
     val lines = spark.read.textFile(path)
     val compressed = lines.inputFiles.exists(f =>
       f.endsWith(".gz") || f.endsWith(".bz2"))
-    val nPart = math.max(8, (lines.inputFiles.map { f =>
+    val totalBytes = lines.inputFiles.map { f =>
       try new java.io.File(new java.net.URI(f)).length() catch {
         case _: Exception => 0L }
-    }.sum / (32L << 20)).toInt)
-    val rows = (if (compressed) lines.repartition(nPart) else lines)
+    }.sum
+    val nPart = math.max(8, (totalBytes / (32L << 20)).toInt)
+    val naturallySplit = !compressed && totalBytes >= (64L << 20)
+    val rows = (if (naturallySplit) lines else lines.repartition(nPart))
       .flatMap(l => NQuads.parseLine(l).map(QuadRow(_)))
     fromQuadDF(rows.toDF())
   }

@@ -448,6 +448,67 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ok)
   }
 
+  test("pq codec: exact on centroids, bounded ADC error, byte layout") {
+    import graft.functions.PqVec
+    val rnd = new scala.util.Random(7)
+    val samples = Array.fill(512)(Array.fill(16)(rnd.nextDouble() * 2 - 1))
+    val books = PqVec.train(samples, m = 4, k0 = 16)
+    assert(books.subDim === 4 && books.flat.length === 4 * 16 * 4)
+    // a vector assembled FROM centroids round-trips with zero ADC error
+    val ideal = Array.tabulate(16) { d =>
+      val j = d / 4
+      books.flat((j * 16 + 3) * 4 + (d % 4)) // centroid 3 of each subspace
+    }
+    val code = PqVec.encodeFlat(ideal, books.flat, 4, 16)
+    assert(code.length === 4)
+    val q = Array.fill(16)(rnd.nextDouble() * 2 - 1)
+    val lutArr = PqVec.lut(q, books)
+    val adc = (0 until 4).map(j => lutArr(j * 16 + (code(j) & 0xff))).sum
+    val exact = (0 until 16).map(d => q(d) * ideal(d)).sum
+    assert(math.abs(adc - exact) < 1e-9)
+    // arbitrary vectors: ADC approximates the true dot within the
+    // quantization radius (loose sanity bound, not a tight guarantee)
+    val errs = samples.take(64).map { v =>
+      val c = PqVec.encodeFlat(v, books.flat, 4, 16)
+      val a = (0 until 4).map(j => lutArr(j * 16 + (c(j) & 0xff))).sum
+      val e = (0 until 16).map(d => q(d) * v(d)).sum
+      math.abs(a - e)
+    }
+    assert(errs.sum / errs.length < 1.0, s"mean ADC error ${errs.sum / 64}")
+  }
+
+  test("ivf-pq store: recall, rerank exactness, only code bytes scanned") {
+    val rnd = new scala.util.Random(23)
+    val emb = (0L until 60L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    Similarity.ivfWritePq(emb, dir, "vec_id", "embedding", nCells = 4,
+      m = 4, kCodes = 32)
+    val probes = emb.where(col("vec_id") < 3)
+    // full scan + generous rerank: PQ can only reorder the shortlist, so
+    // the exact rerank must reproduce the exact top-k
+    val full = Similarity.ivfStoreTopKPq(spark, dir, probes,
+      "vec_id", "embedding", k = 2, nprobe = 4, rerank = 30)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding", k = 2)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(full === exact)
+    // the ADC scan must read neither the float32 vectors nor an int8 copy
+    val pruned = Similarity.ivfStoreTopKPq(spark, dir, probes,
+      "vec_id", "embedding", k = 2, nprobe = 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
+    assert(scanSchemas.exists(s => s.contains("pq") && !s.contains("v:")),
+      s"expected a code-bytes-only scan schema:\n$plan")
+    // end-to-end contract harness through a fresh store
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq2").toString
+    val ok = Similarity.ivfPqMeanRecallAtK(emb, probes, "vec_id",
+      "embedding", k = 2, minMeanRecall = 1.0, dir = dir2, nCells = 4,
+      m = 4, nprobe = 4, rerank = 30).head.getBoolean(0)
+    assert(ok)
+  }
+
   test("text ops: tokens, langid, fingerprint, quality") {
     val r = docs.select(col("doc_id"),
       TextOps.tokenCount(col("text")).as("nt"),
