@@ -388,6 +388,34 @@ object SparkEntry {
         .map(r => (r("word"), r("num"), r("swapped"), r("digits")))
         .toDF("word", "num", "swapped", "digits")
     }),
+    // Gizmo program exercising the deterministic UTC-only Date subset:
+    // construction (ISO string + Date.UTC fields), getUTC* accessors,
+    // date arithmetic (millis), and toISOString emit rendering
+    "g_gizmo_program7" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """var rows = [];
+          |var re = /^NATION_(\d+)$/;
+          |var base = new Date("2020-01-01T00:00:00Z");
+          |var names = g.V().out(iri("n_name")).unique().toArray();
+          |for (var i = 0; i < names.length; i++) {
+          |  var name = "" + names[i];
+          |  var m = re.exec(name);
+          |  if (m === null) { continue; }
+          |  var k = parseInt(m[1]);
+          |  var d = new Date(Date.UTC(2020, 0, 1 + k, k % 24));
+          |  rows.push({
+          |    name: name,
+          |    iso: d.toISOString(),
+          |    dow: "" + d.getUTCDay(),
+          |    days: "" + Math.floor((d - base) / 86400000),
+          |    hour: "" + d.getUTCHours()
+          |  });
+          |}
+          |rows.forEach(function(r) { g.emit(r); });""".stripMargin)
+        .map(r => (r("name"), r("iso"), r("dow"), r("days"), r("hour")))
+        .toDF("name", "iso", "dow", "days", "hour")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -635,6 +663,22 @@ object SparkEntry {
         |       CAST(LENGTH(regexp_replace(n_name, '[^0-9]', '', 'g')) AS VARCHAR) AS digits
         |FROM nation
         |WHERE regexp_matches(n_name, '^([A-Z]+)_([0-9]+)$')""".stripMargin,
+    // DuckDB dayofweek is Sunday=0, matching JS getUTCDay; the ISO string
+    // is pinned to the JS toISOString form (millis + 'Z')
+    "g_gizmo_program7" ->
+      """WITH n AS (
+        |  SELECT n_name,
+        |         CAST(regexp_extract(n_name, '^NATION_([0-9]+)$', 1) AS INT) AS k
+        |  FROM nation WHERE regexp_matches(n_name, '^NATION_([0-9]+)$')
+        |)
+        |SELECT n_name AS name,
+        |       strftime(TIMESTAMP '2020-01-01 00:00:00' + to_days(k)
+        |                + to_hours(k % 24),
+        |                '%Y-%m-%dT%H:%M:%S.000Z') AS iso,
+        |       CAST(dayofweek(DATE '2020-01-01' + k) AS VARCHAR) AS dow,
+        |       CAST(k AS VARCHAR) AS days,
+        |       CAST(k % 24 AS VARCHAR) AS hour
+        |FROM n""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->
@@ -764,6 +808,17 @@ object SparkEntry {
       Similarity.ivfQuantizedMeanRecallAtK(emb,
         emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10,
         minMeanRecall = 0.6, dir = dir, nCells = 16, nprobe = 8)
+    }),
+    // product-quantized IVF store (IVFADC): 8 code bytes per 64-dim
+    // vector on the scoring scan (32× below float32), ADC lookup
+    // scoring, exact rerank — recall contract vs the exact batch top-k
+    "sim_ivf_pq" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_pq").toString
+      Similarity.ivfPqMeanRecallAtK(emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10,
+        minMeanRecall = 0.6, dir = dir, nCells = 16, m = 8, nprobe = 8)
     }),
     // exact all-pairs embedding-cosine near-dup (ids only) — the
     // small-corpus/oracle anchor; the scale default is the banded path
@@ -1389,6 +1444,7 @@ object SparkEntry {
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",
     "sim_ivf_q" -> "SELECT TRUE AS recall_ok",
+    "sim_ivf_pq" -> "SELECT TRUE AS recall_ok",
     // batched ANN: every probe must recover >= 2 of its exact top-3
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_batch_ann" -> "SELECT TRUE AS recall_ok",

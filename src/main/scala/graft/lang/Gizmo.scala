@@ -71,6 +71,12 @@ import graft.shape.ValueFilter._
   * arrays; iterable by for-of/spread/Array.from),
   * `Array.isArray`, the global conversions parseInt/parseFloat/isNaN/
   * String/Number/Boolean, `.length`,
+  * `Date` in its DETERMINISTIC UTC-only form (`new Date(iso|millis|
+  * y,m,d,…)`, `Date.UTC`/`Date.parse`, `getTime`/`valueOf`, the
+  * `getUTC*` accessor family — local `get*` aliases to UTC, there is
+  * no host zone — `getTimezoneOffset()` = 0, `toISOString`/`toJSON`;
+  * argless `new Date()` and `Date.now()` stay errors because oracle
+  * queries must replay identically),
   * and namespaces (addNamespace/addDefaultNamespaces).
   *
   * Getters/setters are supported in object literals and class bodies
@@ -334,6 +340,16 @@ object Gizmo {
     * regex() builder. Usable driver-side via .test(s), backed by Re2.
     */
   private case class GRegex(pat: String, global: Boolean = false) extends GVal
+  private case object GDateNS extends GVal
+  /** JS Date, DETERMINISTIC + UTC-ONLY: constructed from epoch millis,
+    * an ISO-8601 string, or numeric (y, m, d, …) fields interpreted as
+    * UTC. The non-deterministic surface — argless `new Date()` and
+    * `Date.now()` — stays a documented error (oracle queries must be
+    * replayable), and there is no local-time zone: `getFullYear` et al.
+    * alias their `getUTC*` forms and `getTimezoneOffset()` is 0.
+    * Renders (emit/string-concat/JSON) as the `toISOString()` form.
+    */
+  private case class GDateV(millis: Long) extends GVal
   private case class GNumV(d: Double, isInt: Boolean) extends GVal
   private case class GBoolV(b: Boolean) extends GVal
   // rendered rows (what the session returns) + raw bindings (what loop
@@ -1423,6 +1439,7 @@ object Gizmo {
             .map { case (k, gv) => k -> renderVal(resolveProp(obj, gv)) }
             .toMap
         case GArr(vs)    => vs.foreach(emit)
+        case d: GDateV   => out = out :+ Map("id" -> renderVal(d))
         case GNull       =>
         case other       => throw GizmoError(s"cannot emit $other")
       }
@@ -1473,6 +1490,8 @@ object Gizmo {
           case (GMath, m) => mathCall(m, args)
           case (mv: GMapV, m) => mapCall(mv, m, args)
           case (sv: GSetV, m) => setCall(sv, m, args)
+          case (GDateNS, m)   => dateStaticCall(m, args)
+          case (dv: GDateV, m) => dateCall(dv, m, args)
           case (GJson, "stringify") =>
             GValue(QValue.Str(jsonStringify(args.headOption.getOrElse(GNull))))
           case (GJson, "parse") =>
@@ -1996,6 +2015,117 @@ object Gizmo {
         case other => throw GizmoError(s"unknown Set method .$other")
       }
 
+      // ------------------------------------------------------------ Date
+
+      /** Parse the deterministic Date input forms to UTC epoch millis:
+        * ISO date (`2020-01-02`), ISO date-time with optional fractional
+        * seconds and offset (`2020-01-02T03:04[:05[.sss]][Z|±HH:MM]`).
+        * UTC-only engine: a missing offset means UTC (JS would read the
+        * host zone — non-deterministic, so deliberately diverged).
+        */
+      private def parseDateMs(s0: String): Long = {
+        val s = s0.trim
+        val iso = ("^(\\d{4})-(\\d{2})-(\\d{2})" +
+          "(?:[T ](\\d{2}):(\\d{2})(?::(\\d{2})(?:\\.(\\d{1,3}))?)?" +
+          "(Z|[+-]\\d{2}:?\\d{2})?)?$").r
+        s match {
+          case iso(y, mo, d, hh, mi, ss, fr, off) =>
+            def i(x: String, dflt: Int = 0) = if (x == null) dflt else x.toInt
+            val ms = if (fr == null) 0 else (fr + "00").take(3).toInt
+            try {
+              val odt = java.time.OffsetDateTime.of(
+                i(y), i(mo), i(d), i(hh), i(mi), i(ss), ms * 1000000,
+                java.time.ZoneOffset.UTC)
+              val offMs: Long = off match {
+                case null | "Z" => 0L
+                case o =>
+                  val sign = if (o.charAt(0) == '-') -1L else 1L
+                  val digits = o.substring(1).replace(":", "")
+                  sign * (digits.take(2).toLong * 3600000L +
+                    digits.drop(2).toLong * 60000L)
+              }
+              odt.toInstant.toEpochMilli - offMs
+            } catch {
+              case e: java.time.DateTimeException =>
+                throw GizmoError(s"invalid date '$s': ${e.getMessage}")
+            }
+          case _ => throw GizmoError(
+            s"cannot parse date '$s' (ISO-8601 only; Date is UTC-only)")
+        }
+      }
+
+      /** JS `toISOString()`: always milliseconds, always `Z`. */
+      private def isoOf(ms: Long): String =
+        java.time.format.DateTimeFormatter
+          .ofPattern("uuuu-MM-dd'T'HH:mm:ss.SSS'Z'")
+          .withZone(java.time.ZoneOffset.UTC)
+          .format(java.time.Instant.ofEpochMilli(ms))
+
+      /** `new Date(...)` from the deterministic argument forms. */
+      private def dateFromArgs(args: Seq[GVal]): GDateV = args match {
+        case Seq() => throw GizmoError(
+          "new Date() without arguments is non-deterministic; pass an " +
+            "ISO-8601 string, epoch millis, or (y, m, d, ...) UTC fields")
+        case Seq(GDateV(ms)) => GDateV(ms)
+        case Seq(GValue(QValue.Str(s))) => GDateV(parseDateMs(s))
+        case Seq(one) if num(one).isDefined => GDateV(num(one).get.toLong)
+        case many if many.length >= 2 && many.forall(num(_).isDefined) =>
+          val f = many.map(num(_).get.toInt).padTo(7, 0)
+          try {
+            val odt = java.time.OffsetDateTime.of(
+              f(0), f(1) + 1, math.max(f(2), 1), f(3), f(4), f(5),
+              f(6) * 1000000, java.time.ZoneOffset.UTC)
+            GDateV(odt.toInstant.toEpochMilli)
+          } catch {
+            case e: java.time.DateTimeException =>
+              throw GizmoError(s"invalid date fields: ${e.getMessage}")
+          }
+        case other => throw GizmoError(s"new Date: cannot construct from $other")
+      }
+
+      /** Statics on the `Date` namespace. NOTE: the dispatcher lowercases
+        * the first character of method names, so `Date.UTC` arrives as
+        * `uTC`. `Date.now()` is a documented error (non-deterministic).
+        */
+      private def dateStaticCall(m: String, args: Seq[GVal]): GVal = m match {
+        case "uTC" | "utc" =>
+          GNumV(dateFromArgs(args.padTo(2, GNumV(0, isInt = true)))
+            .millis.toDouble, isInt = true)
+        case "parse" => args match {
+          case Seq(GValue(QValue.Str(s))) =>
+            GNumV(parseDateMs(s).toDouble, isInt = true)
+          case other => throw GizmoError(s"Date.parse expects a string, got $other")
+        }
+        case "now" => throw GizmoError(
+          "Date.now() is non-deterministic and not supported; construct " +
+            "dates from explicit values")
+        case other => throw GizmoError(s"unknown Date method .$other")
+      }
+
+      private def dateCall(dv: GDateV, m: String, args: Seq[GVal]): GVal = {
+        def field(f: java.time.OffsetDateTime => Int): GVal =
+          GNumV(f(java.time.Instant.ofEpochMilli(dv.millis)
+            .atOffset(java.time.ZoneOffset.UTC)).toDouble, isInt = true)
+        m match {
+          case "getTime" | "valueOf" =>
+            GNumV(dv.millis.toDouble, isInt = true)
+          case "getUTCFullYear" | "getFullYear" => field(_.getYear)
+          case "getUTCMonth" | "getMonth" => field(_.getMonthValue - 1)
+          case "getUTCDate" | "getDate"   => field(_.getDayOfMonth)
+          // JS day-of-week: 0 = Sunday; ISO: 1 = Monday … 7 = Sunday
+          case "getUTCDay" | "getDay" => field(_.getDayOfWeek.getValue % 7)
+          case "getUTCHours" | "getHours"     => field(_.getHour)
+          case "getUTCMinutes" | "getMinutes" => field(_.getMinute)
+          case "getUTCSeconds" | "getSeconds" => field(_.getSecond)
+          case "getUTCMilliseconds" | "getMilliseconds" =>
+            field(_.getNano / 1000000)
+          case "getTimezoneOffset" => GNumV(0, isInt = true) // UTC-only
+          case "toISOString" | "toJSON" | "toString" | "toUTCString" =>
+            GValue(QValue.Str(isoOf(dv.millis)))
+          case other => throw GizmoError(s"unknown Date method .$other")
+        }
+      }
+
       /** Resolve a read property value: accessor properties invoke their
         * getter with `this` bound to the owning object.
         */
@@ -2054,6 +2184,7 @@ object Gizmo {
         case GCount(n)   => n.toString
         case GValue(QValue.Str(s)) => jsonQuote(s)
         case GValue(qv)  => jsonQuote(qv.sortKey)
+        case GDateV(ms)  => jsonQuote(isoOf(ms)) // Date.prototype.toJSON
         case GArr(vs)    =>
           vs.map(x => if (x.isInstanceOf[GFunc]) "null" else jsonStringify(x))
             .mkString("[", ",", "]")
@@ -2365,9 +2496,12 @@ object Gizmo {
             case other => throw GizmoError(s"expected constructor name, got $other")
           }
           val userCtor = env.get(ctorName)
-          if (userCtor.isEmpty && (ctorName == "Map" || ctorName == "Set")) {
+          if (userCtor.isEmpty &&
+              (ctorName == "Map" || ctorName == "Set" || ctorName == "Date")) {
             val args = if (c.peek.contains(TPunct('('))) parseArgs(c) else Seq()
-            if (ctorName == "Map") {
+            if (ctorName == "Date") {
+              return dateFromArgs(args)
+            } else if (ctorName == "Map") {
               val mv = GMapV(scala.collection.mutable.LinkedHashMap.empty)
               args.headOption.foreach {
                 case GArr(pairs) => pairs.foreach {
@@ -2503,6 +2637,7 @@ object Gizmo {
             case "Object" => GObjectNS
             case "Array"  => GArrayNS
             case "String" => GStringNS
+            case "Date"   => GDateNS
             case _ => throw GizmoError(s"undefined variable $name")
           })
         case TRegex(pat, flags) =>
@@ -2843,6 +2978,8 @@ object Gizmo {
         case GNumV(d, _) => Some(d)
         case GCount(n)   => Some(n.toDouble)
         case GBoolV(b)   => Some(if (b) 1.0 else 0.0)
+        // JS ToNumber(date) = epoch millis: date2 - date1, comparisons
+        case GDateV(ms)  => Some(ms.toDouble)
         case _           => None
       }
 
@@ -2866,6 +3003,7 @@ object Gizmo {
         case GNull                 => "null"
         case GValue(QValue.Str(s)) => s
         case GValue(qv)            => qv.sortKey
+        case GDateV(ms)            => isoOf(ms) // UTC-only: ISO form
         // Error-shaped objects (try/catch binding): "Error: msg", like JS
         case GObj(m) if m.contains("message") && m.contains("name") =>
           renderVal(m("name")) + ": " + renderVal(m("message"))

@@ -1389,4 +1389,67 @@ class GizmoSpec extends AnyFunSuite {
     check("""g.emit(parseInt("99999999999999999999999") > 1e22)""",
       Seq("true"))
   }
+
+  test("Date: deterministic UTC construction and accessors") {
+    // epoch millis, ISO date, ISO date-time (with/without offset), fields
+    check("""var d = new Date(0); g.emit(d.getUTCFullYear())""", Seq("1970"))
+    check(
+      """var d = new Date("2020-03-15T12:34:56.789Z");
+        |g.emit(d.getUTCFullYear()); g.emit(d.getUTCMonth());
+        |g.emit(d.getUTCDate()); g.emit(d.getUTCHours());
+        |g.emit(d.getUTCMinutes()); g.emit(d.getUTCSeconds());
+        |g.emit(d.getUTCMilliseconds()); g.emit(d.getUTCDay())""".stripMargin,
+      Seq("2020", "2", "15", "12", "34", "56", "789", "0")) // Sunday = 0
+    // date-only string = UTC midnight (JS parity); bare date-time = UTC
+    // (deliberate divergence: goja would read the host zone)
+    check("""g.emit(new Date("2020-03-15").getTime())""", Seq("1584230400000"))
+    check("""g.emit(new Date("2020-03-15T00:00:00").getTime())""",
+      Seq("1584230400000"))
+    // explicit offset is honored
+    check("""g.emit(new Date("2020-03-15T02:00:00+02:00").getTime())""",
+      Seq("1584230400000"))
+    // numeric fields are UTC; month is 0-based (JS)
+    check("""g.emit(new Date(2020, 2, 15).getTime())""", Seq("1584230400000"))
+    // local-named getters alias UTC; offset is 0 in a UTC-only engine
+    check(
+      """var d = new Date(2021, 11, 31, 23, 59, 59, 250);
+        |g.emit(d.getFullYear()); g.emit(d.getMonth()); g.emit(d.getDate());
+        |g.emit(d.getHours()); g.emit(d.getTimezoneOffset())""".stripMargin,
+      Seq("2021", "11", "31", "23", "0"))
+  }
+
+  test("Date: arithmetic, comparison, rendering, statics") {
+    // ToNumber(date) = millis → differences and comparisons just work
+    check(
+      """var a = new Date("2020-01-01"); var b = new Date("2020-01-02");
+        |g.emit(b - a); g.emit(b > a); g.emit(a.valueOf() === 0 + a)""".stripMargin,
+      Seq("86400000", "true", "true"))
+    check("""g.emit(new Date("2020-03-15T12:00:00Z").toISOString())""",
+      Seq("2020-03-15T12:00:00.000Z"))
+    // emit / string concat / JSON.stringify all render the ISO form
+    check("""g.emit(new Date(86400000))""", Seq("1970-01-02T00:00:00.000Z"))
+    check("""g.emit("at " + new Date(0))""",
+      Seq("at 1970-01-01T00:00:00.000Z"))
+    check("""g.emit(JSON.stringify({t: new Date(0)}))""",
+      Seq("{\"t\":\"1970-01-01T00:00:00.000Z\"}"))
+    // statics: Date.UTC and Date.parse return millis numbers
+    check("""g.emit(Date.UTC(2020, 2, 15))""", Seq("1584230400000"))
+    check("""g.emit(Date.parse("2020-03-15T00:00:00Z"))""",
+      Seq("1584230400000"))
+    // round-trip through a Date copy and through getTime
+    check("""g.emit(new Date(new Date(1234)).getTime())""", Seq("1234"))
+  }
+
+  test("Date: the non-deterministic surface stays a documented error") {
+    intercept[Gizmo.GizmoError](session.execute("var d = new Date();"))
+    intercept[Gizmo.GizmoError](session.execute("g.emit(Date.now());"))
+    intercept[Gizmo.GizmoError](
+      session.execute("""new Date("not a date");"""))
+    // catchable inside Gizmo, like every other GizmoError
+    check(
+      """var got = "no";
+        |try { Date.now(); } catch (e) { got = "caught"; }
+        |g.emit(got)""".stripMargin,
+      Seq("caught"))
+  }
 }
