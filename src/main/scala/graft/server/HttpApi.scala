@@ -34,6 +34,15 @@ final class HttpApi(initial: Graph) {
     server.createContext("/api/v2/read", streamHandler(serveRead))
     server.createContext("/api/v2/formats", handler(serveFormats))
     server.createContext("/gephi/gs", handler(serveGephi))
+    // query sandbox (reference serves its SPA at "/"; ours is one
+    // self-contained page — see WebUi). "/" is the catch-all context, so
+    // anything unmatched 404s there instead of silently serving HTML.
+    server.createContext("/ui", handler(_ => (200, "text/html", WebUi.html)))
+    server.createContext("/", handler { ex =>
+      if (ex.getRequestURI.getPath == "/") (200, "text/html", WebUi.html)
+      else (404, "application/json",
+        QuerySession.toJson(Map("error" -> "not found")))
+    })
     server.setExecutor(null) // default single-thread executor
     server.start()
     server.getAddress.getPort

@@ -87,6 +87,30 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.stop()
   }
 
+  test("query sandbox page served at / and /ui; unknown paths 404") {
+    val empty = Graph.fromQuads(spark, Nil)
+    val api = new HttpApi(empty)
+    val port = api.start()
+    try {
+      def getFull(path: String): HttpResponse[String] =
+        client.send(HttpRequest.newBuilder(
+          URI.create(s"http://localhost:$port$path")).GET().build(),
+          HttpResponse.BodyHandlers.ofString())
+      for (path <- Seq("/", "/ui")) {
+        val r = getFull(path)
+        assert(r.statusCode() === 200, path)
+        assert(r.headers().firstValue("Content-Type").orElse("")
+          .startsWith("text/html"), path)
+        // the page drives the existing API: query editor + language
+        // dropdown + write form must be present and point at /api/v2
+        val b = r.body()
+        assert(b.contains("query sandbox") && b.contains("/api/v2/query") &&
+          b.contains("linkedql") && b.contains("/api/v2/write"), path)
+      }
+      assert(getFull("/no/such/page").statusCode() === 404)
+    } finally api.stop()
+  }
+
   test("read format negotiation and gephi stream") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val api = new HttpApi(g)
