@@ -17,11 +17,11 @@ object Bench {
     "q1_agg", "q3_join", "q_window", "q_topk_users",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_clusters", "decontam", "text_quality", "text_langid",
+    "dedup_clusters", "dedup_spans", "decontam", "text_quality", "text_langid",
     "text_repetition", "text_redact", "text_pack", "text_chunks",
     "text_tfidf", "corpus_stats", "doc_sample", "pipeline_curate",
     "q_sessionize", "q_session_stats",
-    "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "emb_neardup",
+    "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "emb_neardup",
     "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
   def main(args: Array[String]): Unit = {
@@ -375,6 +375,13 @@ object Bench {
       if (full) smoke(s"${tag}_dedup_ngram") {
         noop(Dedup.jaccardJoin(docsX(withSource = false), "doc_id", "text",
           threshold = 0.8, shingleN = 9))
+      }
+      // span-level exact substring dedup: the affine per-copy text maps
+      // share ≤2 fixed letters, so no 40-gram crosses copies — exactly
+      // N× the 1× duplicate-marking work
+      if (full) smoke(s"${tag}_dedup_spans") {
+        noop(Dedup.duplicateSpans(docsX(withSource = false), "doc_id",
+          "text", minLen = 40))
       }
       smoke(s"${tag}_dedup_clusters") {
         noop(Dedup.clusters(docsX(withSource = false), "doc_id", "text",

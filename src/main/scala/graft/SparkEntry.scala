@@ -714,6 +714,12 @@ object SparkEntry {
     // exact dedup: md5-fingerprint group-by, keep min id
     "dedup_exact" -> ((s, d) =>
       Dedup.exact(t(s, d, "documents"), "doc_id", "text").select("doc_id")),
+    // span-level EXACT substring dedup (Lee et al. 2022): merged [s, e)
+    // spans of repeated >=40-char substrings, first occurrence kept
+    "dedup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(t(s, d, "documents"), "doc_id", "text",
+          minLen = 40)
+        .select(col("id").as("doc_id"), col("s"), col("e"))),
     // content fingerprint (md5 of canonical form)
     "text_fingerprint" -> ((s, d) => t(s, d, "documents")
       .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
@@ -1455,6 +1461,39 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents
         |GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))""".stripMargin,
+    // exact substring-span dedup, brute force: every 40-gram position,
+    // count per gram, all-but-first marked, gaps-and-islands merge —
+    // integer/string logic only, so it matches the Spark plan row-exactly
+    "dedup_spans" ->
+      """WITH pos AS (
+        |  SELECT doc_id, CAST(u.p AS BIGINT) AS p,
+        |         substr(text, CAST(u.p AS INT), 40) AS gram
+        |  FROM documents, unnest(range(1, length(text) - 38)) u(p)
+        |  WHERE length(text) >= 40
+        |),
+        |marked AS (
+        |  SELECT doc_id, p,
+        |         row_number() OVER (PARTITION BY gram
+        |                            ORDER BY doc_id, p) AS rn
+        |  FROM pos
+        |),
+        |hits AS (SELECT doc_id, p FROM marked WHERE rn > 1),
+        |pe AS (
+        |  SELECT doc_id, p,
+        |         max(p + 40) OVER (PARTITION BY doc_id ORDER BY p
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS prevEnd
+        |  FROM hits
+        |),
+        |isl AS (
+        |  SELECT doc_id, p,
+        |         sum(CASE WHEN prevEnd IS NULL OR p > prevEnd
+        |                  THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY p) AS island
+        |  FROM pe
+        |)
+        |SELECT doc_id, min(p) AS s, max(p) + 40 AS e
+        |FROM isl GROUP BY doc_id, island""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp FROM documents",
     "text_tokens" ->

@@ -448,6 +448,108 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Span-level EXACT substring dedup (the operation popularized by
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022: remove repeated >=L-char substrings from the corpus,
+    * keeping one copy). Deterministic semantics, mirrored exactly by the
+    * SQL oracle:
+    *
+    *   1. every L-char gram position whose gram occurs >=2 times in the
+    *      corpus (any doc, including the same one) is a duplicate
+    *      candidate;
+    *   2. the globally-FIRST occurrence of each gram — minimal (doc, p)
+    *      lexicographically — is kept; only later occurrences are marked;
+    *   3. marked positions merge into maximal per-doc spans `[s, e)` over
+    *      1-based char positions (overlapping/adjacent spans coalesce).
+    *
+    * Scale shape: the full position stream shuffles only 8-byte xxhash64
+    * keys (map-side partial aggregation; never the grams) to find
+    * repeated hashes; only the candidate sliver — positions whose HASH
+    * repeats — re-groups by the gram string for the exact verify, so a
+    * hash collision can cost work but can never mark a non-duplicate.
+    * The reference algorithm is a suffix array on a single machine; the
+    * Spark-native analog is this fixed-L gram pass, whose candidate
+    * generation is one partial-agg shuffle at any corpus size. Returns
+    * `(id, s, e)` merged spans.
+    */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     minLen: Int = 40): DataFrame = {
+    val L = minLen
+    val base = df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .where(length(col("text")) >= L)
+    // (id, p, h): one row per char position, but the hash of every
+    // L-gram window comes from ONE rolling pass over the text
+    // (graft.functions.RollingHash — O(chars), not O(chars·L)); the gram
+    // string itself is never materialized on this full-width path
+    def hashed = base
+      .select(col("id"),
+        posexplode(graft.functions.RollingHash(col("text"), L))
+          .as(Seq("p0", "h")))
+      .select(col("id"), (col("p0") + 1).cast("long").as("p"), col("h"))
+    // phase 1: hashes that repeat (8 bytes/position through the shuffle,
+    // partial-agg combines within partitions first)
+    val dupH = hashed.select(col("h"))
+      .groupBy("h").agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .select("h")
+    // phase 2: exact verify on the candidate sliver only — join the
+    // surviving positions back to their documents, materialize the gram
+    // string for just those rows, keep every occurrence but the first
+    val cand = hashed.join(dupH, Seq("h"), "left_semi")
+      .join(base, Seq("id"))
+      .select(col("id"), col("p"),
+        substr(col("text"), col("p").cast("int"), lit(L)).as("gram"))
+    // rn > 1 alone is the exact dup test: a position is marked iff an
+    // occurrence of the SAME gram string precedes it in (id, p) order —
+    // false hash-bucket members each get rn = 1 and drop out, so no
+    // separate per-gram count pass is needed
+    val marked = cand
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("gram").orderBy(col("id"), col("p"))))
+      .where(col("rn") > 1)
+      .select(col("id"), col("p"))
+    // phase 3: merge overlapping/adjacent [p, p+L) intervals per doc
+    // (gaps-and-islands over one (id) exchange)
+    val wPrev = Window.partitionBy("id").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy("id").orderBy("p")
+    marked
+      .withColumn("prevEnd", max(col("p") + L).over(wPrev))
+      .withColumn("isNew",
+        when(col("prevEnd").isNull || col("p") > col("prevEnd"), 1)
+          .otherwise(0))
+      .withColumn("island", sum("isNew").over(wRun))
+      .groupBy(col("id"), col("island"))
+      .agg(min("p").as("s"), (max(col("p")) + L).as("e"))
+      .select(col("id"), col("s"), col("e"))
+  }
+
+  /** Apply [[duplicateSpans]]: clip the marked spans out of each
+    * document, returning `(id, text)` with every duplicated span removed
+    * (first occurrences survive, so every distinct >=L-gram still exists
+    * somewhere in the output). The reassembly walks each doc's sorted
+    * span list once with an `aggregate` HOF — interpreted, but once per
+    * row, not per pair.
+    */
+  def clipDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                         minLen: Int = 40): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, minLen)
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("s"), col("e"))))
+        .as("spans"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(spans, Seq("id"), "left")
+      .withColumn("text",
+        when(col("spans").isNull, col("text")).otherwise(expr(
+          """aggregate(spans,
+            |  named_struct('cur', CAST(1 AS BIGINT), 'acc', ''),
+            |  (st, sp) -> named_struct(
+            |    'cur', sp.e,
+            |    'acc', concat(st.acc, substr(text, st.cur, sp.s - st.cur))),
+            |  st -> concat(st.acc, substr(text, st.cur, length(text))))"""
+            .stripMargin)))
+      .select(col("id"), col("text"))
+  }
+
   /** 60-bit token hash shared with the SQL oracle contract: the first 15
     * hex chars of md5 parsed as an integer — reproducible in any engine
     * with a standard md5 (`conv(substr(md5(w),1,15),16,10)` here,

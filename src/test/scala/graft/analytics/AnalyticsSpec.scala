@@ -448,6 +448,67 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ok)
   }
 
+  test("substring-span dedup matches brute force; clip reassembles") {
+    // reference implementation of the documented semantics: mark every
+    // non-first occurrence of each L-gram, merge [p, p+L) per doc
+    def brute(corpus: Seq[(Long, String)], L: Int): Set[(Long, Long, Long)] = {
+      val occ = scala.collection.mutable.LinkedHashMap
+        .empty[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]
+      for ((id, t) <- corpus; p <- 1 to t.length - L + 1)
+        occ.getOrElseUpdate(t.substring(p - 1, p - 1 + L),
+          scala.collection.mutable.ArrayBuffer.empty) += ((id, p.toLong))
+      val marked = occ.values.filter(_.length > 1)
+        .flatMap(_.sortBy(x => (x._1, x._2)).drop(1)).toSeq
+      val out = Set.newBuilder[(Long, Long, Long)]
+      for ((id, ps0) <- marked.groupBy(_._1)) {
+        val ps = ps0.map(_._2).distinct.sorted
+        var s = ps.head; var e = ps.head + L
+        for (p <- ps.tail) {
+          if (p > e) { out += ((id, s, e)); s = p; e = p + L }
+          else e = math.max(e, p + L)
+        }
+        out += ((id, s, e))
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(11)
+    def words(n: Int) =
+      Seq.fill(n)("w" + rnd.nextInt(400)).mkString(" ")
+    val shared = words(12) // ~60 chars, repeated across docs
+    val selfRep = words(10)
+    val corpus = Seq(
+      0L -> s"${words(8)} $shared ${words(8)}",
+      1L -> s"${words(5)} $shared ${words(11)}",
+      2L -> s"$selfRep ${words(6)} $selfRep",   // within-doc repeat
+      3L -> words(30),                          // clean
+      4L -> s"${words(8)} $shared ${words(3)}") // third copy
+    val df = corpus.toDF("doc_id", "text")
+    val L = 40
+    val got = Dedup.duplicateSpans(df, "doc_id", "text", minLen = L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === brute(corpus, L))
+    // clip: docs without spans unchanged; removed chars = sum of span
+    // widths; spans really are gone from their docs
+    val clipped = Dedup.clipDuplicateSpans(df, "doc_id", "text", minLen = L)
+      .as[(Long, String)].collect().toMap
+    val spansBy = got.groupBy(_._1)
+    for ((id, t) <- corpus) {
+      val sp = spansBy.getOrElse(id, Set.empty).toSeq.sortBy(_._2)
+      val expect = {
+        val sb = new StringBuilder; var cur = 1L
+        for ((_, s, e) <- sp) {
+          sb ++= t.substring(cur.toInt - 1, s.toInt - 1); cur = e
+        }
+        sb ++= t.substring(cur.toInt - 1)
+        sb.toString
+      }
+      assert(clipped(id) === expect, s"doc $id")
+    }
+    // the first occurrence survives, so the shared string still exists
+    assert(clipped.values.count(_.contains(shared)) >= 1)
+    assert(clipped(3L) === corpus.toMap.apply(3L))
+  }
+
   test("pq codec: exact on centroids, bounded ADC error, byte layout") {
     import graft.functions.PqVec
     val rnd = new scala.util.Random(7)
