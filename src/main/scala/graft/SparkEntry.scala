@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Dedup, Events, Similarity, TextOps}
+import graft.analytics.{Dedup, Events, GraphAlgos, Similarity, TextOps}
 import graft.core.{FieldRule, Graph, QValue, SchemaMapper, SchemaRules}
 import graft.exec.{Exec, Results}
 import graft.path.Path
@@ -1139,7 +1139,43 @@ object SparkEntry {
         events(s, d).withColumn("cents",
           floor(col("value") * 100 + 0.5).cast("long")),
         "user_id", "ts", "cents")
-        .withColumnRenamed("total_value", "value_cents")))
+        .withColumnRenamed("total_value", "value_cents")),
+    // as-of join: newest order at-or-before each event's timestamp per
+    // user. Union-and-window plan — ONE key shuffle over |L|+|R| rows,
+    // never the (event, earlier-order) candidate-pair blow-up; ties at
+    // equal order dates resolved deterministically to the max orderkey
+    "q_asof" -> ((s, d) =>
+      Events.asofJoin(
+        events(s, d).select("event_id", "user_id", "ts"),
+        t(s, d, "orders"),
+        "user_id", "o_custkey", "ts", "o_orderdate", "o_orderkey",
+        Seq("o_orderkey", "o_totalprice"))
+        .select("event_id", "user_id", "o_orderkey", "o_totalprice")),
+    // degree histogram over the c_nation edge (in-degree of nation nodes
+    // = customers per nation, then nodes-per-degree): the graph's
+    // degree-structure pass as two map-side-combined hash aggregates
+    "graph_degree" -> ((s, d) => {
+      val g = graph(s, d)
+      GraphAlgos.degreeHistogram(
+        g.quads.where(col("p") === QValue.id(iri("c_nation"))), "o")
+    }),
+    // PageRank (10 iterations, d=0.85) over all five edge predicates of
+    // the quadified star graph, verified as a differential contract vs a
+    // sequential evaluation of the same recurrence (the collect is the
+    // oracle side only — the operator itself is pure join+agg algebra)
+    "graph_pagerank" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.pageRankContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
+    // corpus-familiarity LM score: one-pass bigram counts scoring every
+    // doc by mean bigram corpus frequency (ONE division of exact BIGINTs)
+    "text_lm" -> ((s, d) =>
+      TextOps.bigramFamiliarity(t(s, d, "documents"), "doc_id", "text")))
 
   /** DuckDB mirror of Dedup.simhashes: 60-bit md5-derived token hash,
     * per-bit ±1 sums over distinct tokens, then brute-force Hamming pairs.
@@ -1423,6 +1459,45 @@ object SparkEntry {
         |  max(tss) - min(tss) AS span_sec,
         |  CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM s GROUP BY user_id, session_id""".stripMargin,
+    // as-of join: per-event latest order via window-ranked candidates
+    // (the oracle may pair-expand; the engine under test must not)
+    "q_asof" ->
+      """WITH c AS (SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        |  FROM events e JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |SELECT event_id, user_id, o_orderkey, o_totalprice
+        |FROM c WHERE rn = 1""".stripMargin,
+    // degree histogram: customers-per-nation in-degree, nodes per degree
+    "graph_degree" ->
+      """SELECT degree, count(*) AS n_nodes FROM (
+        |  SELECT c_nationkey, count(*) AS degree FROM customer
+        |  GROUP BY c_nationkey) t
+        |GROUP BY degree""".stripMargin,
+    // PageRank differential contract: distributed join+agg recurrence vs
+    // sequential reference on the same edges; node universe = every row
+    // of the five edge-source/target tables (all fks non-null in TPC-H)
+    "graph_pagerank" ->
+      """SELECT TRUE AS pagerank_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // bigram LM familiarity: identical tokenization to text_tokens; the
+    // float is one BIGINT/BIGINT division on both engines
+    "text_lm" ->
+      """WITH tk AS (SELECT doc_id,
+        |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+        |  FROM documents
+        |  WHERE length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) > 0),
+        |bg AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i + 1])) AS bg
+        |  FROM tk WHERE len(ts) >= 2),
+        |fr AS (SELECT bg, count(*) AS f FROM bg GROUP BY bg)
+        |SELECT b.doc_id, count(*) AS n_bigrams,
+        |  count(DISTINCT b.bg) AS n_distinct,
+        |  CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS familiarity
+        |FROM bg b JOIN fr USING (bg) GROUP BY b.doc_id""".stripMargin,
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed

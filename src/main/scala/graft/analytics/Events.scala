@@ -42,4 +42,49 @@ object Events {
         (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
           .as("span_sec"),
         sum(col(valueCol)).as("total_value"))
+
+  /** As-of join: attach to each left row the newest right row for the same
+    * key with `rightTs <= leftTs` (ties at equal rightTs resolved to the
+    * largest `tieCol`, so the result is fully deterministic). Left rows
+    * with no qualifying right row are dropped (inner as-of semantics).
+    *
+    * Spark has no native as-of operator; the naive encodings are a range
+    * join (explodes to every (left, earlier-right) candidate pair — the
+    * 95 k-candidate blow-up even at toy scale) or a per-row subquery
+    * (driver-bound). This is the union-and-window plan instead: both
+    * sides shuffle ONCE on the key into the same exchange, one sort by
+    * (ts, side, tie) places every right row before the left rows it may
+    * serve, and `last(payload, ignoreNulls=true)` carries the newest
+    * right payload forward within the key partition. Cost at any scale =
+    * 1 shuffle + 1 sort-based window over |L|+|R| rows — never a pair
+    * blow-up; skew is governed by the key distribution alone (salt-split
+    * a pathological key upstream if needed, as capPerKey does).
+    *
+    * Right rows with null `rightTs` are ignored (no "as of never").
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String, tieCol: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payload = struct(payloadCols.map(col): _*)
+    val rSide = right.where(col(rightTs).isNotNull).select(
+      col(rightKey).as("__k"), col(rightTs).cast("timestamp").as("__ts"),
+      lit(0).as("__side"), col(tieCol).cast("long").as("__tie"),
+      payload.as("__p"), lit(null).cast(structTypeOf(left)).as("__l"))
+    val lSide = left.select(
+      col(leftKey).as("__k"), col(leftTs).cast("timestamp").as("__ts"),
+      lit(1).as("__side"), lit(null).cast("long").as("__tie"),
+      lit(null).cast(rSide.schema("__p").dataType).as("__p"),
+      struct(left.columns.map(col): _*).as("__l"))
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__ts"), col("__side"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    rSide.unionByName(lSide)
+      .withColumn("__last", last(col("__p"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1 && col("__last").isNotNull)
+      .select(col("__l.*") +: payloadCols.map(c => col(s"__last.$c")): _*)
+  }
+
+  private def structTypeOf(df: DataFrame): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(df.schema.fields)
 }

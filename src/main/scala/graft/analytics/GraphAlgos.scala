@@ -1,0 +1,125 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Whole-graph analytics over edge lists — degree structure and
+  * centrality. The reference engine has no analytics layer (its Volcano
+  * iterators answer point queries, /root/reference/graph/iterator/and.go
+  * and siblings);
+  * at warehouse scale a knowledge graph also needs the corpus-wide passes
+  * a traversal engine cannot express, and those are native Spark
+  * aggregation/join plans.
+  */
+object GraphAlgos {
+
+  /** Degree histogram: for every degree k, the number of nodes with
+    * exactly k incident edges on `nodeCol`'s side. Two hash aggregates
+    * (node → degree, then degree → node count), both map-side combined
+    * and the second one tiny — the canonical two-pass distributive
+    * aggregation. No sort, no window, survives any scale the first
+    * groupBy's shuffle survives.
+    */
+  def degreeHistogram(edges: DataFrame, nodeCol: String): DataFrame =
+    edges.groupBy(col(nodeCol)).agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+
+  /** PageRank over an edge list, fixed iteration count.
+    *
+    * Semantics (differential-tested against the sequential
+    * [[pageRankLocal]] evaluation of the same recurrence):
+    * {{{
+    *   r_0(v) = 1/N
+    *   r_k(v) = (1-d)/N + d * Σ_{(u,v) ∈ E} r_{k-1}(u) / outdeg(u)
+    * }}}
+    * Dangling-node mass is NOT redistributed (it decays into the teleport
+    * term): redistribution needs a driver action per iteration to read the
+    * dangling sum, while this variant keeps every iteration pure DataFrame
+    * algebra — one shuffle join on `src` + one shuffle aggregate on `dst`,
+    * so Catalyst sees a single lazy plan per checkpoint epoch.
+    *
+    * Scale shape: `edges ⋈ outdeg` is computed once and checkpointed
+    * (at a real deployment: persisted, hash-partitioned on src — every
+    * iteration's join then reuses that partitioning). Ranks are
+    * |V|-sized, always the small side of nothing — both join inputs are
+    * node-hash-partitioned, no broadcast assumption. Lineage is cut with
+    * localCheckpoint every `checkpointEvery` iterations so the plan stays
+    * O(checkpointEvery) deep regardless of iteration count.
+    */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iterations: Int = 10, damping: Double = 0.85,
+               checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty edge list")
+    val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    val eDeg = e.join(outDeg, "src").localCheckpoint(true)
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (i <- 1 to iterations) {
+      val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
+        .groupBy("node").agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
+            .as("rank"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Sequential reference evaluation of [[pageRank]]'s exact recurrence on
+    * a collected edge list — the differential oracle for the distributed
+    * path. Float inflow sums accumulate here in sorted-source order vs
+    * partition order there, so agreement is asserted within a tolerance
+    * (non-associativity of double addition), never bitwise.
+    */
+  def pageRankLocal(edges: Seq[(Long, Long)], iterations: Int = 10,
+                    damping: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val odeg = edges.groupBy(_._1).map { case (k, v) => k -> v.length }
+    val in = edges.groupBy(_._2).map { case (k, v) =>
+      k -> v.map(_._1).sorted
+    }
+    val teleport = (1.0 - damping) / n
+    var r = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iterations) {
+      r = nodes.map { v =>
+        val inflow = in.getOrElse(v, Nil).map(u => r(u) / odeg(u)).sum
+        v -> (teleport + damping * inflow)
+      }.toMap
+    }
+    r
+  }
+
+  /** Contract harness for the driver oracle: run the distributed PageRank
+    * and the sequential reference on the same (small) edge list and
+    * return one row `(pagerank_ok, n_nodes)` — true iff every node's rank
+    * agrees within `tol` AND both sides agree on the top-ranked node.
+    * The collect is the ORACLE side only (scoped like LocalEval's
+    * differential tests); the operator under test never collects.
+    */
+  def pageRankContract(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 10, tol: Double = 1e-9): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = pageRank(edges, srcCol, dstCol, iterations)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = pageRankLocal(es, iterations)
+    val sameNodes = dist.keySet == local.keySet
+    val close = sameNodes && local.forall { case (v, lr) =>
+      math.abs(dist(v) - lr) < tol
+    }
+    val topAgree = sameNodes && dist.nonEmpty &&
+      dist.maxBy { case (v, r) => (r, v) }._1 ==
+        local.maxBy { case (v, r) => (r, v) }._1
+    spark.range(1).select(lit(close && topAgree).as("pagerank_ok"),
+      lit(local.size.toLong).as("n_nodes"))
+  }
+}

@@ -409,4 +409,42 @@ object TextOps {
     val k = sampleKey(col(idCol))
     (df.where(k >= holdoutFraction), df.where(k < holdoutFraction))
   }
+
+  /** Corpus-familiarity language-model score: train word-bigram counts on
+    * the corpus in one pass, then score every document by the average
+    * corpus frequency of its own bigrams — the count-based analog of a
+    * perplexity filter (boilerplate and templated text score high;
+    * gibberish, OCR noise, and wrong-language fragments score near 1, the
+    * self-count floor). Documents with fewer than two tokens are dropped
+    * (they have no bigrams to score).
+    *
+    * Output: (id, n_bigrams, n_distinct, familiarity) where familiarity =
+    * Σ freq(bigram) / n_bigrams. Both aggregate sums are exact BIGINTs;
+    * the float is ONE division of two exact integers — the same
+    * cross-engine determinism contract as Jaccard and repetition scores.
+    *
+    * Scale shape: explode bigrams (row-local zip of adjacent tokens),
+    * count global frequencies (map-side-combined hash aggregate, |vocab²∩|
+    * keys), hash-join each doc's bigrams back to the counts, re-aggregate
+    * per doc. Three exchanges, all on hashed keys; no window, no sort, no
+    * driver state — at 100 TB the frequency table is itself distributed
+    * (never broadcast or collected).
+    */
+  def bigramFamiliarity(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = split(normalize(col(textCol)), " ")
+    val bigrams = df
+      .where(length(normalize(col(textCol))) > 0 && size(toks) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val freq = bigrams.groupBy("bg").agg(count(lit(1)).as("f"))
+    bigrams.join(freq, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        count_distinct(col("bg")).as("n_distinct"),
+        (sum(col("f")).cast("double") / count(lit(1)).cast("double"))
+          .as("familiarity"))
+  }
 }

@@ -658,4 +658,32 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(brute.nonEmpty) // planted same-family variants must pair up
     assert(banded === brute)
   }
+
+  test("bigramFamiliarity scores by mean corpus bigram frequency") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat sat"),           // bigrams: "the cat", "cat sat"
+      (2L, "the cat ran"),           // "the cat", "cat ran"
+      (3L, "zq xv"),                 // "zq xv" — unique, familiarity 1
+      (4L, "solo"),                  // < 2 tokens: dropped
+      (5L, "")                       // blank: dropped
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramFamiliarity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "the cat" occurs twice corpus-wide; "cat sat"/"cat ran" once each
+    assert(got(1L) === ((2L, 2L, (2.0 + 1.0) / 2)))
+    assert(got(2L) === ((2L, 2L, (2.0 + 1.0) / 2)))
+    assert(got(3L) === ((1L, 1L, 1.0)))
+    assert(!got.contains(4L) && !got.contains(5L))
+  }
+
+  test("bigramFamiliarity counts repeated bigrams per occurrence") {
+    import spark.implicits._
+    val docs = Seq((1L, "go go go")).toDF("doc_id", "text")
+    // bigrams: "go go" x2 -> freq("go go") = 2, sum = 4, n = 2
+    val got = TextOps.bigramFamiliarity(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got === ((1L, 2L, 1L, 2.0)))
+  }
 }

@@ -146,4 +146,58 @@ class EventsSpec extends AnyFunSuite {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
       99L -> 99L))
   }
+
+  test("asofJoin picks the newest right row at-or-before each left ts") {
+    val left = Seq(
+      (1L, 10L, ts(5)),  // after r1, before r2 -> r1
+      (2L, 10L, ts(10)), // equal to r2's ts -> r2 (<= semantics)
+      (3L, 10L, ts(99)), // after everything -> r3 (newest)
+      (4L, 20L, ts(0)),  // no right row for user 20 at all -> dropped
+      (5L, 30L, ts(1))   // right rows exist but all later -> dropped
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (101L, 10L, ts(0), 1.0), (102L, 10L, ts(10), 2.0),
+      (103L, 10L, ts(20), 3.0), (104L, 30L, ts(50), 4.0)
+    ).toDF("rid", "key", "rts", "v")
+    val got = Events.asofJoin(left, right, "user_id", "key", "ts", "rts",
+        "rid", Seq("rid", "v"))
+      .select("event_id", "rid", "v").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === Set((1L, 101L, 1.0), (2L, 102L, 2.0), (3L, 103L, 3.0)))
+  }
+
+  test("asofJoin breaks equal-ts ties to the largest tie column") {
+    val left = Seq((1L, 10L, ts(10))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (7L, 10L, ts(3), "a"), (9L, 10L, ts(3), "b"), (8L, 10L, ts(3), "c")
+    ).toDF("rid", "key", "rts", "tag")
+    val got = Events.asofJoin(left, right, "user_id", "key", "ts", "rts",
+        "rid", Seq("rid", "tag"))
+      .select("rid", "tag").as[(Long, String)].collect().toSeq
+    assert(got === Seq((9L, "b")))
+  }
+
+  test("asofJoin matches a brute-force evaluation on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(8) + 1).toLong, ts(rnd.nextInt(100))))
+    val right = (1 to 120).map(i =>
+      (1000L + i, (rnd.nextInt(10) + 1).toLong, ts(rnd.nextInt(100)),
+        rnd.nextDouble()))
+    val expected = left.flatMap { case (eid, k, lts) =>
+      val cands = right.filter(r => r._2 == k && !r._3.after(lts))
+      if (cands.isEmpty) None
+      else {
+        val best = cands.maxBy(r => (r._3.getTime, r._1))
+        Some((eid, best._1, best._4))
+      }
+    }.toSet
+    val got = Events.asofJoin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("rid", "key", "rts", "v"),
+        "user_id", "key", "ts", "rts", "rid", Seq("rid", "v"))
+      .select("event_id", "rid", "v").as[(Long, Long, Double)]
+      .collect().toSet
+    assert(got === expected)
+  }
 }

@@ -1,0 +1,73 @@
+package graft.analytics
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphAlgosSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("degreeHistogram counts nodes per degree") {
+    // out-degrees: 1 -> 3 edges, 2 -> 1, 3 -> 1  => histogram {3:1, 1:2}
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val got = GraphAlgos.degreeHistogram(edges, "src")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 1L, 1L -> 2L))
+  }
+
+  test("pageRank on a known graph matches the analytic fixed point") {
+    // A -> B, A -> C, B -> C, C -> A: stationary solution of
+    //   rA = .15/3 + .85 rC; rB = .15/3 + .425 rA;
+    //   rC = .15/3 + .425 rA + .85 rB
+    // => rA = 0.128625/0.33168750 (exact), rB/rC derived
+    val rA = 0.128625 / 0.33168750
+    val rB = 0.05 + 0.425 * rA
+    val rC = 0.0925 + 0.78625 * rA
+    // sequential path converges tight (300 iters ~ 1e-15 contraction)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+    val local = GraphAlgos.pageRankLocal(edges, iterations = 300)
+    assert(math.abs(local(1L) - rA) < 1e-12)
+    assert(math.abs(local(2L) - rB) < 1e-12)
+    assert(math.abs(local(3L) - rC) < 1e-12)
+    // distributed path at 50 iterations: contraction ~0.85^50 ~ 3e-4
+    val r = GraphAlgos.pageRank(edges.toDF("s", "d"), "s", "d",
+      iterations = 50).as[(Long, Double)].collect().toMap
+    assert(math.abs(r(1L) - rA) < 1e-3)
+    assert(math.abs(r(2L) - rB) < 1e-3)
+    assert(math.abs(r(3L) - rC) < 1e-3)
+  }
+
+  test("pageRank handles dangling nodes (sink keeps teleport + inflow)") {
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    val r = GraphAlgos.pageRank(edges, "s", "d", iterations = 10)
+      .as[(Long, Double)].collect().toMap
+    // node 1: only teleport. node 2: teleport + d * r1 (r1 = 0.075)
+    assert(math.abs(r(1L) - 0.075) < 1e-12)
+    assert(math.abs(r(2L) - (0.075 + 0.85 * 0.075)) < 1e-12)
+  }
+
+  test("distributed pageRank agrees with sequential reference on random graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 20
+      val edges = (1 to n * 3).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val local = GraphAlgos.pageRankLocal(edges, iterations = 10)
+      val dist = GraphAlgos.pageRank(edges.toDF("s", "d"), "s", "d",
+        iterations = 10).as[(Long, Double)].collect().toMap
+      assert(dist.keySet === local.keySet)
+      for ((v, lr) <- local)
+        assert(math.abs(dist(v) - lr) < 1e-9, s"trial $trial node $v")
+    }
+  }
+
+  test("pageRankContract returns a single true row") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val rows = GraphAlgos.pageRankContract(edges, "s", "d").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getBoolean(0))
+    assert(rows(0).getLong(1) === 3L)
+  }
+}
