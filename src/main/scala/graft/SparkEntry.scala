@@ -1175,7 +1175,27 @@ object SparkEntry {
     // corpus-familiarity LM score: one-pass bigram counts scoring every
     // doc by mean bigram corpus frequency (ONE division of exact BIGINTs)
     "text_lm" -> ((s, d) =>
-      TextOps.bigramFamiliarity(t(s, d, "documents"), "doc_id", "text")))
+      TextOps.bigramFamiliarity(t(s, d, "documents"), "doc_id", "text")),
+    // exact triangle count (degree-ordered orientation, one pivot per
+    // triangle) over the star graph enriched with composed c->region /
+    // s->region shortcut edges — the raw star is triangle-free by
+    // construction, the shortcuts close one triangle per customer and
+    // supplier. Counts are node-relabeling-invariant, so the hashed-id
+    // engine and the string-keyed oracle must agree exactly
+    "graph_triangles" -> ((s, d) => {
+      val g = graph(s, d)
+      def ep(name: String) =
+        g.quads.where(col("p") === QValue.id(iri(name)))
+          .select(col("s").as("x"), col("o").as("y"))
+      def comp(lhs: DataFrame, rhs: DataFrame) =
+        lhs.join(rhs.select(col("x").as("m"), col("y").as("z")),
+          col("y") === col("m"))
+          .select(col("x"), col("z").as("y"))
+      val cn = ep("c_nation"); val nr = ep("n_region"); val sn = ep("s_nation")
+      val edges = Seq(cn, nr, sn, comp(cn, nr), comp(sn, nr),
+        ep("o_cust"), ep("n_prev")).reduce(_ unionByName _)
+      GraphAlgos.triangleCount(edges, "x", "y")
+    }))
 
   /** DuckDB mirror of Dedup.simhashes: 60-bit md5-derived token hash,
     * per-bit ±1 sums over distinct tokens, then brute-force Hamming pairs.
@@ -1498,6 +1518,33 @@ object SparkEntry {
         |  count(DISTINCT b.bg) AS n_distinct,
         |  CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS familiarity
         |FROM bg b JOIN fr USING (bg) GROUP BY b.doc_id""".stripMargin,
+    // triangle count: generic 3-way self-join oracle over the same edge
+    // list (string node keys; counts are relabeling-invariant)
+    "graph_triangles" ->
+      """WITH edges AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+        |         'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR)
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR)
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+        |         'c' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'n' || CAST(n_nationkey - 1 AS VARCHAR)
+        |    FROM nation WHERE n_nationkey >= 1),
+        |u AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        |  FROM edges WHERE s <> o),
+        |t AS (SELECT count(*) AS n_triangles
+        |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT (SELECT count(*) FROM u) AS n_edges, n_triangles FROM t""".stripMargin,
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed

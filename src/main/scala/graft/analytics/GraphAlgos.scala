@@ -97,6 +97,50 @@ object GraphAlgos {
     r
   }
 
+  /** Exact triangle count via degree-ordered edge orientation — the
+    * scalable formulation: canonicalize to distinct undirected edges,
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger, enumerate wedges at each pivot's out-edges, and close them
+    * against the canonical edge set. Orientation bounds every node's
+    * out-degree by O(√E) on ANY graph (each triangle has exactly one
+    * pivot, so it is counted once) — the wedge self-join's fan-out is
+    * capped where the naive neighbor join explodes on hubs. All joins
+    * hash-partition on node/edge keys; the result is computed as one
+    * lazy plan (two tiny aggregates cross-joined), no driver action.
+    *
+    * Returns one row `(n_edges, n_triangles)`.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
+    // e1.v < e2.v both dedups the unordered wedge pair and hands the
+    // closing edge already in canonical (a < b) order
+    val wedges = e1.join(e2,
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.v").as("a"), col("e2.v").as("b"))
+    val closed = wedges.join(und, Seq("a", "b"))
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Contract harness for the driver oracle: run the distributed PageRank
     * and the sequential reference on the same (small) edge list and
     * return one row `(pagerank_ok, n_nodes)` — true iff every node's rank

@@ -63,6 +63,42 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCount: known graphs") {
+    // K4 has 4 triangles, 6 edges; directions/duplicates/self-loops noise
+    val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
+      .toDF("s", "d")
+    val noisy = k4.union(Seq((1L, 1L), (2L, 1L)).toDF("s", "d"))
+    val Array(r) = GraphAlgos.triangleCount(noisy, "s", "d").collect()
+    assert((r.getLong(0), r.getLong(1)) === ((6L, 4L)))
+    // a path graph has none
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val Array(p) = GraphAlgos.triangleCount(path, "s", "d").collect()
+    assert((p.getLong(0), p.getLong(1)) === ((3L, 0L)))
+  }
+
+  test("triangleCount matches brute force on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 20 + trial * 10
+      val edges = (1 to n * 4).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val und = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val undSet = und.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val brute = (for {
+        i <- nodes.indices; j <- i + 1 until nodes.length
+        k <- j + 1 until nodes.length
+        a = nodes(i); b = nodes(j); c = nodes(k)
+        if undSet((a, b)) && undSet((b, c)) && undSet((a, c))
+      } yield 1).size.toLong
+      val Array(r) = GraphAlgos
+        .triangleCount(edges.toDF("s", "d"), "s", "d").collect()
+      assert(r.getLong(0) === und.size.toLong, s"trial $trial edges")
+      assert(r.getLong(1) === brute, s"trial $trial triangles")
+    }
+  }
+
   test("pageRankContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val rows = GraphAlgos.pageRankContract(edges, "s", "d").collect()
