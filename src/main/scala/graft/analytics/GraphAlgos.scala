@@ -48,28 +48,64 @@ object GraphAlgos {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 10, damping: Double = 0.85,
-               checkpointEvery: Int = 4): DataFrame = {
+               checkpointEvery: Int = 4): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping,
+      checkpointEvery, sources = None)
+
+  /** Personalized PageRank (random walk with restart): identical
+    * recurrence, but the teleport mass lands only on `sources` instead of
+    * uniformly — ranks then measure proximity to the source set (the
+    * standard seed-expansion / related-entities primitive). `sources` is
+    * a one-column DataFrame of node ids; restart mass splits evenly
+    * across the sources present in the graph. Same per-iteration plan as
+    * [[pageRank]] plus one broadcast-size semi-join-shaped left join to
+    * mark source nodes (done once, outside the loop).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: DataFrame, iterations: Int = 10,
+                           damping: Double = 0.85,
+                           checkpointEvery: Int = 4): DataFrame =
+    pageRankImpl(edges, srcCol, dstCol, iterations, damping,
+      checkpointEvery, sources = Some(sources))
+
+  private def pageRankImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                           iterations: Int, damping: Double,
+                           checkpointEvery: Int,
+                           sources: Option[DataFrame]): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty edge list")
+    // restart-mass column: uniform 1/N, or 1/|S| on source nodes only
+    val seeded = sources match {
+      case None =>
+        val n = nodes.count()
+        require(n > 0, "pageRank: empty edge list")
+        nodes.withColumn("restart", lit(1.0 / n))
+      case Some(src) =>
+        val s = src.toDF("node").distinct()
+        val marked = nodes.join(s.withColumn("__is_src", lit(true)),
+          Seq("node"), "left").localCheckpoint(true)
+        val nSrc = marked.where(col("__is_src")).count()
+        require(nSrc > 0, "personalizedPageRank: no source present in graph")
+        marked.select(col("node"),
+          when(col("__is_src"), lit(1.0 / nSrc)).otherwise(lit(0.0))
+            .as("restart"))
+    }
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
     val eDeg = e.join(outDeg, "src").localCheckpoint(true)
-    val teleport = (1.0 - damping) / n
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = seeded.withColumn("rank", col("restart"))
     for (i <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)))
-            .as("rank"))
+      ranks = seeded.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("restart"),
+          (lit(1.0 - damping) * col("restart") +
+            lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations)
         ranks = ranks.localCheckpoint(true)
     }
-    ranks
+    ranks.select(col("node"), col("rank"))
   }
 
   /** Sequential reference evaluation of [[pageRank]]'s exact recurrence on
@@ -112,12 +148,18 @@ object GraphAlgos {
     */
   def triangleCount(edges: DataFrame, srcCol: String,
                     dstCol: String): DataFrame = {
+    // und feeds FOUR consumers (degree agg, orientation join, wedge
+    // close, edge count) and oriented feeds both sides of the wedge
+    // self-join — Catalyst recomputes identical subplans per consumer
+    // (same finding as the dedup self-join sides), so materialize each
+    // once; both are O(E) narrow tables
     val und = edges
       .select(col(srcCol).as("x"), col(dstCol).as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -130,6 +172,7 @@ object GraphAlgos {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
     // e1.v < e2.v both dedups the unordered wedge pair and hands the
     // closing edge already in canonical (a < b) order

@@ -63,6 +63,33 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRank concentrates mass near the source set") {
+    // chain 1 -> 2 -> 3 -> 4 with restart at node 1: rank must decay
+    // monotonically along the chain; global PR of the same chain ranks
+    // node 4 highest (it accumulates), so the orders genuinely differ
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val ppr = GraphAlgos.personalizedPageRank(edges, "s", "d",
+        Seq(1L).toDF("node"), iterations = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(ppr(1L) > ppr(2L) && ppr(2L) > ppr(3L) && ppr(3L) > ppr(4L))
+    // analytic fixed point: r1 = 0.15, r_{k+1} = 0.85 * r_k (chain, one
+    // out-edge each; restart mass only at node 1)
+    assert(math.abs(ppr(1L) - 0.15) < 1e-9)
+    assert(math.abs(ppr(2L) - 0.15 * 0.85) < 1e-9)
+    assert(math.abs(ppr(4L) - 0.15 * math.pow(0.85, 3)) < 1e-9)
+    val global = GraphAlgos.pageRank(edges, "s", "d", iterations = 30)
+      .as[(Long, Double)].collect().toMap
+    assert(global(4L) > global(1L))
+  }
+
+  test("personalizedPageRank rejects a source absent from the graph") {
+    val edges = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.personalizedPageRank(edges, "s", "d",
+        Seq(99L).toDF("node"))
+    }
+  }
+
   test("triangleCount: known graphs") {
     // K4 has 4 triangles, 6 edges; directions/duplicates/self-loops noise
     val k4 = (for { a <- 1L to 4L; b <- 1L to 4L if a != b } yield (a, b))
