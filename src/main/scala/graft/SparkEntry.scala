@@ -815,6 +815,15 @@ object SparkEntry {
         emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 10,
         minMeanRecall = 0.6, dir = dir, nCells = 16, nprobe = 8)
     }),
+    // incremental index ingest: append without retraining, two batches +
+    // planted probe clones; exactness contract (clones must come back
+    // top-1, store row count must reconcile)
+    "sim_ivf_append" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ivf_app").toString
+      Similarity.ivfAppendContract(emb, "vec_id", "embedding", dir)
+    }),
     // product-quantized IVF store (IVFADC): 8 code bytes per 64-dim
     // vector on the scoring scan (32× below float32), ADC lookup
     // scoring, exact rerank — recall contract vs the exact batch top-k
@@ -1558,6 +1567,9 @@ object SparkEntry {
         |       CAST(c_acctbal AS DOUBLE) AS score
         |FROM customer WHERE c_acctbal > 5000""".stripMargin,
     "sim_ann" -> "SELECT TRUE AS recall_ok",
+    // incremental IVF append: exactness contract (planted clones top-1,
+    // row-count reconciliation across two append batches)
+    "sim_ivf_append" -> "SELECT TRUE AS append_ok",
     // streaming near-dup contract: stateful LSH recovers >=80% of the
     // exact batch J>=0.5 later-pair docs (dedup_minhash verifies the
     // batch side row-exactly on the same corpus)

@@ -342,6 +342,28 @@ object Similarity {
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Incrementally append vectors to an existing [[ivfWriteQuantized]]
+    * store WITHOUT retraining: new rows are assigned to the persisted
+    * centroids, quantized identically, and appended to their cell
+    * partitions. A probe after the append returns exactly what a probe
+    * of a store that had held the union all along returns (same
+    * centroids ⇒ same cell assignment and quantization; top-k is scan-
+    * order-independent) — AnalyticsSpec pins this equivalence. This is
+    * the daily-ingest path at scale: no rebuild or re-shuffle of old
+    * data, just new files inside touched cell directories. Retraining
+    * (a full [[ivfWriteQuantized]] rewrite) is the caller's call, when
+    * drift degrades cell balance.
+    */
+  def ivfAppendQuantized(newVecs: DataFrame, dir: String, idCol: String,
+                         vecCol: String): Unit = {
+    val cents = ivfReadCentroids(dir)
+    newVecs.select(col(idCol).as("id"), col(vecCol).as("v"),
+        graft.functions.Int8Vec.quantize(col(vecCol)).as("q8"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("norm"),
+        cellExpr(col(vecCol), cents).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** Batched top-k over an [[ivfWriteQuantized]] store: partition-pruned
     * int8 scan scores `rerank·k` candidates per probe approximately
     * (integer dot × scales), then ONE exact-cosine rescore pass over the
@@ -432,6 +454,39 @@ object Similarity {
       .join(hits, Seq("query_id"), "left")
       .agg(((avg(coalesce(col("hits"), lit(0L))) / k) >= minMeanRecall)
         .as("recall_ok"))
+  }
+
+  /** Exactness contract for [[ivfAppendQuantized]]: build the store on a
+    * base slice, append the rest PLUS an exact clone of each probe
+    * (id + 20M) in TWO batches, then require (a) every probe's top-1 is
+    * its appended clone (cosine 1.0 must beat everything, and self-
+    * matches are excluded by the probe, so only the appended row can
+    * supply it) and (b) the store's row count equals base + appended.
+    * Returns one row `(append_ok)`.
+    */
+  def ivfAppendContract(emb0: DataFrame, idCol: String, vecCol: String,
+                        dir: String, nProbes: Int = 10,
+                        nCells: Int = 16): DataFrame = {
+    val emb = emb0.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    val base = emb.where(pmod(col("id"), lit(2)) === 0)
+    val rest = emb.where(pmod(col("id"), lit(2)) === 1)
+    val probes = base.where(col("id") < nProbes * 2)
+    val clones = probes.select((col("id") + 20000000L).as("id"), col("v"))
+    ivfWriteQuantized(base, dir, "id", "v", nCells)
+    ivfAppendQuantized(rest, dir, "id", "v")
+    ivfAppendQuantized(clones, dir, "id", "v")
+    val spark = emb.sparkSession
+    val top1 = ivfStoreTopKQuantized(spark, dir, probes, "id", "v",
+        k = 1, nprobe = nCells, rerank = 8)
+      .select(col("query_id"), col("id"))
+    val allFound = top1
+      .agg((count(lit(1)) === probes.count() &&
+        sum(when(col("id") === col("query_id") + 20000000L, 1L)
+          .otherwise(0L)) === probes.count()).as("clones_first"))
+    val stored = spark.read.parquet(s"$dir/vectors").count()
+    val expected = base.count() + rest.count() + clones.count()
+    allFound.select((col("clones_first") && lit(stored == expected))
+      .as("append_ok"))
   }
 
   // ------------------------------------------------------------- IVF-PQ

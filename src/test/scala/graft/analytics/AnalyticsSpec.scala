@@ -659,6 +659,53 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("ivfAppendQuantized: append equals union store; finds new vectors") {
+    import org.apache.commons.io.FileUtils
+    val rnd = new scala.util.Random(31)
+    def mk(ids: Range) = ids.map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val base = mk(0 until 40)
+    val dir1 = java.nio.file.Files.createTempDirectory("ivfapp1").toString
+    Similarity.ivfWriteQuantized(base, dir1, "vec_id", "embedding", nCells = 4)
+    // identical starting store (byte copy — no reliance on kmeans
+    // determinism across training runs)
+    val dir2 = dir1 + "_copy"
+    FileUtils.copyDirectory(new java.io.File(dir1), new java.io.File(dir2))
+    // batchA wholesale into dir1; the same rows in two batches into dir2
+    // (id 129 is an exact clone of id 120 — probing one must return the
+    // other first, proving appended rows are retrievable)
+    val extraRows = (100 until 129).map(i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+    val extra = (extraRows :+ (129L, extraRows(20)._2.clone()))
+      .toDF("vec_id", "embedding")
+    Similarity.ivfAppendQuantized(extra, dir1, "vec_id", "embedding")
+    Similarity.ivfAppendQuantized(extra.where(col("vec_id") < 115), dir2,
+      "vec_id", "embedding")
+    Similarity.ivfAppendQuantized(extra.where(col("vec_id") >= 115), dir2,
+      "vec_id", "embedding")
+    val probes = base.where(col("vec_id") < 3)
+      .union(extra.where(col("vec_id") === 120L))
+    def probe(dir: String) = Similarity.ivfStoreTopKQuantized(spark, dir,
+        probes, "vec_id", "embedding", k = 3, nprobe = 4, rerank = 20)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    val p1 = probe(dir1); val p2 = probe(dir2)
+    assert(p1 === p2) // batch split must not change any result
+    // an appended vector probing for its appended exact clone (self-
+    // matches are excluded by the probe by design) must rank it first
+    val self = Similarity.ivfStoreTopKQuantized(spark, dir1,
+        extra.where(col("vec_id") === 120L), "vec_id", "embedding",
+        k = 1, nprobe = 4, rerank = 20)
+      .select("id").as[Long].collect().toSeq
+    assert(self === Seq(129L))
+    // and the probe matches exact brute force over the full union
+    val exact = Similarity.batchTopK(base.union(extra), probes,
+        "vec_id", "embedding", k = 3)
+      .select("query_id", "id").as[(Long, Long)].collect().toSet
+    assert(p1 === exact)
+    FileUtils.deleteQuietly(new java.io.File(dir1))
+    FileUtils.deleteQuietly(new java.io.File(dir2))
+  }
+
   test("bigramFamiliarity scores by mean corpus bigram frequency") {
     import spark.implicits._
     val docs = Seq(
