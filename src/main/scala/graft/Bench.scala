@@ -24,7 +24,7 @@ object Bench {
     // graph analytics (degree/triangles; the PageRank OPERATOR is benched
     // separately below — its driver entry is the differential harness,
     // which times the oracle-side recompute too)
-    "graph_degree", "graph_triangles",
+    "graph_degree", "graph_triangles", "graph_wcc",
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "emb_neardup",
     "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 

@@ -1191,6 +1191,19 @@ object SparkEntry {
     // construction, the shortcuts close one triangle per customer and
     // supplier. Counts are node-relabeling-invariant, so the hashed-id
     // engine and the string-keyed oracle must agree exactly
+    // weakly connected components over the customer/order edge subset
+    // (dropping n_region/n_prev splits the graph into one component per
+    // nation: the nation node, its customers, and their orders) —
+    // reported as the component-size histogram, which the oracle
+    // re-derives relationally
+    "graph_wcc" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.componentSizeHistogram(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
     "graph_triangles" -> ((s, d) => {
       val g = graph(s, d)
       def ep(name: String) =
@@ -1527,6 +1540,18 @@ object SparkEntry {
         |  count(DISTINCT b.bg) AS n_distinct,
         |  CAST(sum(f) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS familiarity
         |FROM bg b JOIN fr USING (bg) GROUP BY b.doc_id""".stripMargin,
+    // WCC size histogram: each component = a nation + its customers +
+    // their orders (all fks verified non-null/valid in the fixture)
+    "graph_wcc" ->
+      """WITH ncust AS (SELECT c_nationkey AS nk, count(*) AS n
+        |  FROM customer GROUP BY 1),
+        |nord AS (SELECT c_nationkey AS nk, count(*) AS n
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |sz AS (SELECT ncust.nk,
+        |    1 + ncust.n + coalesce(nord.n, 0) AS csize
+        |  FROM ncust LEFT JOIN nord ON ncust.nk = nord.nk)
+        |SELECT csize AS size, count(*) AS n_components
+        |FROM sz GROUP BY csize""".stripMargin,
     // triangle count: generic 3-way self-join oracle over the same edge
     // list (string node keys; counts are relabeling-invariant)
     "graph_triangles" ->

@@ -184,6 +184,33 @@ object GraphAlgos {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Weakly connected components over an edge list: delegates to the
+    * two-tier CC engine built for duplicate clustering (Dedup.scala —
+    * one bounded collect + driver union-find under the 5 M-edge gate,
+    * where a single Spark round costs more than a million-edge
+    * union-find; distributed min-label with pointer-doubling shortcut
+    * above it, O(log diameter) rounds). Returns (node, component) with
+    * the component labeled by its minimum node id.
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val pairs = edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+    val ids = edges.select(col(srcCol).as("id"))
+      .union(edges.select(col(dstCol).as("id"))).distinct()
+    Dedup.connectedComponents(pairs, ids)
+      .select(col("id").as("node"), col("cluster").as("component"))
+  }
+
+  /** Component-size histogram: for each component size, how many
+    * components have it — the shape summary of a graph's connectivity
+    * (two tiny aggregates on top of [[connectedComponents]]).
+    */
+  def componentSizeHistogram(edges: DataFrame, srcCol: String,
+                             dstCol: String): DataFrame =
+    connectedComponents(edges, srcCol, dstCol)
+      .groupBy("component").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_components"))
+
   /** Contract harness for the driver oracle: run the distributed PageRank
     * and the sequential reference on the same (small) edge list and
     * return one row `(pagerank_ok, n_nodes)` — true iff every node's rank

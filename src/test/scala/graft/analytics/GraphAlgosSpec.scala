@@ -126,6 +126,18 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("componentSizeHistogram over mixed components") {
+    // components: {1,2,3,4} (size 4), {10,11} (size 2), {20,21} (size 2)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L))
+      .toDF("s", "d")
+    val got = GraphAlgos.componentSizeHistogram(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(4L -> 1L, 2L -> 2L))
+    val cc = GraphAlgos.connectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(cc(4L) === 1L && cc(11L) === 10L && cc(21L) === 20L)
+  }
+
   test("pageRankContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val rows = GraphAlgos.pageRankContract(edges, "s", "d").collect()
