@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * wants for a keyed event log.
   */
 object Events {
+  /** Epoch seconds for any timestamp flavor. Parquet timestamps without
+    * isAdjustedToUTC read back as TIMESTAMP_NTZ in Spark 4, which ANSI
+    * refuses to cast straight to BIGINT — route through TIMESTAMP first
+    * (the session zone is pinned to UTC project-wide, so NTZ is
+    * interpreted as UTC, matching DuckDB's epoch(ts); a no-op for LTZ
+    * and for columns that are already numeric).
+    */
+  private def epochSecs(c: org.apache.spark.sql.Column) =
+    c.cast("timestamp").cast("long")
+
   /** Sessionize: split each user's event stream at inactivity gaps longer
     * than `gapMinutes`. Classic lag + conditional cumulative sum — both
     * windows share the same (user_id, ts) shuffle+sort, so sessionization
@@ -23,7 +33,7 @@ object Events {
     val byUser = Window.partitionBy(userCol).orderBy(col(tsCol))
     val prevTs = lag(col(tsCol), 1).over(byUser)
     val isNew = when(prevTs.isNull ||
-      col(tsCol).cast("long") - prevTs.cast("long") > gapMinutes * 60L, 1L)
+      epochSecs(col(tsCol)) - epochSecs(prevTs) > gapMinutes * 60L, 1L)
       .otherwise(0L)
     events.withColumn("session_id",
       sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
@@ -39,7 +49,7 @@ object Events {
     sessionize(events, userCol, tsCol, gapMinutes)
       .groupBy(col(userCol), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
-        (max(col(tsCol)).cast("long") - min(col(tsCol)).cast("long"))
+        (epochSecs(max(col(tsCol))) - epochSecs(min(col(tsCol))))
           .as("span_sec"),
         sum(col(valueCol)).as("total_value"))
 
