@@ -1217,6 +1217,79 @@ object SparkEntry {
       val edges = Seq(cn, nr, sn, comp(cn, nr), comp(sn, nr),
         ep("o_cust"), ep("n_prev")).reduce(_ unionByName _)
       GraphAlgos.triangleCount(edges, "x", "y")
+    }),
+    // BFS shortest-path distances from the max-key nation, walking the
+    // n_prev chain (24→23→…→0) plus reversed c_nation (nation→customer)
+    // and reversed o_cust (customer→order) edges: distances spread over
+    // ~27 levels. Reported as the relabeling-invariant (dist, n_nodes)
+    // histogram; the oracle re-derives it with a recursive CTE over the
+    // same string-keyed edges
+    "graph_bfs" -> ((s, d) => {
+      val g = graph(s, d)
+      def ep(name: String) = g.quads.where(col("p") === QValue.id(iri(name)))
+      val edges = ep("n_prev").select(col("s").as("u"), col("o").as("v"))
+        .unionByName(ep("c_nation").select(col("o").as("u"), col("s").as("v")))
+        .unionByName(ep("o_cust").select(col("o").as("u"), col("s").as("v")))
+      val maxN = t(s, d, "nation").agg(max(col("n_nationkey"))).head.get(0)
+      val src = s.range(1)
+        .select(lit(QValue.id(iri(s"nation:$maxN"))).as("node"))
+      GraphAlgos.bfsDistanceHistogram(edges, "u", "v", src)
+    }),
+    // HITS hubs/authorities over the full directed star graph, verified
+    // as a differential contract vs a sequential evaluation of the same
+    // normalized recurrence (same harness pattern as graph_pagerank)
+    "graph_hits" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.hitsContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
+    // keyed interval-containment join: events against deterministic 2-day
+    // per-order windows laid into the events' January-2024 range (both
+    // engines derive the identical intervals). Bucketed equi-join on
+    // (user, day) — candidates bounded by genuine time overlap, no
+    // per-key cartesian, no post-join dedup needed
+    "q_interval" -> ((s, d) => {
+      val base = 1704067200L // 2024-01-01T00:00:00Z
+      val iv = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        timestamp_seconds(lit(base) + (col("o_orderkey") % 29) * 86400L)
+          .as("start_ts"),
+        timestamp_seconds(lit(base) + (col("o_orderkey") % 29) * 86400L
+          + 2L * 86400L).as("end_ts"))
+      Events.intervalJoin(
+        events(s, d).select("event_id", "user_id", "ts"), iv,
+        "user_id", "o_custkey", "ts", "start_ts", "end_ts",
+        Seq("o_orderkey"))
+        .select("event_id", "user_id", "o_orderkey")
+    }),
+    // BM25 top-10 per query term (rational idf — same float-parity rule
+    // as text_tfidf: IEEE +,*,/ only, no transcendental functions)
+    "text_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
+        Seq("spark", "join", "hash", "scan"), k = 10)),
+    // sketch contracts: HyperLogLog++ distinct tokens within 5% of exact,
+    // approx median doc length within 5% of the exact median — the
+    // one-pass mergeable summaries a 100 TB profile pass uses instead of
+    // exact distinct/sort (both assertions computed engine-side; the
+    // oracle records the contract)
+    "stats_sketch" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = docs.select(explode(split(TextOps.normalize(col("text")),
+        " ")).as("term")).where(length(col("term")) > 0)
+      val Seq(approxD, exactD) = Seq(
+        toks.agg(approx_count_distinct(col("term"), 0.01)).head.getLong(0),
+        toks.agg(count_distinct(col("term"))).head.getLong(0))
+      val lens = docs.select(length(col("text")).cast("double").as("len"))
+      val approxM = lens.agg(percentile_approx(col("len"), lit(0.5),
+        lit(10000))).head.getDouble(0)
+      val exactM = lens.agg(expr("percentile(len, 0.5)")).head.getDouble(0)
+      val hllOk = exactD > 0 &&
+        math.abs(approxD - exactD).toDouble / exactD <= 0.05
+      val qOk = exactM > 0 && math.abs(approxM - exactM) / exactM <= 0.05
+      s.range(1).select(lit(hllOk).as("hll_ok"), lit(qOk).as("quantile_ok"))
     }))
 
   /** DuckDB mirror of Dedup.simhashes: 60-bit md5-derived token hash,
@@ -1579,6 +1652,76 @@ object SparkEntry {
         |  FROM u e1 JOIN u e2 ON e2.a = e1.b
         |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b)
         |SELECT (SELECT count(*) FROM u) AS n_edges, n_triangles FROM t""".stripMargin,
+    // BFS distance histogram: generic recursive-CTE BFS over the same
+    // string-keyed edge list (source = max-key nation; UNION dedups
+    // (node, depth) pairs, min(d) per node = hop distance)
+    "graph_bfs" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS u,
+        |         'n' || CAST(n_nationkey - 1 AS VARCHAR) AS v
+        |    FROM nation WHERE n_nationkey >= 1
+        |  UNION ALL SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+        |         'c' || CAST(c_custkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+        |         'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+        |walk(node, d) AS (
+        |  SELECT 'n' || CAST((SELECT max(n_nationkey) FROM nation) AS VARCHAR), 0
+        |  UNION
+        |  SELECT e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+        |  WHERE w.d < 64),
+        |md AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
+        |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
+        |FROM md GROUP BY dist""".stripMargin,
+    // HITS differential contract: distributed join+agg recurrence vs
+    // sequential reference on the same edges (node universe as pagerank)
+    "graph_hits" ->
+      """SELECT TRUE AS hits_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // interval-containment join: naive BETWEEN oracle over the same
+    // deterministically derived 2-day windows (whole-second bounds, so
+    // the engine's epoch-second comparison is exactly equivalent)
+    "q_interval" ->
+      """WITH iv AS (SELECT o_orderkey, o_custkey,
+        |    TIMESTAMP '2024-01-01' + ((o_orderkey % 29) * INTERVAL 1 DAY) AS start_ts,
+        |    TIMESTAMP '2024-01-01' + ((o_orderkey % 29) * INTERVAL 1 DAY)
+        |      + INTERVAL 2 DAY AS end_ts
+        |  FROM orders)
+        |SELECT e.event_id, e.user_id, iv.o_orderkey
+        |FROM events e JOIN iv ON iv.o_custkey = e.user_id
+        |  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin,
+    // BM25: identical IEEE op sequence (every literal and intermediate
+    // CAST to DOUBLE — DuckDB decimal literals would otherwise run the
+    // scoring in DECIMAL arithmetic and break float parity)
+    "text_bm25" ->
+      """WITH tx AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |dls AS (SELECT doc_id, CAST(CASE WHEN length(t) = 0 THEN 0
+        |    ELSE length(string_split(t, ' ')) END AS BIGINT) AS dl FROM tx),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+        |  FROM tx WHERE length(t) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE term IN ('spark', 'join', 'hash', 'scan') GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.term, tf.doc_id,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))) AS score
+        |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN tot)
+        |SELECT term, doc_id, rank, score FROM (
+        |  SELECT term, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    score FROM sc) r
+        |WHERE rank <= 10""".stripMargin,
+    // sketch contracts are engine-side assertions (approx within 5% of
+    // exact); the oracle records the contract
+    "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed

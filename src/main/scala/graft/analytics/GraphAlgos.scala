@@ -211,6 +211,157 @@ object GraphAlgos {
       .groupBy("component").agg(count(lit(1)).as("size"))
       .groupBy("size").agg(count(lit(1)).as("n_components"))
 
+  /** Multi-source unweighted shortest-path distances (BFS) over an edge
+    * list: for every node reachable from `sources`, the minimum hop count.
+    * Frontier expansion — each round joins only the CURRENT frontier
+    * against the edge table (hash-partitioned on the source endpoint; at
+    * a deployment the edge side is persisted pre-partitioned so every
+    * round reuses the exchange), dedups the discovered neighbors, and
+    * anti-joins the visited set so a node's distance is written exactly
+    * once, at its first (= minimal) depth. The per-round driver action is
+    * only an emptiness probe on the already-materialized frontier
+    * (localCheckpoint, same cadence discipline as the Recursive shape,
+    * shape/Lower.scala) — no per-round count of the full visited set.
+    * Rounds = eccentricity of the source set, each round one shuffle
+    * join + one anti-join; unreachable nodes never enter the result.
+    */
+  def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
+                   sources: DataFrame, maxDepth: Int = 64,
+                   checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    var dist = sources.toDF("node").distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist.select("node")
+    var d = 0L
+    var done = false
+    while (!done && d < maxDepth) {
+      d += 1
+      val fresh = frontier.join(e, frontier("node") === e("u"))
+        .select(col("v").as("node")).distinct()
+        .join(dist.select("node"), Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionByName(fresh)
+        if (d % checkpointEvery == 0) dist = dist.localCheckpoint(true)
+        frontier = fresh.select("node")
+      }
+    }
+    dist
+  }
+
+  /** Relabeling-invariant summary of [[bfsDistances]]: nodes per distance
+    * level (hashed-id engine and string-keyed oracles must agree exactly).
+    */
+  def bfsDistanceHistogram(edges: DataFrame, srcCol: String, dstCol: String,
+                           sources: DataFrame,
+                           maxDepth: Int = 64): DataFrame =
+    bfsDistances(edges, srcCol, dstCol, sources, maxDepth)
+      .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
+
+  /** HITS hubs/authorities, fixed iteration count with L2 normalization
+    * per half-step (the classic formulation):
+    * {{{
+    *   a_k(v) = Σ_{(u,v)} h_{k-1}(u)   then a_k ← a_k / ||a_k||_2
+    *   h_k(u) = Σ_{(u,v)} a_k(v)       then h_k ← h_k / ||h_k||_2
+    * }}}
+    * Each half-step is one shuffle join edge⋈score + one shuffle
+    * aggregate — the same plan shape as a PageRank iteration, run twice
+    * per round; the L2 norm is a scalar first() on a one-row aggregate
+    * (a driver action per half-step, unavoidable for normalization and
+    * O(1) data). Edges are checkpointed once; score tables are |V|-sized.
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iterations: Int = 10, checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+    var scores = nodes.select(col("node"), lit(1.0).as("hub"),
+      lit(1.0).as("auth"))
+    def l2(df: DataFrame, c: String): Double =
+      math.sqrt(df.agg(sum(col(c) * col(c))).head.getDouble(0))
+    for (i <- 1 to iterations) {
+      val authRaw = e.join(scores.select(col("node"), col("hub")),
+          e("src") === col("node"))
+        .groupBy(col("dst").as("n")).agg(sum(col("hub")).as("a"))
+      val withAuth = scores.drop("auth")
+        .join(authRaw, scores("node") === authRaw("n"), "left")
+        .select(col("node"), col("hub"),
+          coalesce(col("a"), lit(0.0)).as("auth"))
+        .localCheckpoint(true)
+      val an = l2(withAuth, "auth")
+      val normAuth = withAuth.select(col("node"), col("hub"),
+        (col("auth") / lit(an)).as("auth")).localCheckpoint(true)
+      val hubRaw = e.join(normAuth.select(col("node"), col("auth")),
+          e("dst") === col("node"))
+        .groupBy(col("src").as("n")).agg(sum(col("auth")).as("h"))
+      val withHub = normAuth.drop("hub")
+        .join(hubRaw, normAuth("node") === hubRaw("n"), "left")
+        .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
+          col("auth"))
+        .localCheckpoint(true)
+      val hn = l2(withHub, "hub")
+      scores = withHub.select(col("node"), (col("hub") / lit(hn)).as("hub"),
+        col("auth"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        scores = scores.localCheckpoint(true)
+    }
+    scores
+  }
+
+  /** Sequential reference evaluation of [[hits]]'s exact recurrence —
+    * the differential oracle (tolerance-compared: double addition is
+    * non-associative across partition orders).
+    */
+  def hitsLocal(edges: Seq[(Long, Long)],
+                iterations: Int = 10): Map[Long, (Double, Double)] = {
+    val es = edges.distinct
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct.sorted
+    val out = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val in = es.groupBy(_._2).map { case (k, v) => k -> v.map(_._1).sorted }
+    var hub = nodes.map(_ -> 1.0).toMap
+    var auth = nodes.map(_ -> 1.0).toMap
+    for (_ <- 1 to iterations) {
+      auth = nodes.map(v => v -> in.getOrElse(v, Nil).map(hub).sum).toMap
+      val an = math.sqrt(auth.values.map(x => x * x).sum)
+      auth = auth.map { case (k, v) => k -> v / an }
+      hub = nodes.map(u => u -> out.getOrElse(u, Nil).map(auth).sum).toMap
+      val hn = math.sqrt(hub.values.map(x => x * x).sum)
+      hub = hub.map { case (k, v) => k -> v / hn }
+    }
+    nodes.map(v => v -> (hub(v), auth(v))).toMap
+  }
+
+  /** Contract harness for the driver oracle (mirrors
+    * [[pageRankContract]]): distributed vs sequential HITS on the same
+    * edge list — one row `(hits_ok, n_nodes)`, true iff every node's hub
+    * and authority agree within `tol` and both sides agree on the top
+    * authority node. The collect is the oracle side only.
+    */
+  def hitsContract(edges: DataFrame, srcCol: String, dstCol: String,
+                   iterations: Int = 10, tol: Double = 1e-9): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = hits(edges, srcCol, dstCol, iterations)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = hitsLocal(es, iterations)
+    val sameNodes = dist.keySet == local.keySet
+    val close = sameNodes && local.forall { case (v, (lh, la)) =>
+      math.abs(dist(v)._1 - lh) < tol && math.abs(dist(v)._2 - la) < tol
+    }
+    val topAgree = sameNodes && dist.nonEmpty &&
+      dist.maxBy { case (v, (_, a)) => (a, v) }._1 ==
+        local.maxBy { case (v, (_, a)) => (a, v) }._1
+    spark.range(1).select(lit(close && topAgree).as("hits_ok"),
+      lit(local.size.toLong).as("n_nodes"))
+  }
+
   /** Contract harness for the driver oracle: run the distributed PageRank
     * and the sequential reference on the same (small) edge list and
     * return one row `(pagerank_ok, n_nodes)` — true iff every node's rank

@@ -447,4 +447,52 @@ object TextOps {
         (sum(col("f")).cast("double") / count(lit(1)).cast("double"))
           .as("familiarity"))
   }
+
+  /** BM25 lexical retrieval: top-`k` documents per query term — the
+    * sparse-retrieval half of a RAG/eval pipeline next to the dense ANN
+    * operators (Similarity.scala). Rational-idf variant for cross-engine
+    * float parity (the same reason topTfidfTerms avoids `ln`: transcendental
+    * libm results differ between engines, IEEE +,*,/ do not):
+    * {{{
+    *   idf(t)      = (N - df(t) + 0.5) / (df(t) + 0.5)
+    *   score(d, t) = idf(t) * (tf * (k1+1)) / (tf + k1 * (1 - b + b * dl/avgdl))
+    * }}}
+    * `avgdl` averages over the WHOLE corpus (one tiny scalar aggregate,
+    * plan-folded as a literal); tf/df touch only rows containing a query
+    * term, so the per-term work is an `isin` filter pushed to the token
+    * explode, one (doc, term) hash aggregate, a broadcast of the |Q|-row
+    * df table, and a per-term top-k window — no corpus-wide shuffle
+    * beyond the tf aggregate. Ranking ties break on ascending doc id.
+    */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, queryTerms: Seq[String], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val dls = df.select(col(idCol), tokenCount(col(textCol)).cast("long").as("dl"))
+    val tot = dls.agg(count(lit(1)).as("n"), sum("dl").as("s")).head
+    val nDocs = tot.getLong(0)
+    require(nDocs > 0, "bm25TopK: empty corpus")
+    val avgdl = tot.getLong(1).toDouble / nDocs.toDouble
+    val q = queryTerms.map(_.toLowerCase)
+    val tf = df
+      .select(col(idCol), explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(col("term").isin(q: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // literal structure mirrors the oracle SQL token for token so both
+    // engines run the identical IEEE op sequence
+    val tfD = col("tf").cast("double"); val dfD = col("df").cast("double")
+    val scored = tf.join(broadcast(dfreq), "term")
+      .join(dls, idCol)
+      .withColumn("score",
+        ((lit(nDocs).cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+          (tfD * (lit(k1) + lit(1.0))) /
+          (tfD + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+    val w = Window.partitionBy("term")
+      .orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("term"), col(idCol), col("rank"), col("score"))
+  }
 }

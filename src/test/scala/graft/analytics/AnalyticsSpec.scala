@@ -733,4 +733,37 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().head
     assert(got === ((1L, 2L, 1L, 2.0)))
   }
+
+  test("bm25TopK matches a hand-computed score and ranks by it") {
+    import spark.implicits._
+    // corpus: N=3, dl = 3,2,4, avgdl = 3.0; term "cat": df=2,
+    // tf(d1)=1, tf(d3)=2; term "dog": df=1, tf(d2)=1
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "a dog"), (3L, "cat cat mat hat")
+    ).toDF("doc_id", "text")
+    def score(tf: Double, df: Double, dl: Double): Double = {
+      val n = 3.0; val k1 = 1.2; val b = 0.75; val avgdl = 3.0
+      ((n - df + 0.5) / (df + 0.5)) * (tf * (k1 + 1.0)) /
+        (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+    }
+    val got = TextOps.bm25TopK(docs, "doc_id", "text", Seq("cat", "dog"))
+      .as[(String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got.keySet === Set(("cat", 1L), ("cat", 3L), ("dog", 2L)))
+    assert(math.abs(got(("cat", 3L))._2 - score(2, 2, 4)) < 1e-12)
+    assert(math.abs(got(("cat", 1L))._2 - score(1, 2, 3)) < 1e-12)
+    assert(math.abs(got(("dog", 2L))._2 - score(1, 1, 2)) < 1e-12)
+    // tf=2 beats tf=1 for "cat" despite the longer doc
+    assert(got(("cat", 3L))._1 === 1L && got(("cat", 1L))._1 === 2L)
+  }
+
+  test("bm25TopK caps at k and breaks score ties by ascending doc id") {
+    import spark.implicits._
+    val docs = (1L to 20L).map(i => (i, "same text here"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(docs, "doc_id", "text", Seq("same"), k = 5)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._3)
+    assert(got.length === 5)
+    assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
 }

@@ -200,4 +200,58 @@ class EventsSpec extends AnyFunSuite {
       .collect().toSet
     assert(got === expected)
   }
+
+  test("intervalJoin: half-open containment, no duplicate pairs") {
+    val left = Seq(
+      (1L, 10L, ts(0)),   // == start -> included
+      (2L, 10L, ts(30)),  // inside -> included
+      (3L, 10L, ts(60)),  // == end -> excluded (half-open)
+      (4L, 10L, ts(61)),  // after -> excluded
+      (5L, 20L, ts(30))   // wrong key -> excluded
+    ).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 10L, ts(0), ts(60)))
+      .toDF("iid", "key", "start_ts", "end_ts")
+    val got = Events.intervalJoin(left, right, "user_id", "key", "ts",
+        "start_ts", "end_ts", Seq("iid"))
+      .select("event_id", "iid").as[(Long, Long)].collect().toSeq
+    assert(got.sorted === Seq((1L, 100L), (2L, 100L)))
+  }
+
+  test("intervalJoin spans bucket boundaries and overlapping intervals") {
+    // bucket = 1h; the interval crosses two bucket edges, and two
+    // intervals overlap the same event -> one row per (event, interval)
+    val left = Seq((1L, 10L, ts(90))).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, ts(0), ts(150)),   // covers buckets 0,1,2
+      (101L, 10L, ts(85), ts(95)),   // covers bucket 1 only
+      (102L, 10L, ts(91), ts(200))   // starts after the event
+    ).toDF("iid", "key", "start_ts", "end_ts")
+    val got = Events.intervalJoin(left, right, "user_id", "key", "ts",
+        "start_ts", "end_ts", Seq("iid"), bucketSeconds = 3600L)
+      .select("iid").as[Long].collect().toSeq.sorted
+    assert(got === Seq(100L, 101L))
+  }
+
+  test("intervalJoin matches a brute-force evaluation on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i =>
+      (i.toLong, (rnd.nextInt(6) + 1).toLong, ts(rnd.nextInt(300))))
+    val right = (1 to 150).map { i =>
+      val s = rnd.nextInt(300)
+      (1000L + i, (rnd.nextInt(8) + 1).toLong, ts(s),
+        ts(s + rnd.nextInt(40)))  // zero-length intervals included
+    }
+    val expected = (for {
+      (eid, k, lts) <- left
+      (iid, rk, s, e) <- right
+      if rk == k && !lts.before(s) && lts.before(e)
+    } yield (eid, iid)).toSet
+    val got = Events.intervalJoin(
+        left.toDF("event_id", "user_id", "ts"),
+        right.toDF("iid", "key", "start_ts", "end_ts"),
+        "user_id", "key", "ts", "start_ts", "end_ts", Seq("iid"),
+        bucketSeconds = 600L)
+      .select("event_id", "iid").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+  }
 }

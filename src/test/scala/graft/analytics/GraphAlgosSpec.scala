@@ -145,4 +145,71 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(rows(0).getBoolean(0))
     assert(rows(0).getLong(1) === 3L)
   }
+
+  test("bfsDistances: min hop count, unreachable nodes absent") {
+    // 1->2->3->4 chain, shortcut 1->3, island 9->10; source {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (9L, 10L))
+      .toDF("s", "d")
+    val got = GraphAlgos.bfsDistances(edges, "s", "d", Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("bfsDistances: multi-source takes the minimum, cycles terminate") {
+    // cycle 1->2->3->1 plus 3->4; sources {1, 4}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val got = GraphAlgos.bfsDistances(edges, "s", "d",
+        Seq(1L, 4L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 4L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsDistances respects maxDepth") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val got = GraphAlgos.bfsDistances(edges, "s", "d", Seq(1L).toDF("node"),
+        maxDepth = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bfsDistanceHistogram counts nodes per level") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 5L)).toDF("s", "d")
+    val got = GraphAlgos
+      .bfsDistanceHistogram(edges, "s", "d", Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 2L))
+  }
+
+  test("hitsLocal: star graph concentrates authority on the hub target") {
+    // 1,2,3 all point at 4; 4 points nowhere: auth(4)=1, hubs equal
+    val local = GraphAlgos.hitsLocal(Seq((1L, 4L), (2L, 4L), (3L, 4L)))
+    assert(math.abs(local(4L)._2 - 1.0) < 1e-12)
+    assert(math.abs(local(1L)._1 - 1.0 / math.sqrt(3)) < 1e-12)
+    assert(local(4L)._1 === 0.0 && local(1L)._2 === 0.0)
+  }
+
+  test("hits distributed agrees with the sequential reference") {
+    val rnd = new scala.util.Random(13)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val local = GraphAlgos.hitsLocal(edges, iterations = 8)
+    val dist = GraphAlgos.hits(edges.toDF("s", "d"), "s", "d",
+        iterations = 8)
+      .as[(Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(dist.keySet === local.keySet)
+    local.foreach { case (v, (lh, la)) =>
+      assert(math.abs(dist(v)._1 - lh) < 1e-9, s"hub of $v")
+      assert(math.abs(dist(v)._2 - la) < 1e-9, s"auth of $v")
+    }
+  }
+
+  test("hitsContract returns a single true row") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+    val rows = GraphAlgos.hitsContract(edges, "s", "d").collect()
+    assert(rows.length === 1)
+    assert(rows(0).getBoolean(0))
+    assert(rows(0).getLong(1) === 3L)
+  }
 }
