@@ -20,11 +20,12 @@ object Bench {
     "dedup_clusters", "dedup_spans", "decontam", "text_quality", "text_langid",
     "text_repetition", "text_redact", "text_pack", "text_chunks",
     "text_tfidf", "corpus_stats", "doc_sample", "pipeline_curate",
-    "q_sessionize", "q_session_stats", "q_asof", "text_lm",
-    // graph analytics (degree/triangles; the PageRank OPERATOR is benched
-    // separately below — its driver entry is the differential harness,
-    // which times the oracle-side recompute too)
-    "graph_degree", "graph_triangles", "graph_wcc",
+    "q_sessionize", "q_session_stats", "q_asof", "q_interval", "text_lm",
+    "text_bm25",
+    // graph analytics (degree/triangles/BFS; the PageRank and HITS
+    // OPERATORS are benched separately below — their driver entries are
+    // differential harnesses, which time the oracle-side recompute too)
+    "graph_degree", "graph_triangles", "graph_wcc", "graph_bfs",
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "emb_neardup",
     "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
@@ -620,8 +621,31 @@ object Bench {
           errors("graph_pagerank_op") = errText(e); Seq("graph_pagerank_op" -> -1.0)
       }
 
+    // HITS OPERATOR timing on the same edge set: min-of-2, noop sink
+    val hitsOp: Seq[(String, Double)] =
+      if (!only.forall(_.contains("graph_hits_op"))) Seq.empty
+      else try {
+        import graft.core.QValue
+        import org.apache.spark.sql.functions.col
+        val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+          "o_cust").map(p => QValue.id(QValue.Iri(p)))
+        val edges = SparkEntry.graph(spark, sfDir).quads
+          .where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst"))
+        def once(): Double = time {
+          graft.analytics.GraphAlgos.hits(edges, "src", "dst",
+              iterations = 10)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val r1 = once(); val r2 = once()
+        Seq("graph_hits_op" -> math.min(r1, r2))
+      } catch {
+        case e: Throwable =>
+          errors("graph_hits_op") = errText(e); Seq("graph_hits_op" -> -1.0)
+      }
+
     val all = ("graph_load" -> loadSec) +:
-      (results ++ pagerank ++ movie ++ scaleOut ++ skew)
+      (results ++ pagerank ++ hitsOp ++ movie ++ scaleOut ++ skew)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

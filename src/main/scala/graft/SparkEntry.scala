@@ -1106,6 +1106,40 @@ object SparkEntry {
       Seq(hashed.count() == 200 && nBrute > 0 && diff == 0)
         .toDF("contract_ok")
     }),
+    // video plumbing end-to-end: 100 synthesized GVID containers (12
+    // constant-color 8x6 BMP frames each, color a function of
+    // (video, frame)), sample every 3rd frame distributed, decode each
+    // sampled frame for real — exact frame counts, indexes, and
+    // constant-color channel means
+    "mm_video" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      def chan(id: Long, f: Int, c: Int): Int =
+        ((id * 31 + f * 7 + c * 13) % 251).toInt
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .limit(100).as[Long].map { id =>
+          val frames = (0 until 12).map { f =>
+            val px = Array.tabulate(8 * 6 * 3)(i =>
+              chan(id, f, i % 3).toByte)
+            Multimodal.encodeBmp(8, 6, px)
+          }
+          (id, "video", Multimodal.encodeGvid(4, frames))
+        }.toDF("media_id", "kind", "payload")
+      val feats = Multimodal.videoFrameFeatures(media, everyK = 3)
+        .as[(Long, Long, Array[Float])].collect()
+      val perVideo = feats.groupBy(_._1)
+      val countsOk = perVideo.size == 100 &&
+        perVideo.values.forall(_.map(_._2).sorted.toSeq == Seq(0L, 3L, 6L, 9L))
+      // decodeBmp feature = [w/4096, h/4096, meanR, meanG, meanB, ...];
+      // constant-color frames must preserve the exact channel value
+      val meansOk = feats.forall { case (id, f, feat) =>
+        math.abs(feat(2) - chan(id, f.toInt, 2) / 255.0f) < 1e-6 &&
+          math.abs(feat(3) - chan(id, f.toInt, 1) / 255.0f) < 1e-6 &&
+          math.abs(feat(4) - chan(id, f.toInt, 0) / 255.0f) < 1e-6 &&
+          feat(0) == 8.0f / 4096 && feat(1) == 6.0f / 4096
+      }
+      Seq(countsOk && meansOk).toDF("video_ok")
+    }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -1746,6 +1780,9 @@ object SparkEntry {
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",
     "mm_phash" -> "SELECT TRUE AS contract_ok",
+    // video contract: exact sampled-frame counts/indexes + per-frame
+    // constant-color channel means through the real BMP decoder
+    "mm_video" -> "SELECT TRUE AS video_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6

@@ -391,4 +391,85 @@ object Multimodal {
       .select(col("media_id"),
         sequence(lit(0L), greatest(col("meta.duration_ms") - 1, lit(0L)),
           lit(everyMs)).as("frame_ts_ms"))
+
+  // ------------------------------------------------------------- video
+  // Trivial uncompressed video container ("GVID"): magic, fps, frame
+  // count, then length-prefixed whole BMP frames. Exists so the video
+  // path — binary column → per-row container parse → frame explode →
+  // per-frame decode — is real, distributed, and testable end-to-end;
+  // an H.264 demuxer plugs into decodeGvid's slot (the same documented
+  // stub boundary as JPEG/MP3).
+
+  private[graft] def encodeGvid(fps: Int,
+                                frames: Seq[Array[Byte]]): Array[Byte] = {
+    val size = 12 + frames.map(4 + _.length).sum
+    val bb = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("GVID".getBytes("US-ASCII")); bb.putInt(fps); bb.putInt(frames.length)
+    frames.foreach { f => bb.putInt(f.length); bb.put(f) }
+    bb.array()
+  }
+
+  /** (fps, frames) of a GVID container; None (→ stub boundary) for
+    * anything else. Bound-checked like the WAV/BMP parsers: a corrupt
+    * length never reads past the buffer or loops.
+    */
+  private[graft] def decodeGvid(
+      b: Array[Byte]): Option[(Int, Seq[Array[Byte]])] = {
+    if (b.length < 12 || b(0) != 'G' || b(1) != 'V' || b(2) != 'I' ||
+      b(3) != 'D') return None
+    val fps = leInt(b, 4); val n = leInt(b, 8)
+    if (fps <= 0 || n < 0) return None
+    val frames = Seq.newBuilder[Array[Byte]]
+    var off = 12
+    var i = 0
+    while (i < n) {
+      if (off + 4 > b.length) return None
+      val len = leInt(b, off)
+      if (len < 0 || off + 4 + len.toLong > b.length) return None
+      frames += java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+      off += 4 + len
+      i += 1
+    }
+    Some((fps, frames.result()))
+  }
+
+  /** Distributed frame sampling: explode each video row into every
+    * `everyK`-th frame as its own (media_id, frame_idx, frame) row —
+    * partition-at-a-time (demuxer-init boundary), frames stay executor-
+    * side. Non-GVID payloads (the codec stub boundary) produce no rows.
+    * Downstream image ops compose directly: the exploded frames are
+    * plain BMP payloads, so [[imagePhashes]]/[[resizeImages]]-style
+    * passes run on frames exactly as they do on still images.
+    */
+  def sampleFrames(media: DataFrame, everyK: Int = 1): DataFrame = {
+    require(everyK >= 1, "sampleFrames: everyK must be >= 1")
+    import media.sparkSession.implicits._
+    media.where(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (p == null) Iterator.empty
+        else decodeGvid(p).iterator.flatMap { case (_, frames) =>
+          frames.iterator.zipWithIndex.collect {
+            case (f, i) if i % everyK == 0 => (id, i.toLong, f)
+          }
+        }
+      })
+      .toDF("media_id", "frame_idx", "frame")
+  }
+
+  /** Per-sampled-frame features (frame dimensions + channel means via the
+    * real BMP decoder): the whole-video analog of [[extractFeatures]].
+    * Output is one row per sampled decodable frame.
+    */
+  def videoFrameFeatures(media: DataFrame, everyK: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    sampleFrames(media, everyK)
+      .as[(Long, Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, idx, f) =>
+        decodeBmp(f).map(feat => (id, idx, feat))
+      })
+      .toDF("media_id", "frame_idx", "feature")
+  }
 }

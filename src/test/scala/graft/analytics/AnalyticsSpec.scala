@@ -659,6 +659,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(banded === brute)
   }
 
+  test("GVID codec round-trips frames; corrupt containers are rejected") {
+    val frames = (0 until 5).map(i => gradBmp(i, -1))
+    val enc = Multimodal.encodeGvid(24, frames)
+    val Some((fps, dec)) = Multimodal.decodeGvid(enc)
+    assert(fps === 24 && dec.length === 5)
+    dec.zip(frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    assert(Multimodal.decodeGvid("nope".getBytes) === None)
+    // truncated frame-length header / oversized frame length
+    assert(Multimodal.decodeGvid(enc.take(13)) === None)
+    val bad = enc.clone(); bad(12) = 0x7F.toByte; bad(15) = 0x7F.toByte
+    assert(Multimodal.decodeGvid(bad) === None)
+  }
+
+  test("sampleFrames explodes every k-th frame; non-video rows drop") {
+    val vid = Multimodal.encodeGvid(4, (0 until 7).map(i => gradBmp(i, -1)))
+    val media = Seq(
+      (1L, "video", vid), (2L, "video", "mp4-ish".getBytes),
+      (3L, "image", gradBmp(0, -1))
+    ).toDF("media_id", "kind", "payload")
+    val got = Multimodal.sampleFrames(media, everyK = 3)
+      .select("media_id", "frame_idx").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 0L), (1L, 3L), (1L, 6L)))
+    val feats = Multimodal.videoFrameFeatures(media, everyK = 3)
+      .as[(Long, Long, Array[Float])].collect()
+    assert(feats.length === 3 && feats.forall(_._3.length === 8))
+  }
+
   test("ivfAppendQuantized: append equals union store; finds new vectors") {
     import org.apache.commons.io.FileUtils
     val rnd = new scala.util.Random(31)
