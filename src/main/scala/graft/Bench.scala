@@ -26,6 +26,7 @@ object Bench {
     // OPERATORS are benched separately below — their driver entries are
     // differential harnesses, which time the oracle-side recompute too)
     "graph_degree", "graph_triangles", "graph_wcc", "graph_bfs",
+    "graph_sssp",
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "emb_neardup",
     "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 

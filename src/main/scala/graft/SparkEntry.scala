@@ -1281,6 +1281,48 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // weighted shortest paths (distributed Bellman-Ford, early exit) over
+    // deterministically weighted star-graph edges: nation chain w=1+(k%3),
+    // nation skip-2 w=3 (creates genuinely competing paths), nation→cust
+    // w=1+(ck%7), cust→order w=1+(ok%4). String node keys on BOTH engines
+    // so (node, dist) compares exactly; the oracle enumerates paths with a
+    // recursive CTE (optimal-path prefixes stay < the 100 cap)
+    "graph_sssp" -> ((s, d) => {
+      val nation = t(s, d, "nation"); val customer = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val nk = col("n_nationkey")
+      val chain = nation.where(nk >= 1).select(
+        concat(lit("n"), nk.cast("string")).as("u"),
+        concat(lit("n"), (nk - 1).cast("string")).as("v"),
+        (lit(1L) + (nk % 3).cast("long")).as("w"))
+      val skip = nation.where(nk >= 2).select(
+        concat(lit("n"), nk.cast("string")).as("u"),
+        concat(lit("n"), (nk - 2).cast("string")).as("v"), lit(3L).as("w"))
+      val nc = customer.select(
+        concat(lit("n"), col("c_nationkey").cast("string")).as("u"),
+        concat(lit("c"), col("c_custkey").cast("string")).as("v"),
+        (lit(1L) + (col("c_custkey") % 7).cast("long")).as("w"))
+      val co = orders.select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("u"),
+        concat(lit("o"), col("o_orderkey").cast("string")).as("v"),
+        (lit(1L) + (col("o_orderkey") % 4).cast("long")).as("w"))
+      val edges = Seq(chain, skip, nc, co).reduce(_ unionByName _)
+      val maxN = nation.agg(max(nk)).head.get(0)
+      val src = s.range(1).select(lit(s"n$maxN").as("node"))
+      GraphAlgos.shortestPaths(edges, "u", "v", "w", src)
+    }),
+    // k-core (k=2) of the directed star graph viewed undirected: the
+    // order/customer/supplier trees peel away, the nation chain + region
+    // attachments survive — differential contract vs a sequential peel
+    "graph_kcore" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.kCoreContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst", k = 2)
+    }),
     // keyed interval-containment join: events against deterministic 2-day
     // per-order windows laid into the events' January-2024 range (both
     // engines derive the identical intervals). Bucketed equi-join on
@@ -1713,6 +1755,35 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // weighted shortest paths: recursive-CTE path enumeration, min per
+    // node (the 100 cap only prunes paths already beaten — every optimal
+    // path's prefix sums stay below it)
+    "graph_sssp" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS u,
+        |         'n' || CAST(n_nationkey - 1 AS VARCHAR) AS v,
+        |         CAST(1 + n_nationkey % 3 AS BIGINT) AS w
+        |    FROM nation WHERE n_nationkey >= 1
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'n' || CAST(n_nationkey - 2 AS VARCHAR), CAST(3 AS BIGINT)
+        |    FROM nation WHERE n_nationkey >= 2
+        |  UNION ALL SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+        |         'c' || CAST(c_custkey AS VARCHAR),
+        |         CAST(1 + c_custkey % 7 AS BIGINT) FROM customer
+        |  UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+        |         'o' || CAST(o_orderkey AS VARCHAR),
+        |         CAST(1 + o_orderkey % 4 AS BIGINT) FROM orders),
+        |walk(node, dd) AS (
+        |  SELECT 'n' || CAST((SELECT max(n_nationkey) FROM nation) AS VARCHAR),
+        |         CAST(0 AS BIGINT)
+        |  UNION
+        |  SELECT e.v, w.dd + e.w FROM walk w JOIN edges e ON e.u = w.node
+        |  WHERE w.dd < 100)
+        |SELECT node, CAST(min(dd) AS BIGINT) AS dist
+        |FROM walk GROUP BY node""".stripMargin,
+    // k-core differential contract: sequential peel on the collected
+    // edges; n_core_nodes = the surviving nation chain + regions
+    "graph_kcore" -> "SELECT TRUE AS kcore_ok, CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_core_nodes",
     // interval-containment join: naive BETWEEN oracle over the same
     // deterministically derived 2-day windows (whole-second bounds, so
     // the engine's epoch-second comparison is exactly equivalent)

@@ -262,6 +262,120 @@ object GraphAlgos {
     bfsDistances(edges, srcCol, dstCol, sources, maxDepth)
       .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
 
+  /** Single/multi-source weighted shortest paths over an edge list with a
+    * non-negative integer weight column — distributed Bellman-Ford with
+    * early exit. Each round relaxes every edge out of the current
+    * distance table (one shuffle join on the source endpoint + one
+    * min-aggregate on the target), merges by full outer join, and stops
+    * as soon as a round improves nothing (the convergence probe reads a
+    * one-row aggregate of the just-checkpointed merge — no extra pass).
+    * Rounds = max hop count of any shortest path; at scale the edge side
+    * is persisted hash-partitioned on `u`, so every round reuses one
+    * exchange. Returns (node, dist) for reachable nodes; exact for any
+    * non-negative weights (LONG arithmetic — ANSI overflow would throw,
+    * not wrap).
+    */
+  def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
+                    weightCol: String, sources: DataFrame,
+                    maxIterations: Int = 128,
+                    checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("w") >= 0)
+      .localCheckpoint(true)
+    var dist = sources.toDF("node").distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIterations) {
+      i += 1
+      val relaxed = dist.join(e, dist("node") === e("u"))
+        .select(col("v").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("nd"))
+      val merged = dist.join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("dist"), col("nd")),
+            coalesce(col("nd"), col("dist"))).as("dist"),
+          (col("dist").isNull ||
+            (col("nd").isNotNull && col("nd") < col("dist")))
+            .as("__improved"))
+        .localCheckpoint(true)
+      done = merged.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
+        .head.getLong(0) == 0L
+      dist = merged.select("node", "dist")
+      if (i % checkpointEvery == 0) dist = dist.localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** k-core: the maximal subgraph in which every node has (undirected,
+    * deduplicated) degree >= k — iterative peeling. Each round computes
+    * degrees over the surviving edge set (one aggregate), drops every
+    * node below k (one broadcast-size join per endpoint — the peel set
+    * is small after the first round), and stops when a round peels
+    * nothing. Returns (node, degree) for core members with their
+    * within-core degree. Rounds are bounded by the peeling depth
+    * (typically far below diameter); the edge table is checkpointed per
+    * round so lineage stays flat.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    var und = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct().localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+      val bad = deg.where(col("dg") < k).select("n").localCheckpoint(true)
+      if (bad.isEmpty) done = true
+      else {
+        und = und
+          .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
+          .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
+          .select("a", "b").localCheckpoint(true)
+      }
+    }
+    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
+
+  /** Sequential reference peel for [[kCore]] — the differential oracle. */
+  def kCoreLocal(edges: Seq[(Long, Long)], k: Int): Map[Long, Int] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    var changed = true
+    while (changed) {
+      val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+        .map { case (n, v) => n -> v.size }
+      val bad = deg.filter(_._2 < k).keySet
+      changed = bad.nonEmpty
+      if (changed) und = und.filter(e => !bad(e._1) && !bad(e._2))
+    }
+    (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+      .map { case (n, v) => n -> v.size }
+  }
+
+  /** Contract harness for the driver oracle: distributed vs sequential
+    * k-core on the same edge list — one row `(kcore_ok, n_core_nodes)`,
+    * true iff both sides agree on core membership AND every member's
+    * within-core degree. The collect is the oracle side only.
+    */
+  def kCoreContract(edges: DataFrame, srcCol: String, dstCol: String,
+                    k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = kCore(edges, srcCol, dstCol, k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt).toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = kCoreLocal(es, k)
+    spark.range(1).select(lit(dist == local).as("kcore_ok"),
+      lit(local.size.toLong).as("n_core_nodes"))
+  }
+
   /** HITS hubs/authorities, fixed iteration count with L2 normalization
     * per half-step (the classic formulation):
     * {{{

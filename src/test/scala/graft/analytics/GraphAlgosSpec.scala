@@ -205,6 +205,79 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("shortestPaths: weighted relaxation beats fewer-hop paths") {
+    // 1->2 w1, 2->3 w1 (total 2) vs direct 1->3 w5; 3->4 w10; island 9
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (1L, 3L, 5L), (3L, 4L, 10L),
+      (9L, 10L, 1L)).toDF("s", "d", "w")
+    val got = GraphAlgos.shortestPaths(edges, "s", "d", "w",
+        Seq(1L).toDF("node"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 12L))
+  }
+
+  test("shortestPaths matches local Dijkstra on random weighted graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, (rnd.nextInt(9) + 1).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val sources = Seq(0L, 1L)
+      // local Dijkstra (multi-source)
+      val adj = edges.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(e => (e._2, e._3)) }
+      val distL = scala.collection.mutable.Map(sources.map(_ -> 0L): _*)
+      val pq = scala.collection.mutable.PriorityQueue(
+        sources.map(s => (0L, s)): _*)(Ordering.by(-_._1))
+      while (pq.nonEmpty) {
+        val (dd, u) = pq.dequeue()
+        if (dd == distL(u)) adj.getOrElse(u, Nil).foreach { case (v, w) =>
+          if (distL.get(v).forall(_ > dd + w)) {
+            distL(v) = dd + w; pq.enqueue((dd + w, v))
+          }
+        }
+      }
+      val got = GraphAlgos.shortestPaths(edges.toDF("s", "d", "w"), "s",
+          "d", "w", sources.toDF("node"))
+        .as[(Long, Long)].collect().toMap
+      assert(got === distL.toMap, s"trial $trial")
+    }
+  }
+
+  test("kCore peels trees, keeps the cycle; degrees are within-core") {
+    // triangle 1-2-3 plus pendant 3-4 and path 4-5: 2-core = the triangle
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L))
+      .toDF("s", "d")
+    val got = GraphAlgos.kCore(edges, "s", "d", k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 peels everything (no 4-clique-ish structure)
+    assert(GraphAlgos.kCore(edges, "s", "d", k = 3).count() === 0L)
+  }
+
+  test("kCore cascade: removing a node unravels a dependent chain") {
+    // 4-cycle with a chord has a 2-core; attaching a long chain does not
+    // change it, and the chain peels over multiple rounds
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val chain = (10L to 14L).sliding(2).map(p => (p(0), p(1))).toSeq :+
+      ((4L, 10L))
+    val got = GraphAlgos.kCore((cyc ++ chain).toDF("s", "d"), "s", "d", 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === Set(1L, 2L, 3L, 4L))
+  }
+
+  test("kCoreContract matches on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 60).map(_ =>
+        (rnd.nextInt(15).toLong, rnd.nextInt(15).toLong))
+        .filter(e => e._1 != e._2)
+      val rows = GraphAlgos.kCoreContract(edges.toDF("s", "d"), "s", "d",
+        k = 3).collect()
+      assert(rows(0).getBoolean(0), s"trial $trial")
+    }
+  }
+
   test("hitsContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val rows = GraphAlgos.hitsContract(edges, "s", "d").collect()
