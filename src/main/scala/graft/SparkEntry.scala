@@ -511,6 +511,41 @@ object SparkEntry {
       }
       Seq(ok).toDF("parity_ok")
     }),
+    // incremental store ingest contract: write(half1) + append(half2)
+    // must equal write(all) — same quad set, node set, and persisted
+    // predStats — and the appended store must answer a traversal
+    // identically to the rebuilt one. The ingest path a 100 TB store
+    // lives on: append-only files, touched-bucket-only existence scan
+    "g_store_append" -> ((s, d) => {
+      import s.implicits._
+      val g = graph(s, d)
+      val h1 = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 0))
+      // overlap a slice of h1 into the delta: append must dedup
+      val h2 = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 1)
+        .union(g.quads.limit(5)))
+      val dirFull = java.nio.file.Files
+        .createTempDirectory("gsa-full").toString
+      val dirInc = java.nio.file.Files
+        .createTempDirectory("gsa-inc").toString
+      g.withStats().write(dirFull, predicateBuckets = 8)
+      h1.withStats().write(dirInc, predicateBuckets = 8)
+      Graph.append(s, dirInc, h2)
+      val full = Graph.read(s, dirFull)
+      val inc = Graph.read(s, dirInc)
+      val base = Seq("s", "p", "o", "l")
+      def q(gr: Graph) = gr.quads.select(base.map(col): _*)
+      val diff = q(inc).exceptAll(q(full)).count() +
+        q(full).exceptAll(q(inc)).count()
+      val nodesOk = inc.nodes.select("id").exceptAll(
+        full.nodes.select("id")).count() == 0 &&
+        full.nodes.select("id").exceptAll(inc.nodes.select("id")).count() == 0
+      val trav = Path.start().out(iri("c_nation")).out(iri("n_region"))
+      def tkey(gr: Graph) = Exec.run(gr, trav).values()
+        .map(_.nquads).sorted
+      val ok = diff == 0 && nodesOk && inc.predStats == full.predStats &&
+        tkey(inc) == tkey(full)
+      Seq(ok).toDF("append_ok")
+    }),
     // Schema package (reference schema/schema.go + loader.go): typed
     // objects with a NESTED object field save to quads (child objects get
     // their own identity + rdf:type) and load back through per-predicate
@@ -1831,6 +1866,9 @@ object SparkEntry {
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed
     "g_local_parity" -> "SELECT TRUE AS parity_ok",
+    // incremental bucketed-store ingest equals rebuild (set + stats +
+    // traversal equality, engine-side assertions)
+    "g_store_append" -> "SELECT TRUE AS append_ok",
     "schema_nested" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cid, c_name AS cname,
         |       n_name AS nation_name

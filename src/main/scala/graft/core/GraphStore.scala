@@ -195,6 +195,76 @@ object Graph {
     fromQuadDF(rows.toDF())
   }
 
+  /** Incremental store ingest: merge a delta graph into an on-disk store
+    * WITHOUT rewriting existing data — the quad-store analog of
+    * `Similarity.ivfAppendQuantized`. At 100 TB a full
+    * rebuild per ingest batch is a non-starter; this appends new parquet
+    * files and leaves every existing file untouched.
+    *
+    * Cost shape: the delta is deduplicated internally, then existence-
+    * checked with an anti-join that scans ONLY the predicate-bucket
+    * partitions the delta touches (static pruning via the `pb` filter —
+    * for a 64-bucket store a single-predicate delta reads 1/64th of the
+    * quads table, and file-level min/max on (s, o) prunes further).
+    * Appended files land only in touched partitions; `graft_meta.json`
+    * predStats update incrementally from the appended rows — no
+    * store-wide recount. Readers pick up the new files on their next
+    * `Graph.read`.
+    *
+    * Equivalence contract (StoreSpec + the g_store_append driver entry):
+    * write(half1) + append(half2) produces the same node set, quad set,
+    * and predStats as write(half1 ∪ half2).
+    */
+  def append(spark: SparkSession, dir: String, delta: Graph): Unit = {
+    val metaPath = java.nio.file.Paths.get(s"$dir/graft_meta.json")
+    val stored = read(spark, dir)
+    val buckets = stored.predicateBuckets
+    val base = Seq("s", "p", "o", "l")
+    val dq0 = delta.quads.select(base.map(col): _*).dropDuplicates(base)
+    val dq = if (buckets > 0)
+      dq0.withColumn("pb", pmod(col("p"), lit(buckets)))
+    else dq0
+    val existing =
+      if (buckets > 0) {
+        val touched = dq.select("pb").distinct().collect().map(_.getLong(0))
+        stored.quads.where(col("pb").isin(touched.toIndexedSeq: _*))
+      } else stored.quads
+    val fresh = dq.join(existing,
+      dq("s") === existing("s") && dq("p") === existing("p") &&
+        dq("o") === existing("o") && dq("l") <=> existing("l"),
+      "left_anti").persist()
+    try {
+      // count the appended rows BEFORE writing: the write into dir/quads
+      // invalidates every cached plan that reads that path (CacheManager
+      // recache-by-path), and a post-write re-evaluation of the anti-join
+      // would see the just-appended files and count zero
+      val appended = fresh.groupBy("p").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      if (buckets > 0)
+        fresh.write.mode("append").partitionBy("pb").parquet(s"$dir/quads")
+      else fresh.write.mode("append").parquet(s"$dir/quads")
+      val freshNodes = delta.nodes
+        .dropDuplicates("id")
+        .join(stored.nodes.select("id"), Seq("id"), "left_anti")
+        .select(stored.nodes.columns.toIndexedSeq.map(col): _*)
+      freshNodes.write.mode("append").parquet(s"$dir/nodes")
+      // incremental stats: stored counts + appended-row counts. If the
+      // store predates stats (no meta), recount once from the files.
+      val merged = stored.predStats match {
+        case Some(st) =>
+          (st.keySet ++ appended.keySet).map(k =>
+            k -> (st.getOrElse(k, 0L) + appended.getOrElse(k, 0L))).toMap
+        case None =>
+          spark.read.parquet(s"$dir/quads").groupBy("p").count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      }
+      val statsJson = merged.toSeq.sortBy(_._1)
+        .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      java.nio.file.Files.writeString(metaPath,
+        s"""{"predicateBuckets":$buckets,"predStats":$statsJson}""")
+    } finally fresh.unpersist()
+  }
+
   def read(spark: SparkSession, dir: String): Graph = {
     val metaPath = java.nio.file.Paths.get(s"$dir/graft_meta.json")
     val (buckets, stats) =

@@ -3,6 +3,7 @@ package graft.core
 import graft.TestSpark
 import graft.exec.Exec
 import graft.path.Path
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import org.scalatest.funsuite.AnyFunSuite
 import java.nio.file.Files
 
@@ -373,6 +374,46 @@ class FormatsSpec extends AnyFunSuite {
     val got = Exec.run(g2, Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")))
       .values().map(_.sortKey).sorted
     assert(got === Seq("<alice>", "<charlie>", "<dani>", "<zed>"))
+  }
+
+  test("Graph.append: incremental ingest equals rebuild, untouched files stay") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val all = g.quads.collect()
+    // split the quad set by subject hash parity; both halves share the
+    // full dictionary (append must dedup nodes)
+    val h1 = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 0))
+    val h2o = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 1)
+      .union(g.quads.limit(3))) // overlap: re-appending existing quads
+    val dirFull = Files.createTempDirectory("graft-app-full").toString
+    val dirInc = Files.createTempDirectory("graft-app-inc").toString
+    g.withStats().write(dirFull, predicateBuckets = 4)
+    h1.withStats().write(dirInc, predicateBuckets = 4)
+    val before = new java.io.File(s"$dirInc/quads").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
+      .toMap
+    Graph.append(spark, dirInc, h2o)
+    val full = Graph.read(spark, dirFull)
+    val inc = Graph.read(spark, dirInc)
+    def qset(gr: Graph) = gr.quads.select("s", "p", "o", "l").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(qset(inc) === qset(full))
+    assert(qset(inc).size === all.length)
+    assert(inc.nodes.select("id").collect().map(_.getLong(0)).toSet ===
+      full.nodes.select("id").collect().map(_.getLong(0)).toSet)
+    assert(inc.predStats === full.predStats) // incremental stats merge
+    // every pre-append file still present and unmodified (append-only)
+    val after = new java.io.File(s"$dirInc/quads").listFiles()
+      .filter(_.isDirectory)
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
+      .toMap
+    before.foreach { case (p, m) =>
+      assert(after.get(p).contains(m), s"rewritten: $p") }
+    // and the appended store answers queries like the rebuilt one
+    val got = Exec.run(inc, Path.start(QValue.Iri("bob"))
+      .in(QValue.Iri("follows"))).values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
   test("RDFS closure materializes subclass/subproperty entailments") {
