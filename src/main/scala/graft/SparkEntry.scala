@@ -1316,6 +1316,23 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // minimum spanning forest (distributed Borůvka, (w,a,b)-perturbed
+    // order so the forest is unique) over the five-predicate star graph
+    // with xxhash-derived weights — differential contract vs sequential
+    // Kruskal under the same order; the graph is connected, so the
+    // forest has exactly (node count - 1) edges, which the oracle
+    // re-derives relationally
+    "graph_mst" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.msfContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst"),
+            (pmod(xxhash64(col("s"), col("o")), lit(1000003L)) + 1L)
+              .as("w")),
+        "src", "dst", "w")
+    }),
     // weighted shortest paths (distributed Bellman-Ford, early exit) over
     // deterministically weighted star-graph edges: nation chain w=1+(k%3),
     // nation skip-2 w=3 (creates genuinely competing paths), nation→cust
@@ -1790,6 +1807,13 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // MSF differential contract; the connected star graph's spanning
+    // forest has node-count - 1 edges
+    "graph_mst" ->
+      """SELECT TRUE AS msf_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) - 1 AS BIGINT) AS n_edges""".stripMargin,
     // weighted shortest paths: recursive-CTE path enumeration, min per
     // node (the 100 cap only prunes paths already beaten — every optimal
     // path's prefix sums stay below it)

@@ -476,6 +476,124 @@ object GraphAlgos {
       lit(local.size.toLong).as("n_nodes"))
   }
 
+  /** Minimum spanning forest via distributed Borůvka. Edges are
+    * canonicalized undirected (per-pair minimum weight) and totally
+    * ordered by (w, a, b) — the lexicographic perturbation makes the MSF
+    * UNIQUE even with ties, so the result is deterministic and
+    * edge-set-comparable against any other MST algorithm under the same
+    * order. Each round: look up both endpoints' component labels (two
+    * hash joins against the |V|-sized label table), keep crossing edges,
+    * pick each component's minimum outgoing edge (one min-aggregate),
+    * add those to the forest, and contract them with the two-tier
+    * connected-components engine (driver union-find under the gate —
+    * selected edges number at most one per component — distributed
+    * min-label above it). Component count at least halves per round:
+    * O(log V) rounds, each O(E) join work, the Borůvka property that
+    * makes MSF tractable at cluster scale where Kruskal's global sort +
+    * sequential union is not.
+    */
+  def minimumSpanningForest(edges: DataFrame, srcCol: String,
+                            dstCol: String, weightCol: String,
+                            checkpointEvery: Int = 2): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und0 = edges.select(col(srcCol).as("x"), col(dstCol).as("y"),
+        col(weightCol).cast("long").as("w"))
+      .where(col("x") =!= col("y") && col("w").isNotNull)
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"), col("w"))
+      .groupBy("a", "b").agg(min(col("w")).as("w"))
+      .localCheckpoint(true)
+    var comp = und0.select(col("a").as("node"))
+      .union(und0.select(col("b").as("node"))).distinct()
+      .select(col("node"), col("node").as("c")).localCheckpoint(true)
+    var forest = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
+    var und = und0
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      val labeled = und
+        .join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
+        .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
+        .where(col("ca") =!= col("cb"))
+        .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+        .localCheckpoint(true)
+      if (labeled.isEmpty) done = true
+      else {
+        // min outgoing edge per component under the (w, a, b) total
+        // order, computed as a struct-min (single aggregate, no window)
+        val pick = labeled
+          .select(explode(array(col("ca"), col("cb"))).as("cc"),
+            struct(col("w"), col("a"), col("b")).as("e"))
+          .groupBy("cc").agg(min(col("e")).as("e"))
+          .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
+          .distinct() // both endpoints' components may pick the same edge
+          .localCheckpoint(true)
+        forest = forest.unionByName(pick)
+        if (round % checkpointEvery == 0) forest = forest.localCheckpoint(true)
+        // contract: relabel components connected by the picked edges.
+        // The pair set is one edge per component, so the CC input is
+        // |components|-bounded — the two-tier engine picks its tier
+        val compIds = comp.select(col("c").as("id")).distinct()
+        val newLabels = Dedup.connectedComponents(
+          pick.join(comp.select(col("node").as("a"), col("c").as("id_a")), "a")
+            .join(comp.select(col("node").as("b"), col("c").as("id_b")), "b")
+            .select("id_a", "id_b"),
+          compIds)
+        comp = comp.join(newLabels.select(col("id").as("c"),
+            col("cluster").as("nc")), "c")
+          .select(col("node"), col("nc").as("c")).localCheckpoint(true)
+        und = und.join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
+          .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
+          .where(col("ca") =!= col("cb"))
+          .select("a", "b", "w").localCheckpoint(true)
+      }
+    }
+    forest
+  }
+
+  /** Sequential Kruskal under the same (w, a, b) total order — the
+    * differential oracle for [[minimumSpanningForest]] (identical edge
+    * set, not just identical total weight, because the perturbed MSF is
+    * unique).
+    */
+  def msfLocal(edges: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2), e._3))
+      .groupBy(e => (e._1, e._2)).map(_._2.minBy(_._3)).toSeq
+      .sortBy(e => (e._3, e._1, e._2))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    val out = Set.newBuilder[(Long, Long, Long)]
+    und.foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; out += ((a, b, w)) }
+    }
+    out.result()
+  }
+
+  /** Contract harness for the driver oracle: distributed Borůvka vs
+    * sequential Kruskal on the same weighted edge list — one row
+    * `(msf_ok, n_edges)`, true iff the forests are edge-set identical
+    * (unique under the perturbed order). The collect is the oracle side.
+    */
+  def msfContract(edges: DataFrame, srcCol: String, dstCol: String,
+                  weightCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = minimumSpanningForest(edges, srcCol, dstCol, weightCol)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val es = edges.select(col(srcCol), col(dstCol),
+        col(weightCol).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val local = msfLocal(es)
+    spark.range(1).select(lit(dist == local).as("msf_ok"),
+      lit(local.size.toLong).as("n_edges"))
+  }
+
   /** Contract harness for the driver oracle: run the distributed PageRank
     * and the sequential reference on the same (small) edge list and
     * return one row `(pagerank_ok, n_nodes)` — true iff every node's rank

@@ -278,6 +278,35 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("minimumSpanningForest picks the light cycle edges") {
+    // square 1-2-3-4 with weights 1,2,3,4: MST drops the heaviest edge
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L), (4L, 1L, 4L))
+      .toDF("s", "d", "w")
+    val got = GraphAlgos.minimumSpanningForest(edges, "s", "d", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (2L, 3L, 2L), (3L, 4L, 3L)))
+  }
+
+  test("minimumSpanningForest spans each component separately") {
+    val edges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 2L),
+      (10L, 11L, 7L)).toDF("s", "d", "w")
+    val got = GraphAlgos.minimumSpanningForest(edges, "s", "d", "w")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((2L, 3L, 1L), (1L, 3L, 2L), (10L, 11L, 7L)))
+  }
+
+  test("msfContract matches Kruskal on random graphs with weight ties") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 3) {
+      val edges = (1 to 80).map(_ => (rnd.nextInt(18).toLong,
+        rnd.nextInt(18).toLong, (rnd.nextInt(5) + 1).toLong))
+        .filter(e => e._1 != e._2)
+      val rows = GraphAlgos.msfContract(edges.toDF("s", "d", "w"),
+        "s", "d", "w").collect()
+      assert(rows(0).getBoolean(0), s"trial $trial")
+    }
+  }
+
   test("hitsContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val rows = GraphAlgos.hitsContract(edges, "s", "d").collect()
