@@ -344,6 +344,30 @@ object Bench {
         if (l2 >= 0) {
           timed2(s"${tag}_movie_two_sets_dist")(twoSets(g))
           timed2(s"${tag}_movie_three_huge_dist")(threeHuge(g))
+          // whole-graph analytics at N× (x10 tier only — the point is
+          // per-row sublinearity vs the sf0.1 operator timings, and the
+          // x100 movie block's budget belongs to the store path):
+          // PageRank (5 iterations) and BFS from one hub value over the
+          // full N×-quad edge list
+          if (tag == "x10") {
+            val eAll = g.quads.select(col("s").as("src"), col("o").as("dst"))
+            timed2("x10_graph_pagerank") {
+              graft.analytics.GraphAlgos.pageRank(eAll, "src", "dst",
+                  iterations = 5)
+                .write.mode("overwrite").format("noop").save()
+            }
+            // seed = every node named "Oliver Hardy" (one per xN copy —
+            // the literal is shared), as hashed ids straight off quads
+            val seed = g.quads
+              .where(col("p") === QValue.id(nameP) &&
+                col("o") === QValue.id(QValue.Str("Oliver Hardy")))
+              .select(col("s").as("node"))
+            timed2("x10_graph_bfs") {
+              graft.analytics.GraphAlgos.bfsDistanceHistogram(
+                  eAll, "src", "dst", seed, maxDepth = 12)
+                .write.mode("overwrite").format("noop").save()
+            }
+          }
           // Store path: at 100 TB nothing fits in executor memory, so the
           // scale claim must come from the persisted layout — write the
           // N×-quad graph to the p-bucketed Parquet GraphStore, DROP the
