@@ -1046,6 +1046,50 @@ object SparkEntry {
       batchLater.unpersist()
       Seq(total == 0 || hit.toDouble / total >= 0.8).toDF("recall_ok")
     }),
+    // streaming as-of enrichment, EXACT contract: with every reference
+    // arriving before the event stream (micro-batch 1 = orders, 2 =
+    // events), the stateful stream must equal the batch asofJoin row for
+    // row — matched (event, ref, payload) triples identical, and the
+    // stream's -1 rows exactly the events the inner batch join drops
+    "stream_enrich" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{EnrichInput, QuadStream}
+      val ev = events(s, d).select("event_id", "user_id", "ts")
+      val ords = t(s, d, "orders")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-senrich").toString
+      ords.select(col("o_custkey").as("key"),
+          col("o_orderdate").cast("timestamp").as("ts"),
+          lit(0).as("side"), col("o_orderkey").as("row_id"),
+          col("o_totalprice").as("payload"))
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema("key bigint, ts timestamp, side int, row_id bigint, payload double")
+        .parquet(s"$tmp/in").as[EnrichInput]
+      val q = QuadStream.enrichAsofStream(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_enrich_sink").start()
+      q.processAllAvailable()
+      ev.select(col("user_id").as("key"),
+          col("ts").cast("timestamp").as("ts"), lit(1).as("side"),
+          col("event_id").as("row_id"), lit(0.0).as("payload"))
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      val got = s.sql("SELECT event_id, ref_id, payload FROM " +
+        "stream_enrich_sink WHERE ref_id >= 0")
+      val misses = s.sql(
+        "SELECT count(*) FROM stream_enrich_sink WHERE ref_id < 0")
+        .head.getLong(0)
+      val batch = Events.asofJoin(ev, ords, "user_id", "o_custkey", "ts",
+          "o_orderdate", "o_orderkey", Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("o_orderkey").as("ref_id"),
+          col("o_totalprice").as("payload")).cache()
+      val nBatch = batch.count()
+      val diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+      val nEvents = ev.count()
+      batch.unpersist()
+      Seq(diff == 0 && misses == nEvents - nBatch).toDF("enrich_ok")
+    }),
     // multimodal image pipeline: deterministic 24-bit BMPs synthesized
     // per doc_id, resized for real (decode -> nearest-neighbor -> re-encode
     // in mapPartitions), features re-extracted; the contract checks every
@@ -1909,6 +1953,9 @@ object SparkEntry {
     // exact batch J>=0.5 later-pair docs (dedup_minhash verifies the
     // batch side row-exactly on the same corpus)
     "stream_neardup" -> "SELECT TRUE AS recall_ok",
+    // streaming as-of == batch asofJoin when references arrive first
+    // (exact row-for-row equality, engine-side)
+    "stream_enrich" -> "SELECT TRUE AS enrich_ok",
     // multimodal resize pipeline: exact-contract boolean (decode ->
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",

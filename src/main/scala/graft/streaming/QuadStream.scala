@@ -235,6 +235,57 @@ object QuadStream {
           }
       }
   }
+
+  /** Streaming as-of enrichment — the stream form of the batch
+    * [[graft.analytics.Events.asofJoin]]: a keyed stream of reference
+    * updates (side 0) and events (side 1) in one union; each event emits
+    * with the newest reference payload whose ts <= the event's ts among
+    * rows SEEN SO FAR. State per key is a single (rts, rid, payload)
+    * triple — O(active keys), not O(history) — and the shuffle is the
+    * same one-key exchange as the batch plan.
+    *
+    * Semantics note (documented divergence from batch): a reference row
+    * arriving after an event has already been emitted does NOT
+    * retroactively re-enrich it — exact-as-of only holds for arrivals
+    * that are in event-time order per key ACROSS micro-batches (within a
+    * batch, rows are applied in (ts, side, tie) order, references before
+    * events at equal ts, so in-batch disorder is absorbed). The batch
+    * asofJoin is the exact backfill for late data; this operator is the
+    * low-latency head of that lambda pair. Events with no qualifying
+    * reference yet emit ref_id = -1 (left-outer flavor: dropping them
+    * would silently hide cold-start keys).
+    */
+  def enrichAsofStream(rows: org.apache.spark.sql.Dataset[EnrichInput])
+      : org.apache.spark.sql.Dataset[EnrichedRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, batch: Iterator[EnrichInput],
+         state: GroupState[EnrichState]) =>
+          val evs = batch.toSeq
+            .sortBy(e => (e.ts.getTime, e.side, e.row_id))
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[EnrichedRow]
+          for (e <- evs) {
+            if (e.side == 0) {
+              // newest-wins on (ts, row_id): deterministic under equal ts
+              if (st == null || e.ts.getTime > st.rts ||
+                (e.ts.getTime == st.rts && e.row_id > st.rid))
+                st = EnrichState(e.ts.getTime, e.row_id, e.payload)
+            } else {
+              if (st != null && st.rts <= e.ts.getTime)
+                out += EnrichedRow(e.row_id, key, st.rid, st.payload)
+              else out += EnrichedRow(e.row_id, key, -1L, 0.0)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
 }
 
 /** One banded signature row for [[QuadStream.nearDupStream]]. */
@@ -259,3 +310,17 @@ final case class SessionState(seq: Long, firstMs: Long, lastMs: Long, n: Long)
 /** One closed session. */
 final case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
                             span_sec: Long)
+
+/** Input row for [[QuadStream.enrichAsofStream]]: side 0 = reference
+  * update, side 1 = event to enrich; `row_id` is the reference id or
+  * event id respectively (also the equal-ts tie-break).
+  */
+final case class EnrichInput(key: Long, ts: java.sql.Timestamp, side: Int,
+                             row_id: Long, payload: Double)
+
+/** Newest reference row seen so far for one key. */
+final case class EnrichState(rts: Long, rid: Long, payload: Double)
+
+/** One enriched event; `ref_id` = -1 when no reference qualified yet. */
+final case class EnrichedRow(event_id: Long, key: Long, ref_id: Long,
+                             payload: Double)

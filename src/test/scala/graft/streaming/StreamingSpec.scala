@@ -89,6 +89,43 @@ class StreamingSpec extends AnyFunSuite {
       (20L, 1L, 1L, 0L)))
   }
 
+  test("streaming as-of enrich applies newest-at-or-before reference") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-enrich").toString
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // one micro-batch, deliberately out of order: in-batch rows must be
+    // applied in (ts, side, tie) order — references before events
+    val data = Seq(
+      EnrichInput(10L, ts(20), 1, 101L, 0.0),  // event after ref@10 -> 1.0
+      EnrichInput(10L, ts(10), 0, 1L, 1.0),
+      EnrichInput(10L, ts(30), 0, 2L, 2.0),
+      EnrichInput(10L, ts(30), 0, 3L, 3.0),    // equal ts: larger id wins
+      EnrichInput(10L, ts(40), 1, 102L, 0.0),  // -> ref 3
+      EnrichInput(10L, ts(5), 1, 100L, 0.0),   // before any ref -> -1
+      EnrichInput(20L, ts(50), 1, 200L, 0.0)   // key with no refs -> -1
+    ).toDS()
+    data.write.mode("overwrite").parquet(s"$tmp/in")
+    val stream = spark.readStream.schema(data.schema).parquet(s"$tmp/in")
+      .as[EnrichInput]
+    val q = QuadStream.enrichAsofStream(stream)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("enriched").start()
+    q.processAllAvailable()
+    // second micro-batch: state carries the newest reference across
+    // batches; a late event before the held ref still enriches with it
+    Seq(EnrichInput(10L, ts(60), 1, 103L, 0.0),
+      EnrichInput(10L, ts(35), 1, 104L, 0.0)).toDS()
+      .write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+        "SELECT event_id, key, ref_id, payload FROM enriched")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(rows === Set(
+      (100L, 10L, -1L, 0.0), (101L, 10L, 1L, 1.0), (102L, 10L, 3L, 3.0),
+      (200L, 20L, -1L, 0.0), (103L, 10L, 3L, 3.0), (104L, 10L, 3L, 3.0)))
+  }
+
   test("streaming dedup keeps first arrival per fingerprint") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-sdedup").toString
