@@ -384,6 +384,32 @@ object Bench {
             val gs = Graph.read(spark, storeDir)
             timed2(s"${tag}_store_two_sets")(twoSets(gs))
             timed2(s"${tag}_store_three_huge")(threeHuge(gs))
+            // incremental ingest into the live store (x10 tier): append
+            // ONE extra remapped 471k-quad copy — existence anti-join
+            // scans only touched pb partitions, files are append-only.
+            // Single-sample like store_write: a write, not a query
+            if (tag == "x10") {
+              val deltaDir = movieDir + "_delta"
+              try {
+                spark.read
+                  .textFile("/root/reference/data/30kmoviedata.nq.gz")
+                  .repartition(16)
+                  .flatMap { l =>
+                    NQuads.parseLine(l).toSeq.map(q => NQuads.serialize(
+                      ParsedQuad(remap(q.s, mult), q.p, remap(q.o, mult),
+                        q.l)))
+                  }.write.mode("overwrite").text(deltaDir)
+                val delta = Graph.fromNQuads(spark, deltaDir)
+                scaleOut += "x10_store_append" -> time {
+                  Graph.append(spark, storeDir, delta)
+                }
+                // the appended copy must be queryable in place: its
+                // Oliver Hardy resolves like every pre-append copy's
+                val g11 = Graph.read(spark, storeDir)
+                timed2("x10_store_two_sets_post")(twoSets(g11))
+              } finally org.apache.commons.io.FileUtils.deleteQuietly(
+                new java.io.File(deltaDir))
+            }
           } catch {
             case e: Throwable => errors(s"${tag}_store") = errText(e)
           } finally org.apache.commons.io.FileUtils.deleteQuietly(
