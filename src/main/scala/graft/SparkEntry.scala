@@ -1360,6 +1360,20 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // seeded random-walk corpus (DeepWalk/node2vec input): 3 walks of
+    // length 6 from every node, deterministic (hash-ranked neighbor
+    // choice). Contract asserts edge-validity of every step, gap-free
+    // full-length-or-sink walks, bit-identical regeneration, and
+    // actual per-start divergence somewhere in the branching graph
+    "graph_walks" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.randomWalksContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst", walksPerNode = 3, walkLen = 6)
+    }),
     // minimum spanning forest (distributed Borůvka, (w,a,b)-perturbed
     // order so the forest is unique) over the five-predicate star graph
     // with xxhash-derived weights — differential contract vs sequential
@@ -1851,6 +1865,9 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // random-walk corpus contract: engine-side validity/determinism
+    // assertions (walks are hash-seeded — no SQL-expressible oracle)
+    "graph_walks" -> "SELECT TRUE AS walks_ok",
     // MSF differential contract; the connected star graph's spanning
     // forest has node-count - 1 edges
     "graph_mst" ->

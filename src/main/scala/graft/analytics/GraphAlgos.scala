@@ -476,6 +476,110 @@ object GraphAlgos {
       lit(local.size.toLong).as("n_nodes"))
   }
 
+  /** Seeded random-walk corpus generation — the DeepWalk/node2vec input
+    * stage of a graph-embedding pipeline: `walksPerNode` walks of length
+    * `walkLen` from every node, FULLY deterministic (same graph → same
+    * walks on any cluster): step t of walk w at node v follows the
+    * out-neighbor ranked `xxhash64(v, w·P+t) mod outdeg(v)` (neighbors
+    * ranked by id). Walks stop early at sinks.
+    *
+    * Plan shape per step — the part that matters at scale: the walker
+    * table first joins the |V|-sized outdeg table to COMPUTE its target
+    * rank, then equi-joins the (u, rank)-keyed neighbor table — exactly
+    * one row per walker, so a hub with a million neighbors costs a hash
+    * lookup, never a million-row fan-out-then-filter. walkLen steps =
+    * walkLen such joins over |V|·walksPerNode walkers; at a deployment
+    * both side tables persist hash-partitioned on u and every step
+    * reuses that exchange. Output (start, walk_id, step, node) rows
+    * stream into the result union with checkpoint cadence.
+    */
+  def randomWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                  walksPerNode: Int = 2, walkLen: Int = 8,
+                  checkpointEvery: Int = 4): DataFrame = {
+    require(walksPerNode >= 1 && walkLen >= 1, "randomWalks: bad params")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    // rank 0..deg-1 per source, neighbors ordered by id — the indexed
+    // adjacency both the rank computation and the step join key on
+    val nbr = e.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy("v")) - 1).localCheckpoint(true)
+    val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val starts = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    var walkers = starts
+      .crossJoin(spark.range(walksPerNode.toLong).select(col("id").as("wid")))
+      .select(col("node").as("start"), col("wid"), col("node").as("cur"))
+      .localCheckpoint(true)
+    var out = walkers.select(col("start"), col("wid"), lit(0L).as("step"),
+      col("cur").as("node"))
+    var t = 0
+    while (t < walkLen && !walkers.isEmpty) {
+      t += 1
+      // mix (cur, wid·P + t) so every (walk, step) draws independently;
+      // xxhash64 keeps it ANSI-safe (no overflowing multiplies)
+      walkers = walkers
+        .join(deg, walkers("cur") === deg("u"))
+        .withColumn("rank", pmod(
+          xxhash64(col("cur"), col("wid") * lit(walkLen + 1) + lit(t)),
+          col("deg")))
+        .join(nbr, Seq("u", "rank"))
+        .select(col("start"), col("wid"), col("v").as("cur"))
+        .localCheckpoint(true)
+      out = out.unionByName(walkers.select(col("start"), col("wid"),
+        lit(t.toLong).as("step"), col("cur").as("node")))
+      if (t % checkpointEvery == 0) out = out.localCheckpoint(true)
+    }
+    out
+  }
+
+  /** Contract harness for the driver oracle: one row `(walks_ok,
+    * n_rows)` asserting, engine-side, that (1) every consecutive step
+    * pair is a real edge (anti-join = 0), (2) every walk from a
+    * non-sink node has every step until walkLen or a sink, with no gaps
+    * or duplicates, (3) regeneration is bit-identical (determinism),
+    * and (4) from a multi-neighbor node, different walk ids actually
+    * diverge (the hash mixes per walk). The collects are the oracle
+    * side; the operator never collects.
+    */
+  def randomWalksContract(edges: DataFrame, srcCol: String, dstCol: String,
+                          walksPerNode: Int = 3,
+                          walkLen: Int = 6): DataFrame = {
+    val spark = edges.sparkSession
+    def gen() = randomWalks(edges, srcCol, dstCol, walksPerNode, walkLen)
+    val w1 = gen().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val w2 = gen().collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val deterministic = w1.toSet == w2.toSet
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val outdeg = es.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val byWalk = w1.groupBy(r => (r._1, r._2))
+    val pathsOk = byWalk.values.forall { steps =>
+      val seq = steps.toSeq.sortBy(_._3)
+      seq.map(_._3) == (0L until seq.length.toLong) &&
+        seq.map(_._4).sliding(2).forall(p =>
+          p.length < 2 || es((p(0), p(1)))) &&
+        // full length unless the last node is a sink
+        (seq.length == walkLen + 1 || !outdeg.contains(seq.last._4))
+    }
+    // sanity, not a per-node guarantee (walks CAN coincide by hash):
+    // somewhere in a branching graph, two walks from one start differ
+    val anyBranching = outdeg.values.exists(_ > 1)
+    val diverge = !anyBranching || walksPerNode == 1 ||
+      byWalk.groupBy(_._1._1).exists { case (_, walks) =>
+        walks.size > 1 &&
+          walks.values.map(_.toSeq.sortBy(_._3).map(_._4)).toSet.size > 1
+      }
+    spark.range(1).select(
+      lit(deterministic && pathsOk && diverge && w1.nonEmpty).as("walks_ok"))
+  }
+
   /** Minimum spanning forest via distributed Borůvka. Edges are
     * canonicalized undirected (per-pair minimum weight) and totally
     * ordered by (w, a, b) — the lexicographic perturbation makes the MSF

@@ -307,6 +307,35 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("randomWalks: every step follows an edge, stops at sinks") {
+    // 1 -> {2, 3}; 2 -> 4; 3 -> 4; 4 is a sink
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val got = GraphAlgos.randomWalks(edges, "s", "d", walksPerNode = 4,
+        walkLen = 5)
+      .as[(Long, Long, Long, Long)].collect()
+    val es = Set((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    got.groupBy(r => (r._1, r._2)).values.foreach { steps =>
+      val seq = steps.toSeq.sortBy(_._3)
+      assert(seq.head._4 === seq.head._1)         // step 0 = start
+      seq.map(_._4).sliding(2).foreach(p =>
+        if (p.length == 2) assert(es((p(0), p(1)))))
+      assert(seq.last._4 === 4L || seq.length === 6) // sink or full length
+    }
+    // walks from 1 take 3 steps (1 -> x -> 4 stop); from 4, just step 0
+    val from4 = got.filter(_._1 == 4L)
+    assert(from4.length === 4 && from4.forall(_._3 == 0L))
+    assert(got.filter(r => r._1 == 1L && r._2 == 0L).length === 3)
+  }
+
+  test("randomWalks is deterministic and walks diverge somewhere") {
+    val rnd = new scala.util.Random(37)
+    val edges = (1 to 60).map(_ =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("s", "d")
+    val rows = GraphAlgos.randomWalksContract(edges, "s", "d").collect()
+    assert(rows.length === 1 && rows(0).getBoolean(0))
+  }
+
   test("hitsContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val rows = GraphAlgos.hitsContract(edges, "s", "d").collect()
