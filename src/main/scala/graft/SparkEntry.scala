@@ -1451,6 +1451,12 @@ object SparkEntry {
         Seq("o_orderkey"))
         .select("event_id", "user_id", "o_orderkey")
     }),
+    // skip-gram co-occurrence counts (word2vec/GloVe input): pair counts
+    // + exact distance-discounted weight (BIGINT multiples of 1/lcm, ONE
+    // final division — the bigramFamiliarity float-parity rule)
+    "text_skipgrams" -> ((s, d) =>
+      TextOps.skipgramCounts(t(s, d, "documents"), "doc_id", "text",
+        window = 3)),
     // BM25 top-10 per query term (rational idf — same float-parity rule
     // as text_tfidf: IEEE +,*,/ only, no transcendental functions)
     "text_bm25" -> ((s, d) =>
@@ -1916,6 +1922,26 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, iv.o_orderkey
         |FROM events e JOIN iv ON iv.o_custkey = e.user_id
         |  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin,
+    // skip-grams: positional self-join over ordinal tokens; the weight
+    // sums lcm(1..3)/d as BIGINT, one final double division
+    "text_skipgrams" ->
+      """WITH tx AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tku AS (SELECT doc_id, unnest(list_transform(
+        |      range(1, len(string_split(t, ' ')) + 1),
+        |      i -> {'pos': i, 'term': string_split(t, ' ')[i]})) AS s
+        |  FROM tx WHERE length(t) > 0),
+        |tk AS (SELECT doc_id, CAST(s.pos AS BIGINT) AS pos, s.term AS term
+        |  FROM tku),
+        |fwd AS (SELECT a.term AS center, b.term AS context, b.pos - a.pos AS d
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.pos > a.pos
+        |    AND b.pos - a.pos <= 3),
+        |pairs AS (SELECT center, context, d FROM fwd
+        |  UNION ALL SELECT context, center, d FROM fwd)
+        |SELECT center, context, count(*) AS n,
+        |  CAST(sum(CAST(6 AS BIGINT) // d) AS DOUBLE)
+        |    / CAST(6 AS DOUBLE) AS weight
+        |FROM pairs GROUP BY center, context""".stripMargin,
     // BM25: identical IEEE op sequence (every literal and intermediate
     // CAST to DOUBLE — DuckDB decimal literals would otherwise run the
     // scoring in DECIMAL arithmetic and break float parity)

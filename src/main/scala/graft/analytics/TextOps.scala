@@ -495,4 +495,51 @@ object TextOps {
       .where(col("rank") <= k)
       .select(col("term"), col(idCol), col("rank"), col("score"))
   }
+
+  /** Skip-gram / co-occurrence pair counts — the word2vec/GloVe input
+    * stage: for every ordered token pair (center, context) within
+    * `window` positions of each other (distance >= 1), the corpus-wide
+    * pair count and the GloVe-style distance-discounted weight
+    * Σ 1/distance. The weight is accumulated EXACTLY: 1/d for
+    * d <= window is summed as integer multiples of 1/L (L = lcm(1..window)),
+    * so the aggregate is a BIGINT sum with ONE final double division —
+    * float-parity across engines by the same rule as bigramFamiliarity
+    * (a naive sum(1.0/d) is partition-order-dependent and never
+    * hash-stable). Plan: one token explode, `window` self-equi-joins
+    * collapsed into a single join on (doc, position+offset) via an
+    * offset explode — all hash joins on integers, one final aggregate.
+    */
+  def skipgramCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String,
+                     window: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(window >= 1, "skipgramCounts: window must be >= 1")
+    val lcm = (1 to window).foldLeft(1L)((a, b) =>
+      a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val toks = df
+      .select(col(idCol).as("__doc"),
+        posexplode(split(normalize(col(textCol)), " ")))
+      .where(length(col("col")) > 0)
+      .select(col("__doc"), col("pos"), col("col").as("term"))
+    val ctx = toks
+      .withColumn("d", explode(array((1 to window).map(lit): _*)))
+      .select(col("__doc"), col("term").as("center"),
+        (col("pos") + col("d")).as("cpos"), col("d"))
+    // context at pos+d pairs with the center both forward and backward;
+    // emitting (center, right-neighbor) and (right-neighbor, center)
+    // from one join covers every ordered pair exactly once
+    val joined = ctx.join(toks.select(col("__doc"),
+        col("pos").as("cpos"), col("term").as("context")),
+      Seq("__doc", "cpos"))
+    val pairs = joined.select(col("center"), col("context"), col("d"))
+      .unionByName(joined.select(col("context").as("center"),
+        col("center").as("context"), col("d")))
+    // Spark's `/` on longs yields DOUBLE; d divides lcm exactly, so the
+    // cast back to long is lossless and the aggregate stays an exact
+    // BIGINT sum (order-independent), mirroring the oracle's // division
+    pairs.groupBy("center", "context")
+      .agg(count(lit(1)).as("n"),
+        sum((lit(lcm) / col("d").cast("long")).cast("long")).as("wnum"))
+      .select(col("center"), col("context"), col("n"),
+        (col("wnum").cast("double") / lit(lcm.toDouble)).as("weight"))
+  }
 }

@@ -784,6 +784,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(("cat", 3L))._1 === 1L && got(("cat", 1L))._1 === 2L)
   }
 
+  test("skipgramCounts: symmetric window pairs with exact 1/d weights") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    val got = TextOps.skipgramCounts(docs, "doc_id", "text", window = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // forward pairs (d<=2): (a,b,1) (a,c,2) (b,c,1) (b,a,2) (c,a,1)
+    assert(got === Map(
+      ("a", "b") -> ((2L, 1.5)), ("b", "a") -> ((2L, 1.5)),
+      ("a", "c") -> ((2L, 1.5)), ("c", "a") -> ((2L, 1.5)),
+      ("b", "c") -> ((1L, 1.0)), ("c", "b") -> ((1L, 1.0))))
+  }
+
+  test("skipgramCounts spans docs independently and skips blanks") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "y x"), (3L, ""), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextOps.skipgramCounts(docs, "doc_id", "text", window = 3)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // (x,y) once per doc 1 and doc 2 (symmetrized), never across docs
+    assert(got === Map(("x", "y") -> ((2L, 2.0)), ("y", "x") -> ((2L, 2.0))))
+  }
+
   test("bm25TopK caps at k and breaks score ties by ascending doc id") {
     import spark.implicits._
     val docs = (1L to 20L).map(i => (i, "same text here"))
