@@ -1360,6 +1360,29 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // funnel view→click→purchase: earliest per-user completion of the
+    // ordered sequence — ONE (user, ts) exchange + chained windows; the
+    // oracle is the naive cubic self-join over the same events
+    "q_funnel" -> ((s, d) =>
+      Events.funnel(events(s, d), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+    // local clustering profile: (degree, triangle-count) → node-count
+    // histogram over the triangle-bearing star+shortcut edge set, exact
+    // integers (coefficient = 2·tri/(dg·(dg−1)) derivable row-wise)
+    "graph_clustering" -> ((s, d) => {
+      val g = graph(s, d)
+      def ep(name: String) =
+        g.quads.where(col("p") === QValue.id(iri(name)))
+          .select(col("s").as("x"), col("o").as("y"))
+      def comp(lhs: DataFrame, rhs: DataFrame) =
+        lhs.join(rhs.select(col("x").as("m"), col("y").as("z")),
+          col("y") === col("m"))
+          .select(col("x"), col("z").as("y"))
+      val cn = ep("c_nation"); val nr = ep("n_region"); val sn = ep("s_nation")
+      val edges = Seq(cn, nr, sn, comp(cn, nr), comp(sn, nr),
+        ep("o_cust"), ep("n_prev")).reduce(_ unionByName _)
+      GraphAlgos.clusteringHistogram(edges, "x", "y")
+    }),
     // seeded random-walk corpus (DeepWalk/node2vec input): 3 walks of
     // length 6 from every node, deterministic (hash-ranked neighbor
     // choice). Contract asserts edge-validity of every step, gap-free
@@ -1871,6 +1894,49 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // funnel: naive ordered triple self-join, min completion per user
+    "q_funnel" ->
+      """SELECT e1.user_id,
+        |  CAST(epoch_us(min(e3.ts)) AS BIGINT) AS completed_us
+        |FROM events e1
+        |JOIN events e2 ON e2.user_id = e1.user_id AND e2.ts > e1.ts
+        |JOIN events e3 ON e3.user_id = e2.user_id AND e3.ts > e2.ts
+        |WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |  AND e3.event_type = 'purchase'
+        |GROUP BY e1.user_id""".stripMargin,
+    // clustering profile: per-node triangle membership over the same
+    // string-keyed edges (triangle = {e1.a, e1.b, e2.b}), left-joined
+    // onto degrees so triangle-free nodes count at tri = 0
+    "graph_clustering" ->
+      """WITH edges AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+        |         'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR)
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR)
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+        |         'c' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'n' || CAST(n_nationkey - 1 AS VARCHAR)
+        |    FROM nation WHERE n_nationkey >= 1),
+        |u AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        |  FROM edges WHERE s <> o),
+        |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM (
+        |  SELECT a AS n FROM u UNION ALL SELECT b FROM u) GROUP BY n),
+        |tn AS (SELECT unnest([e1.a, e1.b, e2.b]) AS n
+        |  FROM u e1 JOIN u e2 ON e2.a = e1.b
+        |  JOIN u e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tric AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM tn GROUP BY n)
+        |SELECT dg, coalesce(tri, 0) AS tri, count(*) AS n_nodes
+        |FROM deg LEFT JOIN tric USING (n)
+        |GROUP BY dg, coalesce(tri, 0)""".stripMargin,
     // random-walk corpus contract: engine-side validity/determinism
     // assertions (walks are hash-seeded — no SQL-expressible oracle)
     "graph_walks" -> "SELECT TRUE AS walks_ok",

@@ -95,6 +95,39 @@ object Events {
       .select(col("__l.*") +: payloadCols.map(c => col(s"__last.$c")): _*)
   }
 
+  /** Funnel analysis: per user, the earliest completion time of an
+    * ordered step sequence (strictly increasing timestamps; event k
+    * counts only if the k-1 prefix completed strictly before it).
+    * Single (user, ts) exchange: one shuffle + one sort, then one chained
+    * window column per step over the SAME frame (unboundedPreceding, -1)
+    * — `__p_k` = earliest prefix-k completion before the current row, so
+    * step-k rows qualify iff `__p_k` is set. The naive encoding is a
+    * k-way self-join (cubic candidate blow-up for 3 steps — exactly what
+    * the DuckDB oracle does at toy scale); this plan is linear in events
+    * per user regardless of k. Returns (user, completed_us) for users
+    * who complete the funnel, in epoch microseconds (NTZ-safe via the
+    * same UTC routing as [[sessionize]]).
+    */
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel: empty step list")
+    val w = Window.partitionBy(userCol).orderBy(col("__ts"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    var df = events.select(col(userCol),
+      col(tsCol).cast("timestamp").as("__ts"), col(typeCol).as("__t"))
+    var completion: org.apache.spark.sql.Column =
+      when(col("__t") === steps.head, col("__ts"))
+    for (i <- 1 until steps.length) {
+      df = df.withColumn(s"__p$i", min(completion).over(w))
+      completion = when(col("__t") === steps(i) &&
+        col(s"__p$i").isNotNull, col("__ts"))
+    }
+    df.withColumn("__c", completion)
+      .groupBy(col(userCol))
+      .agg(min(unix_micros(col("__c"))).as("completed_us"))
+      .where(col("completed_us").isNotNull)
+  }
+
   /** Keyed interval-containment join: match each left row `(key, ts)` to
     * every right row `(key, [start, end))` whose half-open interval
     * contains `ts`. The third temporal primitive next to [[sessionize]]

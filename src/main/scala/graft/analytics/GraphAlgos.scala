@@ -184,6 +184,51 @@ object GraphAlgos {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Per-node triangle participation joined with degree, summarized as
+    * the relabeling-invariant (degree, n_triangles) → node-count
+    * histogram — the local-clustering-coefficient profile in exact
+    * integers (the coefficient itself is 2·tri/(dg·(dg−1)), derivable
+    * row-wise; keeping the output integral sidesteps float parity
+    * entirely). Same degree-ordered orientation as [[triangleCount]]
+    * (out-degree capped at O(√E), one pivot per triangle); each closed
+    * triangle explodes to its three members, then two hash aggregates.
+    * Triangle-free nodes appear with n_triangles = 0.
+    */
+  def clusteringHistogram(edges: DataFrame, srcCol: String,
+                          dstCol: String): DataFrame = {
+    val und = edges
+      .select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
+    val wedges = e1.join(e2,
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("pivot"), col("e1.v").as("a"),
+        col("e2.v").as("b"))
+    val triNodes = wedges.join(und, Seq("a", "b"))
+      .select(explode(array(col("pivot"), col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("tri"))
+    deg.join(triNodes, Seq("n"), "left")
+      .select(col("dg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .groupBy("dg", "tri").agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Weakly connected components over an edge list: delegates to the
     * two-tier CC engine built for duplicate clustering (Dedup.scala —
     * one bounded collect + driver union-find under the 5 M-edge gate,

@@ -201,6 +201,41 @@ class EventsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("funnel: ordered completion, strict ordering, earliest result") {
+    val ev = Seq(
+      // user 10 completes A->B->C at t30 (the later C at t40 is ignored)
+      (10L, ts(0), "A"), (10L, ts(10), "B"), (10L, ts(30), "C"),
+      (10L, ts(40), "C"),
+      // user 20: B before A -> never completes
+      (20L, ts(0), "B"), (20L, ts(10), "A"), (20L, ts(20), "C"),
+      // user 30: A->C without B -> no
+      (30L, ts(0), "A"), (30L, ts(5), "C"),
+      // user 40: out-of-order arrivals still complete (C after B after A)
+      (40L, ts(50), "C"), (40L, ts(10), "A"), (40L, ts(30), "B")
+    ).toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(ev, "user_id", "ts", "event_type",
+        Seq("A", "B", "C"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(10L -> ts(30).getTime * 1000,
+      40L -> ts(50).getTime * 1000))
+  }
+
+  test("funnel with one step is first-occurrence per user") {
+    val ev = Seq((1L, ts(5), "A"), (1L, ts(2), "A"), (2L, ts(9), "B"))
+      .toDF("user_id", "ts", "event_type")
+    val got = Events.funnel(ev, "user_id", "ts", "event_type", Seq("A"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> ts(2).getTime * 1000))
+  }
+
+  test("funnel wave: C between B and the later A does not count") {
+    // A@0, C@5, B@10, (no C after B) -> incomplete
+    val ev = Seq((1L, ts(0), "A"), (1L, ts(5), "C"), (1L, ts(10), "B"))
+      .toDF("user_id", "ts", "event_type")
+    assert(Events.funnel(ev, "user_id", "ts", "event_type",
+      Seq("A", "B", "C")).count() === 0L)
+  }
+
   test("intervalJoin: half-open containment, no duplicate pairs") {
     val left = Seq(
       (1L, 10L, ts(0)),   // == start -> included

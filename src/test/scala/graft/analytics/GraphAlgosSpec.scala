@@ -307,6 +307,44 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("clusteringHistogram: triangle membership per (degree, count)") {
+    // triangle 1-2-3 plus pendant 3-4: degrees 2,2,3,1; triangles 1,1,1,0
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L)).toDF("s", "d")
+    val got = GraphAlgos.clusteringHistogram(edges, "s", "d")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got === Map((2L, 1L) -> 2L, (3L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
+  test("clusteringHistogram matches brute force on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 2) {
+      val edges = (1 to 70).map(_ =>
+        (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+        .filter(e => e._1 != e._2)
+      val und = edges.map(e =>
+        (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val undSet = und.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).distinct
+      val deg = nodes.map(n =>
+        n -> und.count(e => e._1 == n || e._2 == n)).toMap
+      val tri = nodes.map { n =>
+        n -> (for {
+          (a, b) <- und
+          if a != n && b != n
+          if undSet((math.min(a, n), math.max(a, n))) &&
+            undSet((math.min(b, n), math.max(b, n)))
+        } yield 1).size
+      }.toMap
+      val expected = nodes.groupBy(n => (deg(n).toLong, tri(n).toLong))
+        .map { case (k, v) => k -> v.size.toLong }
+      val got = GraphAlgos.clusteringHistogram(edges.toDF("s", "d"), "s", "d")
+        .as[(Long, Long, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      assert(got === expected, s"trial $trial")
+    }
+  }
+
   test("randomWalks: every step follows an edge, stops at sinks") {
     // 1 -> {2, 3}; 2 -> 4; 3 -> 4; 4 is a sink
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
