@@ -1505,6 +1505,44 @@ object SparkEntry {
         math.abs(approxD - exactD).toDouble / exactD <= 0.05
       val qOk = exactM > 0 && math.abs(approxM - exactM) / exactM <= 0.05
       s.range(1).select(lit(hllOk).as("hll_ok"), lit(qOk).as("quantile_ok"))
+    }),
+    // C4/CCNet-style boilerplate-line scrub: "lines" = 100-char chunks
+    // (the corpus is single-line word soup, so the chunker provides the
+    // line structure in BOTH engines); any chunk seen in more than one
+    // distinct document (planted exact/near duplicates) is dropped from
+    // every document and the survivors re-join in order — exact SQL mirror
+    "text_linededup" -> ((s, d) => {
+      val lines = TextOps.chunkRows(t(s, d, "documents"), "doc_id", "text",
+        size = 100)
+      TextOps.removeFrequentLines(lines, "doc_id", "chunk_idx", "chunk",
+        maxDocs = 1, joinWith = "")
+    }),
+    // hashing-trick featurizer: 60-bit md5 token hash mod 16, exact tf
+    // rows — fixed-dimension text features with no vocabulary pass
+    "text_hashvec" -> ((s, d) =>
+      TextOps.hashedTf(t(s, d, "documents"), "doc_id", "text", dim = 16)),
+    // Misra-Gries heavy hitters over event_type (5 distinct values, k=4
+    // forces genuine decrement/merge work; 3 values sit above the
+    // guarantee threshold): contract asserts the mergeable-summary
+    // guarantee — every value with true count > N/(k+1) is reported, and
+    // every estimate undercounts by at most N/(k+1). n_heavy (count of
+    // true heavies) is re-derived relationally by the oracle with exact
+    // integer arithmetic (c*(k+1) > N)
+    "stats_heavy" -> ((s, d) => {
+      val k = 4 // mirrored in the oracle SQL as the literal 5 = k + 1
+      val ev = events(s, d)
+      val mg = TextOps.heavyHitters(ev, "event_type", k).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.valuesIterator.sum
+      val heavy = exact.filter { case (_, c) => c * (k + 1L) > n }
+      val coverOk = heavy.keySet.subsetOf(mg.keySet)
+      val boundOk = mg.forall { case (v, est) =>
+        exact.get(v).exists(c => est <= c && (c - est) * (k + 1L) <= n)
+      }
+      s.range(1).select(lit(coverOk && boundOk).as("heavy_ok"),
+        lit(heavy.size.toLong).as("n_heavy"))
     }))
 
   /** DuckDB mirror of Dedup.simhashes: 60-bit md5-derived token hash,
@@ -2039,6 +2077,40 @@ object SparkEntry {
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract
     "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
+    // frequent-line scrub: same 100-char chunk "lines" as text_chunks,
+    // boilerplate = chunk md5 in > 1 distinct doc, ordered reassembly
+    "text_linededup" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+        |c AS (SELECT doc_id, text,
+        |    CASE WHEN len <= 100 THEN 1
+        |      ELSE CAST(ceil((len - 100) / 100.0) AS BIGINT) + 1 END AS n FROM d),
+        |l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_no,
+        |    substr(text, CAST(i * 100 + 1 AS INT), 100) AS line
+        |  FROM c, LATERAL unnest(range(0, n)) AS u(i)),
+        |bad AS (SELECT md5(line) AS k FROM l
+        |  GROUP BY md5(line) HAVING count(DISTINCT doc_id) > 1),
+        |kept AS (SELECT * FROM l WHERE md5(line) NOT IN (SELECT k FROM bad)),
+        |tot AS (SELECT doc_id, count(*) AS n_lines FROM l GROUP BY doc_id),
+        |rb AS (SELECT doc_id, string_agg(line, '' ORDER BY line_no) AS text_clean,
+        |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(rb.text_clean, '') AS text_clean,
+        |  t.n_lines, coalesce(rb.n_kept, 0) AS n_kept
+        |FROM tot t LEFT JOIN rb USING (doc_id)""".stripMargin,
+    // hashing-trick featurizer: identical 60-bit md5 bucket arithmetic
+    "text_hashvec" ->
+      """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term FROM d)
+        |SELECT doc_id,
+        |  CAST(CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 16 AS BIGINT) AS bucket,
+        |  count(*) AS tf
+        |FROM tok WHERE length(term) > 0 GROUP BY 1, 2""".stripMargin,
+    // heavy-hitter guarantee contract; n_heavy = exact count of event
+    // types with c*(k+1) > N (k=4)
+    "stats_heavy" ->
+      """WITH f AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM events)
+        |SELECT TRUE AS heavy_ok,
+        |  CAST((SELECT count(*) FROM f, n WHERE c * 5 > nn) AS BIGINT) AS n_heavy""".stripMargin,
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed

@@ -542,4 +542,163 @@ object TextOps {
       .select(col("center"), col("context"), col("n"),
         (col("wnum").cast("double") / lit(lcm.toDouble)).as("weight"))
   }
+
+  /** C4/CCNet-style boilerplate-line removal over a normalized
+    * `(id, line_no, line)` relation: a line whose corpus-wide DISTINCT-
+    * document frequency exceeds `maxDocs` (navigation bars, cookie
+    * banners, license headers) is dropped from EVERY document, and each
+    * document's surviving lines are re-joined in order. Returns
+    * `(id, text_clean, n_lines, n_kept)` — one row per input document,
+    * including fully-scrubbed ones (`text_clean = ""`).
+    *
+    * Plan shape at 100 TB: one (line-md5) aggregate for the document
+    * frequencies (two-phase distinct — partials combine map-side), the
+    * boilerplate key set is tiny by definition (only lines repeated
+    * across > maxDocs docs) so the removal anti-join broadcasts, and the
+    * rebuild is ONE (id) shuffle with an in-row sort — no window, no
+    * self-join. Line identity is md5 of the raw line, so the pass
+    * reproduces bit-identically on any engine (the oracle re-derives it
+    * relationally in DuckDB).
+    */
+  def removeFrequentLines(lines: org.apache.spark.sql.DataFrame,
+                          idCol: String, lineNoCol: String, lineCol: String,
+                          maxDocs: Long,
+                          joinWith: String = "\n"): org.apache.spark.sql.DataFrame = {
+    require(maxDocs >= 1, "removeFrequentLines: maxDocs must be >= 1")
+    val key = md5(col(lineCol))
+    val boiler = lines.groupBy(key.as("__k"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .where(col("__df") > maxDocs)
+      .select("__k")
+    val kept = lines.join(broadcast(boiler), key === col("__k"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col(lineNoCol).as("n"),
+              col(lineCol).as("l")))),
+            x => x.getField("l")),
+          joinWith).as("text_clean"))
+    val totals = lines.groupBy(col(idCol)).agg(count(lit(1)).as("n_lines"))
+    totals.join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Delimiter convenience over [[removeFrequentLines]]: split `textCol`
+    * on the literal `delim` (default newline) into the (id, line_no,
+    * line) relation and run the frequent-line scrub.
+    */
+  def dedupLines(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, maxDocs: Long,
+                 delim: String = "\n"): org.apache.spark.sql.DataFrame = {
+    val lines = df
+      .select(col(idCol),
+        posexplode(split(col(textCol),
+          java.util.regex.Pattern.quote(delim))))
+      .select(col(idCol), col("pos").as("line_no"), col("col").as("line"))
+    removeFrequentLines(lines, idCol, "line_no", "line", maxDocs, delim)
+  }
+
+  /** Feature-hashed term-frequency rows `(id, bucket, tf)`: every
+    * canonical token maps to `pmod(md5-60bit, dim)` — the hashing-trick
+    * featurizer that turns raw text into fixed-dimension count vectors
+    * with NO vocabulary pass (the property that matters at 100 TB: no
+    * driver-side dictionary, no second scan; one explode + one
+    * map-side-combined aggregate). The 60-bit md5 prefix is the same
+    * cross-engine-stable hash the simhash oracle uses, so the bucketing
+    * reproduces exactly in any engine with a standard md5.
+    */
+  def hashedTf(df: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2, "hashedTf: dim must be >= 2")
+    df.select(col(idCol),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .select(col(idCol),
+        pmod(conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"),
+          lit(dim.toLong)).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
+
+  /** Dense form of [[hashedTf]]: `(id, vec)` with `vec(b)` = tf of hash
+    * bucket b (0 for empty buckets) — the input shape the similarity/ANN
+    * tier consumes. One extra (id) aggregate over the exploded rows; the
+    * in-row densify runs once per document.
+    */
+  def hashedTfVectors(df: org.apache.spark.sql.DataFrame, idCol: String,
+                      textCol: String, dim: Int): org.apache.spark.sql.DataFrame = {
+    val m = map_from_entries(collect_list(struct(col("bucket"), col("tf"))))
+    hashedTf(df, idCol, textCol, dim)
+      .groupBy(col(idCol))
+      .agg(transform(sequence(lit(0L), lit(dim - 1L)),
+        b => coalesce(element_at(m, b), lit(0L))).as("vec"))
+  }
+
+  /** Misra–Gries heavy-hitters summary over a string column: one pass,
+    * one k-entry counter map per partition, partial summaries merged
+    * pairwise (classic mergeable-summary algebra) — the head-of-the-
+    * distribution profile that replaces a full groupBy+sort when only
+    * frequent values matter. Guarantees (for N total non-null rows):
+    * every value with true count > N/(k+1) IS in the output, and each
+    * reported estimate undercounts its true frequency by at most
+    * N/(k+1). The surviving SET depends only on the data (not partition
+    * order) for values above the guarantee threshold; below it,
+    * membership is best-effort — contracts must assert the guarantee,
+    * not the exact tail. Returns (value, est_count).
+    */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, valueCol: String,
+                   k: Int): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "heavyHitters: k must be >= 1")
+    val spark = df.sparkSession
+    import scala.collection.mutable
+    def addOne(m: mutable.LinkedHashMap[String, Long], v: String): Unit =
+      m.get(v) match {
+        case Some(c) => m.update(v, c + 1L)
+        case None =>
+          if (m.size < k) m.update(v, 1L)
+          else {
+            // decrement-all step: drop zeros; O(k) amortized over >= k rows
+            val dead = mutable.ArrayBuffer.empty[String]
+            m.keysIterator.foreach { key =>
+              val c = m(key) - 1L
+              if (c <= 0L) dead += key else m.update(key, c)
+            }
+            dead.foreach(m.remove)
+          }
+      }
+    def merge(a: mutable.LinkedHashMap[String, Long],
+              b: mutable.LinkedHashMap[String, Long]): mutable.LinkedHashMap[String, Long] = {
+      b.foreach { case (v, c) =>
+        a.update(v, a.getOrElse(v, 0L) + c)
+      }
+      if (a.size > k) {
+        // subtract the (k+1)-th largest count from everything, drop <= 0:
+        // the summary shrinks back to <= k entries and the total error
+        // stays additive across merges
+        val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        val dead = mutable.ArrayBuffer.empty[String]
+        a.keysIterator.foreach { key =>
+          val c = a(key) - cut
+          if (c <= 0L) dead += key else a.update(key, c)
+        }
+        dead.foreach(a.remove)
+      }
+      a
+    }
+    val partials = df.select(col(valueCol).cast("string").as("v"))
+      .where(col("v").isNotNull)
+      .rdd.mapPartitions { it =>
+        val m = mutable.LinkedHashMap.empty[String, Long]
+        it.foreach(r => addOne(m, r.getString(0)))
+        Iterator.single(m)
+      }
+    val summary =
+      if (partials.isEmpty()) mutable.LinkedHashMap.empty[String, Long]
+      else partials.treeReduce(merge)
+    spark.createDataFrame(summary.toSeq.map(p => (p._1, p._2)))
+      .toDF("value", "est_count")
+  }
 }

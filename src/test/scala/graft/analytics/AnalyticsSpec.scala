@@ -817,4 +817,112 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got.length === 5)
     assert(got.map(_._2).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
+
+  test("dedupLines drops only boilerplate lines and keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "cookie banner\nreal content one\nfooter"),
+      (2L, "cookie banner\nreal content two\nfooter"),
+      (3L, "cookie banner\nunique text\nmore unique"),
+      (4L, "all original\nnothing shared")
+    ).toDF("doc_id", "text")
+    val got = TextOps.dedupLines(docs, "doc_id", "text", maxDocs = 1)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // "cookie banner" (3 docs) and "footer" (2 docs) are boilerplate
+    assert(got(1L) === (("real content one", 3L, 1L)))
+    assert(got(2L) === (("real content two", 3L, 1L)))
+    assert(got(3L) === (("unique text\nmore unique", 3L, 2L)))
+    assert(got(4L) === (("all original\nnothing shared", 2L, 2L)))
+  }
+
+  test("dedupLines keeps fully-scrubbed docs with empty text") {
+    import spark.implicits._
+    val docs = Seq((1L, "same\nsame2"), (2L, "same\nsame2"))
+      .toDF("doc_id", "text")
+    val got = TextOps.dedupLines(docs, "doc_id", "text", maxDocs = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set((1L, "", 2L, 0L), (2L, "", 2L, 0L)))
+  }
+
+  test("removeFrequentLines counts DISTINCT docs, not occurrences") {
+    import spark.implicits._
+    // the line repeats 3 times but inside ONE doc — never boilerplate
+    val lines = Seq((1L, 0L, "x"), (1L, 1L, "x"), (1L, 2L, "x"))
+      .toDF("doc_id", "line_no", "line")
+    val got = TextOps.removeFrequentLines(lines, "doc_id", "line_no",
+        "line", maxDocs = 1)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === Set((1L, "x\nx\nx", 3L, 3L)))
+  }
+
+  test("hashedTf buckets are stable and tf sums to the token count") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, ""), (3L, "a")).toDF("doc_id", "text")
+    val rows = TextOps.hashedTf(docs, "doc_id", "text", dim = 16)
+      .as[(Long, Long, Long)].collect()
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 16))
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(perDoc === Map(1L -> 4L, 3L -> 1L)) // blank doc has no rows
+    // same token -> same bucket on both docs
+    val bucketOfA1 = rows.filter(r => r._1 == 3L).head._2
+    assert(rows.filter(r => r._1 == 1L).map(_._2).contains(bucketOfA1))
+  }
+
+  test("hashedTfVectors densifies to dim with zeros for empty buckets") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val vec = TextOps.hashedTfVectors(docs, "doc_id", "text", dim = 8)
+      .as[(Long, Seq[Long])].collect().head._2
+    assert(vec.length === 8)
+    assert(vec.sum === 3L) // total tf preserved
+    assert(vec.count(_ > 0) <= 2) // at most 2 distinct buckets
+    // dense form agrees with the exploded form bucket by bucket
+    val exploded = TextOps.hashedTf(docs, "doc_id", "text", dim = 8)
+      .as[(Long, Long, Long)].collect().map(r => r._2 -> r._3).toMap
+    vec.zipWithIndex.foreach { case (tf, b) =>
+      assert(tf === exploded.getOrElse(b.toLong, 0L))
+    }
+  }
+
+  test("heavyHitters guarantee holds on a skewed random stream") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // zipf-ish: value v chosen with weight ~ 1/(v+1)
+    val vals = (1 to 20000).map { _ =>
+      val r = rnd.nextDouble()
+      val v = math.min((1.0 / (1.0 - r * 0.999) - 1.0).toInt, 200)
+      s"v$v"
+    }
+    val df = vals.toDF("v").repartition(8)
+    val k = 10
+    val mg = TextOps.heavyHitters(df, "v", k).as[(String, Long)]
+      .collect().toMap
+    assert(mg.size <= k)
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = vals.size.toLong
+    val heavies = exact.filter { case (_, c) => c * (k + 1L) > n }
+    assert(heavies.nonEmpty) // the test must exercise the guarantee
+    heavies.keySet.foreach(h => assert(mg.contains(h), s"missing heavy $h"))
+    mg.foreach { case (v, est) =>
+      val c = exact(v)
+      assert(est <= c && (c - est) * (k + 1L) <= n,
+        s"estimate bound violated for $v: est=$est true=$c")
+    }
+  }
+
+  test("heavyHitters on fewer than k distinct values is exact") {
+    import spark.implicits._
+    val df = (Seq.fill(30)("a") ++ Seq.fill(20)("b") ++ Seq.fill(3)("c"))
+      .toDF("v").repartition(4)
+    val mg = TextOps.heavyHitters(df, "v", k = 8).as[(String, Long)]
+      .collect().toMap
+    assert(mg === Map("a" -> 30L, "b" -> 20L, "c" -> 3L))
+  }
+
+  test("heavyHitters of an empty input is empty") {
+    import spark.implicits._
+    val df = Seq.empty[String].toDF("v")
+    assert(TextOps.heavyHitters(df, "v", k = 4).count() === 0L)
+  }
 }
