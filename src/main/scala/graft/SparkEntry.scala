@@ -1397,6 +1397,19 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst", walksPerNode = 3, walkLen = 6)
     }),
+    // synchronous label-propagation communities (min-label tie-break =
+    // fully deterministic) over the five-predicate star graph —
+    // differential contract vs a sequential evaluation of the same
+    // synchronous update; node universe identical to graph_pagerank's
+    "graph_lpa" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.lpaContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
     // minimum spanning forest (distributed Borůvka, (w,a,b)-perturbed
     // order so the forest is unique) over the five-predicate star graph
     // with xxhash-derived weights — differential contract vs sequential
@@ -1978,6 +1991,12 @@ object SparkEntry {
     // random-walk corpus contract: engine-side validity/determinism
     // assertions (walks are hash-seeded — no SQL-expressible oracle)
     "graph_walks" -> "SELECT TRUE AS walks_ok",
+    // LPA differential contract: same node universe as graph_pagerank
+    "graph_lpa" ->
+      """SELECT TRUE AS lpa_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
     // MSF differential contract; the connected star graph's spanning
     // forest has node-count - 1 edges
     "graph_mst" ->

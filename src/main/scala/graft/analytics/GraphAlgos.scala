@@ -768,4 +768,85 @@ object GraphAlgos {
     spark.range(1).select(lit(close && topAgree).as("pagerank_ok"),
       lit(local.size.toLong).as("n_nodes"))
   }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.):
+    * every node starts in its own community (label = node id); each round
+    * all nodes SIMULTANEOUSLY adopt the most frequent label among their
+    * neighbors, ties broken by the smallest label — the tie rule makes
+    * the whole pass deterministic, and fixed synchronous rounds make it
+    * reproducible even on oscillating (bipartite) structures where the
+    * asynchronous variant is schedule-dependent. Edges are symmetrized
+    * and self-loops dropped. Per round: ONE join (edge ⨝ labels on the
+    * neighbor endpoint) + one (node,label) count aggregate + one
+    * arg-min aggregate — all hash-partitioned on node keys, no driver
+    * action inside the loop; at 100 TB the edge side is persisted
+    * pre-partitioned so every round reuses one exchange. The tie-break
+    * orders by (-count, label): counts are bounded by degree so the
+    * negation can never overflow, unlike negating arbitrary hashed ids.
+    * Returns (node, label).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int = 10,
+                       checkpointEvery: Int = 4): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    var labels = e.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (i <- 1 to iterations) {
+      val nbr = e.join(labels, e("v") === labels("node"))
+        .select(e("u").as("node"), col("label"))
+      val counts = nbr.groupBy("node", "label")
+        .agg(count(lit(1)).as("c"))
+      labels = counts.groupBy("node")
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("nc"), col("label").as("lb"))).as("label"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Sequential reference evaluation of [[labelPropagation]]'s exact
+    * synchronous update — the differential oracle (integer arithmetic
+    * only, so agreement is EXACT equality, not a tolerance).
+    */
+  def lpaLocal(edges: Seq[(Long, Long)],
+               iterations: Int = 10): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).distinct
+    }
+    val nodes = adj.keySet
+    var lab: Map[Long, Long] = nodes.map(v => v -> v).toMap
+    for (_ <- 1 to iterations) {
+      val prev = lab
+      lab = nodes.map { v =>
+        val counts = adj(v).groupBy(prev).map { case (l, us) =>
+          l -> us.size.toLong
+        }
+        v -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }.toMap
+    }
+    lab
+  }
+
+  /** Contract harness for the driver oracle: distributed LPA vs the
+    * sequential reference on the same (small) edge list — exact (node,
+    * label) map equality. The collect is the oracle side only.
+    */
+  def lpaContract(edges: DataFrame, srcCol: String, dstCol: String,
+                  iterations: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = labelPropagation(edges, srcCol, dstCol, iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = lpaLocal(es, iterations)
+    spark.range(1).select(lit(dist == local).as("lpa_ok"),
+      lit(local.size.toLong).as("n_nodes"))
+  }
 }

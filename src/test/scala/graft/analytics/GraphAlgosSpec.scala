@@ -381,4 +381,49 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(rows(0).getBoolean(0))
     assert(rows(0).getLong(1) === 3L)
   }
+
+  test("labelPropagation separates two triangles joined by a bridge") {
+    // triangle {1,2,3} - bridge 3-4 - triangle {4,5,6}: each triangle
+    // converges to its min node id; the bridge endpoints stay with the
+    // majority (their two triangle neighbors outvote the single bridge)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)).toDF("s", "d")
+    val got = GraphAlgos.labelPropagation(edges, "s", "d", iterations = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === got(2L) && got(2L) === got(3L))
+    assert(got(4L) === got(5L) && got(5L) === got(6L))
+    assert(got(1L) !== got(4L))
+  }
+
+  test("labelPropagation matches the sequential reference exactly") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 80).map(_ =>
+      (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val df = edges.toDF("s", "d")
+    val dist = GraphAlgos.labelPropagation(df, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(dist === GraphAlgos.lpaLocal(edges))
+  }
+
+  test("lpa is deterministic on an oscillating bipartite structure") {
+    // a 4-cycle is bipartite: synchronous LPA oscillates, but fixed
+    // rounds + min-label ties make the result reproducible
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val a = GraphAlgos.labelPropagation(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    val b = GraphAlgos.labelPropagation(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(a === b)
+    assert(a === GraphAlgos.lpaLocal(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))))
+  }
+
+  test("lpaContract returns true with the node-universe count") {
+    val rnd = new scala.util.Random(23)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("s", "d")
+    val rows = GraphAlgos.lpaContract(edges, "s", "d").collect()
+    assert(rows.length === 1 && rows(0).getBoolean(0))
+  }
 }
