@@ -362,9 +362,13 @@ object Bench {
               .where(col("p") === QValue.id(nameP) &&
                 col("o") === QValue.id(QValue.Str("Oliver Hardy")))
               .select(col("s").as("node"))
+            // maxDriverEdges=0 pins the DISTRIBUTED tier — this entry is
+            // the frontier-expansion scale evidence; the driver tier is
+            // what sf0.1's deep tiny chain benches in the core block
             timed2("x10_graph_bfs") {
               graft.analytics.GraphAlgos.bfsDistanceHistogram(
-                  eAll, "src", "dst", seed, maxDepth = 12)
+                  eAll, "src", "dst", seed, maxDepth = 12,
+                  maxDriverEdges = 0L)
                 .write.mode("overwrite").format("noop").save()
             }
           }

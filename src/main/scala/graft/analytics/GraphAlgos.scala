@@ -258,7 +258,17 @@ object GraphAlgos {
 
   /** Multi-source unweighted shortest-path distances (BFS) over an edge
     * list: for every node reachable from `sources`, the minimum hop count.
-    * Frontier expansion — each round joins only the CURRENT frontier
+    *
+    * Two tiers, same answer (differential-tested across the gate, the
+    * same design as [[Dedup.connectedComponents]]): a deep-but-small
+    * graph pays BFS cost in ROUNDS — each distributed round is ~4 tiny
+    * jobs of fixed scheduler overhead, so a 27-level chain over 100 k
+    * edges costs seconds of pure coordination. Under `maxDriverEdges`
+    * (5 M edges ≈ well under 100 MB of keys) ONE collect + an in-memory
+    * queue BFS beats any number of Spark rounds; above it, frontier
+    * expansion runs distributed.
+    *
+    * Distributed tier: each round joins only the CURRENT frontier
     * against the edge table (hash-partitioned on the source endpoint; at
     * a deployment the edge side is persisted pre-partitioned so every
     * round reuses the exchange), dedups the discovered neighbors, and
@@ -272,10 +282,14 @@ object GraphAlgos {
     */
   def bfsDistances(edges: DataFrame, srcCol: String, dstCol: String,
                    sources: DataFrame, maxDepth: Int = 64,
-                   checkpointEvery: Int = 4): DataFrame = {
+                   checkpointEvery: Int = 4,
+                   maxDriverEdges: Long = Dedup.DriverCcMaxEdges)
+      : DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true)
+    if (e.count() <= maxDriverEdges)
+      return bfsDriver(e, sources, maxDepth)
     var dist = sources.toDF("node").distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var frontier = dist.select("node")
@@ -298,36 +312,92 @@ object GraphAlgos {
     dist
   }
 
+  /** Driver tier of [[bfsDistances]]: one collect of the (deduplicated,
+    * gate-bounded) edge list into an adjacency map, queue BFS, result
+    * parallelized back with the node column's ORIGINAL type (keys stay
+    * `Any` — the long-hashed quad graph and string-keyed edge lists both
+    * route here unchanged).
+    */
+  private def bfsDriver(e: DataFrame, sources: DataFrame,
+                        maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]())
+        .add(r.get(1))
+    }
+    // java.lang.Long values: a scala.Long-valued map would auto-unbox
+    // get/putIfAbsent results and NPE on absent keys
+    val dist = new java.util.HashMap[Any, java.lang.Long]()
+    var frontier = new java.util.ArrayList[Any]()
+    sources.toDF("node").distinct().collect().foreach { r =>
+      if (dist.putIfAbsent(r.get(0), 0L) == null) frontier.add(r.get(0))
+    }
+    var d = 0L
+    while (!frontier.isEmpty && d < maxDepth) {
+      d += 1
+      val next = new java.util.ArrayList[Any]()
+      frontier.forEach { u =>
+        val ns = adj.get(u)
+        if (ns != null) ns.forEach { v =>
+          if (dist.putIfAbsent(v, d) == null) next.add(v)
+        }
+      }
+      frontier = next
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = dist.entrySet().asScala.toSeq.map(en =>
+      org.apache.spark.sql.Row(en.getKey, en.getValue))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema("u").dataType),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Relabeling-invariant summary of [[bfsDistances]]: nodes per distance
     * level (hashed-id engine and string-keyed oracles must agree exactly).
     */
   def bfsDistanceHistogram(edges: DataFrame, srcCol: String, dstCol: String,
                            sources: DataFrame,
-                           maxDepth: Int = 64): DataFrame =
-    bfsDistances(edges, srcCol, dstCol, sources, maxDepth)
+                           maxDepth: Int = 64,
+                           maxDriverEdges: Long = Dedup.DriverCcMaxEdges)
+      : DataFrame =
+    bfsDistances(edges, srcCol, dstCol, sources, maxDepth,
+        maxDriverEdges = maxDriverEdges)
       .groupBy("dist").agg(count(lit(1)).as("n_nodes"))
 
   /** Single/multi-source weighted shortest paths over an edge list with a
-    * non-negative integer weight column — distributed Bellman-Ford with
-    * early exit. Each round relaxes every edge out of the current
-    * distance table (one shuffle join on the source endpoint + one
-    * min-aggregate on the target), merges by full outer join, and stops
-    * as soon as a round improves nothing (the convergence probe reads a
-    * one-row aggregate of the just-checkpointed merge — no extra pass).
-    * Rounds = max hop count of any shortest path; at scale the edge side
-    * is persisted hash-partitioned on `u`, so every round reuses one
-    * exchange. Returns (node, dist) for reachable nodes; exact for any
-    * non-negative weights (LONG arithmetic — ANSI overflow would throw,
-    * not wrap).
+    * non-negative integer weight column. Returns (node, dist) for
+    * reachable nodes; exact for any non-negative weights (LONG
+    * arithmetic — ANSI overflow would throw, not wrap).
+    *
+    * Two tiers, same answer (differential-tested across the gate, same
+    * rationale as [[bfsDistances]]): under `maxDriverEdges` the edge
+    * list collects once and driver Dijkstra answers in microseconds
+    * where the distributed loop would pay max-hop-count × fixed
+    * per-round scheduling; above it, distributed Bellman-Ford with
+    * early exit. Each Bellman-Ford round relaxes every edge out of the
+    * current distance table (one shuffle join on the source endpoint +
+    * one min-aggregate on the target), merges by full outer join, and
+    * stops as soon as a round improves nothing (the convergence probe
+    * reads a one-row aggregate of the just-checkpointed merge — no
+    * extra pass). Rounds = max hop count of any shortest path; at scale
+    * the edge side is persisted hash-partitioned on `u`, so every round
+    * reuses one exchange.
     */
   def shortestPaths(edges: DataFrame, srcCol: String, dstCol: String,
                     weightCol: String, sources: DataFrame,
                     maxIterations: Int = 128,
-                    checkpointEvery: Int = 4): DataFrame = {
+                    checkpointEvery: Int = 4,
+                    maxDriverEdges: Long = Dedup.DriverCcMaxEdges)
+      : DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(weightCol).cast("long").as("w"))
       .where(col("u").isNotNull && col("v").isNotNull && col("w") >= 0)
       .localCheckpoint(true)
+    if (e.count() <= maxDriverEdges)
+      return dijkstraDriver(e, sources)
     var dist = sources.toDF("node").distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
     var done = false
@@ -351,6 +421,51 @@ object GraphAlgos {
       if (i % checkpointEvery == 0) dist = dist.localCheckpoint(true)
     }
     dist
+  }
+
+  /** Driver tier of [[shortestPaths]]: multi-source Dijkstra (non-negative
+    * weights make it exact, and it converges where Bellman-Ford pays one
+    * distributed round per shortest-path hop). Keys stay `Any` so long-
+    * and string-keyed edge lists both route here with their original
+    * column type preserved on the way back.
+    */
+  private def dijkstraDriver(e: DataFrame, sources: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[(Any, Long)]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0),
+          _ => new java.util.ArrayList[(Any, Long)]())
+        .add((r.get(1), r.getLong(2)))
+    }
+    // java.lang.Long values: a scala.Long-valued map would auto-unbox
+    // get results and NPE on absent keys
+    val dist = new java.util.HashMap[Any, java.lang.Long]()
+    val pq = new java.util.PriorityQueue[(Long, Any)](
+      (a: (Long, Any), b: (Long, Any)) => java.lang.Long.compare(a._1, b._1))
+    sources.toDF("node").distinct().collect().foreach { r =>
+      if (dist.putIfAbsent(r.get(0), 0L) == null) pq.add((0L, r.get(0)))
+    }
+    while (!pq.isEmpty) {
+      val (du, u) = pq.poll()
+      if (dist.get(u).longValue == du) { // stale queue entries skip
+        val ns = adj.get(u)
+        if (ns != null) ns.forEach { case (v, w) =>
+          val nd = du + w
+          val cur = dist.get(v)
+          if (cur == null || nd < cur.longValue) {
+            dist.put(v, nd); pq.add((nd, v))
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = dist.entrySet().asScala.toSeq.map(en =>
+      org.apache.spark.sql.Row(en.getKey, en.getValue))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema("u").dataType),
+      org.apache.spark.sql.types.StructField("dist",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** k-core: the maximal subgraph in which every node has (undirected,

@@ -180,6 +180,57 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got === Map(0L -> 1L, 1L -> 2L, 2L -> 2L))
   }
 
+  test("bfsDistances: driver and distributed tiers agree on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val n = 16
+      val edges = (1 to 60).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+        .toDF("s", "d")
+      val src = Seq(0L, 3L).toDF("node")
+      val driver = GraphAlgos.bfsDistances(edges, "s", "d", src)
+        .as[(Long, Long)].collect().toMap
+      val dist = GraphAlgos
+        .bfsDistances(edges, "s", "d", src, maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(driver === dist, s"trial $trial")
+    }
+  }
+
+  test("bfsDistances driver tier preserves string node keys") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("x", "y"))
+      .toDF("s", "d")
+    val got = GraphAlgos.bfsDistances(edges, "s", "d", Seq("a").toDF("node"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("shortestPaths: driver and distributed tiers agree on random graphs") {
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val n = 14
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong, (rnd.nextInt(9) + 1).toLong))
+        .filter(e => e._1 != e._2).distinct.toDF("s", "d", "w")
+      val src = Seq(0L, 1L).toDF("node")
+      val driver = GraphAlgos.shortestPaths(edges, "s", "d", "w", src)
+        .as[(Long, Long)].collect().toMap
+      val dist = GraphAlgos
+        .shortestPaths(edges, "s", "d", "w", src, maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(driver === dist, s"trial $trial")
+    }
+  }
+
+  test("shortestPaths driver tier preserves string node keys") {
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 5L))
+      .toDF("s", "d", "w")
+    val got = GraphAlgos
+      .shortestPaths(edges, "s", "d", "w", Seq("a").toDF("node"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
+
   test("hitsLocal: star graph concentrates authority on the hub target") {
     // 1,2,3 all point at 4; 4 points nowhere: auth(4)=1, hubs equal
     val local = GraphAlgos.hitsLocal(Seq((1L, 4L), (2L, 4L), (3L, 4L)))
