@@ -1457,6 +1457,38 @@ object SparkEntry {
       val src = s.range(1).select(lit(s"n$maxN").as("node"))
       GraphAlgos.shortestPaths(edges, "u", "v", "w", src)
     }),
+    // strongly connected components over a directed graph with known
+    // condensation: the 5 regions closed into one cycle (one 5-node
+    // SCC), customer→region edges (customers reach the cycle, never
+    // return), order→customer edges plus a REVERSE customer→order edge
+    // for every 10th order (those orders join their customer's SCC;
+    // the rest stay singletons). Differential contract: driver Tarjan
+    // vs the distributed Orzan-style double-min-label coloring
+    // (sccContract forces BOTH tiers); the coloring pays rounds
+    // proportional to condensation depth, so the oracle graph is built
+    // SHALLOW (depth ~8) while SCC structure stays nontrivial. The
+    // oracle re-derives the SCC count relationally from the
+    // construction
+    "graph_scc" -> ((s, d) => {
+      val region = t(s, d, "region"); val customer = t(s, d, "customer")
+      val orders = t(s, d, "orders")
+      val rk = col("r_regionkey")
+      val nReg = region.count()
+      val cycle = region.select(
+        concat(lit("r"), rk.cast("string")).as("u"),
+        concat(lit("r"), ((rk + 1) % nReg).cast("string")).as("v"))
+      val cr = customer.select(
+        concat(lit("c"), col("c_custkey").cast("string")).as("u"),
+        concat(lit("r"), (col("c_nationkey") % nReg).cast("string")).as("v"))
+      val oc = orders.select(
+        concat(lit("o"), col("o_orderkey").cast("string")).as("u"),
+        concat(lit("c"), col("o_custkey").cast("string")).as("v"))
+      val co = orders.where(col("o_orderkey") % 10 === 0).select(
+        concat(lit("c"), col("o_custkey").cast("string")).as("u"),
+        concat(lit("o"), col("o_orderkey").cast("string")).as("v"))
+      val edges = Seq(cycle, cr, oc, co).reduce(_ unionByName _)
+      GraphAlgos.sccContract(edges, "u", "v")
+    }),
     // k-core (k=2) of the directed star graph viewed undirected: the
     // order/customer/supplier trees peel away, the nation chain + region
     // attachments survive — differential contract vs a sequential peel
@@ -2033,6 +2065,16 @@ object SparkEntry {
     // k-core differential contract: sequential peel on the collected
     // edges; n_core_nodes = the surviving nation chain + regions
     "graph_kcore" -> "SELECT TRUE AS kcore_ok, CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_core_nodes",
+    // SCC contract: nodes = regions + customers + orders; SCCs = the one
+    // region cycle + one per customer (its %10 orders merge in) + one
+    // per non-%10 order
+    "graph_scc" ->
+      """SELECT TRUE AS scc_ok,
+        |  CAST((SELECT count(*) FROM region) + (SELECT count(*) FROM customer)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes,
+        |  CAST(1 + (SELECT count(*) FROM customer)
+        |    + (SELECT count(*) FROM orders WHERE o_orderkey % 10 <> 0)
+        |    AS BIGINT) AS n_sccs""".stripMargin,
     // interval-containment join: naive BETWEEN oracle over the same
     // deterministically derived 2-day windows (whole-second bounds, so
     // the engine's epoch-second comparison is exactly equivalent)

@@ -964,4 +964,241 @@ object GraphAlgos {
     spark.range(1).select(lit(dist == local).as("lpa_ok"),
       lit(local.size.toLong).as("n_nodes"))
   }
+
+  /** Strongly connected components of a DIRECTED edge list. Returns
+    * (node, component) for every node incident to an edge, component
+    * labeled by the SCC's minimum member id — so the labeling is
+    * deterministic and relabeling-comparable across engines.
+    *
+    * Two tiers, same answer (differential-tested across the gate):
+    * under `maxDriverEdges`, one collect + iterative Tarjan — SCC is a
+    * DFS algorithm, and a DFS's sequential dependency chain is exactly
+    * what a distributed engine cannot shortcut, so below the gate the
+    * driver wins outright. Above it, Orzan-style coloring built from
+    * primitives that DO distribute: (1) forward min-label fixed point —
+    * color(v) = the smallest node id with a directed path to v (one
+    * join + min-aggregate per round, the WCC plan shape, PLUS the
+    * pointer-doubling shortcut color ← min(color, color(color)): if c
+    * reaches v and c' reaches c then c' reaches v, so adopting one's
+    * color's color is sound — it shortcuts descending label CHAINS,
+    * though plain propagation distance still bounds the rounds at
+    * O(graph depth) when labels resolve flat, as on a cycle whose
+    * minimum enters from outside); (2) each color class is the region
+    * whose minimum id c
+    * reaches every member, and c is provably the region's minimum
+    * member — a SECOND min-label fixed point over the REVERSED
+    * region-internal edges (same doubling) computes bcolor(v) = the
+    * smallest region id v reaches, so bcolor(v) == color(v) iff v and
+    * c reach each other: those nodes are precisely SCC(c), for ALL
+    * roots simultaneously; (3) carve the finished SCCs out and repeat
+    * on the remainder. Every outer round removes at least every
+    * source-SCC of the condensation, so outer rounds are bounded by
+    * the condensation's depth — the practical large-graph regime this
+    * targets (like every distributed SCC) is SHALLOW condensations;
+    * a deep chain of tiny SCCs belongs on the driver tier.
+    */
+  def stronglyConnectedComponents(edges: DataFrame, srcCol: String,
+                                  dstCol: String,
+                                  maxDriverEdges: Long =
+                                    Dedup.DriverCcMaxEdges): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    if (e.count() <= maxDriverEdges) sccDriver(e)
+    else sccDistributed(e)
+  }
+
+  /** Deterministic cross-type ordering for SCC labels: natural order
+    * when both keys are the same Comparable class (Long, String — the
+    * two key types this engine produces), string-form order otherwise.
+    */
+  private def anyLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Comparable[_], y) if x.getClass == y.getClass =>
+      x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y) < 0
+    case _ => String.valueOf(a) < String.valueOf(b)
+  }
+
+  /** Driver tier: iterative Tarjan (explicit stacks — recursion depth
+    * would be O(|V|) on a long path). Labels each SCC by its minimum
+    * member under [[anyLt]].
+    */
+  private def sccDriver(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    val nodes = new java.util.LinkedHashSet[Any]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]())
+        .add(r.get(1))
+      nodes.add(r.get(0)); nodes.add(r.get(1))
+    }
+    val index = new java.util.HashMap[Any, Int]()
+    val low = new java.util.HashMap[Any, Int]()
+    val onStack = new java.util.HashSet[Any]()
+    val stack = new java.util.ArrayDeque[Any]()
+    val comp = new java.util.HashMap[Any, Any]()
+    var counter = 0
+    val empty = new java.util.ArrayList[Any]()
+    nodes.forEach { root =>
+      if (!index.containsKey(root)) {
+        // work stack of (node, next-child cursor)
+        val work = new java.util.ArrayDeque[(Any, Int)]()
+        work.push((root, 0))
+        while (!work.isEmpty) {
+          val (v, ci) = work.pop()
+          if (ci == 0) {
+            index.put(v, counter); low.put(v, counter); counter += 1
+            stack.push(v); onStack.add(v)
+          }
+          val ns = adj.getOrDefault(v, empty)
+          var i = ci
+          var descended = false
+          while (i < ns.size() && !descended) {
+            val w = ns.get(i)
+            if (!index.containsKey(w)) {
+              work.push((v, i + 1)); work.push((w, 0)); descended = true
+            } else {
+              if (onStack.contains(w) && index.get(w) < low.get(v))
+                low.put(v, index.get(w))
+              i += 1
+            }
+          }
+          if (!descended) {
+            if (low.get(v) == index.get(v)) {
+              // pop the SCC, label by its min member
+              val members = new java.util.ArrayList[Any]()
+              var w: Any = null
+              while (w != v) {
+                w = stack.pop(); onStack.remove(w); members.add(w)
+              }
+              var minM = members.get(0)
+              members.forEach(m => if (anyLt(m, minM)) minM = m)
+              members.forEach(m => comp.put(m, minM))
+            }
+            // propagate lowlink to the parent still on the work stack
+            val parent = work.peek()
+            if (parent != null && low.get(v) < low.get(parent._1))
+              low.put(parent._1, low.get(v))
+          }
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = comp.entrySet().asScala.toSeq.map(en =>
+      org.apache.spark.sql.Row(en.getKey, en.getValue))
+    val nt = e.schema("u").dataType
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nt),
+      org.apache.spark.sql.types.StructField("component", nt)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** One min-label fixed point with pointer doubling: labels start as
+    * each node's own id and every round adopt (a) the minimum label of
+    * the edge-predecessor side and (b) one's label's label — see
+    * [[stronglyConnectedComponents]] for why doubling is sound for
+    * directed reachability. `edges` rows are (u, v): labels flow u → v.
+    */
+  private def minLabelFixedPoint(nodes: DataFrame,
+                                 edges: DataFrame): DataFrame = {
+    var lab = nodes.select(col("node"), col("node").as("lb"))
+      .localCheckpoint(true)
+    var changed = true
+    while (changed) {
+      val viaEdges = edges
+        .join(lab.select(col("node").as("u"), col("lb").as("lu")), "u")
+        .select(col("v").as("node"), col("lu").as("cand"))
+      // doubling: adopt the label of one's label (label values are
+      // themselves node ids, but a node's label may be a node OUTSIDE
+      // `nodes` only if callers pass foreign labels — here labels start
+      // as own ids, so the self-join always resolves)
+      val viaSelf = lab.as("l1")
+        .join(lab.select(col("node").as("lb"), col("lb").as("cand"))
+          .as("l2"), Seq("lb"))
+        .select(col("node"), col("cand"))
+      val best = viaEdges.unionByName(viaSelf)
+        .groupBy("node").agg(min(col("cand")).as("cand"))
+      val next = lab.join(best, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lb"), coalesce(col("cand"), col("lb"))).as("lb"),
+          (col("cand").isNotNull && col("cand") < col("lb")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.where(col("__chg")).head(1).nonEmpty
+      lab = next.select("node", "lb")
+    }
+    lab
+  }
+
+  /** Distributed tier: Orzan-style coloring with pointer-doubled label
+    * fixed points (see [[stronglyConnectedComponents]] for the proof
+    * sketch and round structure).
+    */
+  private def sccDistributed(e0: DataFrame): DataFrame = {
+    var remaining = e0
+    var result: DataFrame = null
+    var live = true
+    while (live) {
+      val nodes = remaining.select(col("u").as("node"))
+        .union(remaining.select(col("v").as("node"))).distinct()
+        .localCheckpoint(true)
+      if (nodes.isEmpty) live = false
+      else {
+        // (1) forward: color(v) = min id with a path to v
+        val color = minLabelFixedPoint(nodes, remaining)
+          .withColumnRenamed("lb", "color").localCheckpoint(true)
+        // (2) backward within color regions: bcolor(v) = min region id
+        // v reaches = fixed point over REVERSED region-internal edges
+        val rev = remaining
+          .join(color.select(col("node").as("u"), col("color").as("cu")), "u")
+          .join(color.select(col("node").as("v"), col("color").as("cv")), "v")
+          .where(col("cu") === col("cv"))
+          .select(col("v").as("u"), col("u").as("v"))
+          .localCheckpoint(true)
+        val bcolor = minLabelFixedPoint(nodes, rev)
+          .withColumnRenamed("lb", "bcolor")
+        // members of every root SCC at once: v and its region minimum c
+        // reach each other iff bcolor(v) == color(v) == c
+        val scc = color.join(bcolor, "node")
+          .where(col("bcolor") === col("color"))
+          .select(col("node"), col("color")).localCheckpoint(true)
+        val found = scc.select(col("node"), col("color").as("component"))
+        result = if (result == null) found
+          else result.unionByName(found).localCheckpoint(true)
+        // (3) carve out finished SCCs, keep the rest
+        val done = scc.select("node").localCheckpoint(true)
+        remaining = remaining
+          .join(done.select(col("node").as("u")), Seq("u"), "left_anti")
+          .join(done.select(col("node").as("v")), Seq("v"), "left_anti")
+          .select("u", "v").localCheckpoint(true)
+        // nodes whose every edge died: singleton SCCs, label = self
+        val isolated = nodes
+          .join(done, Seq("node"), "left_anti")
+          .join(remaining.select(col("u").as("node"))
+            .union(remaining.select(col("v").as("node"))).distinct(),
+            Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("component"))
+        result = result.unionByName(isolated).localCheckpoint(true)
+      }
+    }
+    if (result == null)
+      e0.select(col("u").as("node"), col("v").as("component")).limit(0)
+    else result
+  }
+
+  /** Contract harness for the driver oracle: distributed Orzan coloring
+    * vs driver Tarjan on the same directed edge list — exact (node,
+    * component) map equality (the min-member labeling is deterministic
+    * on both sides). The collects are the oracle side only.
+    */
+  def sccContract(edges: DataFrame, srcCol: String,
+                  dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val viaTarjan = stronglyConnectedComponents(edges, srcCol, dstCol)
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val viaColoring = stronglyConnectedComponents(edges, srcCol, dstCol,
+        maxDriverEdges = 0L)
+      .collect().map(r => r.get(0) -> r.get(1)).toMap
+    val nScc = viaTarjan.values.toSet.size.toLong
+    spark.range(1).select(lit(viaTarjan == viaColoring).as("scc_ok"),
+      lit(viaTarjan.size.toLong).as("n_nodes"), lit(nScc).as("n_sccs"))
+  }
 }

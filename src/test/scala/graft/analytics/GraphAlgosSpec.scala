@@ -231,6 +231,63 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
 
+  test("scc: two cycles joined by a one-way bridge stay separate") {
+    // cycle {1,2,3}, cycle {7,8}, bridge 3->7, pendant 7->9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (7L, 8L), (8L, 7L),
+      (3L, 7L), (7L, 9L)).toDF("s", "d")
+    val got = GraphAlgos.stronglyConnectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L))
+  }
+
+  test("scc: driver Tarjan and distributed coloring agree on random graphs") {
+    val rnd = new scala.util.Random(59)
+    for (trial <- 1 to 4) {
+      val n = 12
+      // dense enough that nontrivial SCCs appear
+      val edges = (1 to 40).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+        .toDF("s", "d")
+      val tarjan = GraphAlgos.stronglyConnectedComponents(edges, "s", "d")
+        .as[(Long, Long)].collect().toMap
+      val coloring = GraphAlgos
+        .stronglyConnectedComponents(edges, "s", "d", maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(tarjan === coloring, s"trial $trial")
+    }
+  }
+
+  test("scc: acyclic graph is all singletons; string keys preserved") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "d")
+    val got = GraphAlgos.stronglyConnectedComponents(edges, "s", "d")
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "b", "c" -> "c"))
+    val dist = GraphAlgos
+      .stronglyConnectedComponents(edges, "s", "d", maxDriverEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(dist === got)
+  }
+
+  test("scc: deep path feeding a cycle (driver recursion safety)") {
+    // path 100->99->...->1 -> cycle {1, 0}: Tarjan must not recurse on
+    // the JVM stack; the whole path is singletons, {0,1} one SCC
+    val path = (1 to 100).map(k => (k.toLong, k.toLong - 1L))
+    val edges = (path ++ Seq((0L, 1L))).toDF("s", "d")
+    val got = GraphAlgos.stronglyConnectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) === 0L && got(1L) === 0L)
+    assert((2L to 100L).forall(k => got(k) === k))
+  }
+
+  test("sccContract returns a single true row") {
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("s", "d")
+    val r = GraphAlgos.sccContract(edges, "s", "d").collect()
+    assert(r.length === 1 && r(0).getBoolean(0))
+    assert(r(0).getLong(1) === 4L && r(0).getLong(2) === 2L)
+  }
+
   test("hitsLocal: star graph concentrates authority on the hub target") {
     // 1,2,3 all point at 4; 4 points nowhere: auth(4)=1, hubs equal
     val local = GraphAlgos.hitsLocal(Seq((1L, 4L), (2L, 4L), (3L, 4L)))
