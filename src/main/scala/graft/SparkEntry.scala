@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Dedup, Events, GraphAlgos, Similarity, TextOps}
+import graft.analytics.{Dedup, Events, GraphAlgos, Layout, Similarity, TextOps}
 import graft.core.{FieldRule, Graph, QValue, SchemaMapper, SchemaRules}
 import graft.exec.{Exec, Results}
 import graft.path.Path
@@ -1457,6 +1457,18 @@ object SparkEntry {
       val src = s.range(1).select(lit(s"n$maxN").as("node"))
       GraphAlgos.shortestPaths(edges, "u", "v", "w", src)
     }),
+    // Z-order clustered layout: orders Z-ordered by (o_custkey,
+    // o_totalprice) vs an unclustered same-file-count baseline; a
+    // deterministic sweep of narrow 2-D boxes over per-file min/max
+    // fences must touch ≤ half the files (in practice ~5-10× fewer) —
+    // the Parquet file-skipping contract a 100 TB lake lives on
+    "layout_zorder" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      Layout.zorderContract(t(s, d, "orders"),
+          Seq("o_custkey", "o_totalprice"), dir)
+        .select("zorder_ok")
+    }),
     // strongly connected components over a directed graph with known
     // condensation: the 5 regions closed into one cycle (one 5-node
     // SCC), customer→region edges (customers reach the cycle, never
@@ -2065,6 +2077,8 @@ object SparkEntry {
     // k-core differential contract: sequential peel on the collected
     // edges; n_core_nodes = the surviving nation chain + regions
     "graph_kcore" -> "SELECT TRUE AS kcore_ok, CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_core_nodes",
+    // layout contract: clustered file fences must beat unclustered
+    "layout_zorder" -> "SELECT TRUE AS zorder_ok",
     // SCC contract: nodes = regions + customers + orders; SCCs = the one
     // region cycle + one per customer (its %10 orders merge in) + one
     // per non-%10 order
