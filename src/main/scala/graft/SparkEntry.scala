@@ -897,6 +897,26 @@ object SparkEntry {
         (count(when(col("a").isNotNull && col("e").isNotNull, 1))
           .cast("double") / count(col("e")) >= 0.9)).as("recall_ok"))
     }),
+    // SemDeDup-style semantic near-dup: trained k-means cells as the
+    // candidate generator (vs the data-independent sign bands above),
+    // exact-cosine verify — contract: zero false positives, >=85% recall
+    // of the exact >=0.9 pairs (boundary pairs can split cells; the
+    // planted clones overwhelmingly co-locate), non-vacuous ground truth
+    "emb_neardup_sem" -> ((s, d) => {
+      val aug = plantedNearDups(t(s, d, "embeddings")).cache()
+      val sem = Similarity.cosineNearDupPairsCells(aug, "vec_id",
+        "embedding", threshold = 0.9, nCells = 16)
+      val exact = Similarity.cosineNearDupPairsExact(aug, "vec_id",
+        "embedding", threshold = 0.9)
+      val j = sem.withColumn("a", lit(1))
+        .join(exact.withColumn("e", lit(1)), Seq("id_a", "id_b"),
+          "full_outer")
+      j.agg((
+        count(col("e")) > 0 &&
+        count(when(col("a").isNotNull && col("e").isNull, 1)) === 0 &&
+        (count(when(col("a").isNotNull && col("e").isNotNull, 1))
+          .cast("double") / count(col("e")) >= 0.85)).as("recall_ok"))
+    }),
     // semantic dedup over the banded pairs (the scale default for
     // clustering), verified by its contract: >=95% of vectors land in the
     // same cluster as the exact-pair connected components
@@ -1298,6 +1318,15 @@ object SparkEntry {
     // doc by mean bigram corpus frequency (ONE division of exact BIGINTs)
     "text_lm" -> ((s, d) =>
       TextOps.bigramFamiliarity(t(s, d, "documents"), "doc_id", "text")),
+    // DSIR-style importance weights (hashed-unigram target-vs-raw
+    // log-likelihood ratio; docs with doc_id%7==0 stand in as the target
+    // domain). Differential contract: the distributed weights must be
+    // BITWISE equal to a sequential same-order recomputation (position-
+    // ordered fold makes the double sum deterministic), n_scored = raw
+    // docs with at least one token
+    "text_dsir" -> ((s, d) =>
+      TextOps.importanceWeightsContract(t(s, d, "documents"), "doc_id",
+        "text", pmod(col("doc_id"), lit(7)) === 0)),
     // exact triangle count (degree-ordered orientation, one pivot per
     // triangle) over the star graph enriched with composed c->region /
     // s->region shortcut edges — the raw star is triangle-free by
@@ -1910,6 +1939,13 @@ object SparkEntry {
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
     // bigram LM familiarity: identical tokenization to text_tokens; the
     // float is one BIGINT/BIGINT division on both engines
+    // DSIR contract: bitwise-equality check runs engine-side; the oracle
+    // pins the scored-universe size (raw docs with >=1 token)
+    "text_dsir" ->
+      """SELECT TRUE AS dsir_ok,
+        |  CAST((SELECT count(*) FROM documents
+        |         WHERE doc_id % 7 <> 0 AND length(trim(text)) > 0)
+        |    AS BIGINT) AS n_scored""".stripMargin,
     "text_lm" ->
       """WITH tk AS (SELECT doc_id,
         |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
@@ -2232,6 +2268,7 @@ object SparkEntry {
     // banded near-dup + its clustering verify as contracts (recall vs the
     // in-harness exact ground truth over planted near-duplicates)
     "emb_neardup_ann" -> "SELECT TRUE AS recall_ok",
+    "emb_neardup_sem" -> "SELECT TRUE AS recall_ok",
     "emb_clusters_ann" -> "SELECT TRUE AS recall_ok",
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM documents

@@ -736,6 +736,35 @@ object Similarity {
     * path. Output: (id_a, id_b) — ids only, so the oracle comparison never
     * rides on float formatting.
     */
+  /** SemDeDup-style semantic near-duplicate pairs: spherical k-means
+    * clusters are the candidate generator (pairs are only compared
+    * within a cell), exact cosine is the verdict — the published
+    * semantic-dedup recipe for web-scale corpora (cluster embeddings,
+    * dedup within clusters), and the natural alternative to the
+    * data-independent sign-LSH bands of [[cosineNearDupPairsBanded]]:
+    * trained cells follow the data's density, so a corpus with strong
+    * cluster structure gets tighter candidate sets from the same
+    * number of buckets. Same plan skeleton and guarantees — equi-join
+    * on cell, verify-before-dedup, zero false positives, no cartesian;
+    * recall is bounded by cell assignment (boundary pairs can split),
+    * which the `emb_neardup_sem` contract measures against the exact
+    * pair set. Cell count should scale ~√n so cells stay
+    * broadcast-join-sized at 100 TB (the centroid matrix is nCells×dim
+    * driver-held literals, same as the IVF store).
+    */
+  def cosineNearDupPairsCells(emb: DataFrame, idCol: String,
+                              vecCol: String, threshold: Double,
+                              nCells: Int = 16,
+                              iters: Int = 3): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, vecCol, nCells, iters)
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      cellExpr(col(vecCol), cents).as("cell")).cache()
+    b.alias("l").join(b.alias("r"),
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .where(cosine(col("l.v"), col("r.v")) >= threshold)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+  }
+
   def cosineNearDupPairsExact(emb: DataFrame, idCol: String, vecCol: String,
                               threshold: Double): DataFrame = {
     // norms once per row (cached so the optimizer cannot inline them back

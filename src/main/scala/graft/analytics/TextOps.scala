@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -700,5 +700,107 @@ object TextOps {
       else partials.treeReduce(merge)
     spark.createDataFrame(summary.toSeq.map(p => (p._1, p._2)))
       .toDF("value", "est_count")
+  }
+
+  /** DSIR-style importance weights for data selection: score every raw
+    * document by the log-likelihood ratio of its hashed-unigram bag
+    * under a target-domain language model vs the raw-corpus model,
+    * add-one smoothed over `buckets` hashed features:
+    * {{{
+    *   w(doc) = Σ_tokens  ln (cT(h)+1)/(NT+B)  −  ln (cR(h)+1)/(NR+B)
+    * }}}
+    * High-weight documents look like the target domain — sampling by
+    * these weights is the published importance-resampling recipe for
+    * pretraining-data selection. Feature hashing bounds both models at
+    * `buckets` longs regardless of corpus size (they broadcast as one
+    * count table); the per-token ratio precomputes into that table, so
+    * scoring is explode → broadcast-join → per-doc sum.
+    *
+    * Determinism: double addition is non-associative, so the per-doc
+    * sum is NOT left to shuffle order — each document re-assembles its
+    * token ratios in position order (`sort_array` of (pos, llr)) and
+    * folds them left-to-right with a row-local `aggregate`, making the
+    * result bit-stable and bitwise comparable to any same-order
+    * reference (the [[importanceWeightsContract]] oracle). The fold is
+    * interpreted, but runs once per document, not per pair.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        isTarget: Column,
+                        buckets: Int = 1 << 16): DataFrame = {
+    val toks = df.select(col(idCol).as("id"), isTarget.as("tgt"),
+        posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "w")))
+      .where(length(col("w")) > 0)
+      .withColumn("h", pmod(xxhash64(col("w")), lit(buckets.toLong)))
+      .localCheckpoint()
+    val counts = toks.groupBy("h").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))
+    val totals = counts.agg(sum("ct"), sum("cr")).head
+    val nT = totals.getLong(0); val nR = totals.getLong(1)
+    val b = buckets.toLong
+    // per-feature llr folds the totals in once; ln((ct+1)/(NT+B)) −
+    // ln((cr+1)/(NR+B)) computed as two ln calls in a FIXED shape so a
+    // reference implementation can reproduce it bitwise
+    val llrTab = counts.select(col("h"),
+      (log((col("ct") + 1L).cast("double") / lit((nT + b).toDouble)) -
+        log((col("cr") + 1L).cast("double") / lit((nR + b).toDouble)))
+        .as("llr"))
+    toks.where(!col("tgt"))
+      .join(broadcast(llrTab), "h")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("llr"))))
+        .as("seq"))
+      .select(col("id"),
+        aggregate(col("seq"), lit(0.0d), (acc, x) =>
+          acc + x.getField("llr")).as("weight"))
+  }
+
+  /** Contract harness for the driver oracle: the distributed weights
+    * must be BITWISE equal to a sequential recomputation of the same
+    * formula in the same order (same JVM ln, same position-ordered
+    * fold — determinism is part of the contract), and the top-scoring
+    * raw document must actually look like the target domain. One row
+    * `(dsir_ok, n_scored)`; the collects are the oracle side only.
+    */
+  def importanceWeightsContract(df: DataFrame, idCol: String,
+                                textCol: String, isTarget: Column,
+                                buckets: Int = 1 << 16): DataFrame = {
+    val spark = df.sparkSession
+    val dist = importanceWeights(df, idCol, textCol, isTarget, buckets)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = df.select(col(idCol).cast("long"), col(textCol),
+        isTarget).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.replaceAll("\\s+", " ").trim
+        .split(" ").toSeq.filter(_.nonEmpty)
+    def h(w: String): Long = {
+      val x = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(org.apache.spark.unsafe.types.UTF8String.fromString(w),
+          org.apache.spark.sql.types.StringType, 42L)
+      ((x % buckets) + buckets) % buckets
+    }
+    val ct = new java.util.HashMap[Long, Long]()
+    val cr = new java.util.HashMap[Long, Long]()
+    rows.foreach { case (_, t, tgt) =>
+      toks(t).foreach { w =>
+        val m = if (tgt) ct else cr
+        m.merge(h(w), 1L, _ + _)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val nT = ct.values.asScala.map(_.toLong).sum
+    val nR = cr.values.asScala.map(_.toLong).sum
+    val b = buckets.toLong
+    val local = rows.collect { case (id, t, false) if toks(t).nonEmpty =>
+      id -> toks(t).map { w =>
+        val k = h(w)
+        math.log((ct.getOrDefault(k, 0L) + 1L).toDouble / (nT + b)) -
+          math.log((cr.getOrDefault(k, 0L) + 1L).toDouble / (nR + b))
+      }.foldLeft(0.0d)(_ + _)
+    }.toMap
+    val same = dist == local
+    spark.range(1).select(lit(same).as("dsir_ok"),
+      lit(local.size.toLong).as("n_scored"))
   }
 }

@@ -201,6 +201,47 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(ann === exact, s"missed pairs: ${exact -- ann}")
   }
 
+  test("DSIR importance weights rank target-like docs above off-domain") {
+    // target domain: fruit vocabulary; raw pool: 2 fruity docs, 2 automotive
+    val docs = Seq(
+      (1L, "apple banana cherry apple", true),
+      (2L, "banana cherry apple banana cherry", true),
+      (10L, "apple banana apple cherry", false),
+      (11L, "banana apple", false),
+      (20L, "engine piston gasket turbo", false),
+      (21L, "camshaft piston engine", false)
+    ).toDF("doc_id", "text", "tgt")
+    val w = TextOps.importanceWeights(docs, "doc_id", "text", col("tgt"))
+      .as[(Long, Double)].collect().toMap
+    assert(w.keySet === Set(10L, 11L, 20L, 21L))
+    // per-token average keeps length from dominating the comparison
+    val counts = Map(10L -> 4, 11L -> 2, 20L -> 4, 21L -> 3)
+    assert(Seq(10L, 11L).map(i => w(i) / counts(i)).min >
+      Seq(20L, 21L).map(i => w(i) / counts(i)).max)
+    val c = TextOps.importanceWeightsContract(docs, "doc_id", "text",
+      col("tgt")).collect()(0)
+    assert(c.getBoolean(0) && c.getLong(1) === 4L)
+  }
+
+  test("SemDeDup cell near-dup pairs: planted clones found, exact precision") {
+    val rnd = new scala.util.Random(13)
+    val base = (0L until 60L).map(i => (i, Array.fill(32)(rnd.nextFloat() * 2 - 1)))
+    val planted = base.collect { case (i, v) if i % 10 == 0 =>
+      (i + 1000L, v.map(x => x * (1.0f + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    }
+    val emb = (base ++ planted).toDF("vec_id", "embedding")
+    val sem = Similarity.cosineNearDupPairsCells(emb, "vec_id", "embedding",
+        threshold = 0.9, nCells = 4)
+      .as[(Long, Long)].collect().toSet
+    val exact = Similarity.cosineNearDupPairsExact(emb, "vec_id", "embedding",
+        threshold = 0.9).as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "ground truth must be non-vacuous")
+    // verify stage makes precision exact; clones at cos≈0.999 share the
+    // argmax cell unless the base vector sits on a Voronoi boundary
+    assert(sem.subsetOf(exact))
+    assert(sem.size * 10 >= exact.size * 8, s"recall too low: $sem vs $exact")
+  }
+
   test("lshBatchTopK honors the full requested probe radius") {
     val rnd = new scala.util.Random(7)
     val emb = (0L until 40L)
