@@ -1530,6 +1530,20 @@ object SparkEntry {
       val edges = Seq(cycle, cr, oc, co).reduce(_ unionByName _)
       GraphAlgos.sccContract(edges, "u", "v")
     }),
+    // HyperBall neighborhood function over customer→nation + the n_prev
+    // chain (a graph with real distance structure: distances spread to
+    // ~26 hops): per-node HLL out-ball sketches, one join + hll_union_agg
+    // per round. Contract: every round's estimate within 15% of the
+    // exact all-source-BFS N(t), final plateau too (lgK=12 ⇒ ~1.6%
+    // expected error; 15% is the flake-proof ceiling)
+    "graph_hyperball" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_prev").map(p => QValue.id(iri(p)))
+      GraphAlgos.neighborhoodContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
     // k-core (k=2) of the directed star graph viewed undirected: the
     // order/customer/supplier trees peel away, the nation chain + region
     // attachments survive — differential contract vs a sequential peel
@@ -2115,6 +2129,12 @@ object SparkEntry {
     "graph_kcore" -> "SELECT TRUE AS kcore_ok, CAST((SELECT count(*) FROM nation) + (SELECT count(*) FROM region) AS BIGINT) AS n_core_nodes",
     // layout contract: clustered file fences must beat unclustered
     "layout_zorder" -> "SELECT TRUE AS zorder_ok",
+    // HyperBall contract: estimates checked engine-side; the oracle pins
+    // the node universe (customers + nations)
+    "graph_hyperball" ->
+      """SELECT TRUE AS hyperball_ok,
+        |  CAST((SELECT count(*) FROM customer)
+        |    + (SELECT count(*) FROM nation) AS BIGINT) AS n_nodes""".stripMargin,
     // SCC contract: nodes = regions + customers + orders; SCCs = the one
     // region cycle + one per customer (its %10 orders merge in) + one
     // per non-%10 order

@@ -1184,6 +1184,107 @@ object GraphAlgos {
     else result
   }
 
+  /** HyperBall neighborhood function: for t = 0, 1, 2, … the estimated
+    * number of ordered pairs (u, v) with a directed path u→v of length
+    * ≤ t — the distance-distribution / effective-diameter primitive
+    * (avg distance, % pairs within t) that no exact method can touch at
+    * scale (all-pairs BFS is O(V·E)). Each node carries a HyperLogLog
+    * sketch of its out-ball; round t unions every node's sketch with
+    * its out-neighbors' round-(t−1) sketches:
+    * one join + one `hll_union_agg` per round, the PageRank plan shape
+    * with sketches (lgK-configurable, 2^lgK registers ≈ 1.04/√2^lgK
+    * relative error) instead of doubles. Register maxes are
+    * order-independent, so the estimate is deterministic on any
+    * cluster. Stops when the total estimate stops moving (registers
+    * only grow) or at `maxT`. Returns (t, n_pairs) — one row per round
+    * where the estimate grew.
+    */
+  def neighborhoodFunction(edges: DataFrame, srcCol: String,
+                           dstCol: String, maxT: Int = 64,
+                           lgK: Int = 12): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+    var counter = nodes.groupBy("node")
+      .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
+      .localCheckpoint(true)
+    def total(c: DataFrame): Long =
+      c.agg(sum(hll_sketch_estimate(col("sk")))).head.getLong(0)
+    val out = scala.collection.mutable.ArrayBuffer((0L, total(counter)))
+    var prev = out(0)._2
+    var t = 0
+    var done = false
+    while (!done && t < maxT) {
+      t += 1
+      val flowed = e.join(counter, e("v") === counter("node"))
+        .select(e("u").as("node"), col("sk"))
+      val next = counter.unionByName(flowed)
+        .groupBy("node").agg(hll_union_agg(col("sk")).as("sk"))
+        .localCheckpoint(true)
+      val tot = total(next)
+      counter = next
+      if (tot == prev) done = true
+      else { out += ((t.toLong, tot)); prev = tot }
+    }
+    out.toSeq.toDF("t", "n_pairs")
+  }
+
+  /** Exact neighborhood function via all-source BFS on a collected edge
+    * list — the differential oracle for [[neighborhoodFunction]].
+    * Returns N(t) for every t up to the graph's directed eccentricity
+    * bound.
+    */
+  def neighborhoodLocal(edges: Seq[(Long, Long)]): Seq[(Long, Long)] = {
+    val adj = edges.distinct.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toArray }
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val perDist = scala.collection.mutable.Map.empty[Long, Long]
+    perDist(0L) = nodes.size.toLong
+    nodes.foreach { s =>
+      val seen = scala.collection.mutable.Set(s)
+      var frontier = List(s)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+          .filter(seen.add)
+        if (frontier.nonEmpty)
+          perDist(d) = perDist.getOrElse(d, 0L) + frontier.size
+      }
+    }
+    val maxD = perDist.keys.max
+    (0L to maxD).scanLeft(0L)((acc, d) => acc + perDist.getOrElse(d, 0L))
+      .drop(1).zipWithIndex.map { case (n, t) => (t.toLong, n) }.toSeq
+  }
+
+  /** Contract harness for the driver oracle: every recorded HyperBall
+    * estimate within `tol` relative error of the exact N(t), AND the
+    * final plateau within `tol` of the exact total reachable-pair
+    * count. One row `(hyperball_ok, n_nodes)`.
+    */
+  def neighborhoodContract(edges: DataFrame, srcCol: String,
+                           dstCol: String, lgK: Int = 12,
+                           tol: Double = 0.15): DataFrame = {
+    val spark = edges.sparkSession
+    val est = neighborhoodFunction(edges, srcCol, dstCol, lgK = lgK)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val exact = neighborhoodLocal(es).toMap
+    def close(a: Long, b: Long) = math.abs(a - b) <= tol * b
+    val perT = est.forall { case (t, n) =>
+      close(n, exact.getOrElse(t, exact(exact.keys.max)))
+    }
+    val finalOk = close(est(est.keys.max), exact(exact.keys.max))
+    val nNodes = (es.map(_._1) ++ es.map(_._2)).distinct.size.toLong
+    spark.range(1).select(lit(perT && finalOk).as("hyperball_ok"),
+      lit(nNodes).as("n_nodes"))
+  }
+
   /** Contract harness for the driver oracle: distributed Orzan coloring
     * vs driver Tarjan on the same directed edge list — exact (node,
     * component) map equality (the min-member labeling is deterministic

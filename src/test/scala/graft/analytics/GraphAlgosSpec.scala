@@ -280,6 +280,26 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert((2L to 100L).forall(k => got(k) === k))
   }
 
+  test("neighborhoodFunction: exact on a tiny chain (sparse HLL regime)") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = GraphAlgos.neighborhoodFunction(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    // B(·,0)=3 singletons; t=1 adds 1→2, 2→3; t=2 adds 1→3
+    assert(got === Map(0L -> 3L, 1L -> 5L, 2L -> 6L))
+  }
+
+  test("neighborhoodContract holds on random graphs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 2) {
+      val n = 30
+      val edges = (1 to 70).map(_ => (rnd.nextInt(n).toLong,
+        rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+        .toDF("s", "d")
+      val r = GraphAlgos.neighborhoodContract(edges, "s", "d").collect()(0)
+      assert(r.getBoolean(0), s"trial $trial")
+    }
+  }
+
   test("sccContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
       .toDF("s", "d")
