@@ -798,6 +798,12 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) =>
       Dedup.jaccardJoin(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.8, shingleN = 9)),
+    // EXACT Levenshtein<=1 fuzzy self-join: deletion-neighborhood
+    // (SymSpell) candidate equi-join + banded-levenshtein verify; oracle
+    // recomputes it as a brute-force cross join
+    "dedup_fuzzy" -> ((s, d) =>
+      Dedup.editDistancePairs(t(s, d, "customer"), "c_custkey", "c_name",
+        maxDist = 1)),
     // brute-force cosine top-k (ids only; scores are float-order sensitive)
     "sim_topk" -> ((s, d) =>
       Similarity.bruteTopK(t(s, d, "embeddings"), "vec_id", "embedding",
@@ -1544,6 +1550,25 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // Newman modularity of the nation partition over a customer graph
+    // (within-nation chain + cross-nation (c+7) mod N shortcut edges):
+    // exact BIGINT (e_in, deg_sum) per community, one IEEE division for
+    // dq — the oracle recomputes the identical integers relationally
+    "graph_modularity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          col("c_nationkey").cast("long").as("comm"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val chain = c.select(col("node").as("s"),
+          lead("node", 1).over(
+            Window.partitionBy("comm").orderBy("node")).as("o"))
+        .where(col("o").isNotNull)
+      val cross = c.crossJoin(broadcast(n))
+        .select(col("node").as("s"), ((col("node") + 7L) % col("n")).as("o"))
+      GraphAlgos.modularity(chain.unionByName(cross), "s", "o",
+        c, "node", "comm")
+    }),
     // k-core (k=2) of the directed star graph viewed undirected: the
     // order/customer/supplier trees peel away, the nation chain + region
     // attachments survive — differential contract vs a sequential peel
@@ -1693,6 +1718,13 @@ object SparkEntry {
     "dedup_minhash" -> jaccardPairSql(wordShingleCte, 0.5),
     // exact all-pairs recomputation of the J>=0.8 char-9-gram contract
     "dedup_ngram" -> jaccardPairSql(charShingleCte, 0.8),
+    // brute-force Levenshtein<=1 cross join (the engine's deletion-
+    // neighborhood join must equal it exactly)
+    "dedup_fuzzy" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1""".stripMargin,
     // brute-force Hamming<=3 over the shared 60-bit simhash
     "dedup_simhash" -> simhashOracle,
     // connected components of the exact pair graph via recursive closure
@@ -2135,6 +2167,36 @@ object SparkEntry {
       """SELECT TRUE AS hyperball_ok,
         |  CAST((SELECT count(*) FROM customer)
         |    + (SELECT count(*) FROM nation) AS BIGINT) AS n_nodes""".stripMargin,
+    // Newman modularity: identical harness edges (within-nation chain +
+    // (c+7) mod N shortcuts), identical exact integers, one IEEE
+    // division — value-level match, not a contract
+    "graph_modularity" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
+        |chain AS (SELECT node AS s, lead(node) OVER
+        |    (PARTITION BY comm ORDER BY node) AS o FROM c),
+        |cr AS (SELECT node AS s,
+        |    (node + 7) % (SELECT count(*) FROM c) AS o FROM c),
+        |e0 AS (SELECT s, o FROM chain WHERE o IS NOT NULL
+        |  UNION ALL SELECT s, o FROM cr),
+        |u AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        |  FROM e0 WHERE s <> o),
+        |m AS (SELECT count(*) AS m FROM u),
+        |deg AS (SELECT n, count(*) AS d FROM
+        |  (SELECT a AS n FROM u UNION ALL SELECT b FROM u) GROUP BY n),
+        |ein AS (SELECT ca.comm AS comm, count(*) AS e_in FROM u
+        |  JOIN c ca ON u.a = ca.node JOIN c cb ON u.b = cb.node
+        |  WHERE ca.comm = cb.comm GROUP BY ca.comm),
+        |degc AS (SELECT c.comm, sum(d) AS deg_sum FROM deg
+        |  JOIN c ON deg.n = c.node GROUP BY c.comm)
+        |SELECT cm.comm AS community, COALESCE(e_in, 0) AS e_in,
+        |  COALESCE(deg_sum, 0) AS deg_sum,
+        |  CAST(4 * m.m * COALESCE(e_in, 0)
+        |      - COALESCE(deg_sum, 0) * COALESCE(deg_sum, 0) AS DOUBLE)
+        |    / CAST(4 * m.m * m.m AS DOUBLE) AS dq
+        |FROM (SELECT DISTINCT comm FROM c) cm CROSS JOIN m
+        |LEFT JOIN ein ON ein.comm = cm.comm
+        |LEFT JOIN degc ON degc.comm = cm.comm""".stripMargin,
     // SCC contract: nodes = regions + customers + orders; SCCs = the one
     // region cycle + one per customer (its %10 orders merge in) + one
     // per non-%10 order

@@ -630,4 +630,61 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .dropDuplicates("id_a", "id_b")
   }
+
+  /** All single-character deletions of `s` (row-local HOF — fine once per
+    * row, never in per-pair work). Empty strings have no deletions.
+    */
+  private def deleteOne(s: Column): Column =
+    when(length(s) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), length(s)),
+        i => concat(s.substr(lit(1), i - 1), s.substr(i + 1, length(s)))))
+
+  /** EXACT edit-distance self-join (fuzzy dedup / record linkage): all
+    * pairs with Levenshtein distance ≤ `maxDist` over a short-string
+    * column (names, titles, URLs). Candidate generation is the
+    * deletion-neighborhood (SymSpell) construction: if lev(s,t) ≤ k then
+    * deleting the ≤k characters each side contributes to an optimal
+    * alignment leaves a COMMON string, so `deletes≤k(s) ∩ deletes≤k(t)`
+    * is non-empty — an equi-join on hashed deletion variants is a
+    * no-false-negative candidate generator (L+1 variants per row at k=1,
+    * O(L²) at k=2; strings are short by contract). Membership is decided
+    * by the exact banded `levenshtein(l, r, threshold)` BEFORE the pair
+    * dedup shuffle, so only true pairs (≤ shared-variant-count copies
+    * each) get shuffled — same shape as [[hammingBandPairs]]. At scale
+    * the variant join shuffles ~L×|rows| short hashes; variant-bucket
+    * sizes are data-dependent (a hot bucket means many strings within
+    * distance 2k of each other — already a near-duplicate cluster), and
+    * the standard salting/cap patterns apply if a corpus concentrates.
+    *
+    * Output: (id_a, id_b, dist) with id_a < id_b, dist ≤ maxDist
+    * (0 = exact duplicates under distinct ids). Equals brute force by
+    * construction; the DuckDB oracle recomputes it as a cross join.
+    * Reference has no analog (closest: property-value exact match,
+    * graph/memstore/quadstore.go); this is the data-cleaning tier of the
+    * pipeline ops.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int = 1): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 2, "maxDist must be 1 or 2")
+    val s = col("s")
+    val lvl1 = deleteOne(s)
+    val variants = maxDist match {
+      case 1 => array_distinct(concat(array(s), lvl1))
+      case _ => array_distinct(concat(array(s), lvl1,
+        flatten(transform(lvl1, v => deleteOne(v)))))
+    }
+    // cache: both sides of the variant self-join — uncached, the variant
+    // explode runs twice (same rule as the banded joins above)
+    val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
+      .where(col("s").isNotNull)
+      .select(col("id"), col("s"), explode(variants).as("v"))
+      .select(col("id"), col("s"), xxhash64(col("v")).as("vh"))
+      .cache()
+    rows.alias("l").join(rows.alias("r"),
+        col("l.vh") === col("r.vh") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
+        levenshtein(col("l.s"), col("r.s"), maxDist).cast("long").as("dist"))
+      .where(col("dist") >= 0)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

@@ -1302,4 +1302,53 @@ object GraphAlgos {
     spark.range(1).select(lit(viaTarjan == viaColoring).as("scc_ok"),
       lit(viaTarjan.size.toLong).as("n_nodes"), lit(nScc).as("n_sccs"))
   }
+
+  /** Newman modularity of a community assignment, per community — the
+    * objective LPA/Louvain partitions are scored by. For undirected edges
+    * (canonicalized and deduped here; self-loops dropped) with m edges,
+    * community c with `e_in` internal edges and `deg_sum` total member
+    * degree contributes
+    * {{{ dq_c = e_in/m − (deg_sum/(2m))² = (4·m·e_in − deg_sum²)/(4m²) }}}
+    * and Q = Σ_c dq_c. Everything up to the last step is exact BIGINT
+    * arithmetic (counts and degree sums); `dq` is ONE IEEE division of
+    * two exact integers — the same hash-stable float contract as Jaccard
+    * — so a DuckDB oracle recomputing the same integers matches bitwise.
+    * Plan: two hash aggregates (degrees, internal edges) + two broadcast-
+    * sized joins against the membership table and a one-row total —
+    * no window, no iteration; survives any scale the edge shuffle does.
+    * Communities with no edges score 0 and are kept (every membership
+    * community appears exactly once).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+                 membership: DataFrame, nodeCol: String,
+                 commCol: String): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val mem = membership.select(col(nodeCol).as("n"), col(commCol).as("c"))
+      .distinct()
+    val totals = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val degC = deg.join(mem, "n").groupBy("c")
+      .agg(sum("d").as("deg_sum"))
+    val eIn = und
+      .join(mem.select(col("n").as("a"), col("c").as("ca")), "a")
+      .join(mem.select(col("n").as("b"), col("c").as("cb")), "b")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("e_in"))
+    mem.select(col("c")).distinct()
+      .join(eIn, Seq("c"), "left").join(degC, Seq("c"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("c").as("community"),
+        coalesce(col("e_in"), lit(0L)).as("e_in"),
+        coalesce(col("deg_sum"), lit(0L)).as("deg_sum"),
+        col("m"))
+      .select(col("community"), col("e_in"), col("deg_sum"),
+        ((lit(4L) * col("m") * col("e_in") -
+          col("deg_sum") * col("deg_sum")).cast("double") /
+          (lit(4L) * col("m") * col("m")).cast("double")).as("dq"))
+  }
 }

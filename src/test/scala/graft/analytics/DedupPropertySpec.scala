@@ -140,4 +140,47 @@ class DedupPropertySpec extends AnyFunSuite {
     assert((100L to 102L).forall(i => dist(i) == 100L))
     assert(dist(200L) == 200L && dist(201L) == 200L && dist(202L) == 202L)
   }
+
+  private def lev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("law: editDistancePairs equals brute-force Levenshtein (k=1,2)") {
+    // random short strings over a tiny alphabet with planted mutations,
+    // so distances 0, 1, 2 and >2 all occur
+    val rnd = new scala.util.Random(7)
+    def mutate(s: String): String = {
+      val i = rnd.nextInt(math.max(s.length, 1))
+      rnd.nextInt(3) match {
+        case 0 if s.nonEmpty => s.updated(i, ('a' + rnd.nextInt(4)).toChar)
+        case 1 => s.substring(0, i) + ('a' + rnd.nextInt(4)).toChar +
+          s.substring(i)
+        case _ if s.nonEmpty => s.substring(0, i) + s.substring(
+          math.min(i + 1, s.length))
+        case _ => s
+      }
+    }
+    val base = (0 until 25).map(_ =>
+      (0 until 3 + rnd.nextInt(5)).map(_ => ('a' + rnd.nextInt(4)).toChar)
+        .mkString)
+    val strs = (base ++ base.map(mutate) ++ base.map(s => mutate(mutate(s))))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = strs.toDF("id", "s")
+    for (k <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = k)
+        .as[(Long, Long, Long)].collect().toSet
+      val expect = (for {
+        (ia, sa) <- strs; (ib, sb) <- strs
+        if ia < ib
+        d = lev(sa, sb) if d <= k
+      } yield (ia, ib, d.toLong)).toSet
+      assert(got === expect, s"k=$k")
+    }
+  }
 }

@@ -554,4 +554,23 @@ class GraphAlgosSpec extends AnyFunSuite {
     val rows = GraphAlgos.lpaContract(edges, "s", "d").collect()
     assert(rows.length === 1 && rows(0).getBoolean(0))
   }
+
+  test("modularity: two triangles + bridge, exact integers and dq") {
+    // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 => m=7; each
+    // triangle community: e_in=3, deg_sum=7, dq=(4*7*3-49)/196=35/196.
+    // Edges fed with duplicates and reversed orientation to exercise
+    // canonicalization; node 7 is an edge-free community scoring 0.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 1L), (4L, 5L),
+      (5L, 6L), (6L, 4L), (3L, 4L), (4L, 3L), (1L, 1L)).toDF("s", "d")
+    val mem = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L), (5L, 20L),
+      (6L, 20L), (7L, 30L)).toDF("n", "c")
+    val got = GraphAlgos.modularity(edges, "s", "d", mem, "n", "c")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === ((3L, 7L, 35.0 / 196.0)))
+    assert(got(20L) === ((3L, 7L, 35.0 / 196.0)))
+    assert(got(30L) === ((0L, 0L, 0.0)))
+    // Q for this partition = 70/196
+    assert(math.abs(got.values.map(_._3).sum - 70.0 / 196.0) < 1e-15)
+  }
 }
