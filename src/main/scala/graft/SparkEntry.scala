@@ -1615,6 +1615,11 @@ object SparkEntry {
     // one-pass mergeable summaries a 100 TB profile pass uses instead of
     // exact distinct/sort (both assertions computed engine-side; the
     // oracle records the contract)
+    // count-min sketch: depth x width mergeable counter grid over the
+    // token stream; contract = one-sided error on head+tail test terms,
+    // worst overestimate within 4*N/width; n_tokens crosses engines
+    "text_cms" -> ((s, d) =>
+      TextOps.cmsContract(t(s, d, "documents"), "text")),
     "stats_sketch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(explode(split(TextOps.normalize(col("text")),
@@ -2270,6 +2275,13 @@ object SparkEntry {
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract
     "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
+    // count-min guarantees checked engine-side; the oracle recounts the
+    // total token stream the sketch summarizes
+    "text_cms" ->
+      """SELECT TRUE AS cms_lower_ok, TRUE AS cms_over_ok,
+        |  (SELECT CAST(sum(CASE WHEN length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) = 0 THEN 0
+        |    ELSE length(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) END) AS BIGINT)
+        |   FROM documents) AS n_tokens""".stripMargin,
     // frequent-line scrub: same 100-char chunk "lines" as text_chunks,
     // boilerplate = chunk md5 in > 1 distinct doc, ordered reassembly
     "text_linededup" ->

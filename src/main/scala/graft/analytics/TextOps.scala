@@ -803,4 +803,73 @@ object TextOps {
     spark.range(1).select(lit(same).as("dsir_ok"),
       lit(local.size.toLong).as("n_scored"))
   }
+
+  /** Count-min sketch over the corpus token stream: `depth × width`
+    * counters, cell (j, c) = Σ counts of terms with
+    * `xxhash64(term, j) mod width == c`. The mergeable point-frequency
+    * summary that complements [[heavyHitters]] (which keeps only the
+    * head): ANY term's frequency is answerable from `depth·width` longs,
+    * with one-sided error — `est ≥ true` always, and
+    * `est ≤ true + e·N/width` per row with probability `1 − e^{-depth}`.
+    * Cost: the word-count pre-aggregate (map-side combined — the ONLY
+    * shuffle proportional to the vocabulary) plus a `depth × vocab` →
+    * `depth × width` aggregate of longs; at 100 TB the sketch is still
+    * KBs and merges across corpora by cell-wise addition.
+    */
+  def countMinSketch(wordCounts: DataFrame, depth: Int = 4,
+                     width: Int = 2048): DataFrame =
+    wordCounts.select(col("cnt"),
+        posexplode(array((0 until depth).map(j =>
+          pmod(xxhash64(col("term"), lit(j)), lit(width.toLong))): _*))
+          .as(Seq("j", "c")))
+      .groupBy("j", "c").agg(sum("cnt").as("cnt"))
+
+  /** Point-frequency estimates from a [[countMinSketch]]: per queried
+    * term, min over the depth rows of its cell counters (absent cell =
+    * 0). Broadcast-joins the tiny sketch against the query terms.
+    */
+  def cmsEstimates(sketch: DataFrame, words: DataFrame, wordCol: String,
+                   depth: Int, width: Int): DataFrame =
+    words.select(col(wordCol).as("term"))
+      .select(col("term"), posexplode(array((0 until depth).map(j =>
+        pmod(xxhash64(col("term"), lit(j)), lit(width.toLong))): _*))
+        .as(Seq("j", "c")))
+      .join(broadcast(sketch), Seq("j", "c"), "left")
+      .groupBy("term").agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+
+  /** `(term, cnt)` exact word counts of the normalized token stream —
+    * the shared input of [[countMinSketch]] and its verification.
+    */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+
+  /** Contract harness for the driver oracle: on the head-20 + tail-10
+    * test terms, every estimate is ≥ the exact count (the structural
+    * one-sided guarantee) and the worst overestimate stays within
+    * 4·N/width — double the expected collision mass, deterministic here
+    * because the hash functions are fixed. `n_tokens` crosses engines
+    * (the oracle recounts it in SQL).
+    */
+  def cmsContract(df: DataFrame, textCol: String, depth: Int = 4,
+                  width: Int = 2048): DataFrame = {
+    val spark = df.sparkSession
+    val wc = wordCounts(df, textCol).cache()
+    val sketch = countMinSketch(wc, depth, width)
+    val n = wc.agg(coalesce(sum("cnt"), lit(0L))).head.getLong(0)
+    val test = wc.orderBy(col("cnt").desc, col("term")).limit(20)
+      .unionByName(wc.orderBy(col("cnt").asc, col("term")).limit(10))
+      .dropDuplicates("term")
+    val joined = test
+      .join(cmsEstimates(sketch, test, "term", depth, width), "term")
+      .agg(coalesce(sum(when(col("est") < col("cnt"), 1L).otherwise(0L)),
+        lit(0L)).as("bad"),
+        coalesce(max(col("est") - col("cnt")), lit(0L)).as("maxOver"))
+      .head
+    val bound = math.max(1L, math.ceil(4.0 * n / width).toLong)
+    spark.range(1).select(lit(joined.getLong(0) == 0L).as("cms_lower_ok"),
+      lit(joined.getLong(1) <= bound).as("cms_over_ok"),
+      lit(n).as("n_tokens"))
+  }
 }

@@ -966,4 +966,46 @@ class AnalyticsSpec extends AnyFunSuite {
     val df = Seq.empty[String].toDF("v")
     assert(TextOps.heavyHitters(df, "v", k = 4).count() === 0L)
   }
+
+  test("countMinSketch: one-sided error, exact without collisions") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb aa cc"), (2L, "aa dd dd ee"),
+      (3L, "aa bb ff")).toDF("id", "text")
+    val wc = TextOps.wordCounts(docs, "text")
+    val exact = wc.as[(String, Long)].collect().toMap
+    assert(exact === Map("aa" -> 4L, "bb" -> 2L, "cc" -> 1L, "dd" -> 2L,
+      "ee" -> 1L, "ff" -> 1L))
+    // wide sketch: 6 terms over 4x4096 cells collide nowhere, so every
+    // estimate is exact
+    val wide = TextOps.countMinSketch(wc, depth = 4, width = 4096)
+    val estWide = TextOps.cmsEstimates(wide, wc, "term", 4, 4096)
+      .as[(String, Long)].collect().toMap
+    assert(estWide === exact)
+    // brutal 2-cell width forces collisions: the one-sided guarantee
+    // (est >= true) must still hold for every term
+    val tiny = TextOps.countMinSketch(wc, depth = 3, width = 2)
+    val estTiny = TextOps.cmsEstimates(tiny, wc, "term", 3, 2)
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (t, c) => assert(estTiny(t) >= c, t) }
+    // sketches merge by cell-wise addition: sketch(a ++ b) ==
+    // cellwise-sum(sketch(a), sketch(b))
+    val (h, t2) = (docs.where($"id" <= 1), docs.where($"id" > 1))
+    val merged = TextOps.countMinSketch(TextOps.wordCounts(h, "text"), 3, 8)
+      .unionByName(TextOps.countMinSketch(TextOps.wordCounts(t2, "text"), 3, 8))
+      .groupBy("j", "c").agg(sum("cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    val whole = TextOps.countMinSketch(wc, 3, 8)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged === whole)
+  }
+
+  test("cmsContract returns true on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 200).map(i => (i.toLong,
+      (0 until 30).map(_ => s"w${rnd.nextInt(300)}").mkString(" ")))
+      .toDF("id", "text")
+    val r = TextOps.cmsContract(docs, "text").collect()(0)
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
+  }
 }
