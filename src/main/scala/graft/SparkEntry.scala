@@ -1,6 +1,6 @@
 package graft
 
-import graft.analytics.{Dedup, Events, GraphAlgos, Layout, Similarity, TextOps}
+import graft.analytics.{Dedup, Events, GraphAlgos, Layout, LinearModel, Similarity, TextOps}
 import graft.core.{FieldRule, Graph, QValue, SchemaMapper, SchemaRules}
 import graft.exec.{Exec, Results}
 import graft.path.Path
@@ -1620,6 +1620,13 @@ object SparkEntry {
     // worst overestimate within 4*N/width; n_tokens crosses engines
     "text_cms" -> ((s, d) =>
       TextOps.cmsContract(t(s, d, "documents"), "text")),
+    // fastText-style linear quality classifier: distributed full-batch
+    // logistic GD over md5-hashed bag-of-words (model broadcast as a
+    // plan literal, gradient = one aggregate round). Realizable
+    // planted-margin contract; the oracle recomputes the md5 feature
+    // hashing, planted labeling, and split sizes in SQL
+    "text_lr" -> ((s, d) =>
+      LinearModel.logRegContract(t(s, d, "documents"), "doc_id", "text")),
     "stats_sketch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(explode(split(TextOps.normalize(col("text")),
@@ -2275,6 +2282,26 @@ object SparkEntry {
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract
     "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
+    // classifier accuracy checked engine-side; the oracle recomputes
+    // the md5 feature buckets, the parity-planted labels, the margin
+    // gap, and the md5 split — so the counts verify the whole
+    // featurize→label→split pipeline
+    "text_lr" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(term), 1, 15)) AS BIGINT) % 64 AS bucket
+        |  FROM tok WHERE length(term) > 0),
+        |p AS (SELECT doc_id, sum(1 - 2 * (bucket % 2)) AS planted
+        |  FROM b GROUP BY doc_id),
+        |sel AS (SELECT doc_id,
+        |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      / 1152921504606846976.0 < 0.2 AS hold
+        |  FROM p WHERE abs(planted) >= 4)
+        |SELECT TRUE AS lr_ok,
+        |  (SELECT count(*) FROM sel WHERE NOT hold) AS n_train,
+        |  (SELECT count(*) FROM sel WHERE hold) AS n_holdout""".stripMargin,
     // count-min guarantees checked engine-side; the oracle recounts the
     // total token stream the sketch summarizes
     "text_cms" ->

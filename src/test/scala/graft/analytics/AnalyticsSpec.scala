@@ -1008,4 +1008,36 @@ class AnalyticsSpec extends AnyFunSuite {
     val r = TextOps.cmsContract(docs, "text").collect()(0)
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
   }
+
+  test("trainLogReg learns a planted separator (realizable case)") {
+    import spark.implicits._
+    // 2-feature AND-ish target: y = [x0 - x1 > 0]; rows in hashedTf shape
+    val rnd = new scala.util.Random(5)
+    val docs = (1 to 300).map { i =>
+      val a = rnd.nextInt(6).toLong; val b = rnd.nextInt(6).toLong
+      (i.toLong, a, b, if (a - b > 0) 1.0 else 0.0)
+    }
+    val rows = docs.flatMap { case (id, a, b, _) =>
+      Seq((id, 0L, a), (id, 1L, b)).filter(_._3 > 0)
+    }.toDF("id", "bucket", "tf")
+    val labels = docs.map(d => (d._1, d._4)).toDF("id", "y")
+    val w = LinearModel.trainLogReg(rows, labels, dim = 2, iters = 120,
+      lr = 1.0)
+    val acc = LinearModel.predict(rows, w).join(labels, "id")
+      .agg(avg(when(col("pred") === (col("y") > 0.5), 1.0).otherwise(0.0)))
+      .head.getDouble(0)
+    assert(acc >= 0.95, s"train accuracy $acc, w=${w.toSeq}")
+  }
+
+  test("logRegContract returns true on a word-salad corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val docs = (1 to 400).map(i => (i.toLong,
+      (0 until 40).map(_ => s"w${rnd.nextInt(150)}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = LinearModel.logRegContract(docs, "doc_id", "text").collect()(0)
+    assert(r.getBoolean(0), s"contract failed: ${r.toSeq}")
+    // 154 of the 400 docs fall inside the planted margin gap
+    assert(r.getLong(1) === 192L && r.getLong(2) === 54L)
+  }
 }
