@@ -845,6 +845,19 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, minMeanRecall = 0.6,
         nCells = 16, nprobe = 8)
     }),
+    // JL random-projection prefilter (sign projection, cheaper pair
+    // scoring, exact rerank of the candidate set): mean recall@10 vs
+    // exact top-10. The synthetic embeddings are near-uniform (no
+    // cluster structure, cosine gaps ~noise — the adversarial case for
+    // any projection), so the contract runs 64->32 with 150 candidates
+    // (measured 0.88 here; clustered corpora reach ~1.0 at 16/40, see
+    // the spec)
+    "sim_rp" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.rpMeanRecallAtK(emb, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", dim = 64, k = 10, minMeanRecall = 0.7,
+        outDim = 32, cand = 150)
+    }),
     // int8-quantized IVF store (4x smaller candidate scan + exact rerank)
     // through a real on-disk cell-partitioned store; quantization must
     // not cost recall vs the same probe budget's float path
@@ -1550,6 +1563,19 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // betweenness centrality (Brandes) from 4 deterministic sources:
+    // distributed level-synchronous forward/backward sweeps vs exact
+    // driver Brandes — differential contract (sigma sums exact, delta
+    // sums within 1e-9 relative)
+    "graph_betweenness" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.betweennessContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
     // Newman modularity of the nation partition over a customer graph
     // (within-nation chain + cross-nation (c+7) mod N shortcut edges):
     // exact BIGINT (e_in, deg_sum) per community, one IEEE division for
@@ -1620,6 +1646,11 @@ object SparkEntry {
     // worst overestimate within 4*N/width; n_tokens crosses engines
     "text_cms" -> ((s, d) =>
       TextOps.cmsContract(t(s, d, "documents"), "text")),
+    // blocklist scan: one RE2 alternation automaton over the corpus
+    // (linear-time multi-phrase matching); exact value-level oracle
+    "text_blocklist" -> ((s, d) =>
+      TextOps.blocklistIds(t(s, d, "documents"), "doc_id", "text",
+        Seq("slow join", "fast scan", "big query"))),
     // fastText-style linear quality classifier: distributed full-batch
     // logistic GD over md5-hashed bag-of-words (model broadcast as a
     // plan literal, gradient = one aggregate round). Realizable
@@ -2179,6 +2210,14 @@ object SparkEntry {
       """SELECT TRUE AS hyperball_ok,
         |  CAST((SELECT count(*) FROM customer)
         |    + (SELECT count(*) FROM nation) AS BIGINT) AS n_nodes""".stripMargin,
+    // betweenness contract: estimates checked engine-side; the oracle
+    // pins the node universe of the five-predicate star graph
+    "graph_betweenness" ->
+      """SELECT TRUE AS bc_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes,
+        |  CAST(4 AS BIGINT) AS n_sources""".stripMargin,
     // Newman modularity: identical harness edges (within-nation chain +
     // (c+7) mod N shortcuts), identical exact integers, one IEEE
     // division — value-level match, not a contract
@@ -2282,6 +2321,14 @@ object SparkEntry {
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract
     "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
+    // blocklist: LIKE-disjunction brute force over the same
+    // normalization
+    "text_blocklist" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id FROM n WHERE t LIKE '%slow join%'
+        |  OR t LIKE '%fast scan%' OR t LIKE '%big query%'""".stripMargin,
     // classifier accuracy checked engine-side; the oracle recomputes
     // the md5 feature buckets, the parity-planted labels, the margin
     // gap, and the md5 split — so the counts verify the whole
@@ -2381,6 +2428,7 @@ object SparkEntry {
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",
+    "sim_rp" -> "SELECT TRUE AS recall_ok",
     "sim_ivf_q" -> "SELECT TRUE AS recall_ok",
     "sim_ivf_pq" -> "SELECT TRUE AS recall_ok",
     // batched ANN: every probe must recover >= 2 of its exact top-3

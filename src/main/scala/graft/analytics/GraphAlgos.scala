@@ -1303,6 +1303,173 @@ object GraphAlgos {
       lit(viaTarjan.size.toLong).as("n_nodes"), lit(nScc).as("n_sccs"))
   }
 
+  /** Betweenness centrality (Brandes) from a source set, directed,
+    * unweighted: bc(v) = Σ_{s ∈ S} Σ_{t} σ_st(v)/σ_st — with S a sample
+    * of sources this is the standard scalable estimator (multiply by
+    * n/|S| for the unbiased full-graph figure; the raw sums are what
+    * the contract compares).
+    *
+    * Two tiers, same answer. Under `maxDriverEdges`: exact driver
+    * Brandes (per-source BFS + reverse dependency accumulation — the
+    * stack discipline is sequential, and below the gate one collect
+    * beats a per-level job cascade, the same trade [[bfsDistances]]
+    * makes). Above: ALL sources advance simultaneously, keyed by
+    * (source, node) — forward pass = per-level frontier join +
+    * σ-summing aggregate (σ(v) = Σ σ(pred), integer-valued doubles, so
+    * order-free and exact below 2^53); backward pass = per-level join
+    * against the next level's δ with δ(v) = Σ σv/σw·(1+δw). 2·diameter
+    * rounds of one join + one aggregate each; every level is
+    * localCheckpointed once and reused by the backward sweep, so
+    * nothing recomputes. Returns (node, bc) for every node incident to
+    * an edge (non-participants score 0).
+    */
+  def betweenness(edges: DataFrame, srcCol: String, dstCol: String,
+                  sources: DataFrame, maxDepth: Int = 32,
+                  maxDriverEdges: Long = Dedup.DriverCcMaxEdges)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+    if (e.count() <= maxDriverEdges)
+      return brandesDriver(e, nodes, sources, maxDepth)
+    val src = sources.toDF("s").distinct()
+    var levels = List(src.select(col("s"), col("s").as("node"),
+      lit(1.0).as("sigma")).localCheckpoint(true))
+    var seen = levels.head.select("s", "node").localCheckpoint(true)
+    var d = 0
+    var done = false
+    while (!done && d < maxDepth) {
+      d += 1
+      val fresh = levels.head.join(e, levels.head("node") === e("u"))
+        .select(col("s"), col("v").as("node"), col("sigma"))
+        .join(seen, Seq("s", "node"), "left_anti")
+        .groupBy("s", "node").agg(sum("sigma").as("sigma"))
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        levels ::= fresh // levels is deepest-first
+        seen = seen.unionByName(fresh.select("s", "node"))
+          .localCheckpoint(true)
+      }
+    }
+    // backward sweep: δ at the deepest level is 0; each shallower level
+    // pulls σv/σw·(1+δw) from its successors one level deeper
+    var withDelta = levels.head.withColumn("delta", lit(0.0))
+      .localCheckpoint(true)
+    val deltas = scala.collection.mutable.ArrayBuffer(withDelta)
+    levels.tail.foreach { lvl =>
+      val contrib = lvl.join(e, lvl("node") === e("u"))
+        .select(col("s"), col("node"), col("sigma"), col("v"))
+        .join(withDelta.select(col("s"), col("node").as("v"),
+          col("sigma").as("sigmaW"), col("delta").as("deltaW")),
+          Seq("s", "v"))
+        .groupBy("s", "node")
+        .agg(sum(col("sigma") / col("sigmaW") * (lit(1.0) + col("deltaW")))
+          .as("delta"))
+      withDelta = lvl.join(contrib, Seq("s", "node"), "left")
+        .select(col("s"), col("node"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(true)
+      deltas += withDelta
+    }
+    val bc = deltas.map(_.where(col("node") =!= col("s"))
+        .select(col("node"), col("delta")))
+      .reduce(_ unionByName _)
+      .groupBy("node").agg(sum("delta").as("bc"))
+    nodes.join(bc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
+  }
+
+  /** Driver tier of [[betweenness]]: textbook Brandes (BFS + stack +
+    * reverse accumulation) per source, node keys kept as `Any`.
+    */
+  private def brandesDriver(e: DataFrame, nodes: DataFrame,
+                            sources: DataFrame, maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]())
+        .add(r.get(1))
+    }
+    val bc = new java.util.HashMap[Any, java.lang.Double]()
+    nodes.collect().foreach(r => bc.put(r.get(0), 0.0))
+    sources.toDF("s").distinct().collect().map(_.get(0)).foreach { s =>
+      val dist = new java.util.HashMap[Any, Integer]()
+      val sigma = new java.util.HashMap[Any, java.lang.Double]()
+      val preds = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+      val stack = new java.util.ArrayDeque[Any]()
+      val queue = new java.util.ArrayDeque[Any]()
+      dist.put(s, 0); sigma.put(s, 1.0); queue.add(s)
+      while (!queue.isEmpty) {
+        val u = queue.poll()
+        stack.push(u)
+        val du = dist.get(u).intValue()
+        val ns = adj.get(u)
+        if (ns != null && du < maxDepth) ns.forEach { v =>
+          if (!dist.containsKey(v)) {
+            dist.put(v, du + 1); sigma.put(v, 0.0); queue.add(v)
+          }
+          if (dist.get(v).intValue() == du + 1) {
+            sigma.put(v, sigma.get(v) + sigma.get(u))
+            preds.computeIfAbsent(v, _ => new java.util.ArrayList[Any]())
+              .add(u)
+          }
+        }
+      }
+      val delta = new java.util.HashMap[Any, java.lang.Double]()
+      while (!stack.isEmpty) {
+        val w = stack.pop()
+        val dw: Double =
+          if (delta.containsKey(w)) delta.get(w).doubleValue() else 0.0
+        val ps = preds.get(w)
+        if (ps != null) ps.forEach { u =>
+          val add = sigma.get(u) / sigma.get(w) * (1.0 + dw)
+          delta.merge(u, add, (a, b) => a + b)
+        }
+        if (w != s) bc.merge(w, dw, (a, b) => a + b)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = bc.entrySet().asScala.toSeq.map(en =>
+      org.apache.spark.sql.Row(en.getKey, en.getValue.doubleValue()))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", e.schema("u").dataType),
+      org.apache.spark.sql.types.StructField("bc",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Contract harness for the driver oracle: distributed level-
+    * synchronous Brandes vs the exact driver tier on the same sampled
+    * source set (the `nSources` smallest node ids — deterministic).
+    * σ sums are exact; δ sums are floats accumulated in different
+    * orders, so equality is within 1e-9 relative. One row
+    * `(bc_ok, n_nodes, n_sources)`.
+    */
+  def betweennessContract(edges: DataFrame, srcCol: String,
+                          dstCol: String, nSources: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+    val sources = nodes.orderBy("node").limit(nSources)
+    def toMap(df: DataFrame): Map[Any, Double] =
+      df.collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val dist = toMap(betweenness(edges, srcCol, dstCol, sources,
+      maxDriverEdges = 0L))
+    val drv = toMap(betweenness(edges, srcCol, dstCol, sources))
+    val ok = dist.keySet == drv.keySet && dist.forall { case (k, a) =>
+      val b = drv(k)
+      math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a),
+        math.abs(b)))
+    }
+    spark.range(1).select(lit(ok).as("bc_ok"),
+      lit(drv.size.toLong).as("n_nodes"),
+      lit(math.min(nSources.toLong, drv.size.toLong)).as("n_sources"))
+  }
+
   /** Newman modularity of a community assignment, per community — the
     * objective LPA/Louvain partitions are scored by. For undirected edges
     * (canonicalized and deduped here; self-loops dropped) with m edges,

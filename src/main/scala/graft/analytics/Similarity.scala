@@ -778,4 +778,83 @@ object Similarity {
         >= threshold)
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
   }
+
+  /** ±1/√k Johnson–Lindenstrauss projection matrix (outDim × dim),
+    * deterministic in `seed` — the Achlioptas construction: sign
+    * matrices satisfy the JL inner-product guarantee with the same
+    * ε ~ 1/√outDim as Gaussians, and fold into the plan as literals.
+    */
+  def projectionMatrix(dim: Int, outDim: Int,
+                       seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(outDim)(Array.fill(dim)(
+      (if (rnd.nextBoolean()) 1.0 else -1.0) / math.sqrt(outDim.toDouble)))
+  }
+
+  /** Random-projection dimensionality reduction: `(id, pvec)` with
+    * pvec = R·v for the [[projectionMatrix]] R. Each output coordinate
+    * is one codegen'd [[dot]] against a literal row — outDim tight
+    * loops per input row, no shuffle, no driver data. The embedding-
+    * pipeline compression step: at 100 TB a 64→16 projection cuts every
+    * downstream scan/shuffle of the vector column 4×, with ~1/√16
+    * inner-product distortion.
+    */
+  def randomProject(emb: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    val r = projectionMatrix(dim, outDim, seed)
+    emb.select(col(idCol),
+      array(r.map(row => dot(col(vecCol), lit(row))): _*).as("pvec"))
+  }
+
+  /** Batched top-k with a random-projection prefilter: score ALL pairs
+    * on the `outDim`-wide projections (4× fewer flops/bytes per pair at
+    * 64→16), keep `cand` candidates per probe, exact-cosine rerank only
+    * those. The original vectors ride the same rows, so the rerank is a
+    * window over the candidate set — no second corpus scan. Recall < 1
+    * by construction; verify with [[rpMeanRecallAtK]].
+    */
+  def rpBatchTopK(emb: DataFrame, probes: DataFrame, idCol: String,
+                  vecCol: String, dim: Int, k: Int, outDim: Int = 16,
+                  cand: Int = 40, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val r = projectionMatrix(dim, outDim, seed)
+    def proj(v: Column) = array(r.map(row => dot(v, lit(row))): _*)
+    val corpus = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      proj(col(vecCol)).as("pv"))
+    val probesP = probes.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv"), proj(col(vecCol)).as("qpv"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("pscore").desc, col("id"))
+    val we = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    corpus.crossJoin(broadcast(probesP))
+      .where(col("id") =!= col("query_id"))
+      .select(col("query_id"), col("id"), col("v"), col("qv"),
+        cosine(col("pv"), col("qpv")).as("pscore"))
+      .withColumn("prn", row_number().over(wp)).where(col("prn") <= cand)
+      .select(col("query_id"), col("id"),
+        cosine(col("v"), col("qv")).as("score"))
+      .withColumn("rn", row_number().over(we)).where(col("rn") <= k)
+      .drop("rn")
+  }
+
+  /** Recall contract for the projection prefilter, same harness shape
+    * as [[ivfMeanRecallAtK]].
+    */
+  def rpMeanRecallAtK(emb0: DataFrame, probes: DataFrame, idCol: String,
+                      vecCol: String, dim: Int, k: Int,
+                      minMeanRecall: Double, outDim: Int = 16,
+                      cand: Int = 40): DataFrame = {
+    val emb = emb0.cache()
+    val ann = rpBatchTopK(emb, probes, idCol, vecCol, dim, k, outDim, cand)
+      .select("query_id", "id")
+    val exact = batchTopK(emb, probes, idCol, vecCol, k)
+      .select("query_id", "id")
+    val hits = ann.join(exact, Seq("query_id", "id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    probes.select(col(idCol).as("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .agg(((avg(coalesce(col("hits"), lit(0L))) / k) >= minMeanRecall)
+        .as("recall_ok"))
+  }
 }

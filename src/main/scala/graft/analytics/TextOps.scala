@@ -804,6 +804,27 @@ object TextOps {
       lit(local.size.toLong).as("n_scored"))
   }
 
+  /** Blocklist scan: ids of documents whose normalized text contains
+    * ANY of the literal phrases — the banned-phrase / contamination-
+    * string filter of a curation pipeline. All phrases compile into ONE
+    * RE2 alternation, so the scan is a single linear-time automaton pass
+    * per document (the Aho-Corasick role; RE2's Pike VM gives the same
+    * no-backtracking guarantee for any phrase count), not |phrases|
+    * separate `contains` passes. Metacharacters in phrases are escaped —
+    * inputs are literals by contract.
+    */
+  def blocklistIds(df: DataFrame, idCol: String, textCol: String,
+                   phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "blocklistIds: empty phrase list")
+    val pat = phrases.map(_.flatMap {
+      case c if "\\.+*?()|[]{}^$".contains(c) => s"\\$c"
+      case c => c.toString
+    }).mkString("(", "|", ")")
+    df.select(col(idCol), normalize(col(textCol)).as("t"))
+      .where(graft.functions.Re2Match(col("t"), pat))
+      .select(col(idCol))
+  }
+
   /** Count-min sketch over the corpus token stream: `depth × width`
     * counters, cell (j, c) = Σ counts of terms with
     * `xxhash64(term, j) mod width == c`. The mergeable point-frequency

@@ -1009,6 +1009,64 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
   }
 
+  test("blocklistIds matches literal phrases, escaping metacharacters") {
+    import spark.implicits._
+    val docs = Seq((1L, "the (a+b) formula"), (2L, "clean doc"),
+      (3L, "contains SLOW  Join here")).toDF("doc_id", "text")
+    val hits = TextOps.blocklistIds(docs, "doc_id", "text",
+      Seq("(a+b)", "slow join")).as[Long].collect().toSet
+    // normalization lowercases and squeezes whitespace before the scan;
+    // regex metacharacters in phrases stay literal
+    assert(hits === Set(1L, 3L))
+  }
+
+  test("randomProject: JL sign projection bounds inner-product error") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val dim = 64; val outDim = 16
+    val vecs = (0 until 40).map(i =>
+      (i.toLong, Array.fill(dim)(rnd.nextGaussian())))
+    val df = vecs.toDF("id", "v")
+    val proj = Similarity.randomProject(df, "id", "v", dim, outDim)
+      .as[(Long, Array[Double])].collect().toMap
+    val r = Similarity.projectionMatrix(dim, outDim)
+    // distributed projection == driver matrix multiply (same literals)
+    vecs.foreach { case (id, v) =>
+      val expect = r.map(row => row.zip(v).map(p => p._1 * p._2).sum)
+      proj(id).zip(expect).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9)
+      }
+    }
+    // JL guarantee, empirically with this fixed seed: the error std is
+    // |x||y|/sqrt(outDim) — demand the MEAN normalized error near its
+    // expectation (~0.8/sqrt(k)) and the max within the 5-sigma tail
+    def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+    val errs = for ((ia, va) <- vecs; (ib, vb) <- vecs if ia < ib) yield {
+      val ipTrue = va.zip(vb).map(p => p._1 * p._2).sum
+      val ipProj = proj(ia).zip(proj(ib)).map(p => p._1 * p._2).sum
+      math.abs(ipProj - ipTrue) / (norm(va) * norm(vb))
+    }
+    val k = math.sqrt(outDim.toDouble)
+    assert(errs.sum / errs.size <= 1.5 / k)
+    assert(errs.max <= 5.0 / k)
+  }
+
+  test("rpMeanRecallAtK holds on clustered synthetic embeddings") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(9)
+    val dim = 64
+    val centers = Array.fill(5)(Array.fill(dim)(rnd.nextGaussian()))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + 0.3 * rnd.nextGaussian()).toFloat))
+    }
+    val df = vecs.toDF("id", "v")
+    val ok = Similarity.rpMeanRecallAtK(df, df.where(col("id") < 8),
+      "id", "v", dim, k = 10, minMeanRecall = 0.8)
+      .head.getBoolean(0)
+    assert(ok)
+  }
+
   test("trainLogReg learns a planted separator (realizable case)") {
     import spark.implicits._
     // 2-feature AND-ish target: y = [x0 - x1 > 0]; rows in hashedTf shape

@@ -555,6 +555,35 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(rows.length === 1 && rows(0).getBoolean(0))
   }
 
+  test("betweenness: chain and diamond, exact driver values") {
+    // directed chain 1->2->3->4, all nodes as sources:
+    // bc(2) = paths 1->3,1->4 = 2; bc(3) = 1->4,2->4 = 2; ends 0
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val all = Seq(1L, 2L, 3L, 4L).toDF("node")
+    val got = GraphAlgos.betweenness(chain, "s", "d", all)
+      .as[(Long, Double)].collect().toMap
+    assert(got === Map(1L -> 0.0, 2L -> 2.0, 3L -> 2.0, 4L -> 0.0))
+    // diamond 1->{2,3}->4: two shortest 1->4 paths, each middle carries
+    // half a dependency
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)).toDF("s", "d")
+    val got2 = GraphAlgos.betweenness(diamond, "s", "d",
+      Seq(1L).toDF("node")).as[(Long, Double)].collect().toMap
+    assert(got2 === Map(1L -> 0.0, 2L -> 0.5, 3L -> 0.5, 4L -> 0.0))
+    // distributed tier (maxDriverEdges = 0) must agree exactly here
+    val dist = GraphAlgos.betweenness(chain, "s", "d", all,
+      maxDriverEdges = 0L).as[(Long, Double)].collect().toMap
+    assert(dist === got)
+  }
+
+  test("betweennessContract holds on random graphs") {
+    val rnd = new scala.util.Random(41)
+    val edges = (1 to 160).map(_ =>
+      (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("s", "d")
+    val r = GraphAlgos.betweennessContract(edges, "s", "d").collect()(0)
+    assert(r.getBoolean(0), s"contract failed: ${r.toSeq}")
+  }
+
   test("modularity: two triangles + bridge, exact integers and dq") {
     // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 => m=7; each
     // triangle community: e_in=3, deg_sum=7, dq=(4*7*3-49)/196=35/196.
