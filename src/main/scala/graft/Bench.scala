@@ -17,18 +17,20 @@ object Bench {
     "q1_agg", "q3_join", "q_window", "q_topk_users",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_clusters", "dedup_spans", "decontam", "text_quality", "text_langid",
+    "dedup_clusters", "dedup_spans", "dedup_fuzzy", "decontam",
+    "text_quality", "text_langid",
     "text_repetition", "text_redact", "text_pack", "text_chunks",
-    "text_tfidf", "corpus_stats", "doc_sample", "pipeline_curate",
+    "text_tfidf", "text_cms", "text_blocklist",
+    "corpus_stats", "doc_sample", "pipeline_curate",
     "q_sessionize", "q_session_stats", "q_asof", "q_interval", "q_funnel",
     "text_lm", "text_bm25", "text_skipgrams",
     // graph analytics (degree/triangles/BFS; the PageRank and HITS
     // OPERATORS are benched separately below — their driver entries are
     // differential harnesses, which time the oracle-side recompute too)
     "graph_degree", "graph_triangles", "graph_wcc", "graph_bfs",
-    "graph_sssp", "graph_clustering",
-    "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "emb_neardup",
-    "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
+    "graph_sssp", "graph_clustering", "graph_betweenness",
+    "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "sim_rp",
+    "emb_neardup", "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query subset (iteration aid; the

@@ -1090,6 +1090,35 @@ object SparkEntry {
     // events), the stateful stream must equal the batch asofJoin row for
     // row — matched (event, ref, payload) triples identical, and the
     // stream's -1 rows exactly the events the inner batch join drops
+    // streaming count-min sketch: two micro-batches (doc_id parity),
+    // complete-mode aggregation; exact cell-for-cell equality with the
+    // batch sketch over the same corpus (sums are exact longs)
+    "stream_cms" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.QuadStream
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-scms").toString
+      docs.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema("doc_id bigint, text string")
+        .parquet(s"$tmp/in")
+      val q = QuadStream.cmsStream(stream, "text")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("stream_cms_sink").start()
+      q.processAllAvailable()
+      docs.where(col("doc_id") % 2 === 1)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      val streamed = s.sql("SELECT j, c, cnt FROM stream_cms_sink")
+      val batch = TextOps.countMinSketch(
+        TextOps.wordCounts(docs, "text")).cache()
+      val nCells = batch.count()
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      batch.unpersist()
+      Seq(diff == 0 && nCells > 0).toDF("stream_cms_ok")
+    }),
     "stream_enrich" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.{EnrichInput, QuadStream}
@@ -2416,6 +2445,8 @@ object SparkEntry {
     // streaming as-of == batch asofJoin when references arrive first
     // (exact row-for-row equality, engine-side)
     "stream_enrich" -> "SELECT TRUE AS enrich_ok",
+    // streaming CMS == batch CMS cell-for-cell (exact long sums)
+    "stream_cms" -> "SELECT TRUE AS stream_cms_ok",
     // multimodal resize pipeline: exact-contract boolean (decode ->
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",

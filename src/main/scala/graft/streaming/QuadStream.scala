@@ -176,6 +176,25 @@ object QuadStream {
     buf.toSeq
   }
 
+  /** Streaming count-min sketch: the same depth×width counter grid as
+    * [[graft.analytics.TextOps.countMinSketch]], maintained as a
+    * Structured-Streaming aggregation — the sketch state is exactly
+    * depth×width long counters regardless of stream length, and because
+    * the cells are EXACT sums the streamed sketch equals the batch
+    * sketch over the same documents row-for-row (the `stream_cms`
+    * contract), not approximately. Run with `outputMode("complete")`:
+    * the sink always holds the current whole sketch.
+    */
+  def cmsStream(docs: DataFrame, textCol: String, depth: Int = 4,
+                width: Int = 2048): DataFrame =
+    docs.select(explode(split(
+        graft.analytics.TextOps.normalize(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .select(posexplode(array((0 until depth).map(j =>
+        pmod(xxhash64(col("term"), lit(j)), lit(width.toLong))): _*))
+        .as(Seq("j", "c")))
+      .groupBy("j", "c").agg(count(lit(1)).as("cnt"))
+
   /** Event-stream analytics: watermarked tumbling-window counts — the
     * Structured-Streaming form of the batch `q_window` query.
     */

@@ -60,6 +60,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows === Seq(("click", 2L), ("view", 1L)))
   }
 
+  test("streaming CMS equals the batch sketch cell-for-cell") {
+    import spark.implicits._
+    import graft.analytics.TextOps
+    val tmp = Files.createTempDirectory("graft-scms").toString
+    val docs = Seq((1L, "aa bb aa"), (2L, "bb cc dd"), (3L, "aa dd ee"))
+      .toDF("doc_id", "text")
+    docs.where(col("doc_id") <= 2).write.mode("overwrite")
+      .parquet(s"$tmp/in")
+    val stream = spark.readStream.schema("doc_id bigint, text string")
+      .parquet(s"$tmp/in")
+    val q = QuadStream.cmsStream(stream, "text", depth = 3, width = 16)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("scms").start()
+    q.processAllAvailable()
+    docs.where(col("doc_id") === 3).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT j, c, cnt FROM scms")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = TextOps.countMinSketch(TextOps.wordCounts(docs, "text"),
+      depth = 3, width = 16).as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("streaming sessionization closes sessions at the inactivity gap") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-sess").toString
