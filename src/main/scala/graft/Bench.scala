@@ -23,12 +23,13 @@ object Bench {
     "text_tfidf", "text_cms", "text_blocklist",
     "corpus_stats", "doc_sample", "pipeline_curate",
     "q_sessionize", "q_session_stats", "q_asof", "q_interval", "q_funnel",
+    "q_retention",
     "text_lm", "text_bm25", "text_skipgrams",
     // graph analytics (degree/triangles/BFS; the PageRank and HITS
     // OPERATORS are benched separately below — their driver entries are
     // differential harnesses, which time the oracle-side recompute too)
     "graph_degree", "graph_triangles", "graph_wcc", "graph_bfs",
-    "graph_sssp", "graph_clustering", "graph_betweenness",
+    "graph_sssp", "graph_clustering",
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "sim_rp",
     "emb_neardup", "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
@@ -678,6 +679,34 @@ object Bench {
           errors("graph_pagerank_op") = errText(e); Seq("graph_pagerank_op" -> -1.0)
       }
 
+    // Betweenness OPERATOR timing (4 sources, driver Brandes tier —
+    // the contract entry also times the forced distributed sweep on a
+    // 27-level chain, which is oracle-side work): min-of-2, noop sink
+    val betweennessOp: Seq[(String, Double)] =
+      if (!only.forall(_.contains("graph_betweenness_op"))) Seq.empty
+      else try {
+        import graft.core.QValue
+        import org.apache.spark.sql.functions.col
+        val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+          "o_cust").map(p => QValue.id(QValue.Iri(p)))
+        val edges = SparkEntry.graph(spark, sfDir).quads
+          .where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst"))
+        val sources = edges.select(col("src").as("node"))
+          .distinct().orderBy("node").limit(4)
+        def once(): Double = time {
+          graft.analytics.GraphAlgos.betweenness(edges, "src", "dst",
+              sources)
+            .write.mode("overwrite").format("noop").save()
+        }
+        val r1 = once(); val r2 = once()
+        Seq("graph_betweenness_op" -> math.min(r1, r2))
+      } catch {
+        case e: Throwable =>
+          errors("graph_betweenness_op") = errText(e)
+          Seq("graph_betweenness_op" -> -1.0)
+      }
+
     // HITS OPERATOR timing on the same edge set: min-of-2, noop sink
     val hitsOp: Seq[(String, Double)] =
       if (!only.forall(_.contains("graph_hits_op"))) Seq.empty
@@ -702,7 +731,8 @@ object Bench {
       }
 
     val all = ("graph_load" -> loadSec) +:
-      (results ++ pagerank ++ hitsOp ++ movie ++ scaleOut ++ skew)
+      (results ++ pagerank ++ betweennessOp ++ hitsOp ++ movie ++
+        scaleOut ++ skew)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -845,6 +845,13 @@ object SparkEntry {
         "vec_id", "embedding", k = 10, minMeanRecall = 0.6,
         nCells = 16, nprobe = 8)
     }),
+    // PCA via distributed power iteration: C·w evaluated as one
+    // aggregate per step, covariance never materialized; contract =
+    // top-component Rayleigh quotient >= 95% of the driver-eigen
+    // lambda_max + orthonormal components; n_vecs crosses engines
+    "sim_pca" -> ((s, d) =>
+      Similarity.pcaContract(t(s, d, "embeddings"), "vec_id",
+        "embedding", dim = 64)),
     // JL random-projection prefilter (sign projection, cheaper pair
     // scoring, exact rerank of the candidate set): mean recall@10 vs
     // exact top-10. The synthetic embeddings are near-uniform (no
@@ -2460,6 +2467,9 @@ object SparkEntry {
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",
     "sim_rp" -> "SELECT TRUE AS recall_ok",
+    "sim_pca" ->
+      """SELECT TRUE AS pca_ok,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vecs""".stripMargin,
     "sim_ivf_q" -> "SELECT TRUE AS recall_ok",
     "sim_ivf_pq" -> "SELECT TRUE AS recall_ok",
     // batched ANN: every probe must recover >= 2 of its exact top-3
@@ -2583,6 +2593,10 @@ object SparkEntry {
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))),
+    // cohort retention matrix: first-activity week per user, distinct
+    // active users per (cohort, week offset) — exact value-level oracle
+    "q_retention" -> ((s, d) =>
+      Events.retention(events(s, d), "user_id", "ts")),
     // top-k per group via window function
     "q_topk_users" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
@@ -2609,6 +2623,16 @@ object SparkEntry {
     "q_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (SELECT user_id AS u, date_trunc('week', ts) AS wk
+        |  FROM events),
+        |c AS (SELECT u, min(wk) AS cohort_week FROM w GROUP BY u)
+        |SELECT cohort_week,
+        |  CAST((epoch(wk) - epoch(cohort_week)) // 604800 AS BIGINT)
+        |    AS week_offset,
+        |  count(DISTINCT w.u) AS n_users
+        |FROM w JOIN c ON w.u = c.u
+        |GROUP BY 1, 2""".stripMargin,
     "q_topk_users" ->
       """SELECT event_type, user_id, n, rk FROM (
         |  SELECT event_type, user_id, COUNT(*) AS n,

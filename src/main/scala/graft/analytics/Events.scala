@@ -154,6 +154,30 @@ object Events {
     * Timestamps go through the same NTZ-safe epoch conversion as
     * [[sessionize]]; intervals with `end <= start` match nothing.
     */
+  /** Cohort retention: users grouped by first-activity week (UTC,
+    * Monday-truncated); output = distinct users from each cohort active
+    * `week_offset` weeks later — the product-analytics matrix every
+    * event warehouse reports. Plan: one (user) aggregate for cohorts,
+    * one broadcast-or-shuffle join back, one distinct + one aggregate
+    * on (cohort, offset) — all hash exchanges on keys that shrink fast;
+    * offsets are exact integer arithmetic on week-truncated epochs
+    * (both engines' `date_trunc('week')` is ISO Monday, so the oracle
+    * matches value-for-value).
+    */
+  def retention(events: DataFrame, userCol: String,
+                tsCol: String): DataFrame = {
+    val weeks = events.select(col(userCol).as("user"),
+      date_trunc("week", col(tsCol)).as("wk"))
+    val cohorts = weeks.groupBy("user").agg(min("wk").as("cohort_week"))
+    weeks.join(cohorts, "user")
+      .select(col("cohort_week"),
+        floor((epochSecs(col("wk")) - epochSecs(col("cohort_week"))) /
+          604800L).cast("long").as("week_offset"), col("user"))
+      .distinct()
+      .groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String, tsCol: String,
                    startCol: String, endCol: String,

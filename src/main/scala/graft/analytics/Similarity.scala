@@ -838,6 +838,133 @@ object Similarity {
       .drop("rn")
   }
 
+  /** Top principal components of the embedding cloud via distributed
+    * power iteration with deflation — the PCA/whitening step of an
+    * embedding pipeline, computed WITHOUT materializing the covariance:
+    * each iteration evaluates C·w = (Σ_x x·(xᵀw) − μ·Σ_x xᵀw)/n in one
+    * aggregate job (w and μ fold into the plan as literals; `dim` sum
+    * buffers + one scalar, map-side combined), so the data is scanned
+    * `iters × nComponents` times and nothing quadratic in `dim` ever
+    * shuffles. Deflation subtracts already-found directions from w
+    * after every multiply (driver-side, dim-sized vectors). Returns
+    * orthonormal rows, largest component first.
+    *
+    * Convergence is spectrum-dependent (flat spectra converge in
+    * Rayleigh quotient long before the vector settles) — the contract
+    * below therefore checks the Rayleigh quotient, not the direction.
+    */
+  def principalComponents(emb: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, nComponents: Int = 2,
+                          iters: Int = 20,
+                          seed: Long = 42L): Array[Array[Double]] = {
+    val n = math.max(emb.count(), 1L).toDouble
+    val v = col(vecCol)
+    val mean = emb.agg(array((0 until dim).map(i =>
+        avg(element_at(v, i + 1))): _*).as("mu"))
+      .head.getSeq[Double](0).toArray
+    val rnd = new scala.util.Random(seed)
+    val comps = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    def orthonormalize(w: Array[Double]): Array[Double] = {
+      comps.foreach { c =>
+        val p = w.zip(c).map(t => t._1 * t._2).sum
+        (0 until dim).foreach(i => w(i) -= p * c(i))
+      }
+      val nm = math.sqrt(w.map(x => x * x).sum)
+      w.map(_ / math.max(nm, 1e-300))
+    }
+    (0 until nComponents).foreach { _ =>
+      var w = orthonormalize(Array.fill(dim)(rnd.nextGaussian()))
+      (0 until iters).foreach { _ =>
+        val muDotW = mean.zip(w).map(t => t._1 * t._2).sum
+        val d = dot(v, lit(w)) - lit(muDotW)
+        val row = emb.agg(
+            array((0 until dim).map(i =>
+              sum(element_at(v, i + 1) * d)): _*).as("s1"),
+            sum(d).as("s0"))
+          .head
+        val s1 = row.getSeq[Double](0).toArray
+        val s0 = row.getDouble(1)
+        w = orthonormalize((0 until dim).map(i =>
+          (s1(i) - mean(i) * s0) / n).toArray)
+      }
+      comps += w
+    }
+    comps.toArray
+  }
+
+  /** Rayleigh quotient wᵀCw of a unit direction under the mean-centered
+    * covariance — one aggregate job, same algebra as the power step.
+    */
+  def rayleigh(emb: DataFrame, vecCol: String, dim: Int,
+               w: Array[Double]): Double = {
+    val n = math.max(emb.count(), 1L).toDouble
+    val v = col(vecCol)
+    val mean = emb.agg(array((0 until dim).map(i =>
+        avg(element_at(v, i + 1))): _*))
+      .head.getSeq[Double](0).toArray
+    val muDotW = mean.zip(w).map(t => t._1 * t._2).sum
+    val d = dot(v, lit(w)) - lit(muDotW)
+    emb.agg(sum(d * d)).head.getDouble(0) / n
+  }
+
+  /** Contract harness for the driver oracle: the distributed top
+    * component's Rayleigh quotient must reach ≥`minRatio` of the true
+    * λ_max (driver Jacobi eigensolve of the collected covariance — the
+    * oracle side only), and the returned rows must be orthonormal.
+    * One row `(pca_ok, n_vecs)`.
+    */
+  def pcaContract(emb0: DataFrame, idCol: String, vecCol: String,
+                  dim: Int, minRatio: Double = 0.95): DataFrame = {
+    val spark = emb0.sparkSession
+    val emb = emb0.cache()
+    val comps = principalComponents(emb, idCol, vecCol, dim,
+      nComponents = 2, iters = 30)
+    val orthoOk = {
+      val dots = for (a <- comps; b <- comps) yield a.zip(b).map(t =>
+        t._1 * t._2).sum
+      val eye = (for (i <- comps.indices; j <- comps.indices)
+        yield if (i == j) 1.0 else 0.0)
+      dots.zip(eye).forall(t => math.abs(t._1 - t._2) < 1e-6)
+    }
+    val vecs = emb.select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val mu = (0 until dim).map(i => vecs.map(_(i)).sum / n).toArray
+    val cov = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(x => (x(i) - mu(i)) * (x(j) - mu(j))).sum / n
+    }
+    val lMax = jacobiMaxEigen(cov)
+    val r = rayleigh(emb, vecCol, dim, comps(0))
+    spark.range(1).select(
+      lit(orthoOk && r >= minRatio * lMax).as("pca_ok"),
+      lit(n.toLong).as("n_vecs"))
+  }
+
+  /** Largest eigenvalue of a small symmetric matrix by cyclic Jacobi
+    * rotations (driver-side oracle reference; O(dim³) per sweep).
+    */
+  private[analytics] def jacobiMaxEigen(m0: Array[Array[Double]]): Double = {
+    val dim = m0.length
+    val m = m0.map(_.clone())
+    (0 until 30).foreach { _ =>
+      for (p <- 0 until dim; q <- p + 1 until dim if math.abs(m(p)(q)) > 1e-12) {
+        val theta = 0.5 * math.atan2(2.0 * m(p)(q), m(q)(q) - m(p)(p))
+        val c = math.cos(theta); val s = math.sin(theta)
+        (0 until dim).foreach { k =>
+          val mkp = m(k)(p); val mkq = m(k)(q)
+          m(k)(p) = c * mkp - s * mkq
+          m(k)(q) = s * mkp + c * mkq
+        }
+        (0 until dim).foreach { k =>
+          val mpk = m(p)(k); val mqk = m(q)(k)
+          m(p)(k) = c * mpk - s * mqk
+          m(q)(k) = s * mpk + c * mqk
+        }
+      }
+    }
+    (0 until dim).map(i => m(i)(i)).max
+  }
+
   /** Recall contract for the projection prefilter, same harness shape
     * as [[ivfMeanRecallAtK]].
     */

@@ -1051,6 +1051,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(errs.max <= 5.0 / k)
   }
 
+  test("principalComponents recovers a planted dominant direction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    // isotropic noise + a 5x-stretched planted axis u
+    val u = {
+      val x = Array.fill(dim)(rnd.nextGaussian())
+      val n = math.sqrt(x.map(a => a * a).sum); x.map(_ / n)
+    }
+    val vecs = (0 until 300).map { i =>
+      val g = Array.fill(dim)(rnd.nextGaussian())
+      val a = 5.0 * rnd.nextGaussian()
+      (i.toLong, (0 until dim).map(j => (g(j) + a * u(j)).toFloat).toArray)
+    }
+    val df = vecs.toDF("id", "v").cache()
+    val comps = Similarity.principalComponents(df, "id", "v", dim,
+      nComponents = 2, iters = 30)
+    val cos = math.abs(comps(0).zip(u).map(t => t._1 * t._2).sum)
+    assert(cos > 0.99, s"top component misaligned: cos=$cos")
+    // orthonormal rows
+    comps.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9)
+    }
+    assert(math.abs(comps(0).zip(comps(1)).map(t => t._1 * t._2).sum) < 1e-6)
+    // contract harness agrees
+    val r = Similarity.pcaContract(df, "id", "v", dim).collect()(0)
+    assert(r.getBoolean(0) && r.getLong(1) === 300L)
+  }
+
   test("rpMeanRecallAtK holds on clustered synthetic embeddings") {
     import spark.implicits._
     val rnd = new scala.util.Random(9)

@@ -289,4 +289,26 @@ class EventsSpec extends AnyFunSuite {
       .select("event_id", "iid").as[(Long, Long)].collect().toSet
     assert(got === expected)
   }
+
+  test("retention: cohort by first week, distinct users per offset") {
+    import org.apache.spark.sql.functions._
+    // 2026-01-05 is a Monday. u1: weeks 0,1,3 (two events in week 1 —
+    // distinct); u2: weeks 0,1; u3 joins in week 1 only
+    val ev = Seq(
+      ("u1", "2026-01-05 10:00:00"), ("u1", "2026-01-13 09:00:00"),
+      ("u1", "2026-01-14 09:00:00"), ("u1", "2026-01-26 23:00:00"),
+      ("u2", "2026-01-07 00:00:00"), ("u2", "2026-01-12 00:00:00"),
+      ("u3", "2026-01-15 12:00:00"))
+      .toDF("user_id", "ts_s")
+      .select(col("user_id"), col("ts_s").cast("timestamp").as("ts"))
+    val got = Events.retention(ev, "user_id", "ts")
+      .select(date_format(col("cohort_week"), "yyyy-MM-dd"),
+        col("week_offset"), col("n_users"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(
+      ("2026-01-05", 0L, 2L), // u1, u2 in their first week
+      ("2026-01-05", 1L, 2L), // u1, u2 active the next week
+      ("2026-01-05", 3L, 1L), // u1 returns in week 3
+      ("2026-01-12", 0L, 1L))) // u3's own cohort
+  }
 }
