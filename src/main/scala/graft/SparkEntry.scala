@@ -1432,6 +1432,24 @@ object SparkEntry {
         .select(lit(QValue.id(iri(s"nation:$maxN"))).as("node"))
       GraphAlgos.bfsDistanceHistogram(edges, "u", "v", src)
     }),
+    // harmonic centrality from nations 0..3 over the BFS edge set:
+    // EXACT-RATIONAL value-level oracle — every 1/d term enters as the
+    // BIGINT lcm(1..40)/d, one final IEEE division; reported as the
+    // relabeling-invariant (num, n_nodes, score) histogram
+    "graph_harmonic" -> ((s, d) => {
+      val g = graph(s, d)
+      def ep(name: String) = g.quads.where(col("p") === QValue.id(iri(name)))
+      val edges = ep("n_prev").select(col("s").as("u"), col("o").as("v"))
+        .unionByName(ep("c_nation").select(col("o").as("u"), col("s").as("v")))
+        .unionByName(ep("o_cust").select(col("o").as("u"), col("s").as("v")))
+      val src = {
+        import s.implicits._
+        (0 to 3).map(i => QValue.id(iri(s"nation:$i"))).toDF("node")
+      }
+      GraphAlgos.harmonicCentrality(edges, "u", "v", src, maxDepth = 40)
+        .groupBy("num", "score").agg(count(lit(1)).as("n_nodes"))
+        .select(col("num"), col("n_nodes"), col("score"))
+    }),
     // HITS hubs/authorities over the full directed star graph, verified
     // as a differential contract vs a sequential evaluation of the same
     // normalized recurrence (same harness pattern as graph_pagerank)
@@ -2143,6 +2161,31 @@ object SparkEntry {
         |md AS (SELECT node, min(d) AS dist FROM walk GROUP BY node)
         |SELECT CAST(dist AS BIGINT) AS dist, count(*) AS n_nodes
         |FROM md GROUP BY dist""".stripMargin,
+    // harmonic centrality: exact-rational recomputation — keyed
+    // recursive-CTE BFS from the same 4 nation sources, BIGINT
+    // lcm(1..40)/d sums, identical single division
+    "graph_harmonic" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS u,
+        |         'n' || CAST(n_nationkey - 1 AS VARCHAR) AS v
+        |    FROM nation WHERE n_nationkey >= 1
+        |  UNION ALL SELECT 'n' || CAST(c_nationkey AS VARCHAR),
+        |         'c' || CAST(c_custkey AS VARCHAR) FROM customer
+        |  UNION ALL SELECT 'c' || CAST(o_custkey AS VARCHAR),
+        |         'o' || CAST(o_orderkey AS VARCHAR) FROM orders),
+        |walk(s, node, d) AS (
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'n' || CAST(n_nationkey AS VARCHAR), 0
+        |    FROM nation WHERE n_nationkey <= 3
+        |  UNION
+        |  SELECT w.s, e.v, w.d + 1 FROM walk w JOIN edges e ON e.u = w.node
+        |  WHERE w.d < 40),
+        |md AS (SELECT s, node, min(d) AS d FROM walk GROUP BY s, node),
+        |h AS (SELECT node, CAST(sum(5342931457063200 // d) AS BIGINT) AS num
+        |  FROM md WHERE d > 0 GROUP BY node)
+        |SELECT num, count(*) AS n_nodes,
+        |  CAST(num AS DOUBLE) / 5342931457063200.0 AS score
+        |FROM h GROUP BY num""".stripMargin,
     // HITS differential contract: distributed join+agg recurrence vs
     // sequential reference on the same edges (node universe as pagerank)
     "graph_hits" ->

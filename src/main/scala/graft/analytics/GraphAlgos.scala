@@ -1470,6 +1470,115 @@ object GraphAlgos {
       lit(math.min(nSources.toLong, drv.size.toLong)).as("n_sources"))
   }
 
+  /** lcm(1..n) — fits a Long for n ≤ 40 (5.34e15). */
+  private[analytics] def lcmUpTo(n: Int): Long = {
+    require(n >= 1 && n <= 40, "lcmUpTo: n must be in [1, 40]")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    (1L to n.toLong).foldLeft(1L)((l, k) => l / gcd(l, k) * k)
+  }
+
+  /** Per-source shortest-path distances `(s, node, d)` for a keyed BFS
+    * — the [[bfsDistances]] loop with the source riding the key, so all
+    * sources expand simultaneously (one join + one distinct-anti-join
+    * round per level, never a per-source job cascade).
+    */
+  private def keyedBfs(e: DataFrame, src: DataFrame,
+                       maxDepth: Int): DataFrame = {
+    var dist = src.select(col("s"), col("s").as("node"),
+      lit(0L).as("d")).localCheckpoint(true)
+    var frontier = dist.select("s", "node")
+    var d = 0L
+    var done = false
+    while (!done && d < maxDepth) {
+      d += 1
+      val fresh = frontier.join(e, frontier("node") === e("u"))
+        .select(col("s"), col("v").as("node")).distinct()
+        .join(dist.select("s", "node"), Seq("s", "node"), "left_anti")
+        .withColumn("d", lit(d))
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        dist = dist.unionByName(fresh).localCheckpoint(true)
+        frontier = fresh.select("s", "node")
+      }
+    }
+    dist
+  }
+
+  /** Driver tier of [[harmonicCentrality]]'s keyed BFS: one adjacency
+    * collect, queue BFS per source.
+    */
+  private def keyedBfsDriver(e: DataFrame, src: DataFrame,
+                             maxDepth: Int): DataFrame = {
+    val spark = e.sparkSession
+    val adj = new java.util.HashMap[Any, java.util.ArrayList[Any]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.get(0), _ => new java.util.ArrayList[Any]())
+        .add(r.get(1))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Any, Long)]
+    src.collect().map(_.get(0)).foreach { s =>
+      val dist = new java.util.HashMap[Any, java.lang.Long]()
+      var frontier = new java.util.ArrayList[Any]()
+      dist.put(s, 0L); frontier.add(s)
+      var d = 0L
+      while (!frontier.isEmpty && d < maxDepth) {
+        d += 1
+        val next = new java.util.ArrayList[Any]()
+        frontier.forEach { u =>
+          val ns = adj.get(u)
+          if (ns != null) ns.forEach { v =>
+            if (dist.putIfAbsent(v, d) == null) next.add(v)
+          }
+        }
+        frontier = next
+      }
+      dist.forEach((n, dd) => out += ((s, n, dd.longValue())))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", e.schema("u").dataType),
+      org.apache.spark.sql.types.StructField("node",
+        e.schema("u").dataType),
+      org.apache.spark.sql.types.StructField("d",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(
+      out.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)).toSeq, 1),
+      schema)
+  }
+
+  /** Harmonic centrality from a source set: H(v) = Σ_{s≠v, d(s,v)<∞}
+    * 1/d(s,v) — the centrality that, unlike closeness, is well-defined
+    * on disconnected graphs; with sampled sources it is the standard
+    * estimator. EXACT-RATIONAL arithmetic (the [[graft.analytics.TextOps.skipgramCounts]]
+    * float contract): each term enters as the BIGINT lcm(1..maxDepth)/d,
+    * the sum stays integer (≤ |S|·5.3e15, overflow-guarded), and the
+    * returned `score` is ONE IEEE division num/lcm — so a relational
+    * oracle recomputing the same integers matches bitwise. Two tiers
+    * (keyed BFS driver / distributed, same gate as BFS); returns
+    * `(node, num, score)`.
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                         sources: DataFrame, maxDepth: Int = 40,
+                         maxDriverEdges: Long = Dedup.DriverCcMaxEdges)
+      : DataFrame = {
+    val lcm = lcmUpTo(maxDepth)
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true)
+    val src = sources.toDF("s").distinct()
+    require(src.count() <= Long.MaxValue / lcm,
+      "harmonicCentrality: source count would overflow the exact sum")
+    val dists =
+      if (e.count() <= maxDriverEdges) keyedBfsDriver(e, src, maxDepth)
+      else keyedBfs(e, src, maxDepth)
+    dists.where(col("d") > 0)
+      .groupBy("node")
+      .agg(sum(expr(s"${lcm}L div d")).as("num"))
+      .select(col("node"), col("num"),
+        (col("num").cast("double") / lit(lcm.toDouble)).as("score"))
+  }
+
   /** Newman modularity of a community assignment, per community — the
     * objective LPA/Louvain partitions are scored by. For undirected edges
     * (canonicalized and deduped here; self-loops dropped) with m edges,

@@ -584,6 +584,28 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r.getBoolean(0), s"contract failed: ${r.toSeq}")
   }
 
+  test("harmonicCentrality: exact rational sums on a known graph") {
+    // chain 1->2->3->4 with sources {1,2}: d(1,2)=1 d(1,3)=2 d(1,4)=3;
+    // d(2,3)=1 d(2,4)=2. H(2)=1, H(3)=1/2+1=3/2, H(4)=1/3+1/2=5/6,
+    // H(1) absent (never reached, sources score only as targets)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("s", "d")
+    val src = Seq(1L, 2L).toDF("node")
+    val lcm = GraphAlgos.lcmUpTo(40)
+    val got = GraphAlgos.harmonicCentrality(edges, "s", "d", src)
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(2L, 3L, 4L))
+    assert(got(2L) === ((lcm, 1.0)))
+    assert(got(3L) === ((lcm / 2 + lcm, (lcm / 2 + lcm).toDouble / lcm)))
+    assert(got(4L) === ((lcm / 3 + lcm / 2,
+      (lcm / 3 + lcm / 2).toDouble / lcm)))
+    // distributed tier agrees exactly (integer sums are order-free)
+    val dist = GraphAlgos.harmonicCentrality(edges, "s", "d", src,
+      maxDriverEdges = 0L).as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dist === got)
+  }
+
   test("modularity: two triangles + bridge, exact integers and dq") {
     // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 => m=7; each
     // triangle community: e_in=3, deg_sum=7, dq=(4*7*3-49)/196=35/196.
