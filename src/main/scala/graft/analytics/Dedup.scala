@@ -683,7 +683,8 @@ object Dedup {
     rows.alias("l").join(rows.alias("r"),
         col("l.vh") === col("r.vh") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
-        levenshtein(col("l.s"), col("r.s"), maxDist).cast("long").as("dist"))
+        graft.functions.EditDistanceLe(col("l.s"), col("r.s"), maxDist)
+          .cast("long").as("dist"))
       .where(col("dist") >= 0)
       .dropDuplicates("id_a", "id_b")
   }
