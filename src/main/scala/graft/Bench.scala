@@ -503,6 +503,31 @@ object Bench {
       } catch {
         case e: Throwable => errors(s"${tag}_ivf_pq_probe") = errText(e)
       }
+      // model-training loop at N×: 10 full-batch logistic-GD rounds over
+      // hashed bag-of-words of the N× corpus + a scoring pass — the
+      // "model as plan literal, gradient as one aggregate" pattern's
+      // scaling evidence (rounds fixed, per-round cost ∝ corpus)
+      if (full) smoke(s"${tag}_text_lr") {
+        import graft.analytics.{LinearModel, TextOps}
+        val rows = TextOps.hashedTf(docsX(withSource = false),
+            "doc_id", "text", 64)
+          .select(col("doc_id").as("id"), col("bucket"), col("tf"))
+        val sign = lit(1L) - lit(2L) * (col("bucket") % 2L)
+        val labels = rows.groupBy("id")
+          .agg(when(sum(col("tf") * sign) > 0, lit(1.0))
+            .otherwise(lit(0.0)).as("y"))
+        val w = LinearModel.trainLogReg(rows, labels, 64, iters = 10,
+          lr = 1.0)
+        noop(LinearModel.predict(rows, w))
+      }
+      // PCA power iteration at N×: 10 C·w aggregate rounds over the N×
+      // vectors (covariance never materialized)
+      if (full) smoke(s"${tag}_sim_pca") {
+        val e = embX.cache()
+        try Similarity.principalComponents(e, "vec_id", "embedding", 64,
+          nComponents = 1, iters = 10)
+        finally e.unpersist()
+      }
     }
     if (wants("x10")) scaleTier(10, full = true)
     // the 100× tier: the judge's scale-proof block (47 M quads / 500 k

@@ -1617,6 +1617,26 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // seeded label spreading (semi-supervised classification): the 5
+    // region nodes seed their own ids as class labels; 30 synchronous
+    // majority rounds classify every node of the undirected star graph
+    // (max region distance ~27) — exact differential contract vs the
+    // sequential reference, labeled-count recomputed by the oracle
+    "graph_labelspread" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      val edges = g.quads.where(col("p").isin(preds: _*))
+        .select(col("s").as("src"), col("o").as("dst"))
+      val seeds = {
+        import s.implicits._
+        t(s, d, "region").select(col("r_regionkey")).as[Long].collect()
+          .toSeq.map(k => { val id = QValue.id(iri(s"region:$k")); (id, id) })
+          .toDF("node", "label")
+      }
+      GraphAlgos.labelSpreadContract(edges, "src", "dst", seeds,
+        "node", "label", iterations = 30)
+    }),
     // betweenness centrality (Brandes) from 4 deterministic sources:
     // distributed level-synchronous forward/backward sweeps vs exact
     // driver Brandes — differential contract (sigma sums exact, delta
@@ -2289,6 +2309,14 @@ object SparkEntry {
       """SELECT TRUE AS hyperball_ok,
         |  CAST((SELECT count(*) FROM customer)
         |    + (SELECT count(*) FROM nation) AS BIGINT) AS n_nodes""".stripMargin,
+    // label spreading: exact-map contract engine-side; after 30 rounds
+    // every star-graph node is labeled (max region distance ~27), so
+    // the oracle recounts the full node universe
+    "graph_labelspread" ->
+      """SELECT TRUE AS spread_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_labeled""".stripMargin,
     // betweenness contract: estimates checked engine-side; the oracle
     // pins the node universe of the five-predicate star graph
     "graph_betweenness" ->

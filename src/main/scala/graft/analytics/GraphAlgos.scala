@@ -949,6 +949,88 @@ object GraphAlgos {
     lab
   }
 
+  /** Seeded label spreading (semi-supervised node classification):
+    * `seeds` carry fixed class labels; each synchronous round every
+    * NON-seed node adopts the majority label among its currently-
+    * labeled neighbors (count desc, then min label — deterministic),
+    * seeds stay clamped. The classification counterpart of
+    * [[labelPropagation]]: same one-join-one-aggregate round shape,
+    * integer arithmetic only, O(iterations) rounds regardless of graph
+    * size. Unreached nodes are absent from the output (label null has
+    * no row). Returns (node, label).
+    */
+  def labelSpread(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: DataFrame, nodeCol: String, labelCol: String,
+                  iterations: Int = 10,
+                  checkpointEvery: Int = 4): DataFrame = {
+    val e0 = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint(true)
+    val seed = seeds.select(col(nodeCol).as("node"),
+      col(labelCol).as("label")).distinct().localCheckpoint(true)
+    var labels = seed
+    for (i <- 1 to iterations) {
+      val nbr = e.join(labels, e("v") === labels("node"))
+        .select(e("u").as("node"), col("label"))
+      val majority = nbr.groupBy("node", "label")
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min_by(col("label"),
+          struct((-col("c")).as("nc"), col("label").as("lb"))).as("label"))
+      labels = seed.unionByName(
+        majority.join(seed.select("node"), Seq("node"), "left_anti"))
+      if (i % checkpointEvery == 0 && i < iterations)
+        labels = labels.localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Sequential reference of [[labelSpread]]'s synchronous update (the
+    * differential oracle; exact integer agreement).
+    */
+  def labelSpreadLocal(edges: Seq[(Long, Long)], seeds: Map[Long, Long],
+                       iterations: Int = 10): Map[Long, Long] = {
+    val sym = (edges ++ edges.map(e => (e._2, e._1)))
+      .filter(e => e._1 != e._2).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).distinct
+    }
+    var lab = seeds
+    for (_ <- 1 to iterations) {
+      val prev = lab
+      val next = adj.keysIterator.filterNot(seeds.contains).flatMap { v =>
+        val counts = adj(v).flatMap(prev.get).groupBy(identity)
+          .map { case (l, ls) => l -> ls.size.toLong }
+        if (counts.isEmpty) None
+        else Some(v -> counts.toSeq.map { case (l, c) => (-c, l) }.min._2)
+      }.toMap
+      lab = seeds ++ next
+    }
+    lab
+  }
+
+  /** Contract harness for the driver oracle: distributed label spread
+    * vs the sequential reference — exact (node, label) map equality.
+    */
+  def labelSpreadContract(edges: DataFrame, srcCol: String,
+                          dstCol: String, seeds: DataFrame,
+                          nodeCol: String, labelCol: String,
+                          iterations: Int = 10): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = labelSpread(edges, srcCol, dstCol, seeds, nodeCol,
+        labelCol, iterations)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val sd = seeds.select(col(nodeCol), col(labelCol)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = labelSpreadLocal(es, sd, iterations)
+    spark.range(1).select(lit(dist == local).as("spread_ok"),
+      lit(local.size.toLong).as("n_labeled"))
+  }
+
   /** Contract harness for the driver oracle: distributed LPA vs the
     * sequential reference on the same (small) edge list — exact (node,
     * label) map equality. The collect is the oracle side only.

@@ -584,6 +584,41 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r.getBoolean(0), s"contract failed: ${r.toSeq}")
   }
 
+  test("labelSpread: seeds clamp, majority spreads, ties take min") {
+    // path 10 - 1 - 2 - 3 - 20 with seeds 10->100, 20->200. Round 2:
+    // node 2 ties {100, 200} -> min = 100. Round 3: node 3 then ties
+    // {2:100, 20:200} -> min = 100 too — the min tie-break cascades
+    // down the path (deterministic, matches the sequential reference).
+    val edges = Seq((10L, 1L), (1L, 2L), (2L, 3L), (3L, 20L)).toDF("s", "d")
+    val seeds = Seq((10L, 100L), (20L, 200L)).toDF("n", "l")
+    val got = GraphAlgos.labelSpread(edges, "s", "d", seeds, "n", "l",
+      iterations = 10).as[(Long, Long)].collect().toMap
+    assert(got(10L) === 100L && got(20L) === 200L) // clamped
+    assert(got(1L) === 100L && got(2L) === 100L && got(3L) === 100L)
+    assert(got === GraphAlgos.labelSpreadLocal(
+      Seq((10L, 1L), (1L, 2L), (2L, 3L), (3L, 20L)),
+      Map(10L -> 100L, 20L -> 200L), 10))
+    // unambiguous majority: a clique around seed 300 overrides one
+    // distant competing label edge
+    val e2 = Seq((30L, 5L), (31L, 5L), (32L, 5L), (20L, 5L)).toDF("s", "d")
+    val s2 = Seq((30L, 300L), (31L, 300L), (32L, 300L), (20L, 200L))
+      .toDF("n", "l")
+    val g2 = GraphAlgos.labelSpread(e2, "s", "d", s2, "n", "l",
+      iterations = 3).as[(Long, Long)].collect().toMap
+    assert(g2(5L) === 300L) // majority 3 vs 1 beats the min tie-break
+  }
+
+  test("labelSpreadContract holds on random seeded graphs") {
+    val rnd = new scala.util.Random(59)
+    val edges = (1 to 150).map(_ =>
+      (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("s", "d")
+    val seeds = Seq((0L, 7L), (1L, 9L), (2L, 7L)).toDF("n", "l")
+    val r = GraphAlgos.labelSpreadContract(edges, "s", "d", seeds,
+      "n", "l").collect()(0)
+    assert(r.getBoolean(0), s"contract failed: ${r.toSeq}")
+  }
+
   test("harmonicCentrality: exact rational sums on a known graph") {
     // chain 1->2->3->4 with sources {1,2}: d(1,2)=1 d(1,3)=2 d(1,4)=3;
     // d(2,3)=1 d(2,4)=2. H(2)=1, H(3)=1/2+1=3/2, H(4)=1/3+1/2=5/6,
