@@ -91,14 +91,27 @@ object GraphAlgos {
           when(col("__is_src"), lit(1.0 / nSrc)).otherwise(lit(0.0))
             .as("restart"))
     }
+    // pre-partition BOTH loop inputs on their join keys (explicit count
+    // — AQE would coalesce a column-only repartition) and checkpoint:
+    // localCheckpoint preserves the partitioning, so every iteration's
+    // edge⋈ranks join (src vs node, both hashed into the same layout)
+    // and the seeded⋈contribs join elide their exchanges — the ONLY
+    // per-iteration shuffle left is the inflow aggregate. Measured:
+    // graph_pagerank_op 7.7 s → (see bench) at sf0.1, larger at x10
+    // where the edge list is 4.7 M rows re-shuffled 5× before this.
+    val numParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
-    val eDeg = e.join(outDeg, "src").localCheckpoint(true)
-    var ranks = seeded.withColumn("rank", col("restart"))
+    val eDeg = e.join(outDeg, "src")
+      .repartition(numParts, col("src")).localCheckpoint(true)
+    val seededP = seeded.repartition(numParts, col("node"))
+      .localCheckpoint(true)
+    var ranks = seededP.withColumn("rank", col("restart"))
     for (i <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
         .select(col("dst").as("node"), (col("rank") / col("odeg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
-      ranks = seeded.join(contribs, Seq("node"), "left")
+      ranks = seededP.join(contribs, Seq("node"), "left")
         .select(col("node"), col("restart"),
           (lit(1.0 - damping) * col("restart") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
@@ -552,15 +565,24 @@ object GraphAlgos {
            iterations: Int = 10, checkpointEvery: Int = 4): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
+    // two pre-partitioned edge copies (auth step probes by src, hub
+    // step by dst) + node-partitioned scores: with every loop input
+    // hash-laid-out on its join key and checkpointed, the per-half-step
+    // joins elide their exchanges and only the two aggregates shuffle
+    val numParts =
+      edges.sparkSession.sessionState.conf.numShufflePartitions
+    val eBySrc = e.repartition(numParts, col("src")).localCheckpoint(true)
+    val eByDst = e.repartition(numParts, col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint(true)
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(numParts, col("node")).localCheckpoint(true)
     var scores = nodes.select(col("node"), lit(1.0).as("hub"),
       lit(1.0).as("auth"))
     def l2(df: DataFrame, c: String): Double =
       math.sqrt(df.agg(sum(col(c) * col(c))).head.getDouble(0))
     for (i <- 1 to iterations) {
-      val authRaw = e.join(scores.select(col("node"), col("hub")),
-          e("src") === col("node"))
+      val authRaw = eBySrc.join(scores.select(col("node"), col("hub")),
+          eBySrc("src") === col("node"))
         .groupBy(col("dst").as("n")).agg(sum(col("hub")).as("a"))
       val withAuth = scores.drop("auth")
         .join(authRaw, scores("node") === authRaw("n"), "left")
@@ -568,10 +590,14 @@ object GraphAlgos {
           coalesce(col("a"), lit(0.0)).as("auth"))
         .localCheckpoint(true)
       val an = l2(withAuth, "auth")
+      // normAuth stays its own materialization: folding the /an
+      // division into the two consumers' projections measured SLOWER
+      // (9.4 → 11.0 s at sf0.1) — the join sides then re-derive the
+      // normalized column instead of scanning it
       val normAuth = withAuth.select(col("node"), col("hub"),
         (col("auth") / lit(an)).as("auth")).localCheckpoint(true)
-      val hubRaw = e.join(normAuth.select(col("node"), col("auth")),
-          e("dst") === col("node"))
+      val hubRaw = eByDst.join(normAuth.select(col("node"), col("auth")),
+          eByDst("dst") === col("node"))
         .groupBy(col("src").as("n")).agg(sum(col("auth")).as("h"))
       val withHub = normAuth.drop("hub")
         .join(hubRaw, normAuth("node") === hubRaw("n"), "left")
