@@ -308,8 +308,15 @@ object Dedup {
       ids.join(broadcast(labelsDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     } else {
-      var edges = pr.unionByName(
+      // pre-partitioned on the round-join key (explicit count — AQE
+      // would coalesce a column-only repartition) so the edge side of
+      // every propagation round's join skips its exchange; only the
+      // min-label aggregate shuffles per round (same trick as the
+      // pageRank loop)
+      val edges = pr.unionByName(
           pr.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .repartition(spark.sessionState.conf.numShufflePartitions,
+          col("id_b"))
         .localCheckpoint()
       var labels = edges.select(col("id_a").as("id"))
         .distinct().withColumn("cluster", col("id"))

@@ -1208,11 +1208,17 @@ object GraphAlgos {
     */
   private def minLabelFixedPoint(nodes: DataFrame,
                                  edges: DataFrame): DataFrame = {
+    // one up-front hash layout on the round-join key, amortized over
+    // every fixed-point round (the pageRank-loop trick)
+    val e = edges.repartition(
+        edges.sparkSession.sessionState.conf.numShufflePartitions,
+        col("u"))
+      .localCheckpoint(true)
     var lab = nodes.select(col("node"), col("node").as("lb"))
       .localCheckpoint(true)
     var changed = true
     while (changed) {
-      val viaEdges = edges
+      val viaEdges = e
         .join(lab.select(col("node").as("u"), col("lb").as("lu")), "u")
         .select(col("v").as("node"), col("lu").as("cand"))
       // doubling: adopt the label of one's label (label values are
