@@ -1617,6 +1617,24 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // k-truss (k=3: every edge in >=1 triangle after iterative peel)
+    // over the same composed triangle-rich edge set as graph_triangles
+    // — exact (edge, support) differential contract vs a sequential
+    // peel; the oracle recounts the canonical input edges
+    "graph_ktruss" -> ((s, d) => {
+      val g = graph(s, d)
+      def ep(name: String) =
+        g.quads.where(col("p") === QValue.id(iri(name)))
+          .select(col("s").as("x"), col("o").as("y"))
+      def comp(lhs: DataFrame, rhs: DataFrame) =
+        lhs.join(rhs.select(col("x").as("m"), col("y").as("z")),
+          col("y") === col("m"))
+          .select(col("x"), col("z").as("y"))
+      val cn = ep("c_nation"); val nr = ep("n_region"); val sn = ep("s_nation")
+      val edges = Seq(cn, nr, sn, comp(cn, nr), comp(sn, nr),
+        ep("o_cust"), ep("n_prev")).reduce(_ unionByName _)
+      GraphAlgos.kTrussContract(edges, "x", "y", k = 3)
+    }),
     // seeded label spreading (semi-supervised classification): the 5
     // region nodes seed their own ids as class labels; 30 synchronous
     // majority rounds classify every node of the undirected star graph
@@ -2309,6 +2327,31 @@ object SparkEntry {
       """SELECT TRUE AS hyperball_ok,
         |  CAST((SELECT count(*) FROM customer)
         |    + (SELECT count(*) FROM nation) AS BIGINT) AS n_nodes""".stripMargin,
+    // k-truss: exact-map contract engine-side; the oracle recounts the
+    // canonical undirected input edges (same u CTE as graph_triangles)
+    "graph_ktruss" ->
+      """WITH edges AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS s,
+        |         'n' || CAST(c_nationkey AS VARCHAR) AS o FROM customer
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+        |  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL SELECT 'c' || CAST(c_custkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR)
+        |    FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR)
+        |    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  UNION ALL SELECT 'o' || CAST(o_orderkey AS VARCHAR),
+        |         'c' || CAST(o_custkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'n' || CAST(n_nationkey - 1 AS VARCHAR)
+        |    FROM nation WHERE n_nationkey >= 1),
+        |u AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        |  FROM edges WHERE s <> o)
+        |SELECT TRUE AS ktruss_ok,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u) AS n_input_edges""".stripMargin,
     // label spreading: exact-map contract engine-side; after 30 rounds
     // every star-graph node is labeled (max region distance ~27), so
     // the oracle recounts the full node universe

@@ -197,6 +197,123 @@ object GraphAlgos {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Canonical undirected edges `(a, b)`, a < b. */
+  private def undirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
+      .where(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("a"),
+        greatest(col("x"), col("y")).as("b"))
+      .distinct()
+
+  /** Per-edge triangle supports of a canonical undirected edge set:
+    * `(a, b, sup)` for every edge (sup 0 when triangle-free). Same
+    * degree-ordered orientation as [[triangleCount]] (one pivot per
+    * triangle, wedge fan-out O(√E)); each triangle explodes to its
+    * three canonical edges, then one hash aggregate.
+    */
+  private def edgeSupports(und: DataFrame): DataFrame = {
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
+    val tri = e1.join(e2,
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("p"), col("e1.v").as("x"),
+        col("e2.v").as("y"))
+      .join(und.select(col("a").as("x"), col("b").as("y")),
+        Seq("x", "y"))
+    val sup = tri.select(explode(array(
+        struct(least(col("p"), col("x")).as("ea"),
+          greatest(col("p"), col("x")).as("eb")),
+        struct(least(col("p"), col("y")).as("ea"),
+          greatest(col("p"), col("y")).as("eb")),
+        struct(col("x").as("ea"), col("y").as("eb")))).as("e"))
+      .select(col("e.ea").as("a"), col("e.eb").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("sup"))
+    und.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("sup"), lit(0L)).as("sup"))
+  }
+
+  /** k-truss: the maximal subgraph in which every edge participates in
+    * ≥ k−2 triangles — the edge-level cohesion mining that community
+    * detection pipelines run where k-core is too permissive. Iterative
+    * peel: recompute supports, drop under-supported edges, repeat to a
+    * fixed point (dropping an edge can only lower other supports, so
+    * the loop is monotone; rounds ≤ peel depth). Each round is the
+    * oriented triangle enumeration + one aggregate — nothing quadratic
+    * in hubs. Returns the surviving edges with their within-truss
+    * supports `(a, b, sup)`.
+    */
+  def kTruss(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+             maxRounds: Int = 100): DataFrame = {
+    require(k >= 2, "kTruss: k must be >= 2")
+    val minSup = (k - 2).toLong
+    var und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var n = und.count()
+    var rounds = 0
+    while (rounds < maxRounds) {
+      rounds += 1
+      val withSup = edgeSupports(und)
+        .where(col("sup") >= minSup).localCheckpoint(true)
+      val m = withSup.count()
+      if (m == n) return withSup
+      und = withSup.select("a", "b")
+      n = m
+    }
+    edgeSupports(und).where(col("sup") >= minSup)
+  }
+
+  /** Sequential reference of [[kTruss]] (the differential oracle). */
+  def kTrussLocal(edges: Seq[(Long, Long)],
+                  k: Int): Map[(Long, Long), Long] = {
+    var und = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct.toSet
+    val minSup = (k - 2).toLong
+    var changed = true
+    var sup = Map.empty[(Long, Long), Long]
+    while (changed) {
+      val adj = und.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).map { case (kk, v) => kk -> v.map(_._2).toSet }
+      sup = und.map { case (a, b) =>
+        (a, b) -> (adj(a) & adj(b)).size.toLong
+      }.toMap
+      val keep = und.filter(e => sup(e) >= minSup)
+      changed = keep.size != und.size
+      und = keep
+    }
+    sup.filter { case (e, s) => und(e) && s >= minSup }
+  }
+
+  /** Contract harness for the driver oracle: distributed peel vs the
+    * sequential reference — exact (edge, support) map equality. One row
+    * `(ktruss_ok, n_input_edges)`, input-edge count recomputed by the
+    * SQL oracle.
+    */
+  def kTrussContract(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = kTruss(edges, srcCol, dstCol, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = kTrussLocal(es, k)
+    val nIn = undirected(edges, srcCol, dstCol).count()
+    spark.range(1).select(lit(dist == local).as("ktruss_ok"),
+      lit(nIn).as("n_input_edges"))
+  }
+
   /** Per-node triangle participation joined with degree, summarized as
     * the relabeling-invariant (degree, n_triangles) → node-count
     * histogram — the local-clustering-coefficient profile in exact

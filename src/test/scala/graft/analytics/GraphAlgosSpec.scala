@@ -584,6 +584,37 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r.getBoolean(0), s"contract failed: ${r.toSeq}")
   }
 
+  test("kTruss: peeling cascade on a known graph") {
+    // K4 on {1,2,3,4} (every edge support 2) plus a pendant triangle
+    // {4,5,6} and a dangling edge (6,7). k=4 demands support >= 2:
+    // the pendant triangle's edges have support 1 -> peeled; K4 stays.
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (6L, 7L)))
+      .toDF("s", "d")
+    val t4 = GraphAlgos.kTruss(edges, "s", "d", k = 4)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(t4 === Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L))
+    // k=3 keeps both triangles, drops only the dangling edge
+    val t3 = GraphAlgos.kTruss(edges, "s", "d", k = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(t3.keySet.size === 9 && !t3.contains((6L, 7L)))
+    assert(t3((4L, 5L)) === 1L && t3((1L, 2L)) === 2L)
+  }
+
+  test("kTrussContract holds on random graphs") {
+    val rnd = new scala.util.Random(73)
+    val edges = (1 to 140).map(_ =>
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("s", "d")
+    for (k <- Seq(3, 4)) {
+      val r = GraphAlgos.kTrussContract(edges, "s", "d", k).collect()(0)
+      assert(r.getBoolean(0), s"k=$k contract failed: ${r.toSeq}")
+    }
+  }
+
   test("labelSpread: seeds clamp, majority spreads, ties take min") {
     // path 10 - 1 - 2 - 3 - 20 with seeds 10->100, 20->200. Round 2:
     // node 2 ties {100, 200} -> min = 100. Round 3: node 3 then ties
