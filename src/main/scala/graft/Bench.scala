@@ -503,6 +503,24 @@ object Bench {
       } catch {
         case e: Throwable => errors(s"${tag}_ivf_pq_probe") = errText(e)
       }
+      // fuzzy edit-distance join at N×: per-copy 2-char prefix codes
+      // (pairwise Hamming 2 > maxDist=1), so no candidate pair crosses
+      // copies and the deletion-join does exactly N× the 1× work
+      if (full) smoke(s"${tag}_dedup_fuzzy") {
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select(col("c_custkey"), col("c_name"))
+        val codes = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg",
+          "hh", "ii", "jj")
+        val namesX = (0 until mult).map(k =>
+          cust.select((col("c_custkey") + lit(k * 100000000L)).as("id"),
+            // doubled decade digit keeps ANY two copy codes at Hamming
+            // >= 2, even past 10 copies
+            concat(lit(codes(k % codes.length).toString +
+              (k / codes.length) + (k / codes.length)),
+              col("c_name")).as("nm")))
+          .reduce(_ union _)
+        noop(Dedup.editDistancePairs(namesX, "id", "nm"))
+      }
       // model-training loop at N×: 10 full-batch logistic-GD rounds over
       // hashed bag-of-words of the N× corpus + a scoring pass — the
       // "model as plan literal, gradient as one aggregate" pattern's

@@ -45,7 +45,13 @@ object LinearModel {
   def trainLogReg(rows: DataFrame, labels: DataFrame, dim: Int,
                   iters: Int = 40, lr: Double = 1.0,
                   l2: Double = 0.0): Array[Double] = {
-    val data = withBias(rows, labels).cache()
+    // cache the feature rows hash-laid-out on id: the margin aggregate
+    // (grouping subsumes id) and the residual join then run exchange-
+    // free, leaving ONE shuffle per round (the per-bucket gradient)
+    val data = withBias(rows, labels)
+      .repartition(rows.sparkSession.sessionState.conf
+        .numShufflePartitions, col("id"))
+      .cache()
     val n = math.max(labels.count(), 1L).toDouble
     val w = Array.fill(dim + 1)(0.0)
     (0 until iters).foreach { _ =>
