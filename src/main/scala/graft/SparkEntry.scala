@@ -1738,6 +1738,14 @@ object SparkEntry {
     // worst overestimate within 4*N/width; n_tokens crosses engines
     "text_cms" -> ((s, d) =>
       TextOps.cmsContract(t(s, d, "documents"), "text")),
+    // weighted sampling without replacement (Efraimidis-Spirakis):
+    // top-k by ln(u)/w, u hash-derived — deterministic, one global
+    // top-k, no full sort; contract checks size/validity/
+    // reproducibility and that weighting biases the sampled mean up
+    "q_weighted_sample" -> ((s, d) =>
+      TextOps.sampleByWeightContract(
+        t(s, d, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 100)),
     // blocklist scan: one RE2 alternation automaton over the corpus
     // (linear-time multi-phrase matching); exact value-level oracle
     "text_blocklist" -> ((s, d) =>
@@ -2471,6 +2479,11 @@ object SparkEntry {
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract
     "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
+    // weighted sampling: guarantees checked engine-side; corpus size
+    // crosses engines
+    "q_weighted_sample" ->
+      """SELECT TRUE AS sample_ok, CAST(100 AS BIGINT) AS k,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs""".stripMargin,
     // blocklist: LIKE-disjunction brute force over the same
     // normalization
     "text_blocklist" ->

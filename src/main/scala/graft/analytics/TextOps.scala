@@ -804,6 +804,58 @@ object TextOps {
       lit(local.size.toLong).as("n_scored"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * the top-k rows by key = ln(u)/w with u ∈ (0, 1] hash-derived from
+    * (id, salt) — drawing the top-k under this key is provably
+    * identical in distribution to sequential weighted sampling without
+    * replacement, which makes it the one-pass importance-resampling
+    * primitive that pairs with [[importanceWeights]]-style scores.
+    * Deterministic in `salt` (re-evaluation returns the same rows —
+    * required for cached-plan correctness); rows with non-positive
+    * weight are excluded. Plan: per-row key + global top-k
+    * (TakeOrdered — per-partition heaps then a k-row merge, no full
+    * sort shuffle, the only scalable shape for k ≪ N).
+    */
+  def sampleByWeight(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = ""): DataFrame = {
+    require(k >= 1, "sampleByWeight: k must be >= 1")
+    // u in (0, 1]: 60-bit md5 fraction, nudged off zero so ln is finite
+    val u = (conv(substring(md5(concat(col(idCol).cast("string"),
+        lit(salt))), 1, 15), 16, 10).cast("double") + lit(1.0)) /
+      lit((1L << 60).toDouble)
+    df.where(col(weightCol) > 0)
+      .withColumn("__wk", log(u) / col(weightCol))
+      .orderBy(col("__wk").desc, col(idCol))
+      .limit(k)
+      .drop("__wk")
+  }
+
+  /** Contract harness for the driver oracle: the sample has exactly
+    * min(k, eligible) rows, every id is a valid corpus id, the draw is
+    * reproducible, and weighting BITES — the sampled mean weight
+    * exceeds the corpus mean (deterministic here: fixed salt, fixed
+    * corpus). One row `(sample_ok, k, n_docs)`; n_docs crosses engines.
+    */
+  def sampleByWeightContract(df: DataFrame, idCol: String,
+                             weightCol: String, k: Int,
+                             salt: String = "s1"): DataFrame = {
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"),
+      col(weightCol).cast("double").as("w")).cache()
+    val n = base.count()
+    val eligible = base.where(col("w") > 0).count()
+    def draw() = sampleByWeight(base, "id", "w", k, salt)
+    val s1 = draw().select(col("id")).collect().map(_.get(0)).toSet
+    val s2 = draw().select(col("id")).collect().map(_.get(0)).toSet
+    val valid = base.select("id").collect().map(_.get(0)).toSet
+    val meanAll = base.where(col("w") > 0).agg(avg("w")).head.getDouble(0)
+    val meanSample = draw().agg(avg("w")).head.getDouble(0)
+    val ok = s1 == s2 && s1.size == math.min(k.toLong, eligible).toInt &&
+      s1.subsetOf(valid) && meanSample > meanAll
+    spark.range(1).select(lit(ok).as("sample_ok"), lit(k.toLong).as("k"),
+      lit(n).as("n_docs"))
+  }
+
   /** Blocklist scan: ids of documents whose normalized text contains
     * ANY of the literal phrases — the banned-phrase / contamination-
     * string filter of a curation pipeline. All phrases compile into ONE

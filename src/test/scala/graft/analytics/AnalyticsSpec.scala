@@ -1009,6 +1009,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
   }
 
+  test("sampleByWeight: deterministic, biased toward heavy weights") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 1.0), (3L, 1.0), (4L, 0.0))
+      .toDF("id", "w")
+    // zero-weight rows never sampled; k > eligible returns all eligible
+    val all = TextOps.sampleByWeight(df, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(all === Set(1L, 2L, 3L))
+    // k=1 across 100 salts: P(pick heavy) = 10/12, expect ~83 hits
+    val hits = (0 until 100).count { s =>
+      TextOps.sampleByWeight(df, "id", "w", k = 1, salt = s"s$s")
+        .select("id").as[Long].head() == 1L
+    }
+    assert(hits >= 65 && hits <= 97, s"heavy item sampled $hits/100")
+    // same salt -> same draw
+    val a = TextOps.sampleByWeight(df, "id", "w", 2, "z").select("id")
+      .as[Long].collect().toSet
+    val b = TextOps.sampleByWeight(df, "id", "w", 2, "z").select("id")
+      .as[Long].collect().toSet
+    assert(a === b)
+  }
+
   test("blocklistIds matches literal phrases, escaping metacharacters") {
     import spark.implicits._
     val docs = Seq((1L, "the (a+b) formula"), (2L, "clean doc"),
