@@ -309,15 +309,16 @@ object Dedup {
         .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     } else {
       // pre-partitioned on the round-join key (explicit count — AQE
-      // would coalesce a column-only repartition) so the edge side of
-      // every propagation round's join skips its exchange; only the
-      // min-label aggregate shuffles per round (same trick as the
-      // pageRank loop)
+      // would coalesce a column-only repartition) and CACHED (cache
+      // preserves the hash layout; a localCheckpoint under AQE does
+      // not — ExplainSpec pin) so the edge side of every propagation
+      // round's join skips its exchange; only the min-label aggregate
+      // shuffles per round (same trick as the pageRank loop)
       val edges = pr.unionByName(
           pr.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .repartition(spark.sessionState.conf.numShufflePartitions,
           col("id_b"))
-        .localCheckpoint()
+        .cache()
       var labels = edges.select(col("id_a").as("id"))
         .distinct().withColumn("cluster", col("id"))
         .localCheckpoint()

@@ -91,14 +91,16 @@ object GraphAlgos {
           when(col("__is_src"), lit(1.0 / nSrc)).otherwise(lit(0.0))
             .as("restart"))
     }
-    // pre-partition BOTH loop inputs on their join keys (explicit count
-    // — AQE would coalesce a column-only repartition) and checkpoint:
-    // localCheckpoint preserves the partitioning, so every iteration's
-    // edge⋈ranks join (src vs node, both hashed into the same layout)
-    // and the seeded⋈contribs join elide their exchanges — the ONLY
-    // per-iteration shuffle left is the inflow aggregate. Measured:
-    // graph_pagerank_op 7.7 s → (see bench) at sf0.1, larger at x10
-    // where the edge list is 4.7 M rows re-shuffled 5× before this.
+    // materialize BOTH loop-invariant inputs once (localCheckpoint):
+    // before this, `seeded` (nodes.distinct + the restart column) and
+    // the degree join recomputed inside EVERY iteration — that, not
+    // shuffle layout, was the dominant cost (7.7 → ~3-4 s at sf0.1;
+    // x10 18.1 → ~10 s). A repartition+cache variant that also elides
+    // the per-round join exchanges (cache preserves partitioning —
+    // ExplainSpec pin) measured SLOWER here (6.1 s): the columnar
+    // cache round-trip of 600 k edge rows per iteration costs more
+    // than the exchange it saves at this scale. Revisit the trade at
+    // true cluster scale, where shuffle dominates scan.
     val numParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
@@ -683,13 +685,14 @@ object GraphAlgos {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     // two pre-partitioned edge copies (auth step probes by src, hub
-    // step by dst) + node-partitioned scores: with every loop input
-    // hash-laid-out on its join key and checkpointed, the per-half-step
-    // joins elide their exchanges and only the two aggregates shuffle
+    // step by dst) + node-partitioned scores: CACHED (cache preserves
+    // the hash layout where localCheckpoint under AQE does not — see
+    // the ExplainSpec pin), so the per-half-step joins elide the edge
+    // side's exchange and only the two aggregates shuffle
     val numParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
-    val eBySrc = e.repartition(numParts, col("src")).localCheckpoint(true)
-    val eByDst = e.repartition(numParts, col("dst")).localCheckpoint(true)
+    val eBySrc = e.repartition(numParts, col("src")).cache()
+    val eByDst = e.repartition(numParts, col("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .repartition(numParts, col("node")).localCheckpoint(true)
@@ -1325,12 +1328,13 @@ object GraphAlgos {
     */
   private def minLabelFixedPoint(nodes: DataFrame,
                                  edges: DataFrame): DataFrame = {
-    // one up-front hash layout on the round-join key, amortized over
-    // every fixed-point round (the pageRank-loop trick)
+    // one up-front hash layout on the round-join key, CACHED so the
+    // layout survives (amortized over every fixed-point round — the
+    // pageRank-loop trick; see the ExplainSpec partitioning pin)
     val e = edges.repartition(
         edges.sparkSession.sessionState.conf.numShufflePartitions,
         col("u"))
-      .localCheckpoint(true)
+      .cache()
     var lab = nodes.select(col("node"), col("node").as("lb"))
       .localCheckpoint(true)
     var changed = true

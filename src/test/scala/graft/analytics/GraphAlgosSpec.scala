@@ -672,6 +672,64 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(dist === got)
   }
 
+  test("modularity matches the pairwise definition on random graphs") {
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 4) {
+      val edges = (1 to 80).map(_ =>
+        (rnd.nextInt(16).toLong, rnd.nextInt(16).toLong))
+        .filter(e => e._1 != e._2).distinct
+      val mem = (0L until 16L).map(v => (v, v % 3)).toMap
+      val got = GraphAlgos.modularity(edges.toDF("s", "d"),
+          "s", "d", mem.toSeq.toDF("n", "c"), "n", "c")
+        .as[(Long, Long, Long, Double)].collect()
+      // brute force: Q = (1/2m) Σ_ij (A_ij − k_i k_j / 2m) δ(c_i, c_j)
+      val und = edges.map(e => (math.min(e._1, e._2),
+        math.max(e._1, e._2))).distinct
+      val m = und.size.toDouble
+      val deg = und.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+        .map { case (k, v) => k -> v.size.toDouble }
+      val nodes = deg.keySet.toSeq
+      val qBrute = (for {
+        i <- nodes; j <- nodes if mem(i) == mem(j)
+        aij = if (i != j &&
+          und.contains((math.min(i, j), math.max(i, j)))) 1.0 else 0.0
+      } yield aij - deg(i) * deg(j) / (2 * m)).sum / (2 * m)
+      assert(math.abs(got.map(_._4).sum - qBrute) < 1e-12,
+        s"trial $trial: Q=${got.map(_._4).sum} brute=$qBrute")
+    }
+  }
+
+  test("harmonicCentrality matches brute-force BFS on random graphs") {
+    val rnd = new scala.util.Random(53)
+    val edges = (1 to 120).map(_ =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val sources = Seq(0L, 1L, 2L)
+    val got = GraphAlgos.harmonicCentrality(edges.toDF("s", "d"),
+        "s", "d", sources.toDF("node"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> r._2).toMap
+    // brute per-source BFS
+    val adj = edges.groupBy(_._1).map { case (k, v) =>
+      k -> v.map(_._2).distinct
+    }
+    val lcm = GraphAlgos.lcmUpTo(40)
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    sources.foreach { s =>
+      val dist = scala.collection.mutable.Map(s -> 0L)
+      var frontier = List(s)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(u =>
+          adj.getOrElse(u, Nil).filter(v =>
+            !dist.contains(v) && { dist(v) = dist(u) + 1; true }))
+      }
+      dist.foreach { case (v, d) =>
+        if (d > 0) expect(v) = expect.getOrElse(v, 0L) + lcm / d
+      }
+    }
+    assert(got === expect.toMap)
+  }
+
   test("modularity: two triangles + bridge, exact integers and dq") {
     // triangle {1,2,3}, triangle {4,5,6}, bridge 3-4 => m=7; each
     // triangle community: e_in=3, deg_sum=7, dq=(4*7*3-49)/196=35/196.

@@ -125,6 +125,59 @@ class ExplainSpec extends AnyFunSuite {
     assert(fex <= 2, s"unexpected shuffle count $fex:\n$fplan")
   }
 
+  test("cache preserves hash partitioning; localCheckpoint does NOT (AQE)") {
+    // The iterative-loop layout rule (pageRank/HITS/CC/SCC/LR) depends
+    // on which materialization keeps a repartition(n, key)'s layout
+    // visible to later joins. Under AQE, localCheckpoint captures
+    // UnknownPartitioning (the adaptive plan's partitioning is unknown
+    // at checkpoint-capture time), so a join after it re-shuffles;
+    // CACHE (InMemoryRelation) keeps the partitioning and the join adds
+    // NO exchange. This pin documents both facts — if a Spark upgrade
+    // flips either, the loop layouts should be revisited.
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // force a shuffle join: a broadcast would show zero exchanges
+    // without exercising the property under test
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val n = spark.sessionState.conf.numShufflePartitions
+      val big = (0L until 5000L).map(i => (i % 500, i)).toDF("u", "v")
+        .repartition(n, col("u")).cache()
+      val small = (0L until 500L).map(i => (i, i * 2.0)).toDF("node", "r")
+        .repartition(n, col("node")).cache()
+      big.count(); small.count()
+      val joined = big.join(small, big("u") === small("node"))
+      val plan = joined.queryExecution.executedPlan.toString
+      // the cached relations' STORED build plans legitimately contain
+      // the repartition exchanges; the regression to catch is an
+      // Exchange re-inserted between the join and a cache scan — in
+      // tree print order that is an Exchange line directly above an
+      // InMemoryTableScan line
+      val lines = plan.linesIterator.toVector
+      val reShuffled = lines.zipWithIndex.exists { case (l, i) =>
+        l.contains("InMemoryTableScan") && i > 0 &&
+          lines(i - 1).contains("Exchange")
+      }
+      assert(!reShuffled,
+        s"co-partitioned cached join re-shuffled a cache scan:\n$plan")
+      assert(joined.count() === 5000L)
+      big.unpersist(); small.unpersist()
+      // the localCheckpoint counterpart DOES re-shuffle today
+      val bigC = (0L until 5000L).map(i => (i % 500, i)).toDF("u", "v")
+        .repartition(n, col("u")).localCheckpoint(true)
+      val smallC = (0L until 500L).map(i => (i, i * 2.0)).toDF("node", "r")
+        .repartition(n, col("node")).localCheckpoint(true)
+      val planC = bigC.join(smallC, bigC("u") === smallC("node"))
+        .queryExecution.executedPlan.toString
+      val exC = "Exchange hashpartitioning".r.findAllIn(planC).length
+      assert(exC > 0,
+        "localCheckpoint now preserves partitioning — switch the loop " +
+          s"layouts back to checkpoint-based co-location:\n$planC")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("decontaminate: benchmark side broadcasts, train side never shuffles text") {
     import graft.analytics.Dedup
     val spark2 = spark
