@@ -2720,6 +2720,18 @@ object SparkEntry {
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))),
+    // item-based co-occurrence similarity (collaborative filtering):
+    // top-3 co-purchasing customers per customer by shared distinct
+    // parts (>=3 shared) — exact value-level oracle; the frequent-item
+    // cap (capPerKey) is the documented scale path
+    "q_copurchase" -> ((s, d) => {
+      val cp = t(s, d, "lineitem")
+        .join(t(s, d, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"))
+      graft.analytics.CoOccur.topCoOccur(cp, "o_custkey", "l_partkey",
+        k = 3, minShared = 3L)
+    }),
     // cohort retention matrix: first-activity week per user, distinct
     // active users per (cohort, week offset) — exact value-level oracle
     "q_retention" -> ((s, d) =>
@@ -2750,6 +2762,19 @@ object SparkEntry {
     "q_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_copurchase" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |pairs AS (SELECT a.c AS c_a, b.c AS c_b,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |sym AS (SELECT c_a, c_b, shared FROM pairs
+        |  UNION ALL SELECT c_b, c_a, shared FROM pairs)
+        |SELECT c_a, c_b, shared, rk FROM (
+        |  SELECT c_a, c_b, shared, ROW_NUMBER() OVER
+        |    (PARTITION BY c_a ORDER BY shared DESC, c_b) AS rk FROM sym)
+        |WHERE rk <= 3""".stripMargin,
     "q_retention" ->
       """WITH w AS (SELECT user_id AS u, date_trunc('week', ts) AS wk
         |  FROM events),

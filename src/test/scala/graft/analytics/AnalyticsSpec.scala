@@ -1009,6 +1009,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
   }
 
+  test("topCoOccur: shared-item ranking, symmetric, capped variant") {
+    import spark.implicits._
+    import graft.analytics.CoOccur
+    // u1/u2 share {a,b,c}; u1/u3 share {a,b}; u2/u3 share {a,b};
+    // u4 shares only {a} with everyone (below minShared)
+    val rows = Seq(
+      ("u1", "a"), ("u1", "b"), ("u1", "c"), ("u1", "c"), // dup collapses
+      ("u2", "a"), ("u2", "b"), ("u2", "c"),
+      ("u3", "a"), ("u3", "b"),
+      ("u4", "a")).toDF("u", "i")
+    val got = CoOccur.topCoOccur(rows, "u", "i", k = 2, minShared = 2L)
+      .as[(String, String, Long, Int)].collect()
+      .map(r => (r._1, r._4) -> ((r._2, r._3))).toMap
+    assert(got(("u1", 1)) === (("u2", 3L))) // strongest first
+    assert(got(("u1", 2)) === (("u3", 2L)))
+    assert(got(("u2", 1)) === (("u1", 3L)))
+    assert(got(("u3", 1)) === (("u1", 2L))) // tie with u2 -> min partner
+    assert(got(("u3", 2)) === (("u2", 2L)))
+    assert(!got.keySet.exists(_._1 == "u4"))
+    // capping each item at 2 entities prunes pairs deterministically:
+    // result is still a subset of the uncapped pair structure
+    val capped = CoOccur.topCoOccur(rows, "u", "i", k = 2,
+      minShared = 1L, maxPerItem = 2)
+      .as[(String, String, Long, Int)].collect()
+    capped.foreach { case (a, b, shared, _) =>
+      assert(shared >= 1L && a != b)
+    }
+  }
+
   test("sampleByWeight: deterministic, biased toward heavy weights") {
     import spark.implicits._
     val df = Seq((1L, 10.0), (2L, 1.0), (3L, 1.0), (4L, 0.0))
