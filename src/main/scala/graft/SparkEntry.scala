@@ -2720,6 +2720,27 @@ object SparkEntry {
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))),
+    // first-order event-type transition counts per user (the Markov
+    // behavior model): one (user, ts) exchange + tiny aggregate
+    "q_transitions" -> ((s, d) =>
+      Events.transitions(events(s, d), "user_id", "ts", "event_type",
+        "event_id")),
+    // z-score outliers on doc length: moments as exact BIGINT sums
+    // (n_chars is integral), mu/sigma/z derived with a FIXED IEEE op
+    // sequence both engines reproduce — value-level float oracle
+    "q_outliers" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val m = docs.agg(count(lit(1)).as("n"),
+        sum(col("n_chars").cast("long")).as("s1"),
+        sum(col("n_chars").cast("long") * col("n_chars").cast("long"))
+          .as("s2")).head
+      val n = m.getLong(0); val s1 = m.getLong(1); val s2 = m.getLong(2)
+      val mu = s1.toDouble / n
+      val sigma = math.sqrt((s2.toDouble - s1.toDouble * s1 / n) / n)
+      docs.select(col("doc_id"),
+          ((col("n_chars").cast("double") - lit(mu)) / lit(sigma)).as("z"))
+        .where(abs(col("z")) > 1.5)
+    }),
     // item-based co-occurrence similarity (collaborative filtering):
     // top-3 co-purchasing customers per customer by shared distinct
     // parts (>=3 shared) — exact value-level oracle; the frequent-item
@@ -2762,6 +2783,27 @@ object SparkEntry {
     "q_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT event_type AS from_state, nxt AS to_state,
+        |  count(*) AS n
+        |FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2""".stripMargin,
+    // z-score outliers: moments as exact integers, then the identical
+    // IEEE op sequence (multiply, divide, subtract, divide, sqrt)
+    "q_outliers" ->
+      """WITH m AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |    CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) AS s1d,
+        |    CAST(sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+        |      AS DOUBLE) AS s2d
+        |  FROM documents),
+        |p AS (SELECT s1d / nd AS mu,
+        |    sqrt((s2d - s1d * s1d / nd) / nd) AS sigma FROM m)
+        |SELECT doc_id, (CAST(n_chars AS DOUBLE) - mu) / sigma AS z
+        |FROM documents, p
+        |WHERE abs((CAST(n_chars AS DOUBLE) - mu) / sigma) > 1.5""".stripMargin,
     "q_copurchase" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

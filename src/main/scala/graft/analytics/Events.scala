@@ -178,6 +178,25 @@ object Events {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** First-order transition counts of a per-key event sequence
+    * (the Markov-chain model of user behavior a recommender or
+    * anomaly detector trains on): for each key's events in (ts, tie)
+    * order, count (state → next state) transitions. ONE (key, ts)
+    * exchange — the lag window reuses the sessionize layout — then a
+    * tiny aggregate on (from, to). Deterministic under ts ties via the
+    * tie column.
+    */
+  def transitions(events: DataFrame, keyCol: String, tsCol: String,
+                  stateCol: String, tieCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    events.withColumn("__next", lead(col(stateCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(stateCol).as("from_state"),
+        col("__next").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def intervalJoin(left: DataFrame, right: DataFrame,
                    leftKey: String, rightKey: String, tsCol: String,
                    startCol: String, endCol: String,

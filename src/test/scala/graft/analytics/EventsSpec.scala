@@ -290,6 +290,20 @@ class EventsSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("transitions: per-key ordered next-state counts") {
+    import org.apache.spark.sql.functions._
+    // u1: a->b->a ; u2: a->b ; last events emit no transition
+    val ev = Seq(
+      ("u1", 1L, "a", 10L), ("u1", 2L, "b", 11L), ("u1", 3L, "a", 12L),
+      ("u2", 1L, "a", 20L), ("u2", 2L, "b", 21L))
+      .toDF("user_id", "t", "event_type", "event_id")
+      .select(col("user_id"), timestamp_seconds(col("t")).as("ts"),
+        col("event_type"), col("event_id"))
+    val got = Events.transitions(ev, "user_id", "ts", "event_type",
+      "event_id").as[(String, String, Long)].collect().toSet
+    assert(got === Set(("a", "b", 2L), ("b", "a", 1L)))
+  }
+
   test("retention: cohort by first week, distinct users per offset") {
     import org.apache.spark.sql.functions._
     // 2026-01-05 is a Monday. u1: weeks 0,1,3 (two events in week 1 —
