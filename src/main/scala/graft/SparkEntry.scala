@@ -2720,6 +2720,20 @@ object SparkEntry {
       .groupBy(col("event_type"),
         date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("n"))),
+    // trailing-24h per-user activity count (RANGE frame over epoch
+    // seconds — the rolling-feature window shape; one (user, ts)
+    // exchange like sessionize)
+    "q_rolling" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("es"))
+        .rangeBetween(-86399L, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").cast("long").as("es"))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"), col("n_24h"))
+    }),
     // first-order event-type transition counts per user (the Markov
     // behavior model): one (user, ts) exchange + tiny aggregate
     "q_transitions" -> ((s, d) =>
@@ -2783,6 +2797,11 @@ object SparkEntry {
     "q_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_rolling" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+        |    RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) AS n_24h
+        |FROM events""".stripMargin,
     "q_transitions" ->
       """WITH seq AS (SELECT user_id, event_type,
         |    lead(event_type) OVER (PARTITION BY user_id
