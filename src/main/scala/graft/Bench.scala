@@ -23,7 +23,8 @@ object Bench {
     "text_tfidf", "text_cms", "text_blocklist",
     "corpus_stats", "doc_sample", "pipeline_curate",
     "q_sessionize", "q_session_stats", "q_asof", "q_interval", "q_funnel",
-    "q_retention", "q_copurchase",
+    "q_retention", "q_copurchase", "q_transitions", "q_rolling",
+    "q_outliers",
     "text_lm", "text_bm25", "text_skipgrams",
     // graph analytics (degree/triangles/BFS; the PageRank and HITS
     // OPERATORS are benched separately below — their driver entries are
