@@ -125,6 +125,27 @@ class ExplainSpec extends AnyFunSuite {
     assert(fex <= 2, s"unexpected shuffle count $fex:\n$fplan")
   }
 
+  test("fuzzy-dedup and co-occurrence plans stay equi-join only") {
+    // both operators are candidate-generation joins that MUST stay
+    // hash-equi-joins — a Catalyst change degrading them to a nested-
+    // loop/cartesian would be quadratic at scale
+    import graft.analytics.{CoOccur, Dedup}
+    val spark2 = spark
+    import spark2.implicits._
+    val names = (0L until 200L).map(i => (i, f"name$i%04d")).toDF("id", "s")
+    val p1 = Dedup.editDistancePairs(names, "id", "s")
+      .queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"), p1)
+    assert(p1.contains("edit_distance_le"), p1) // banded verify in-plan
+    val baskets = (0L until 300L).map(i => (i % 60, i % 25))
+      .toDF("c", "p")
+    val p2 = CoOccur.topCoOccur(baskets, "c", "p", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
+  }
+
   test("cache preserves hash partitioning; localCheckpoint does NOT (AQE)") {
     // The iterative-loop layout rule (pageRank/HITS/CC/SCC/LR) depends
     // on which materialization keeps a repartition(n, key)'s layout
