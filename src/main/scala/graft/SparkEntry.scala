@@ -2399,7 +2399,7 @@ object SparkEntry {
         |degc AS (SELECT c.comm, sum(d) AS deg_sum FROM deg
         |  JOIN c ON deg.n = c.node GROUP BY c.comm)
         |SELECT cm.comm AS community, COALESCE(e_in, 0) AS e_in,
-        |  COALESCE(deg_sum, 0) AS deg_sum,
+        |  CAST(COALESCE(deg_sum, 0) AS BIGINT) AS deg_sum,
         |  CAST(4 * m.m * COALESCE(e_in, 0)
         |      - COALESCE(deg_sum, 0) * COALESCE(deg_sum, 0) AS DOUBLE)
         |    / CAST(4 * m.m * m.m AS DOUBLE) AS dq

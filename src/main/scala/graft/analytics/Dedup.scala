@@ -681,13 +681,17 @@ object Dedup {
       case _ => array_distinct(concat(array(s), lvl1,
         flatten(transform(lvl1, v => deleteOne(v)))))
     }
-    // cache: both sides of the variant self-join — uncached, the variant
-    // explode runs twice (same rule as the banded joins above)
+    // materialize once: both sides of the variant self-join — otherwise
+    // the variant explode runs twice (same rule as the banded joins
+    // above). localCheckpoint, not cache: the returned plan stays lazy
+    // over it, and checkpoint blocks are ContextCleaner-tracked (freed
+    // when unreachable) where a .cache() would pin the variant table in
+    // the CacheManager for the life of the session
     val rows = df.select(col(idCol).as("id"), col(strCol).as("s"))
       .where(col("s").isNotNull)
       .select(col("id"), col("s"), explode(variants).as("v"))
       .select(col("id"), col("s"), xxhash64(col("v")).as("vh"))
-      .cache()
+      .localCheckpoint(true)
     rows.alias("l").join(rows.alias("r"),
         col("l.vh") === col("r.vh") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

@@ -848,10 +848,18 @@ object TextOps {
     val s1 = draw().select(col("id")).collect().map(_.get(0)).toSet
     val s2 = draw().select(col("id")).collect().map(_.get(0)).toSet
     val valid = base.select("id").collect().map(_.get(0)).toSet
-    val meanAll = base.where(col("w") > 0).agg(avg("w")).head.getDouble(0)
+    val st = base.where(col("w") > 0)
+      .agg(avg("w"), min("w"), max("w")).head
+    val meanAll = st.getDouble(0)
+    // the mean-bias check is only meaningful when the sample is a
+    // PROPER subset (k < eligible) and the weights actually vary —
+    // sample == corpus or constant weights make the means equal by
+    // construction, not a weighting failure
+    val biasCheckable = eligible > k && st.getDouble(1) < st.getDouble(2)
     val meanSample = draw().agg(avg("w")).head.getDouble(0)
     val ok = s1 == s2 && s1.size == math.min(k.toLong, eligible).toInt &&
-      s1.subsetOf(valid) && meanSample > meanAll
+      s1.subsetOf(valid) && (!biasCheckable || meanSample > meanAll)
+    base.unpersist()
     spark.range(1).select(lit(ok).as("sample_ok"), lit(k.toLong).as("k"),
       lit(n).as("n_docs"))
   }
