@@ -1,6 +1,6 @@
 package graft
 
-import graft.core.{Formats, Graph, Pquads}
+import graft.core.{Formats, Graph, Pquads, Turtle}
 import org.apache.spark.sql.SparkSession
 
 /** The reference's CLI verbs over the existing machinery
@@ -43,6 +43,8 @@ object Cli {
     p.substring(p.lastIndexOf('.') + 1) match {
       case "nq"         => "nquads"
       case "nt"         => "ntriples"
+      case "ttl"        => "turtle"
+      case "trig"       => "trig"
       case "dot" | "gv" => "dot"
       case "json"       => "json"
       case "jsonld"     => "jsonld"
@@ -57,6 +59,7 @@ object Cli {
   private def readAs(s: SparkSession, in: String, fmt: String): Graph =
     fmt match {
       case "nquads" | "ntriples" => Graph.fromNQuads(s, in)
+      case "turtle" | "trig"     => Turtle.read(s, in)
       case "json"    => Formats.readJsonLines(s, in)
       case "jsonld"  => Formats.readJsonLd(s, in)
       case "graphml" => Formats.readGraphml(s, in)
@@ -69,6 +72,8 @@ object Cli {
   private def writeAs(g: Graph, out: String, fmt: String): Unit = fmt match {
     case "nquads"   => Formats.writeNQuads(g, out)
     case "ntriples" => Formats.writeNTriples(g, out)
+    case "turtle"   => Turtle.writeTurtle(g, out)
+    case "trig"     => Turtle.writeTrig(g, out)
     case "json"     => Formats.writeJsonLines(g, out)
     case "pq"       => Pquads.writeFile(g, out)
     case "parquet"  => g.write(out)

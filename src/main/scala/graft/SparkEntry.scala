@@ -1260,6 +1260,63 @@ object SparkEntry {
       Seq(hashed.count() == 200 && nBrute > 0 && diff == 0)
         .toDF("contract_ok")
     }),
+    // REAL compressed-image decode (JDK javax.imageio — no external
+    // codec): 200 deterministic gradient images from doc_ids, encoded
+    // as PNG and JPEG by the JDK writers, decoded back by the engine's
+    // ImageIO path. Exactness: PNG round-trips pixels BIT-EQUAL to the
+    // BMP encoding of the same buffer (→ identical pHash, and the
+    // format-preserving resize produces pixel-identical output to the
+    // pure-JVM BMP resize); JPEG (q=0.92) decodes with exact dims,
+    // mean-abs pixel error ≤ 4/255 and per-channel means within 3/255
+    "mm_jpeg" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val checks = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val w = 32; val h = 32
+          val g = (id % 23).toInt
+          // smooth per-image plane, no mod wrap: JPEG-friendly content
+          val px = Array.tabulate(w * h * 3) { i =>
+            val p = i / 3; val x = p % w; val y = p / w
+            math.min(250, x * 4 + y * 3 + (i % 3) * 9 + g).toByte
+          }
+          val bmp = Multimodal.encodeBmp(w, h, px)
+          val png = Multimodal.encodeImageIo("png", w, h, px)
+          val jpg = Multimodal.encodeJpeg(w, h, px)
+          val pngLossless = Multimodal.decodeImagePixels(png).exists {
+            case (ww, hh, q) =>
+              ww == w && hh == h && java.util.Arrays.equals(q, px)
+          }
+          val hBmp = Multimodal.phashImage(bmp)
+          val phashEq = hBmp.isDefined &&
+            Multimodal.phashImage(png) == hBmp
+          val resizeEq = (for {
+            a <- Multimodal.resizeImage(png, 8, 6)
+            b <- Multimodal.resizeImage(bmp, 8, 6)
+            pa <- Multimodal.decodeImagePixels(a)
+            pb <- Multimodal.decodeImagePixels(b)
+          } yield pa._1 == pb._1 && pa._2 == pb._2 &&
+            java.util.Arrays.equals(pa._3, pb._3)).getOrElse(false)
+          val jpgOk = Multimodal.decodeImagePixels(jpg).exists {
+            case (ww, hh, q) =>
+              ww == w && hh == h && {
+                var err = 0L; var cd = Array(0L, 0L, 0L); var i = 0
+                while (i < q.length) {
+                  val dlt = (q(i) & 0xFF) - (px(i) & 0xFF)
+                  err += math.abs(dlt); cd(i % 3) += dlt; i += 1
+                }
+                err.toDouble / q.length <= 4.0 &&
+                  cd.forall(c => math.abs(c.toDouble / (w * h)) <= 3.0)
+              }
+          }
+          (id, pngLossless, phashEq, resizeEq, jpgOk)
+        }.toDF("media_id", "png_lossless", "phash_eq", "resize_eq",
+          "jpg_ok")
+      val n = checks.count()
+      val bad = checks.where(!col("png_lossless") || !col("phash_eq") ||
+        !col("resize_eq") || !col("jpg_ok")).count()
+      Seq(n == 200 && bad == 0).toDF("contract_ok")
+    }),
     // video plumbing end-to-end: 100 synthesized GVID containers (12
     // constant-color 8x6 BMP frames each, color a function of
     // (video, frame)), sample every 3rd frame distributed, decode each
@@ -2585,6 +2642,7 @@ object SparkEntry {
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",
     "mm_phash" -> "SELECT TRUE AS contract_ok",
+    "mm_jpeg" -> "SELECT TRUE AS contract_ok",
     // video contract: exact sampled-frame counts/indexes + per-frame
     // constant-color channel means through the real BMP decoder
     "mm_video" -> "SELECT TRUE AS video_ok",

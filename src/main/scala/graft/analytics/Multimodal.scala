@@ -10,13 +10,13 @@ import org.apache.spark.sql.types._
   * is initialized once per partition, not per row — the Scala analog of
   * a Pandas-UDF-over-`mapInPandas` pipeline stage.
   *
-  * Decoders: container formats parseable without codec libraries are
-  * decoded for real — WAV (RIFF/PCM16 → rate, RMS, zero-cross rate) and
-  * BMP (uncompressed 24-bit → dimensions, channel means). Compressed
-  * codecs (JPEG/MP3/H.264) are STUBBED behind `stubDecode` (this
-  * container ships no codec libraries): deterministic fake features with
-  * the same shape, so the pipeline plumbing is exercised end-to-end and
-  * swapping in a real codec changes only one function body.
+  * Decoders: WAV (RIFF/PCM16) and BMP (uncompressed 24-bit) are parsed
+  * by pure-JVM byte math; JPEG/PNG/GIF decode and encode for REAL via
+  * the JDK's `javax.imageio` (readers/writers ship with every JRE — no
+  * external codec library). The remaining stub boundary is audio/video
+  * codecs (MP3/H.264): `stubDecode` produces deterministic fake features
+  * with the same shape, so that plumbing is exercised end-to-end and a
+  * real codec changes only one function body.
   */
 object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
@@ -127,15 +127,153 @@ object Multimodal {
       (sr / np).toFloat, (sg / np).toFloat, (sb / np).toFloat, 0f, 0f, 0f))
   }
 
-  /** Decode dispatch by magic bytes: real WAV/BMP parsing, stub fallback
-    * for codec formats. Returns (codec tag, features). Corrupt payloads
-    * that slip past the parsers' bound checks degrade to the stub rather
-    * than killing the job — one bad media row must not fail the pipeline.
+  /** Codec tag for payloads the JDK's ImageIO can decode, by magic
+    * bytes — also the guard that keeps non-image payloads (MP3/H.264
+    * fakes, arbitrary bytes) off the ImageIO attempt entirely.
+    */
+  private[graft] def imageIoTag(b: Array[Byte]): Option[String] =
+    if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8 &&
+      (b(2) & 0xFF) == 0xFF) Some("jpeg")
+    else if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' &&
+      b(2) == 'N' && b(3) == 'G') Some("png")
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8') Some("gif")
+    else None
+
+  /** Real compressed-image decode via `javax.imageio` (pure JDK — JPEG,
+    * PNG, GIF readers ship with the JRE; no external codec library).
+    * Returns pixels in [[decodeBmpPixels]]' convention: unpadded BGR,
+    * bottom-up row order. None for anything ImageIO can't read.
+    */
+  private[graft] def decodeImageIoPixels(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    if (imageIoTag(b).isEmpty) None
+    else scala.util.Try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w <= 0 || h <= 0 || w.toLong * h > (1L << 28)) None
+        else {
+          // one bulk ARGB fetch (getRGB row-at-a-time handles every
+          // color model), then flip to the bottom-up BGR convention
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = argb(y * w + x)
+              val d = ((h - 1 - y) * w + x) * 3
+              out(d) = (v & 0xFF).toByte
+              out(d + 1) = ((v >> 8) & 0xFF).toByte
+              out(d + 2) = ((v >> 16) & 0xFF).toByte
+              x += 1
+            }
+            y += 1
+          }
+          Some((w, h, out))
+        }
+      }
+    }.toOption.flatten
+
+  /** Unified raw-pixel decode: the pure-JVM BMP fast path first, then
+    * ImageIO for compressed formats. (Width, rows, BGR bottom-up.)
+    */
+  private[graft] def decodeImagePixels(
+      b: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    decodeBmpPixels(b).orElse(decodeImageIoPixels(b))
+
+  /** Encode BGR bottom-up pixels via ImageIO — `fmt` is an ImageIO
+    * format name ("png", "jpg", "gif", "bmp"). PNG round-trips pixels
+    * losslessly; JPEG is lossy by nature.
+    */
+  private[graft] def encodeImageIo(fmt: String, w: Int, rows: Int,
+                                   pixels: Array[Byte]): Array[Byte] = {
+    require(pixels.length == w * rows * 3, "pixel buffer shape mismatch")
+    val img = new java.awt.image.BufferedImage(w, rows,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        img.setRGB(x, rows - 1 - y,
+          ((pixels(s + 2) & 0xFF) << 16) | ((pixels(s + 1) & 0xFF) << 8) |
+            (pixels(s) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, fmt, bos))
+      throw new IllegalArgumentException(s"no ImageIO writer for $fmt")
+    bos.toByteArray
+  }
+
+  /** JPEG encode at an explicit quality (BGR bottom-up pixels in, JFIF
+    * bytes out) — the default-quality `encodeImageIo("jpg", ...)` path
+    * plus an ImageWriteParam. The JDK encoder is deterministic for a
+    * fixed (pixels, quality).
+    */
+  private[graft] def encodeJpeg(w: Int, rows: Int, pixels: Array[Byte],
+                                quality: Float = 0.92f): Array[Byte] = {
+    require(pixels.length == w * rows * 3, "pixel buffer shape mismatch")
+    val img = new java.awt.image.BufferedImage(w, rows,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < rows) {
+      var x = 0
+      while (x < w) {
+        val s = (y * w + x) * 3
+        img.setRGB(x, rows - 1 - y,
+          ((pixels(s + 2) & 0xFF) << 16) | ((pixels(s + 1) & 0xFF) << 8) |
+            (pixels(s) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  private def meanFeature(w: Int, rows: Int,
+                          px: Array[Byte]): Array[Float] = {
+    var (sr, sg, sb) = (0.0, 0.0, 0.0)
+    var i = 0
+    while (i < px.length) {
+      sb += px(i) & 0xFF; sg += px(i + 1) & 0xFF; sr += px(i + 2) & 0xFF
+      i += 3
+    }
+    val np = w.toDouble * rows * 255.0
+    Array(w / 4096.0f, rows / 4096.0f,
+      (sr / np).toFloat, (sg / np).toFloat, (sb / np).toFloat, 0f, 0f, 0f)
+  }
+
+  /** Decode dispatch by magic bytes: real WAV/BMP parsing, real
+    * JPEG/PNG/GIF via the JDK's ImageIO, stub fallback for the remaining
+    * codec formats (MP3/H.264). Returns (codec tag, features). Corrupt
+    * payloads that slip past the parsers' bound checks degrade to the
+    * stub rather than killing the job — one bad media row must not fail
+    * the pipeline.
     */
   private def decode(bytes: Array[Byte]): (String, Array[Float]) =
     scala.util.Try {
       decodeWav(bytes).map("wav" -> _)
         .orElse(decodeBmp(bytes).map("bmp" -> _))
+        .orElse(decodeImageIoPixels(bytes).map { case (w, rows, px) =>
+          imageIoTag(bytes).getOrElse("imageio") -> meanFeature(w, rows, px)
+        })
     }.toOption.flatten.getOrElse("stub" -> stubDecode(bytes))
 
   /** Partition-at-a-time feature extraction. The `mapPartitions` boundary
@@ -233,10 +371,43 @@ object Multimodal {
       encodeBmp(newW, newH, out)
     }
 
-  /** Partition-at-a-time image resize: BMP payloads are resampled for
-    * real (and `meta.width`/`meta.height` updated); codec formats pass
-    * through unchanged (the stub boundary — a real JPEG path plugs into
-    * `resizeBmp`'s slot). The binary column never reaches the driver.
+  /** Format-preserving resize: BMPs go through the pure-JVM fast path;
+    * JPEG/PNG/GIF decode via ImageIO, resample, and re-encode in their
+    * own format (GIF re-encodes as PNG — ImageIO's GIF writer would
+    * palette-quantize). None for payloads that are not decodable images.
+    */
+  private[graft] def resizeImage(b: Array[Byte], newW: Int,
+                                 newH: Int): Option[Array[Byte]] =
+    resizeBmp(b, newW, newH).orElse {
+      scala.util.Try {
+        decodeImageIoPixels(b).map { case (w, rows, px) =>
+          val out = new Array[Byte](newW * newH * 3)
+          var y = 0
+          while (y < newH) {
+            val sy = (y.toLong * rows / newH).toInt
+            var x = 0
+            while (x < newW) {
+              val sx = (x.toLong * w / newW).toInt
+              val s = (sy * w + sx) * 3
+              val d = (y * newW + x) * 3
+              out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+              x += 1
+            }
+            y += 1
+          }
+          val fmt = imageIoTag(b) match {
+            case Some("jpeg") => "jpg"
+            case _            => "png"
+          }
+          encodeImageIo(fmt, newW, newH, out)
+        }
+      }.toOption.flatten
+    }
+
+  /** Partition-at-a-time image resize: BMP/JPEG/PNG/GIF payloads are
+    * resampled for real (and `meta.width`/`meta.height` updated); other
+    * formats pass through unchanged (the remaining stub boundary is
+    * video codecs). The binary column never reaches the driver.
     */
   def resizeImages(media: DataFrame, newW: Int, newH: Int): DataFrame = {
     import media.sparkSession.implicits._
@@ -249,7 +420,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, kind, payload, w0, h0, sr, dur) =>
           val bytes = if (payload == null) Array.empty[Byte] else payload
-          resizeBmp(bytes, newW, newH) match {
+          resizeImage(bytes, newW, newH) match {
             case Some(out) => (id, kind, out, Some(newW), Some(newH), sr, dur)
             case None      => (id, kind, payload, w0, h0, sr, dur)
           }
@@ -278,15 +449,15 @@ object Multimodal {
     bb.array()
   }
 
-  /** 64-bit perceptual hash (classic pHash) of an uncompressed 24-bit
-    * BMP: grayscale 32×32 nearest-neighbor downsample → separable 2-D
-    * DCT-II → the low-frequency 8×8 block thresholded on its mean
-    * (excluding DC). Visually-near images differ in few bits; the
-    * Hamming distance is the near-dup metric. None for payloads that are
-    * not decodable BMPs (codec formats are the documented stub boundary).
+  /** 64-bit perceptual hash (classic pHash) of any decodable image
+    * (BMP pure-JVM, JPEG/PNG/GIF via ImageIO): grayscale 32×32
+    * nearest-neighbor downsample → separable 2-D DCT-II → the
+    * low-frequency 8×8 block thresholded on its mean (excluding DC).
+    * Visually-near images differ in few bits; the Hamming distance is
+    * the near-dup metric. None for non-image payloads.
     */
-  private[graft] def phashBmp(b: Array[Byte]): Option[Long] =
-    decodeBmpPixels(b).map { case (w, rows, px) =>
+  private[graft] def phashImage(b: Array[Byte]): Option[Long] =
+    decodeImagePixels(b).map { case (w, rows, px) =>
       val N = 32
       val g = new Array[Double](N * N)
       var y = 0
@@ -357,7 +528,7 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, p) =>
-        if (p == null) None else phashBmp(p).map(h => (id, h))
+        if (p == null) None else phashImage(p).map(h => (id, h))
       })
       .toDF("media_id", "phash")
   }

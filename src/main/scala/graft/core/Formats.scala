@@ -61,6 +61,31 @@ object Formats {
   def writeNTriples(g: Graph, path: String): Unit =
     ntripleLines(g).write.mode(SaveMode.Overwrite).text(path)
 
+  /** One TriG line per quad: default-graph quads as bare statements,
+    * named-graph quads as single-statement `<g> { s p o . }` blocks
+    * (TriG permits reopening a graph), keeping the writer line-oriented
+    * and shuffle-free. Round-trips through [[Turtle.parse]].
+    */
+  def trigLines(g: Graph): DataFrame = {
+    val n = g.nodes
+    def term(alias: String): org.apache.spark.sql.Column = termColumn(alias)
+    def dict(keyCol: String, alias: String) =
+      n.select(col("id").as(keyCol), struct(Values.fieldNames.map(col): _*)
+        .as(alias))
+    val q = g.quads
+      .join(dict("__s", "sv"), col("s") === col("__s"))
+      .join(dict("__p", "pv"), col("p") === col("__p"))
+      .join(dict("__o", "ov"), col("o") === col("__o"))
+      .join(dict("__l", "lv"), col("l") === col("__l"), "left")
+    q.select(
+      when(col("l").isNotNull,
+        concat_ws(" ", term("lv"), lit("{"), term("sv"), term("pv"),
+          term("ov"), lit(". }")))
+        .otherwise(concat_ws(" ", term("sv"), term("pv"), term("ov"),
+          lit(".")))
+        .as("value"))
+  }
+
   /** Graphviz dot document (write-only, as in the reference's quad
     * module): one `"s" -> "o" [ label = "p" ];` edge per quad. Edge rows
     * stream from the cluster; the digraph envelope is driver-written.
@@ -89,6 +114,8 @@ object Formats {
   val registry: Seq[Format] = Seq(
     Format("nquads", read = true, write = true, Seq("application/n-quads")),
     Format("ntriples", read = true, write = true, Seq("application/n-triples")),
+    Format("turtle", read = true, write = true, Seq("text/turtle")),
+    Format("trig", read = true, write = true, Seq("application/trig")),
     Format("dot", read = false, write = true, Seq("text/vnd.graphviz")),
     Format("json", read = true, write = true, Seq("application/json")),
     Format("jsonld", read = true, write = true, Seq("application/ld+json")),

@@ -157,6 +157,8 @@ final class HttpApi(initial: Graph) {
           (200, "application/json",
             s"""{"result": "Successfully wrote $n quads.", "count": $n}""")
         }
+      else if (ct.contains("text/turtle") || ct.contains("application/trig"))
+        graft.core.Turtle.parse(b)
       else if (ct.contains("application/json") || b.trim.headOption.contains('{'))
         b.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
           val m = org.json4s.jackson.JsonMethods.parse(line).values
@@ -220,6 +222,8 @@ final class HttpApi(initial: Graph) {
     format match {
       case "nquads"   => Right((fmt.mime.head, lineStream(Formats.nquadLines(sub))))
       case "ntriples" => Right((fmt.mime.head, lineStream(Formats.ntripleLines(sub))))
+      case "turtle"   => Right((fmt.mime.head, lineStream(Formats.ntripleLines(sub))))
+      case "trig"     => Right((fmt.mime.head, lineStream(Formats.trigLines(sub))))
       case "json"   => Right((fmt.mime.head, lineStream(Formats.jsonQuadLines(sub))))
       case "jsonld" => Right((fmt.mime.head, w => Formats.writeJsonLd(sub, w)))
       case "graphml" => Right((fmt.mime.head, w => Formats.writeGraphml(sub, w)))

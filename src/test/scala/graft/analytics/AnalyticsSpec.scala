@@ -670,14 +670,60 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("pHash: identical BMPs collide, one-pixel nudges stay near") {
-    def ph(b: Array[Byte]): Long = Multimodal.phashBmp(b).get
+    def ph(b: Array[Byte]): Long = Multimodal.phashImage(b).get
     assert(ph(gradBmp(1, -1)) === ph(gradBmp(1, -1)))
     (0 until 8).foreach { n =>
       val d = java.lang.Long.bitCount(ph(gradBmp(1, -1)) ^ ph(gradBmp(1, n)))
       assert(d <= 6, s"nudge $n drifted $d bits")
     }
-    // non-BMP payloads yield no hash (stub boundary, not a fake hash)
-    assert(Multimodal.phashBmp("not an image".getBytes) === None)
+    // non-image payloads yield no hash (stub boundary, not a fake hash)
+    assert(Multimodal.phashImage("not an image".getBytes) === None)
+  }
+
+  test("ImageIO: PNG round-trips losslessly; JPEG decodes close; resize") {
+    val w = 32; val h = 24
+    val px = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val x = p % w; val y = p / w
+      math.min(250, x * 4 + y * 3 + (i % 3) * 9).toByte
+    }
+    val bmp = Multimodal.encodeBmp(w, h, px)
+    val png = Multimodal.encodeImageIo("png", w, h, px)
+    val jpg = Multimodal.encodeJpeg(w, h, px)
+    assert(Multimodal.imageIoTag(png) === Some("png"))
+    assert(Multimodal.imageIoTag(jpg) === Some("jpeg"))
+    // PNG: bit-exact pixel round trip -> identical pHash to the BMP form
+    val (pw, ph2, ppx) = Multimodal.decodeImagePixels(png).get
+    assert((pw, ph2) === (w, h))
+    assert(java.util.Arrays.equals(ppx, px))
+    assert(Multimodal.phashImage(png) === Multimodal.phashImage(bmp))
+    // JPEG: exact dims, decoded pixels near the source
+    val (jw, jh, jpx) = Multimodal.decodeImagePixels(jpg).get
+    assert((jw, jh) === (w, h))
+    val meanErr = jpx.indices.map(i =>
+      math.abs((jpx(i) & 0xFF) - (px(i) & 0xFF))).sum.toDouble / jpx.length
+    assert(meanErr <= 4.0, s"jpeg mean abs err $meanErr")
+    // format-preserving resize: PNG resize == BMP resize, pixel-equal
+    val rp = Multimodal.decodeImagePixels(
+      Multimodal.resizeImage(png, 8, 6).get).get
+    val rb = Multimodal.decodeImagePixels(
+      Multimodal.resizeImage(bmp, 8, 6).get).get
+    assert(rp._1 === 8 && rp._2 === 6)
+    assert(java.util.Arrays.equals(rp._3, rb._3))
+    // resized JPEG re-encodes as JPEG, resized PNG as PNG
+    assert(Multimodal.imageIoTag(
+      Multimodal.resizeImage(jpg, 8, 6).get) === Some("jpeg"))
+    assert(Multimodal.imageIoTag(
+      Multimodal.resizeImage(png, 8, 6).get) === Some("png"))
+    // extractFeatures tags the codec and carries real channel means
+    val media = Seq((1L, "image", png), (2L, "image", jpg),
+      (3L, "image", bmp)).toDF("media_id", "kind", "payload")
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.media_id -> f).toMap
+    assert(feats(1L).codec === "png")
+    assert(feats(2L).codec === "jpeg")
+    assert(feats(3L).codec === "bmp")
+    // png features must equal bmp features exactly (same pixels)
+    assert(feats(1L).feature.toSeq === feats(3L).feature.toSeq)
   }
 
   test("phashPairs: banded Hamming join equals brute force over hashes") {

@@ -1,18 +1,38 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness check: for each query with an
 oracle, load the Spark parquet result and the DuckDB oracle result, sort
-columns by name and rows by value, and compare."""
+columns by name and rows by value, and compare.
+
+--strict: dtype-kind equality + BITWISE float compare. The driver hashes
+rendered values, so an int64 180 vs a DECIMAL-derived float64 180.0 is a
+driver-level mismatch that the default allclose compare hides (that is
+exactly how the round-6 graph_modularity red slipped through locally).
+Run the full sweep under --strict before shipping.
+"""
 import json, sys, glob
 import duckdb
+import numpy as np
 import pandas as pd
 
-out_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft-out"
-sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+args = [a for a in sys.argv[1:] if a != "--strict"]
+strict = "--strict" in sys.argv[1:]
+out_dir = args[0] if len(args) > 0 else "/tmp/graft-out"
+sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+
+def bits_equal(a, b):
+    """Bitwise float64 equality, treating any-NaN == any-NaN."""
+    av = a.astype(np.float64).values
+    bv = b.astype(np.float64).values
+    same_bits = av.view(np.int64) == bv.view(np.int64)
+    both_nan = np.isnan(av) & np.isnan(bv)
+    return bool(np.all(same_bits | both_nan))
+
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = []
@@ -41,11 +61,21 @@ for name, sql in sorted(oracle.items()):
         eq = True
         for c in gs.columns:
             a, b = gs[c], ws[c]
-            if a.dtype.kind in "fc" or b.dtype.kind in "fc":
-                import numpy as np
-                if not np.allclose(a.astype(float).fillna(-1e300),
-                                   b.astype(float).fillna(-1e300),
-                                   rtol=1e-9, atol=1e-9):
+            a_f = a.dtype.kind in "fc"
+            b_f = b.dtype.kind in "fc"
+            if strict and a.dtype.kind != b.dtype.kind and (a_f or b_f):
+                # int-vs-float column type: the driver's exact hash sees
+                # different renderings (180 vs 180.0) even when values match
+                print(f"DTYPE    {name}: column {c} got {a.dtype} want {b.dtype}")
+                eq = False
+            elif a_f or b_f:
+                if strict:
+                    if not bits_equal(a.fillna(np.nan), b.fillna(np.nan)):
+                        print(f"FLOATBITS {name}: column {c} differs bitwise")
+                        eq = False
+                elif not np.allclose(a.astype(float).fillna(-1e300),
+                                     b.astype(float).fillna(-1e300),
+                                     rtol=1e-9, atol=1e-9):
                     eq = False
             elif str(a.dtype).startswith("datetime") or str(b.dtype).startswith("datetime"):
                 if not (pd.to_datetime(a, utc=True) == pd.to_datetime(b, utc=True)).all():
