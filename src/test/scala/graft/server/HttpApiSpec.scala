@@ -16,10 +16,13 @@ class HttpApiSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private lazy val client = HttpClient.newHttpClient()
 
-  private def post(port: Int, path: String, body: String): String =
-    client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
-      .POST(HttpRequest.BodyPublishers.ofString(body)).build(),
-      HttpResponse.BodyHandlers.ofString()).body()
+  private def post(port: Int, path: String, body: String,
+                   contentType: Option[String] = None): String = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+    contentType.foreach(ct => b.header("Content-Type", ct))
+    client.send(b.build(), HttpResponse.BodyHandlers.ofString()).body()
+  }
 
   private def get(port: Int, path: String): String =
     client.send(HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
@@ -52,6 +55,18 @@ class HttpApiSpec extends AnyFunSuite {
 
       val formats = get(port, "/api/v2/formats")
       assert(formats.contains("nquads"))
+      assert(formats.contains("turtle") && formats.contains("trig"))
+      // Turtle negotiation: write a turtle body, read back as trig
+      val ttl = post(port, "/api/v2/write",
+        "@prefix x: <http://x/> . x:u x:likes x:v .",
+        Some("text/turtle"))
+      assert(ttl.contains(""""count": 1"""), ttl)
+      val trig = get(port, "/api/v2/read?format=trig&pred=%3Chttp%3A%2F%2Fx%2Flikes%3E")
+      assert(trig.contains("<http://x/u> <http://x/likes> <http://x/v> ."),
+        trig)
+      // remove the turtle-written quad so the later counts stay exact
+      post(port, "/api/v2/delete",
+        "<http://x/u> <http://x/likes> <http://x/v> .")
 
       val del = post(port, "/api/v2/delete", "<bob> <follows> <fred> .")
       assert(del.contains(""""count": 1"""), del)
