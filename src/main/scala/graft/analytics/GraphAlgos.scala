@@ -687,6 +687,8 @@ object GraphAlgos {
     */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
            iterations: Int = 10): DataFrame = {
+    require(iterations >= 1,
+      s"hits needs at least one iteration, got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().localCheckpoint(true)
     // two pre-partitioned edge copies (auth step probes by src, hub

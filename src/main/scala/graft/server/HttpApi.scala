@@ -21,6 +21,7 @@ import java.nio.charset.StandardCharsets.UTF_8
 final class HttpApi(initial: Graph) {
   @volatile private var g: Graph = initial
   private var server: HttpServer = _
+  private val reqCounter = new java.util.concurrent.atomic.AtomicLong(0)
 
   def graph: Graph = g
 
@@ -158,7 +159,11 @@ final class HttpApi(initial: Graph) {
             s"""{"result": "Successfully wrote $n quads.", "count": $n}""")
         }
       else if (ct.contains("text/turtle") || ct.contains("application/trig"))
-        graft.core.Turtle.parse(b)
+        // per-request bnode salt: _:b0 in two POST bodies are distinct
+        // documents per RDF scoping, matching Turtle.read's per-file salt
+        graft.core.Turtle.parse(b, bnodeSalt = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(b).toLong & 0xFFFFFFFFL) +
+          "r" + reqCounter.incrementAndGet())
       else if (ct.contains("application/json") || b.trim.headOption.contains('{'))
         b.linesIterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
           val m = org.json4s.jackson.JsonMethods.parse(line).values

@@ -316,6 +316,12 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(local(4L)._1 === 0.0 && local(1L)._2 === 0.0)
   }
 
+  test("hits rejects iterations < 1") {
+    import spark.implicits._
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    intercept[IllegalArgumentException](GraphAlgos.hits(e, "s", "d", 0))
+  }
+
   test("hits distributed agrees with the sequential reference") {
     val rnd = new scala.util.Random(13)
     val edges = (1 to 60).map(_ =>

@@ -194,6 +194,49 @@ class TurtleSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("keyword-named prefixes parse as prefixed names, not keywords") {
+    // 'graph:'/'true:'/'base:' etc. are legal prefix labels — the keyword
+    // check must require a non-':' boundary (ADVICE r7)
+    val doc =
+      """@prefix graph: <http://g/> .
+        |@prefix true: <http://t/> .
+        |@prefix base: <http://b/> .
+        |graph:x base:p true:y .
+        |graph:x base:q true .
+        |""".stripMargin
+    val ts = triples(Turtle.parse(doc))
+    assert(ts.contains((QValue.Iri("http://g/x"), QValue.Iri("http://b/p"),
+      QValue.Iri("http://t/y"))))
+    assert(ts.contains((QValue.Iri("http://g/x"), QValue.Iri("http://b/q"),
+      QValue.BoolV(true))))
+  }
+
+  test("escaped quote before a long-string terminator does not end it") {
+    val doc = "@prefix ex: <http://e/> .\n" +
+      "ex:s ex:p \"\"\"a\\\"\"\"\" .\n"
+    val ts = triples(Turtle.parse(doc))
+    assert(ts === Set((QValue.Iri("http://e/s"), QValue.Iri("http://e/p"),
+      QValue.Str("a\""))))
+  }
+
+  test("relative IRI containing '://' later still resolves against base") {
+    val doc =
+      """BASE <http://example.org/>
+        |<weird://path> <p> <q> .
+        |""".stripMargin
+    val ts = triples(Turtle.parse(doc))
+    // 'weird://path' HAS a scheme (weird:) so it is absolute; but a
+    // reference like 'a/b://c' has no scheme prefix and must resolve
+    val doc2 =
+      """BASE <http://example.org/>
+        |<a/b?x=y://z> <p> <q> .
+        |""".stripMargin
+    val ts2 = triples(Turtle.parse(doc2))
+    assert(ts.exists(_._1 == QValue.Iri("weird://path")))
+    assert(ts2.exists(_._1 ==
+      QValue.Iri("http://example.org/a/b?x=y://z")))
+  }
+
   test("format registry and CLI wiring") {
     assert(Formats.byName("turtle").exists(f => f.read && f.write))
     assert(Formats.byName("trig").exists(f => f.read && f.write))

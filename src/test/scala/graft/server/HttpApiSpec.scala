@@ -68,6 +68,21 @@ class HttpApiSpec extends AnyFunSuite {
       post(port, "/api/v2/delete",
         "<http://x/u> <http://x/likes> <http://x/v> .")
 
+      // bnode labels are DOCUMENT-scoped: _:b0 in two separate turtle
+      // POSTs must land as two distinct store nodes (per-request salt)
+      post(port, "/api/v2/write", "_:b0 <http://x/tag> <http://x/one> .",
+        Some("text/turtle"))
+      post(port, "/api/v2/write", "_:b0 <http://x/tag> <http://x/two> .",
+        Some("text/turtle"))
+      val tagged = get(port,
+        "/api/v2/read?pred=%3Chttp%3A%2F%2Fx%2Ftag%3E")
+      val subs = tagged.linesIterator.filter(_.nonEmpty)
+        .map(_.split(" ")(0)).toSet
+      assert(subs.size === 2, s"bnode POSTs unified: $tagged")
+      tagged.linesIterator.filter(_.nonEmpty).foreach { l =>
+        post(port, "/api/v2/delete", l)
+      }
+
       val del = post(port, "/api/v2/delete", "<bob> <follows> <fred> .")
       assert(del.contains(""""count": 1"""), del)
       val after = get(port, "/api/v2/read")
