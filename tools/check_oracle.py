@@ -3,19 +3,19 @@
 oracle, load the Spark parquet result and the DuckDB oracle result, sort
 columns by name and rows by value, and compare.
 
---strict: dtype-kind equality + BITWISE float compare. The driver hashes
-rendered values, so an int64 180 vs a DECIMAL-derived float64 180.0 is a
-driver-level mismatch that the default allclose compare hides (that is
-exactly how the round-6 graph_modularity red slipped through locally).
-Run the full sweep under --strict before shipping.
+STRICT BY DEFAULT: dtype-kind equality + BITWISE float compare. The driver
+hashes rendered values, so an int64 180 vs a DECIMAL-derived float64 180.0
+is a driver-level mismatch that an allclose compare hides (that is exactly
+how the round-6 graph_modularity red slipped through locally). Pass
+--lenient only for exploratory triage — the shipping gate is strict.
 """
 import json, sys, glob
 import duckdb
 import numpy as np
 import pandas as pd
 
-args = [a for a in sys.argv[1:] if a != "--strict"]
-strict = "--strict" in sys.argv[1:]
+args = [a for a in sys.argv[1:] if a not in ("--strict", "--lenient")]
+strict = "--lenient" not in sys.argv[1:]
 out_dir = args[0] if len(args) > 0 else "/tmp/graft-out"
 sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
 
