@@ -449,6 +449,18 @@ object Bench {
                   maxDriverEdges = 0L)
                 .write.mode("overwrite").format("noop").save()
             }
+            // sampled betweenness (Brandes–Pich) on the forced
+            // DISTRIBUTED tier at 4.7 M edges: two source counts — the
+            // k=16/k=4 ratio < 4 is the sublinear-in-sources evidence
+            // (rounds are shared across sources; only keyed state grows)
+            for (k <- Seq(4, 16)) {
+              timed2(s"x10_graph_betweenness_s$k") {
+                graft.analytics.GraphAlgos.betweennessApprox(
+                    eAll, "src", "dst", nSources = k, maxDepth = 12,
+                    maxDriverEdges = 0L)
+                  .write.mode("overwrite").format("noop").save()
+              }
+            }
           }
           // Store path: at 100 TB nothing fits in executor memory, so the
           // scale claim must come from the persisted layout — write the

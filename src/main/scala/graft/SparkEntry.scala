@@ -1725,6 +1725,19 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // source-sampled betweenness (Brandes–Pich): limit exactness
+    // (nSources ≥ n reproduces exact all-source bc) + bounded aggregate
+    // estimation error at k=256 on the customer→nation→region star —
+    // the tier that replaces exact O(V·E) Brandes above the size gate
+    "graph_betweenness_approx" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev")
+        .map(p => QValue.id(iri(p)))
+      GraphAlgos.betweennessApproxContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst", nSources = 256, tol = 0.25)
+    }),
     // Newman modularity of the nation partition over a customer graph
     // (within-nation chain + cross-nation (c+7) mod N shortcut edges):
     // exact BIGINT (e_in, deg_sum) per community, one IEEE division for
@@ -2425,6 +2438,16 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_labeled""".stripMargin,
+    // sampled-betweenness contract: limit exactness + error bound are
+    // checked engine-side; the oracle pins the node universe of the
+    // customer→nation→region star and the sample size
+    "graph_betweenness_approx" ->
+      """SELECT TRUE AS approx_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) AS BIGINT) AS n_nodes,
+        |  CAST(LEAST(256, (SELECT count(*) FROM customer)
+        |    + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region)) AS BIGINT) AS k""".stripMargin,
     // betweenness contract: estimates checked engine-side; the oracle
     // pins the node universe of the five-predicate star graph
     "graph_betweenness" ->

@@ -1634,6 +1634,85 @@ object GraphAlgos {
       .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
   }
 
+  /** Source-sampled betweenness estimator (Brandes–Pich, "Centrality
+    * estimation in large networks", 2007): run Brandes from k sources
+    * drawn uniformly without replacement and scale the accumulated
+    * dependencies by n/k — an unbiased estimator of full all-source
+    * betweenness whose cost is k/n of exact. This is the tier that
+    * survives the 100× scale-up: exact all-source Brandes is O(V·E) by
+    * definition (above ~5 M edges the keyed frontier would be ~V× the
+    * graph), while the sampled estimator's keyed state is k× the
+    * frontier for a FIXED k, so the per-level join+aggregate layout of
+    * [[betweenness]] carries over unchanged a decade further.
+    *
+    * Sampling is deterministic: the k smallest `xxhash64(node, seed)`
+    * keys — reproducible across runs, partitionings, and cluster
+    * layouts (no `rand()`), one extra shuffle of the node list only.
+    * With nSources ≥ n the sample is every node and the scale is 1, so
+    * the estimator degrades to EXACT all-source betweenness — the
+    * contract pins that limit as an equality.
+    */
+  def betweennessApprox(edges: DataFrame, srcCol: String, dstCol: String,
+                        nSources: Int, seed: Long = 42L,
+                        maxDepth: Int = 32,
+                        maxDriverEdges: Long = Dedup.DriverCcMaxEdges)
+      : DataFrame = {
+    require(nSources >= 1, s"betweennessApprox needs nSources >= 1")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull).distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    val k = math.min(nSources.toLong, n)
+    val sources = nodes
+      .orderBy(xxhash64(col("node"), lit(seed)), col("node"))
+      .limit(k.toInt)
+    val scale = n.toDouble / k.toDouble
+    betweenness(e, "u", "v", sources, maxDepth, maxDriverEdges)
+      .select(col("node"), (col("bc") * lit(scale)).as("bc"))
+  }
+
+  /** Contract for [[betweennessApprox]] on a driver-gated graph:
+    * (1) LIMIT EXACTNESS — sampling nSources ≥ n must reproduce exact
+    * all-source betweenness to 1e-9 relative (scale is exactly 1);
+    * (2) ESTIMATION ERROR — at the given k, the aggregate relative
+    * error Σ|est−exact| / Σexact must be ≤ `tol` (per-node error on
+    * low-bc nodes is high-variance by nature; the aggregate is the
+    * published Brandes–Pich quality figure). One row
+    * `(approx_ok, n_nodes, k)`.
+    */
+  def betweennessApproxContract(edges: DataFrame, srcCol: String,
+                                dstCol: String, nSources: Int,
+                                tol: Double = 0.5): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull).distinct()
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+    val n = nodes.count()
+    def toMap(df: DataFrame): Map[Any, Double] =
+      df.collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val exact = toMap(betweenness(e, "u", "v", nodes))
+    val atLimit = toMap(betweennessApprox(e, "u", "v", n.toInt + 1))
+    val limitOk = exact.keySet == atLimit.keySet && exact.forall {
+      case (nd, a) =>
+        val b = atLimit(nd)
+        math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a),
+          math.abs(b)))
+    }
+    val est = toMap(betweennessApprox(e, "u", "v", nSources))
+    val totalExact = exact.values.sum
+    val absErr = exact.map { case (nd, a) =>
+      math.abs(est.getOrElse(nd, 0.0) - a)
+    }.sum
+    val errOk = totalExact > 0 && absErr / totalExact <= tol
+    spark.range(1).select(lit(limitOk && errOk).as("approx_ok"),
+      lit(n).as("n_nodes"),
+      lit(math.min(nSources.toLong, n)).as("k"))
+  }
+
   /** Driver tier of [[betweenness]]: textbook Brandes (BFS + stack +
     * reverse accumulation) per source, node keys kept as `Any`.
     */

@@ -316,6 +316,40 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(local(4L)._1 === 0.0 && local(1L)._2 === 0.0)
   }
 
+  test("betweennessApprox: limit exactness, determinism across tiers, error") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 400).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct.toDF("s", "d")
+    val nodes = edges.select(col("s").as("node"))
+      .unionByName(edges.select(col("d").as("node"))).distinct()
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.get(0) -> r.getDouble(1)).toMap
+    val exact = toMap(GraphAlgos.betweenness(edges, "s", "d", nodes))
+    for (k <- Seq(10, 20, 30)) {
+      val est = toMap(GraphAlgos.betweennessApprox(edges, "s", "d", k))
+      val total = exact.values.sum
+      val abs = exact.map { case (n, a) =>
+        math.abs(est.getOrElse(n, 0.0) - a) }.sum
+      info(f"k=$k aggregate relErr=${abs / total}%.4f")
+    }
+    // deterministic hash sampling → the distributed tier runs the SAME
+    // sources as the driver tier, so the two agree to float tolerance
+    val drv = toMap(GraphAlgos.betweennessApprox(edges, "s", "d", 12))
+    val dist = toMap(GraphAlgos.betweennessApprox(edges, "s", "d", 12,
+      maxDriverEdges = 0L))
+    assert(drv.keySet === dist.keySet)
+    drv.foreach { case (n, a) =>
+      assert(math.abs(dist(n) - a) <= 1e-9 * math.max(1.0, math.abs(a)),
+        s"node $n")
+    }
+    val row = GraphAlgos.betweennessApproxContract(edges, "s", "d",
+      nSources = 30, tol = 0.5).collect()(0)
+    assert(row.getBoolean(0), row.toString)
+  }
+
   test("hits rejects iterations < 1") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("s", "d")
