@@ -462,6 +462,26 @@ object Bench {
               }
             }
           }
+          // Turtle many-files ingest at N×: the documented scale shape
+          // for Turtle (statements span lines, so the distributed unit
+          // is the FILE — wholetext, one parse task each). Synthesis
+          // (untimed) writes the N×-quad graph as ~shuffle-partition
+          // many .ttl part files; the timed read parses them in
+          // parallel and builds the dictionary-encoded graph.
+          if (tag == "x10") {
+            val ttlDir = s"/tmp/graft_ttl$tag"
+            try {
+              graft.core.Turtle.writeTurtle(g, ttlDir)
+              timed2("x10_turtle_load") {
+                val gt = graft.core.Turtle.read(spark, ttlDir)
+                gt.stats
+              }
+            } catch {
+              case e: Throwable => errors("x10_turtle_load") = errText(e)
+            } finally org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(ttlDir))
+          }
+
           // Store path: at 100 TB nothing fits in executor memory, so the
           // scale claim must come from the persisted layout — write the
           // N×-quad graph to the p-bucketed Parquet GraphStore, DROP the

@@ -1223,6 +1223,48 @@ object SparkEntry {
       val total = decoded.count()
       Seq(total == 200 && bad == 0).toDF("contract_ok")
     }),
+    // G.711/AIFF audio decode via javax.sound.sampled: per-doc square
+    // waves at amplitudes that ARE exact codec reconstruction levels
+    // (amp = alawDecode(alawEncode(raw)) — idempotent by G.711
+    // construction), containerized as a-law WAV / µ-law WAV / AIFF by
+    // id%3, decoded by the JDK; contract = exact RMS == peak ==
+    // level/32768 and the right codec tag on every row
+    "mm_alaw" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val feats = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val raw = (1000 + (id % 100) * 300).toShort
+          val fam = (id % 3).toInt
+          val amp: Short = fam match {
+            case 0 => Multimodal.alawDecode(Multimodal.alawEncode(raw))
+            case 1 => Multimodal.mulawDecode(Multimodal.mulawEncode(raw))
+            case _ => raw
+          }
+          val samples = Array.tabulate(160)(i =>
+            if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+          val payload = fam match {
+            case 0 => Multimodal.encodeG711Wav(8000, samples, alaw = true)
+            case 1 => Multimodal.encodeG711Wav(8000, samples, alaw = false)
+            case _ => Multimodal.encodeAiff(8000, samples)
+          }
+          val tag = fam match {
+            case 0 => "alaw"; case 1 => "ulaw"; case _ => "aiff"
+          }
+          (id, "audio", payload, amp.toInt, tag)
+        }.toDF("media_id", "kind", "payload", "amp", "want_codec")
+      val decoded = Multimodal
+        .extractFeatures(feats.select("media_id", "kind", "payload"))
+        .join(feats.select(col("media_id"), col("amp"),
+          col("want_codec")), Seq("media_id"))
+      val bad = decoded.where(col("codec") =!= col("want_codec") ||
+        abs(col("feature")(0) - lit(8000f / 48000f)) > 1e-9 ||
+        col("feature")(2) =!= (col("amp") / lit(32768.0))
+          .cast("float") ||
+        col("feature")(2) =!= col("feature")(4)).count()
+      val total = decoded.count()
+      Seq(total == 200 && bad == 0).toDF("contract_ok")
+    }),
     // image near-dup via 64-bit pHash + banded Hamming join: 200 BMPs in
     // 25 gradient families (8 near-identical variants each, one pixel
     // nudged per variant), exactness contract = the banded pipeline's
@@ -2671,6 +2713,7 @@ object SparkEntry {
     "mm_video" -> "SELECT TRUE AS video_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
+    "mm_alaw" -> "SELECT TRUE AS contract_ok",
     // IVF contract: mean recall@10 over the probe batch >= 0.6
     // (sim_batch_topk verifies the exact side row-exactly)
     "sim_ivf" -> "SELECT TRUE AS recall_ok",

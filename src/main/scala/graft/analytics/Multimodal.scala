@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Decoders: WAV (RIFF/PCM16) and BMP (uncompressed 24-bit) are parsed
   * by pure-JVM byte math; JPEG/PNG/GIF decode and encode for REAL via
-  * the JDK's `javax.imageio` (readers/writers ship with every JRE — no
-  * external codec library). The remaining stub boundary is audio/video
-  * codecs (MP3/H.264): `stubDecode` produces deterministic fake features
-  * with the same shape, so that plumbing is exercised end-to-end and a
-  * real codec changes only one function body.
+  * the JDK's `javax.imageio`, and the G.711/AIFF audio family (a-law and
+  * µ-law WAV, AIFF/AIFF-C, AU, non-PCM16 WAV variants) for REAL via
+  * `javax.sound.sampled` (both ship with every JRE — no external codec
+  * library). The remaining stub boundary is the true compressed codecs
+  * (MP3/H.264): `stubDecode` produces deterministic fake features with
+  * the same shape, so that plumbing is exercised end-to-end and a real
+  * codec changes only one function body.
   */
 object Multimodal {
   val mediaSchema: StructType = StructType(Seq(
@@ -270,6 +272,7 @@ object Multimodal {
   private def decode(bytes: Array[Byte]): (String, Array[Float]) =
     scala.util.Try {
       decodeWav(bytes).map("wav" -> _)
+        .orElse(decodeAudioJdk(bytes))
         .orElse(decodeBmp(bytes).map("bmp" -> _))
         .orElse(decodeImageIoPixels(bytes).map { case (w, rows, px) =>
           imageIoTag(bytes).getOrElse("imageio") -> meanFeature(w, rows, px)
@@ -447,6 +450,161 @@ object Multimodal {
     bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length * 2)
     samples.foreach(bb.putShort(_))
     bb.array()
+  }
+
+  // ------------------------------------------------------- G.711 audio
+
+  /** G.711 a-law compress (ITU-T G.711, the classic public-domain
+    * segment-search form). 16-bit PCM in, 8-bit code out.
+    */
+  private[graft] def alawEncode(pcm0: Short): Byte = {
+    var pcm = pcm0.toInt >> 3 // 16 -> 13 bit
+    val mask = if (pcm >= 0) 0xD5 else { pcm = -pcm - 1; 0x55 }
+    val segEnd = Array(0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF)
+    var seg = 0
+    while (seg < 8 && pcm > segEnd(seg)) seg += 1
+    if (seg >= 8) (0x7F ^ mask).toByte
+    else {
+      val aval = (seg << 4) |
+        (if (seg < 2) (pcm >> 1) & 0xF else (pcm >> seg) & 0xF)
+      (aval ^ mask).toByte
+    }
+  }
+
+  /** G.711 a-law expand: the canonical 16-bit reconstruction levels. */
+  private[graft] def alawDecode(code: Byte): Short = {
+    val a = (code ^ 0x55) & 0xFF
+    var t = (a & 0xF) << 4
+    val seg = (a & 0x70) >> 4
+    seg match {
+      case 0 => t += 8
+      case 1 => t += 0x108
+      case _ => t += 0x108; t <<= seg - 1
+    }
+    (if ((a & 0x80) != 0) t else -t).toShort
+  }
+
+  private final val UlawBias = 0x84
+
+  /** G.711 µ-law compress (BIAS 0x84 segment form). */
+  private[graft] def mulawEncode(pcm0: Short): Byte = {
+    var pcm = pcm0.toInt
+    val mask = if (pcm < 0) { pcm = UlawBias - pcm; 0x7F }
+               else { pcm += UlawBias; 0xFF }
+    if (pcm > 0x7FFF) pcm = 0x7FFF
+    val segEnd = Array(0xFF, 0x1FF, 0x3FF, 0x7FF,
+      0xFFF, 0x1FFF, 0x3FFF, 0x7FFF)
+    var seg = 0
+    while (seg < 8 && pcm > segEnd(seg)) seg += 1
+    if (seg >= 8) (0x7F ^ mask).toByte
+    else (((seg << 4) | ((pcm >> (seg + 3)) & 0xF)) ^ mask).toByte
+  }
+
+  /** G.711 µ-law expand. */
+  private[graft] def mulawDecode(code: Byte): Short = {
+    val u = (~code) & 0xFF
+    var t = ((u & 0xF) << 3) + UlawBias
+    t <<= (u & 0x70) >> 4
+    (if ((u & 0x80) != 0) UlawBias - t else t - UlawBias).toShort
+  }
+
+  /** Encode PCM16 mono samples as a G.711-companded RIFF/WAVE container
+    * (format code 6 = a-law, 7 = µ-law; 8 bits per sample).
+    */
+  private[graft] def encodeG711Wav(rate: Int, samples: Array[Short],
+                                   alaw: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + samples.length)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(if (alaw) 6 else 7); bb.putShort(1) // codec, mono
+    bb.putInt(rate); bb.putInt(rate)                // byte rate (1 B/sample)
+    bb.putShort(1); bb.putShort(8)                  // block align, bits
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(samples.length)
+    samples.foreach(s => bb.put(if (alaw) alawEncode(s) else mulawEncode(s)))
+    bb.array()
+  }
+
+  /** Encode PCM16 mono samples as an AIFF container (FORM/COMM/SSND,
+    * big-endian samples, 80-bit extended-float sample rate).
+    */
+  private[graft] def encodeAiff(rate: Int, samples: Array[Short]): Array[Byte] = {
+    require(rate > 0, "aiff rate must be positive")
+    val ssndSz = 8 + samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 26 + 8 + ssndSz)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("FORM".getBytes("US-ASCII")); bb.putInt(4 + 26 + 8 + ssndSz)
+    bb.put("AIFF".getBytes("US-ASCII"))
+    bb.put("COMM".getBytes("US-ASCII")); bb.putInt(18)
+    bb.putShort(1)                      // channels
+    bb.putInt(samples.length)           // sample frames
+    bb.putShort(16)                     // bits
+    // 80-bit IEEE extended: exponent 16383+msb, mantissa rate<<(63-msb)
+    val msb = 63 - java.lang.Long.numberOfLeadingZeros(rate.toLong)
+    bb.putShort((16383 + msb).toShort)
+    bb.putLong(rate.toLong << (63 - msb))
+    bb.put("SSND".getBytes("US-ASCII")); bb.putInt(ssndSz)
+    bb.putInt(0); bb.putInt(0)          // offset, block size
+    samples.foreach(bb.putShort(_))
+    bb.array()
+  }
+
+  /** Real decode of the JDK-supported audio family via
+    * `javax.sound.sampled` (pure JDK — no external codec library): µ-law
+    * and a-law WAV, AIFF/AIFF-C, AU/SND, and any PCM variant the fast
+    * [[decodeWav]] path declines (24-bit, float, big-endian). Gated by
+    * container magic so non-audio bytes never reach the JDK parser.
+    * Converts to PCM16 and computes the same feature vector as
+    * [[decodeWav]]: [rate/48k, seconds, RMS, zero-cross, peak, 0, 0, 0].
+    * Returns (codec tag, features).
+    */
+  private[analytics] def decodeAudioJdk(
+      b: Array[Byte]): Option[(String, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    def m(off: Int, s: String): Boolean =
+      b.length >= off + s.length && s.indices.forall(i => b(off + i) == s(i))
+    val isRiff = m(0, "RIFF") && m(8, "WAVE")
+    val isForm = m(0, "FORM") && (m(8, "AIFF") || m(8, "AIFC"))
+    val isAu = m(0, ".snd")
+    if (!isRiff && !isForm && !isAu) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(b))
+      try {
+        val src = in.getFormat
+        val rate = src.getSampleRate
+        val channels = math.max(src.getChannels, 1)
+        val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+          rate, 16, channels, channels * 2, rate, false)
+        val pcm = AudioSystem.getAudioInputStream(target, in)
+        val bytes = pcm.readAllBytes()
+        val n = bytes.length / 2
+        var sumSq = 0.0; var crossings = 0; var peak = 0.0
+        var prev = 0; var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i) & 0xFF) |
+            (bytes(2 * i + 1) << 8)).toShort.toInt
+          sumSq += s.toDouble * s
+          if ((s > 0 && prev < 0) || (s < 0 && prev > 0)) crossings += 1
+          if (math.abs(s) > peak) peak = math.abs(s)
+          prev = s; i += 1
+        }
+        val samples = math.max(n / channels, 1)
+        val enc = src.getEncoding.toString.toLowerCase
+        val tag =
+          if (enc.contains("alaw")) "alaw"
+          else if (enc.contains("ulaw")) "ulaw"
+          else if (isForm) "aiff"
+          else if (isAu) "au"
+          else "wav"
+        Some(tag -> Array(
+          rate / 48000.0f, samples.toFloat / rate,
+          (math.sqrt(sumSq / math.max(n, 1)) / 32768.0).toFloat,
+          crossings.toFloat / math.max(n, 1), (peak / 32768.0).toFloat,
+          0f, 0f, 0f))
+      } finally in.close()
+    } catch { case _: Exception => None }
   }
 
   /** 64-bit perceptual hash (classic pHash) of any decodable image

@@ -651,6 +651,56 @@ class AnalyticsSpec extends AnyFunSuite {
         chunk("pad!", 28, Array.fill[Byte](28)(0)))) === None)
   }
 
+  test("G.711 tables: codes round-trip; JDK decode agrees exactly") {
+    // encode(decode(code)) == code for every a-law code, and every µ-law
+    // code except 0x7F (µ-law's negative zero normalizes to 0xFF)
+    (0 until 256).foreach { c =>
+      assert(Multimodal.alawEncode(Multimodal.alawDecode(c.toByte))
+        === c.toByte, s"alaw code $c")
+      if (c != 0x7F)
+        assert(Multimodal.mulawEncode(Multimodal.mulawDecode(c.toByte))
+          === c.toByte, s"ulaw code $c")
+    }
+    // JDK javax.sound decode of our G.711 WAV containers reproduces the
+    // canonical reconstruction levels EXACTLY: a square wave at a level
+    // that IS a codec output level has RMS == peak == that level
+    for ((alaw, tag, code) <- Seq((true, "alaw", 0xAA.toByte),
+      (false, "ulaw", 0x9D.toByte))) {
+      val amp: Short =
+        if (alaw) Multimodal.alawDecode(code) else Multimodal.mulawDecode(code)
+      assert(amp > 0)
+      val samples = Array.tabulate(160)(i =>
+        if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+      val bytes = Multimodal.encodeG711Wav(8000, samples, alaw)
+      val Some((gotTag, f)) = Multimodal.decodeAudioJdk(bytes)
+      assert(gotTag === tag)
+      assert(math.abs(f(0) - 8000f / 48000f) < 1e-9)
+      assert(f(2) === amp / 32768.0f, s"$tag rms")   // exact
+      assert(f(4) === amp / 32768.0f, s"$tag peak")  // exact
+    }
+    // AIFF (big-endian PCM16) decodes exactly too
+    val amp: Short = 5000
+    val samples = Array.tabulate(160)(i =>
+      if ((i / 4) % 2 == 0) amp else (-amp).toShort)
+    val Some((t2, f2)) =
+      Multimodal.decodeAudioJdk(Multimodal.encodeAiff(8000, samples))
+    assert(t2 === "aiff")
+    assert(f2(2) === amp / 32768.0f && f2(4) === amp / 32768.0f)
+    // non-audio bytes never reach the JDK parser
+    assert(Multimodal.decodeAudioJdk("FORMless junk bytes".getBytes) === None)
+    // dispatch: extractFeatures tags the three container families
+    val media = Seq(
+      (1L, "audio", Multimodal.encodeG711Wav(8000, samples, alaw = true)),
+      (2L, "audio", Multimodal.encodeG711Wav(8000, samples, alaw = false)),
+      (3L, "audio", Multimodal.encodeAiff(8000, samples)),
+      (4L, "audio", Multimodal.encodeWav(8000, samples)))
+      .toDF("media_id", "kind", "payload")
+    val tags = Multimodal.extractFeatures(media).collect()
+      .map(m => m.media_id -> m.codec).toMap
+    assert(tags === Map(1L -> "alaw", 2L -> "ulaw", 3L -> "aiff",
+      4L -> "wav"))
+  }
+
   test("quality gate rejects short docs") {
     val short = Seq((9L, "tiny doc")).toDF("doc_id", "text")
     assert(short.select(TextOps.qualityOk(col("text"))).as[Boolean].head() === false)
