@@ -612,8 +612,9 @@ object Bench {
       }
       // fuzzy edit-distance join at N×: per-copy 2-char prefix codes
       // (pairwise Hamming 2 > maxDist=1), so no candidate pair crosses
-      // copies and the deletion-join does exactly N× the 1× work
-      if (full) smoke(s"${tag}_dedup_fuzzy") {
+      // copies and the deletion-join does exactly N× the 1× work.
+      // Runs at x100 too: the SymSpell join's decade-over-decade proof
+      if (full || mult == 100) smoke(s"${tag}_dedup_fuzzy") {
         val cust = spark.read.parquet(s"$sfDir/customer.parquet")
           .select(col("c_custkey"), col("c_name"))
         val codes = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg",
@@ -631,8 +632,9 @@ object Bench {
       // model-training loop at N×: 10 full-batch logistic-GD rounds over
       // hashed bag-of-words of the N× corpus + a scoring pass — the
       // "model as plan literal, gradient as one aggregate" pattern's
-      // scaling evidence (rounds fixed, per-round cost ∝ corpus)
-      if (full) smoke(s"${tag}_text_lr") {
+      // scaling evidence (rounds fixed, per-round cost ∝ corpus).
+      // Runs at x100 too: the LR loop layout's decade-over-decade proof
+      if (full || mult == 100) smoke(s"${tag}_text_lr") {
         import graft.analytics.{LinearModel, TextOps}
         val rows = TextOps.hashedTf(docsX(withSource = false),
             "doc_id", "text", 64)

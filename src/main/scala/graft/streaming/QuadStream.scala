@@ -24,6 +24,29 @@ object QuadStream {
       .toDF()
   }
 
+  /** Streaming Turtle/TriG source → (sub, pred, obj, lbl) struct rows.
+    * The streaming unit is the FILE (wholetext — Turtle statements span
+    * lines, so a document is not line-splittable; each arriving .ttl
+    * file is one parse task in its micro-batch), mirroring
+    * [[graft.core.Turtle.read]]'s batch shape. Blank-node labels are
+    * salted per file so document scoping survives the stream.
+    */
+  def readTurtleStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream
+      .schema(StructType(Seq(StructField("value", StringType))))
+      .option("wholetext", "true")
+      .text(dir)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, doc) =>
+        val salt = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(f).toLong & 0xFFFFFFFFL)
+        graft.core.Turtle.parse(doc, salt).map(Graph.QuadRow(_))
+      }
+      .toDF()
+  }
+
   /** Continuous quad append: each micro-batch becomes id-encoded quads in
     * `outDir/quads` (dictionary entries in `outDir/nodes`). Exactly-once
     * via the checkpoint; dedup against history is a batch compaction

@@ -37,6 +37,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === Seq("<b>", "<c>", "<d>"))
   }
 
+  test("streaming Turtle ingest: per-file micro-batches, scoped bnodes") {
+    val tmp = Files.createTempDirectory("graft-ttlstream").toString
+    val inDir = s"$tmp/in"; val outDir = s"$tmp/out"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(inDir).mkdirs()
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/doc1.ttl"),
+      "@prefix ex: <http://e/> .\nex:a ex:knows ex:b , _:h .\n" +
+        "_:h ex:name \"anon one\" .\n")
+
+    val parsed = QuadStream.readTurtleStream(spark, inDir)
+    val q = QuadStream.writeQuads(parsed, outDir, ckpt).start()
+    q.processAllAvailable()
+    // second file reuses the label _:h — document scoping must keep it
+    // a DISTINCT node (per-file salt), exactly like the batch reader
+    Files.writeString(java.nio.file.Paths.get(s"$inDir/doc2.ttl"),
+      "@prefix ex: <http://e/> .\nex:b ex:knows _:h .\n" +
+        "_:h ex:name \"anon two\" .\n")
+    q.processAllAvailable()
+    q.stop()
+
+    val g = Graph(spark.read.parquet(s"$outDir/nodes").dropDuplicates("id"),
+      spark.read.parquet(s"$outDir/quads"))
+    val got = Exec.run(g,
+      Path.start(QValue.Iri("http://e/a"))
+        .followRecursive(QValue.Iri("http://e/knows"))
+        .out(QValue.Iri("http://e/name")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("anon one", "anon two"))
+    assert(g.quads.count() === 5)
+  }
+
   test("windowed event counts run as a structured stream") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-events").toString
