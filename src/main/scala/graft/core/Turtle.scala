@@ -46,11 +46,18 @@ object Turtle {
 
   /** Parse a Turtle document (TriG accepted too — strict Turtle is a
     * subset). `bnodeSalt` keeps labels document-scoped across files.
+    * `genSalt` (defaults to `bnodeSalt`) namespaces GENERATED bnode ids
+    * (anonymous `[...]` lists, collections) separately — the chunked
+    * reader gives every chunk of one file a distinct genSalt while
+    * sharing the file's label salt, so labeled bnodes unify across
+    * chunks and fresh ones never collide.
     */
-  def parse(doc: String, bnodeSalt: String = ""): Seq[ParsedQuad] =
-    new Parser(doc, bnodeSalt).run()
+  def parse(doc: String, bnodeSalt: String = "",
+            genSalt: String = null): Seq[ParsedQuad] =
+    new Parser(doc, bnodeSalt,
+      if (genSalt == null) bnodeSalt else genSalt).run()
 
-  private final class Parser(s: String, bnodeSalt: String) {
+  private final class Parser(s: String, bnodeSalt: String, genSalt: String) {
     private var pos = 0
     private val prefixes = mutable.Map.empty[String, String]
     private var base = ""
@@ -94,7 +101,7 @@ object Turtle {
 
     private def freshBNode(): QValue = {
       genCount += 1
-      QValue.BNode(s"ttlg$bnodeSalt-$genCount")
+      QValue.BNode(s"ttlg$genSalt-$genCount")
     }
     private def emit(subj: QValue, pred: QValue, obj: QValue): Unit =
       out += ParsedQuad(subj, pred, obj, graph)
@@ -401,23 +408,60 @@ object Turtle {
 
   // ---------------------------------------------------------------- read
 
-  /** Distributed Turtle/TriG read: one parse task per file (`wholetext`),
-    * bnode labels salted per file so document scoping survives multi-file
-    * inputs. Handles .gz via the text source's codec support.
+  /** Distributed Turtle/TriG read. Small files parse one task per file
+    * (`wholetext` — a Turtle document is not line-splittable), bnode
+    * labels salted per file so document scoping survives multi-file
+    * inputs; .gz handled by the text source's codec support. A LARGE
+    * uncompressed file (≥ 2 × `chunkBytes`) is no longer a one-task
+    * bottleneck: it routes through [[TurtleChunked]], which finds
+    * statement boundaries in parallel via composed lexical-state
+    * summaries and parses the chunks concurrently (falling back to
+    * wholetext if the file proves unsafe to split).
     */
-  def read(spark: SparkSession, path: String): Graph = {
+  def read(spark: SparkSession, path: String,
+           chunkBytes: Long = 32L << 20): Graph = {
     import spark.implicits._
-    val docs = spark.read.option("wholetext", "true")
-      .text(path).select(
-        org.apache.spark.sql.functions.input_file_name().as("f"),
-        org.apache.spark.sql.functions.col("value"))
-      .as[(String, String)]
-    val rows = docs.flatMap { case (f, doc) =>
-      val salt = java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.stringHash(f).toLong & 0xFFFFFFFFL)
-      parse(doc, salt).map(Graph.QuadRow(_))
+    def salt(f: String): String = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(f).toLong & 0xFFFFFFFFL)
+    def wholetext(p: Seq[String]): org.apache.spark.sql.DataFrame =
+      spark.read.option("wholetext", "true")
+        .text(p: _*).select(
+          org.apache.spark.sql.functions.input_file_name().as("f"),
+          org.apache.spark.sql.functions.col("value"))
+        .as[(String, String)]
+        .flatMap { case (f, doc) =>
+          parse(doc, salt(f)).map(Graph.QuadRow(_))
+        }.toDF()
+    // list the input so oversized uncompressed files can take the
+    // chunked path; if listing fails, keep the original behavior
+    val listed: Option[Seq[(String, Long)]] = scala.util.Try {
+      val hp = new org.apache.hadoop.fs.Path(path)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val st =
+        if (fs.getFileStatus(hp).isDirectory) fs.listStatus(hp).toSeq
+        else Seq(fs.getFileStatus(hp))
+      st.filter(_.isFile)
+        .filterNot(s => s.getPath.getName.startsWith(".") ||
+          s.getPath.getName.startsWith("_"))
+        .map(s => (s.getPath.toString, s.getLen))
+    }.toOption
+    val rows = listed match {
+      case None => wholetext(Seq(path))
+      case Some(files) =>
+        def compressed(f: String) =
+          f.endsWith(".gz") || f.endsWith(".bz2")
+        val (big, small) = files.partition { case (f, len) =>
+          len >= 2 * chunkBytes && !compressed(f)
+        }
+        val parts =
+          (if (small.nonEmpty) Seq(wholetext(small.map(_._1))) else Nil) ++
+          big.map { case (f, len) =>
+            TurtleChunked.readFileChunked(spark, f, len, chunkBytes, salt(f))
+          }
+        if (parts.isEmpty) wholetext(Seq(path)) // surface the same error
+        else parts.reduce(_ unionByName _)
     }
-    Graph.fromQuadDF(rows.toDF())
+    Graph.fromQuadDF(rows)
   }
 
   // --------------------------------------------------------------- write
