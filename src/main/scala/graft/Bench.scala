@@ -462,6 +462,18 @@ object Bench {
               }
             }
           }
+          // the sampled estimator IS the above-gate answer for
+          // betweenness (exact all-source Brandes is O(V·E)): evidence
+          // it survives the full 47 M-edge tier at fixed k
+          if (tag == "x100") {
+            val eAll = g.quads.select(col("s").as("src"), col("o").as("dst"))
+            timed2("x100_graph_betweenness_s4") {
+              graft.analytics.GraphAlgos.betweennessApprox(
+                  eAll, "src", "dst", nSources = 4, maxDepth = 12,
+                  maxDriverEdges = 0L)
+                .write.mode("overwrite").format("noop").save()
+            }
+          }
           // Turtle many-files ingest at N×: the documented scale shape
           // for Turtle (statements span lines, so the distributed unit
           // is the FILE — wholetext, one parse task each). Synthesis
