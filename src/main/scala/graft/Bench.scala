@@ -378,6 +378,14 @@ object Bench {
           if (r1 >= 0 && r2 >= 0)
             scaleOut += s"${name}_s2" -> math.max(r1, r2)
         }
+        // single-sample for the heavy whole-graph x100 entries: they run
+        // off the in-memory graph cache (not page-cache-sensitive, so no
+        // error bar needed) and a second 47 M-edge pageRank/Brandes pass
+        // would double the tier's wall-clock for no record value
+        def timed1(name: String)(f: => Unit): Unit =
+          scaleOut += name -> (try time(f) catch {
+            case e: Throwable => errors(name) = errText(e); -1.0
+          })
         def loadOnce(): Double =
           try time { g = Graph.fromNQuads(spark, movieDir).cached(); g.stats }
           catch {
@@ -426,11 +434,12 @@ object Bench {
           // belongs to the store path)
           if (tag == "x10" || tag == "x100") {
             val eAll = g.quads.select(col("s").as("src"), col("o").as("dst"))
-            timed2(s"${tag}_graph_pagerank") {
+            def run(): Unit =
               graft.analytics.GraphAlgos.pageRank(eAll, "src", "dst",
                   iterations = 5)
                 .write.mode("overwrite").format("noop").save()
-            }
+            if (tag == "x100") timed1(s"${tag}_graph_pagerank")(run())
+            else timed2(s"${tag}_graph_pagerank")(run())
           }
           if (tag == "x10") {
             val eAll = g.quads.select(col("s").as("src"), col("o").as("dst"))
@@ -467,7 +476,7 @@ object Bench {
           // it survives the full 47 M-edge tier at fixed k
           if (tag == "x100") {
             val eAll = g.quads.select(col("s").as("src"), col("o").as("dst"))
-            timed2("x100_graph_betweenness_s4") {
+            timed1("x100_graph_betweenness_s4") {
               graft.analytics.GraphAlgos.betweennessApprox(
                   eAll, "src", "dst", nSources = 4, maxDepth = 12,
                   maxDriverEdges = 0L)

@@ -1393,6 +1393,151 @@ object SparkEntry {
       }
       Seq(countsOk && meansOk).toDF("video_ok")
     }),
+    // audio near-dup end-to-end: 100 synthesized two-tone melodies (25
+    // families × 4 renditions: original, gain-scaled, small-noise,
+    // both) — the banded-Hamming join over spectral-signature
+    // fingerprints must recover every within-family (original,
+    // variant) pair and NO cross-family pair. Tones sit at band
+    // centers; family f owns the disjoint band pair {3+2f, 56-2f}, so
+    // cross-family distance is ≥4 bits while gain changes are EXACT
+    // fingerprint matches (both sides of the 20 dB-of-peak comparison
+    // scale together) and sub-threshold noise flips ≤1 bit
+    "mm_audiodup" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val rate = 8000; val n = 8000
+      // contiguous 0..99 index regardless of doc_id values: every
+      // (family, rendition) cell is filled exactly once
+      val media = t(s, d, "documents").select(col("doc_id")).limit(100)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")) - 1)
+          .cast("long").as("idx"))
+        .as[Long].map { id =>
+          val fam = (id % 25).toInt; val rend = (id / 25 % 4).toInt
+          def bandFreq(b: Int): Double =
+            300.0 * math.pow(0.45 * rate / 300.0, b / 63.0)
+          val f1 = bandFreq(3 + 2 * fam); val f2 = bandFreq(56 - 2 * fam)
+          val gain = if (rend % 2 == 1) 0.6 else 1.0
+          val noise = if (rend >= 2) fam + 1 else 0
+          val pcm = Array.tabulate(n) { i =>
+            val tm = i.toDouble / rate
+            val base = 6000 * math.sin(2 * math.Pi * f1 * tm) +
+              4000 * math.sin(2 * math.Pi * f2 * tm + fam)
+            val nz = if (noise == 0) 0.0
+              else 300 * math.sin(2 * math.Pi * (1234.5 + 77 * noise) * tm)
+            (gain * (base + nz)).toShort
+          }
+          (id, fam.toLong, "audio", Multimodal.encodeWav(rate, pcm))
+        }.toDF("media_id", "fam", "kind", "payload")
+      val nRows = media.count()
+      val pairs = Multimodal.audioDupPairs(
+        media.select("media_id", "kind", "payload"), maxHamming = 2)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val famOf = media.select("media_id", "fam").as[(Long, Long)]
+        .collect().toMap
+      // every pair the join returns is within-family, and every family's
+      // original..variant pairs are all found (4 renditions → 6 pairs)
+      val allWithin = pairs.forall { case (a, b) => famOf(a) == famOf(b) }
+      val found = pairs.map { case (a, b) =>
+        (famOf(a), Set(a, b))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet.size).toMap
+      val complete = (0L until 25L).forall(f => found.getOrElse(f, 0) == 6)
+      Seq(nRows == 100 && allWithin && complete).toDF("contract_ok")
+    }),
+    // real IMA ADPCM (WAVE format 0x11) round-trip: 200 synthesized
+    // triangle-wave signals, encode 4-bit ADPCM, decode — exact sample
+    // count (fact chunk), exact per-block header samples, reconstruction
+    // RMS error < 5% of signal RMS, and the dispatcher tags the codec
+    "mm_adpcm" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val checks = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val n = 1200
+          val period = 40 + (id % 7).toInt * 16
+          val amp = 60 + (id % 11).toInt * 9
+          val pcm = Array.tabulate(n) { i =>
+            val ph = i % period
+            val tri = if (ph < period / 2) ph * 4 - period
+                      else 3 * period - ph * 4
+            (tri * amp).toShort
+          }
+          val enc = Multimodal.encodeAdpcmWav(16000, pcm)
+          val ok = Multimodal.decodeAdpcmWav(enc).exists {
+            case (rate, dec) =>
+              rate == 16000 && dec.length == n && dec(0) == pcm(0) &&
+                dec(505) == pcm(505) && {
+                  var errSq = 0.0; var sigSq = 0.0; var i = 0
+                  while (i < n) {
+                    val e = (dec(i) - pcm(i)).toDouble
+                    errSq += e * e
+                    sigSq += pcm(i).toDouble * pcm(i); i += 1
+                  }
+                  errSq < sigSq / 400.0 // rmsErr < rmsSig / 20
+                }
+          }
+          val compressed = enc.length < pcm.length // <½ the PCM16 bytes
+          (id, ok && compressed)
+        }.toDF("media_id", "ok")
+      val nRows = checks.count()
+      val bad = checks.where(!col("ok")).count()
+      Seq(nRows == 200 && bad == 0).toDF("contract_ok")
+    }),
+    // real RIFF/AVI video: 100 synthesized 6-frame AVIs per coding —
+    // uncompressed-DIB frames must round-trip BIT-EXACTLY through the
+    // container, MJPEG frames (real per-frame JPEG via ImageIO) within
+    // JPEG error; the distributed sampleFrames demux sees exact frame
+    // counts on both codings
+    "mm_avi" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val perDoc = t(s, d, "documents").select(col("doc_id"))
+        .limit(100).as[Long].map { id =>
+          val w = 16; val h = 12
+          val frames = (0 until 6).map { f =>
+            val g = ((id * 13 + f * 29) % 97).toInt
+            val px = Array.tabulate(w * h * 3) { i =>
+              val p = i / 3; val x = p % w; val y = p / w
+              math.min(250, x * 5 + y * 4 + (i % 3) * 7 + g).toByte
+            }
+            Multimodal.encodeBmp(w, h, px)
+          }
+          val dib = Multimodal.encodeAvi(12, frames, mjpeg = false)
+          val mjpg = Multimodal.encodeAvi(12, frames, mjpeg = true)
+          val dibOk = Multimodal.decodeAviFrames(dib).exists {
+            case (fps, dec) => fps == 12 && dec.length == 6 &&
+              dec.zip(frames).forall { case (a, b) =>
+                java.util.Arrays.equals(a, b)
+              }
+          }
+          val mjpgOk = Multimodal.decodeAviFrames(mjpg).exists {
+            case (fps, dec) => fps == 12 && dec.length == 6 &&
+              dec.zip(frames).forall { case (a, b) =>
+                (for {
+                  pa <- Multimodal.decodeBmpPixels(a)
+                  pb <- Multimodal.decodeBmpPixels(b)
+                } yield pa._1 == pb._1 && pa._2 == pb._2 && {
+                  var err = 0L; var i = 0
+                  while (i < pa._3.length) {
+                    err += math.abs((pa._3(i) & 0xFF) - (pb._3(i) & 0xFF))
+                    i += 1
+                  }
+                  err.toDouble / pa._3.length <= 4.0
+                }).getOrElse(false)
+              }
+          }
+          (id, "video", dib, dibOk && mjpgOk)
+        }.toDF("media_id", "kind", "payload", "ok")
+      val bad = perDoc.where(!col("ok")).count()
+      val nRows = perDoc.count()
+      // distributed demux path over the DIB AVIs: every 2nd frame
+      val sampled = Multimodal.sampleFrames(
+        perDoc.select("media_id", "kind", "payload"), everyK = 2)
+      val sampleOk = sampled.groupBy("media_id").count()
+        .where(col("count") =!= 3).count() == 0 &&
+        sampled.select(countDistinct(col("media_id"))).as[Long].head() == 100
+      Seq(nRows == 100 && bad == 0 && sampleOk).toDF("contract_ok")
+    }),
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
@@ -2711,6 +2856,9 @@ object SparkEntry {
     // video contract: exact sampled-frame counts/indexes + per-frame
     // constant-color channel means through the real BMP decoder
     "mm_video" -> "SELECT TRUE AS video_ok",
+    "mm_adpcm" -> "SELECT TRUE AS contract_ok",
+    "mm_avi" -> "SELECT TRUE AS contract_ok",
+    "mm_audiodup" -> "SELECT TRUE AS contract_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
     "mm_alaw" -> "SELECT TRUE AS contract_ok",

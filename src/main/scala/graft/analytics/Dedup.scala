@@ -260,6 +260,40 @@ object Dedup {
     */
   val DriverCcMaxEdges: Long = 5_000_000L
 
+  /** Block-manager hygiene for iterative operators: eagerly checkpoint
+    * `result` so it is self-contained, then unpersist every `held`
+    * intermediate (loop-invariant checkpointed inputs, superseded
+    * round checkpoints, cached edge copies). `localCheckpoint` blocks
+    * are only reclaimed by the ContextCleaner on driver GC — far too
+    * late under memory pressure: two back-to-back x100 pageRank calls
+    * OOM a 16 g heap because the block manager still pins the first
+    * call's ~3.4 GB edge checkpoint while the second builds its own.
+    * Ordering matters: the result is materialized BEFORE anything is
+    * dropped, so releasing inputs can never invalidate it.
+    */
+  private[analytics] def releasing(result: DataFrame,
+                                   held: Seq[DataFrame]): DataFrame = {
+    val out = result.localCheckpoint(true)
+    held.foreach(releaseBlocks)
+    out
+  }
+
+  /** Free a frame's storage now: its CacheManager entry (`.cache()`d
+    * frames) AND the block-manager blocks of any `LogicalRDD` leaf in
+    * its plan — `Dataset.unpersist` alone is a no-op for
+    * `localCheckpoint` frames because their blocks belong to the
+    * underlying RDD, which the CacheManager never sees. Only call on
+    * frames nothing will read again: a released checkpoint cannot be
+    * recomputed (its lineage was truncated).
+    */
+  private[analytics] def releaseBlocks(df: DataFrame): Unit = {
+    try df.unpersist(false) catch { case _: Throwable => () }
+    try df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+    } catch { case _: Throwable => () }
+  }
+
   /** Connected components of an undirected pair graph `(id_a, id_b)`.
     * Propagation runs only over nodes that HAVE an edge — in a near-dup
     * graph that's a small minority; the singleton majority never changes
@@ -305,6 +339,7 @@ object Dedup {
       import scala.jdk.CollectionConverters._
       val labels = parent.keySet().asScala.toSeq.map(id => (id, find(id)))
       val labelsDf = labels.toDF("id", "cluster")
+      releaseBlocks(pr) // collected above — the result no longer reads it
       ids.join(broadcast(labelsDf), Seq("id"), "left")
         .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
     } else {
@@ -319,9 +354,11 @@ object Dedup {
         .repartition(spark.sessionState.conf.numShufflePartitions,
           col("id_b"))
         .cache()
+      val held = scala.collection.mutable.ArrayBuffer[DataFrame](pr, edges)
       var labels = edges.select(col("id_a").as("id"))
         .distinct().withColumn("cluster", col("id"))
         .localCheckpoint()
+      held += labels
       // convergence check: an order-insensitive hash signature of the
       // label table (one map-side-combined aggregate per round — no join,
       // and on a fixed-point round the signature provably cannot change).
@@ -346,14 +383,18 @@ object Dedup {
         val next = labels.unionByName(viaEdges).unionByName(viaSelf)
           .groupBy("id").agg(min("cluster").as("cluster"))
           .localCheckpoint()
+        held += next
         val s = sig(next)
         changed = s != last
         last = s
         labels = next
         rounds += 1
       }
-      ids.join(labels, Seq("id"), "left")
-        .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+      releasing(
+        ids.join(labels, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("cluster"), col("id")).as("cluster")),
+        held.toSeq)
     }
   }
 

@@ -72,6 +72,7 @@ object GraphAlgos {
                            iterations: Int, damping: Double,
                            checkpointEvery: Int,
                            sources: Option[DataFrame]): DataFrame = {
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -85,6 +86,7 @@ object GraphAlgos {
         val s = src.toDF("node").distinct()
         val marked = nodes.join(s.withColumn("__is_src", lit(true)),
           Seq("node"), "left").localCheckpoint(true)
+        held += marked
         val nSrc = marked.where(col("__is_src")).count()
         require(nSrc > 0, "personalizedPageRank: no source present in graph")
         marked.select(col("node"),
@@ -108,6 +110,7 @@ object GraphAlgos {
       .repartition(numParts, col("src")).localCheckpoint(true)
     val seededP = seeded.repartition(numParts, col("node"))
       .localCheckpoint(true)
+    held += eDeg; held += seededP
     var ranks = seededP.withColumn("rank", col("restart"))
     for (i <- 1 to iterations) {
       val contribs = eDeg.join(ranks, eDeg("src") === ranks("node"))
@@ -117,10 +120,12 @@ object GraphAlgos {
         .select(col("node"), col("restart"),
           (lit(1.0 - damping) * col("restart") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0 && i < iterations)
+      if (i % checkpointEvery == 0 && i < iterations) {
         ranks = ranks.localCheckpoint(true)
+        held += ranks
+      }
     }
-    ranks.select(col("node"), col("rank"))
+    Dedup.releasing(ranks.select(col("node"), col("rank")), held.toSeq)
   }
 
   /** Sequential reference evaluation of [[pageRank]]'s exact recurrence on
@@ -425,10 +430,15 @@ object GraphAlgos {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true)
-    if (e.count() <= maxDriverEdges)
-      return bfsDriver(e, sources, maxDepth)
+    if (e.count() <= maxDriverEdges) {
+      val r = bfsDriver(e, sources, maxDepth) // collected — independent of e
+      Dedup.releaseBlocks(e)
+      return r
+    }
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var dist = sources.toDF("node").distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
+    held += dist
     var frontier = dist.select("node")
     var d = 0L
     var done = false
@@ -439,14 +449,18 @@ object GraphAlgos {
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
+      held += fresh
       if (fresh.isEmpty) done = true
       else {
         dist = dist.unionByName(fresh)
-        if (d % checkpointEvery == 0) dist = dist.localCheckpoint(true)
+        if (d % checkpointEvery == 0) {
+          dist = dist.localCheckpoint(true)
+          held += dist
+        }
         frontier = fresh.select("node")
       }
     }
-    dist
+    Dedup.releasing(dist, held.toSeq)
   }
 
   /** Driver tier of [[bfsDistances]]: one collect of the (deduplicated,
@@ -533,10 +547,15 @@ object GraphAlgos {
         col(weightCol).cast("long").as("w"))
       .where(col("u").isNotNull && col("v").isNotNull && col("w") >= 0)
       .localCheckpoint(true)
-    if (e.count() <= maxDriverEdges)
-      return dijkstraDriver(e, sources)
+    if (e.count() <= maxDriverEdges) {
+      val r = dijkstraDriver(e, sources) // collected — independent of e
+      Dedup.releaseBlocks(e)
+      return r
+    }
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var dist = sources.toDF("node").distinct()
       .withColumn("dist", lit(0L)).localCheckpoint(true)
+    held += dist
     var done = false
     var i = 0
     while (!done && i < maxIterations) {
@@ -552,12 +571,16 @@ object GraphAlgos {
             (col("nd").isNotNull && col("nd") < col("dist")))
             .as("__improved"))
         .localCheckpoint(true)
+      held += merged
       done = merged.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
         .head.getLong(0) == 0L
       dist = merged.select("node", "dist")
-      if (i % checkpointEvery == 0) dist = dist.localCheckpoint(true)
+      if (i % checkpointEvery == 0) {
+        dist = dist.localCheckpoint(true)
+        held += dist
+      }
     }
-    dist
+    Dedup.releasing(dist, held.toSeq)
   }
 
   /** Driver tier of [[shortestPaths]]: multi-source Dijkstra (non-negative
@@ -713,6 +736,8 @@ object GraphAlgos {
     // applied once at the end. fp drift vs the per-half-step classic
     // form is ~1e-14, well inside the 1e-9 contract tol; magnitudes
     // stay bounded (auth ≤ max-degree per round off a unit hub).
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](
+      e, eBySrc, eByDst, nodes)
     var hub = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("hub"))
     var lastAuthRaw: DataFrame = null
@@ -724,10 +749,11 @@ object GraphAlgos {
       // there so the output doesn't recompute the join
       val authRaw =
         if (i == iterations) authRaw0.localCheckpoint(true) else authRaw0
-      if (i == iterations) lastAuthRaw = authRaw
+      if (i == iterations) { lastAuthRaw = authRaw; held += authRaw }
       val hubRaw = eByDst.join(authRaw, eByDst("dst") === col("an"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("rawhub"))
         .localCheckpoint(true)
+      held += hubRaw
       val hn = hubRaw.agg(sum(col("rawhub") * col("rawhub")).as("__h2"))
       hub = hubRaw.crossJoin(broadcast(hn)).select(col("node"),
         (col("rawhub") / sqrt(col("__h2"))).as("hub"))
@@ -740,10 +766,10 @@ object GraphAlgos {
       .join(auth, Seq("node"), "left")
       .select(col("node"), coalesce(col("hub"), lit(0.0)).as("hub"),
         coalesce(col("auth"), lit(0.0)).as("auth"))
-    // the returned frame reads the final round's checkpoints only — the
-    // cached pre-partitioned edge copies are no longer reachable
-    eBySrc.unpersist(); eByDst.unpersist()
-    out
+    // the returned frame is made self-contained, then EVERY working
+    // frame — per-round hub checkpoints, the final auth, the cached
+    // pre-partitioned edge copies, e, nodes — is released
+    Dedup.releasing(out, held.toSeq)
   }
 
   /** Sequential reference evaluation of [[hits]]'s exact recurrence —
@@ -1584,12 +1610,18 @@ object GraphAlgos {
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct()
-    if (e.count() <= maxDriverEdges)
-      return brandesDriver(e, nodes, sources, maxDepth)
+    if (e.count() <= maxDriverEdges) {
+      val r = brandesDriver(e, nodes, sources, maxDepth)
+      Dedup.releaseBlocks(e)
+      return r
+    }
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     val src = sources.toDF("s").distinct()
     var levels = List(src.select(col("s"), col("s").as("node"),
       lit(1.0).as("sigma")).localCheckpoint(true))
+    held += levels.head
     var seen = levels.head.select("s", "node").localCheckpoint(true)
+    held += seen
     var d = 0
     var done = false
     while (!done && d < maxDepth) {
@@ -1599,17 +1631,20 @@ object GraphAlgos {
         .join(seen, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
         .localCheckpoint(true)
+      held += fresh
       if (fresh.isEmpty) done = true
       else {
         levels ::= fresh // levels is deepest-first
         seen = seen.unionByName(fresh.select("s", "node"))
           .localCheckpoint(true)
+        held += seen
       }
     }
     // backward sweep: δ at the deepest level is 0; each shallower level
     // pulls σv/σw·(1+δw) from its successors one level deeper
     var withDelta = levels.head.withColumn("delta", lit(0.0))
       .localCheckpoint(true)
+    held += withDelta
     val deltas = scala.collection.mutable.ArrayBuffer(withDelta)
     levels.tail.foreach { lvl =>
       val contrib = lvl.join(e, lvl("node") === e("u"))
@@ -1624,14 +1659,17 @@ object GraphAlgos {
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(true)
+      held += withDelta
       deltas += withDelta
     }
     val bc = deltas.map(_.where(col("node") =!= col("s"))
         .select(col("node"), col("delta")))
       .reduce(_ unionByName _)
       .groupBy("node").agg(sum("delta").as("bc"))
-    nodes.join(bc, Seq("node"), "left")
-      .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc"))
+    Dedup.releasing(
+      nodes.join(bc, Seq("node"), "left")
+        .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc")),
+      held.toSeq)
   }
 
   /** Source-sampled betweenness estimator (Brandes–Pich, "Centrality
@@ -1670,8 +1708,11 @@ object GraphAlgos {
       .orderBy(xxhash64(col("node"), lit(seed)), col("node"))
       .limit(k.toInt)
     val scale = n.toDouble / k.toDouble
-    betweenness(e, "u", "v", sources, maxDepth, maxDriverEdges)
-      .select(col("node"), (col("bc") * lit(scale)).as("bc"))
+    // betweenness() returns a self-contained checkpoint (or driver
+    // data), so the outer working frames release immediately after
+    val r = betweenness(e, "u", "v", sources, maxDepth, maxDriverEdges)
+    Dedup.releaseBlocks(e); Dedup.releaseBlocks(nodes)
+    r.select(col("node"), (col("bc") * lit(scale)).as("bc"))
   }
 
   /** Contract for [[betweennessApprox]] on a driver-gated graph:

@@ -823,6 +823,139 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(feats.length === 3 && feats.forall(_._3.length === 8))
   }
 
+  test("IMA ADPCM: block-exact structure, bounded error, corrupt reject") {
+    // smooth triangle wave — integer-exact input, ADPCM tracks it closely
+    val n = 1600
+    val pcm = Array.tabulate(n) { i =>
+      val period = 160; val ph = i % period
+      val tri = if (ph < period / 2) ph * 4 - period else 3 * period - ph * 4
+      (tri * 80).toShort
+    }
+    val enc = Multimodal.encodeAdpcmWav(8000, pcm)
+    val Some((rate, dec)) = Multimodal.decodeAdpcmWav(enc)
+    assert(rate === 8000)
+    assert(dec.length === n) // fact chunk trims block padding exactly
+    // each block's first output sample is the header predictor verbatim
+    assert(dec(0) === pcm(0) && dec(505) === pcm(505) &&
+      dec(1010) === pcm(1010))
+    // deterministic decode + bounded reconstruction error (4-bit lossy)
+    val Some((_, dec2)) = Multimodal.decodeAdpcmWav(enc)
+    assert(dec.toSeq === dec2.toSeq)
+    val rmsErr = math.sqrt(pcm.indices.map { i =>
+      val d = (dec(i) - pcm(i)).toDouble; d * d
+    }.sum / n)
+    val rmsSig = math.sqrt(pcm.map(s => s.toDouble * s).sum / n)
+    assert(rmsErr < rmsSig / 20, s"rmsErr=$rmsErr rmsSig=$rmsSig")
+    // >2:1 compression vs the 2-byte-per-sample PCM16 form (4:1 on the
+    // data chunk; headers and the 4-byte block headers eat the rest)
+    assert(enc.length < pcm.length)
+    // dispatcher tags it; a PCM16 wav of the decode has the same RMS
+    val media = Seq((1L, "audio", enc)).toDF("media_id", "kind", "payload")
+    val m = Multimodal.extractFeatures(media).collect().head
+    assert(m.codec === "adpcm")
+    assert(math.abs(m.feature(1) - n.toFloat / 8000) < 1e-6) // exact seconds
+    // corrupt containers are rejected, never looped or overread
+    assert(Multimodal.decodeAdpcmWav("RIFFxxxxWAVE".getBytes) === None)
+    val bad = enc.clone() // flip the fmt tag (le16 at offset 20) off 0x11
+    bad(20) = 1.toByte; bad(21) = 1.toByte
+    assert(Multimodal.decodeAdpcmWav(bad) === None)
+    assert(Multimodal.decodeAdpcmWav(enc.take(40)) === None)
+  }
+
+  test("AVI: DIB frames round-trip losslessly; MJPEG decodes close") {
+    val frames = (0 until 5).map(i => gradBmp(i, -1))
+    // uncompressed DIB coding: decoded frames are bit-identical BMPs
+    val dib = Multimodal.encodeAvi(12, frames, mjpeg = false)
+    val Some((fps1, dec1)) = Multimodal.decodeAviFrames(dib)
+    assert(fps1 === 12 && dec1.length === 5)
+    dec1.zip(frames).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // MJPEG coding: real per-frame JPEG via ImageIO — dims exact, pixels
+    // within JPEG error
+    val mjpg = Multimodal.encodeAvi(12, frames, mjpeg = true)
+    val Some((fps2, dec2)) = Multimodal.decodeAviFrames(mjpg)
+    assert(fps2 === 12 && dec2.length === 5)
+    dec2.zip(frames).foreach { case (a, b) =>
+      val Some((wa, ha, pa)) = Multimodal.decodeBmpPixels(a)
+      val Some((wb, hb, pb)) = Multimodal.decodeBmpPixels(b)
+      assert(wa === wb && ha === hb)
+      val meanAbs = pa.indices.map(i =>
+        math.abs((pa(i) & 0xFF) - (pb(i) & 0xFF))).sum.toDouble / pa.length
+      assert(meanAbs <= 4.0, s"mjpeg meanAbs=$meanAbs")
+    }
+    // sampleFrames demuxes AVI exactly like GVID (frames are plain BMPs)
+    val media = Seq((7L, "video", dib)).toDF("media_id", "kind", "payload")
+    val got = Multimodal.sampleFrames(media, everyK = 2)
+      .select("media_id", "frame_idx").as[(Long, Long)].collect().toSet
+    assert(got === Set((7L, 0L), (7L, 2L), (7L, 4L)))
+    // rejects non-AVI RIFF and truncated/corrupt containers
+    assert(Multimodal.decodeAviFrames("RIFF1234WAVE".getBytes) === None)
+    assert(Multimodal.decodeAviFrames(dib.take(64)) === None)
+  }
+
+  test("audio fingerprint: gain-invariant, noise-robust, melody-sensitive") {
+    val rate = 8000; val n = 8000
+    // tones placed AT band centers: family f is the band pair
+    // {3+2f, 56-2f} — every family's pair is disjoint from every
+    // other's (f+g = 26.5 has no integer solution), so cross-family
+    // Hamming is ≥ 4 while within-family variants measure 0
+    def bandFreq(b: Int): Double = 300.0 * math.pow(0.45 * rate / 300.0, b / 63.0)
+    def melody(fam: Int, noise: Int, gain: Double): Array[Byte] = {
+      val f1 = bandFreq(3 + 2 * fam); val f2 = bandFreq(56 - 2 * fam)
+      val pcm = Array.tabulate(n) { i =>
+        val t = i.toDouble / rate
+        val base = 6000 * math.sin(2 * math.Pi * f1 * t) +
+          4000 * math.sin(2 * math.Pi * f2 * t + fam)
+        val nz = if (noise == 0) 0.0
+          else 300 * math.sin(2 * math.Pi * (1234.5 + 77 * noise) * t + noise)
+        (gain * (base + nz)).toShort
+      }
+      Multimodal.encodeWav(rate, pcm)
+    }
+    def fp(b: Array[Byte]): Long = Multimodal.audioFingerprint(b).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // identical bytes → identical fingerprint; gain changes → exact
+    // (both sides of the 20 dB-of-peak comparison scale together)
+    assert(fp(melody(1, 0, 1.0)) === fp(melody(1, 0, 1.0)))
+    assert(fp(melody(1, 0, 1.0)) === fp(melody(1, 0, 0.5)))
+    assert(fp(melody(1, 0, 1.0)) === fp(melody(1, 0, 0.6)))
+    // additive noise >20 dB below the tones → ≤1 bit; other melodies ≥4
+    (0 until 4).foreach { fam =>
+      val base = fp(melody(fam, 0, 1.0))
+      assert(ham(base, fp(melody(fam, 3, 1.0))) <= 1,
+        s"fam $fam noisy too far: ${ham(base, fp(melody(fam, 3, 1.0)))}")
+      ((fam + 1) until 4).foreach { other =>
+        assert(ham(base, fp(melody(other, 0, 1.0))) >= 4,
+          s"fams $fam/$other too close")
+      }
+    }
+    // the ADPCM round-trip (real lossy codec, noise ~26 dB down and
+    // broadband) leaves the fingerprint near-dup-close
+    val wav = melody(2, 0, 1.0)
+    val Some((_, pcm)) = Multimodal.decodeAudioPcm(wav)
+    val viaAdpcm = Multimodal.encodeAdpcmWav(rate, pcm)
+    assert(ham(fp(wav), fp(viaAdpcm)) <= 2)
+    // non-audio / too-short payloads produce no fingerprint
+    assert(Multimodal.audioFingerprint("not audio".getBytes) === None)
+    assert(Multimodal.audioFingerprint(
+      Multimodal.encodeWav(rate, new Array[Short](100))) === None)
+    // end-to-end near-dup pairs: 12 originals + noisy gain-scaled twins
+    // — the banded join must recover every planted (orig, twin) pair
+    // and no cross-family pair
+    val media = (0 until 12).flatMap { k =>
+      Seq((k.toLong, "audio", melody(k, 0, 1.0 - 0.02 * k)),
+        (k + 100L, "audio", melody(k, k + 1, 0.7)))
+    }.toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.audioDupPairs(media, maxHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 12).foreach { k =>
+      assert(pairs.contains((k.toLong, k + 100L)) ||
+        pairs.contains((k + 100L, k.toLong)), s"missing twin pair $k")
+    }
+    pairs.foreach { case (a, b) =>
+      assert(a % 100 === b % 100, s"cross-family pair ($a,$b)")
+    }
+  }
+
   test("ivfAppendQuantized: append equals union store; finds new vectors") {
     import org.apache.commons.io.FileUtils
     val rnd = new scala.util.Random(31)
