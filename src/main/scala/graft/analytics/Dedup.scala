@@ -279,18 +279,22 @@ object Dedup {
   }
 
   /** Free a frame's storage now: its CacheManager entry (`.cache()`d
-    * frames) AND the block-manager blocks of any `LogicalRDD` leaf in
-    * its plan — `Dataset.unpersist` alone is a no-op for
-    * `localCheckpoint` frames because their blocks belong to the
-    * underlying RDD, which the CacheManager never sees. Only call on
-    * frames nothing will read again: a released checkpoint cannot be
-    * recomputed (its lineage was truncated).
+    * frames) and, when the frame IS a checkpoint (its plan is exactly
+    * the `LogicalRDD` node), the underlying RDD's block-manager blocks
+    * — `Dataset.unpersist` alone is a no-op for `localCheckpoint`
+    * frames because their blocks belong to the RDD, which the
+    * CacheManager never sees. Deliberately NOT a plan-tree walk: a
+    * derived frame's leaves may be checkpoints the CALLER still owns
+    * (releasing them through a borrowed reference broke SCC's outer
+    * loop). Only call on frames nothing will read again: a released
+    * checkpoint cannot be recomputed (its lineage was truncated).
     */
   private[analytics] def releaseBlocks(df: DataFrame): Unit = {
     try df.unpersist(false) catch { case _: Throwable => () }
-    try df.queryExecution.analyzed.collect {
+    try df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(false)
+      case _ => ()
     } catch { case _: Throwable => () }
   }
 

@@ -200,8 +200,10 @@ object GraphAlgos {
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
       .select(col("e1.v").as("a"), col("e2.v").as("b"))
     val closed = wedges.join(und, Seq("a", "b"))
-    und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+    Dedup.releasing(
+      und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(closed.agg(count(lit(1)).as("n_triangles"))),
+      Seq(und, oriented))
   }
 
   /** Canonical undirected edges `(a, b)`, a < b. */
@@ -219,7 +221,9 @@ object GraphAlgos {
     * triangle, wedge fan-out O(√E)); each triangle explodes to its
     * three canonical edges, then one hash aggregate.
     */
-  private def edgeSupports(und: DataFrame): DataFrame = {
+  private def edgeSupports(und: DataFrame,
+                           held: scala.collection.mutable.Buffer[DataFrame])
+      : DataFrame = {
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -233,6 +237,7 @@ object GraphAlgos {
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .localCheckpoint(true)
+    held += oriented
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
     val tri = e1.join(e2,
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
@@ -266,15 +271,23 @@ object GraphAlgos {
              maxRounds: Int = 100): DataFrame = {
     require(k >= 2, "kTruss: k must be >= 2")
     val minSup = (k - 2).toLong
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    held += und
     var n = und.count()
     var rounds = 0
     while (rounds < maxRounds) {
       rounds += 1
-      val withSup = edgeSupports(und)
+      val withSup = edgeSupports(und, held)
         .where(col("sup") >= minSup).localCheckpoint(true)
       val m = withSup.count()
-      if (m == n) return withSup
+      if (m == n) {
+        // the fixed point IS the result (already a checkpoint): release
+        // everything superseded and hand it back without another copy
+        held.foreach(Dedup.releaseBlocks)
+        return withSup
+      }
+      held += withSup
       und = withSup.select("a", "b")
       n = m
     }
@@ -366,9 +379,11 @@ object GraphAlgos {
     val triNodes = wedges.join(und, Seq("a", "b"))
       .select(explode(array(col("pivot"), col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("tri"))
-    deg.join(triNodes, Seq("n"), "left")
-      .select(col("dg"), coalesce(col("tri"), lit(0L)).as("tri"))
-      .groupBy("dg", "tri").agg(count(lit(1)).as("n_nodes"))
+    Dedup.releasing(
+      deg.join(triNodes, Seq("n"), "left")
+        .select(col("dg"), coalesce(col("tri"), lit(0L)).as("tri"))
+        .groupBy("dg", "tri").agg(count(lit(1)).as("n_nodes")),
+      Seq(und, deg, oriented))
   }
 
   /** Weakly connected components over an edge list: delegates to the
@@ -641,26 +656,33 @@ object GraphAlgos {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int): DataFrame = {
     require(k >= 1, "kCore: k must be >= 1")
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var und = edges.select(col(srcCol).as("x"), col(dstCol).as("y"))
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct().localCheckpoint(true)
+    held += und
     var done = false
     while (!done) {
       val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+      held += deg
       val bad = deg.where(col("dg") < k).select("n").localCheckpoint(true)
+      held += bad
       if (bad.isEmpty) done = true
       else {
         und = und
           .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
           .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
           .select("a", "b").localCheckpoint(true)
+        held += und
       }
     }
-    und.select(col("a").as("node")).union(und.select(col("b").as("node")))
-      .groupBy("node").agg(count(lit(1)).as("degree"))
+    Dedup.releasing(
+      und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree")),
+      held.toSeq)
   }
 
   /** Sequential reference peel for [[kCore]] — the differential oracle. */
@@ -860,6 +882,8 @@ object GraphAlgos {
       .crossJoin(spark.range(walksPerNode.toLong).select(col("id").as("wid")))
       .select(col("node").as("start"), col("wid"), col("node").as("cur"))
       .localCheckpoint(true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](
+      e, nbr, deg, walkers)
     var out = walkers.select(col("start"), col("wid"), lit(0L).as("step"),
       col("cur").as("node"))
     var t = 0
@@ -875,11 +899,15 @@ object GraphAlgos {
         .join(nbr, Seq("u", "rank"))
         .select(col("start"), col("wid"), col("v").as("cur"))
         .localCheckpoint(true)
+      held += walkers
       out = out.unionByName(walkers.select(col("start"), col("wid"),
         lit(t.toLong).as("step"), col("cur").as("node")))
-      if (t % checkpointEvery == 0) out = out.localCheckpoint(true)
+      if (t % checkpointEvery == 0) {
+        out = out.localCheckpoint(true)
+        held += out
+      }
     }
-    out
+    Dedup.releasing(out, held.toSeq)
   }
 
   /** Contract harness for the driver oracle: one row `(walks_ok,
@@ -956,6 +984,7 @@ object GraphAlgos {
     var comp = und0.select(col("a").as("node"))
       .union(und0.select(col("b").as("node"))).distinct()
       .select(col("node"), col("node").as("c")).localCheckpoint(true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](und0, comp)
     var forest = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
     var und = und0
     var round = 0
@@ -968,6 +997,7 @@ object GraphAlgos {
         .where(col("ca") =!= col("cb"))
         .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
         .localCheckpoint(true)
+      held += labeled
       if (labeled.isEmpty) done = true
       else {
         // min outgoing edge per component under the (w, a, b) total
@@ -979,8 +1009,12 @@ object GraphAlgos {
           .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
           .distinct() // both endpoints' components may pick the same edge
           .localCheckpoint(true)
+        held += pick
         forest = forest.unionByName(pick)
-        if (round % checkpointEvery == 0) forest = forest.localCheckpoint(true)
+        if (round % checkpointEvery == 0) {
+          forest = forest.localCheckpoint(true)
+          held += forest
+        }
         // contract: relabel components connected by the picked edges.
         // The pair set is one edge per component, so the CC input is
         // |components|-bounded — the two-tier engine picks its tier
@@ -993,13 +1027,15 @@ object GraphAlgos {
         comp = comp.join(newLabels.select(col("id").as("c"),
             col("cluster").as("nc")), "c")
           .select(col("node"), col("nc").as("c")).localCheckpoint(true)
+        held += comp
         und = und.join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
           .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
           .where(col("ca") =!= col("cb"))
           .select("a", "b", "w").localCheckpoint(true)
+        held += und
       }
     }
-    forest
+    Dedup.releasing(forest, held.toSeq)
   }
 
   /** Sequential Kruskal under the same (w, a, b) total order — the
@@ -1093,6 +1129,7 @@ object GraphAlgos {
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
       .distinct().localCheckpoint(true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var labels = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
     for (i <- 1 to iterations) {
@@ -1103,10 +1140,12 @@ object GraphAlgos {
       labels = counts.groupBy("node")
         .agg(min_by(col("label"),
           struct((-col("c")).as("nc"), col("label").as("lb"))).as("label"))
-      if (i % checkpointEvery == 0 && i < iterations)
+      if (i % checkpointEvery == 0 && i < iterations) {
         labels = labels.localCheckpoint(true)
+        held += labels
+      }
     }
-    labels
+    Dedup.releasing(labels, held.toSeq)
   }
 
   /** Sequential reference evaluation of [[labelPropagation]]'s exact
@@ -1155,6 +1194,7 @@ object GraphAlgos {
       .distinct().localCheckpoint(true)
     val seed = seeds.select(col(nodeCol).as("node"),
       col(labelCol).as("label")).distinct().localCheckpoint(true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, seed)
     var labels = seed
     for (i <- 1 to iterations) {
       val nbr = e.join(labels, e("v") === labels("node"))
@@ -1166,10 +1206,12 @@ object GraphAlgos {
           struct((-col("c")).as("nc"), col("label").as("lb"))).as("label"))
       labels = seed.unionByName(
         majority.join(seed.select("node"), Seq("node"), "left_anti"))
-      if (i % checkpointEvery == 0 && i < iterations)
+      if (i % checkpointEvery == 0 && i < iterations) {
         labels = labels.localCheckpoint(true)
+        held += labels
+      }
     }
-    labels
+    Dedup.releasing(labels, held.toSeq)
   }
 
   /** Sequential reference of [[labelSpread]]'s synchronous update (the
@@ -1271,8 +1313,15 @@ object GraphAlgos {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true)
-    if (e.count() <= maxDriverEdges) sccDriver(e)
-    else sccDistributed(e)
+    if (e.count() <= maxDriverEdges) {
+      val r = sccDriver(e) // collected — independent of e
+      Dedup.releaseBlocks(e)
+      r
+    } else {
+      val r = sccDistributed(e)
+      Dedup.releaseBlocks(e)
+      r
+    }
   }
 
   /** Deterministic cross-type ordering for SCC labels: natural order
@@ -1376,6 +1425,7 @@ object GraphAlgos {
       .cache()
     var lab = nodes.select(col("node"), col("node").as("lb"))
       .localCheckpoint(true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, lab)
     var changed = true
     while (changed) {
       val viaEdges = e
@@ -1396,14 +1446,13 @@ object GraphAlgos {
           least(col("lb"), coalesce(col("cand"), col("lb"))).as("lb"),
           (col("cand").isNotNull && col("cand") < col("lb")).as("__chg"))
         .localCheckpoint(true)
+      held += next
       changed = next.where(col("__chg")).head(1).nonEmpty
       lab = next.select("node", "lb")
     }
-    // lab reads the final round's checkpoint only — release the cached
-    // edge layout so repeated fixed points don't accumulate in the
-    // CacheManager across a long-lived session
-    e.unpersist()
-    lab
+    // make the result self-contained, then release every round
+    // checkpoint and the cached edge layout
+    Dedup.releasing(lab, held.toSeq)
   }
 
   /** Distributed tier: Orzan-style coloring with pointer-doubled label
@@ -1411,6 +1460,7 @@ object GraphAlgos {
     * sketch and round structure).
     */
   private def sccDistributed(e0: DataFrame): DataFrame = {
+    val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = e0
     var result: DataFrame = null
     var live = true
@@ -1418,11 +1468,13 @@ object GraphAlgos {
       val nodes = remaining.select(col("u").as("node"))
         .union(remaining.select(col("v").as("node"))).distinct()
         .localCheckpoint(true)
+      held += nodes
       if (nodes.isEmpty) live = false
       else {
         // (1) forward: color(v) = min id with a path to v
         val color = minLabelFixedPoint(nodes, remaining)
           .withColumnRenamed("lb", "color").localCheckpoint(true)
+        held += color
         // (2) backward within color regions: bcolor(v) = min region id
         // v reaches = fixed point over REVERSED region-internal edges
         val rev = remaining
@@ -1431,6 +1483,7 @@ object GraphAlgos {
           .where(col("cu") === col("cv"))
           .select(col("v").as("u"), col("u").as("v"))
           .localCheckpoint(true)
+        held += rev
         val bcolor = minLabelFixedPoint(nodes, rev)
           .withColumnRenamed("lb", "bcolor")
         // members of every root SCC at once: v and its region minimum c
@@ -1438,15 +1491,22 @@ object GraphAlgos {
         val scc = color.join(bcolor, "node")
           .where(col("bcolor") === col("color"))
           .select(col("node"), col("color")).localCheckpoint(true)
+        held += scc
         val found = scc.select(col("node"), col("color").as("component"))
         result = if (result == null) found
-          else result.unionByName(found).localCheckpoint(true)
+          else {
+            val r = result.unionByName(found).localCheckpoint(true)
+            held += r
+            r
+          }
         // (3) carve out finished SCCs, keep the rest
         val done = scc.select("node").localCheckpoint(true)
+        held += done
         remaining = remaining
           .join(done.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(done.select(col("node").as("v")), Seq("v"), "left_anti")
           .select("u", "v").localCheckpoint(true)
+        held += remaining
         // nodes whose every edge died: singleton SCCs, label = self
         val isolated = nodes
           .join(done, Seq("node"), "left_anti")
@@ -1455,11 +1515,13 @@ object GraphAlgos {
             Seq("node"), "left_anti")
           .select(col("node"), col("node").as("component"))
         result = result.unionByName(isolated).localCheckpoint(true)
+        held += result
       }
     }
-    if (result == null)
+    if (result == null) {
+      held.foreach(Dedup.releaseBlocks)
       e0.select(col("u").as("node"), col("v").as("component")).limit(0)
-    else result
+    } else Dedup.releasing(result, held.toSeq)
   }
 
   /** HyperBall neighborhood function: for t = 0, 1, 2, … the estimated
@@ -1490,6 +1552,7 @@ object GraphAlgos {
     var counter = nodes.groupBy("node")
       .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
       .localCheckpoint(true)
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, counter)
     def total(c: DataFrame): Long =
       c.agg(sum(hll_sketch_estimate(col("sk")))).head.getLong(0)
     val out = scala.collection.mutable.ArrayBuffer((0L, total(counter)))
@@ -1503,11 +1566,13 @@ object GraphAlgos {
       val next = counter.unionByName(flowed)
         .groupBy("node").agg(hll_union_agg(col("sk")).as("sk"))
         .localCheckpoint(true)
+      held += next
       val tot = total(next)
       counter = next
       if (tot == prev) done = true
       else { out += ((t.toLong, tot)); prev = tot }
     }
+    held.foreach(Dedup.releaseBlocks) // out is driver data already
     out.toSeq.toDF("t", "n_pairs")
   }
 
@@ -1615,13 +1680,17 @@ object GraphAlgos {
       Dedup.releaseBlocks(e)
       return r
     }
-    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    // Keyed-frontier memory is the scale constraint here (state is
+    // O(k·V) at its peak), so superseded frames are released EAGERLY
+    // in-loop, not at return: the new checkpoint is materialized before
+    // its predecessor is dropped, and the per-level betweenness
+    // contributions fold into a node-sized running aggregate so each
+    // consumed level frees immediately — holding every `seen` chain and
+    // delta table to the end OOMs a 16 g heap at 47 M edges.
     val src = sources.toDF("s").distinct()
     var levels = List(src.select(col("s"), col("s").as("node"),
       lit(1.0).as("sigma")).localCheckpoint(true))
-    held += levels.head
     var seen = levels.head.select("s", "node").localCheckpoint(true)
-    held += seen
     var d = 0
     var done = false
     while (!done && d < maxDepth) {
@@ -1631,21 +1700,24 @@ object GraphAlgos {
         .join(seen, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
         .localCheckpoint(true)
-      held += fresh
-      if (fresh.isEmpty) done = true
+      if (fresh.isEmpty) { done = true; Dedup.releaseBlocks(fresh) }
       else {
         levels ::= fresh // levels is deepest-first
-        seen = seen.unionByName(fresh.select("s", "node"))
+        val newSeen = seen.unionByName(fresh.select("s", "node"))
           .localCheckpoint(true)
-        held += seen
+        Dedup.releaseBlocks(seen)
+        seen = newSeen
       }
     }
+    Dedup.releaseBlocks(seen) // the backward sweep never reads it
     // backward sweep: δ at the deepest level is 0; each shallower level
-    // pulls σv/σw·(1+δw) from its successors one level deeper
+    // pulls σv/σw·(1+δw) from its successors one level deeper; bc
+    // accumulates per level into a (node, delta)-sized partial sum
     var withDelta = levels.head.withColumn("delta", lit(0.0))
       .localCheckpoint(true)
-    held += withDelta
-    val deltas = scala.collection.mutable.ArrayBuffer(withDelta)
+    Dedup.releaseBlocks(levels.head)
+    var bcAcc = withDelta.where(col("node") =!= col("s"))
+      .select(col("node"), col("delta")).localCheckpoint(true)
     levels.tail.foreach { lvl =>
       val contrib = lvl.join(e, lvl("node") === e("u"))
         .select(col("s"), col("node"), col("sigma"), col("v"))
@@ -1655,21 +1727,24 @@ object GraphAlgos {
         .groupBy("s", "node")
         .agg(sum(col("sigma") / col("sigmaW") * (lit(1.0) + col("deltaW")))
           .as("delta"))
-      withDelta = lvl.join(contrib, Seq("s", "node"), "left")
+      val newWd = lvl.join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
         .localCheckpoint(true)
-      held += withDelta
-      deltas += withDelta
+      val newAcc = bcAcc
+        .unionByName(newWd.where(col("node") =!= col("s"))
+          .select(col("node"), col("delta")))
+        .groupBy("node").agg(sum("delta").as("delta"))
+        .localCheckpoint(true)
+      Dedup.releaseBlocks(withDelta); Dedup.releaseBlocks(bcAcc)
+      Dedup.releaseBlocks(lvl)
+      withDelta = newWd; bcAcc = newAcc
     }
-    val bc = deltas.map(_.where(col("node") =!= col("s"))
-        .select(col("node"), col("delta")))
-      .reduce(_ unionByName _)
-      .groupBy("node").agg(sum("delta").as("bc"))
+    val bc = bcAcc.groupBy("node").agg(sum("delta").as("bc"))
     Dedup.releasing(
       nodes.join(bc, Seq("node"), "left")
         .select(col("node"), coalesce(col("bc"), lit(0.0)).as("bc")),
-      held.toSeq)
+      Seq(e, withDelta, bcAcc))
   }
 
   /** Source-sampled betweenness estimator (Brandes–Pich, "Centrality
@@ -1857,9 +1932,13 @@ object GraphAlgos {
     */
   private def keyedBfs(e: DataFrame, src: DataFrame,
                        maxDepth: Int): DataFrame = {
+    // keyed-frontier state is O(|src|·V): superseded frames release
+    // EAGERLY once their successor checkpoint is materialized (same
+    // discipline as the Brandes forward pass)
     var dist = src.select(col("s"), col("s").as("node"),
       lit(0L).as("d")).localCheckpoint(true)
     var frontier = dist.select("s", "node")
+    var prevFresh: DataFrame = null
     var d = 0L
     var done = false
     while (!done && d < maxDepth) {
@@ -1869,12 +1948,17 @@ object GraphAlgos {
         .join(dist.select("s", "node"), Seq("s", "node"), "left_anti")
         .withColumn("d", lit(d))
         .localCheckpoint(true)
-      if (fresh.isEmpty) done = true
+      if (fresh.isEmpty) { done = true; Dedup.releaseBlocks(fresh) }
       else {
-        dist = dist.unionByName(fresh).localCheckpoint(true)
+        val newDist = dist.unionByName(fresh).localCheckpoint(true)
+        Dedup.releaseBlocks(dist)
+        if (prevFresh != null) Dedup.releaseBlocks(prevFresh)
+        prevFresh = fresh // still the live frontier this round
+        dist = newDist
         frontier = fresh.select("s", "node")
       }
     }
+    if (prevFresh != null) Dedup.releaseBlocks(prevFresh)
     dist
   }
 
@@ -1944,11 +2028,13 @@ object GraphAlgos {
     val dists =
       if (e.count() <= maxDriverEdges) keyedBfsDriver(e, src, maxDepth)
       else keyedBfs(e, src, maxDepth)
-    dists.where(col("d") > 0)
-      .groupBy("node")
-      .agg(sum(expr(s"${lcm}L div d")).as("num"))
-      .select(col("node"), col("num"),
-        (col("num").cast("double") / lit(lcm.toDouble)).as("score"))
+    Dedup.releasing(
+      dists.where(col("d") > 0)
+        .groupBy("node")
+        .agg(sum(expr(s"${lcm}L div d")).as("num"))
+        .select(col("node"), col("num"),
+          (col("num").cast("double") / lit(lcm.toDouble)).as("score")),
+      Seq(e, dists))
   }
 
   /** Newman modularity of a community assignment, per community — the
