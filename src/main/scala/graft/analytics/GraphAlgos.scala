@@ -106,8 +106,14 @@ object GraphAlgos {
     val numParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
+    // edge-sized and read once per iteration: store SERIALIZED and
+    // evictable (MEMORY_AND_DISK_SER) — the deserialized default pins
+    // ~3.4 GB at 47 M edges and tips a 16 g heap when anything else is
+    // resident; serialized blocks are compact and spill instead of OOM
     val eDeg = e.join(outDeg, "src")
-      .repartition(numParts, col("src")).localCheckpoint(true)
+      .repartition(numParts, col("src"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val seededP = seeded.repartition(numParts, col("node"))
       .localCheckpoint(true)
     held += eDeg; held += seededP
@@ -1672,7 +1678,8 @@ object GraphAlgos {
       : DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct()
     if (e.count() <= maxDriverEdges) {
@@ -1690,7 +1697,8 @@ object GraphAlgos {
     val src = sources.toDF("s").distinct()
     var levels = List(src.select(col("s"), col("s").as("node"),
       lit(1.0).as("sigma")).localCheckpoint(true))
-    var seen = levels.head.select("s", "node").localCheckpoint(true)
+    var seen = levels.head.select("s", "node")
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     var d = 0
     var done = false
     while (!done && d < maxDepth) {
@@ -1699,12 +1707,12 @@ object GraphAlgos {
         .select(col("s"), col("v").as("node"), col("sigma"))
         .join(seen, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       if (fresh.isEmpty) { done = true; Dedup.releaseBlocks(fresh) }
       else {
         levels ::= fresh // levels is deepest-first
         val newSeen = seen.unionByName(fresh.select("s", "node"))
-          .localCheckpoint(true)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         Dedup.releaseBlocks(seen)
         seen = newSeen
       }
@@ -1730,7 +1738,7 @@ object GraphAlgos {
       val newWd = lvl.join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       val newAcc = bcAcc
         .unionByName(newWd.where(col("node") =!= col("s"))
           .select(col("node"), col("delta")))
