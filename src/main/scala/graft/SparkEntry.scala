@@ -1444,6 +1444,47 @@ object SparkEntry {
       val complete = (0L until 25L).forall(f => found.getOrElse(f, 0) == 6)
       Seq(nRows == 100 && allWithin && complete).toDF("contract_ok")
     }),
+    // video near-dup end-to-end: 20 clip families × 3 renditions (GVID,
+    // AVI-DIB with identical frames, AVI-MJPEG lossy re-encode) — the
+    // banded-Hamming join over majority-vote frame-pHash fingerprints
+    // must recover all 3 within-family pairs per clip and no cross pair
+    "mm_videodup" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id")).limit(60)
+        .select((row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("doc_id")) - 1)
+          .cast("long").as("idx"))
+        .as[Long].map { id =>
+          val fam = (id % 20).toInt; val rend = (id / 20 % 3).toInt
+          val w = 32; val h = 32
+          val frames = (0 until 6).map { f =>
+            val seed = fam * 7 + f
+            val px = Array.tabulate(w * h * 3) { i =>
+              val p = i / 3; val x = p % w; val y = p / w
+              ((x * (3 + seed) + y * (5 + 2 * seed)) % 251).toByte
+            }
+            Multimodal.encodeBmp(w, h, px)
+          }
+          val payload = rend match {
+            case 0 => Multimodal.encodeGvid(12, frames)
+            case 1 => Multimodal.encodeAvi(12, frames, mjpeg = false)
+            case _ => Multimodal.encodeAvi(12, frames, mjpeg = true)
+          }
+          (id, fam.toLong, "video", payload)
+        }.toDF("media_id", "fam", "kind", "payload")
+      val nRows = media.count()
+      val pairs = Multimodal.videoDupPairs(
+        media.select("media_id", "kind", "payload"), maxHamming = 6)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      val famOf = media.select("media_id", "fam").as[(Long, Long)]
+        .collect().toMap
+      val allWithin = pairs.forall { case (a, b) => famOf(a) == famOf(b) }
+      val found = pairs.map { case (a, b) => (famOf(a), Set(a, b)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet.size).toMap
+      val complete = (0L until 20L).forall(f => found.getOrElse(f, 0) == 3)
+      Seq(nRows == 60 && allWithin && complete).toDF("contract_ok")
+    }),
     // real IMA ADPCM (WAVE format 0x11) round-trip: 200 synthesized
     // triangle-wave signals, encode 4-bit ADPCM, decode — exact sample
     // count (fact chunk), exact per-block header samples, reconstruction
@@ -2859,6 +2900,7 @@ object SparkEntry {
     "mm_adpcm" -> "SELECT TRUE AS contract_ok",
     "mm_avi" -> "SELECT TRUE AS contract_ok",
     "mm_audiodup" -> "SELECT TRUE AS contract_ok",
+    "mm_videodup" -> "SELECT TRUE AS contract_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
     "mm_alaw" -> "SELECT TRUE AS contract_ok",

@@ -133,6 +133,7 @@ object LinearModel {
         .as("acc"), count(lit(1)).as("n"))
       .collect().map(r => r.getBoolean(0) -> ((r.getDouble(1), r.getLong(2))))
       .toMap
+    rows.unpersist(); labels.unpersist() // collected above — done with both
     val (trainAcc, nTrain) = acc.getOrElse(false, (0.0, 0L))
     val (holdAcc, nHold) = acc.getOrElse(true, (0.0, 0L))
     spark.range(1).select(

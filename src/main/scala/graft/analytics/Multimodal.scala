@@ -1286,6 +1286,66 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "frame")
   }
 
+  /** 64-bit video fingerprint: bitwise MAJORITY vote across the per-frame
+    * perceptual hashes ([[phashImage]]) of every `everyK`-th frame — the
+    * clip-level analog of [[audioFingerprint]]. Identical clips hash
+    * identically; a re-encoded copy (e.g. MJPEG at JPEG error) flips few
+    * bits per frame and the majority absorbs them; different content
+    * diverges like pHash does. None for undecodable payloads or clips
+    * with no decodable sampled frame.
+    */
+  private[graft] def videoFingerprint(b: Array[Byte],
+                                      everyK: Int = 1): Option[Long] =
+    decodeVideoFrames(b).flatMap { case (_, frames) =>
+      val votes = new Array[Int](64)
+      var n = 0
+      frames.iterator.zipWithIndex.foreach { case (f, i) =>
+        if (i % everyK == 0) phashImage(f).foreach { h =>
+          n += 1
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) != 0) votes(bit) += 1 else votes(bit) -= 1
+            bit += 1
+          }
+        }
+      }
+      if (n == 0) None
+      else {
+        var h = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (votes(bit) > 0) h |= (1L << bit)
+          bit += 1
+        }
+        Some(h)
+      }
+    }
+
+  /** `(media_id, vfp)` clip fingerprints, partition-at-a-time; payloads
+    * that demux to no decodable frame drop out.
+    */
+  def videoFingerprints(media: DataFrame, everyK: Int = 1): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (p == null) None else videoFingerprint(p, everyK).map(h => (id, h))
+      })
+      .toDF("media_id", "vfp")
+  }
+
+  /** Video near-duplicate pairs: clip fingerprints + the banded Hamming
+    * pigeonhole join ([[Dedup.hammingBandPairs]]) — same scale shape as
+    * [[phashPairs]]/[[audioDupPairs]]: postings shuffle, never video
+    * bytes.
+    */
+  def videoDupPairs(media: DataFrame, maxHamming: Int = 8,
+                    everyK: Int = 1): DataFrame =
+    Dedup.hammingBandPairs(
+      videoFingerprints(media, everyK)
+        .select(col("media_id").as("id"), col("vfp").as("h")),
+      bits = 64, maxHamming = maxHamming)
+
   /** Per-sampled-frame features (frame dimensions + channel means via the
     * real BMP decoder): the whole-video analog of [[extractFeatures]].
     * Output is one row per sampled decodable frame.

@@ -956,6 +956,46 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("video fingerprint: re-encodes collide, distinct clips diverge") {
+    def clip(seed: Int): IndexedSeq[Array[Byte]] =
+      (0 until 6).map(f => gradBmp(seed * 7 + f, -1))
+    def fp(b: Array[Byte]): Long = Multimodal.videoFingerprint(b).get
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val frames = clip(1)
+    val gvid = Multimodal.encodeGvid(12, frames)
+    val dib = Multimodal.encodeAvi(12, frames, mjpeg = false)
+    val mjpg = Multimodal.encodeAvi(12, frames, mjpeg = true)
+    // same frames in different containers → identical fingerprint;
+    // MJPEG re-encode (lossy) → pHash-close per frame, majority absorbs
+    assert(fp(gvid) === fp(dib))
+    assert(ham(fp(gvid), fp(mjpg)) <= 6, s"mjpeg ${ham(fp(gvid), fp(mjpg))}")
+    // distinct clips diverge (pHash families are far apart)
+    (2 to 4).foreach { s =>
+      val other = Multimodal.encodeGvid(12, clip(s))
+      assert(ham(fp(gvid), fp(other)) > 12, s"clip $s too close")
+    }
+    // undecodable → None
+    assert(Multimodal.videoFingerprint("not video".getBytes) === None)
+    // end-to-end: 8 clips × (GVID, DIB, MJPEG) — the banded join must
+    // recover all 3 within-clip pairs per family and nothing cross
+    val media = (0 until 8).flatMap { k =>
+      val fs = clip(k + 10)
+      Seq((k * 10L, "video", Multimodal.encodeGvid(12, fs)),
+        (k * 10 + 1L, "video", Multimodal.encodeAvi(12, fs, mjpeg = false)),
+        (k * 10 + 2L, "video", Multimodal.encodeAvi(12, fs, mjpeg = true)))
+    }.toDF("media_id", "kind", "payload")
+    val pairs = Multimodal.videoDupPairs(media, maxHamming = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    (0 until 8).foreach { k =>
+      val ids = Set(k * 10L, k * 10 + 1L, k * 10 + 2L)
+      val within = pairs.filter(p => ids(p._1) && ids(p._2))
+      assert(within.size === 3, s"family $k pairs: $within")
+    }
+    pairs.foreach { case (a, b) =>
+      assert(a / 10 === b / 10, s"cross-clip pair ($a,$b)")
+    }
+  }
+
   test("ivfAppendQuantized: append equals union store; finds new vectors") {
     import org.apache.commons.io.FileUtils
     val rnd = new scala.util.Random(31)
