@@ -1444,6 +1444,42 @@ object SparkEntry {
       val complete = (0L until 25L).forall(f => found.getOrElse(f, 0) == 6)
       Seq(nRows == 100 && allWithin && complete).toDF("contract_ok")
     }),
+    // real FLAC (lossless, from the public spec — frames, CRC-8/16,
+    // FIXED predictors, Rice residuals): 200 synthesized signals of
+    // mixed character encode to FLAC and decode back BIT-EXACTLY
+    // (lossless is an equality contract, not an error bound); smooth
+    // signals compress below 1 byte/sample; the spectral fingerprint
+    // of the FLAC equals the WAV's exactly; the dispatcher tags it
+    "mm_flac" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val checks = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val rate = 16000; val n = 6000 + (id % 5).toInt * 997
+          val period = 80 + (id % 9).toInt * 24
+          val amp = 50 + (id % 13).toInt * 11
+          val pcm = Array.tabulate(n) { i =>
+            val ph = i % period
+            val tri = if (ph < period / 2) ph * 4 - period
+                      else 3 * period - ph * 4
+            // deterministic per-doc "texture" rides on the triangle so
+            // every doc exercises different residual statistics
+            val jitter = ((i * 2654435761L + id * 40503L) >>> 49).toInt - 16384
+            (tri * amp + jitter / 64).toShort
+          }
+          val enc = Multimodal.encodeFlac(rate, pcm)
+          val lossless = Multimodal.decodeFlac(enc).exists {
+            case (r, dec) => r == rate && java.util.Arrays.equals(
+              dec.map(_.toInt), pcm.map(_.toInt))
+          }
+          val fpEq = Multimodal.audioFingerprint(enc) ==
+            Multimodal.audioFingerprint(Multimodal.encodeWav(rate, pcm))
+          (id, lossless && fpEq && enc.length < n * 2)
+        }.toDF("media_id", "ok")
+      val nRows = checks.count()
+      val bad = checks.where(!col("ok")).count()
+      Seq(nRows == 200 && bad == 0).toDF("contract_ok")
+    }),
     // video near-dup end-to-end: 20 clip families × 3 renditions (GVID,
     // AVI-DIB with identical frames, AVI-MJPEG lossy re-encode) — the
     // banded-Hamming join over majority-vote frame-pHash fingerprints
@@ -2901,6 +2937,7 @@ object SparkEntry {
     "mm_avi" -> "SELECT TRUE AS contract_ok",
     "mm_audiodup" -> "SELECT TRUE AS contract_ok",
     "mm_videodup" -> "SELECT TRUE AS contract_ok",
+    "mm_flac" -> "SELECT TRUE AS contract_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
     "mm_alaw" -> "SELECT TRUE AS contract_ok",

@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * µ-law WAV, AIFF/AIFF-C, AU, non-PCM16 WAV variants) for REAL via
   * `javax.sound.sampled` (both ship with every JRE — no external codec
   * library); IMA ADPCM WAV (format 0x11, a real 4-bit compressed audio
-  * codec the JDK lacks) by a from-spec pure-JVM implementation; and
+  * codec the JDK lacks) and FLAC (lossless — encoder + full decoder,
+  * [[Flac]]) by from-spec pure-JVM implementations; and
   * video via real RIFF/AVI container demux with uncompressed-DIB and
   * Motion-JPEG frame codings. The remaining stub boundary is the
   * perceptual transform codecs (MP3-class audio, H.264-class
@@ -277,6 +278,7 @@ object Multimodal {
     scala.util.Try {
       decodeWav(bytes).map("wav" -> _)
         .orElse(decodeAdpcmFeatures(bytes))
+        .orElse(decodeFlacFeatures(bytes))
         .orElse(decodeAudioJdk(bytes))
         .orElse(decodeBmp(bytes).map("bmp" -> _))
         .orElse(decodeImageIoPixels(bytes).map { case (w, rows, px) =>
@@ -711,25 +713,47 @@ object Multimodal {
     Some((rate, out))
   }
 
-  /** Feature adapter for [[decode]]'s dispatch: same vector shape as
-    * [[decodeWav]], tag "adpcm".
+  /** Real FLAC decode (see [[Flac]]): (rate, PCM16). Gated on the
+    * `fLaC` marker; malformed streams degrade to None.
     */
+  private[graft] def decodeFlac(b: Array[Byte]): Option[(Int, Array[Short])] =
+    if (b.length < 4 || b(0) != 'f' || b(1) != 'L' || b(2) != 'a' ||
+      b(3) != 'C') None
+    else scala.util.Try(Flac.decode(b)).toOption.flatten
+
+  /** Encode PCM16 mono as FLAC (lossless — see [[Flac.encode]]). */
+  private[graft] def encodeFlac(rate: Int, pcm: Array[Short]): Array[Byte] =
+    Flac.encode(rate, pcm)
+
+  /** Feature adapter for [[decode]]'s dispatch: same vector shape as
+    * [[decodeWav]], tags "adpcm" / "flac".
+    */
+  private[analytics] def decodeFlacFeatures(
+      b: Array[Byte]): Option[(String, Array[Float])] =
+    decodeFlac(b).map { case (rate, pcm) =>
+      "flac" -> pcmFeatures(rate, pcm)
+    }
+
+  private def pcmFeatures(rate: Int, pcm: Array[Short]): Array[Float] = {
+    var sumSq = 0.0; var crossings = 0; var peak = 0.0
+    var prev = 0; var i = 0
+    while (i < pcm.length) {
+      val s = pcm(i).toInt
+      sumSq += s.toDouble * s
+      if ((s > 0 && prev < 0) || (s < 0 && prev > 0)) crossings += 1
+      if (math.abs(s) > peak) peak = math.abs(s)
+      prev = s; i += 1
+    }
+    val n = math.max(pcm.length, 1)
+    Array(rate / 48000.0f, pcm.length.toFloat / rate,
+      (math.sqrt(sumSq / n) / 32768.0).toFloat,
+      crossings.toFloat / n, (peak / 32768.0).toFloat, 0f, 0f, 0f)
+  }
+
   private[analytics] def decodeAdpcmFeatures(
       b: Array[Byte]): Option[(String, Array[Float])] =
     decodeAdpcmWav(b).map { case (rate, pcm) =>
-      var sumSq = 0.0; var crossings = 0; var peak = 0.0
-      var prev = 0; var i = 0
-      while (i < pcm.length) {
-        val s = pcm(i).toInt
-        sumSq += s.toDouble * s
-        if ((s > 0 && prev < 0) || (s < 0 && prev > 0)) crossings += 1
-        if (math.abs(s) > peak) peak = math.abs(s)
-        prev = s; i += 1
-      }
-      val n = math.max(pcm.length, 1)
-      "adpcm" -> Array(rate / 48000.0f, pcm.length.toFloat / rate,
-        (math.sqrt(sumSq / n) / 32768.0).toFloat,
-        crossings.toFloat / n, (peak / 32768.0).toFloat, 0f, 0f, 0f)
+      "adpcm" -> pcmFeatures(rate, pcm)
     }
 
   /** Real decode of the JDK-supported audio family via
@@ -867,7 +891,7 @@ object Multimodal {
         } finally in.close()
       } catch { case _: Exception => None }
     }
-    pcm16Wav.orElse(decodeAdpcmWav(b)).orElse(jdk)
+    pcm16Wav.orElse(decodeAdpcmWav(b)).orElse(decodeFlac(b)).orElse(jdk)
   }
 
   // ------------------------------------------------ audio fingerprinting

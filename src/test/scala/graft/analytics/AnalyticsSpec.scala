@@ -956,6 +956,45 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC: bit-exact lossless round-trip; CRCs verified; compression") {
+    val rate = 16000
+    // several block-spanning signals with different predictor sweet
+    // spots: smooth triangle (order 2-3), constant (order 0/constant),
+    // noisy (order 0/verbatim-ish), and a length that is NOT a multiple
+    // of the 4096 block size (exercises the short last frame)
+    val rnd = new scala.util.Random(7)
+    val signals = Seq(
+      Array.tabulate(10000) { i =>
+        val ph = i % 160
+        ((if (ph < 80) ph * 4 - 160 else 480 - ph * 4) * 90).toShort
+      },
+      Array.fill[Short](5000)(1234),
+      Array.tabulate(9001)(_ => (rnd.nextInt(65536) - 32768).toShort),
+      Array.tabulate(4096)(i => (2000 * math.sin(i / 20.0)).toShort),
+      Array.empty[Short])
+    signals.zipWithIndex.foreach { case (pcm, k) =>
+      val enc = Multimodal.encodeFlac(rate, pcm)
+      val Some((r, dec)) = Multimodal.decodeFlac(enc)
+      assert(r === rate, s"signal $k rate")
+      assert(dec.toSeq === pcm.toSeq, s"signal $k not lossless")
+    }
+    // smooth content compresses well below PCM16 size
+    val smooth = signals.head
+    assert(Multimodal.encodeFlac(rate, smooth).length < smooth.length,
+      "triangle should compress < 1 byte/sample")
+    // corrupting a data byte breaks a CRC → decode rejects
+    val enc = Multimodal.encodeFlac(rate, smooth)
+    val bad = enc.clone(); bad(enc.length / 2) = (bad(enc.length / 2) ^ 0x40).toByte
+    assert(Multimodal.decodeFlac(bad) === None)
+    assert(Multimodal.decodeFlac("not flac".getBytes) === None)
+    // dispatcher tags it; cross-codec fingerprint EXACT equality with
+    // the same samples as WAV (lossless ⇒ identical spectra)
+    val media = Seq((1L, "audio", enc)).toDF("media_id", "kind", "payload")
+    assert(Multimodal.extractFeatures(media).collect().head.codec === "flac")
+    val wav = Multimodal.encodeWav(rate, smooth)
+    assert(Multimodal.audioFingerprint(enc) === Multimodal.audioFingerprint(wav))
+  }
+
   test("video fingerprint: re-encodes collide, distinct clips diverge") {
     def clip(seed: Int): IndexedSeq[Array[Byte]] =
       (0 until 6).map(f => gradBmp(seed * 7 + f, -1))
