@@ -77,16 +77,19 @@ object GraphAlgos {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     // restart-mass column: uniform 1/N, or 1/|S| on source nodes only
+    var nNodes = 0L
     val seeded = sources match {
       case None =>
         val n = nodes.count()
         require(n > 0, "pageRank: empty edge list")
+        nNodes = n
         nodes.withColumn("restart", lit(1.0 / n))
       case Some(src) =>
         val s = src.toDF("node").distinct()
         val marked = nodes.join(s.withColumn("__is_src", lit(true)),
           Seq("node"), "left").localCheckpoint(true)
         held += marked
+        nNodes = marked.count()
         val nSrc = marked.where(col("__is_src")).count()
         require(nSrc > 0, "personalizedPageRank: no source present in graph")
         marked.select(col("node"),
@@ -106,14 +109,19 @@ object GraphAlgos {
     val numParts =
       edges.sparkSession.sessionState.conf.numShufflePartitions
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("odeg"))
-    // edge-sized and read once per iteration: store SERIALIZED and
-    // evictable (MEMORY_AND_DISK_SER) — the deserialized default pins
-    // ~3.4 GB at 47 M edges and tips a 16 g heap when anything else is
-    // resident; serialized blocks are compact and spill instead of OOM
+    // edge-sized and read once per iteration. On BIG graphs, store
+    // SERIALIZED and evictable (MEMORY_AND_DISK_SER): the deserialized
+    // default pins ~3.4 GB at 47 M edges and tips a 16 g heap when
+    // anything else is resident, while serialized blocks are compact
+    // and spill instead of OOM. On small graphs the deserialized
+    // default wins (no per-iteration deser cost) — measured at sf0.1.
+    val eDegLevel =
+      if (nNodes > 1_000_000)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eDeg = e.join(outDeg, "src")
       .repartition(numParts, col("src"))
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true, eDegLevel)
     val seededP = seeded.repartition(numParts, col("node"))
       .localCheckpoint(true)
     held += eDeg; held += seededP
