@@ -482,6 +482,16 @@ object Bench {
                   maxDriverEdges = 0L)
                 .write.mode("overwrite").format("noop").save()
             }
+            // connected components a DECADE above the 5 M-edge driver
+            // gate: the pointer-doubled min-label tier's scale proof
+            // (dedup_clusters' CC input is pair-sized and stays under
+            // the gate even at x100 — this is the only entry that
+            // actually runs the distributed CC loop at 47 M edges)
+            timed1("x100_graph_wcc") {
+              graft.analytics.GraphAlgos.connectedComponents(
+                  eAll, "src", "dst")
+                .write.mode("overwrite").format("noop").save()
+            }
           }
           // Turtle many-files ingest at N×: the documented scale shape
           // for Turtle (statements span lines, so the distributed unit
@@ -860,6 +870,90 @@ object Bench {
           errors("graph_hits_op") = errText(e); Seq("graph_hits_op" -> -1.0)
       }
 
+    // Multimodal THROUGHPUT block: the mm_* driver entries are small
+    // correctness contracts; these time the decode/fingerprint/join
+    // machinery at corpus scale. All synthesis happens distributed
+    // (Dataset.map) and is INSIDE the timing — at a deployment the
+    // decode cost is paid on real bytes the same way. Near-dups are
+    // planted (10% of rows are noisy twins) so the banded joins carry
+    // real pair work.
+    val mmOps: Seq[(String, Double)] = {
+      import org.apache.spark.sql.functions.col
+      import spark.implicits._
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      if (only.forall(_.contains("mm_phash_pairs"))) {
+        try {
+          out += "mm_phash_pairs" -> time {
+            val n = 50000
+            val media = spark.range(n.toLong).as[Long].map { id =>
+              val fam = (id / 10).toInt // 10 renditions per family
+              val nudge = (id % 10).toInt - 1 // -1 = pristine
+              // independent coefficients so all 5000 gradient families
+              // are DISTINCT mod 251 — a single linear family index
+              // repeats every 251 and its collisions would make the
+              // pair count quadratic
+              val cx = 3 + fam % 83
+              val cy = 5 + (fam / 83) % 61
+              val w = 32; val h = 32
+              val px = Array.tabulate(w * h * 3) { i =>
+                val p = i / 3; val x = p % w; val y = p / w
+                val base = (x * cx + y * cy) % 251
+                (if (nudge >= 0 && x == nudge && y == nudge)
+                   (base + 40) % 251
+                 else base).toByte
+              }
+              (id, "image", graft.analytics.Multimodal.encodeBmp(w, h, px))
+            }.toDF("media_id", "kind", "payload")
+            graft.analytics.Multimodal.phashPairs(media, maxHamming = 6)
+              .write.mode("overwrite").format("noop").save()
+          }
+        } catch {
+          case e: Throwable =>
+            errors("mm_phash_pairs") = errText(e)
+            out += "mm_phash_pairs" -> -1.0
+        }
+        spark.sharedState.cacheManager.clearCache()
+      }
+      if (only.forall(_.contains("mm_audio_pairs"))) {
+        try {
+          out += "mm_audio_pairs" -> time {
+            val n = 20000
+            val rate = 8000
+            val media = spark.range(n.toLong).as[Long].map { id =>
+              val fam = (id / 10).toInt // 10 renditions per family
+              val rend = (id % 10).toInt
+              // unrank fam into a UNIQUE band pair (a < b) of C(64,2):
+              // distinct spectra per family keep the pair count linear
+              var a = 0; var rem = fam % 2016
+              while (rem >= 63 - a) { rem -= 63 - a; a += 1 }
+              val bBand = a + 1 + rem
+              def bandFreq(bd: Int): Double =
+                300.0 * math.pow(0.45 * rate / 300.0, bd / 63.0)
+              val f1 = bandFreq(a); val f2 = bandFreq(bBand)
+              val gain = 1.0 - 0.05 * rend
+              val pcm = Array.tabulate(rate) { i => // 1 second
+                val t = i.toDouble / rate
+                val base = 6000 * math.sin(2 * math.Pi * f1 * t) +
+                  4000 * math.sin(2 * math.Pi * f2 * t + fam)
+                val nz = if (rend == 0) 0.0
+                  else 200 * math.sin(2 * math.Pi * (1234.5 + rend) * t)
+                (gain * (base + nz)).toShort
+              }
+              (id, "audio", graft.analytics.Multimodal.encodeWav(rate, pcm))
+            }.toDF("media_id", "kind", "payload")
+            graft.analytics.Multimodal.audioDupPairs(media, maxHamming = 1)
+              .write.mode("overwrite").format("noop").save()
+          }
+        } catch {
+          case e: Throwable =>
+            errors("mm_audio_pairs") = errText(e)
+            out += "mm_audio_pairs" -> -1.0
+        }
+        spark.sharedState.cacheManager.clearCache()
+      }
+      out.toSeq
+    }
+
     // the xN tiers run LAST (see the ordering note above load_134m)
     if (wants("x10")) scaleTier(10, full = true)
     // the 100× tier: the judge's scale-proof block (47 M quads / 500 k
@@ -867,7 +961,7 @@ object Bench {
     if (wants("x100")) scaleTier(100, full = false)
 
     val all = ("graph_load" -> loadSec) +:
-      (results ++ pagerank ++ betweennessOp ++ hitsOp ++ movie ++
+      (results ++ pagerank ++ betweennessOp ++ hitsOp ++ mmOps ++ movie ++
         scaleOut ++ skew)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")

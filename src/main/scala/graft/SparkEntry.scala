@@ -1444,6 +1444,96 @@ object SparkEntry {
       val complete = (0L until 25L).forall(f => found.getOrElse(f, 0) == 6)
       Seq(nRows == 100 && allWithin && complete).toDF("contract_ok")
     }),
+    // image augmentation: 200 asymmetric images — flip/rot identities
+    // hold BIT-EXACTLY (hflip∘hflip = id, rot90⁴ = id, rot180 =
+    // hflip∘vflip), crops return the exact display region, and the
+    // distributed explode yields one row per (image, variant)
+    "mm_augment" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      def pxOf(b: Array[Byte]) = Multimodal.decodeBmpPixels(b).get._3
+      val checks = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val w = 24; val h = 16
+          val g = (id % 89).toInt
+          val px = Array.tabulate(w * h * 3) { i =>
+            val p = i / 3; val x = p % w; val y = p / w
+            ((x * (3 + g) + y * (7 + g) + (i % 3) * 11) % 251).toByte
+          }
+          val img = Multimodal.encodeBmp(w, h, px)
+          val hflip2 = Multimodal.flipImage(
+            Multimodal.flipImage(img, horizontal = true).get,
+            horizontal = true).get
+          val rot4 = Iterator.iterate(img)(b =>
+            Multimodal.rotate90Image(b).get).drop(4).next()
+          val viaFlips = Multimodal.flipImage(
+            Multimodal.flipImage(img, horizontal = true).get,
+            horizontal = false).get
+          val rot2 = Multimodal.rotate90Image(
+            Multimodal.rotate90Image(img).get).get
+          val cropOk = Multimodal.cropImage(img, 3, 2, 8, 6).exists { c =>
+            Multimodal.decodeBmpPixels(c).exists { case (cw, ch, cp) =>
+              cw == 8 && ch == 6 && (0 until 6).forall { y =>
+                (0 until 8).forall { x =>
+                  val sD = ((h - 1 - (2 + y)) * w + (3 + x)) * 3
+                  val dD = ((ch - 1 - y) * cw + x) * 3
+                  cp(dD) == px(sD) && cp(dD + 1) == px(sD + 1) &&
+                    cp(dD + 2) == px(sD + 2)
+                }
+              }
+            }
+          }
+          val ok = java.util.Arrays.equals(pxOf(hflip2), px) &&
+            java.util.Arrays.equals(pxOf(rot4), px) &&
+            java.util.Arrays.equals(pxOf(rot2), pxOf(viaFlips)) && cropOk
+          (id, "image", img, ok)
+        }.toDF("media_id", "kind", "payload", "ok")
+      val bad = checks.where(!col("ok")).count()
+      val nRows = checks.count()
+      // distributed explode: 200 × 3 variants, every payload decodable
+      val aug = Multimodal.augmentImages(
+        checks.select("media_id", "payload"),
+        Seq("hflip", "rot90", "rot270"))
+      val augN = aug.count()
+      val augDecodable = aug.select("payload").as[Array[Byte]]
+        .map(b => Multimodal.decodeBmpPixels(b).isDefined)
+        .where(!col("value")).count()
+      Seq(nRows == 200 && bad == 0 && augN == 600 && augDecodable == 0)
+        .toDF("contract_ok")
+    }),
+    // audio conditioning: 200 clips across three REAL containers (WAV /
+    // IMA ADPCM / FLAC) resample to one rate and normalize to one peak
+    // — every output is 16 kHz PCM16 WAV with peak exactly 0.9 FS (±1
+    // LSB), and a non-audio row passes through byte-identical
+    "mm_condition" -> ((s, d) => {
+      import s.implicits._
+      import graft.analytics.Multimodal
+      val media = t(s, d, "documents").select(col("doc_id"))
+        .limit(200).as[Long].map { id =>
+          val rate = 8000
+          val f = 300.0 + (id % 40) * 37.0
+          val amp = 4000 + (id % 17).toInt * 400
+          val pcm = Array.tabulate(rate)(i =>
+            (amp * math.sin(2 * math.Pi * f * i / rate)).toShort)
+          val payload = (id % 3) match {
+            case 0 => Multimodal.encodeWav(rate, pcm)
+            case 1 => Multimodal.encodeAdpcmWav(rate, pcm)
+            case _ => Multimodal.encodeFlac(rate, pcm)
+          }
+          (id, "audio", payload)
+        }.toDF("media_id", "kind", "payload")
+      val cond = Multimodal.conditionAudio(media, 16000, 0.9)
+      val okCol = cond.as[(Long, String, Array[Byte])].map { case (_, _, p) =>
+        Multimodal.decodeAudioPcm(p).exists { case (r, pcm) =>
+          val peak = if (pcm.isEmpty) 0 else pcm.map(s => math.abs(s.toInt)).max
+          r == 16000 && pcm.length == 16000 &&
+            math.abs(peak - math.rint(0.9 * 32767)) <= 1
+        }
+      }
+      val bad = okCol.where(!col("value")).count()
+      val nRows = media.count()
+      Seq(nRows == 200 && bad == 0).toDF("contract_ok")
+    }),
     // real FLAC (lossless, from the public spec — frames, CRC-8/16,
     // FIXED predictors, Rice residuals): 200 synthesized signals of
     // mixed character encode to FLAC and decode back BIT-EXACTLY
@@ -2938,6 +3028,8 @@ object SparkEntry {
     "mm_audiodup" -> "SELECT TRUE AS contract_ok",
     "mm_videodup" -> "SELECT TRUE AS contract_ok",
     "mm_flac" -> "SELECT TRUE AS contract_ok",
+    "mm_augment" -> "SELECT TRUE AS contract_ok",
+    "mm_condition" -> "SELECT TRUE AS contract_ok",
     // multimodal audio: RIFF/WAVE encode->decode round-trip exactness
     "mm_audio" -> "SELECT TRUE AS contract_ok",
     "mm_alaw" -> "SELECT TRUE AS contract_ok",

@@ -381,6 +381,193 @@ object Multimodal {
       encodeBmp(newW, newH, out)
     }
 
+  // ------------------------------------------------- image augmentation
+  // Training-pipeline augmentations as exact pixel transforms over the
+  // (width, rows, bottom-up BGR) convention. All are involutions or
+  // 4-cycles, so the specs pin algebraic identities (flip∘flip = id,
+  // rot90⁴ = id) bit-exactly rather than eyeballing output.
+
+  /** Horizontal (mirror) or vertical flip of any decodable image;
+    * output is an uncompressed BMP. None for non-images.
+    */
+  private[graft] def flipImage(b: Array[Byte],
+                               horizontal: Boolean): Option[Array[Byte]] =
+    decodeImagePixels(b).map { case (w, rows, px) =>
+      val out = new Array[Byte](px.length)
+      var y = 0
+      while (y < rows) {
+        var x = 0
+        while (x < w) {
+          val sx = if (horizontal) w - 1 - x else x
+          val sy = if (horizontal) y else rows - 1 - y
+          val s = (sy * w + sx) * 3
+          val d = (y * w + x) * 3
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          x += 1
+        }
+        y += 1
+      }
+      encodeBmp(w, rows, out)
+    }
+
+  /** 90° clockwise rotation (output dims swap). */
+  private[graft] def rotate90Image(b: Array[Byte]): Option[Array[Byte]] =
+    decodeImagePixels(b).map { case (w, rows, px) =>
+      val out = new Array[Byte](px.length)
+      // bottom-up storage: display-space (X,Y) maps to row (rows-1-Y).
+      // Clockwise in DISPLAY space: dst(X,Y) = src(Y, H-1-X), dst is
+      // rows×w (swapped dims).
+      val ow = rows; val oh = w
+      var dy = 0 // display Y of dst
+      while (dy < oh) {
+        var dx = 0
+        while (dx < ow) {
+          val sxDisp = dy
+          val syDisp = rows - 1 - dx
+          val s = ((rows - 1 - syDisp) * w + sxDisp) * 3
+          val d = ((oh - 1 - dy) * ow + dx) * 3
+          out(d) = px(s); out(d + 1) = px(s + 1); out(d + 2) = px(s + 2)
+          dx += 1
+        }
+        dy += 1
+      }
+      encodeBmp(ow, oh, out)
+    }
+
+  /** Exact crop in DISPLAY coordinates (top-left origin). None when the
+    * rectangle falls outside the image or the payload is not an image.
+    */
+  private[graft] def cropImage(b: Array[Byte], x0: Int, y0: Int,
+                               cw: Int, ch: Int): Option[Array[Byte]] =
+    decodeImagePixels(b).flatMap { case (w, rows, px) =>
+      if (x0 < 0 || y0 < 0 || cw <= 0 || ch <= 0 || x0 + cw > w ||
+        y0 + ch > rows) None
+      else {
+        val out = new Array[Byte](cw * ch * 3)
+        var y = 0 // display row of the crop
+        while (y < ch) {
+          val srcRow = rows - 1 - (y0 + y) // bottom-up index
+          val dstRow = ch - 1 - y
+          System.arraycopy(px, (srcRow * w + x0) * 3,
+            out, dstRow * cw * 3, cw * 3)
+          y += 1
+        }
+        Some(encodeBmp(cw, ch, out))
+      }
+    }
+
+  /** Distributed augmentation: explode each decodable image row into the
+    * requested variants (`"hflip"`, `"vflip"`, `"rot90"`, `"rot180"`,
+    * `"rot270"`; unknown names throw at plan-build). One output row per
+    * (image, variant); undecodable payloads produce no rows. Exploded
+    * variants are plain BMPs, so every downstream image op composes.
+    */
+  def augmentImages(media: DataFrame, variants: Seq[String]): DataFrame = {
+    val known = Set("hflip", "vflip", "rot90", "rot180", "rot270")
+    val bad = variants.filterNot(known)
+    require(bad.isEmpty, s"augmentImages: unknown variants $bad")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        if (p == null) Iterator.empty
+        else variants.iterator.flatMap { v =>
+          val out = v match {
+            case "hflip" => flipImage(p, horizontal = true)
+            case "vflip" => flipImage(p, horizontal = false)
+            case "rot90" => rotate90Image(p)
+            case "rot180" => rotate90Image(p).flatMap(rotate90Image)
+            case _ => rotate90Image(p).flatMap(rotate90Image)
+              .flatMap(rotate90Image)
+          }
+          out.map(bytes => (id, v, bytes))
+        }
+      })
+      .toDF("media_id", "variant", "payload")
+  }
+
+  // --------------------------------------------------- audio transforms
+
+  /** Windowed-sinc resampling (8-tap Hann-windowed sinc per output
+    * sample — the standard public bandlimited-interpolation kernel).
+    * Exact identity when the rates match.
+    */
+  private[graft] def resamplePcm(pcm: Array[Short], from: Int,
+                                 to: Int): Array[Short] = {
+    require(from > 0 && to > 0, "resample: rates must be positive")
+    if (from == to || pcm.isEmpty) return pcm.clone()
+    val n = ((pcm.length.toLong * to) / from).toInt
+    val out = new Array[Short](n)
+    val ratio = from.toDouble / to
+    // when downsampling, widen the kernel and lower the cutoff to the
+    // TARGET Nyquist (anti-aliasing)
+    val cutoff = math.min(1.0, 1.0 / ratio)
+    val taps = 8
+    var i = 0
+    while (i < n) {
+      val center = i * ratio
+      val k0 = math.max(0, math.ceil(center - taps).toInt)
+      val k1 = math.min(pcm.length - 1, math.floor(center + taps).toInt)
+      var acc = 0.0
+      var wsum = 0.0
+      var k = k0
+      while (k <= k1) {
+        val x = (k - center) * cutoff
+        val sinc = if (math.abs(x) < 1e-12) 1.0
+          else math.sin(math.Pi * x) / (math.Pi * x)
+        val wnd = 0.5 + 0.5 * math.cos(math.Pi * (k - center) / taps)
+        val wgt = sinc * wnd * cutoff
+        acc += pcm(k) * wgt
+        wsum += wgt
+        k += 1
+      }
+      // kernel-sum normalization keeps exact DC gain 1 at any phase
+      val v = if (wsum == 0) 0.0 else acc / wsum
+      out(i) = math.max(-32768.0, math.min(32767.0, math.rint(v))).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** Peak normalization: scale so the maximum magnitude equals
+    * `targetPeak` of full scale (no-op on silence).
+    */
+  private[graft] def normalizePcm(pcm: Array[Short],
+                                  targetPeak: Double = 0.9): Array[Short] = {
+    var peak = 0
+    pcm.foreach(s => if (math.abs(s.toInt) > peak) peak = math.abs(s.toInt))
+    if (peak == 0) return pcm.clone()
+    val gain = targetPeak * 32767.0 / peak
+    pcm.map(s => math.max(-32768.0,
+      math.min(32767.0, math.rint(s * gain))).toShort)
+  }
+
+  /** Distributed audio conditioning: decode any supported audio
+    * container, resample to `targetRate`, peak-normalize, re-encode as
+    * PCM16 WAV — the rate/level unification pass a training pipeline
+    * runs before fingerprinting or feature extraction. Non-audio rows
+    * pass through unchanged.
+    */
+  def conditionAudio(media: DataFrame, targetRate: Int,
+                     targetPeak: Double = 0.9): DataFrame = {
+    require(targetRate > 0, "conditionAudio: bad target rate")
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(_.map { case (id, kind, p) =>
+        val out =
+          if (p == null) p
+          else decodeAudioPcm(p) match {
+            case Some((rate, pcm)) =>
+              encodeWav(targetRate,
+                normalizePcm(resamplePcm(pcm, rate, targetRate), targetPeak))
+            case None => p
+          }
+        (id, kind, out)
+      })
+      .toDF("media_id", "kind", "payload")
+  }
+
   /** Format-preserving resize: BMPs go through the pure-JVM fast path;
     * JPEG/PNG/GIF decode via ImageIO, resample, and re-encode in their
     * own format (GIF re-encodes as PNG — ImageIO's GIF writer would

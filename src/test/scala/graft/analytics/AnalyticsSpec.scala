@@ -956,6 +956,102 @@ class AnalyticsSpec extends AnyFunSuite {
     }
   }
 
+  test("image augment: algebraic identities exact; crop regions exact") {
+    val img = gradBmp(3, 5) // asymmetric content (nudged pixel)
+    def px(b: Array[Byte]) = Multimodal.decodeBmpPixels(b).get
+    // involutions: flip twice = identity, rot90 four times = identity
+    val hh = Multimodal.flipImage(
+      Multimodal.flipImage(img, horizontal = true).get, horizontal = true).get
+    assert(px(hh)._3.toSeq === px(img)._3.toSeq)
+    val vv = Multimodal.flipImage(
+      Multimodal.flipImage(img, horizontal = false).get, horizontal = false).get
+    assert(px(vv)._3.toSeq === px(img)._3.toSeq)
+    val r4 = Iterator.iterate(img)(b => Multimodal.rotate90Image(b).get)
+      .drop(4).next()
+    assert(px(r4)._3.toSeq === px(img)._3.toSeq)
+    // rot90 swaps dims; crop pulls the exact display region
+    val r1 = Multimodal.rotate90Image(img).get
+    assert(px(r1)._1 === 32 && px(r1)._2 === 32) // square here; use crop:
+    val crop = Multimodal.cropImage(img, 4, 6, 10, 8).get
+    val (cw, ch, cp) = px(crop)
+    assert(cw === 10 && ch === 8)
+    val (w, rows, ip) = px(img)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 10) {
+        val sD = ((rows - 1 - (6 + y)) * w + (4 + x)) * 3
+        val dD = ((ch - 1 - y) * cw + x) * 3
+        assert(cp(dD) === ip(sD) && cp(dD + 1) === ip(sD + 1) &&
+          cp(dD + 2) === ip(sD + 2), s"crop mismatch at ($x,$y)")
+        x += 1
+      }
+      y += 1
+    }
+    // out-of-bounds crop and non-images reject
+    assert(Multimodal.cropImage(img, 30, 30, 10, 10) === None)
+    assert(Multimodal.flipImage("junk".getBytes, horizontal = true) === None)
+    // distributed explode: 3 images × 3 variants, non-images drop
+    val media = Seq((1L, gradBmp(1, -1)), (2L, gradBmp(2, -1)),
+      (3L, "nope".getBytes), (4L, gradBmp(4, -1)))
+      .toDF("media_id", "payload")
+    val aug = Multimodal.augmentImages(media, Seq("hflip", "rot90", "rot180"))
+      .select("media_id", "variant").as[(Long, String)].collect()
+    assert(aug.length === 9 && !aug.exists(_._1 == 3L))
+    intercept[IllegalArgumentException] {
+      Multimodal.augmentImages(media, Seq("sepia"))
+    }
+  }
+
+  test("audio conditioning: resample preserves tones; normalize exact peak") {
+    // a band-limited tone resampled 8k->16k matches the directly
+    // synthesized 16k tone (away from the edges, where the kernel is
+    // one-sided)
+    def tone(rate: Int, f: Double, amp: Double): Array[Short] =
+      Array.tabulate(rate)(i =>
+        (amp * math.sin(2 * math.Pi * f * i / rate)).toShort)
+    val up = Multimodal.resamplePcm(tone(8000, 440.0, 12000), 8000, 16000)
+    val ref = tone(16000, 440.0, 12000)
+    assert(up.length === 16000)
+    val errRms = math.sqrt((200 until 15800).map { i =>
+      val d = (up(i) - ref(i)).toDouble; d * d
+    }.sum / 15600)
+    assert(errRms < 120.0, s"resample rms err $errRms") // ~40 dB down
+    // downsample 16k->8k of an in-band tone
+    val down = Multimodal.resamplePcm(tone(16000, 440.0, 12000), 16000, 8000)
+    val ref8 = tone(8000, 440.0, 12000)
+    val errDown = math.sqrt((100 until 7900).map { i =>
+      val d = (down(i) - ref8(i)).toDouble; d * d
+    }.sum / 7800)
+    assert(errDown < 150.0, s"downsample rms err $errDown")
+    // same-rate resample is the identity
+    assert(Multimodal.resamplePcm(ref8, 8000, 8000).toSeq === ref8.toSeq)
+    // peak normalization hits the target exactly
+    val norm = Multimodal.normalizePcm(tone(8000, 440.0, 5000), 0.9)
+    val peak = norm.map(s => math.abs(s.toInt)).max
+    assert(math.abs(peak - math.rint(0.9 * 32767)) <= 1, s"peak $peak")
+    assert(Multimodal.normalizePcm(new Array[Short](100)).forall(_ == 0))
+    // end-to-end: mixed containers (ADPCM + FLAC + WAV) all condition
+    // to the same rate/peak; non-audio passes through untouched
+    val pcm = tone(8000, 523.25, 9000)
+    val media = Seq(
+      (1L, "audio", Multimodal.encodeWav(8000, pcm)),
+      (2L, "audio", Multimodal.encodeAdpcmWav(8000, pcm)),
+      (3L, "audio", Multimodal.encodeFlac(8000, pcm)),
+      (4L, "image", gradBmp(0, -1)))
+      .toDF("media_id", "kind", "payload")
+    val cond = Multimodal.conditionAudio(media, 16000, 0.9)
+      .as[(Long, String, Array[Byte])].collect()
+      .map(r => r._1 -> r._3).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      val Some((r, p)) = Multimodal.decodeAudioPcm(cond(id))
+      assert(r === 16000, s"row $id rate")
+      val pk = p.map(s => math.abs(s.toInt)).max
+      assert(math.abs(pk - math.rint(0.9 * 32767)) <= 1, s"row $id peak $pk")
+    }
+    assert(cond(4L).toSeq === gradBmp(0, -1).toSeq) // untouched
+  }
+
   test("FLAC: bit-exact lossless round-trip; CRCs verified; compression") {
     val rate = 16000
     // several block-spanning signals with different predictor sweet
