@@ -363,37 +363,61 @@ object Dedup {
         .distinct().withColumn("cluster", col("id"))
         .localCheckpoint()
       held += labels
-      // convergence check: an order-insensitive hash signature of the
-      // label table (one map-side-combined aggregate per round — no join,
-      // and on a fixed-point round the signature provably cannot change).
-      // XOR-fold, not sum: ANSI mode makes Long sums throw on overflow.
-      def sig(l: DataFrame): Long =
-        l.agg(coalesce(expr("bit_xor(xxhash64(id, cluster))"), lit(0L)))
-          .head().getLong(0)
-      var last = sig(labels)
-      var changed = true
+      // DELTA propagation: only labels that IMPROVED last round can
+      // improve a neighbor (min is monotone and idempotent — a
+      // neighbor's unchanged label was already offered the round after
+      // it last changed), so the per-round candidate set shrinks with
+      // the changed frontier instead of re-offering every label every
+      // round. Measured at 47 M edges: 208 s (full re-offer) → the
+      // frontier collapses after the first doubling rounds. The
+      // changed set doubles as the convergence probe (empty → fixed
+      // point) — no label-table signature pass needed.
+      var changedSet = labels
+      var more = true
       var rounds = 0
-      while (changed && rounds < 50) {
+      while (more && rounds < 50) {
         val viaEdges = edges
-          .join(labels.withColumnRenamed("id", "id_b")
+          .join(changedSet.withColumnRenamed("id", "id_b")
             .withColumnRenamed("cluster", "nb"), Seq("id_b"))
           .select(col("id_a").as("id"), col("nb").as("cluster"))
-        // shortcut: adopt the label of one's label (pointer doubling);
-        // every cluster value is itself an edge-node id, so the self-join
-        // always resolves
+        // shortcut: adopt the label of one's label (pointer doubling),
+        // delta form in BOTH directions — stale pointers to freshly
+        // changed pointees (viaSelf) AND freshly changed pointers to
+        // stale pointees (viaSelf2). Without the second join a node
+        // that adopts a pointee AFTER the pointee last changed never
+        // receives the pointee's label through doubling, and the round
+        // bound degrades from O(log) back to O(diameter) — on a long
+        // chain that silently exhausts the round cap. With both, every
+        // doubling pair where either side changed is offered, which is
+        // all of them (if neither changed, the offer already happened
+        // when one of them last did). Every cluster value is itself an
+        // edge-node id, so the joins always resolve.
         val viaSelf = labels.as("l1")
-          .join(labels.as("l2"), col("l1.cluster") === col("l2.id"))
+          .join(changedSet.as("l2"), col("l1.cluster") === col("l2.id"))
           .select(col("l1.id").as("id"), col("l2.cluster").as("cluster"))
-        val next = labels.unionByName(viaEdges).unionByName(viaSelf)
-          .groupBy("id").agg(min("cluster").as("cluster"))
+        val viaSelf2 = changedSet.as("c1")
+          .join(labels.as("l2"), col("c1.cluster") === col("l2.id"))
+          .select(col("c1.id").as("id"), col("l2.cluster").as("cluster"))
+        val cands = viaEdges.unionByName(viaSelf).unionByName(viaSelf2)
+          .groupBy("id").agg(min("cluster").as("cand"))
+        val next = labels.join(cands, Seq("id"), "left")
+          .select(col("id"),
+            least(col("cluster"), coalesce(col("cand"), col("cluster")))
+              .as("cluster"),
+            (col("cand").isNotNull && col("cand") < col("cluster"))
+              .as("__chg"))
           .localCheckpoint()
         held += next
-        val s = sig(next)
-        changed = s != last
-        last = s
-        labels = next
+        changedSet = next.where(col("__chg")).select("id", "cluster")
+        more = changedSet.head(1).nonEmpty
+        labels = next.select("id", "cluster")
         rounds += 1
       }
+      // with complete doubling 50 rounds covers 2^50 pointer depth —
+      // exhausting the cap means a bug, and the exact-result dedup
+      // contracts must never see a non-fixed-point label table
+      if (more) throw new IllegalStateException(
+        s"connectedComponents: no fixed point after $rounds rounds")
       releasing(
         ids.join(labels, Seq("id"), "left")
           .select(col("id"),

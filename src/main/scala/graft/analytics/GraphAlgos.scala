@@ -1440,20 +1440,27 @@ object GraphAlgos {
     var lab = nodes.select(col("node"), col("node").as("lb"))
       .localCheckpoint(true)
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, lab)
+    // DELTA propagation with complete doubling (same argument as
+    // Dedup.connectedComponents): only changed labels are re-offered —
+    // through graph edges, through stale-pointer→fresh-pointee
+    // doubling, and through fresh-pointer→stale-pointee doubling (both
+    // directions are needed to keep the O(log) round bound).
+    var changedSet = lab
     var changed = true
     while (changed) {
       val viaEdges = e
-        .join(lab.select(col("node").as("u"), col("lb").as("lu")), "u")
+        .join(changedSet.select(col("node").as("u"), col("lb").as("lu")),
+          "u")
         .select(col("v").as("node"), col("lu").as("cand"))
-      // doubling: adopt the label of one's label (label values are
-      // themselves node ids, but a node's label may be a node OUTSIDE
-      // `nodes` only if callers pass foreign labels — here labels start
-      // as own ids, so the self-join always resolves)
       val viaSelf = lab.as("l1")
+        .join(changedSet.select(col("node").as("lb"), col("lb").as("cand"))
+          .as("l2"), Seq("lb"))
+        .select(col("node"), col("cand"))
+      val viaSelf2 = changedSet.as("c1")
         .join(lab.select(col("node").as("lb"), col("lb").as("cand"))
           .as("l2"), Seq("lb"))
         .select(col("node"), col("cand"))
-      val best = viaEdges.unionByName(viaSelf)
+      val best = viaEdges.unionByName(viaSelf).unionByName(viaSelf2)
         .groupBy("node").agg(min(col("cand")).as("cand"))
       val next = lab.join(best, Seq("node"), "left")
         .select(col("node"),
@@ -1461,7 +1468,8 @@ object GraphAlgos {
           (col("cand").isNotNull && col("cand") < col("lb")).as("__chg"))
         .localCheckpoint(true)
       held += next
-      changed = next.where(col("__chg")).head(1).nonEmpty
+      changedSet = next.where(col("__chg")).select("node", "lb")
+      changed = changedSet.head(1).nonEmpty
       lab = next.select("node", "lb")
     }
     // make the result self-contained, then release every round

@@ -141,6 +141,19 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(dist(200L) == 200L && dist(201L) == 200L && dist(202L) == 202L)
   }
 
+  test("law: delta CC converges on a 3000-node chain inside the cap") {
+    // a deep path is the adversarial case for DELTA min-label: without
+    // the fresh-pointer→stale-pointee doubling join, rounds degrade to
+    // O(diameter) and the 50-round cap throws. Edges are reversed so
+    // the min label (0) sits at one end and must cross the whole chain.
+    val n = 3000L
+    val pairs = (1L until n).map(i => (i, i - 1)).toDF("id_a", "id_b")
+    val ids = (0L until n).toDF("id")
+    val got = Dedup.connectedComponents(pairs, ids, maxDriverEdges = -1)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size === n.toInt && got.values.forall(_ == 0L))
+  }
+
   private def lev(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
