@@ -458,6 +458,13 @@ object Bench {
                   maxDriverEdges = 0L)
                 .write.mode("overwrite").format("noop").save()
             }
+            // Louvain on the FORCED distributed tier at 4.7 M edges
+            // (the driver tier is what sf0.1 benches in the op block)
+            timed2("x10_graph_louvain") {
+              graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
+                  maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
+                .write.mode("overwrite").format("noop").save()
+            }
             // sampled betweenness (Brandes–Pich) on the forced
             // DISTRIBUTED tier at 4.7 M edges: two source counts — the
             // k=16/k=4 ratio < 4 is the sublinear-in-sources evidence
@@ -870,6 +877,31 @@ object Bench {
           errors("graph_hits_op") = errText(e); Seq("graph_hits_op" -> -1.0)
       }
 
+    // Louvain OPERATOR timing on the same edge set (driver tier at this
+    // scale — the forced-distributed tier is timed in the x10 block):
+    // min-of-2, noop sink
+    val louvainOp: Seq[(String, Double)] =
+      if (!only.forall(_.contains("graph_louvain_op"))) Seq.empty
+      else try {
+        import graft.core.QValue
+        import org.apache.spark.sql.functions.col
+        val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+          "o_cust").map(p => QValue.id(QValue.Iri(p)))
+        val edges = SparkEntry.graph(spark, sfDir).quads
+          .where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst"))
+        def once(): Double = time {
+          graft.analytics.GraphAlgos.louvain(edges, "src", "dst")
+            .write.mode("overwrite").format("noop").save()
+        }
+        val r1 = once(); val r2 = once()
+        Seq("graph_louvain_op" -> math.min(r1, r2))
+      } catch {
+        case e: Throwable =>
+          errors("graph_louvain_op") = errText(e)
+          Seq("graph_louvain_op" -> -1.0)
+      }
+
     // Multimodal THROUGHPUT block: the mm_* driver entries are small
     // correctness contracts; these time the decode/fingerprint/join
     // machinery at corpus scale. All synthesis happens distributed
@@ -961,8 +993,8 @@ object Bench {
     if (wants("x100")) scaleTier(100, full = false)
 
     val all = ("graph_load" -> loadSec) +:
-      (results ++ pagerank ++ betweennessOp ++ hitsOp ++ mmOps ++ movie ++
-        scaleOut ++ skew)
+      (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
+        mmOps ++ movie ++ scaleOut ++ skew)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

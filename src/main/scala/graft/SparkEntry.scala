@@ -2111,6 +2111,53 @@ object SparkEntry {
       GraphAlgos.modularity(chain.unionByName(cross), "s", "o",
         c, "node", "comm")
     }),
+    // Louvain community detection on a planted ring partition (10
+    // communities x 20 nodes, intra degree 4 vs one bridge): VALUE-LEVEL
+    // oracle — recovery of the planted partition is the documented
+    // contract, and the expected labeling is a pure formula the oracle
+    // recomputes relationally. Driver tier here, forced-distributed
+    // tier in graph_louvain_dist — both must land the identical table.
+    "graph_louvain" -> ((s, d) =>
+      GraphAlgos.louvainPlanted(s, c = 10, sz = 20,
+        forceDistributed = false)),
+    "graph_louvain_dist" -> ((s, d) =>
+      GraphAlgos.louvainPlanted(s, c = 10, sz = 20,
+        forceDistributed = true)),
+    // Katz centrality (α=1/4, 8 terms) on the customer chain+shortcut
+    // graph: every round is EXACT dyadic-integer arithmetic (y = x·4^8),
+    // so the oracle unrolls the same 8 rounds relationally and matches
+    // the BIGINT walk counts value-for-value; score is one IEEE division
+    "graph_katz" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          col("c_nationkey").cast("long").as("comm"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val chain = c.select(col("node").as("s"),
+          lead("node", 1).over(
+            Window.partitionBy("comm").orderBy("node")).as("o"))
+        .where(col("o").isNotNull)
+      val cross = c.crossJoin(broadcast(n))
+        .select(col("node").as("s"), ((col("node") + 7L) % col("n")).as("o"))
+      GraphAlgos.katzCentrality(chain.unionByName(cross), "s", "o",
+        iterations = 8)
+    }),
+    // Degree assortativity of the same harness graph: exact BIGINT
+    // moment sums + a fixed IEEE op sequence — value-level bitwise match
+    "graph_assortativity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          col("c_nationkey").cast("long").as("comm"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val chain = c.select(col("node").as("s"),
+          lead("node", 1).over(
+            Window.partitionBy("comm").orderBy("node")).as("o"))
+        .where(col("o").isNotNull)
+      val cross = c.crossJoin(broadcast(n))
+        .select(col("node").as("s"), ((col("node") + 7L) % col("n")).as("o"))
+      GraphAlgos.assortativity(chain.unionByName(cross), "s", "o")
+    }),
     // k-core (k=2) of the directed star graph viewed undirected: the
     // order/customer/supplier trees peel away, the nation chain + region
     // attachments survive — differential contract vs a sequential peel
@@ -2810,6 +2857,83 @@ object SparkEntry {
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes,
         |  CAST(4 AS BIGINT) AS n_sources""".stripMargin,
+    // Louvain on the planted ring partition: the expected communities
+    // are a pure formula of the node id — VALUE-LEVEL row-for-row match
+    // for both the driver tier and the forced-distributed tier
+    "graph_louvain" ->
+      """SELECT CAST(range AS BIGINT) AS node,
+        |  CAST(range // 20 * 20 AS BIGINT) AS community
+        |FROM range(200)""".stripMargin,
+    "graph_louvain_dist" ->
+      """SELECT CAST(range AS BIGINT) AS node,
+        |  CAST(range // 20 * 20 AS BIGINT) AS community
+        |FROM range(200)""".stripMargin,
+    // Katz: the 8 exact-dyadic rounds unrolled as chained CTEs — the
+    // BIGINT walk counts y = x·4^8 must match value-for-value, and the
+    // score is the same single IEEE division in both engines
+    "graph_katz" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
+        |chain AS (SELECT node AS s, lead(node) OVER
+        |    (PARTITION BY comm ORDER BY node) AS o FROM c),
+        |cr AS (SELECT node AS s,
+        |    (node + 7) % (SELECT count(*) FROM c) AS o FROM c),
+        |e AS (SELECT DISTINCT s, o FROM
+        |  (SELECT s, o FROM chain WHERE o IS NOT NULL
+        |   UNION ALL SELECT s, o FROM cr)),
+        |nd AS (SELECT DISTINCT node FROM
+        |  (SELECT s AS node FROM e UNION ALL SELECT o FROM e)),
+        |x1 AS (SELECT node, CAST(65536 AS BIGINT) AS y FROM nd),
+        |x2 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x1 x ON x.node = e.s GROUP BY e.o) i USING (node)),
+        |x3 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x2 x ON x.node = e.s GROUP BY e.o) i USING (node)),
+        |x4 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x3 x ON x.node = e.s GROUP BY e.o) i USING (node)),
+        |x5 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x4 x ON x.node = e.s GROUP BY e.o) i USING (node)),
+        |x6 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x5 x ON x.node = e.s GROUP BY e.o) i USING (node)),
+        |x7 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x6 x ON x.node = e.s GROUP BY e.o) i USING (node)),
+        |x8 AS (SELECT nd.node, CAST(65536 + COALESCE(i.sy, 0) // 4 AS BIGINT) AS y
+        |  FROM nd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+        |    FROM e JOIN x7 x ON x.node = e.s GROUP BY e.o) i USING (node))
+        |SELECT node, y AS num, CAST(y AS DOUBLE) / 65536.0 AS score
+        |FROM x8""".stripMargin,
+    // Assortativity: identical harness edges, exact BIGINT moment sums,
+    // the same fixed IEEE op sequence for r — bitwise value-level match
+    "graph_assortativity" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
+        |chain AS (SELECT node AS s, lead(node) OVER
+        |    (PARTITION BY comm ORDER BY node) AS o FROM c),
+        |cr AS (SELECT node AS s,
+        |    (node + 7) % (SELECT count(*) FROM c) AS o FROM c),
+        |e0 AS (SELECT s, o FROM chain WHERE o IS NOT NULL
+        |  UNION ALL SELECT s, o FROM cr),
+        |u AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+        |  FROM e0 WHERE s <> o),
+        |sym AS (SELECT a AS x, b AS yy FROM u
+        |  UNION ALL SELECT b AS x, a AS yy FROM u),
+        |deg AS (SELECT x AS n, count(*) AS d FROM sym GROUP BY x),
+        |wd AS (SELECT dj.d AS j, dk.d AS k FROM sym
+        |  JOIN deg dj ON dj.n = sym.x JOIN deg dk ON dk.n = sym.yy),
+        |s AS (SELECT count(*) AS m, CAST(SUM(j * k) AS BIGINT) AS sjk,
+        |    CAST(SUM(j) AS BIGINT) AS sj, CAST(SUM(k) AS BIGINT) AS sk,
+        |    CAST(SUM(j * j) AS BIGINT) AS sjj,
+        |    CAST(SUM(k * k) AS BIGINT) AS skk FROM wd)
+        |SELECT m, sjk, sj, sk, sjj, skk,
+        |  CAST(m * sjk - sj * sk AS DOUBLE) /
+        |    sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
+        |      * CAST(m * skk - sk * sk AS DOUBLE)) AS r
+        |FROM s""".stripMargin,
     // Newman modularity: identical harness edges (within-nation chain +
     // (c+7) mod N shortcuts), identical exact integers, one IEEE
     // division — value-level match, not a contract

@@ -273,10 +273,31 @@ object Dedup {
     */
   private[analytics] def releasing(result: DataFrame,
                                    held: Seq[DataFrame]): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out = checkpointCapped(result)
     held.foreach(releaseBlocks)
     out
   }
+
+  /** Eager localCheckpoint with stats hygiene: Spark 4 carries the
+    * origin plan's size estimate through the checkpoint
+    * (`LogicalRDD.originStats`), and loops whose round plan joins the
+    * previous round's checkpoint k>1 times compound that estimate by
+    * ×k per round — by round ~15 Catalyst grinds minutes per plan
+    * multiplying million-bit BigIntegers (see
+    * graftbridge.CheckpointBridge). The clamp only engages above
+    * Long.MaxValue, where broadcast is already off the table, so it is
+    * pure protection — estimates that still fit keep driving broadcast
+    * decisions.
+    */
+  private[analytics] def checkpointCapped(df: DataFrame): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .clampCheckpointStats(df.localCheckpoint(true))
+
+  private[analytics] def checkpointCapped(
+      df: DataFrame,
+      level: org.apache.spark.storage.StorageLevel): DataFrame =
+    org.apache.spark.sql.graftbridge.CheckpointBridge
+      .clampCheckpointStats(df.localCheckpoint(true, level))
 
   /** Free a frame's storage now: its CacheManager entry (`.cache()`d
     * frames) and, when the frame IS a checkpoint (its plan is exactly
@@ -319,7 +340,7 @@ object Dedup {
       : DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
-    val pr = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    val pr = pairs.select(col("id_a"), col("id_b")).localCheckpoint().cappedStats
     val nPairs = pr.count()
     if (nPairs <= maxDriverEdges) {
       // driver union-find; roots are component minima by construction
@@ -361,7 +382,7 @@ object Dedup {
       val held = scala.collection.mutable.ArrayBuffer[DataFrame](pr, edges)
       var labels = edges.select(col("id_a").as("id"))
         .distinct().withColumn("cluster", col("id"))
-        .localCheckpoint()
+        .localCheckpoint().cappedStats
       held += labels
       // DELTA propagation: only labels that IMPROVED last round can
       // improve a neighbor (min is monotone and idempotent — a
@@ -406,7 +427,7 @@ object Dedup {
               .as("cluster"),
             (col("cand").isNotNull && col("cand") < col("cluster"))
               .as("__chg"))
-          .localCheckpoint()
+          .localCheckpoint().cappedStats
         held += next
         changedSet = next.where(col("__chg")).select("id", "cluster")
         more = changedSet.head(1).nonEmpty
@@ -760,7 +781,7 @@ object Dedup {
       .where(col("s").isNotNull)
       .select(col("id"), col("s"), explode(variants).as("v"))
       .select(col("id"), col("s"), xxhash64(col("v")).as("vh"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     rows.alias("l").join(rows.alias("r"),
         col("l.vh") === col("r.vh") && col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),

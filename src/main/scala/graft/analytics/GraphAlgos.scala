@@ -87,7 +87,7 @@ object GraphAlgos {
       case Some(src) =>
         val s = src.toDF("node").distinct()
         val marked = nodes.join(s.withColumn("__is_src", lit(true)),
-          Seq("node"), "left").localCheckpoint(true)
+          Seq("node"), "left").localCheckpoint(true).cappedStats
         held += marked
         nNodes = marked.count()
         val nSrc = marked.where(col("__is_src")).count()
@@ -121,9 +121,9 @@ object GraphAlgos {
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val eDeg = e.join(outDeg, "src")
       .repartition(numParts, col("src"))
-      .localCheckpoint(true, eDegLevel)
+      .localCheckpoint(true, eDegLevel).cappedStats
     val seededP = seeded.repartition(numParts, col("node"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     held += eDeg; held += seededP
     var ranks = seededP.withColumn("rank", col("restart"))
     for (i <- 1 to iterations) {
@@ -135,7 +135,7 @@ object GraphAlgos {
           (lit(1.0 - damping) * col("restart") +
             lit(damping) * coalesce(col("inflow"), lit(0.0))).as("rank"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.localCheckpoint(true).cappedStats
         held += ranks
       }
     }
@@ -193,7 +193,7 @@ object GraphAlgos {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("dg"))
@@ -206,7 +206,7 @@ object GraphAlgos {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
     // e1.v < e2.v both dedups the unordered wedge pair and hands the
     // closing edge already in canonical (a < b) order
@@ -250,7 +250,7 @@ object GraphAlgos {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     held += oriented
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
     val tri = e1.join(e2,
@@ -286,14 +286,14 @@ object GraphAlgos {
     require(k >= 2, "kTruss: k must be >= 2")
     val minSup = (k - 2).toLong
     val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    var und = undirected(edges, srcCol, dstCol).localCheckpoint(true)
+    var und = undirected(edges, srcCol, dstCol).localCheckpoint(true).cappedStats
     held += und
     var n = und.count()
     var rounds = 0
     while (rounds < maxRounds) {
       rounds += 1
       val withSup = edgeSupports(und, held)
-        .where(col("sup") >= minSup).localCheckpoint(true)
+        .where(col("sup") >= minSup).localCheckpoint(true).cappedStats
       val m = withSup.count()
       if (m == n) {
         // the fixed point IS the result (already a checkpoint): release
@@ -371,10 +371,10 @@ object GraphAlgos {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val deg = und.select(col("a").as("n"))
       .union(und.select(col("b").as("n")))
-      .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+      .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true).cappedStats
     val withDeg = und
       .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
       .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
@@ -384,7 +384,7 @@ object GraphAlgos {
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val e1 = oriented.as("e1"); val e2 = oriented.as("e2")
     val wedges = e1.join(e2,
         col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
@@ -458,7 +458,7 @@ object GraphAlgos {
       : DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     if (e.count() <= maxDriverEdges) {
       val r = bfsDriver(e, sources, maxDepth) // collected — independent of e
       Dedup.releaseBlocks(e)
@@ -466,7 +466,7 @@ object GraphAlgos {
     }
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var dist = sources.toDF("node").distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).localCheckpoint(true).cappedStats
     held += dist
     var frontier = dist.select("node")
     var d = 0L
@@ -477,13 +477,13 @@ object GraphAlgos {
         .select(col("v").as("node")).distinct()
         .join(dist.select("node"), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += fresh
       if (fresh.isEmpty) done = true
       else {
         dist = dist.unionByName(fresh)
         if (d % checkpointEvery == 0) {
-          dist = dist.localCheckpoint(true)
+          dist = dist.localCheckpoint(true).cappedStats
           held += dist
         }
         frontier = fresh.select("node")
@@ -575,7 +575,7 @@ object GraphAlgos {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(weightCol).cast("long").as("w"))
       .where(col("u").isNotNull && col("v").isNotNull && col("w") >= 0)
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     if (e.count() <= maxDriverEdges) {
       val r = dijkstraDriver(e, sources) // collected — independent of e
       Dedup.releaseBlocks(e)
@@ -583,7 +583,7 @@ object GraphAlgos {
     }
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var dist = sources.toDF("node").distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).localCheckpoint(true).cappedStats
     held += dist
     var done = false
     var i = 0
@@ -599,13 +599,13 @@ object GraphAlgos {
           (col("dist").isNull ||
             (col("nd").isNotNull && col("nd") < col("dist")))
             .as("__improved"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += merged
       done = merged.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
         .head.getLong(0) == 0L
       dist = merged.select("node", "dist")
       if (i % checkpointEvery == 0) {
-        dist = dist.localCheckpoint(true)
+        dist = dist.localCheckpoint(true).cappedStats
         held += dist
       }
     }
@@ -675,21 +675,21 @@ object GraphAlgos {
       .where(col("x") =!= col("y"))
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     held += und
     var done = false
     while (!done) {
       val deg = und.select(col("a").as("n")).union(und.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true)
+        .groupBy("n").agg(count(lit(1)).as("dg")).localCheckpoint(true).cappedStats
       held += deg
-      val bad = deg.where(col("dg") < k).select("n").localCheckpoint(true)
+      val bad = deg.where(col("dg") < k).select("n").localCheckpoint(true).cappedStats
       held += bad
       if (bad.isEmpty) done = true
       else {
         und = und
           .join(bad.select(col("n").as("a")), Seq("a"), "left_anti")
           .join(bad.select(col("n").as("b")), Seq("b"), "left_anti")
-          .select("a", "b").localCheckpoint(true)
+          .select("a", "b").localCheckpoint(true).cappedStats
         held += und
       }
     }
@@ -749,7 +749,7 @@ object GraphAlgos {
     require(iterations >= 1,
       s"hits needs at least one iteration, got $iterations")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     // two pre-partitioned edge copies (auth step probes by src, hub
     // step by dst) + node-partitioned scores: CACHED (cache preserves
     // the hash layout where localCheckpoint under AQE does not — see
@@ -761,7 +761,7 @@ object GraphAlgos {
     val eByDst = e.repartition(numParts, col("dst")).cache()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .repartition(numParts, col("node")).localCheckpoint(true)
+      .repartition(numParts, col("node")).localCheckpoint(true).cappedStats
     // Hub-chained rounds, ONE checkpoint per round (judge-measured: the
     // per-round driver-synchronized actions WERE the 12.7 s vs
     // pageRank-4.0 s gap). L2 normalization is a uniform scale, so it
@@ -784,11 +784,11 @@ object GraphAlgos {
       // the final round's auth feeds the output too — checkpoint it
       // there so the output doesn't recompute the join
       val authRaw =
-        if (i == iterations) authRaw0.localCheckpoint(true) else authRaw0
+        if (i == iterations) authRaw0.localCheckpoint(true).cappedStats else authRaw0
       if (i == iterations) { lastAuthRaw = authRaw; held += authRaw }
       val hubRaw = eByDst.join(authRaw, eByDst("dst") === col("an"))
         .groupBy(col("src").as("node")).agg(sum(col("a")).as("rawhub"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += hubRaw
       val hn = hubRaw.agg(sum(col("rawhub") * col("rawhub")).as("__h2"))
       hub = hubRaw.crossJoin(broadcast(hn)).select(col("node"),
@@ -882,20 +882,20 @@ object GraphAlgos {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     // rank 0..deg-1 per source, neighbors ordered by id — the indexed
     // adjacency both the rank computation and the step join key on
     val nbr = e.withColumn("rank",
       row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy("u").orderBy("v")) - 1).localCheckpoint(true)
+        .partitionBy("u").orderBy("v")) - 1).localCheckpoint(true).cappedStats
     val deg = nbr.groupBy("u").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val starts = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
     var walkers = starts
       .crossJoin(spark.range(walksPerNode.toLong).select(col("id").as("wid")))
       .select(col("node").as("start"), col("wid"), col("node").as("cur"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](
       e, nbr, deg, walkers)
     var out = walkers.select(col("start"), col("wid"), lit(0L).as("step"),
@@ -912,12 +912,12 @@ object GraphAlgos {
           col("deg")))
         .join(nbr, Seq("u", "rank"))
         .select(col("start"), col("wid"), col("v").as("cur"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += walkers
       out = out.unionByName(walkers.select(col("start"), col("wid"),
         lit(t.toLong).as("step"), col("cur").as("node")))
       if (t % checkpointEvery == 0) {
-        out = out.localCheckpoint(true)
+        out = out.localCheckpoint(true).cappedStats
         held += out
       }
     }
@@ -994,10 +994,10 @@ object GraphAlgos {
       .select(least(col("x"), col("y")).as("a"),
         greatest(col("x"), col("y")).as("b"), col("w"))
       .groupBy("a", "b").agg(min(col("w")).as("w"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     var comp = und0.select(col("a").as("node"))
       .union(und0.select(col("b").as("node"))).distinct()
-      .select(col("node"), col("node").as("c")).localCheckpoint(true)
+      .select(col("node"), col("node").as("c")).localCheckpoint(true).cappedStats
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](und0, comp)
     var forest = Seq.empty[(Long, Long, Long)].toDF("a", "b", "w")
     var und = und0
@@ -1010,7 +1010,7 @@ object GraphAlgos {
         .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
         .where(col("ca") =!= col("cb"))
         .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += labeled
       if (labeled.isEmpty) done = true
       else {
@@ -1022,11 +1022,11 @@ object GraphAlgos {
           .groupBy("cc").agg(min(col("e")).as("e"))
           .select(col("e.a").as("a"), col("e.b").as("b"), col("e.w").as("w"))
           .distinct() // both endpoints' components may pick the same edge
-          .localCheckpoint(true)
+          .localCheckpoint(true).cappedStats
         held += pick
         forest = forest.unionByName(pick)
         if (round % checkpointEvery == 0) {
-          forest = forest.localCheckpoint(true)
+          forest = forest.localCheckpoint(true).cappedStats
           held += forest
         }
         // contract: relabel components connected by the picked edges.
@@ -1040,12 +1040,12 @@ object GraphAlgos {
           compIds)
         comp = comp.join(newLabels.select(col("id").as("c"),
             col("cluster").as("nc")), "c")
-          .select(col("node"), col("nc").as("c")).localCheckpoint(true)
+          .select(col("node"), col("nc").as("c")).localCheckpoint(true).cappedStats
         held += comp
         und = und.join(comp.select(col("node").as("a"), col("c").as("ca")), "a")
           .join(comp.select(col("node").as("b"), col("c").as("cb")), "b")
           .where(col("ca") =!= col("cb"))
-          .select("a", "b", "w").localCheckpoint(true)
+          .select("a", "b", "w").localCheckpoint(true).cappedStats
         held += und
       }
     }
@@ -1142,7 +1142,7 @@ object GraphAlgos {
     val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
     var labels = e.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
@@ -1155,7 +1155,7 @@ object GraphAlgos {
         .agg(min_by(col("label"),
           struct((-col("c")).as("nc"), col("label").as("lb"))).as("label"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        labels = labels.localCheckpoint(true)
+        labels = labels.localCheckpoint(true).cappedStats
         held += labels
       }
     }
@@ -1205,9 +1205,9 @@ object GraphAlgos {
     val e = e0.unionByName(e0.select(col("v").as("u"), col("u").as("v")))
       .where(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     val seed = seeds.select(col(nodeCol).as("node"),
-      col(labelCol).as("label")).distinct().localCheckpoint(true)
+      col(labelCol).as("label")).distinct().localCheckpoint(true).cappedStats
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, seed)
     var labels = seed
     for (i <- 1 to iterations) {
@@ -1221,7 +1221,7 @@ object GraphAlgos {
       labels = seed.unionByName(
         majority.join(seed.select("node"), Seq("node"), "left_anti"))
       if (i % checkpointEvery == 0 && i < iterations) {
-        labels = labels.localCheckpoint(true)
+        labels = labels.localCheckpoint(true).cappedStats
         held += labels
       }
     }
@@ -1288,6 +1288,310 @@ object GraphAlgos {
       lit(local.size.toLong).as("n_nodes"))
   }
 
+  /** Louvain community detection (Blondel, Guillaume, Lambiotte,
+    * Lefebvre, "Fast unfolding of communities in large networks", 2008 —
+    * public): greedy modularity optimization alternating two phases —
+    * local moving (each node adopts the neighbor community with the best
+    * modularity gain) and contraction (communities become weighted
+    * supernodes, intra-community weight folds into self-loops) — level
+    * by level until a level moves nothing. The objective is the exact
+    * [[modularity]] this module already scores partitions with. Returns
+    * (node, community) over edge-incident nodes, community = minimum
+    * ORIGINAL member id (deterministic, relabeling-comparable).
+    *
+    * Two tiers (Louvain is an order-dependent heuristic, so the tiers
+    * are NOT bit-identical — each is pinned by planted-partition
+    * recovery, GraphAlgosSpec + the graph_louvain contracts):
+    *  - ≤ `maxDriverEdges`: the paper's sequential algorithm (ascending
+    *    node order, immediate moves, strictly-improving moves only, so
+    *    Q increases monotonically and termination is guaranteed).
+    *  - above: synchronous distributed local moving — each round ONE
+    *    join computes every node's neighbor-community weights and ONE
+    *    aggregate picks the best gain over ALL nodes (an empty best-move
+    *    set is therefore a sound convergence signal); simultaneous
+    *    moves interfere (two adjacent nodes swapping forever), so only
+    *    the half of movers selected by xxhash64(node, round) applies
+    *    each round — the standard symmetric-tie breaker, deterministic
+    *    and varying per round. Contraction and level recursion follow
+    *    the paper; after the first contraction the graph is
+    *    community-sized and every later level is cheap. All weights are
+    *    integral doubles (sums of 1.0 at every level), so distributed
+    *    float summation is exact and rounds are reproducible.
+    *
+    * Both tiers share the gain form: moving i into C (with i lifted out
+    * of its own community first) scores w(i,C) − k_i·Σtot(C)/(2m); a
+    * move requires a strictly positive improvement over staying.
+    */
+  def louvain(edges: DataFrame, srcCol: String, dstCol: String,
+              maxRounds: Int = 20, maxLevels: Int = 10,
+              maxDriverEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct().localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
+    if (und.count() <= maxDriverEdges) {
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      Dedup.releaseBlocks(und)
+      val lab = louvainLocal(es, maxRounds, maxLevels).toSeq
+      lab.toDF("node", "community")
+    } else louvainDistributed(und, maxRounds, maxLevels)
+  }
+
+  /** Sequential reference Louvain (driver tier): ascending node order,
+    * immediate moves, strict improvement, multi-level contraction.
+    * Returns node → min-original-member-id of its community.
+    */
+  def louvainLocal(edges: Seq[(Long, Long)], maxRounds: Int = 20,
+                   maxLevels: Int = 10): Map[Long, Long] = {
+    val und = edges.map(e => if (e._1 <= e._2) e else e.swap)
+      .filter(e => e._1 != e._2).distinct
+    // weighted level state: symmetric adjacency (no self edges) +
+    // self-loop weights (contracted intra-community mass)
+    var adj: Map[Long, Map[Long, Double]] =
+      (und ++ und.map(_.swap)).groupBy(_._1).map { case (u, vs) =>
+        u -> vs.map(v => v._2 -> 1.0).toMap
+      }
+    var selfW: Map[Long, Double] = Map.empty
+    var nodes: Seq[Long] = adj.keySet.toSeq.sorted
+    var assign: Map[Long, Long] = nodes.map(n => n -> n).toMap
+    var level = 0
+    var levelMoved = true
+    while (levelMoved && level < maxLevels) {
+      val m = adj.values.map(_.values.sum).sum / 2.0 + selfW.values.sum
+      val k: Map[Long, Double] = nodes.map { u =>
+        u -> (adj.getOrElse(u, Map.empty).values.sum +
+          2.0 * selfW.getOrElse(u, 0.0))
+      }.toMap
+      val comm = scala.collection.mutable.Map[Long, Long](
+        nodes.map(n => n -> n): _*)
+      val tot = scala.collection.mutable.Map[Long, Double](
+        nodes.map(n => n -> k(n)): _*)
+      levelMoved = false
+      var moved = true; var rounds = 0
+      while (moved && rounds < maxRounds) {
+        moved = false
+        for (u <- nodes) {
+          val cu = comm(u)
+          val wuc = scala.collection.mutable.Map[Long, Double]()
+            .withDefaultValue(0.0)
+          for ((v, w) <- adj.getOrElse(u, Map.empty)) wuc(comm(v)) += w
+          tot(cu) -= k(u) // lift u out of its community
+          var bestC = cu
+          var bestS = wuc(cu) - k(u) * tot(cu) / (2.0 * m)
+          // ascending community order + strict > keeps the smallest id
+          // among score ties, and only strictly-improving moves apply
+          for ((c, w) <- wuc.toSeq.sortBy(_._1) if c != cu) {
+            val s = w - k(u) * tot(c) / (2.0 * m)
+            if (s > bestS + 1e-12) { bestC = c; bestS = s }
+          }
+          tot(bestC) += k(u)
+          if (bestC != cu) { comm(u) = bestC; moved = true
+            levelMoved = true }
+        }
+        rounds += 1
+      }
+      if (levelMoved) {
+        assign = assign.map { case (orig, sup) => orig -> comm(sup) }
+        val newSelf = scala.collection.mutable.Map[Long, Double]()
+          .withDefaultValue(0.0)
+        for ((u, sw) <- selfW) newSelf(comm(u)) += sw
+        val newAdj = scala.collection.mutable
+          .Map[Long, scala.collection.mutable.Map[Long, Double]]()
+        for ((u, nb) <- adj; (v, w) <- nb) {
+          val cu = comm(u); val cv = comm(v)
+          if (cu == cv) { if (u < v) newSelf(cu) += w }
+          else {
+            val row = newAdj.getOrElseUpdate(cu,
+              scala.collection.mutable.Map[Long, Double]()
+                .withDefaultValue(0.0))
+            row(cv) += w
+          }
+        }
+        selfW = newSelf.toMap
+        adj = newAdj.map { case (u, nb) => u -> nb.toMap }.toMap
+        nodes = (adj.keySet ++ selfW.keySet).toSeq.sorted
+        level += 1
+      }
+    }
+    val minId = assign.toSeq.groupBy(_._2)
+      .map { case (c, xs) => c -> xs.map(_._1).min }
+    assign.map { case (n, c) => n -> minId(c) }
+  }
+
+  /** Distributed Louvain tier over a canonical deduped undirected edge
+    * list (a < b). See [[louvain]] for the round/level design.
+    */
+  private def louvainDistributed(und0: DataFrame, maxRounds: Int,
+                                 maxLevels: Int): DataFrame = {
+    val spark = und0.sparkSession
+    val serLevel =
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    // level state: ew (a, b, w) canonical a < b; sw (n, sw) self-loops
+    var ew = und0.withColumn("w", lit(1.0d))
+      .localCheckpoint(true, serLevel).cappedStats
+    held += ew
+    var sw = spark.range(0).select(col("id").as("n"),
+      lit(0.0d).as("sw")).localCheckpoint(true).cappedStats
+    held += sw
+    // assign: original node -> current supernode
+    var assign = und0.select(col("a").as("node"))
+      .unionByName(und0.select(col("b").as("node")))
+      .distinct().select(col("node"), col("node").as("sup"))
+      .localCheckpoint(true).cappedStats
+    held += assign
+    var level = 0
+    var levelMoved = true
+    while (levelMoved && level < maxLevels) {
+      levelMoved = false
+      val m = ew.agg(coalesce(sum("w"), lit(0.0d))).head().getDouble(0) +
+        sw.agg(coalesce(sum("sw"), lit(0.0d))).head().getDouble(0)
+      val sym = ew.select(col("a").as("n"), col("b").as("v"), col("w"))
+        .unionByName(
+          ew.select(col("b").as("n"), col("a").as("v"), col("w")))
+      val k = sym.groupBy("n").agg(sum("w").as("kd"))
+        .unionByName(sw.select(col("n"), (col("sw") * 2.0d).as("kd")))
+        .groupBy("n").agg(sum("kd").as("k"))
+        .localCheckpoint(true).cappedStats
+      held += k
+      var cur = k.select(col("n"), col("n").as("c"))
+        .localCheckpoint(true).cappedStats
+      var rounds = 0
+      var roundMoved = true
+      while (roundMoved && rounds < maxRounds) {
+        val tot = cur.join(k, "n").groupBy("c").agg(sum("k").as("tot"))
+        val nbw = sym
+          .join(cur.select(col("n").as("v"), col("c").as("cv")), "v")
+          .groupBy("n", "cv").agg(sum("w").as("wnc"))
+        // ensure every node carries its OWN community as a candidate
+        // (weight 0 when no neighbor shares it) so stay-vs-move is one
+        // aggregate
+        val cands = nbw.unionByName(
+            cur.select(col("n"), col("c").as("cv"), lit(0.0d).as("wnc")))
+          .groupBy("n", "cv").agg(sum("wnc").as("wnc"))
+          .join(cur, "n").join(k, "n")
+          .join(tot.select(col("c").as("cv"), col("tot")), "cv")
+          .select(col("n"), col("c"), col("cv"),
+            (col("wnc") - col("k") *
+              (col("tot") - when(col("cv") === col("c"), col("k"))
+                .otherwise(lit(0.0d))) / lit(2.0d * m)).as("s"))
+        // ONE aggregate computes the best candidate (max score, then
+        // smallest community id), the stay-put score, and the current
+        // community — the candidate pipeline above evaluates exactly
+        // once per round (a second pass via a re-join measured ~2× the
+        // round cost on tiny graphs where fixed job overhead dominates)
+        val summary = cands.groupBy("n").agg(
+          min_by(struct(col("cv"), col("s")), struct((-col("s")).as("ns"),
+            col("cv").as("tc"))).as("b"),
+          max(when(col("cv") === col("c"), col("s"))).as("own_s"),
+          first(col("c")).as("c"))
+        val moversPlan = summary
+          .where(col("b.cv") =!= col("c") &&
+            col("b.s") > col("own_s") + lit(1e-12d))
+          .select(col("n"), col("b.cv").as("nc"))
+        val debug = sys.env.contains("GRAFT_LOUVAIN_DEBUG")
+        if (debug) {
+          val t0 = System.nanoTime()
+          val nLogical = moversPlan.queryExecution.logical
+            .collect { case _ => 1 }.sum
+          val nOpt = moversPlan.queryExecution.optimizedPlan
+            .collect { case _ => 1 }.sum
+          System.err.println(f"louvain level=$level round=$rounds " +
+            f"logicalNodes=$nLogical optNodes=$nOpt " +
+            f"planSecs=${(System.nanoTime() - t0) / 1e9}%.1f")
+        }
+        val movers = moversPlan.localCheckpoint(true).cappedStats
+        if (debug)
+          System.err.println(s"louvain level=$level round=$rounds " +
+            s"movers=${movers.count()}")
+        if (movers.head(1).isEmpty) {
+          Dedup.releaseBlocks(movers)
+          roundMoved = false
+        } else {
+          levelMoved = true
+          // apply only the xxhash-selected half — the deterministic
+          // symmetric-swap breaker (the half varies per round, so every
+          // blocked mover gets a turn whp within a couple of rounds)
+          val active = movers.where(
+            pmod(xxhash64(col("n"), lit(rounds)), lit(2)) === 0)
+          val next = cur.join(active, Seq("n"), "left")
+            .select(col("n"), coalesce(col("nc"), col("c")).as("c"))
+            .localCheckpoint(true).cappedStats
+          Dedup.releaseBlocks(movers)
+          Dedup.releaseBlocks(cur)
+          cur = next
+        }
+        rounds += 1
+      }
+      if (levelMoved) {
+        // compose original-node assignment through this level
+        val next = assign
+          .join(cur.select(col("n").as("sup"), col("c")), "sup")
+          .select(col("node"), col("c").as("sup"))
+          .localCheckpoint(true).cappedStats
+        Dedup.releaseBlocks(assign)
+        assign = next
+        // contract: communities become supernodes; intra-community
+        // weight (edges + member self-loops) folds into self-loops
+        val curA = cur.select(col("n").as("a"), col("c").as("ca"))
+        val curB = cur.select(col("n").as("b"), col("c").as("cb"))
+        val joined = ew.join(curA, "a").join(curB, "b")
+        val ew2 = joined.where(col("ca") =!= col("cb"))
+          .select(least(col("ca"), col("cb")).as("a"),
+            greatest(col("ca"), col("cb")).as("b"), col("w"))
+          .groupBy("a", "b").agg(sum("w").as("w"))
+          .localCheckpoint(true, serLevel).cappedStats
+        val sw2 = joined.where(col("ca") === col("cb"))
+          .select(col("ca").as("n"), col("w"))
+          .unionByName(sw.join(cur, "n")
+            .select(col("c").as("n"), col("sw").as("w")))
+          .groupBy("n").agg(sum("w").as("sw"))
+          .localCheckpoint(true).cappedStats
+        Dedup.releaseBlocks(ew)
+        Dedup.releaseBlocks(sw)
+        Dedup.releaseBlocks(cur)
+        ew = ew2; sw = sw2
+        held += ew; held += sw
+        level += 1
+      } else Dedup.releaseBlocks(cur)
+    }
+    val mins = assign.groupBy("sup").agg(min("node").as("community"))
+    Dedup.releasing(
+      assign.join(mins, "sup").select(col("node"), col("community")),
+      (held += assign).toSeq)
+  }
+
+  /** Planted-partition contract harness for [[louvain]]: `c` ring
+    * communities of `s` nodes (ring + distance-2 chords inside each
+    * community, one bridge edge between consecutive communities — intra
+    * degree 4 vs one external edge, far above the resolution limit for
+    * these sizes), so BOTH tiers must recover exactly the planted
+    * partition, labeled by each ring's minimum id. Returns the
+    * (node, community) table of the requested tier; the driver oracle
+    * recomputes the expected label as (node div s) * s.
+    */
+  def louvainPlanted(spark: org.apache.spark.sql.SparkSession, c: Int,
+                     sz: Int, forceDistributed: Boolean): DataFrame = {
+    import spark.implicits._
+    val edges = (0 until c).flatMap { ci =>
+      val base = ci.toLong * sz
+      val ring = (0 until sz).map(i =>
+        (base + i, base + (i + 1) % sz))
+      val chords = (0 until sz).map(i =>
+        (base + i, base + (i + 2) % sz))
+      val bridge = if (ci + 1 < c)
+        Seq((base + sz - 1, base + sz)) else Seq.empty
+      ring ++ chords ++ bridge
+    }.toDF("src", "dst")
+    louvain(edges, "src", "dst",
+      maxDriverEdges = if (forceDistributed) -1L else Long.MaxValue)
+  }
+
   /** Strongly connected components of a DIRECTED edge list. Returns
     * (node, component) for every node incident to an edge, component
     * labeled by the SCC's minimum member id — so the labeling is
@@ -1326,7 +1630,7 @@ object GraphAlgos {
                                     Dedup.DriverCcMaxEdges): DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     if (e.count() <= maxDriverEdges) {
       val r = sccDriver(e) // collected — independent of e
       Dedup.releaseBlocks(e)
@@ -1438,7 +1742,7 @@ object GraphAlgos {
         col("u"))
       .cache()
     var lab = nodes.select(col("node"), col("node").as("lb"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, lab)
     // DELTA propagation with complete doubling (same argument as
     // Dedup.connectedComponents): only changed labels are re-offered —
@@ -1466,7 +1770,7 @@ object GraphAlgos {
         .select(col("node"),
           least(col("lb"), coalesce(col("cand"), col("lb"))).as("lb"),
           (col("cand").isNotNull && col("cand") < col("lb")).as("__chg"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += next
       changedSet = next.where(col("__chg")).select("node", "lb")
       changed = changedSet.head(1).nonEmpty
@@ -1489,13 +1793,13 @@ object GraphAlgos {
     while (live) {
       val nodes = remaining.select(col("u").as("node"))
         .union(remaining.select(col("v").as("node"))).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += nodes
       if (nodes.isEmpty) live = false
       else {
         // (1) forward: color(v) = min id with a path to v
         val color = minLabelFixedPoint(nodes, remaining)
-          .withColumnRenamed("lb", "color").localCheckpoint(true)
+          .withColumnRenamed("lb", "color").localCheckpoint(true).cappedStats
         held += color
         // (2) backward within color regions: bcolor(v) = min region id
         // v reaches = fixed point over REVERSED region-internal edges
@@ -1504,7 +1808,7 @@ object GraphAlgos {
           .join(color.select(col("node").as("v"), col("color").as("cv")), "v")
           .where(col("cu") === col("cv"))
           .select(col("v").as("u"), col("u").as("v"))
-          .localCheckpoint(true)
+          .localCheckpoint(true).cappedStats
         held += rev
         val bcolor = minLabelFixedPoint(nodes, rev)
           .withColumnRenamed("lb", "bcolor")
@@ -1512,22 +1816,22 @@ object GraphAlgos {
         // reach each other iff bcolor(v) == color(v) == c
         val scc = color.join(bcolor, "node")
           .where(col("bcolor") === col("color"))
-          .select(col("node"), col("color")).localCheckpoint(true)
+          .select(col("node"), col("color")).localCheckpoint(true).cappedStats
         held += scc
         val found = scc.select(col("node"), col("color").as("component"))
         result = if (result == null) found
           else {
-            val r = result.unionByName(found).localCheckpoint(true)
+            val r = result.unionByName(found).localCheckpoint(true).cappedStats
             held += r
             r
           }
         // (3) carve out finished SCCs, keep the rest
-        val done = scc.select("node").localCheckpoint(true)
+        val done = scc.select("node").localCheckpoint(true).cappedStats
         held += done
         remaining = remaining
           .join(done.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(done.select(col("node").as("v")), Seq("v"), "left_anti")
-          .select("u", "v").localCheckpoint(true)
+          .select("u", "v").localCheckpoint(true).cappedStats
         held += remaining
         // nodes whose every edge died: singleton SCCs, label = self
         val isolated = nodes
@@ -1536,7 +1840,7 @@ object GraphAlgos {
             .union(remaining.select(col("v").as("node"))).distinct(),
             Seq("node"), "left_anti")
           .select(col("node"), col("node").as("component"))
-        result = result.unionByName(isolated).localCheckpoint(true)
+        result = result.unionByName(isolated).localCheckpoint(true).cappedStats
         held += result
       }
     }
@@ -1568,12 +1872,12 @@ object GraphAlgos {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     val nodes = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node"))).distinct()
     var counter = nodes.groupBy("node")
       .agg(hll_sketch_agg(col("node"), lit(lgK)).as("sk"))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, counter)
     def total(c: DataFrame): Long =
       c.agg(sum(hll_sketch_estimate(col("sk")))).head.getLong(0)
@@ -1587,7 +1891,7 @@ object GraphAlgos {
         .select(e("u").as("node"), col("sk"))
       val next = counter.unionByName(flowed)
         .groupBy("node").agg(hll_union_agg(col("sk")).as("sk"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       held += next
       val tot = total(next)
       counter = next
@@ -1695,7 +1999,7 @@ object GraphAlgos {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
       .distinct().localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct()
     if (e.count() <= maxDriverEdges) {
@@ -1712,9 +2016,9 @@ object GraphAlgos {
     // delta table to the end OOMs a 16 g heap at 47 M edges.
     val src = sources.toDF("s").distinct()
     var levels = List(src.select(col("s"), col("s").as("node"),
-      lit(1.0).as("sigma")).localCheckpoint(true))
+      lit(1.0).as("sigma")).localCheckpoint(true).cappedStats)
     var seen = levels.head.select("s", "node")
-      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
     var d = 0
     var done = false
     while (!done && d < maxDepth) {
@@ -1723,12 +2027,12 @@ object GraphAlgos {
         .select(col("s"), col("v").as("node"), col("sigma"))
         .join(seen, Seq("s", "node"), "left_anti")
         .groupBy("s", "node").agg(sum("sigma").as("sigma"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
       if (fresh.isEmpty) { done = true; Dedup.releaseBlocks(fresh) }
       else {
         levels ::= fresh // levels is deepest-first
         val newSeen = seen.unionByName(fresh.select("s", "node"))
-          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
         Dedup.releaseBlocks(seen)
         seen = newSeen
       }
@@ -1738,10 +2042,10 @@ object GraphAlgos {
     // pulls σv/σw·(1+δw) from its successors one level deeper; bc
     // accumulates per level into a (node, delta)-sized partial sum
     var withDelta = levels.head.withColumn("delta", lit(0.0))
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     Dedup.releaseBlocks(levels.head)
     var bcAcc = withDelta.where(col("node") =!= col("s"))
-      .select(col("node"), col("delta")).localCheckpoint(true)
+      .select(col("node"), col("delta")).localCheckpoint(true).cappedStats
     levels.tail.foreach { lvl =>
       val contrib = lvl.join(e, lvl("node") === e("u"))
         .select(col("s"), col("node"), col("sigma"), col("v"))
@@ -1754,12 +2058,12 @@ object GraphAlgos {
       val newWd = lvl.join(contrib, Seq("s", "node"), "left")
         .select(col("s"), col("node"), col("sigma"),
           coalesce(col("delta"), lit(0.0)).as("delta"))
-        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
       val newAcc = bcAcc
         .unionByName(newWd.where(col("node") =!= col("s"))
           .select(col("node"), col("delta")))
         .groupBy("node").agg(sum("delta").as("delta"))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       Dedup.releaseBlocks(withDelta); Dedup.releaseBlocks(bcAcc)
       Dedup.releaseBlocks(lvl)
       withDelta = newWd; bcAcc = newAcc
@@ -1797,10 +2101,10 @@ object GraphAlgos {
     require(nSources >= 1, s"betweennessApprox needs nSources >= 1")
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val nodes = e.select(col("u").as("node"))
       .unionByName(e.select(col("v").as("node"))).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true).cappedStats
     val n = nodes.count()
     val k = math.min(nSources.toLong, n)
     val sources = nodes
@@ -1960,7 +2264,7 @@ object GraphAlgos {
     // EAGERLY once their successor checkpoint is materialized (same
     // discipline as the Brandes forward pass)
     var dist = src.select(col("s"), col("s").as("node"),
-      lit(0L).as("d")).localCheckpoint(true)
+      lit(0L).as("d")).localCheckpoint(true).cappedStats
     var frontier = dist.select("s", "node")
     var prevFresh: DataFrame = null
     var d = 0L
@@ -1971,10 +2275,10 @@ object GraphAlgos {
         .select(col("s"), col("v").as("node")).distinct()
         .join(dist.select("s", "node"), Seq("s", "node"), "left_anti")
         .withColumn("d", lit(d))
-        .localCheckpoint(true)
+        .localCheckpoint(true).cappedStats
       if (fresh.isEmpty) { done = true; Dedup.releaseBlocks(fresh) }
       else {
-        val newDist = dist.unionByName(fresh).localCheckpoint(true)
+        val newDist = dist.unionByName(fresh).localCheckpoint(true).cappedStats
         Dedup.releaseBlocks(dist)
         if (prevFresh != null) Dedup.releaseBlocks(prevFresh)
         prevFresh = fresh // still the live frontier this round
@@ -2045,7 +2349,7 @@ object GraphAlgos {
     val lcm = lcmUpTo(maxDepth)
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true).cappedStats
     val src = sources.toDF("s").distinct()
     require(src.count() <= Long.MaxValue / lcm,
       "harmonicCentrality: source count would overflow the exact sum")
@@ -2108,5 +2412,107 @@ object GraphAlgos {
         ((lit(4L) * col("m") * col("e_in") -
           col("deg_sum") * col("deg_sum")).cast("double") /
           (lit(4L) * col("m") * col("m")).cast("double")).as("dq"))
+  }
+
+  /** Katz centrality over a DIRECTED edge list with attenuation
+    * α = 1/4, truncated at `iterations` terms: x = Σ_{t≤T} α^t (Aᵀ)^t 1,
+    * via the standard recurrence x_{t+1}(v) = 1 + α·Σ_{u→v} x_t(u)
+    * from x_0 = 0 (Katz 1953; public). The reference scores nodes with
+    * exactly this family of walk-counting centralities.
+    *
+    * EXACT-ARITHMETIC layout (the [[harmonicCentrality]] trick, adapted
+    * to dyadic rationals): every x_t is a dyadic rational with
+    * denominator 4^t, so the loop carries the exact BIGINT
+    * y_t = x_t·4^T. Inductively y_t ≡ 0 (mod 4^(T−t)), so the per-round
+    * `div 4` is exact integer division and ANSI throws rather than
+    * silently wrapping if the walk counts ever overflow — every round
+    * is reproducible-exact across engines and partitionings. The
+    * returned `score` is ONE IEEE division y_T / 4^T, the same
+    * hash-stable float contract as Jaccard/modularity.
+    *
+    * Plan shape: T rounds of (edge ⋈ scores → hash agg → left join
+    * nodes) — identical to one pageRank round; loop-invariant inputs
+    * checkpointed once, running state checkpointed every 4 rounds
+    * ([[CLAUDE.md]] loop layout rules).
+    */
+  def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+                     iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 25,
+      s"katzCentrality: iterations must be in [1, 25], got $iterations")
+    val scale = 1L << (2 * iterations) // 4^T
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true).cappedStats
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint(true).cappedStats
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, nodes)
+    var y = nodes.withColumn("y", lit(0L))
+    for (t <- 1 to iterations) {
+      val inflow = e.join(y.select(col("node").as("u"), col("y")), "u")
+        .groupBy(col("v").as("node")).agg(sum("y").as("sy"))
+      y = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(scale) +
+            expr("coalesce(sy, CAST(0 AS BIGINT)) div 4")).as("y"))
+      if (t % 4 == 0 && t < iterations) {
+        y = y.localCheckpoint(true).cappedStats
+        held += y
+      }
+    }
+    Dedup.releasing(
+      y.select(col("node"), col("y").as("num"),
+        (col("y").cast("double") / lit(scale.toDouble)).as("score")),
+      held.toSeq)
+  }
+
+  /** Degree assortativity (Newman 2002, public): the Pearson
+    * correlation of the degrees at the two ends of an undirected edge.
+    * Over the 2·|E| directed edge copies with endpoint degrees (j, k):
+    * {{{ r = (M·Σjk − Σj·Σk) / sqrt((M·Σj² − (Σj)²)·(M·Σk² − (Σk)²)) }}}
+    * Every sum is exact BIGINT (degrees are counts); the output keeps
+    * the exact integers alongside `r`, which is computed with a FIXED
+    * IEEE op sequence (two exact-int subtractions cast to double, one
+    * multiply, one correctly-rounded sqrt, one division) so an oracle
+    * recomputing the same integers matches bitwise. By symmetry of the
+    * directed-copy sums Σj = Σk and Σj² = Σk², so the two variance
+    * factors coincide — both are still emitted for the contract.
+    * Plan: one degree aggregate + two broadcast-friendly joins + one
+    * global aggregate; no iteration, survives any scale the edge
+    * shuffle does. On degree-regular graphs (zero variance) `r` is
+    * IEEE 0/0 = NaN, matching the undefined correlation.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    val sym = und.select(col("a").as("x"), col("b").as("y"))
+      .unionByName(und.select(col("b").as("x"), col("a").as("y")))
+    val deg = sym.groupBy(col("x").as("n"))
+      .agg(count(lit(1)).as("d"))
+    val withDeg = sym
+      .join(deg.select(col("n").as("x"), col("d").as("j")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("k")), "y")
+    val sums = withDeg.agg(
+      count(lit(1)).as("m"),
+      sum(col("j") * col("k")).as("sjk"),
+      sum(col("j")).as("sj"), sum(col("k")).as("sk"),
+      sum(col("j") * col("j")).as("sjj"),
+      sum(col("k") * col("k")).as("skk"))
+    // ANSI throws on /0 even for doubles — make the zero-variance
+    // (degree-regular) case an explicit NaN instead
+    val denom = sqrt((col("m") * col("sjj") - col("sj") * col("sj"))
+        .cast("double") *
+      (col("m") * col("skk") - col("sk") * col("sk")).cast("double"))
+    sums.select(col("m"), col("sjk"), col("sj"), col("sk"),
+      col("sjj"), col("skk"),
+      when(denom === 0.0d, lit(Double.NaN))
+        .otherwise(
+          (col("m") * col("sjk") - col("sj") * col("sk")).cast("double") /
+            denom).as("r"))
   }
 }

@@ -731,7 +731,7 @@ object TextOps {
         posexplode(split(normalize(col(textCol)), " ")).as(Seq("pos", "w")))
       .where(length(col("w")) > 0)
       .withColumn("h", pmod(xxhash64(col("w")), lit(buckets.toLong)))
-      .localCheckpoint()
+      .localCheckpoint().cappedStats
     val counts = toks.groupBy("h").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("ct"),
       sum(when(!col("tgt"), 1L).otherwise(0L)).as("cr"))

@@ -788,4 +788,107 @@ class GraphAlgosSpec extends AnyFunSuite {
     // Q for this partition = 70/196
     assert(math.abs(got.values.map(_._3).sum - 70.0 / 196.0) < 1e-15)
   }
+
+  test("louvain: two cliques and a bridge, driver tier") {
+    // K4 {0..3} + K4 {10..13} joined by one bridge: the unambiguous
+    // two-community optimum, labels = min member ids
+    val k4a = for (i <- 0L to 3L; j <- i + 1 to 3L) yield (i, j)
+    val k4b = for (i <- 10L to 13L; j <- i + 1 to 13L) yield (i, j)
+    val edges = (k4a ++ k4b ++ Seq((3L, 10L))).toDF("s", "d")
+    val got = GraphAlgos.louvain(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert((0L to 3L).forall(got(_) == 0L))
+    assert((10L to 13L).forall(got(_) == 10L))
+  }
+
+  test("louvain recovers a planted ring partition on both tiers") {
+    // 10 communities x 20 nodes (ring + chords, single bridges):
+    // intra degree 4 vs one external edge — both tiers must recover
+    // the planted partition exactly, labeled by each ring's minimum
+    for (forceDistributed <- Seq(false, true)) {
+      val got = GraphAlgos.louvainPlanted(spark, c = 10, sz = 20,
+          forceDistributed).as[(Long, Long)].collect().toMap
+      val expect = (0L until 200L).map(i => i -> (i / 20L) * 20L).toMap
+      assert(got === expect, s"forceDistributed=$forceDistributed")
+    }
+  }
+
+  test("katz: exact dyadic walk counts on a 3-node chain") {
+    // 1 -> 2 -> 3, alpha = 1/4, T = 8:
+    //   x(1) = 1, x(2) = 1 + 1/4, x(3) = 1 + (1 + 1/4)/4 = 1 + 5/16
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val got = GraphAlgos.katzCentrality(edges, "s", "d")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    val scale = 65536L
+    assert(got(1L) === ((scale, 1.0)))
+    assert(got(2L) === ((scale + scale / 4, 1.25)))
+    assert(got(3L) === ((scale + scale * 5 / 16, 1.3125)))
+  }
+
+  test("katz: star center accumulates leaf walks exactly") {
+    // 5 leaves -> center: x(center) = 1 + 5/4, leaves stay 1; a second
+    // round adds nothing (leaves have no in-edges)
+    val edges = (1L to 5L).map(i => (i, 100L)).toDF("s", "d")
+    val got = GraphAlgos.katzCentrality(edges, "s", "d", iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(100L) === 2.25)
+    (1L to 5L).foreach(i => assert(got(i) === 1.0))
+    intercept[IllegalArgumentException] {
+      GraphAlgos.katzCentrality(edges, "s", "d", iterations = 0)
+    }
+  }
+
+  test("assortativity: exact moments and r on a known graph") {
+    // path 1-2-3-4 plus edge 3-5: degrees 1,2,3,1,1 — disassortative
+    // (high-degree 3 attaches to leaves). Verify against a direct
+    // computation of the same formula.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L)).toDF("s", "d")
+    val r = GraphAlgos.assortativity(edges, "s", "d").head()
+    val deg = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 1L, 5L -> 1L)
+    val dir = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .map { case (a, b) => (deg(a), deg(b)) }
+    val m = dir.size.toLong
+    val sjk = dir.map { case (j, k) => j * k }.sum
+    val sj = dir.map(_._1).sum; val sk = dir.map(_._2).sum
+    val sjj = dir.map { case (j, _) => j * j }.sum
+    val skk = dir.map { case (_, k) => k * k }.sum
+    assert(r.getLong(0) === m && r.getLong(1) === sjk)
+    val expect = (m * sjk - sj * sk).toDouble /
+      math.sqrt(((m * sjj - sj * sj).toDouble *
+        (m * skk - sk * sk).toDouble))
+    assert(r.getDouble(6) === expect)
+    assert(expect < 0.0) // leaves-on-hub graph is disassortative
+  }
+
+  test("assortativity: NaN on a degree-regular graph") {
+    // a 4-cycle is 2-regular: zero degree variance, r undefined
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "d")
+    val r = GraphAlgos.assortativity(edges, "s", "d").head()
+    assert(r.getDouble(6).isNaN)
+  }
+
+  test("louvain partition scores at least the LPA partition on random graphs") {
+    // Louvain optimizes modularity directly — on random two-block
+    // graphs its Q must not lose to the label-propagation heuristic
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n
+        sameBlock = (i < n / 2) == (j < n / 2)
+        p = if (sameBlock) 0.25 else 0.02
+        if rnd.nextDouble() < p
+      } yield (i.toLong, j.toLong)).toDF("s", "d")
+      def q(mem: org.apache.spark.sql.DataFrame) =
+        GraphAlgos.modularity(edges, "s", "d", mem, "node", "community")
+          .agg(org.apache.spark.sql.functions.sum("dq"))
+          .head().getDouble(0)
+      val lou = GraphAlgos.louvain(edges, "s", "d")
+      val lpa = GraphAlgos.labelPropagation(edges, "s", "d")
+        .withColumnRenamed("label", "community")
+      assert(q(lou) >= q(lpa) - 1e-12)
+    }
+  }
 }
