@@ -1126,6 +1126,55 @@ object SparkEntry {
       batch.unpersist()
       Seq(diff == 0 && nCells > 0).toDF("stream_cms_ok")
     }),
+    // streaming quantile sketch: the sampled-value histogram in
+    // complete mode over two micro-batches must equal the batch
+    // histogram cell-for-cell, and the deciles derived from it must
+    // equal the batch TextOps.hashSampleQuantiles rows row-for-row
+    "stream_quantiles" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.QuadStream
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-squant").toString
+      docs.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema("doc_id bigint, text string")
+        .parquet(s"$tmp/in")
+      val q = QuadStream.quantileSampleStream(stream, "doc_id", "text")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("stream_quantiles_sink").start()
+      q.processAllAvailable()
+      docs.where(col("doc_id") % 2 === 1)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      val streamed = s.sql("SELECT v, cnt FROM stream_quantiles_sink")
+        .cache()
+      val batchHist = docs
+        .select(col("doc_id").cast("long").as("doc_id"),
+          TextOps.tokenCount(col("text")).cast("long").as("v"))
+        .where(pmod(graft.analytics.Dedup.tokenHash(
+          col("doc_id").cast("string")), lit(16L)) === 0)
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val diff = streamed.exceptAll(batchHist).count() +
+        batchHist.exceptAll(streamed).count()
+      val cum = streamed.withColumn("cum",
+        sum("cnt").over(Window.orderBy("v")))
+      val nDf = streamed.agg(coalesce(sum("cnt"), lit(0L)).as("n"))
+      val derived = s.range(1, 10).select(col("id").as("decile"))
+        .crossJoin(broadcast(nDf))
+        .withColumn("rk", expr("(decile * n + 9) div 10"))
+        .join(cum, col("cum") >= col("rk"))
+        .groupBy("decile", "n").agg(min("v").as("value"))
+        .select(col("decile"), col("n").as("n_sample"), col("value"))
+      val batchQ = TextOps.hashSampleQuantiles(docs, "doc_id", "text")
+      val qdiff = derived.exceptAll(batchQ).count() +
+        batchQ.exceptAll(derived).count()
+      val nSample = nDf.head.getLong(0)
+      streamed.unpersist()
+      Seq(diff == 0 && qdiff == 0 && nSample > 0)
+        .toDF("stream_quantiles_ok")
+    }),
     "stream_enrich" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.{EnrichInput, QuadStream}
@@ -2209,6 +2258,12 @@ object SparkEntry {
     // worst overestimate within 4*N/width; n_tokens crosses engines
     "text_cms" -> ((s, d) =>
       TextOps.cmsContract(t(s, d, "documents"), "text")),
+    // deterministic-hash-sample quantile sketch: deciles of token count
+    // over the md5-mod-16 document sample; rank selection under the
+    // total order (value, doc_id) — both engines pick the identical
+    // element, a VALUE-LEVEL quantile oracle
+    "text_quantiles" -> ((s, d) =>
+      TextOps.hashSampleQuantiles(t(s, d, "documents"), "doc_id", "text")),
     // weighted sampling without replacement (Efraimidis-Spirakis):
     // top-k by ln(u)/w, u hash-derived — deterministic, one global
     // top-k, no full sort; contract checks size/validity/
@@ -3139,6 +3194,27 @@ object SparkEntry {
     "stream_enrich" -> "SELECT TRUE AS enrich_ok",
     // streaming CMS == batch CMS cell-for-cell (exact long sums)
     "stream_cms" -> "SELECT TRUE AS stream_cms_ok",
+    "stream_quantiles" -> "SELECT TRUE AS stream_quantiles_ok",
+    // hash-sample quantiles: the oracle recomputes the identical md5
+    // sample, the identical (value, doc_id) total order, and the
+    // identical ceil-rank selection — value-level decile parity
+    "text_quantiles" ->
+      """WITH tx AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |sm AS (SELECT doc_id,
+        |    CAST(CASE WHEN length(t) = 0 THEN 0
+        |      ELSE length(string_split(t, ' ')) END AS BIGINT) AS v
+        |  FROM tx
+        |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+        |    AS BIGINT) % 16 = 0),
+        |rk AS (SELECT v, row_number() OVER (ORDER BY v, doc_id) AS rn
+        |  FROM sm),
+        |n AS (SELECT count(*) AS n_sample FROM sm)
+        |SELECT CAST(d.d AS BIGINT) AS decile,
+        |  CAST(n.n_sample AS BIGINT) AS n_sample, rk.v AS value
+        |FROM (SELECT unnest(range(1, 10)) AS d) d CROSS JOIN n
+        |JOIN rk ON rk.rn = (d.d * n.n_sample + 9) // 10""".stripMargin,
     // multimodal resize pipeline: exact-contract boolean (decode ->
     // resample -> re-encode round-trip preserves constant-color means)
     "mm_resize" -> "SELECT TRUE AS contract_ok",

@@ -953,4 +953,44 @@ object TextOps {
       lit(joined.getLong(1) <= bound).as("cms_over_ok"),
       lit(n).as("n_tokens"))
   }
+
+  /** Deterministic-hash-sample quantile sketch: deciles of the
+    * per-document token count, computed over the sample of documents
+    * whose 60-bit md5 id hash ([[Dedup.tokenHash]], the SQL-mirrorable
+    * one) is ≡ 0 mod `denom` — a 1/denom Bernoulli sample that is
+    * REPRODUCIBLE in any engine with a standard md5, order-independent,
+    * and mergeable across corpora (a union's sample is the union of
+    * samples), unlike a seeded random sample. Decile d is the element
+    * at 1-indexed rank ⌈d·n/10⌉ of the sample under the TOTAL order
+    * (value, doc_id), so both engines select the identical element —
+    * a value-level oracle, where true quantile sketches (GK/KLL) could
+    * only offer rank-error contracts. By DKW, a sample of n gives
+    * rank error ≤ √(ln(2/δ)/2n) wrt the corpus with prob 1−δ — size
+    * `denom` to the corpus (1e8 docs / denom 4096 → n≈24k, ε≈0.9%).
+    *
+    * Scale shape: the corpus-sized work is one row-local projection +
+    * filter (pushed to the scan); only the SAMPLE is sorted (the single
+    * global-window task is n rows by construction — that is the point
+    * of the sketch). The streaming twin
+    * [[graft.streaming.QuadStream.quantileSampleStream]] keeps the
+    * (value → count) histogram of the same sample, which determines the
+    * identical deciles — exact batch equality, the CMS pattern.
+    */
+  def hashSampleQuantiles(df: DataFrame, idCol: String, textCol: String,
+                          denom: Int = 16): DataFrame = {
+    require(denom >= 1, s"hashSampleQuantiles: denom must be >= 1, got $denom")
+    val spark = df.sparkSession
+    val samp = df.select(col(idCol).cast("long").as("doc_id"),
+        tokenCount(col(textCol)).cast("long").as("v"))
+      .where(pmod(Dedup.tokenHash(col("doc_id").cast("string")),
+        lit(denom.toLong)) === 0)
+    val ranked = samp.withColumn("rn",
+      row_number().over(Window.orderBy(col("v"), col("doc_id"))))
+    val nDf = samp.agg(count(lit(1)).as("n_sample"))
+    spark.range(1, 10).select(col("id").as("decile"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("rn", expr("(decile * n_sample + 9) div 10"))
+      .join(ranked, "rn")
+      .select(col("decile"), col("n_sample"), col("v").as("value"))
+  }
 }

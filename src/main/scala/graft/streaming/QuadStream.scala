@@ -218,6 +218,28 @@ object QuadStream {
         .as(Seq("j", "c")))
       .groupBy("j", "c").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming quantile sketch: the (token-count value → count)
+    * histogram of the SAME deterministic md5-hash document sample as
+    * [[graft.analytics.TextOps.hashSampleQuantiles]], maintained as a
+    * complete-mode streaming aggregation. The histogram determines the
+    * batch deciles exactly (decile d = min value whose cumulative count
+    * reaches ⌈d·n/10⌉), and because the sample filter is row-local and
+    * the counts exact longs, the streamed histogram equals the batch
+    * histogram over the same documents cell-for-cell — the `stream_cms`
+    * equality pattern, giving a hard streaming contract rather than a
+    * recall-style one. State is O(distinct sampled values), independent
+    * of stream length.
+    */
+  def quantileSampleStream(docs: DataFrame, idCol: String,
+                           textCol: String, denom: Int = 16): DataFrame =
+    docs.select(
+        graft.analytics.TextOps.tokenCount(col(textCol))
+          .cast("long").as("v"),
+        col(idCol).cast("long").as("doc_id"))
+      .where(pmod(graft.analytics.Dedup.tokenHash(
+        col("doc_id").cast("string")), lit(denom.toLong)) === 0)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+
   /** Event-stream analytics: watermarked tumbling-window counts — the
     * Structured-Streaming form of the batch `q_window` query.
     */

@@ -1413,6 +1413,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
   }
 
+  test("hashSampleQuantiles: deciles equal the sequential computation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (1 to 500).map(i => (i.toLong,
+      (0 until 1 + rnd.nextInt(40)).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextOps.hashSampleQuantiles(docs, "doc_id", "text", denom = 4)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // sequential reference: same md5 sample, same (v, id) order, same
+    // ceil-rank selection
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(15), 16)
+    val lens = docs.as[(Long, String)].collect()
+      .filter { case (id, _) => h60(id.toString) % 4 == 0 }
+      .map { case (id, t) => (t.split(" ").length.toLong, id) }
+      .sorted
+    val n = lens.length.toLong
+    assert(n > 50) // the 1/4 sample actually sampled
+    val expect = (1L to 9L).map(d =>
+      (d, n, lens(((d * n + 9) / 10).toInt - 1)._1))
+    assert(got.toSeq === expect)
+    // sample sizes are what 1/denom predicts, coarsely
+    val n16 = TextOps.hashSampleQuantiles(docs, "doc_id", "text")
+      .head.getLong(1)
+    assert(n16 > 10 && n16 < 70)
+  }
+
   test("topCoOccur: shared-item ranking, symmetric, capped variant") {
     import spark.implicits._
     import graft.analytics.CoOccur

@@ -113,6 +113,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed === batch && batch.nonEmpty)
   }
 
+  test("streaming quantile histogram equals the batch sample cell-for-cell") {
+    import spark.implicits._
+    import graft.analytics.{Dedup, TextOps}
+    val tmp = Files.createTempDirectory("graft-squant").toString
+    val docs = (1L to 120L).map(i =>
+      (i, (0 until (i % 7).toInt + 1).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text")
+    docs.where(col("doc_id") <= 60).write.mode("overwrite")
+      .parquet(s"$tmp/in")
+    val stream = spark.readStream.schema("doc_id bigint, text string")
+      .parquet(s"$tmp/in")
+    val q = QuadStream.quantileSampleStream(stream, "doc_id", "text",
+        denom = 4)
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("squant").start()
+    q.processAllAvailable()
+    docs.where(col("doc_id") > 60).write.mode("append").parquet(s"$tmp/in")
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT v, cnt FROM squant")
+      .as[(Long, Long)].collect().toSet
+    val batch = docs
+      .select(col("doc_id"), TextOps.tokenCount(col("text"))
+        .cast("long").as("v"))
+      .where(pmod(Dedup.tokenHash(col("doc_id").cast("string")),
+        lit(4L)) === 0)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .as[(Long, Long)].collect().toSet
+    assert(streamed === batch && batch.nonEmpty)
+  }
+
   test("streaming sessionization closes sessions at the inactivity gap") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-sess").toString
