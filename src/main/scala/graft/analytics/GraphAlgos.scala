@@ -1309,10 +1309,13 @@ object GraphAlgos {
     *    join computes every node's neighbor-community weights and ONE
     *    aggregate picks the best gain over ALL nodes (an empty best-move
     *    set is therefore a sound convergence signal); simultaneous
-    *    moves interfere (two adjacent nodes swapping forever), so only
-    *    the half of movers selected by xxhash64(node, round) applies
-    *    each round — the standard symmetric-tie breaker, deterministic
-    *    and varying per round. Contraction and level recursion follow
+    *    moves interfere (two adjacent nodes swapping forever), so for
+    *    each unordered community pair only the direction more movers
+    *    want applies per round (deterministic count tie-break) — swap
+    *    cycles cannot form, and swap-free rounds apply every mover.
+    *    A level also ends early when movement shrinks < 5% per round
+    *    (the oscillation residue; the contracted next level re-examines
+    *    those boundary nodes). Contraction and level recursion follow
     *    the paper; after the first contraction the graph is
     *    community-sized and every later level is cheap. All weights are
     *    integral doubles (sums of 1.0 at every level), so distributed
@@ -1429,6 +1432,7 @@ object GraphAlgos {
   private def louvainDistributed(und0: DataFrame, maxRounds: Int,
                                  maxLevels: Int): DataFrame = {
     val spark = und0.sparkSession
+    val numParts = spark.sessionState.conf.numShufflePartitions
     val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
@@ -1454,80 +1458,134 @@ object GraphAlgos {
       val sym = ew.select(col("a").as("n"), col("b").as("v"), col("w"))
         .unionByName(
           ew.select(col("b").as("n"), col("a").as("v"), col("w")))
+      // the per-round join probes sym by v: pre-partition AND pre-sort
+      // it ONCE per level (cache preserves both where localCheckpoint
+      // under AQE does not — the repartition+cache loop rule), so every
+      // round's sort-merge join reads this side with no exchange and no
+      // sort. Serialized storage: 2|E| rows live for the whole level.
+      val symP = sym.repartition(numParts, col("v"))
+        .sortWithinPartitions("v")
+        .persist(serLevel)
+      held += symP
       val k = sym.groupBy("n").agg(sum("w").as("kd"))
         .unionByName(sw.select(col("n"), (col("sw") * 2.0d).as("kd")))
         .groupBy("n").agg(sum("kd").as("k"))
         .localCheckpoint(true).cappedStats
       held += k
-      var cur = k.select(col("n"), col("n").as("c"))
-        .localCheckpoint(true).cappedStats
+      // cur carries each node's (community, degree), hash-partitioned
+      // by n and CACHED (not checkpointed) so the node-keyed joins and
+      // aggregates below stay exchange-free round over round
+      var cur = k.select(col("n"), col("n").as("c"), col("k"))
+        .repartition(numParts, col("n")).cache()
+      cur.count()
       var rounds = 0
       var roundMoved = true
+      var prevMovers = Long.MaxValue
+      // NOTE: pruned local moving (re-score only movers ∪ neighbors of
+      // applied moves via a broadcast semi-join) was implemented and
+      // MEASURED SLOWER here (140 vs 120 s on the x10 movie graph):
+      // shared-literal hubs make neighbors-of-applied ≈ the whole
+      // graph, so the active-set scan is pure overhead. Re-measure
+      // before re-introducing on a less hubby workload.
       while (roundMoved && rounds < maxRounds) {
-        val tot = cur.join(k, "n").groupBy("c").agg(sum("k").as("tot"))
-        val nbw = sym
-          .join(cur.select(col("n").as("v"), col("c").as("cv")), "v")
-          .groupBy("n", "cv").agg(sum("w").as("wnc"))
-        // ensure every node carries its OWN community as a candidate
-        // (weight 0 when no neighbor shares it) so stay-vs-move is one
-        // aggregate
-        val cands = nbw.unionByName(
-            cur.select(col("n"), col("c").as("cv"), lit(0.0d).as("wnc")))
-          .groupBy("n", "cv").agg(sum("wnc").as("wnc"))
-          .join(cur, "n").join(k, "n")
-          .join(tot.select(col("c").as("cv"), col("tot")), "cv")
-          .select(col("n"), col("c"), col("cv"),
-            (col("wnc") - col("k") *
-              (col("tot") - when(col("cv") === col("c"), col("k"))
-                .otherwise(lit(0.0d))) / lit(2.0d * m)).as("s"))
-        // ONE aggregate computes the best candidate (max score, then
-        // smallest community id), the stay-put score, and the current
-        // community — the candidate pipeline above evaluates exactly
-        // once per round (a second pass via a re-join measured ~2× the
-        // round cost on tiny graphs where fixed job overhead dominates)
-        val summary = cands.groupBy("n").agg(
+        // community totals ride the existing neighbor join instead of a
+        // second edge-sized join: the probe side carries (cv, cvtot) so
+        // the per-edge work is ONE join + one n-keyed aggregate
+        val tot = cur.groupBy("c").agg(sum("k").as("tot"))
+        val curT = cur.join(tot, "c")
+        val nbrSide = curT.select(col("n").as("v"), col("c").as("cv"),
+          col("tot").as("cvtot"))
+        val nbw = symP
+          .join(nbrSide.repartition(numParts, col("v")), "v")
+          .select(col("n"), col("cv"), col("w"), col("cvtot"))
+          .repartition(numParts, col("n"))
+          .groupBy("n", "cv")
+          .agg(sum("w").as("wnc"), first("cvtot").as("cvtot"))
+        // hash(n) satisfies the (n, cv) clustering, so the aggregate and
+        // everything below it stays n-partitioned — zero further
+        // exchanges until the tiny direction-resolution aggregate
+        val scored = nbw
+          .join(curT.repartition(numParts, col("n")), "n")
+          .select(col("n"), col("c"), col("k"), col("tot"), col("cv"),
+            when(col("cv") === col("c"),
+              col("wnc") - col("k") * (col("tot") - col("k")) /
+                lit(2.0d * m))
+              .otherwise(col("wnc") - col("k") * col("cvtot") /
+                lit(2.0d * m)).as("s"))
+        // ONE aggregate: best candidate (max score, then smallest
+        // community id), the stay-put score (reconstructed from the
+        // formula when the node has no intra-community neighbor), and
+        // the node's current state
+        val summary = scored.groupBy("n").agg(
           min_by(struct(col("cv"), col("s")), struct((-col("s")).as("ns"),
             col("cv").as("tc"))).as("b"),
-          max(when(col("cv") === col("c"), col("s"))).as("own_s"),
-          first(col("c")).as("c"))
+          max(when(col("cv") === col("c"), col("s"))).as("own_present"),
+          first(col("c")).as("c"), first(col("k")).as("k0"),
+          first(col("tot")).as("ot"))
         val moversPlan = summary
+          .withColumn("own_s", coalesce(col("own_present"),
+            lit(0.0d) - col("k0") * (col("ot") - col("k0")) /
+              lit(2.0d * m)))
           .where(col("b.cv") =!= col("c") &&
             col("b.s") > col("own_s") + lit(1e-12d))
-          .select(col("n"), col("b.cv").as("nc"))
+          .select(col("n"), col("c"), col("b.cv").as("nc"))
         val debug = sys.env.contains("GRAFT_LOUVAIN_DEBUG")
-        if (debug) {
-          val t0 = System.nanoTime()
-          val nLogical = moversPlan.queryExecution.logical
-            .collect { case _ => 1 }.sum
-          val nOpt = moversPlan.queryExecution.optimizedPlan
-            .collect { case _ => 1 }.sum
-          System.err.println(f"louvain level=$level round=$rounds " +
-            f"logicalNodes=$nLogical optNodes=$nOpt " +
-            f"planSecs=${(System.nanoTime() - t0) / 1e9}%.1f")
-        }
+        val tRound = System.nanoTime()
         val movers = moversPlan.localCheckpoint(true).cappedStats
+        val nMovers = movers.count()
         if (debug)
-          System.err.println(s"louvain level=$level round=$rounds " +
-            s"movers=${movers.count()}")
-        if (movers.head(1).isEmpty) {
+          System.err.println(f"louvain level=$level round=$rounds " +
+            f"movers=$nMovers scoreSecs=${(System.nanoTime() - tRound) / 1e9}%.1f")
+        // plateau exit: synchronous local moving converges geometrically
+        // while real progress is being made; a tail that shrinks < 10%
+        // per round is the oscillation residue (community pairs trading
+        // the same nodes) — contract a level early rather than burning
+        // maxRounds full-graph rounds polishing it (the next level's
+        // contracted graph re-examines exactly those boundary nodes)
+        if (nMovers == 0 || nMovers * 10L >= prevMovers * 9L) {
           Dedup.releaseBlocks(movers)
           roundMoved = false
         } else {
           levelMoved = true
-          // apply only the xxhash-selected half — the deterministic
-          // symmetric-swap breaker (the half varies per round, so every
-          // blocked mover gets a turn whp within a couple of rounds)
-          val active = movers.where(
-            pmod(xxhash64(col("n"), lit(rounds)), lit(2)) === 0)
+          prevMovers = nMovers
+          // symmetric-swap breaker, deterministic and exact: for each
+          // unordered community pair, apply only the direction more
+          // movers want (tie → smaller (c, nc)); opposite-direction
+          // movers wait a round and re-evaluate against the new state.
+          // Unlike hash-halving this applies ~every mover on swap-free
+          // rounds
+          val win = movers.groupBy("c", "nc")
+            .agg(count(lit(1)).as("cnt"))
+            .select(least(col("c"), col("nc")).as("pa"),
+              greatest(col("c"), col("nc")).as("pb"),
+              col("c"), col("nc"), col("cnt"))
+            .groupBy("pa", "pb")
+            .agg(min_by(struct(col("c"), col("nc")),
+              struct((-col("cnt")).as("ng"), col("c").as("tc"),
+                col("nc").as("tn"))).as("wd"))
+            .select(col("wd.c").as("c"), col("wd.nc").as("nc"))
+          val active = movers.join(win, Seq("c", "nc"))
+            .select(col("n"), col("nc"))
+          // movers is small after the first rounds — the left join
+          // broadcasts it and `next` inherits cur's n-partitioning,
+          // which the cache then preserves into the next round
           val next = cur.join(active, Seq("n"), "left")
-            .select(col("n"), coalesce(col("nc"), col("c")).as("c"))
-            .localCheckpoint(true).cappedStats
+            .select(col("n"), coalesce(col("nc"), col("c")).as("c"),
+              col("k"))
+            .cache()
+          next.count()
           Dedup.releaseBlocks(movers)
           Dedup.releaseBlocks(cur)
           cur = next
+          if (debug)
+            System.err.println(f"louvain level=$level round=$rounds " +
+              f"roundSecs=${(System.nanoTime() - tRound) / 1e9}%.1f")
         }
         rounds += 1
       }
+      // the level's join-side cache is dead once the rounds stop —
+      // contraction reads ew, not symP
+      Dedup.releaseBlocks(symP)
       if (levelMoved) {
         // compose original-node assignment through this level
         val next = assign
