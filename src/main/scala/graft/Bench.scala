@@ -595,6 +595,27 @@ object Bench {
         noop(Dedup.clusters(docsX(withSource = false), "doc_id", "text",
           threshold = 0.5))
       }
+      // MinHash near-dup STORE at N×: build the band-sorted postings
+      // store from the whole N× corpus once (untimed after the timed
+      // write sample), then time a 64-doc probe — the serving-path
+      // evidence that probe cost tracks the PROBE, not the corpus
+      // (literal mh IN pushdown + row-group skip on the sorted layout)
+      locally {
+        val storeDir = s"/tmp/graft_bench_mhstore_$mult"
+        smoke(s"${tag}_minhash_store_write") {
+          Dedup.minhashStoreWrite(docsX(withSource = false), storeDir,
+            "doc_id", "text")
+        }
+        val probeBatch = docsX(withSource = false)
+          .where(col("doc_id") % 1000L === 7L).limit(64)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text"))
+        smoke(s"${tag}_minhash_store_probe") {
+          noop(Dedup.minhashStoreProbe(spark, storeDir, probeBatch,
+            "doc_id", "text"))
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(storeDir))
+      }
       // curation pipeline at N×: per-copy sources keep the cap stage's
       // work proportional (same cap selectivity as 1×)
       smoke(s"${tag}_pipeline_curate") {

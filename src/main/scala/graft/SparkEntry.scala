@@ -978,6 +978,22 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(10)) === 0),
         "doc_id", "text", threshold = 0.5)
     }),
+    // MinHash near-dup STORE: band-sorted postings written from the
+    // corpus slice, then the %10 batch probes via the literal
+    // mh IN (...) row-group-pruned path — output must be
+    // VALUE-IDENTICAL to the in-memory crossPairs (same oracle SQL;
+    // the store is candidate generation only, verify stays exact)
+    "dedup_probe" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mhstore").toString
+      Dedup.minhashStoreWrite(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        dir, "doc_id", "text")
+      Dedup.minhashStoreProbe(s, dir,
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", threshold = 0.5)
+    }),
     // Bloom-prefiltered incremental exact dedup: batch docs whose
     // fingerprint is absent from the corpus (bloom cuts the join input;
     // the exact anti-join keeps the output exact). The corpus slice
@@ -2430,6 +2446,15 @@ object SparkEntry {
         |SELECT n AS vec_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin,
     // cross-corpus pairs: brute-force J>=0.5 between the two slices
     "dedup_cross" ->
+      s"""$wordShingleCte
+         |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+         |  CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / len(list_distinct(b.sh || c.sh)) AS jaccard
+         |FROM s b JOIN s c ON b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+         |WHERE CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / len(list_distinct(b.sh || c.sh)) >= 0.5""".stripMargin,
+    // store probe == in-memory crossPairs, value for value — the same
+    // oracle proves the whole store round-trip (write, pruned scan,
+    // pruned verify fetch) changes nothing
+    "dedup_probe" ->
       s"""$wordShingleCte
          |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
          |  CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE) / len(list_distinct(b.sh || c.sh)) AS jaccard

@@ -475,6 +475,152 @@ object Dedup {
         col("jaccard"))
   }
 
+  /** Persist a corpus's MinHash-LSH index as a Parquet near-dup store —
+    * the serving layout for "is this document a near-dup of anything in
+    * 100 TB" without scanning the corpus per probe. Layout:
+    *  - `postings/pos=<band>/`: (mh, id) rows partitioned by band and
+    *    SORTED by minhash value, so a probe's point lookups become
+    *    Parquet row-group skips via the min/max stats (the finer-grained
+    *    sibling of the IVF store's `cell IN` partition pruning);
+    *  - `sets/`: the exact word-shingle sets the verify stage needs,
+    *    range-partitioned and sorted by id so candidate fetches prune
+    *    row groups the same way;
+    *  - `minhash_meta.json`: (k, shingleN) so probes hash identically.
+    */
+  def minhashStoreWrite(df: DataFrame, dir: String, idCol: String,
+                        textCol: String, k: Int = 64,
+                        shingleN: Int = 3): Unit = {
+    val spark = df.sparkSession
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val rows = wordShingleRows(df, idCol, textCol, shingleN).cache()
+    signaturesFromRows(rows, k)
+      .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
+      .repartition(numParts, col("pos"))
+      .sortWithinPartitions("pos", "mh")
+      .write.mode("overwrite").partitionBy("pos")
+      .parquet(s"$dir/postings")
+    shingleSets(rows)
+      .repartitionByRange(numParts, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(s"$dir/sets")
+    rows.unpersist()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/minhash_meta.json"),
+      s"""{"k":$k,"shingleN":$shingleN}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private def minhashStoreMeta(dir: String): (Int, Int) = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/minhash_meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def f(key: String): Int =
+      ("\"" + key + "\":(\\d+)").r.findFirstMatchIn(json).get.group(1).toInt
+    (f("k"), f("shingleN"))
+  }
+
+  /** Append a document batch to a [[minhashStoreWrite]] store: postings
+    * land in the existing band directories, sets append alongside. Only
+    * the new rows are written; a probe after the append sees exactly
+    * what a fresh write of the union would serve. (Stats computed before
+    * any write — see [[graft.core.Graph.append]]'s recache trap.)
+    */
+  def minhashStoreAppend(df: DataFrame, dir: String, idCol: String,
+                         textCol: String): Unit = {
+    val (k, shingleN) = minhashStoreMeta(dir)
+    val spark = df.sparkSession
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val rows = wordShingleRows(df, idCol, textCol, shingleN).cache()
+    signaturesFromRows(rows, k)
+      .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
+      .repartition(numParts, col("pos"))
+      .sortWithinPartitions("pos", "mh")
+      .write.mode("append").partitionBy("pos").parquet(s"$dir/postings")
+    shingleSets(rows)
+      .repartitionByRange(numParts, col("id"))
+      .sortWithinPartitions("id")
+      .write.mode("append").parquet(s"$dir/sets")
+    rows.unpersist()
+  }
+
+  /** Near-dup probe of a document batch against a [[minhashStoreWrite]]
+    * store: returns (batch_id, corpus_id, jaccard ≥ threshold), exactly
+    * [[crossPairs]] of (stored corpus, batch) — the store is candidate
+    * generation ONLY; membership is decided by the same exact
+    * shingle-Jaccard verify, so the output is value-identical to the
+    * in-memory path (the invariant every dedup oracle depends on).
+    *
+    * For batches of ≤ `maxLiteralProbes` documents the k·|batch|
+    * minhash values are collected driver-side and pushed as a LITERAL
+    * `mh IN (…)` scan predicate, and the verify fetch pushes the
+    * candidate ids the same way — with the store's sorted layout both
+    * scans read only the row groups whose [min,max] straddle a probed
+    * value. Larger batches fall back to shuffle joins over the same
+    * store. Batch and store id spaces are assumed disjoint (same
+    * contract as [[crossPairs]]).
+    */
+  def minhashStoreProbe(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, probes: DataFrame, idCol: String,
+                        textCol: String, threshold: Double = 0.5,
+                        maxLiteralProbes: Int = 256): DataFrame = {
+    import spark.implicits._
+    val (k, shingleN) = minhashStoreMeta(dir)
+    val pRows = wordShingleRows(probes, idCol, textCol, shingleN).cache()
+    val pSets = shingleSets(pRows)
+    val postings = spark.read.parquet(s"$dir/postings")
+    val sets = spark.read.parquet(s"$dir/sets")
+    val nProbe = pRows.select("id").distinct().count()
+    val candPairs =
+      if (nProbe == 0)
+        Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+      else if (nProbe <= maxLiteralProbes) {
+        val local = signaturesFromRows(pRows, k)
+          .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        val mhSet = local.map(_._3).distinct.toSeq
+        val probeRel = local.toSeq.toDF("id_a", "pos", "mh")
+        postings.where(col("mh").isin(mhSet: _*))
+          .join(broadcast(probeRel), Seq("pos", "mh"))
+          .select(col("id_a"), col("id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      } else {
+        val pSig = signaturesFromRows(pRows, k)
+          .select(col("id").as("id_a"),
+            posexplode(col("sig")).as(Seq("pos", "mh")))
+        postings.join(pSig, Seq("pos", "mh"))
+          .select(col("id_a"), col("id").as("id_b"))
+          .dropDuplicates("id_a", "id_b")
+      }
+    // verify fetch: literal-pushed when the candidate id set is small
+    // (the common serving case), a plain join otherwise
+    val cand = candPairs.localCheckpoint(true).cappedStats
+    val candIds = cand.select(col("id_b")).distinct()
+    val nCand = candIds.count()
+    val storedSets =
+      if (nCand == 0) sets.limit(0)
+      else if (nCand <= 4096L * maxLiteralProbes.max(1)) {
+        val ids = candIds.collect().map(_.getLong(0)).toSeq
+        sets.where(col("id").isin(ids: _*))
+      } else sets.join(candIds.select(col("id_b").as("id")), "id")
+    val pSide = pSets.select(col("id").as("id_a"),
+      col("sh").as("sh_a"), col("sz").as("sz_a"))
+    val out = cand
+      .join(if (nProbe <= maxLiteralProbes) broadcast(pSide) else pSide,
+        "id_a")
+      .join(storedSets.select(col("id").as("id_b"), col("sh").as("sh_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", graft.functions.SortedArrayIntersectCount(
+        col("sh_a"), col("sh_b")))
+      .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
+        (col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    val res = out.localCheckpoint(true).cappedStats
+    pRows.unpersist()
+    releaseBlocks(cand)
+    res
+  }
+
   /** Incremental exact dedup: batch documents whose canonical fingerprint
     * does NOT already occur in the corpus. A Bloom filter over corpus
     * fingerprints (one aggregate pass, result broadcast inside the

@@ -1413,6 +1413,51 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getBoolean(0) && r.getBoolean(1) && r.getLong(2) === 6000L)
   }
 
+  test("minhash store: probe equals crossPairs; append visible; mh pushed") {
+    import spark.implicits._
+    val mk = (i: Long, t: String) => (i, t)
+    val corpus = Seq(
+      mk(1L, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(2L, "completely different content about spark catalyst planning"),
+      mk(3L, "a third document with its own unrelated words entirely"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      mk(101L, "the quick brown fox jumps over the lazy dog again and again"),
+      mk(102L, "nothing in common with anything stored at all whatsoever"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("mhstore").toString
+    Dedup.minhashStoreWrite(corpus, dir, "doc_id", "text")
+    val probe = Dedup.minhashStoreProbe(spark, dir, batch,
+      "doc_id", "text")
+    val exact = Dedup.crossPairs(corpus, batch, "doc_id", "text")
+    assert(probe.exceptAll(exact).count() == 0 &&
+      exact.exceptAll(probe).count() == 0)
+    assert(probe.count() == 1) // only the planted near-dup pair
+    // the literal path pushes the mh point lookups into the parquet scan
+    val postings = spark.read.parquet(s"$dir/postings")
+      .where(col("mh").isin(1L, 2L, 3L))
+    val scanText = postings.queryExecution.executedPlan.toString
+    assert(scanText.contains("PushedFilters") &&
+      scanText.contains("In(mh"), scanText.take(500))
+    // append a new near-dup of doc 3; a fresh probe must see it
+    Dedup.minhashStoreAppend(
+      Seq(mk(4L, "a third document with its own unrelated words entirely"))
+        .toDF("doc_id", "text"), dir, "doc_id", "text")
+    val probe2 = Dedup.minhashStoreProbe(spark, dir,
+      Seq(mk(103L, "a third document with its own unrelated words entirely"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(probe2.select("corpus_id").as[Long].collect().toSet
+      === Set(3L, 4L))
+    // the big-batch fallback path returns the same rows
+    val probeJoin = Dedup.minhashStoreProbe(spark, dir, batch,
+      "doc_id", "text", maxLiteralProbes = 0)
+    val probeLit = Dedup.minhashStoreProbe(spark, dir, batch,
+      "doc_id", "text")
+    assert(probeJoin.exceptAll(probeLit).count() == 0 &&
+      probeLit.exceptAll(probeJoin).count() == 0)
+  }
+
   test("hashSampleQuantiles: deciles equal the sequential computation") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
