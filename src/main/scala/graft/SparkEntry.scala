@@ -1230,6 +1230,65 @@ object SparkEntry {
       batch.unpersist()
       Seq(diff == 0 && misses == nEvents - nBatch).toDF("enrich_ok")
     }),
+    // streaming sessionization == batch sessionization, row for row:
+    // events arrive in two event-time-ordered micro-batches (splitting
+    // at the median keeps nothing behind the watermark), a far-future
+    // sentinel advances the watermark past every open session's
+    // deadline so event-time timeouts flush ALL real sessions, and the
+    // flushed (user, session, n_events, span) rows must exactly equal
+    // the batch operator's per-session aggregate. Timestamps are
+    // second-truncated first so the stream's millisecond gap test and
+    // the batch operator's epoch-seconds gap test coincide exactly.
+    "stream_sessionize" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.{QuadStream, SessionEvent}
+      val ev = events(s, d)
+        .select(col("event_id").cast("long"), col("user_id").cast("long"),
+          date_trunc("second", col("ts").cast("timestamp")).as("ts"))
+        .cache()
+      val bounds = ev.agg(
+        expr("approx_percentile(unix_millis(ts), 0.5)"),
+        max(unix_millis(col("ts")))).head
+      val (medMs, maxMs) = (bounds.getLong(0), bounds.getLong(1))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ssess").toString
+      ev.where(unix_millis(col("ts")) <= medMs)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema("event_id bigint, user_id bigint, ts timestamp")
+        .parquet(s"$tmp/in").as[SessionEvent]
+      val q = QuadStream.sessionizeStream(stream, gapMinutes = 30)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_sessionize_sink").start()
+      q.processAllAvailable()
+      ev.where(unix_millis(col("ts")) > medMs)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable()
+      Seq((-1L, -1L, new java.sql.Timestamp(maxMs + 100L * 60000L)))
+        .toDF("event_id", "user_id", "ts")
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      // sessions are identified by (user, first-event ms): the stream's
+      // per-user ordinal restarts after an idle timeout evicts the
+      // user's state (see SessionRow), so the ordinal is not the
+      // cross-engine join key — the start time is
+      val streamed = s.sql("SELECT user_id, first_ms, n_events, " +
+        "span_sec FROM stream_sessionize_sink WHERE user_id >= 0").cache()
+      val batch = Events.sessionize(ev, "user_id", "ts")
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(unix_millis(min(col("ts"))).as("first_ms"),
+          count(lit(1)).as("n_events"),
+          floor((unix_millis(max(col("ts"))) -
+            unix_millis(min(col("ts")))) / lit(1000L))
+            .cast("long").as("span_sec"))
+        .drop("session_id").cache()
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      val n = batch.count()
+      ev.unpersist(); streamed.unpersist(); batch.unpersist()
+      Seq((diff == 0L && n > 0, n)).toDF("stream_sessionize_ok",
+        "n_sessions")
+    }),
     // multimodal image pipeline: deterministic 24-bit BMPs synthesized
     // per doc_id, resized for real (decode -> nearest-neighbor -> re-encode
     // in mapPartitions), features re-extracted; the contract checks every
@@ -2223,6 +2282,29 @@ object SparkEntry {
         .select(col("node").as("s"), ((col("node") + 7L) % col("n")).as("o"))
       GraphAlgos.assortativity(chain.unionByName(cross), "s", "o")
     }),
+    // Luby maximal independent set over the five-predicate star graph:
+    // independence + maximality checked relationally engine-side, plus
+    // EXACT set equality with a sequential replay of the same
+    // xxhash64(node, round) priorities; the oracle pins the node count
+    "graph_mis" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.misContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
+    // Jaccard link prediction over the (part, order) co-occurrence
+    // bipartite graph: candidate pairs from the container self-join,
+    // exact integer intersection/degree counts, ONE double division —
+    // value-level bitwise match against the same SQL
+    "graph_linkpred" -> ((s, d) =>
+      GraphAlgos.jaccardLinkPred(
+        t(s, d, "lineitem")
+          .select(col("l_partkey").cast("long").as("part"),
+            col("l_orderkey").cast("long").as("ord")),
+        "part", "ord", minJaccard = 0.05)),
     // k-core (k=2) of the directed star graph viewed undirected: the
     // order/customer/supplier trees peel away, the nation chain + region
     // attachments survive — differential contract vs a sequential peel
@@ -3014,6 +3096,30 @@ object SparkEntry {
         |    sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
         |      * CAST(m * skk - sk * sk AS DOUBLE)) AS r
         |FROM s""".stripMargin,
+    // Luby MIS: independence/maximality/sequential-replay equality are
+    // checked engine-side (relational counts + identical-priority
+    // replay); the oracle pins the star graph's node universe
+    "graph_mis" ->
+      """SELECT TRUE AS mis_independent, TRUE AS mis_maximal,
+        |  TRUE AS mis_matches_seq,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // Jaccard link prediction: same co-occurrence expansion, exact
+    // integer counts, one double division — value-level bitwise match
+    "graph_linkpred" ->
+      """WITH e AS (SELECT DISTINCT CAST(l_partkey AS BIGINT) AS i,
+        |    CAST(l_orderkey AS BIGINT) AS c FROM lineitem),
+        |keep AS (SELECT c FROM e GROUP BY c HAVING count(*) <= 1000),
+        |ek AS (SELECT e.i, e.c FROM e JOIN keep USING (c)),
+        |deg AS (SELECT i, count(*) AS d FROM ek GROUP BY i),
+        |ix AS (SELECT a.i AS item_a, b.i AS item_b, count(*) AS inter
+        |  FROM ek a JOIN ek b ON a.c = b.c AND a.i < b.i GROUP BY 1, 2)
+        |SELECT item_a, item_b, inter,
+        |  da.d + db.d - inter AS uni,
+        |  CAST(inter AS DOUBLE) / (da.d + db.d - inter) AS jaccard
+        |FROM ix JOIN deg da ON da.i = item_a JOIN deg db ON db.i = item_b
+        |WHERE CAST(inter AS DOUBLE) / (da.d + db.d - inter) >= 0.05""".stripMargin,
     // Newman modularity: identical harness edges (within-nation chain +
     // (c+7) mod N shortcuts), identical exact integers, one IEEE
     // division — value-level match, not a contract
@@ -3217,6 +3323,19 @@ object SparkEntry {
     // streaming as-of == batch asofJoin when references arrive first
     // (exact row-for-row equality, engine-side)
     "stream_enrich" -> "SELECT TRUE AS enrich_ok",
+    // streaming sessionize == batch sessionize row-for-row (engine-side
+    // equality); the oracle re-derives the session count independently
+    // from the same second-truncated gap rule
+    "stream_sessionize" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS tss
+        |  FROM events),
+        |g AS (SELECT user_id,
+        |    CASE WHEN lag(tss) OVER w IS NULL OR tss - lag(tss) OVER w > 1800
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tss))
+        |SELECT TRUE AS stream_sessionize_ok,
+        |  CAST(sum(brk) AS BIGINT) AS n_sessions FROM g""".stripMargin,
     // streaming CMS == batch CMS cell-for-cell (exact long sums)
     "stream_cms" -> "SELECT TRUE AS stream_cms_ok",
     "stream_quantiles" -> "SELECT TRUE AS stream_quantiles_ok",

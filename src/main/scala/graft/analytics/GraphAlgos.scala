@@ -2573,4 +2573,203 @@ object GraphAlgos {
           (col("m") * col("sjk") - col("sj") * col("sk")).cast("double") /
             denom).as("r"))
   }
+
+  /** Maximal independent set via Luby's algorithm (Luby 1986, "A simple
+    * parallel algorithm for the maximal independent set problem").
+    * Deterministic: round-r priorities are `xxhash64(node, r)` with the
+    * node id itself as the collision tie-break, so the same edge list
+    * always yields the same set (and a sequential replay of the same
+    * priorities yields it too — that is [[misContract]]'s differential
+    * check). Each round every active node whose (priority, id) is a
+    * strict local minimum among its active neighbors enters the set;
+    * winners and their neighbors deactivate. Expected O(log n) rounds,
+    * each round two joins + one aggregate over the SHRINKING active
+    * subgraph — the active edge set is re-checkpointed per round and the
+    * superseded frame released in-loop, so peak storage is one copy of
+    * the current frontier, not the round history.
+    *
+    * Returns (node, in_mis) for every node of the symmetrized graph
+    * (self-loops dropped, isolated-by-dedup nodes all enter the set).
+    */
+  def maximalIndependentSet(edges: DataFrame, srcCol: String,
+                            dstCol: String, maxRounds: Int = 60)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    var live = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+      .repartition(nParts, col("u"))
+    live = Dedup.checkpointCapped(live)
+    val allNodes = Dedup.checkpointCapped(
+      live.select(col("u").as("node")).distinct())
+    // active nodes are tracked SEPARATELY from the live edge set: a node
+    // whose last neighbor was just removed becomes edge-isolated but is
+    // still active (it wins unopposed next round) — deriving activity
+    // from the edges alone would silently drop it and break maximality
+    var active = allNodes
+    var mis = allNodes.limit(0).select(col("node"))
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](allNodes)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // strict local minimum by (hash, id): a node wins iff its key is
+      // below every active neighbor's key (total order, so at least one
+      // node of any nonempty active graph wins every round; isolated
+      // actives never appear in `beaten` and win immediately)
+      val pr = xxhash64(col("u"), lit(round))
+      val prV = xxhash64(col("v"), lit(round))
+      val beaten = live
+        .where(struct(prV, col("v")) < struct(pr, col("u")))
+        .select(col("u")).distinct()
+      val winners = Dedup.checkpointCapped(
+        active.select(col("node").as("u"))
+          .join(beaten, Seq("u"), "left_anti"))
+      // deactivate winners and their whole neighborhoods
+      val removed = winners.unionByName(
+        live.join(winners, Seq("u")).select(col("v").as("u")).distinct())
+        .distinct()
+      val nextActive = Dedup.checkpointCapped(
+        active.join(removed.select(col("u").as("node")),
+          Seq("node"), "left_anti"))
+      val nextLive = Dedup.checkpointCapped(
+        live.join(removed, Seq("u"), "left_anti")
+          .join(removed.select(col("u").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v")))
+      mis = mis.unionByName(winners.select(col("u").as("node")))
+      held += winners
+      done = nextActive.isEmpty
+      Dedup.releaseBlocks(live)
+      if (!(active eq allNodes)) Dedup.releaseBlocks(active)
+      live = nextLive
+      active = nextActive
+      round += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"maximalIndependentSet did not drain in $maxRounds rounds")
+    Dedup.releaseBlocks(live)
+    if (!(active eq allNodes)) Dedup.releaseBlocks(active)
+    val out = allNodes
+      .join(mis.select(col("node"), lit(true).as("in_mis")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
+    Dedup.releasing(out, held.toSeq)
+  }
+
+  /** Contract for [[maximalIndependentSet]]: (1) independence — no edge
+    * has both endpoints in the set; (2) maximality — every excluded node
+    * has an included neighbor; (3) on a driver-gated graph, EXACT
+    * set equality with a sequential replay of Luby's rounds under the
+    * same `xxhash64(node, round)` priorities (fetched from a one-row-
+    * per-node Spark projection so both sides hash identically).
+    * Emits one row of booleans + the node count for the oracle to pin.
+    */
+  def misContract(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mis = maximalIndependentSet(edges, srcCol, dstCol)
+      .cache()
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct().cache()
+    val inSet = mis.where(col("in_mis")).select(col("node"))
+    val badEdges = und
+      .join(inSet.select(col("node").as("a")), "a")
+      .join(inSet.select(col("node").as("b")), "b")
+      .count()
+    val uncovered = mis.where(!col("in_mis")).select(col("node"))
+      .join(
+        und.select(col("a").as("node"), col("b").as("nb"))
+          .unionByName(und.select(col("b").as("node"), col("a").as("nb")))
+          .join(inSet.select(col("node").as("nb")), "nb")
+          .select(col("node")).distinct(),
+        Seq("node"), "left_anti")
+      .count()
+    val nNodes = mis.count()
+    // sequential replay under identical priorities (gated graph)
+    val es = und.collect().map(r => (r.get(0), r.get(1)))
+    val nodes = mis.select(col("node")).collect().map(_.get(0))
+    val maxR = 60
+    val prios: Map[(Any, Int), Long] = mis.select(col("node"))
+      .select(col("node"), array((0 until maxR).map(r =>
+        xxhash64(col("node"), lit(r))): _*).as("ps"))
+      .collect().flatMap { r =>
+        val ps = r.getSeq[Long](1)
+        (0 until maxR).map(i => ((r.get(0), i), ps(i)))
+      }.toMap
+    val adj = scala.collection.mutable.Map[Any, List[Any]]()
+      .withDefaultValue(Nil)
+    es.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    var active = nodes.toSet
+    val seqMis = scala.collection.mutable.Set[Any]()
+    var r = 0
+    // same order as the distributed struct(hash, node) comparison:
+    // hash first, node value (not its string form) on the 2^-64 tie
+    def lt(n: Any, m: Any, rr: Int): Boolean = {
+      val (hn, hm) = (prios((n, rr)), prios((m, rr)))
+      hn < hm || (hn == hm && anyLt(n, m))
+    }
+    while (active.nonEmpty && r < maxR) {
+      val winners = active.filter(n => adj(n).filter(active)
+        .forall(m => lt(n, m, r)))
+      seqMis ++= winners
+      active = active -- winners -- winners.flatMap(adj(_))
+      r += 1
+    }
+    val distSet = inSet.collect().map(_.get(0)).toSet
+    val matches = distSet == seqMis.toSet
+    mis.unpersist(); und.unpersist()
+    Seq((badEdges == 0L, uncovered == 0L, matches, nNodes))
+      .toDF("mis_independent", "mis_maximal", "mis_matches_seq", "n_nodes")
+  }
+
+  /** Link prediction over a bipartite (item, container) edge list:
+    * Jaccard similarity of the two items' container sets, with the exact
+    * intersection/union counts alongside (all-integer except the one
+    * final division — the float-parity pattern every dedup oracle uses).
+    * Candidate pairs come from co-occurrence (a self-join on container),
+    * so disjoint items are never materialized; `maxContainerDegree`
+    * drops hub containers BEFORE the pair expansion — the standard
+    * skew bound when a container can hold millions of items (the
+    * excluded containers also leave the neighbor sets, keeping the
+    * scores consistent with the expansion).
+    */
+  def jaccardLinkPred(edges: DataFrame, itemCol: String,
+                      containerCol: String, minJaccard: Double,
+                      maxContainerDegree: Int = 1000): DataFrame = {
+    val e0 = edges.select(col(itemCol).as("i"), col(containerCol).as("c"))
+      .where(col("i").isNotNull && col("c").isNotNull)
+      .distinct()
+    val keep = e0.groupBy("c").agg(count(lit(1)).as("cd"))
+      .where(col("cd") <= maxContainerDegree)
+      .select(col("c"))
+    val e = e0.join(keep, "c").cache()
+    val deg = e.groupBy(col("i").as("n")).agg(count(lit(1)).as("d"))
+    val inter = e.select(col("i").as("item_a"), col("c"))
+      .join(e.select(col("i").as("item_b"), col("c")), "c")
+      .where(col("item_a") < col("item_b"))
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("inter"))
+    val out = inter
+      .join(deg.select(col("n").as("item_a"), col("d").as("da")), "item_a")
+      .join(deg.select(col("n").as("item_b"), col("d").as("db")), "item_b")
+      .select(col("item_a"), col("item_b"), col("inter"),
+        (col("da") + col("db") - col("inter")).as("uni"),
+        (col("inter").cast("double") /
+          (col("da") + col("db") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+    val res = Dedup.checkpointCapped(out)
+    e.unpersist()
+    res
+  }
 }

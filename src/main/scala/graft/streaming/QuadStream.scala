@@ -277,7 +277,8 @@ object QuadStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(SessionRow(user, s.seq, s.n, (s.lastMs - s.firstMs) / 1000))
+            Iterator(SessionRow(user, s.seq, s.n,
+              (s.lastMs - s.firstMs) / 1000, s.firstMs))
           } else {
             // events within a micro-batch arrive unordered — sort by time
             // (driver never sees them; this is per-group, executor-side)
@@ -289,7 +290,7 @@ object QuadStream {
               if (st.n == 0L) st = SessionState(st.seq + 1, t, t, 1L)
               else if (t - st.lastMs > gapMs) {
                 closed += SessionRow(user, st.seq, st.n,
-                  (st.lastMs - st.firstMs) / 1000)
+                  (st.lastMs - st.firstMs) / 1000, st.firstMs)
                 st = SessionState(st.seq + 1, t, t, 1L)
               } else st = st.copy(lastMs = t, n = st.n + 1)
             }
@@ -371,9 +372,16 @@ final case class SessionEvent(event_id: Long, user_id: Long,
   */
 final case class SessionState(seq: Long, firstMs: Long, lastMs: Long, n: Long)
 
-/** One closed session. */
+/** One closed session. `session_id` numbers sessions per user within
+  * one LIFETIME of the user's state: an event-time timeout removes the
+  * state (keeping it would make state O(every user ever seen) instead
+  * of O(active)), so the counter restarts at 1 if the user returns
+  * later. `first_ms` — the session's first-event time — is the durable
+  * session identity; (user_id, first_ms) is unique and is what the
+  * batch-equality contract joins on.
+  */
 final case class SessionRow(user_id: Long, session_id: Long, n_events: Long,
-                            span_sec: Long)
+                            span_sec: Long, first_ms: Long)
 
 /** Input row for [[QuadStream.enrichAsofStream]]: side 0 = reference
   * update, side 1 = event to enrich; `row_id` is the reference id or

@@ -891,4 +891,49 @@ class GraphAlgosSpec extends AnyFunSuite {
       assert(q(lou) >= q(lpa) - 1e-12)
     }
   }
+
+  test("maximalIndependentSet: independent, maximal, matches replay") {
+    // random graphs exercise the isolated-mid-loop case (a node whose
+    // whole neighborhood is removed before it wins must still enter)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n
+        if rnd.nextDouble() < 0.1
+      } yield (i.toLong, j.toLong)).toDF("s", "d")
+      val r = GraphAlgos.misContract(edges, "s", "d").head()
+      assert(r.getBoolean(0), s"trial $trial: not independent")
+      assert(r.getBoolean(1), s"trial $trial: not maximal")
+      assert(r.getBoolean(2), s"trial $trial: differs from replay")
+      assert(r.getLong(3) > 0)
+    }
+    // a path graph: any MIS of 1-2-3 has size 1 or 2 and never {1,2}
+    val path = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val mis = GraphAlgos.maximalIndependentSet(path, "s", "d")
+      .where(org.apache.spark.sql.functions.col("in_mis"))
+      .as[(Long, Boolean)].collect().map(_._1).toSet
+    assert(mis == Set(2L) || mis == Set(1L, 3L))
+  }
+
+  test("jaccardLinkPred: exact counts, threshold, hub-container cap") {
+    // items 1,2 share both containers {10, 20} (jaccard 1.0);
+    // item 3 shares only 20 with them: deg(3)=2 => jaccard 1/3
+    val e = Seq((1L, 10L), (2L, 10L), (1L, 20L), (2L, 20L),
+      (3L, 20L), (3L, 30L)).toDF("item", "cont")
+    val got = GraphAlgos.jaccardLinkPred(e, "item", "cont",
+      minJaccard = 0.3).as[(Long, Long, Long, Long, Double)]
+      .collect().map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got((1L, 2L)) === ((2L, 2L, 1.0)))
+    assert(got((1L, 3L)) === ((1L, 3L, 1.0 / 3.0)))
+    assert(got((2L, 3L)) === ((1L, 3L, 1.0 / 3.0)))
+    assert(got.size === 3)
+    // capping at degree 2 drops container 20 entirely: items 1,2 still
+    // share {10}; 3 keeps only {30} and pairs with nobody
+    val capped = GraphAlgos.jaccardLinkPred(e, "item", "cont",
+      minJaccard = 0.0, maxContainerDegree = 2)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(capped === Map((1L, 2L) -> 1.0))
+  }
 }
