@@ -1142,6 +1142,35 @@ object SparkEntry {
       batch.unpersist()
       Seq(diff == 0 && nCells > 0).toDF("stream_cms_ok")
     }),
+    // streaming HLL: complete-mode per-bucket max over two
+    // micro-batches == the batch registers cell-for-cell (register max
+    // is mergeable — the stream_cms hard-equality pattern)
+    "stream_hll" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.QuadStream
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-shll").toString
+      docs.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema("doc_id bigint, text string")
+        .parquet(s"$tmp/in")
+      val q = QuadStream.hllStream(stream, "text")
+        .writeStream.outputMode("complete").format("memory")
+        .queryName("stream_hll_sink").start()
+      q.processAllAvailable()
+      docs.where(col("doc_id") % 2 === 1)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      val streamed = s.sql("SELECT bucket, register FROM stream_hll_sink")
+      val batch = TextOps.hllRegisters(docs, "text")
+        .where(col("register") > 0).cache()
+      val nCells = batch.count()
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      batch.unpersist()
+      Seq(diff == 0 && nCells > 0).toDF("stream_hll_ok")
+    }),
     // streaming quantile sketch: the sampled-value histogram in
     // complete mode over two micro-batches must equal the batch
     // histogram cell-for-cell, and the deciles derived from it must
@@ -2382,6 +2411,12 @@ object SparkEntry {
     // hashing, planted labeling, and split sizes in SQL
     "text_lr" -> ((s, d) =>
       LinearModel.logRegContract(t(s, d, "documents"), "doc_id", "text")),
+    // explicit HyperLogLog on the shared md5 token hash: all 64
+    // (bucket, register) cells, the exact-integer harmonic sum, and the
+    // raw estimate are VALUE-level reproducible in DuckDB (the simhash
+    // trick applied to a cardinality sketch)
+    "stats_hll" -> ((s, d) =>
+      TextOps.hllSketch(t(s, d, "documents"), "text")),
     "stats_sketch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(explode(split(TextOps.normalize(col("text")),
@@ -3223,6 +3258,29 @@ object SparkEntry {
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract
     "stats_sketch" -> "SELECT TRUE AS hll_ok, TRUE AS quantile_ok",
+    // explicit HLL: identical md5-derived bucket/ρ split, exact-integer
+    // harmonic sum via bit shifts, one double division — all 64 cells
+    // value-level bitwise
+    "stats_hll" ->
+      """WITH tok AS (SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |h AS (SELECT CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+        |  FROM tok WHERE length(term) > 0),
+        |br AS (SELECT h % 64 AS bucket, h // 64 AS w FROM h),
+        |rho AS (SELECT bucket,
+        |    CASE WHEN w = 0 THEN 55
+        |      ELSE 55 - length(ltrim(bin(w), '0')) END AS rho FROM br),
+        |reg AS (SELECT r.range AS bucket,
+        |    COALESCE(max(rho.rho), 0) AS register
+        |  FROM range(64) r LEFT JOIN rho ON rho.bucket = r.range
+        |  GROUP BY 1),
+        |s AS (SELECT CAST(sum(CAST(1 AS BIGINT) <<
+        |    CAST(55 - register AS INT)) AS BIGINT) AS s_scaled FROM reg)
+        |SELECT bucket, CAST(register AS BIGINT) AS register, s_scaled,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |    * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(s_scaled AS DOUBLE) AS estimate
+        |FROM reg, s""".stripMargin,
     // weighted sampling: guarantees checked engine-side; corpus size
     // crosses engines
     "q_weighted_sample" ->
@@ -3338,6 +3396,8 @@ object SparkEntry {
         |  CAST(sum(brk) AS BIGINT) AS n_sessions FROM g""".stripMargin,
     // streaming CMS == batch CMS cell-for-cell (exact long sums)
     "stream_cms" -> "SELECT TRUE AS stream_cms_ok",
+    // streaming HLL registers == batch registers cell-for-cell
+    "stream_hll" -> "SELECT TRUE AS stream_hll_ok",
     "stream_quantiles" -> "SELECT TRUE AS stream_quantiles_ok",
     // hash-sample quantiles: the oracle recomputes the identical md5
     // sample, the identical (value, doc_id) total order, and the

@@ -993,4 +993,57 @@ object TextOps {
       .join(ranked, "rn")
       .select(col("decile"), col("n_sample"), col("v").as("value"))
   }
+
+  /** HyperLogLog registers over a text column's token stream (Flajolet
+    * et al. 2007), m = 64 buckets, built on the shared 60-bit md5 token
+    * hash ([[Dedup.tokenHash]]) so every cell is VALUE-reproducible in
+    * any engine with a standard md5: bucket = low 6 bits, ρ = leading-
+    * zero rank of the remaining 54 bits (55 − bit-length, 55 for w = 0),
+    * register = max ρ per bucket. One map-side-combined aggregate over
+    * the exploded tokens — the sketch is 64 longs regardless of corpus
+    * size, and max() is mergeable, so the same cells stream as a
+    * complete-mode aggregation ([[graft.streaming.QuadStream.hllStream]])
+    * with hard cell-for-cell equality. Empty buckets surface as
+    * register = 0 via a range(64) left join.
+    */
+  val HllBuckets = 64
+  def hllRegisters(df: DataFrame, textCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rho = hllBucketRho(df, textCol)
+      .groupBy("bucket").agg(max("rho").as("register"))
+    spark.range(HllBuckets).select(col("id").as("bucket"))
+      .join(rho, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("register"), lit(0L)).as("register"))
+  }
+
+  private[graft] def hllBucketRho(df: DataFrame, textCol: String)
+      : DataFrame = {
+    val h = Dedup.tokenHash(col("term"))
+    df.select(explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .select(pmod(h, lit(64L)).as("bucket"),
+        shiftrightunsigned(h, 6).as("w"))
+      .select(col("bucket"),
+        when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) -
+            length(conv(col("w").cast("string"), 10, 2))).as("rho"))
+  }
+
+  /** Full HLL sketch rows: each of the 64 (bucket, register) cells plus
+    * the exact-integer harmonic sum S = Σ 2^(55−register) (≤ 64·2^55,
+    * comfortably a BIGINT — the sum the float 2^−register form would
+    * make order-dependent) and the raw HLL estimate α₆₄·m²·2^55 / S,
+    * one double division off the exact integers on both engines.
+    */
+  def hllSketch(df: DataFrame, textCol: String): DataFrame = {
+    val regs = hllRegisters(df, textCol)
+    val s = regs.agg(sum(expr(
+      "shiftleft(cast(1 as bigint), cast(55 - register as int))"))
+      .as("s_scaled"))
+    regs.crossJoin(broadcast(s))
+      .select(col("bucket"), col("register"), col("s_scaled"),
+        (lit(0.709d) * lit(4096.0d) * lit(36028797018963968.0d) /
+          col("s_scaled").cast("double")).as("estimate"))
+  }
 }

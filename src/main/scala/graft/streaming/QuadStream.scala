@@ -218,6 +218,19 @@ object QuadStream {
         .as(Seq("j", "c")))
       .groupBy("j", "c").agg(count(lit(1)).as("cnt"))
 
+  /** Streaming HyperLogLog: the same 64 (bucket, max-ρ) register cells
+    * as the batch [[graft.analytics.TextOps.hllRegisters]], maintained
+    * as a complete-mode max aggregation — register max is mergeable, so
+    * the streamed sketch equals the batch sketch over the same corpus
+    * cell-for-cell (the `stream_cms` hard-equality pattern; state is 64
+    * longs regardless of stream length). Only touched buckets appear
+    * (every touched bucket has ρ ≥ 1; the batch form's range(64) join
+    * fills the rest with 0).
+    */
+  def hllStream(docs: DataFrame, textCol: String): DataFrame =
+    graft.analytics.TextOps.hllBucketRho(docs, textCol)
+      .groupBy("bucket").agg(max("rho").as("register"))
+
   /** Streaming quantile sketch: the (token-count value → count)
     * histogram of the SAME deterministic md5-hash document sample as
     * [[graft.analytics.TextOps.hashSampleQuantiles]], maintained as a

@@ -1656,4 +1656,32 @@ class AnalyticsSpec extends AnyFunSuite {
     // 154 of the 400 docs fall inside the planted margin gap
     assert(r.getLong(1) === 192L && r.getLong(2) === 54L)
   }
+
+  test("hllSketch: estimate within HLL error; registers merge by max") {
+    import spark.implicits._
+    // 5000 distinct tokens spread over 500 docs; duplicates must not
+    // move any register (cardinality sketch, not a frequency sketch)
+    val docs = (0 until 500).map(i => (i.toLong,
+      (0 until 10).map(j => s"tok${i * 10 + j}").mkString(" ") +
+        " common repeated words"))
+      .toDF("doc_id", "text")
+    val sk = TextOps.hllSketch(docs, "text").cache()
+    assert(sk.count() === 64)
+    val est = sk.select("estimate").head.getDouble(0)
+    val exact = 5003.0 // 5000 + common, repeated, words
+    // m=64 gives sigma ~ 1.04/8 = 13%; 3 sigma ~ 40%
+    assert(math.abs(est - exact) / exact < 0.4, s"estimate $est")
+    // register merge = max: sketch(A union B) == cellwise max
+    val a = docs.where(col("doc_id") < 250)
+    val b = docs.where(col("doc_id") >= 250)
+    val merged = TextOps.hllRegisters(a, "text")
+      .withColumnRenamed("register", "ra")
+      .join(TextOps.hllRegisters(b, "text")
+        .withColumnRenamed("register", "rb"), "bucket")
+      .select(col("bucket"), greatest(col("ra"), col("rb")).as("register"))
+    val whole = TextOps.hllRegisters(docs, "text")
+    assert(merged.exceptAll(whole).count() == 0 &&
+      whole.exceptAll(merged).count() == 0)
+    sk.unpersist()
+  }
 }
