@@ -25,7 +25,8 @@ object Bench {
     "q_sessionize", "q_session_stats", "q_asof", "q_interval", "q_funnel",
     "q_retention", "q_copurchase", "q_transitions", "q_rolling",
     "q_outliers",
-    "text_lm", "text_bm25", "text_skipgrams",
+    "text_lm", "text_bm25", "text_skipgrams", "stats_hll",
+    "graph_linkpred",
     // graph analytics (degree/triangles/BFS; the PageRank and HITS
     // OPERATORS are benched separately below — their driver entries are
     // differential harnesses, which time the oracle-side recompute too)
@@ -923,6 +924,30 @@ object Bench {
           Seq("graph_louvain_op" -> -1.0)
       }
 
+    // Luby MIS OPERATOR timing on the same edge set: min-of-2, noop sink
+    val misOp: Seq[(String, Double)] =
+      if (!only.forall(_.contains("graph_mis_op"))) Seq.empty
+      else try {
+        import graft.core.QValue
+        import org.apache.spark.sql.functions.col
+        val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+          "o_cust").map(p => QValue.id(QValue.Iri(p)))
+        val edges = SparkEntry.graph(spark, sfDir).quads
+          .where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst"))
+        def once(): Double = time {
+          graft.analytics.GraphAlgos.maximalIndependentSet(
+              edges, "src", "dst")
+            .write.mode("overwrite").format("noop").save()
+        }
+        val r1 = once(); val r2 = once()
+        Seq("graph_mis_op" -> math.min(r1, r2))
+      } catch {
+        case e: Throwable =>
+          errors("graph_mis_op") = errText(e)
+          Seq("graph_mis_op" -> -1.0)
+      }
+
     // Multimodal THROUGHPUT block: the mm_* driver entries are small
     // correctness contracts; these time the decode/fingerprint/join
     // machinery at corpus scale. All synthesis happens distributed
@@ -1015,7 +1040,7 @@ object Bench {
 
     val all = ("graph_load" -> loadSec) +:
       (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
-        mmOps ++ movie ++ scaleOut ++ skew)
+        misOp ++ mmOps ++ movie ++ scaleOut ++ skew)
     val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -2417,6 +2417,19 @@ object SparkEntry {
     // trick applied to a cardinality sketch)
     "stats_hll" -> ((s, d) =>
       TextOps.hllSketch(t(s, d, "documents"), "text")),
+    // per-key HLL: one sketch row per ISO week of distinct users — the
+    // pre-aggregated-sketch shape a 100 TB pipeline stores and merges;
+    // harmonic sums, estimates, and the exact distinct counts all
+    // value-match the SQL recompute
+    "q_distinct_sketch" -> ((s, d) => {
+      val ev = events(s, d).where(col("user_id").isNotNull)
+        .select(expr("unix_millis(cast(ts as timestamp)) div 1000 div 604800")
+          .as("wk"), col("user_id"))
+      TextOps.hllByKey(ev, "wk", "user_id")
+        .withColumnRenamed("key", "wk")
+        .join(ev.groupBy("wk")
+          .agg(count_distinct(col("user_id")).as("n_users")), "wk")
+    }),
     "stats_sketch" -> ((s, d) => {
       val docs = t(s, d, "documents")
       val toks = docs.select(explode(split(TextOps.normalize(col("text")),
@@ -3281,6 +3294,31 @@ object SparkEntry {
         |    * CAST(36028797018963968 AS DOUBLE)
         |    / CAST(s_scaled AS DOUBLE) AS estimate
         |FROM reg, s""".stripMargin,
+    // per-week HLL over user ids: identical md5/bucket/rho pipeline per
+    // key; absent buckets enter the harmonic sum via the
+    // (64 - present) * 2^55 correction on both engines
+    "q_distinct_sketch" ->
+      """WITH u AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk,
+        |    user_id FROM events WHERE user_id IS NOT NULL),
+        |h AS (SELECT wk, CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM u),
+        |br AS (SELECT wk, h % 64 AS bucket, h // 64 AS w FROM h),
+        |rho AS (SELECT wk, bucket,
+        |    CASE WHEN w = 0 THEN 55
+        |      ELSE 55 - length(ltrim(bin(w), '0')) END AS rho FROM br),
+        |reg AS (SELECT wk, bucket, max(rho) AS register FROM rho
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT wk, count(*) AS n_buckets,
+        |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - register AS INT))
+        |      + (64 - count(*)) * 36028797018963968 AS BIGINT) AS s_scaled
+        |  FROM reg GROUP BY wk),
+        |ex AS (SELECT wk, count(DISTINCT user_id) AS n_users FROM u
+        |  GROUP BY wk)
+        |SELECT agg.wk, n_buckets, s_scaled,
+        |  CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+        |    * CAST(36028797018963968 AS DOUBLE)
+        |    / CAST(s_scaled AS DOUBLE) AS estimate, n_users
+        |FROM agg JOIN ex ON ex.wk = agg.wk""".stripMargin,
     // weighted sampling: guarantees checked engine-side; corpus size
     // crosses engines
     "q_weighted_sample" ->

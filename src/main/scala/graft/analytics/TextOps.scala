@@ -1030,6 +1030,36 @@ object TextOps {
             length(conv(col("w").cast("string"), 10, 2))).as("rho"))
   }
 
+  /** Per-key HLL: one 64-register sketch per value of `keyCol` over the
+    * hashed `valueCol` — the shape a 100 TB pipeline actually stores
+    * (per-partition sketch rows merged at query time; max is the merge).
+    * Returns per key the exact-integer harmonic sum (absent buckets
+    * contribute their 2^55 term via the (64 − present) correction, so
+    * the sum never needs the dense register vector) and the raw
+    * estimate. All integers except the one final division.
+    */
+  def hllByKey(df: DataFrame, keyCol: String, valueCol: String)
+      : DataFrame = {
+    val h = Dedup.tokenHash(col(valueCol).cast("string"))
+    df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), pmod(h, lit(64L)).as("bucket"),
+        shiftrightunsigned(h, 6).as("w"))
+      .select(col("key"), col("bucket"),
+        when(col("w") === 0L, lit(55L))
+          .otherwise(lit(55L) -
+            length(conv(col("w").cast("string"), 10, 2))).as("rho"))
+      .groupBy("key", "bucket").agg(max("rho").as("register"))
+      .groupBy("key").agg(
+        count(lit(1)).as("n_buckets"),
+        (sum(expr(
+          "shiftleft(cast(1 as bigint), cast(55 - register as int))")) +
+          (lit(64L) - count(lit(1))) * lit(36028797018963968L))
+          .as("s_scaled"))
+      .select(col("key"), col("n_buckets"), col("s_scaled"),
+        (lit(0.709d) * lit(4096.0d) * lit(36028797018963968.0d) /
+          col("s_scaled").cast("double")).as("estimate"))
+  }
+
   /** Full HLL sketch rows: each of the 64 (bucket, register) cells plus
     * the exact-integer harmonic sum S = Σ 2^(55−register) (≤ 64·2^55,
     * comfortably a BIGINT — the sum the float 2^−register form would
