@@ -2311,6 +2311,33 @@ object SparkEntry {
         .select(col("node").as("s"), ((col("node") + 7L) % col("n")).as("o"))
       GraphAlgos.assortativity(chain.unionByName(cross), "s", "o")
     }),
+    // temporal earliest-arrival reachability over the katz harness
+    // chain+shortcut graph with deterministic edge timestamps: an edge
+    // is traversable only at-or-after the current arrival, so arrivals
+    // are minima over nondecreasing-timestamp paths — value-level
+    // against a recursive SQL enumeration of feasible (node, time)
+    // states
+    "graph_temporal" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          col("c_nationkey").cast("long").as("comm"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val chain = c.select(col("node").as("s"),
+          lead("node", 1).over(
+            Window.partitionBy("comm").orderBy("node")).as("o"))
+        .where(col("o").isNotNull)
+        .select(col("s"), col("o"),
+          ((col("s") * 7L + 3L) % 97L).as("t"))
+      val cross = c.crossJoin(broadcast(n))
+        .select(col("node").as("s"),
+          ((col("node") + 7L) % col("n")).as("o"),
+          ((col("node") * 13L + 5L) % 97L).as("t"))
+      GraphAlgos.earliestArrival(chain.unionByName(cross),
+        "s", "o", "t",
+        c.where(pmod(col("node"), lit(100L)) === 1L).select("node"))
+    }),
     // Luby maximal independent set over the five-predicate star graph:
     // independence + maximality checked relationally engine-side, plus
     // EXACT set equality with a sequential replay of the same
@@ -3144,6 +3171,24 @@ object SparkEntry {
         |    sqrt(CAST(m * sjj - sj * sj AS DOUBLE)
         |      * CAST(m * skk - sk * sk AS DOUBLE)) AS r
         |FROM s""".stripMargin,
+    // temporal reachability: recursive enumeration of feasible
+    // (node, arrival) states under the nondecreasing-timestamp rule;
+    // min per node = the operator's fixed point
+    "graph_temporal" ->
+      """WITH RECURSIVE c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
+        |chain AS (SELECT node AS s, lead(node) OVER
+        |    (PARTITION BY comm ORDER BY node) AS o FROM c),
+        |e AS (SELECT s, o, (s * 7 + 3) % 97 AS t FROM chain
+        |    WHERE o IS NOT NULL
+        |  UNION ALL SELECT node AS s,
+        |    (node + 7) % (SELECT count(*) FROM c) AS o,
+        |    (node * 13 + 5) % 97 AS t FROM c),
+        |r(node, arr) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS arr FROM c WHERE node % 100 = 1
+        |  UNION
+        |  SELECT e.o, e.t FROM r JOIN e ON e.s = r.node AND e.t >= r.arr)
+        |SELECT node, min(arr) AS arrival FROM r GROUP BY node""".stripMargin,
     // Luby MIS: independence/maximality/sequential-replay equality are
     // checked engine-side (relational counts + identical-priority
     // replay); the oracle pins the star graph's node universe

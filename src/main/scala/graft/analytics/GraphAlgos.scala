@@ -612,6 +612,93 @@ object GraphAlgos {
     Dedup.releasing(dist, held.toSeq)
   }
 
+  /** Temporal earliest-arrival reachability: over timestamped edges
+    * (u, v, t) — traversable only while t >= the current arrival at u —
+    * the minimal arrival time at every reachable node from the source
+    * set (arrival = the edge's timestamp; transfers are instantaneous).
+    * The label-correcting loop is [[shortestPaths]]'s layout with the
+    * temporal relaxation `arr(v) = min t over edges with t >= arr(u)`:
+    * improvements only lower arrivals, lower arrivals only enlarge the
+    * feasible edge set, so the fixed point is the true minimum; arrival
+    * values live in the finite edge-timestamp set, so the loop
+    * terminates. Edge table checkpointed once; per-round frames
+    * checkpointed and released by the standard loop hygiene. Throws if
+    * `maxIterations` rounds don't reach the fixed point.
+    *
+    * Returns (node, arrival) including the sources at `startTime`.
+    */
+  def earliestArrival(edges: DataFrame, srcCol: String, dstCol: String,
+                      tsCol: String, sources: DataFrame,
+                      startTime: Long = 0L, maxIterations: Int = 128,
+                      checkpointEvery: Int = 4): DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
+        col(tsCol).cast("long").as("t"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("t").isNotNull)
+      .localCheckpoint(true).cappedStats
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e)
+    var arr = sources.toDF("node").distinct()
+      .withColumn("arrival", lit(startTime))
+      .localCheckpoint(true).cappedStats
+    held += arr
+    var done = false
+    var i = 0
+    while (!done && i < maxIterations) {
+      i += 1
+      val relaxed = arr
+        .join(e, arr("node") === e("u") && e("t") >= col("arrival"))
+        .select(col("v").as("node"), col("t").as("na"))
+        .groupBy("node").agg(min(col("na")).as("na"))
+      val merged = arr.join(relaxed, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("arrival"), col("na")),
+            coalesce(col("na"), col("arrival"))).as("arrival"),
+          (col("arrival").isNull ||
+            (col("na").isNotNull && col("na") < col("arrival")))
+            .as("__improved"))
+        .localCheckpoint(true).cappedStats
+      held += merged
+      done = merged.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
+        .head.getLong(0) == 0L
+      arr = merged.select("node", "arrival")
+      if (i % checkpointEvery == 0) {
+        arr = arr.localCheckpoint(true).cappedStats
+        held += arr
+      }
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"earliestArrival: no fixed point in $maxIterations rounds")
+    Dedup.releasing(arr, held.toSeq)
+  }
+
+  /** Sequential reference for [[earliestArrival]] (temporal Dijkstra:
+    * pop the smallest tentative arrival — arrivals never decrease along
+    * a traversal, so the greedy order is exact). The differential
+    * oracle for the distributed loop.
+    */
+  def earliestArrivalLocal(edges: Seq[(Long, Long, Long)],
+                           sources: Seq[Long], startTime: Long = 0L)
+      : Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => (e._2, e._3)).sortBy(_._2)
+    }
+    val arr = scala.collection.mutable.Map[Long, Long]()
+    val pq = scala.collection.mutable.PriorityQueue
+      .empty[(Long, Long)](Ordering.by(x => -x._1))
+    sources.distinct.foreach { s => arr(s) = startTime; pq += ((startTime, s)) }
+    while (pq.nonEmpty) {
+      val (a, u) = pq.dequeue()
+      if (arr(u) == a)
+        adj.getOrElse(u, Nil).foreach { case (v, t) =>
+          if (t >= a && arr.get(v).forall(t < _)) {
+            arr(v) = t; pq += ((t, v))
+          }
+        }
+    }
+    arr.toMap
+  }
+
   /** Driver tier of [[shortestPaths]]: multi-source Dijkstra (non-negative
     * weights make it exact, and it converges where Bellman-Ford pays one
     * distributed round per shortest-path hop). Keys stay `Any` so long-

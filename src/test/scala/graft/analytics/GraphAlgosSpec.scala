@@ -916,6 +916,28 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(mis == Set(2L) || mis == Set(1L, 3L))
   }
 
+  test("earliestArrival: distributed equals temporal Dijkstra") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 25
+      val edges = (for {
+        i <- 0 until n; j <- 0 until n
+        if i != j && rnd.nextDouble() < 0.12
+      } yield (i.toLong, j.toLong, rnd.nextInt(20).toLong)).toSeq
+      val got = GraphAlgos.earliestArrival(edges.toDF("s", "d", "t"),
+          "s", "d", "t", Seq(0L).toDF("node"))
+        .as[(Long, Long)].collect().toMap
+      val want = GraphAlgos.earliestArrivalLocal(edges, Seq(0L))
+      assert(got === want)
+    }
+    // a decreasing-timestamp chain is NOT traversable past the drop
+    val chain = Seq((1L, 2L, 5L), (2L, 3L, 4L), (3L, 4L, 9L))
+      .toDF("s", "d", "t")
+    val arr = GraphAlgos.earliestArrival(chain, "s", "d", "t",
+      Seq(1L).toDF("node")).as[(Long, Long)].collect().toMap
+    assert(arr === Map(1L -> 0L, 2L -> 5L))
+  }
+
   test("jaccardLinkPred: exact counts, threshold, hub-container cap") {
     // items 1,2 share both containers {10, 20} (jaccard 1.0);
     // item 3 shares only 20 with them: deg(3)=2 => jaccard 1/3
