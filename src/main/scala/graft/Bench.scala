@@ -17,7 +17,8 @@ object Bench {
     "q1_agg", "q3_join", "q_window", "q_topk_users",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
-    "dedup_clusters", "dedup_spans", "dedup_fuzzy", "decontam",
+    "dedup_clusters", "dedup_spans", "dedup_fuzzy", "dedup_contain",
+    "decontam",
     "text_quality", "text_langid",
     "text_repetition", "text_redact", "text_pack", "text_chunks",
     "text_tfidf", "text_cms", "text_blocklist",

@@ -798,6 +798,13 @@ object SparkEntry {
     "dedup_ngram" -> ((s, d) =>
       Dedup.jaccardJoin(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.8, shingleN = 9)),
+    // EXACT containment (near-subset) self-join: ordered pairs where
+    // >=80% of a's char-9-grams occur in b — catches quote/boilerplate
+    // inclusion that Jaccard misses on size-skewed pairs; prefix filter
+    // on the contained side only, exact verify, brute-force SQL oracle
+    "dedup_contain" -> ((s, d) =>
+      Dedup.containmentJoin(t(s, d, "documents"), "doc_id", "text",
+        threshold = 0.8, shingleN = 9)),
     // EXACT Levenshtein<=1 fuzzy self-join: deletion-neighborhood
     // (SymSpell) candidate equi-join + banded-levenshtein verify; oracle
     // recomputes it as a brute-force cross join
@@ -2560,6 +2567,14 @@ object SparkEntry {
     "dedup_minhash" -> jaccardPairSql(wordShingleCte, 0.5),
     // exact all-pairs recomputation of the J>=0.8 char-9-gram contract
     "dedup_ngram" -> jaccardPairSql(charShingleCte, 0.8),
+    // brute-force containment: |A∩B|/|A| over ORDERED pairs (one
+    // division of exact integers — the usual float-parity shape)
+    "dedup_contain" ->
+      s"""$charShingleCte
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) AS containment
+         |FROM s a JOIN s b ON a.doc_id <> b.doc_id
+         |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8""".stripMargin,
     // brute-force Levenshtein<=1 cross join (the engine's deletion-
     // neighborhood join must equal it exactly)
     "dedup_fuzzy" ->

@@ -235,6 +235,50 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** EXACT containment self-join: all ORDERED pairs (a, b), a ≠ b, with
+    * C(a→b) = |Sₐ∩S_b| / |Sₐ| ≥ threshold — "a is a near-subset of b",
+    * the asymmetric cousin of [[jaccardJoin]] that catches quotes and
+    * boilerplate inclusion where a tiny document inside a huge one has
+    * low Jaccard (so MinHash bands structurally miss it). Prefix filter
+    * applies to the CONTAINED side only: a qualifying pair must share a
+    * shingle within a's first |Sₐ| − ⌈t·|Sₐ|⌉ + 1 rarest shingles, but b
+    * is unconstrained beyond |S_b| ≥ t·|Sₐ|, so the index join is
+    * a-prefix postings × FULL postings (still near-linear under the
+    * ascending-document-frequency order; a corpus whose rarest prefix
+    * shingles are boilerplate-common is the skew case to watch).
+    * Verify is the same exact sorted-intersect count, one division.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double, shingleN: Int = 5): DataFrame = {
+    val sets = shingleSets(charShingleRows(df, idCol, textCol, shingleN))
+      .cache()
+    val rows = sets.select(col("id"), col("sz"), explode(col("sh")).as("h"))
+    val freq = rows.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = rows.join(freq, "h")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("id").orderBy(col("df"), col("h"))))
+      .where(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select(col("id").as("id_a"), col("h"), col("sz").as("sz_a"))
+    val cand = prefix.join(
+        rows.select(col("id").as("id_b"), col("h"), col("sz").as("sz_b")),
+        Seq("h"))
+      .where(col("id_a") =!= col("id_b") &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+    val out = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a"),
+        col("sz").as("sza")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", graft.functions.SortedArrayIntersectCount(
+        col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / col("sza")).as("containment"))
+      .where(col("containment") >= threshold)
+    val res = checkpointCapped(out)
+    sets.unpersist()
+    res
+  }
+
   /** Duplicate clusters from near-dup pairs: connected components of the
     * pair graph by iterative min-label propagation (each round, every node
     * adopts the smallest label among itself and its neighbors; converges

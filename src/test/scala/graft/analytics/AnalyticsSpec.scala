@@ -1657,6 +1657,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r.getLong(1) === 192L && r.getLong(2) === 54L)
   }
 
+  test("containmentJoin finds near-subsets that Jaccard misses") {
+    import spark.implicits._
+    val small = "the quick brown fox jumps over the lazy dog"
+    val big = small + " " + (1 to 40)
+      .map(i => s"filler sentence number $i with extra words").mkString(" ")
+    val docs = Seq((1L, small), (2L, big),
+      (3L, "totally unrelated content about spark plans and shuffles"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(docs, "doc_id", "text",
+        threshold = 0.8, shingleN = 9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // 1 is fully inside 2 (containment ~1.0); the reverse direction and
+    // every pair with 3 are far below threshold; Jaccard(1,2) is tiny
+    assert(got.keySet === Set((1L, 2L)))
+    assert(got((1L, 2L)) >= 0.95)
+    val jac = Dedup.jaccardJoin(docs, "doc_id", "text",
+      threshold = 0.5, shingleN = 9)
+    assert(jac.count() === 0)
+  }
+
   test("hllSketch: estimate within HLL error; registers merge by max") {
     import spark.implicits._
     // 5000 distinct tokens spread over 500 docs; duplicates must not
