@@ -467,6 +467,14 @@ object Bench {
                   maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
                 .write.mode("overwrite").format("noop").save()
             }
+            // Luby MIS at 4.7 M edges: O(log n) rounds over the
+            // shrinking active subgraph — whole-graph symmetric-
+            // neighborhood evidence for the newest iterative op
+            timed2("x10_graph_mis") {
+              graft.analytics.GraphAlgos.maximalIndependentSet(
+                  eAll, "src", "dst")
+                .write.mode("overwrite").format("noop").save()
+            }
             // sampled betweenness (Brandes–Pich) on the forced
             // DISTRIBUTED tier at 4.7 M edges: two source counts — the
             // k=16/k=4 ratio < 4 is the sublinear-in-sources evidence

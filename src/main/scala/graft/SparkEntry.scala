@@ -2358,6 +2358,18 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // distributed greedy coloring (iterated Luby classes): proper /
+    // complete / Delta+1-bounded checked relationally engine-side;
+    // the oracle pins the node universe
+    "graph_coloring" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.coloringContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
     // Jaccard link prediction over the (part, order) co-occurrence
     // bipartite graph: candidate pairs from the container self-join,
     // exact integer intersection/degree counts, ONE double division —
@@ -3210,6 +3222,14 @@ object SparkEntry {
     "graph_mis" ->
       """SELECT TRUE AS mis_independent, TRUE AS mis_maximal,
         |  TRUE AS mis_matches_seq,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // greedy coloring: validity checks run engine-side; node universe
+    // pinned relationally
+    "graph_coloring" ->
+      """SELECT TRUE AS coloring_proper, TRUE AS coloring_complete,
+        |  TRUE AS coloring_bounded,
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,

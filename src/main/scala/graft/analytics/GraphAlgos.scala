@@ -2679,8 +2679,8 @@ object GraphAlgos {
     * (self-loops dropped, isolated-by-dedup nodes all enter the set).
     */
   def maximalIndependentSet(edges: DataFrame, srcCol: String,
-                            dstCol: String, maxRounds: Int = 60)
-      : DataFrame = {
+                            dstCol: String, maxRounds: Int = 60,
+                            salt: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
     val und = edges
@@ -2709,8 +2709,8 @@ object GraphAlgos {
       // below every active neighbor's key (total order, so at least one
       // node of any nonempty active graph wins every round; isolated
       // actives never appear in `beaten` and win immediately)
-      val pr = xxhash64(col("u"), lit(round))
-      val prV = xxhash64(col("v"), lit(round))
+      val pr = xxhash64(col("u"), lit(round), lit(salt))
+      val prV = xxhash64(col("v"), lit(round), lit(salt))
       val beaten = live
         .where(struct(prV, col("v")) < struct(pr, col("u")))
         .select(col("u")).distinct()
@@ -2747,6 +2747,112 @@ object GraphAlgos {
         Seq("node"), "left")
       .select(col("node"), coalesce(col("in_mis"), lit(false)).as("in_mis"))
     Dedup.releasing(out, held.toSeq)
+  }
+
+  /** Distributed greedy graph coloring by iterated Luby MIS: color k =
+    * a maximal independent set of the residual graph after colors
+    * 1..k−1 are removed (Jones–Plassmann family). Maximality of each
+    * class means every node uncolored after round k has a neighbor in
+    * EVERY class 1..k, so the color count never exceeds Δ+1 — the
+    * classic distributed bound, checked by [[coloringContract]].
+    * Priorities are re-salted per color round (`colorSalt`) so classes
+    * don't correlate. Returns (node, color), colors 1-based.
+    */
+  def greedyColoring(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxColors: Int = 64): DataFrame = {
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct()
+    var residual = Dedup.checkpointCapped(
+      und.select(col("a").as("u"), col("b").as("v")))
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](residual)
+    var colored = residual.limit(0)
+      .select(col("u").as("node"), lit(0L).as("color"))
+    var k = 0
+    var done = false
+    while (!done && k < maxColors) {
+      k += 1
+      // salt the round priorities so successive classes are independent
+      val misFull = maximalIndependentSet(residual, "u", "v",
+        salt = k.toLong)
+      val misNodes = Dedup.checkpointCapped(
+        misFull.where(col("in_mis")).select(col("node").as("u")))
+      Dedup.releaseBlocks(misFull)
+      colored = colored.unionByName(
+        misNodes.select(col("u").as("node"), lit(k.toLong).as("color")))
+      held += misNodes
+      val next = Dedup.checkpointCapped(
+        residual.join(misNodes, Seq("u"), "left_anti")
+          .join(misNodes.select(col("u").as("v")), Seq("v"), "left_anti")
+          .select(col("u"), col("v")))
+      // nodes whose every edge vanished are NOT colored yet unless they
+      // were in the MIS — they are exactly the isolated actives the MIS
+      // on the next residual will pick up, so track them explicitly
+      val remaining = residual
+        .select(col("u")).unionByName(residual.select(col("v").as("u")))
+        .distinct()
+        .join(misNodes, Seq("u"), "left_anti")
+      val orphans = Dedup.checkpointCapped(
+        remaining.join(next.select(col("u"))
+            .unionByName(next.select(col("v").as("u"))).distinct(),
+          Seq("u"), "left_anti"))
+      if (!orphans.isEmpty) {
+        // edge-isolated leftovers: independent by construction (no
+        // remaining edges at all), one extra class closes them out
+        colored = colored.unionByName(
+          orphans.select(col("u").as("node"),
+            lit((k + 1).toLong).as("color")))
+      }
+      held += orphans
+      Dedup.releaseBlocks(residual)
+      residual = next
+      done = residual.isEmpty
+    }
+    if (!done)
+      throw new IllegalStateException(
+        s"greedyColoring did not finish in $maxColors colors")
+    Dedup.releaseBlocks(residual)
+    Dedup.releasing(colored, held.toSeq)
+  }
+
+  /** Contract for [[greedyColoring]]: proper (no edge monochrome),
+    * complete (every node of the symmetrized graph colored exactly
+    * once), bounded (distinct colors ≤ max degree + 1). One row of
+    * booleans + the node count for the oracle to pin.
+    */
+  def coloringContract(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val c = greedyColoring(edges, srcCol, dstCol).cache()
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull &&
+        col("a") =!= col("b"))
+      .distinct().cache()
+    val mono = und
+      .join(c.select(col("node").as("a"), col("color").as("ca")), "a")
+      .join(c.select(col("node").as("b"), col("color").as("cb")), "b")
+      .where(col("ca") === col("cb")).count()
+    val nodes = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node"))).distinct()
+    val nNodes = nodes.count()
+    val coveredOnce = c.groupBy("node").agg(count(lit(1)).as("k"))
+      .where(col("k") =!= 1L).count() == 0L &&
+      c.join(nodes, Seq("node")).count() == nNodes && c.count() == nNodes
+    val maxDeg = und.select(col("a").as("n"))
+      .unionByName(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+      .agg(max("d")).head.getLong(0)
+    val nColors = c.select(col("color")).distinct().count()
+    c.unpersist(); und.unpersist()
+    Seq((mono == 0L, coveredOnce, nColors <= maxDeg + 1, nNodes))
+      .toDF("coloring_proper", "coloring_complete", "coloring_bounded",
+        "n_nodes")
   }
 
   /** Contract for [[maximalIndependentSet]]: (1) independence — no edge
@@ -2789,7 +2895,7 @@ object GraphAlgos {
     val maxR = 60
     val prios: Map[(Any, Int), Long] = mis.select(col("node"))
       .select(col("node"), array((0 until maxR).map(r =>
-        xxhash64(col("node"), lit(r))): _*).as("ps"))
+        xxhash64(col("node"), lit(r), lit(0L))): _*).as("ps"))
       .collect().flatMap { r =>
         val ps = r.getSeq[Long](1)
         (0 until maxR).map(i => ((r.get(0), i), ps(i)))

@@ -916,6 +916,27 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(mis == Set(2L) || mis == Set(1L, 3L))
   }
 
+  test("greedyColoring: proper, complete, Delta+1-bounded") {
+    val rnd = new scala.util.Random(99)
+    for (trial <- 1 to 2) {
+      val n = 25
+      val edges = (for {
+        i <- 0 until n; j <- i + 1 until n
+        if rnd.nextDouble() < 0.15
+      } yield (i.toLong, j.toLong)).toDF("s", "d")
+      val r = GraphAlgos.coloringContract(edges, "s", "d").head()
+      assert(r.getBoolean(0), s"trial $trial: monochrome edge")
+      assert(r.getBoolean(1), s"trial $trial: not a complete coloring")
+      assert(r.getBoolean(2), s"trial $trial: > maxdeg+1 colors")
+    }
+    // a triangle needs exactly 3 colors
+    val k3 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("s", "d")
+    val colors = GraphAlgos.greedyColoring(k3, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(colors.keySet === Set(1L, 2L, 3L))
+    assert(colors.values.toSet.size === 3)
+  }
+
   test("earliestArrival: distributed equals temporal Dijkstra") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 3) {
