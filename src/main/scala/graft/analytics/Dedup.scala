@@ -614,36 +614,37 @@ object Dedup {
     val postings = spark.read.parquet(s"$dir/postings")
     val sets = spark.read.parquet(s"$dir/sets")
     val nProbe = pRows.select("id").distinct().count()
+    val pSig = signaturesFromRows(pRows, k)
+      .select(col("id").as("id_a"),
+        posexplode(col("sig")).as(Seq("pos", "mh")))
     val candPairs =
-      if (nProbe == 0)
-        Seq.empty[(Long, Long)].toDF("id_a", "id_b")
-      else if (nProbe <= maxLiteralProbes) {
-        val local = signaturesFromRows(pRows, k)
-          .select(col("id"), posexplode(col("sig")).as(Seq("pos", "mh")))
-          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
-        val mhSet = local.map(_._3).distinct.toSeq
-        val probeRel = local.toSeq.toDF("id_a", "pos", "mh")
+      if (nProbe > 0 && nProbe <= maxLiteralProbes) {
+        // k·|batch| minhash longs to the driver, pushed as a literal
+        // scan predicate; the probe relation itself stays distributed
+        // (broadcast) so probe id types are never assumed
+        val mhSet = pSig.select("mh").distinct()
+          .collect().map(_.getLong(0)).toSeq
         postings.where(col("mh").isin(mhSet: _*))
-          .join(broadcast(probeRel), Seq("pos", "mh"))
+          .join(broadcast(pSig), Seq("pos", "mh"))
           .select(col("id_a"), col("id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
       } else {
-        val pSig = signaturesFromRows(pRows, k)
-          .select(col("id").as("id_a"),
-            posexplode(col("sig")).as(Seq("pos", "mh")))
         postings.join(pSig, Seq("pos", "mh"))
           .select(col("id_a"), col("id").as("id_b"))
           .dropDuplicates("id_a", "id_b")
       }
     // verify fetch: literal-pushed when the candidate id set is small
-    // (the common serving case), a plain join otherwise
+    // (the common serving case — a bounded flat cap, NOT scaled by the
+    // batch size: a duplicate-heavy corpus can fan one probe out to
+    // ~10^6 candidates, and a million-literal In() grinds Catalyst far
+    // harder than the join it replaces), a plain join otherwise
     val cand = candPairs.localCheckpoint(true).cappedStats
     val candIds = cand.select(col("id_b")).distinct()
     val nCand = candIds.count()
     val storedSets =
       if (nCand == 0) sets.limit(0)
-      else if (nCand <= 4096L * maxLiteralProbes.max(1)) {
-        val ids = candIds.collect().map(_.getLong(0)).toSeq
+      else if (nProbe <= maxLiteralProbes && nCand <= 16384L) {
+        val ids = candIds.collect().map(_.get(0)).toSeq
         sets.where(col("id").isin(ids: _*))
       } else sets.join(candIds.select(col("id_b").as("id")), "id")
     val pSide = pSets.select(col("id").as("id_a"),

@@ -603,11 +603,10 @@ object GraphAlgos {
       held += merged
       done = merged.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
         .head.getLong(0) == 0L
+      // merged IS a per-round checkpoint — the projection carries no
+      // lineage, so the old checkpointEvery re-checkpoint was a second
+      // identical node-sized frame held for nothing
       dist = merged.select("node", "dist")
-      if (i % checkpointEvery == 0) {
-        dist = dist.localCheckpoint(true).cappedStats
-        held += dist
-      }
     }
     Dedup.releasing(dist, held.toSeq)
   }
@@ -629,8 +628,8 @@ object GraphAlgos {
     */
   def earliestArrival(edges: DataFrame, srcCol: String, dstCol: String,
                       tsCol: String, sources: DataFrame,
-                      startTime: Long = 0L, maxIterations: Int = 128,
-                      checkpointEvery: Int = 4): DataFrame = {
+                      startTime: Long = 0L, maxIterations: Int = 128)
+      : DataFrame = {
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"),
         col(tsCol).cast("long").as("t"))
       .where(col("u").isNotNull && col("v").isNotNull &&
@@ -660,11 +659,9 @@ object GraphAlgos {
       held += merged
       done = merged.agg(sum(when(col("__improved"), 1L).otherwise(0L)))
         .head.getLong(0) == 0L
+      // merged IS a per-round checkpoint — the projection below carries
+      // no lineage to truncate, so no extra checkpoint cadence needed
       arr = merged.select("node", "arrival")
-      if (i % checkpointEvery == 0) {
-        arr = arr.localCheckpoint(true).cappedStats
-        held += arr
-      }
     }
     if (!done)
       throw new IllegalStateException(
@@ -2683,12 +2680,7 @@ object GraphAlgos {
                             salt: Long = 0L): DataFrame = {
     val spark = edges.sparkSession
     val nParts = spark.sessionState.conf.numShufflePartitions
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .distinct()
+    val und = undirected(edges, srcCol, dstCol)
     var live = und.select(col("a").as("u"), col("b").as("v"))
       .unionByName(und.select(col("b").as("u"), col("a").as("v")))
       .repartition(nParts, col("u"))
@@ -2717,10 +2709,14 @@ object GraphAlgos {
       val winners = Dedup.checkpointCapped(
         active.select(col("node").as("u"))
           .join(beaten, Seq("u"), "left_anti"))
-      // deactivate winners and their whole neighborhoods
-      val removed = winners.unionByName(
-        live.join(winners, Seq("u")).select(col("v").as("u")).distinct())
-        .distinct()
+      // deactivate winners and their whole neighborhoods — materialized
+      // ONCE: the lazy subtree would re-run the edge-scale winners join
+      // three times across the two consumers below (Catalyst does not
+      // dedup identical subplans)
+      val removed = Dedup.checkpointCapped(
+        winners.unionByName(
+          live.join(winners, Seq("u")).select(col("v").as("u")).distinct())
+          .distinct())
       val nextActive = Dedup.checkpointCapped(
         active.join(removed.select(col("u").as("node")),
           Seq("node"), "left_anti"))
@@ -2728,6 +2724,7 @@ object GraphAlgos {
         live.join(removed, Seq("u"), "left_anti")
           .join(removed.select(col("u").as("v")), Seq("v"), "left_anti")
           .select(col("u"), col("v")))
+      Dedup.releaseBlocks(removed)
       mis = mis.unionByName(winners.select(col("u").as("node")))
       held += winners
       done = nextActive.isEmpty
@@ -2760,14 +2757,9 @@ object GraphAlgos {
     */
   def greedyColoring(edges: DataFrame, srcCol: String, dstCol: String,
                      maxColors: Int = 64): DataFrame = {
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .distinct()
     var residual = Dedup.checkpointCapped(
-      und.select(col("a").as("u"), col("b").as("v")))
+      undirected(edges, srcCol, dstCol)
+        .select(col("a").as("u"), col("b").as("v")))
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](residual)
     var colored = residual.limit(0)
       .select(col("u").as("node"), lit(0L).as("color"))
@@ -2828,12 +2820,7 @@ object GraphAlgos {
     val spark = edges.sparkSession
     import spark.implicits._
     val c = greedyColoring(edges, srcCol, dstCol).cache()
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .distinct().cache()
+    val und = undirected(edges, srcCol, dstCol).cache()
     val mono = und
       .join(c.select(col("node").as("a"), col("color").as("ca")), "a")
       .join(c.select(col("node").as("b"), col("color").as("cb")), "b")
@@ -2847,7 +2834,7 @@ object GraphAlgos {
     val maxDeg = und.select(col("a").as("n"))
       .unionByName(und.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
-      .agg(max("d")).head.getLong(0)
+      .agg(coalesce(max("d"), lit(0L))).head.getLong(0)
     val nColors = c.select(col("color")).distinct().count()
     c.unpersist(); und.unpersist()
     Seq((mono == 0L, coveredOnce, nColors <= maxDeg + 1, nNodes))
@@ -2867,14 +2854,17 @@ object GraphAlgos {
       : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val und = undirected(edges, srcCol, dstCol).cache()
+    // the sequential replay below collects the graph and a 60-hash
+    // priority map per node — this harness is for gated graphs ONLY
+    // (the operator itself has no such bound)
+    val nEdges = und.count()
+    require(nEdges <= Dedup.DriverCcMaxEdges,
+      s"misContract replays sequentially on the driver — $nEdges edges " +
+        s"exceeds the ${Dedup.DriverCcMaxEdges} gate; call " +
+        "maximalIndependentSet directly at this scale")
     val mis = maximalIndependentSet(edges, srcCol, dstCol)
       .cache()
-    val und = edges
-      .select(least(col(srcCol), col(dstCol)).as("a"),
-        greatest(col(srcCol), col(dstCol)).as("b"))
-      .where(col("a").isNotNull && col("b").isNotNull &&
-        col("a") =!= col("b"))
-      .distinct().cache()
     val inSet = mis.where(col("in_mis")).select(col("node"))
     val badEdges = und
       .join(inSet.select(col("node").as("a")), "a")

@@ -1067,7 +1067,10 @@ object TextOps {
     * one double division off the exact integers on both engines.
     */
   def hllSketch(df: DataFrame, textCol: String): DataFrame = {
-    val regs = hllRegisters(df, textCol)
+    // checkpoint the 64-row register table so the corpus-scale token
+    // explode runs ONCE — regs feeds both crossJoin sides and Catalyst
+    // does not dedup identical subplans
+    val regs = Dedup.checkpointCapped(hllRegisters(df, textCol))
     val s = regs.agg(sum(expr(
       "shiftleft(cast(1 as bigint), cast(55 - register as int))"))
       .as("s_scaled"))
