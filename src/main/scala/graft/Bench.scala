@@ -1061,9 +1061,12 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson$errJson,"sf":"$sfDir"}"""
     // the JSON goes to a FILE first: rounds 5/6 published "parsed": null
     // because the line only existed inside sbt [info] output and got
-    // left-truncated in the driver's tail capture
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // left-truncated in the driver's tail capture. Filtered runs print
+    // but do NOT touch the file — a 2-entry iteration run must never
+    // clobber the full-suite record the driver publishes
+    if (only.isEmpty)
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     // ...and prints LAST, after spark.stop(), so no shutdown log lines
     // trail it in the captured output
