@@ -2358,6 +2358,20 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // full core decomposition (staged peel): differential contract vs
+    // the sequential peel; the star graph's max coreness is
+    // structurally 2 at any SF (orders/customers/suppliers peel at
+    // stage 1, the nation chain unravels end-inward at stage 2), so
+    // the oracle pins it alongside the node universe
+    "graph_coreness" -> ((s, d) => {
+      val g = graph(s, d)
+      val preds = Seq("c_nation", "n_region", "n_prev", "s_nation",
+        "o_cust").map(p => QValue.id(iri(p)))
+      GraphAlgos.coreDecompositionContract(
+        g.quads.where(col("p").isin(preds: _*))
+          .select(col("s").as("src"), col("o").as("dst")),
+        "src", "dst")
+    }),
     // distributed greedy coloring (iterated Luby classes): proper /
     // complete / Delta+1-bounded checked relationally engine-side;
     // the oracle pins the node universe
@@ -3225,6 +3239,14 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
         |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
         |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes""".stripMargin,
+    // core decomposition: differential equality runs engine-side; the
+    // node universe and the structural max coreness cross engines
+    "graph_coreness" ->
+      """SELECT TRUE AS coreness_ok,
+        |  CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM nation)
+        |    + (SELECT count(*) FROM region) + (SELECT count(*) FROM supplier)
+        |    + (SELECT count(*) FROM orders) AS BIGINT) AS n_nodes,
+        |  CAST(2 AS BIGINT) AS max_coreness""".stripMargin,
     // greedy coloring: validity checks run engine-side; node universe
     // pinned relationally
     "graph_coloring" ->

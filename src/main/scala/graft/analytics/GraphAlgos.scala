@@ -816,6 +816,118 @@ object GraphAlgos {
       lit(local.size.toLong).as("n_core_nodes"))
   }
 
+  /** Full core decomposition: coreness(v) = the largest k such that v
+    * belongs to the k-core. Staged peeling — at stage k, repeatedly
+    * drop every node whose surviving degree is ≤ k (those nodes get
+    * coreness k); what survives stage k is exactly the (k+1)-core, so
+    * stages ascend until the graph drains. Each inner round is
+    * [[kCore]]'s degree-aggregate + two anti-joins over the shrinking
+    * edge set, checkpointed per round with in-loop release; total
+    * rounds = Σ per-stage peel depths (bounded by degeneracy ×
+    * diameter, small on real graphs). Returns (node, coreness) for
+    * every node with at least one edge.
+    */
+  def coreDecomposition(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    var und = Dedup.checkpointCapped(undirected(edges, srcCol, dstCol))
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](und)
+    var result = und.limit(0)
+      .select(col("a").as("node"), lit(0L).as("coreness"))
+    var k = 0L
+    var empty = und.isEmpty
+    while (!empty) {
+      k += 1
+      var stageDone = false
+      while (!stageDone) {
+        val deg = und.select(col("a").as("n"))
+          .unionByName(und.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val peeled = Dedup.checkpointCapped(
+          deg.where(col("dg") <= k).select("n"))
+        held += peeled
+        if (peeled.isEmpty) stageDone = true
+        else {
+          result = result.unionByName(
+            peeled.select(col("n").as("node"), lit(k).as("coreness")))
+          val nextUnd = Dedup.checkpointCapped(
+            und.join(peeled.select(col("n").as("a")), Seq("a"), "left_anti")
+              .join(peeled.select(col("n").as("b")), Seq("b"), "left_anti")
+              .select("a", "b"))
+          // a node whose WHOLE neighborhood peeled this round loses all
+          // its edges without being peeled itself — it survived stage
+          // k−1, so it is in the k-core but not the (k+1)-core:
+          // coreness k, assigned explicitly (the MIS/coloring
+          // isolated-actives trap in peel form)
+          val orphans = Dedup.checkpointCapped(
+            und.select(col("a").as("n"))
+              .unionByName(und.select(col("b").as("n"))).distinct()
+              .join(peeled, Seq("n"), "left_anti")
+              .join(nextUnd.select(col("a").as("n"))
+                .unionByName(nextUnd.select(col("b").as("n"))).distinct(),
+                Seq("n"), "left_anti"))
+          held += orphans
+          result = result.unionByName(
+            orphans.select(col("n").as("node"), lit(k).as("coreness")))
+          Dedup.releaseBlocks(und)
+          und = nextUnd
+          empty = und.isEmpty
+          if (empty) stageDone = true
+        }
+      }
+    }
+    Dedup.releaseBlocks(und)
+    Dedup.releasing(result, held.toSeq)
+  }
+
+  /** Sequential reference peel for [[coreDecomposition]] — the
+    * differential oracle (same staged peel, same assignment).
+    */
+  def coreDecompositionLocal(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    var und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (und.nonEmpty) {
+      k += 1
+      var stageDone = false
+      while (!stageDone && und.nonEmpty) {
+        val deg = (und.map(_._1) ++ und.map(_._2)).groupBy(identity)
+          .map { case (n, v) => n -> v.size }
+        val peel = deg.filter(_._2 <= k).keySet
+        if (peel.isEmpty) stageDone = true
+        else {
+          peel.foreach(n => core(n) = k)
+          val next = und.filter(e => !peel(e._1) && !peel(e._2))
+          // orphans: edges all died without the node being peeled —
+          // in the k-core, not the (k+1)-core (mirrors the distributed
+          // assignment)
+          val survivors = (next.map(_._1) ++ next.map(_._2)).toSet
+          deg.keysIterator
+            .filter(n => !peel(n) && !survivors(n))
+            .foreach(n => core(n) = k)
+          und = next
+        }
+      }
+    }
+    core.toMap
+  }
+
+  /** Contract harness: distributed staged peel == sequential reference,
+    * exact map equality (gated collect — the oracle side only).
+    */
+  def coreDecompositionContract(edges: DataFrame, srcCol: String,
+                                dstCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    val dist = coreDecomposition(edges, srcCol, dstCol)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val es = edges.select(col(srcCol), col(dstCol)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val local = coreDecompositionLocal(es)
+    spark.range(1).select(lit(dist == local).as("coreness_ok"),
+      lit(local.size.toLong).as("n_nodes"),
+      lit(if (local.isEmpty) 0L else local.values.max).as("max_coreness"))
+  }
+
   /** HITS hubs/authorities, fixed iteration count with L2 normalization
     * per half-step (the classic formulation):
     * {{{

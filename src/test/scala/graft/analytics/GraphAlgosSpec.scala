@@ -916,6 +916,26 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(mis == Set(2L) || mis == Set(1L, 3L))
   }
 
+  test("coreDecomposition: known corenesses; matches sequential peel") {
+    // K4 with a pendant tail: clique nodes coreness 3, tail nodes 1
+    val k4tail = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("s", "d")
+    val got = GraphAlgos.coreDecomposition(k4tail, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 1L, 6L -> 1L))
+    // random graphs: exact map equality with the sequential peel
+    val rnd = new scala.util.Random(5)
+    for (_ <- 1 to 2) {
+      val edges = (for {
+        i <- 0 until 30; j <- i + 1 until 30
+        if rnd.nextDouble() < 0.12
+      } yield (i.toLong, j.toLong)).toDF("s", "d")
+      val r = GraphAlgos.coreDecompositionContract(edges, "s", "d").head()
+      assert(r.getBoolean(0))
+    }
+  }
+
   test("greedyColoring: proper, complete, Delta+1-bounded") {
     val rnd = new scala.util.Random(99)
     for (trial <- 1 to 2) {
