@@ -404,18 +404,16 @@ object GraphAlgos {
     * two-tier CC engine built for duplicate clustering (Dedup.scala —
     * one bounded collect + driver union-find under the 5 M-edge gate,
     * where a single Spark round costs more than a million-edge
-    * union-find; distributed min-label with pointer-doubling shortcut
-    * above it, O(log diameter) rounds). Returns (node, component) with
-    * the component labeled by its minimum node id.
+    * union-find; distributed random-mate contraction above it, with
+    * geometrically shrinking per-level edge lists). Returns
+    * (node, component) with the component labeled by its minimum
+    * node id.
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame = {
-    val pairs = edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
-    val ids = edges.select(col(srcCol).as("id"))
-      .union(edges.select(col(dstCol).as("id"))).distinct()
-    Dedup.connectedComponents(pairs, ids)
+                          dstCol: String): DataFrame =
+    Dedup.componentLabels(
+        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")))
       .select(col("id").as("node"), col("cluster").as("component"))
-  }
 
   /** Component-size histogram: for each component size, how many
     * components have it — the shape summary of a graph's connectivity
