@@ -496,13 +496,28 @@ object Dedup {
           .localCheckpoint().cappedStats
         held += mate
         mates += mate
-        val e2 = e
-          .join(mate.select(col("id").as("a"), col("par").as("pa")),
-            Seq("a"), "left")
-          .join(mate.select(col("id").as("b"), col("par").as("pb")),
-            Seq("b"), "left")
+        // only TAIL endpoints can appear in the mate map, and the coin
+        // is row-local — splitting the relabel by coin pattern keeps
+        // head endpoints out of the joins entirely, halving the shuffled
+        // edge volume (expected: 1/4 of edges skip both joins, 1/2 join
+        // once, 1/4 join twice — one |e| of join traffic, not two)
+        val mA = mate.select(col("id").as("a"), col("par").as("pa"))
+        val mB = mate.select(col("id").as("b"), col("par").as("pb"))
+        val hh = e.where(isHead(col("a")) && isHead(col("b")))
+          .select(col("a").as("x"), col("b").as("y"))
+        val th = e.where(!isHead(col("a")) && isHead(col("b")))
+          .join(mA, Seq("a"), "left")
+          .select(coalesce(col("pa"), col("a")).as("x"),
+            col("b").as("y"))
+        val ht = e.where(isHead(col("a")) && !isHead(col("b")))
+          .join(mB, Seq("b"), "left")
+          .select(col("a").as("x"),
+            coalesce(col("pb"), col("b")).as("y"))
+        val tt = e.where(!isHead(col("a")) && !isHead(col("b")))
+          .join(mA, Seq("a"), "left").join(mB, Seq("b"), "left")
           .select(coalesce(col("pa"), col("a")).as("x"),
             coalesce(col("pb"), col("b")).as("y"))
+        val e2 = hh.unionByName(th).unionByName(ht).unionByName(tt)
           .where(col("x") =!= col("y"))
           .select(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b"))
