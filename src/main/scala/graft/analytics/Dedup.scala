@@ -594,11 +594,18 @@ object Dedup {
             .localCheckpoint().cappedStats
           held += next
           releaseBlocks(fp)
-          hopped = next.where(col("__hop")).head(1).nonEmpty
-          fp = next.select("id", "par")
           dRounds += 1
+          // the emptiness probe only matters if it could stop an
+          // upcoming round — on the final statically-bounded round it
+          // would be a pure full-scan tax
+          val tProbe = System.nanoTime()
+          hopped = if ((1L << dRounds) < stages)
+            next.where(col("__hop")).head(1).nonEmpty
+          else true
+          fp = next.select("id", "par")
           if (ccDebug) println(f"CC doubling $dRounds: " +
-            f"${(System.nanoTime() - t0) / 1e9}%.2f s, hopped=$hopped")
+            f"${(tProbe - t0) / 1e9}%.2f s join + " +
+            f"${(System.nanoTime() - tProbe) / 1e9}%.2f s probe, hopped=$hopped")
         }
         val resolved = fp
         // relabel roots to component minima: the root of a mate forest
