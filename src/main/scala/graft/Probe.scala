@@ -4,13 +4,15 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.SparkSession
 
 /** Ad-hoc measurement harness (not part of the library surface).
-  * Current target: the distributed connected-components loop at the
-  * x100 movie scale (47 M quads → 47 M directed edges). Caches the
-  * dictionary-encoded edge list as parquet so re-probes skip the
-  * ~2 min synthesis+load.
+  * Targets the heavy iterative graph operators at the xN movie scales.
+  * Caches the dictionary-encoded edge list as parquet so re-probes skip
+  * the synthesis+load. Usage: `runMain graft.Probe [wcc|louvain] [mult]`.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
+    val op = args.headOption.getOrElse("wcc")
+    val mult = args.drop(1).headOption.map(_.toInt)
+      .getOrElse(if (op == "louvain") 10 else 100)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.adaptive.enabled", "true")
@@ -22,12 +24,11 @@ object Probe {
       println(f"PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    val edgePath = "/tmp/cc_edges_x100.parquet"
+    val edgePath = s"/tmp/cc_edges_x$mult.parquet"
     if (!new java.io.File(edgePath).exists()) {
       import graft.core.{Graph, NQuads, QValue}
       import NQuads.ParsedQuad
       import spark.implicits._
-      val mult = 100
       val movieDir = "/tmp/graft_movie_probe"
       def remap(v: QValue, k: Int): QValue = v match {
         case QValue.Iri(s)   => QValue.Iri(s + "/x" + k)
@@ -55,9 +56,19 @@ object Probe {
     }
     val eAll = spark.read.parquet(edgePath)
     println(s"edges: ${eAll.count()}")
-    timed("wcc") {
-      graft.analytics.GraphAlgos.connectedComponents(eAll, "src", "dst")
-        .write.mode("overwrite").format("noop").save()
+    op match {
+      case "wcc" =>
+        timed("wcc") {
+          graft.analytics.GraphAlgos.connectedComponents(eAll, "src", "dst")
+            .write.mode("overwrite").format("noop").save()
+        }
+      case "louvain" =>
+        timed("louvain") {
+          graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
+              maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
+            .write.mode("overwrite").format("noop").save()
+        }
+      case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()
   }

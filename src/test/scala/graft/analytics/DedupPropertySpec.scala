@@ -141,6 +141,43 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(dist(200L) == 200L && dist(201L) == 200L && dist(202L) == 202L)
   }
 
+  test("law: componentLabels covers every endpoint, both tiers, random graphs") {
+    // random multigraphs WITH self-loops and duplicate/reversed edges:
+    // the distributed contraction tier must equal the driver union-find
+    // AND a brute-force reference over the full endpoint set — this is
+    // the isolated-node-trap guard for CC (a self-loop-only node never
+    // enters the mate forest; a node whose neighbors all mate away must
+    // still be labeled through the par side of the forest)
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { trial =>
+      val n = 30 + rnd.nextInt(40)
+      val pairs0 = (0 until (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) // self-loops likely
+      }
+      val pairs = (pairs0 ++ pairs0.take(5).map(_.swap))
+        .toDF("id_a", "id_b")
+      val dist = Dedup.componentLabels(pairs, maxDriverEdges = -1)
+        .as[(Long, Long)].collect().toMap
+      val drv = Dedup.componentLabels(pairs)
+        .as[(Long, Long)].collect().toMap
+      // brute force over endpoints
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      val endpoints = scala.collection.mutable.Set[Long]()
+      pairs0.foreach { case (a, b) =>
+        endpoints += a; endpoints += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = endpoints.map(id => id -> find(id)).toMap
+      withClue(s"trial=$trial distributed: ")(assert(dist === expect))
+      withClue(s"trial=$trial driver: ")(assert(drv === expect))
+    }
+  }
+
   test("law: delta CC converges on a 3000-node chain inside the cap") {
     // a deep path is the adversarial case for DELTA min-label: without
     // the fresh-pointer→stale-pointee doubling join, rounds degrade to
