@@ -605,6 +605,22 @@ object Bench {
         noop(Dedup.clusters(docsX(withSource = false), "doc_id", "text",
           threshold = 0.5))
       }
+      // incremental cluster maintenance at N×: fold ONE base-corpus-sized
+      // batch (the first copy) into the pre-clustered other N-1 copies —
+      // ingest cost should track the batch, not the corpus (compare with
+      // xN_dedup_clusters above, which re-pairs everything). The corpus
+      // labels are built untimed; the timed region is the fold itself.
+      if (mult >= 10) locally {
+        val all = docsX(withSource = false)
+        val batch0 = all.where(col("doc_id") < 100000000L)
+        val corpus0 = all.where(col("doc_id") >= 100000000L)
+        // clusters() output is already a self-contained eager checkpoint
+        val lbl = Dedup.clusters(corpus0, "doc_id", "text", threshold = 0.5)
+        smoke(s"${tag}_dedup_clusters_incr") {
+          noop(Dedup.clustersAppend(corpus0, lbl, batch0, "doc_id", "text",
+            threshold = 0.5))
+        }
+      }
       // MinHash near-dup STORE at N×: build the band-sorted postings
       // store from the whole N× corpus once (untimed after the timed
       // write sample), then time a 64-doc probe — the serving-path

@@ -788,6 +788,19 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) =>
       Dedup.clusters(t(s, d, "documents"), "doc_id", "text",
         threshold = 0.5)),
+    // incremental cluster maintenance: cluster 90% of the corpus, fold
+    // the remaining 10% in via clustersAppend — the oracle recomputes
+    // the FULL clustering, so the fold's exact-equality claim is the
+    // driver-verified contract (batch×corpus + batch×batch LSH only;
+    // the corpus never re-pairs against itself)
+    "dedup_clusters_incr" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val batch = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val lbl = Dedup.clusters(corpus, "doc_id", "text", threshold = 0.5)
+      Dedup.clustersAppend(corpus, lbl, batch, "doc_id", "text",
+        threshold = 0.5)
+    }),
     // SimHash near-dup pairs, exact for Hamming<=3 by pigeonhole banding;
     // the 60-bit md5-derived token hash is the shared oracle contract
     "dedup_simhash" -> ((s, d) =>
@@ -2575,6 +2588,24 @@ object SparkEntry {
       |  ELSE list_distinct(list_transform(range(0, len(ws) - 2),
       |    i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) END AS sh FROM w)""".stripMargin
 
+  /** Full-corpus duplicate clusters in DuckDB (mirror of Dedup.clusters):
+    * recursive closure over the exact word-shingle Jaccard pair graph,
+    * min member id per component. Shared verbatim by `dedup_clusters`
+    * and `dedup_clusters_incr` — the incremental fold's exactness claim
+    * IS that it matches the full recompute.
+    */
+  private lazy val clustersOracleSql: String =
+    s"""WITH RECURSIVE ${wordShingleCte.stripPrefix("WITH ")},
+       |e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb FROM s a JOIN s b
+       |  ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5),
+       |e AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+       |r(n, m) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea)
+       |SELECT n AS doc_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin
+
   /** Char-9-gram shingle list in DuckDB (mirror of Dedup.charShingleRows). */
   private val charShingleCte =
     """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
@@ -2611,17 +2642,11 @@ object SparkEntry {
     // brute-force Hamming<=3 over the shared 60-bit simhash
     "dedup_simhash" -> simhashOracle,
     // connected components of the exact pair graph via recursive closure
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE ${wordShingleCte.stripPrefix("WITH ")},
-         |e0 AS (SELECT a.doc_id AS ea, b.doc_id AS eb FROM s a JOIN s b
-         |  ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5),
-         |e AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
-         |r(n, m) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea)
-         |SELECT n AS doc_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin,
+    "dedup_clusters" -> clustersOracleSql,
+    // the incremental fold is VALUE-IDENTICAL to a full re-cluster by
+    // construction (labels are min member ids, so contracting corpus
+    // endpoints to labels is an exact quotient) — same oracle, verbatim
+    "dedup_clusters_incr" -> clustersOracleSql,
     // exact all-pairs cosine >= 0.25 (double-precision, ids only)
     "emb_neardup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

@@ -462,9 +462,9 @@ object Dedup {
       // keeps improving until the global minimum arrives). Once the
       // residual edge list fits the driver gate, one collect +
       // union-find finishes the component structure; the per-level mate
-      // maps form a forest resolved by a static-forest pointer walk,
-      // and a final min-aggregate relabels each component by its
-      // minimum member id (the exact contract the dedup oracles verify).
+      // maps form a forest resolved by pointer doubling, and a final
+      // min-aggregate relabels each component by its minimum member id
+      // (the exact contract the dedup oracles verify).
       val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
       val held = scala.collection.mutable.ArrayBuffer[DataFrame](pr)
       // no up-front distinct: level 0's contraction ends in one anyway
@@ -665,6 +665,58 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a").as("batch_id"), col("id_b").as("corpus_id"),
         col("jaccard"))
+  }
+
+  /** Incremental duplicate-CLUSTER maintenance: fold a new `batch` into
+    * an already-clustered corpus's labels without re-pairing the corpus
+    * against itself. The result is VALUE-IDENTICAL to re-running
+    * [[clusters]] over `corpus ∪ batch` (the oracle recomputes exactly
+    * that), but the LSH work is batch×corpus + batch×batch only — at a
+    * deployment, ingesting 1% new data costs ~1% of a full re-cluster.
+    *
+    * Why exactness survives the shortcut: an existing cluster label IS
+    * the minimum member id, so contracting every corpus endpoint to its
+    * label is an exact quotient of the old duplicate graph (corpus-
+    * corpus connectivity is already fully encoded in the labels and new
+    * documents can only ADD edges). Components of {contracted cross
+    * pairs ∪ within-batch pairs} therefore merge old clusters and batch
+    * docs precisely as the full pair graph would, and the min over each
+    * merged component's {batch ids ∪ old cluster minima} is the true
+    * member minimum.
+    *
+    * `corpusLabels` must be [[clusters]]' output over `corpus` with the
+    * SAME (threshold, k, shingleN), and batch ids must be disjoint from
+    * corpus ids (the usual ingest contract — reused ids would alias
+    * contracted endpoints). Returns (idCol, cluster) covering every
+    * corpus and batch document.
+    */
+  def clustersAppend(corpus: DataFrame, corpusLabels: DataFrame,
+                     batch: DataFrame, idCol: String, textCol: String,
+                     threshold: Double = 0.5, k: Int = 64,
+                     shingleN: Int = 3): DataFrame = {
+    val lbl = corpusLabels.select(col(idCol).as("id"), col("cluster"))
+    val cross = crossPairs(corpus, batch, idCol, textCol, threshold, k,
+        shingleN)
+      .select(col("batch_id").as("id_a"), col("corpus_id").as("id"))
+      .join(lbl, Seq("id"))
+      .select(col("id_a"), col("cluster").as("id_b"))
+    val within = minhashPairs(batch, idCol, textCol, threshold, k, shingleN)
+      .select(col("id_a"), col("id_b"))
+    val batchIds = batch.select(col(idCol).as("id"))
+    // endpoint labels cover exactly the paired batch docs and the
+    // touched old clusters; batch singletons fall through the left join
+    // below, untouched clusters through the remap's left join
+    val merged = componentLabels(cross.unionByName(within))
+      .localCheckpoint(true).cappedStats
+    val remap = merged.select(col("id").as("cluster"),
+      col("cluster").as("nc"))
+    val out = lbl.join(remap, Seq("cluster"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("nc"), col("cluster")).as("cluster"))
+      .unionByName(batchIds.join(merged, Seq("id"), "left")
+        .select(col("id").as(idCol),
+          coalesce(col("cluster"), col("id")).as("cluster")))
+    releasing(out, Seq(merged))
   }
 
   /** Persist a corpus's MinHash-LSH index as a Parquet near-dup store —

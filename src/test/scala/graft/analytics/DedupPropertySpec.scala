@@ -141,6 +141,21 @@ class DedupPropertySpec extends AnyFunSuite {
     assert(dist(200L) == 200L && dist(201L) == 200L && dist(202L) == 202L)
   }
 
+  test("law: clustersAppend equals a full re-cluster on random corpora") {
+    forAllSampled { docs =>
+      val df = docs.toDF("doc_id", "text")
+      val corpus = df.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val batch = df.where(pmod(col("doc_id"), lit(3)) === 0)
+      val lbl = Dedup.clusters(corpus, "doc_id", "text", threshold = 0.5)
+      val incr = Dedup.clustersAppend(corpus, lbl, batch, "doc_id", "text",
+          threshold = 0.5)
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.clusters(df, "doc_id", "text", threshold = 0.5)
+        .as[(Long, Long)].collect().toMap
+      assert(incr === full)
+    }
+  }
+
   test("law: componentLabels covers every endpoint, both tiers, random graphs") {
     // random multigraphs WITH self-loops and duplicate/reversed edges:
     // the distributed contraction tier must equal the driver union-find
