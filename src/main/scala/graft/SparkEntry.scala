@@ -1985,6 +1985,23 @@ object SparkEntry {
           .select(col("s").as("src"), col("o").as("dst")),
         "src", "dst")
     }),
+    // incremental WCC: label the customer→nation star first, then fold
+    // ALL order→customer edges in through connectedComponentsAppend —
+    // the histogram of the incrementally-maintained labels must equal
+    // graph_wcc's full-recompute oracle, verbatim (the fold is exact by
+    // the min-member-id quotient argument)
+    "graph_wcc_incr" -> ((s, d) => {
+      val g = graph(s, d)
+      def edges(p: String) =
+        g.quads.where(col("p") === QValue.id(iri(p)))
+          .select(col("s").as("src"), col("o").as("dst"))
+      val base = GraphAlgos.connectedComponents(edges("c_nation"),
+        "src", "dst")
+      GraphAlgos.connectedComponentsAppend(base, edges("o_cust"),
+          "src", "dst")
+        .groupBy("component").agg(count(lit(1)).as("size"))
+        .groupBy("size").agg(count(lit(1)).as("n_components"))
+    }),
     "graph_triangles" -> ((s, d) => {
       val g = graph(s, d)
       def ep(name: String) =
@@ -2606,6 +2623,23 @@ object SparkEntry {
        |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea)
        |SELECT n AS doc_id, min(m) AS cluster FROM r GROUP BY n""".stripMargin
 
+  /** Component-size histogram of the customer→nation / order→customer
+    * star graph in DuckDB — components are per-nation stars, so sizes
+    * are 1 + customers + their orders. Shared verbatim by `graph_wcc`
+    * and `graph_wcc_incr` (the incremental fold's exactness claim IS
+    * that it matches the full recompute).
+    */
+  private lazy val wccHistogramOracleSql: String =
+    """WITH ncust AS (SELECT c_nationkey AS nk, count(*) AS n
+      |  FROM customer GROUP BY 1),
+      |nord AS (SELECT c_nationkey AS nk, count(*) AS n
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+      |sz AS (SELECT ncust.nk,
+      |    1 + ncust.n + coalesce(nord.n, 0) AS csize
+      |  FROM ncust LEFT JOIN nord ON ncust.nk = nord.nk)
+      |SELECT csize AS size, count(*) AS n_components
+      |FROM sz GROUP BY csize""".stripMargin
+
   /** Char-9-gram shingle list in DuckDB (mirror of Dedup.charShingleRows). */
   private val charShingleCte =
     """WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
@@ -2924,16 +2958,10 @@ object SparkEntry {
         |FROM bg b JOIN fr USING (bg) GROUP BY b.doc_id""".stripMargin,
     // WCC size histogram: each component = a nation + its customers +
     // their orders (all fks verified non-null/valid in the fixture)
-    "graph_wcc" ->
-      """WITH ncust AS (SELECT c_nationkey AS nk, count(*) AS n
-        |  FROM customer GROUP BY 1),
-        |nord AS (SELECT c_nationkey AS nk, count(*) AS n
-        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
-        |sz AS (SELECT ncust.nk,
-        |    1 + ncust.n + coalesce(nord.n, 0) AS csize
-        |  FROM ncust LEFT JOIN nord ON ncust.nk = nord.nk)
-        |SELECT csize AS size, count(*) AS n_components
-        |FROM sz GROUP BY csize""".stripMargin,
+    "graph_wcc" -> wccHistogramOracleSql,
+    // the incremental fold must reproduce the full recompute's
+    // component structure — same oracle, verbatim
+    "graph_wcc_incr" -> wccHistogramOracleSql,
     // triangle count: generic 3-way self-join oracle over the same edge
     // list (string node keys; counts are relabeling-invariant)
     "graph_triangles" ->

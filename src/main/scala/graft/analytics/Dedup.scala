@@ -407,6 +407,38 @@ object Dedup {
     if (local) { releaseBlocks(pr); labels } else releasing(labels, held)
   }
 
+  /** Incremental component maintenance: fold NEW pairs into an existing
+    * min-id labeling without touching the old edge set. Exact by the
+    * same quotient argument as [[clustersAppend]]: a component label IS
+    * the minimum member id, so contracting every already-labeled
+    * endpoint to its label preserves connectivity exactly, and the min
+    * over each merged component's {old cluster minima ∪ new node ids}
+    * is the true member minimum. `oldLabels` must be a valid min-id
+    * labeling ([[componentLabels]] / [[connectedComponents]] output).
+    * Returns (id, cluster) for every old id and every new-pair endpoint
+    * — value-identical to recomputing over the union of both edge sets.
+    */
+  def componentLabelsAppend(oldLabels: DataFrame, pairs: DataFrame,
+                            maxDriverEdges: Long = DriverCcMaxEdges)
+      : DataFrame = {
+    val lbl = oldLabels.select(col("id"), col("cluster"))
+    val contracted = pairs.select(col("id_a"), col("id_b"))
+      .join(lbl.select(col("id").as("id_a"), col("cluster").as("ca")),
+        Seq("id_a"), "left")
+      .join(lbl.select(col("id").as("id_b"), col("cluster").as("cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("ca"), col("id_a")).as("id_a"),
+        coalesce(col("cb"), col("id_b")).as("id_b"))
+    val merged = componentLabels(contracted, maxDriverEdges)
+      .localCheckpoint(true).cappedStats
+    val remap = merged.select(col("id").as("cluster"),
+      col("cluster").as("nc"))
+    val out = lbl.join(remap, Seq("cluster"), "left")
+      .select(col("id"), coalesce(col("nc"), col("cluster")).as("cluster"))
+      .unionByName(merged.join(lbl, Seq("id"), "left_anti"))
+    releasing(out, Seq(merged))
+  }
+
   /** Shared engine for [[connectedComponents]] / [[componentLabels]]:
     * labels `(id, cluster)` covering every endpoint of `pr`, cluster =
     * min id in the component. Returns (labels, isDriverTier, heldFrames);

@@ -415,6 +415,21 @@ object GraphAlgos {
         edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")))
       .select(col("id").as("node"), col("cluster").as("component"))
 
+  /** Incremental weakly-connected components: fold a batch of NEW edges
+    * into an existing (node, component) labeling at batch-sized cost —
+    * the old edge set is never re-read. Exact (value-identical to a
+    * full recompute over old ∪ new edges) because component labels are
+    * minimum member ids: see [[Dedup.componentLabelsAppend]].
+    */
+  def connectedComponentsAppend(oldComponents: DataFrame,
+                                newEdges: DataFrame, srcCol: String,
+                                dstCol: String): DataFrame =
+    Dedup.componentLabelsAppend(
+        oldComponents.select(col("node").as("id"),
+          col("component").as("cluster")),
+        newEdges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")))
+      .select(col("id").as("node"), col("cluster").as("component"))
+
   /** Component-size histogram: for each component size, how many
     * components have it — the shape summary of a graph's connectivity
     * (two tiny aggregates on top of [[connectedComponents]]).

@@ -193,6 +193,30 @@ class DedupPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("law: componentLabelsAppend equals a full recompute on random splits") {
+    val rnd = new scala.util.Random(11)
+    (1 to 5).foreach { trial =>
+      val n = 25 + rnd.nextInt(30)
+      val all = (0 until (n * 2)).map { _ =>
+        (rnd.nextInt(n).toLong, (n + rnd.nextInt(n)).toLong)
+      } ++ (0 until n).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }
+      // split so the appended batch introduces brand-new nodes (ids >= n
+      // appear only on the appended side in some trials) AND merges
+      // existing components
+      val (oldE, newE) = all.splitAt(all.size / 2)
+      val oldDf = oldE.toDF("id_a", "id_b")
+      val newDf = newE.toDF("id_a", "id_b")
+      val base = Dedup.componentLabels(oldDf)
+      val incr = Dedup.componentLabelsAppend(base, newDf)
+        .as[(Long, Long)].collect().toMap
+      val full = Dedup.componentLabels(all.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      withClue(s"trial=$trial: ")(assert(incr === full))
+    }
+  }
+
   test("law: delta CC converges on a 3000-node chain inside the cap") {
     // a deep path is the adversarial case for DELTA min-label: without
     // the fresh-pointer→stale-pointee doubling join, rounds degrade to
