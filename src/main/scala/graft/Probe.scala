@@ -68,6 +68,42 @@ object Probe {
               maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
             .write.mode("overwrite").format("noop").save()
         }
+      case "minhash" =>
+        // xN documents corpus, same affine-permutation synthesis as Bench
+        val docPath = s"/tmp/mh_docs_x$mult.parquet"
+        if (!new java.io.File(docPath).exists()) {
+          val alpha = "abcdefghijklmnopqrstuvwxyz"
+          def affineTo(kk: Int): String = {
+            val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+            val a = as((kk / 26) % as.length); val b = kk % 26
+            (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+          }
+          val doc = spark.read
+            .parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("doc_id", "text")
+          timed("synth-docs") {
+            (0 until mult).map { kk =>
+              doc.select(
+                (col("doc_id") + lit(kk * 100000000L)).as("doc_id"),
+                translate(col("text"), alpha + alpha.toUpperCase,
+                  affineTo(kk) + affineTo(kk).toUpperCase).as("text"))
+            }.reduce(_ union _)
+              .write.mode("overwrite").parquet(docPath)
+          }
+        }
+        val docs = spark.read.parquet(docPath)
+        println(s"docs: ${docs.count()}")
+        val sets = graft.analytics.Dedup.shingleSets(
+          graft.analytics.Dedup.wordShingleRows(docs, "doc_id", "text", 3))
+        println(s"sets-estimate-bytes: " +
+          s"${sets.queryExecution.optimizedPlan.stats.sizeInBytes}")
+        (1 to 2).foreach { i =>
+          timed(s"minhashPairs-$i") {
+            graft.analytics.Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+              .write.mode("overwrite").format("noop").save()
+          }
+          spark.sharedState.cacheManager.clearCache()
+        }
       case other => sys.error(s"unknown probe op: $other")
     }
     spark.stop()
