@@ -475,6 +475,16 @@ object Bench {
                   eAll, "src", "dst")
                 .write.mode("overwrite").format("noop").save()
             }
+            // SCC at 4.7 M directed edges, distributed tier forced: the
+            // movie graph is acyclic, so this measures the FW-BW-Trim
+            // phase end-to-end (near-DAG inputs — knowledge/citation
+            // graphs — are the common shape at scale; the label fixed
+            // points only ever see the cycle core, here empty)
+            timed2("x10_graph_scc") {
+              graft.analytics.GraphAlgos.stronglyConnectedComponents(
+                  eAll, "src", "dst", maxDriverEdges = 0L)
+                .write.mode("overwrite").format("noop").save()
+            }
             // sampled betweenness (Brandes–Pich) on the forced
             // DISTRIBUTED tier at 4.7 M edges: two source counts — the
             // k=16/k=4 ratio < 4 is the sublinear-in-sources evidence

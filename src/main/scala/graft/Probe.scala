@@ -68,6 +68,12 @@ object Probe {
               maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
             .write.mode("overwrite").format("noop").save()
         }
+      case "scc" =>
+        timed("scc") {
+          graft.analytics.GraphAlgos.stronglyConnectedComponents(
+              eAll, "src", "dst", maxDriverEdges = 0L)
+            .write.mode("overwrite").format("noop").save()
+        }
       case "minhash" =>
         // xN documents corpus, same affine-permutation synthesis as Bench
         val docPath = s"/tmp/mh_docs_x$mult.parquet"

@@ -2056,8 +2056,59 @@ object GraphAlgos {
     val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = e0
     var result: DataFrame = null
+    def addResult(found: DataFrame): Unit =
+      result = if (result == null) found
+      else {
+        val r = result.unionByName(found).localCheckpoint(true).cappedStats
+        held += r
+        r
+      }
     var live = true
     while (live) {
+      // TRIM (the FW-BW-Trim accelerator, public standard for parallel
+      // SCC — Hong/Slota-style): a node with no in-edge or no out-edge
+      // in the remaining graph is a singleton SCC; peel such nodes and
+      // repeat. Near-DAG graphs (knowledge/citation graphs — the movie
+      // graph is bipartite-ish and fully acyclic) empty out here in
+      // O(depth) cheap anti-join rounds, so the expensive label fixed
+      // points below only ever see the true cycle core. A node whose
+      // last in- AND out-edges die in the same round leaves the edge
+      // set without being degree-classified (the isolated-node trap) —
+      // labeling every endpoint that VANISHES this round, rather than
+      // the degree-deficient set itself, covers both cases exactly
+      // (a node with no remaining edges is in no remaining cycle).
+      // Bounded: a long path DAG trims O(n) rounds end-in, so after 50
+      // rounds the coloring peel below takes over.
+      var trimming = true
+      var trimRounds = 0
+      while (trimming && trimRounds < 50) {
+        val srcs = remaining.select(col("u").as("node")).distinct()
+        val dsts = remaining.select(col("v").as("node")).distinct()
+        val bad = srcs.join(dsts, Seq("node"), "left_anti")
+          .unionByName(dsts.join(srcs, Seq("node"), "left_anti"))
+          .localCheckpoint(true).cappedStats
+        held += bad
+        if (bad.isEmpty) trimming = false
+        else {
+          val before = srcs.unionByName(dsts).distinct()
+            .localCheckpoint(true).cappedStats
+          held += before
+          val rem2 = remaining
+            .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
+            .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
+            .select("u", "v").localCheckpoint(true).cappedStats
+          held += rem2
+          val after = rem2.select(col("u").as("node"))
+            .union(rem2.select(col("v").as("node"))).distinct()
+          val gone = before.join(after, Seq("node"), "left_anti")
+            .select(col("node"), col("node").as("component"))
+            .localCheckpoint(true).cappedStats
+          held += gone
+          addResult(gone)
+          remaining = rem2
+          trimRounds += 1
+        }
+      }
       val nodes = remaining.select(col("u").as("node"))
         .union(remaining.select(col("v").as("node"))).distinct()
         .localCheckpoint(true).cappedStats

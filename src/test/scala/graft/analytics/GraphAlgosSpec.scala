@@ -269,6 +269,21 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(dist === got)
   }
 
+  test("scc: trim-vanished middle node is still labeled (isolated-node trap)") {
+    // 1→2→3: the trim round peels 1 (no in) and 3 (no out) TOGETHER, so
+    // node 2 loses both its edges in one round and leaves the edge set
+    // without ever being degree-classified — the vanish-labeling must
+    // still emit it as a singleton. The attached 2-cycle keeps the
+    // coloring peel exercised after the trim stalls.
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L), (5L, 4L))
+      .toDF("s", "d")
+    val exp = Map(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L, 5L -> 4L)
+    val dist = GraphAlgos
+      .stronglyConnectedComponents(edges, "s", "d", maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === exp)
+  }
+
   test("scc: deep path feeding a cycle (driver recursion safety)") {
     // path 100->99->...->1 -> cycle {1, 0}: Tarjan must not recurse on
     // the JVM stack; the whole path is singletons, {0,1} one SCC
