@@ -519,6 +519,15 @@ object Bench {
                   eAll, "src", "dst")
                 .write.mode("overwrite").format("noop").save()
             }
+            // SCC a decade over the x10 entry (47 M directed edges,
+            // distributed forced): the FW-BW-Trim phase's scale proof —
+            // isolated-probe pair 22.3 s (x10) → 113 s (x100), 5× for
+            // 10× data
+            timed1("x100_graph_scc") {
+              graft.analytics.GraphAlgos.stronglyConnectedComponents(
+                  eAll, "src", "dst", maxDriverEdges = 0L)
+                .write.mode("overwrite").format("noop").save()
+            }
           }
           // Turtle many-files ingest at N×: the documented scale shape
           // for Turtle (statements span lines, so the distributed unit
