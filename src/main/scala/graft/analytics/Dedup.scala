@@ -512,6 +512,11 @@ object Dedup {
           greatest(col("id_a"), col("id_b")).as("b"))
       var eCount = nPairs
       val mates = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      // the pair checkpoint is only read by level 0 and the final
+      // self-loop scan — materialize the (near-empty) self-loop id set
+      // as soon as level 0 completes and release the pair blocks, so
+      // later levels don't run under |E| rows of dead block pressure
+      var selfIds: Option[DataFrame] = None
       var level = 0
       while (eCount > 0 && (maxDriverEdges < 0 || eCount > maxDriverEdges)) {
         // an unlucky level (every live edge monochromatic) merges
@@ -563,6 +568,13 @@ object Dedup {
         releaseBlocks(e)
         e = e2
         val eNext = e.count()
+        if (level == 0) {
+          selfIds = Some(pr.where(col("id_a") === col("id_b"))
+            .select(col("id_a").as("id")).distinct()
+            .localCheckpoint().cappedStats)
+          held += selfIds.get
+          releaseBlocks(pr)
+        }
         if (ccDebug) println(f"CC level $level: " +
           f"${(System.nanoTime() - t0) / 1e9}%.2f s, edges $eCount -> $eNext")
         eCount = eNext
@@ -665,8 +677,9 @@ object Dedup {
       // nodes whose every edge is a self-loop never enter the mate
       // forest (the isolated-node trap) — append them as their own
       // cluster so the endpoint contract holds without an id universe
-      val selfOnly = pr.where(col("id_a") === col("id_b"))
-        .select(col("id_a").as("id")).distinct()
+      val selfOnly = selfIds.getOrElse(
+          pr.where(col("id_a") === col("id_b"))
+            .select(col("id_a").as("id")).distinct())
         .join(labels, Seq("id"), "left_anti")
         .select(col("id"), col("id").as("cluster"))
       (labels.unionByName(selfOnly), false, held.toSeq)
