@@ -2010,6 +2010,10 @@ object GraphAlgos {
       .cache()
     var lab = nodes.select(col("node"), col("node").as("lb"))
       .localCheckpoint(true).cappedStats
+    // lab is rebound to a projection PLAN over each round's checkpoint;
+    // releaseBlocks frees top-level LogicalRDDs only, so the in-loop
+    // release below must track the checkpoint frame itself
+    var labCkpt = lab
     val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, lab)
     // DELTA propagation with complete doubling (same argument as
     // Dedup.connectedComponents): only changed labels are re-offered —
@@ -2039,6 +2043,10 @@ object GraphAlgos {
           (col("cand").isNotNull && col("cand") < col("lb")).as("__chg"))
         .localCheckpoint(true).cappedStats
       held += next
+      // the superseded round checkpoint is dead once `next` exists —
+      // release in-loop instead of accumulating rounds × |V| blocks
+      Dedup.releaseBlocks(labCkpt)
+      labCkpt = next
       changedSet = next.where(col("__chg")).select("node", "lb")
       changed = changedSet.head(1).nonEmpty
       lab = next.select("node", "lb")
@@ -2055,6 +2063,13 @@ object GraphAlgos {
   private def sccDistributed(e0: DataFrame): DataFrame = {
     val held = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var remaining = e0
+    // e0 belongs to the caller; every later `remaining` checkpoint is
+    // ours and must be released IN-LOOP once superseded (holding every
+    // round's |E|-row checkpoint to end-of-call is the keyed-frontier
+    // OOM/pressure trap — the successor is always materialized first)
+    var ownRemaining = false
+    def superseded(old: DataFrame, owned: Boolean): Unit =
+      if (owned) Dedup.releaseBlocks(old)
     var result: DataFrame = null
     def addResult(found: DataFrame): Unit =
       result = if (result == null) found
@@ -2105,7 +2120,9 @@ object GraphAlgos {
             .localCheckpoint(true).cappedStats
           held += gone
           addResult(gone)
+          superseded(remaining, ownRemaining)
           remaining = rem2
+          ownRemaining = true
           trimRounds += 1
         }
       }
@@ -2146,11 +2163,14 @@ object GraphAlgos {
         // (3) carve out finished SCCs, keep the rest
         val done = scc.select("node").localCheckpoint(true).cappedStats
         held += done
-        remaining = remaining
+        val carved = remaining
           .join(done.select(col("node").as("u")), Seq("u"), "left_anti")
           .join(done.select(col("node").as("v")), Seq("v"), "left_anti")
           .select("u", "v").localCheckpoint(true).cappedStats
-        held += remaining
+        held += carved
+        superseded(remaining, ownRemaining)
+        remaining = carved
+        ownRemaining = true
         // nodes whose every edge died: singleton SCCs, label = self
         val isolated = nodes
           .join(done, Seq("node"), "left_anti")
