@@ -36,6 +36,19 @@ object Bench {
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "sim_rp",
     "emb_neardup", "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
+
+  /** Result sink that streams each completed entry to stderr — when a
+    * run dies mid-suite (OOM, stopped context) the log still names the
+    * last entry that finished, so the culprit is the next block.
+    */
+  private final class ProgressBuf
+      extends scala.collection.mutable.ArrayBuffer[(String, Double)] {
+    override def addOne(kv: (String, Double)): this.type = {
+      System.err.println(f"BENCH_PROGRESS ${kv._1} ${kv._2}%.3f")
+      super.addOne(kv)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // optional arg: comma-separated query subset (iteration aid; the
     // driver passes none and gets the full headline list)
@@ -121,7 +134,7 @@ object Bench {
       (e.getClass.getSimpleName + ": " +
         String.valueOf(e.getMessage).takeWhile(_ != '\n').take(160))
         .replace("\\", "\\\\").replace("\"", "\\\"").filter(_ >= ' ')
-    val scaleOut = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val scaleOut = new ProgressBuf
 
     // README.md:28-scale bulk load (the reference's own "134 M quads no
     // problem" row) runs FIRST — before the core block — so its measured
@@ -784,7 +797,7 @@ object Bench {
       if (!wants("skew")) Seq.empty
       else {
         import org.apache.spark.sql.functions._
-        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+        val out = new ProgressBuf
         // min-of-2 (same rationale as the xN smoke: single samples publish
         // contended phantom regressions); cache cleared after each run
         def smoke(name: String)(f: => Unit): Unit = {
@@ -1002,7 +1015,7 @@ object Bench {
     val mmOps: Seq[(String, Double)] = {
       import org.apache.spark.sql.functions.col
       import spark.implicits._
-      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      val out = new ProgressBuf
       if (only.forall(_.contains("mm_phash_pairs"))) {
         try {
           out += "mm_phash_pairs" -> time {
