@@ -1106,6 +1106,18 @@ object Multimodal {
       val fMin = 300.0
       val fMax = math.max(fMin * 1.5, 0.45 * rate)
       val energy = new Array[Double](bands)
+      // Hann window keeps spectral leakage from smearing quiet bands;
+      // windowed ONCE up front — the per-band recurrences reuse it, so
+      // the window cos() runs n times, not bands×n (it dominated the
+      // whole fingerprint at 64×n calls). Bit-identical to windowing
+      // inside the band loop: same product, same evaluation order.
+      val wpcm = new Array[Double](n)
+      var i0 = 0
+      while (i0 < n) {
+        wpcm(i0) = pcm(i0) *
+          (0.5 - 0.5 * math.cos(2.0 * math.Pi * i0 / (n - 1)))
+        i0 += 1
+      }
       var m = 0
       while (m < bands) {
         val f = fMin * math.pow(fMax / fMin, m / (bands - 1.0))
@@ -1113,9 +1125,7 @@ object Multimodal {
         var s1 = 0.0; var s2 = 0.0
         var i = 0
         while (i < n) {
-          // Hann window keeps spectral leakage from smearing quiet bands
-          val w = 0.5 - 0.5 * math.cos(2.0 * math.Pi * i / (n - 1))
-          val s0 = pcm(i) * w + c * s1 - s2
+          val s0 = wpcm(i) + c * s1 - s2
           s2 = s1; s1 = s0; i += 1
         }
         energy(m) = s1 * s1 + s2 * s2 - c * s1 * s2
