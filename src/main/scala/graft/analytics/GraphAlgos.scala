@@ -410,10 +410,26 @@ object GraphAlgos {
     * node id.
     */
   def connectedComponents(edges: DataFrame, srcCol: String,
-                          dstCol: String): DataFrame =
-    Dedup.componentLabels(
-        edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b")))
-      .select(col("id").as("node"), col("cluster").as("component"))
+                          dstCol: String): DataFrame = {
+    val pr = edges.select(col(srcCol).as("id_a"), col(dstCol).as("id_b"))
+    if (!pr.schema.exists(_.nullable))
+      Dedup.componentLabels(pr)
+        .select(col("id").as("node"), col("cluster").as("component"))
+    else {
+      // CC engines compare endpoints (=!=/least drops null rows), so a
+      // node whose only edges have a null partner would silently get no
+      // component row: label the surviving endpoint of half-null rows
+      // with itself unless a real edge already labeled it
+      val lbl = Dedup.componentLabels(
+          pr.filter(col("id_a").isNotNull && col("id_b").isNotNull))
+        .select(col("id").as("node"), col("cluster").as("component"))
+      val halfNull = pr.filter(col("id_a").isNull =!= col("id_b").isNull)
+        .select(coalesce(col("id_a"), col("id_b")).as("node")).distinct()
+      lbl.unionByName(
+        halfNull.join(lbl, Seq("node"), "left_anti")
+          .select(col("node"), col("node").as("component")))
+    }
+  }
 
   /** Incremental weakly-connected components: fold a batch of NEW edges
     * into an existing (node, component) labeling at batch-sized cost —
@@ -2771,7 +2787,7 @@ object GraphAlgos {
     * Plan shape: T rounds of (edge ⋈ scores → hash agg → left join
     * nodes) — identical to one pageRank round; loop-invariant inputs
     * checkpointed once, running state checkpointed every 4 rounds
-    * ([[CLAUDE.md]] loop layout rules).
+    * (see the iterative-loop layout rules in the repo working notes).
     */
   def katzCentrality(edges: DataFrame, srcCol: String, dstCol: String,
                      iterations: Int = 8): DataFrame = {

@@ -69,7 +69,12 @@ object TurtleChunked {
     final val D1 = 12; final val D2 = 13; final val DQ = 14; final val DQe = 15
     final val LDQ = 16; final val LDQe = 17
     final val LD1 = 18; final val LD2 = 19; final val LD3 = 20
-    final val NStates = 21
+    // PN_LOCAL escape pending: '\' seen in N consumes the next byte
+    // (the parser accepts backslash escapes in prefixed-name locals,
+    // Turtle.scala prefixedName() — `ex:o\. .` must not read the
+    // escaped dot as a statement terminator)
+    final val NE = 21
+    final val NStates = 22
 
     /** Bytes that can change ANY state or the bracket depth; runs of
       * everything else are skipped in one step.
@@ -92,8 +97,10 @@ object TurtleChunked {
         case '<'  => IRI
         case '"'  => D1
         case '\'' => S1
+        case '\\' => NE
         case _    => N
       }
+      case NE  => N // escaped byte consumed, whatever it was
       case C   => if (b == '\n') N else C
       case IRI => if (b == '>') N else IRI
       // double-quote family

@@ -138,6 +138,18 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(cc(4L) === 1L && cc(11L) === 10L && cc(21L) === 20L)
   }
 
+  test("connectedComponents: null-partner endpoints still get a row") {
+    // 30's only edges have a null partner → self-labeled singleton;
+    // 2 also has a null-partner row but keeps its real component label
+    val edges = Seq(
+      (Option(1L), Option(2L)), (Option(2L), Option(3L)),
+      (Option(30L), None), (None, Option(30L)), (Option(2L), None),
+      (None, None)).toDF("s", "d")
+    val cc = GraphAlgos.connectedComponents(edges, "s", "d")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 30L -> 30L))
+  }
+
   test("pageRankContract returns a single true row") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
     val rows = GraphAlgos.pageRankContract(edges, "s", "d").collect()

@@ -26,6 +26,11 @@ class TurtleChunkedSpec extends AnyFunSuite {
         sb ++= s"ex:t$i ex:list ( 1 2.5 'x . y' ) ; ex:anon [ ex:k ex:v ] .\n"
       if (i == n / 2) sb ++= "@prefix late: <http://late/> .\n"
       if (i > n / 2 && i % 13 == 0) sb ++= s"late:x$i late:p late:y .\n"
+      // PN_LOCAL backslash escapes: the escaped dot is followed by
+      // whitespace and the real terminator — a boundary scanner that
+      // treats '\' as inert would split this statement at the fake dot
+      if (i % 17 == 0)
+        sb ++= s"ex:esc\\.$i ex:p ex:o$i\\. .\n"
     }
     sb.toString
   }
