@@ -100,7 +100,11 @@ object Bench {
       // A 100 TB job amortizes compilation over hours; a 5 s query at
       // bench scale otherwise spends half its wall-clock in Janino.
       val warmDir = "/root/testdata/sf0.001"
-      headline.filter(SparkEntry.queries.contains).foreach { n =>
+      // warm only the queries this invocation will actually time — a
+      // tier child (args = "x100:docs") times none of them and should
+      // not pay ~65 warm-up runs before its tier
+      headline.filter(SparkEntry.queries.contains)
+        .filter(n => only.forall(_.contains(n))).foreach { n =>
         try SparkEntry.queries(n)(spark, warmDir)
           .write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
@@ -301,7 +305,11 @@ object Bench {
     //    row-linear; probes filter to base ids so the batch stays 10).
     import org.apache.spark.sql.DataFrame
     def wants(tag: String): Boolean = wants0(tag)
-    def scaleTier(mult: Int, full: Boolean): Unit = {
+    // `section`: "all" runs the whole tier; "graph" only the movie-quad
+    // graph/store block; "docs" only the document/vector block. The
+    // unfiltered (driver) run executes each tier SECTION in its own
+    // child JVM — see the spawn loop below.
+    def scaleTier(mult: Int, full: Boolean, section: String = "all"): Unit = {
       import org.apache.spark.sql.functions._
       import graft.analytics.{Dedup, Similarity}
       val tag = s"x$mult"
@@ -358,7 +366,7 @@ object Bench {
       }
 
       val movieDir = s"/tmp/graft_movie$tag"
-      try {
+      if (section != "docs") try {
         import spark.implicits._
         import graft.core.{Graph, NQuads, QValue}
         import NQuads.ParsedQuad
@@ -541,6 +549,16 @@ object Bench {
                   eAll, "src", "dst", maxDriverEdges = 0L)
                 .write.mode("overwrite").format("noop").save()
             }
+            // Louvain a decade over the x10 entry (47 M edges, forced
+            // distributed): early levels run distributed, then the
+            // contracted community graph folds to the sequential CSR
+            // core under the 5 M-edge gate — the fold layout's
+            // decade-over-decade proof (x10 folds right after level 0)
+            timed1("x100_graph_louvain") {
+              graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
+                  maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
+                .write.mode("overwrite").format("noop").save()
+            }
           }
           // Turtle many-files ingest at N×: the documented scale shape
           // for Turtle (statements span lines, so the distributed unit
@@ -618,6 +636,7 @@ object Bench {
           new java.io.File(movieDir))
       }
 
+      if (section != "graph") {
       smoke(s"${tag}_dedup_minhash") {
         noop(Dedup.minhashPairs(docsX(withSource = false), "doc_id", "text",
           threshold = 0.5))
@@ -772,6 +791,7 @@ object Bench {
           nComponents = 1, iters = 10)
         finally e.unpersist()
       }
+      } // section != "graph"
     }
     // NOTE execution order: load_134m runs FIRST (clean page cache —
     // see its comment near the top of main); skew and the operator
@@ -1089,11 +1109,80 @@ object Bench {
       out.toSeq
     }
 
-    // the xN tiers run LAST (see the ordering note above load_134m)
-    if (wants("x10")) scaleTier(10, full = true)
-    // the 100× tier: the judge's scale-proof block (47 M quads / 500 k
-    // docs / 200 k vectors) — heaviest operators only
-    if (wants("x100")) scaleTier(100, full = false)
+    // the xN tiers run LAST (see the ordering note above load_134m).
+    //
+    // PER-SECTION PROCESS ISOLATION: all 189 round-8 entries shared one
+    // long-lived JVM, and by the time the x100 dedup tier ran, its
+    // entries read ~2.1× their isolated truth with BOTH min-of-2
+    // samples degraded (driver record x100_dedup_minhash 74.9/100.7 s
+    // vs an isolated probe's 33.9 s) — accumulated heap/page-cache
+    // state, not code. The unfiltered (driver) run therefore executes
+    // each xN tier SECTION in its own child JVM (same classpath and
+    // JVM flags as this one); the child reports its entries through a
+    // TSV part file and its stderr progress lines flow through live.
+    // Filtered runs keep the in-process path — `Bench x10` measures
+    // exactly what it used to, and is also what the children invoke.
+    def runTierIsolated(arg: String): Unit = {
+      val part = java.nio.file.Files.createTempFile("graft_bench_part_", ".tsv")
+      val childOut = java.io.File.createTempFile("graft_bench_child_", ".out")
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(sys.props("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", sys.props("java.class.path"), "graft.Bench", arg)
+        val pb = new ProcessBuilder(cmd.asJava)
+        pb.environment().put("GRAFT_BENCH_PART", part.toString)
+        // child stderr (its BENCH_PROGRESS lines) flows through; child
+        // stdout (its own summary JSON) must not mix into ours
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        pb.redirectOutput(ProcessBuilder.Redirect.to(childOut))
+        val rc = pb.start().waitFor()
+        val lines =
+          if (java.nio.file.Files.exists(part))
+            java.nio.file.Files.readAllLines(part).asScala.toSeq
+          else Seq.empty
+        var got = 0
+        lines.foreach { l =>
+          l.split("\t", 3) match {
+            case Array("Q", k, v) if k != "graph_load" =>
+              scaleOut += k -> v.toDouble; got += 1
+            case Array("E", k, v) => errors(k) = v
+            case _ => ()
+          }
+        }
+        // a dead child is an explicit errors entry, never silence
+        if (rc != 0 || got == 0)
+          errors(s"tier_$arg") = s"child JVM exit=$rc entries=$got"
+      } catch {
+        case e: Throwable => errors(s"tier_$arg") = errText(e)
+      } finally {
+        java.nio.file.Files.deleteIfExists(part)
+        childOut.delete()
+      }
+    }
+    def sectionOf(a: String): String =
+      a.split(":", 2) match { case Array(_, s) => s; case _ => "all" }
+    if (only.isEmpty) {
+      Seq("x10:graph", "x10:docs", "x100:graph", "x100:docs")
+        .foreach(runTierIsolated)
+    } else {
+      // debug aid: "spawn:x10:docs" exercises the child-JVM path for one
+      // tier section from a filtered run
+      only.get.filter(_.startsWith("spawn:")).toSeq.sorted
+        .foreach(a => runTierIsolated(a.stripPrefix("spawn:")))
+      def tierArg(t: String): Option[String] = only.get.collectFirst {
+        case a if a == t || a.startsWith(t + ":") => a
+      }
+      tierArg("x10").foreach(a =>
+        scaleTier(10, full = true, section = sectionOf(a)))
+      // the 100× tier: the judge's scale-proof block (47 M quads / 500 k
+      // docs / 200 k vectors) — heaviest operators only
+      tierArg("x100").foreach(a =>
+        scaleTier(100, full = false, section = sectionOf(a)))
+    }
 
     val all = ("graph_load" -> loadSec) +:
       (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
@@ -1115,6 +1204,16 @@ object Bench {
     if (only.isEmpty)
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
         json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // child mode: report every entry (and error) to the parent's part
+    // file — TSV, because the parent wrote the serializer and a tab
+    // can appear in neither names nor errText output
+    sys.env.get("GRAFT_BENCH_PART").foreach { p =>
+      val sb = new StringBuilder
+      all.foreach { case (k, v) => sb ++= s"Q\t$k\t$v\n" }
+      errors.foreach { case (k, v) => sb ++= s"E\t$k\t$v\n" }
+      java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     spark.stop()
     // ...and prints LAST, after spark.stop(), so no shutdown log lines
     // trail it in the captured output

@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 /** Ad-hoc measurement harness (not part of the library surface).
   * Targets the heavy iterative graph operators at the xN movie scales.
   * Caches the dictionary-encoded edge list as parquet so re-probes skip
-  * the synthesis+load. Usage: `runMain graft.Probe [wcc|louvain] [mult]`.
+  * the synthesis+load. Usage:
+  * `runMain graft.Probe [wcc|louvain|scc|minhash|clusters|fuzzy] [mult]`.
   */
 object Probe {
   def main(args: Array[String]): Unit = {
@@ -74,7 +75,7 @@ object Probe {
               eAll, "src", "dst", maxDriverEdges = 0L)
             .write.mode("overwrite").format("noop").save()
         }
-      case "minhash" =>
+      case "minhash" | "clusters" =>
         // xN documents corpus, same affine-permutation synthesis as Bench
         val docPath = s"/tmp/mh_docs_x$mult.parquet"
         if (!new java.io.File(docPath).exists()) {
@@ -104,8 +105,31 @@ object Probe {
         println(s"sets-estimate-bytes: " +
           s"${sets.queryExecution.optimizedPlan.stats.sizeInBytes}")
         (1 to 2).foreach { i =>
-          timed(s"minhashPairs-$i") {
+          if (op == "minhash") timed(s"minhashPairs-$i") {
             graft.analytics.Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+              .write.mode("overwrite").format("noop").save()
+          }
+          else timed(s"clusters-$i") {
+            graft.analytics.Dedup.clusters(docs, "doc_id", "text", 0.5)
+              .write.mode("overwrite").format("noop").save()
+          }
+          spark.sharedState.cacheManager.clearCache()
+        }
+      case "fuzzy" =>
+        // same per-copy prefix-code name synthesis as the bench entry
+        val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
+          .select(col("c_custkey"), col("c_name"))
+        val codes = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg",
+          "hh", "ii", "jj")
+        val namesX = (0 until mult).map(k =>
+          cust.select((col("c_custkey") + lit(k * 100000000L)).as("id"),
+            concat(lit(codes(k % codes.length).toString +
+              (k / codes.length) + (k / codes.length)),
+              col("c_name")).as("nm")))
+          .reduce(_ union _)
+        (1 to 2).foreach { i =>
+          timed(s"fuzzy-$i") {
+            graft.analytics.Dedup.editDistancePairs(namesX, "id", "nm")
               .write.mode("overwrite").format("noop").save()
           }
           spark.sharedState.cacheManager.clearCache()

@@ -1552,7 +1552,8 @@ object GraphAlgos {
     */
   def louvain(edges: DataFrame, srcCol: String, dstCol: String,
               maxRounds: Int = 20, maxLevels: Int = 10,
-              maxDriverEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
+              maxDriverEdges: Long = Dedup.DriverCcMaxEdges,
+              driverFoldEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val und = edges
@@ -1567,7 +1568,7 @@ object GraphAlgos {
       Dedup.releaseBlocks(und)
       val lab = louvainLocal(es, maxRounds, maxLevels).toSeq
       lab.toDF("node", "community")
-    } else louvainDistributed(und, maxRounds, maxLevels)
+    } else louvainDistributed(und, maxRounds, maxLevels, driverFoldEdges)
   }
 
   /** Sequential reference Louvain (driver tier): ascending node order,
@@ -1578,85 +1579,212 @@ object GraphAlgos {
                    maxLevels: Int = 10): Map[Long, Long] = {
     val und = edges.map(e => if (e._1 <= e._2) e else e.swap)
       .filter(e => e._1 != e._2).distinct
-    // weighted level state: symmetric adjacency (no self edges) +
-    // self-loop weights (contracted intra-community mass)
-    var adj: Map[Long, Map[Long, Double]] =
-      (und ++ und.map(_.swap)).groupBy(_._1).map { case (u, vs) =>
-        u -> vs.map(v => v._2 -> 1.0).toMap
-      }
-    var selfW: Map[Long, Double] = Map.empty
-    var nodes: Seq[Long] = adj.keySet.toSeq.sorted
-    var assign: Map[Long, Long] = nodes.map(n => n -> n).toMap
-    var level = 0
-    var levelMoved = true
-    while (levelMoved && level < maxLevels) {
-      val m = adj.values.map(_.values.sum).sum / 2.0 + selfW.values.sum
-      val k: Map[Long, Double] = nodes.map { u =>
-        u -> (adj.getOrElse(u, Map.empty).values.sum +
-          2.0 * selfW.getOrElse(u, 0.0))
-      }.toMap
-      val comm = scala.collection.mutable.Map[Long, Long](
-        nodes.map(n => n -> n): _*)
-      val tot = scala.collection.mutable.Map[Long, Double](
-        nodes.map(n => n -> k(n)): _*)
-      levelMoved = false
-      var moved = true; var rounds = 0
-      while (moved && rounds < maxRounds) {
-        moved = false
-        for (u <- nodes) {
-          val cu = comm(u)
-          val wuc = scala.collection.mutable.Map[Long, Double]()
-            .withDefaultValue(0.0)
-          for ((v, w) <- adj.getOrElse(u, Map.empty)) wuc(comm(v)) += w
-          tot(cu) -= k(u) // lift u out of its community
-          var bestC = cu
-          var bestS = wuc(cu) - k(u) * tot(cu) / (2.0 * m)
-          // ascending community order + strict > keeps the smallest id
-          // among score ties, and only strictly-improving moves apply
-          for ((c, w) <- wuc.toSeq.sortBy(_._1) if c != cu) {
-            val s = w - k(u) * tot(c) / (2.0 * m)
-            if (s > bestS + 1e-12) { bestC = c; bestS = s }
-          }
-          tot(bestC) += k(u)
-          if (bestC != cu) { comm(u) = bestC; moved = true
-            levelMoved = true }
-        }
-        rounds += 1
-      }
-      if (levelMoved) {
-        assign = assign.map { case (orig, sup) => orig -> comm(sup) }
-        val newSelf = scala.collection.mutable.Map[Long, Double]()
-          .withDefaultValue(0.0)
-        for ((u, sw) <- selfW) newSelf(comm(u)) += sw
-        val newAdj = scala.collection.mutable
-          .Map[Long, scala.collection.mutable.Map[Long, Double]]()
-        for ((u, nb) <- adj; (v, w) <- nb) {
-          val cu = comm(u); val cv = comm(v)
-          if (cu == cv) { if (u < v) newSelf(cu) += w }
-          else {
-            val row = newAdj.getOrElseUpdate(cu,
-              scala.collection.mutable.Map[Long, Double]()
-                .withDefaultValue(0.0))
-            row(cv) += w
-          }
-        }
-        selfW = newSelf.toMap
-        adj = newAdj.map { case (u, nb) => u -> nb.toMap }.toMap
-        nodes = (adj.keySet ++ selfW.keySet).toSeq.sorted
-        level += 1
-      }
-    }
+    val assign = louvainCore(
+      und.map(e => (e._1, e._2, 1.0)).toIndexedSeq,
+      Map.empty, maxRounds, maxLevels)
     val minId = assign.toSeq.groupBy(_._2)
       .map { case (c, xs) => c -> xs.map(_._1).min }
     assign.map { case (n, c) => n -> minId(c) }
   }
 
+  /** Weighted sequential Louvain core shared by the driver tier and the
+    * distributed tier's fold-down: local moving + contraction from a
+    * given weighted level state. `edges0` is canonical deduped
+    * undirected (a < b, no self edges); `selfW0` carries contracted
+    * intra-community mass. Returns start-node → final supernode;
+    * callers relabel to their canonical community ids.
+    *
+    * CSR/array layout throughout (a Map-of-Maps predecessor measured
+    * ~135 s on a 3.1 M-edge contracted hub graph; this one handles it
+    * in seconds). Decision-identical to the textbook formulation: node
+    * indices assigned in ascending id order at every level, so index
+    * comparisons reproduce the ascending-community tie-break, and all
+    * level weights are integral doubles so accumulation order cannot
+    * change a sum.
+    */
+  private def louvainCore(edges0: IndexedSeq[(Long, Long, Double)],
+                          selfW0: Map[Long, Double],
+                          maxRounds: Int, maxLevels: Int)
+      : Map[Long, Long] = {
+    // node universe: edge endpoints ∪ self-loop carriers, sorted so
+    // array index order is isomorphic to node-id order
+    val ids0: Array[Long] = {
+      val s = scala.collection.mutable.SortedSet.empty[Long]
+      edges0.foreach { e => s += e._1; s += e._2 }
+      selfW0.keys.foreach(s += _)
+      s.toArray
+    }
+    if (ids0.isEmpty) return Map.empty
+    val idx0 = new java.util.HashMap[Long, Integer](ids0.length * 2)
+    var i = 0
+    while (i < ids0.length) { idx0.put(ids0(i), i); i += 1 }
+    // current level state over node indices 0..n-1: canonical edge
+    // arrays + self-loop weights + id table
+    var ids = ids0
+    var ea = new Array[Int](edges0.length)
+    var eb = new Array[Int](edges0.length)
+    var ewt = new Array[Double](edges0.length)
+    i = 0
+    while (i < edges0.length) {
+      val e = edges0(i)
+      ea(i) = idx0.get(e._1); eb(i) = idx0.get(e._2); ewt(i) = e._3
+      i += 1
+    }
+    var selfW = new Array[Double](ids.length)
+    selfW0.foreach { case (node, w) => selfW(idx0.get(node)) = w }
+    // assign: ORIGINAL node index -> current level node index
+    val assign = Array.tabulate(ids0.length)(identity)
+    var level = 0
+    var levelMoved = true
+    while (levelMoved && level < maxLevels) {
+      val n = ids.length
+      // symmetric CSR for this level
+      val off = new Array[Int](n + 1)
+      i = 0
+      while (i < ea.length) { off(ea(i) + 1) += 1; off(eb(i) + 1) += 1
+        i += 1 }
+      i = 0
+      while (i < n) { off(i + 1) += off(i); i += 1 }
+      val pos = java.util.Arrays.copyOf(off, n)
+      val nbr = new Array[Int](off(n))
+      val nwt = new Array[Double](off(n))
+      i = 0
+      while (i < ea.length) {
+        val a = ea(i); val b = eb(i); val w = ewt(i)
+        nbr(pos(a)) = b; nwt(pos(a)) = w; pos(a) += 1
+        nbr(pos(b)) = a; nwt(pos(b)) = w; pos(b) += 1
+        i += 1
+      }
+      var m = 0.0
+      i = 0
+      while (i < ewt.length) { m += ewt(i); i += 1 }
+      i = 0
+      while (i < n) { m += selfW(i); i += 1 }
+      val k = new Array[Double](n)
+      i = 0
+      while (i < n) {
+        var s = 2.0 * selfW(i)
+        var j = off(i)
+        while (j < off(i + 1)) { s += nwt(j); j += 1 }
+        k(i) = s
+        i += 1
+      }
+      val comm = Array.tabulate(n)(identity)
+      val tot = k.clone()
+      // scratch: per-node neighbor-community weights; positive weights
+      // make 0.0 a sound untouched marker
+      val wuc = new Array[Double](n)
+      val touched = new Array[Int](n)
+      levelMoved = false
+      var moved = true; var rounds = 0
+      while (moved && rounds < maxRounds) {
+        moved = false
+        var u = 0
+        while (u < n) {
+          val cu = comm(u)
+          var nt = 0
+          var j = off(u)
+          while (j < off(u + 1)) {
+            val c = comm(nbr(j))
+            if (wuc(c) == 0.0) { touched(nt) = c; nt += 1 }
+            wuc(c) += nwt(j)
+            j += 1
+          }
+          tot(cu) -= k(u) // lift u out of its community
+          var bestC = cu
+          var bestS = wuc(cu) - k(u) * tot(cu) / (2.0 * m)
+          // ascending community order + strict > keeps the smallest id
+          // among score ties, and only strictly-improving moves apply
+          java.util.Arrays.sort(touched, 0, nt)
+          var t = 0
+          while (t < nt) {
+            val c = touched(t)
+            if (c != cu) {
+              val s = wuc(c) - k(u) * tot(c) / (2.0 * m)
+              if (s > bestS + 1e-12) { bestC = c; bestS = s }
+            }
+            t += 1
+          }
+          tot(bestC) += k(u)
+          if (bestC != cu) { comm(u) = bestC; moved = true
+            levelMoved = true }
+          t = 0
+          while (t < nt) { wuc(touched(t)) = 0.0; t += 1 }
+          u += 1
+        }
+        rounds += 1
+      }
+      if (levelMoved) {
+        // compact surviving communities in ascending index (= id) order
+        // so the next level's index order stays id-isomorphic
+        val used = new Array[Boolean](n)
+        i = 0
+        while (i < n) { used(comm(i)) = true; i += 1 }
+        val cidx = new Array[Int](n)
+        var nNew = 0
+        i = 0
+        while (i < n) { if (used(i)) { cidx(i) = nNew; nNew += 1 }
+          i += 1 }
+        val newIds = new Array[Long](nNew)
+        i = 0
+        while (i < n) { if (used(i)) newIds(cidx(i)) = ids(i); i += 1 }
+        val newSelf = new Array[Double](nNew)
+        i = 0
+        while (i < n) { newSelf(cidx(comm(i))) += selfW(i); i += 1 }
+        // contract: intra-community edge mass folds into self-loops,
+        // inter-community edges aggregate on packed (lo, hi) keys
+        val agg = scala.collection.mutable.LongMap.empty[Double]
+        i = 0
+        while (i < ea.length) {
+          val ca = cidx(comm(ea(i))); val cb = cidx(comm(eb(i)))
+          if (ca == cb) newSelf(ca) += ewt(i)
+          else {
+            val lo = math.min(ca, cb).toLong
+            val hi = math.max(ca, cb).toLong
+            val key = (lo << 32) | hi
+            agg(key) = agg.getOrElse(key, 0.0) + ewt(i)
+          }
+          i += 1
+        }
+        val nea = new Array[Int](agg.size)
+        val neb = new Array[Int](agg.size)
+        val nwt2 = new Array[Double](agg.size)
+        var p = 0
+        agg.foreach { case (key, w) =>
+          nea(p) = (key >>> 32).toInt
+          neb(p) = (key & 0xFFFFFFFFL).toInt
+          nwt2(p) = w; p += 1
+        }
+        i = 0
+        while (i < assign.length) {
+          assign(i) = cidx(comm(assign(i))); i += 1
+        }
+        ids = newIds; selfW = newSelf
+        ea = nea; eb = neb; ewt = nwt2
+        level += 1
+      }
+    }
+    val out = Map.newBuilder[Long, Long]
+    i = 0
+    while (i < ids0.length) { out += ids0(i) -> ids(assign(i)); i += 1 }
+    out.result()
+  }
+
   /** Distributed Louvain tier over a canonical deduped undirected edge
     * list (a < b). See [[louvain]] for the round/level design.
+    * `driverFoldEdges`: once a level's CONTRACTED community graph has
+    * at most this many edges, collect it and finish the remaining
+    * levels with the sequential core — contraction typically collapses
+    * the graph by orders of magnitude after level 0, and the measured
+    * cost of the distributed tail levels is pure scheduling (~45 s of
+    * 1-3 s rounds at x10 on the movie graph, movers in the hundreds).
+    * Negative disables the fold (pure-distributed contract runs).
     */
   private def louvainDistributed(und0: DataFrame, maxRounds: Int,
-                                 maxLevels: Int): DataFrame = {
+                                 maxLevels: Int,
+                                 driverFoldEdges: Long): DataFrame = {
     val spark = und0.sparkSession
+    import spark.implicits._
     val numParts = spark.sessionState.conf.numShufflePartitions
     val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -1841,6 +1969,34 @@ object GraphAlgos {
         ew = ew2; sw = sw2
         held += ew; held += sw
         level += 1
+        // driver fold (two-tier pattern shared with CC/SCC/BFS): once
+        // the contracted community graph fits the gate, the remaining
+        // levels run sequentially — one collect of a community-sized
+        // graph replaces whole scheduling-bound distributed levels
+        val debugL = sys.env.contains("GRAFT_LOUVAIN_DEBUG")
+        val foldEligible = driverFoldEdges >= 0L && level < maxLevels
+        val contractedEdges =
+          if (foldEligible || debugL) ew.count() else -1L
+        if (debugL)
+          System.err.println(
+            s"louvain level=${level - 1} contracted |E|=$contractedEdges")
+        if (foldEligible && contractedEdges <= driverFoldEdges) {
+          val ewRows = ew.collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .toIndexedSeq
+          val selfMap = sw.collect()
+            .map(r => (r.getLong(0), r.getDouble(1))).toMap
+          val localA = louvainCore(ewRows, selfMap, maxRounds,
+            maxLevels - level)
+          val supDF = localA.toSeq.toDF("sup", "fsup")
+          val folded = assign.join(broadcast(supDF), Seq("sup"), "left")
+            .select(col("node"),
+              coalesce(col("fsup"), col("sup")).as("sup"))
+          val mins = folded.groupBy("sup").agg(min("node").as("community"))
+          return Dedup.releasing(
+            folded.join(mins, "sup").select(col("node"), col("community")),
+            (held += assign).toSeq)
+        }
       } else Dedup.releaseBlocks(cur)
     }
     val mins = assign.groupBy("sup").agg(min("node").as("community"))
@@ -1871,8 +2027,13 @@ object GraphAlgos {
         Seq((base + sz - 1, base + sz)) else Seq.empty
       ring ++ chords ++ bridge
     }.toDF("src", "dst")
+    // forced-distributed also disables the driver fold so the contract
+    // exercises the pure distributed rounds end to end (the fold path
+    // has its own planted-recovery spec)
     louvain(edges, "src", "dst",
-      maxDriverEdges = if (forceDistributed) -1L else Long.MaxValue)
+      maxDriverEdges = if (forceDistributed) -1L else Long.MaxValue,
+      driverFoldEdges = if (forceDistributed) -1L else
+        Dedup.DriverCcMaxEdges)
   }
 
   /** Strongly connected components of a DIRECTED edge list. Returns

@@ -840,6 +840,29 @@ class GraphAlgosSpec extends AnyFunSuite {
     }
   }
 
+  test("louvain distributed tier folds to the driver once contracted") {
+    // forced-distributed level 0 (maxDriverEdges = -1), but the fold
+    // gate is wide open: after the first contraction the ~10-supernode
+    // community graph collects and the sequential core finishes the
+    // remaining levels — the result must still be the exact planted
+    // partition (same as the pure tiers)
+    val c = 10; val sz = 20
+    val edges = (0 until c).flatMap { ci =>
+      val base = ci.toLong * sz
+      val ring = (0 until sz).map(i => (base + i, base + (i + 1) % sz))
+      val chords = (0 until sz).map(i => (base + i, base + (i + 2) % sz))
+      val bridge = if (ci + 1 < c)
+        Seq((base + sz - 1, base + sz)) else Seq.empty
+      ring ++ chords ++ bridge
+    }.toDF("src", "dst")
+    val got = GraphAlgos.louvain(edges, "src", "dst",
+        maxDriverEdges = -1L, driverFoldEdges = Long.MaxValue)
+      .as[(Long, Long)].collect().toMap
+    val expect = (0L until (c * sz).toLong)
+      .map(i => i -> (i / sz) * sz).toMap
+    assert(got === expect)
+  }
+
   test("katz: exact dyadic walk counts on a 3-node chain") {
     // 1 -> 2 -> 3, alpha = 1/4, T = 8:
     //   x(1) = 1, x(2) = 1 + 1/4, x(3) = 1 + (1 + 1/4)/4 = 1 + 5/16
