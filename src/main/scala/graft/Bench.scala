@@ -588,14 +588,37 @@ object Bench {
           // design: it is a data product, not a query.
           val storeDir = s"/tmp/graft_moviestore$tag"
           try {
+            // dual-index layout ([SP, OPS]): the write pays the (p,s)
+            // sort plus the object-sorted sibling — the reference's load
+            // pays both index orders too — and every store query below
+            // (the baseline pair's first hops are reverse name lookups)
+            // runs against it
             scaleOut += s"${tag}_store_write" -> time {
-              g.write(storeDir, predicateBuckets = 16)
+              g.write(storeDir, predicateBuckets = 16, objectIndex = true)
             }
             g.nodes.unpersist(true); g.quads.unpersist(true); g = null
             spark.sharedState.cacheManager.clearCache()
             val gs = Graph.read(spark, storeDir)
             timed2(s"${tag}_store_two_sets")(twoSets(gs))
             timed2(s"${tag}_store_three_huge")(threeHuge(gs))
+            // dual-index parity pair: 2-hop traversals rooted at
+            // plan-time literal ids for EVERY copy, balanced roots
+            // (film with 34 performances vs actor with 33). Forward
+            // pushes s literals into the (p,s)-sorted primary; reverse
+            // pushes o literals into the (p,o)-sorted OPS sibling —
+            // the contract is reverse within ~2x of forward
+            def copies(base: String): Seq[QValue] = (0 until mult).map(k =>
+              QValue.Iri(if (k == 0) base else s"$base/x$k"))
+            val filmRoots = copies("/en/grind_house")
+            val actorRoots = copies("/en/tyrone_power")
+            timed2(s"${tag}_store_hop2_fwd") {
+              Exec.run(gs, Path.start(filmRoots: _*)
+                .out(starring).out(perfActor)).values()
+            }
+            timed2(s"${tag}_store_hop2_rev") {
+              Exec.run(gs, Path.start(actorRoots: _*)
+                .in(perfActor).in(starring)).values()
+            }
             // incremental ingest into the live store (x10 tier): append
             // ONE extra remapped 471k-quad copy — existence anti-join
             // scans only touched pb partitions, files are append-only.

@@ -527,8 +527,10 @@ object SparkEntry {
         .createTempDirectory("gsa-full").toString
       val dirInc = java.nio.file.Files
         .createTempDirectory("gsa-inc").toString
-      g.withStats().write(dirFull, predicateBuckets = 8)
-      h1.withStats().write(dirInc, predicateBuckets = 8)
+      // dual-index stores (SP-sorted primary + OPS sibling): append must
+      // keep BOTH orderings row-identical to the rebuilt store
+      g.withStats().write(dirFull, predicateBuckets = 8, objectIndex = true)
+      h1.withStats().write(dirInc, predicateBuckets = 8, objectIndex = true)
       Graph.append(s, dirInc, h2)
       val full = Graph.read(s, dirFull)
       val inc = Graph.read(s, dirInc)
@@ -542,8 +544,12 @@ object SparkEntry {
       val trav = Path.start().out(iri("c_nation")).out(iri("n_region"))
       def tkey(gr: Graph) = Exec.run(gr, trav).values()
         .map(_.nquads).sorted
+      // the appended OPS sibling must stay row-identical to the primary
+      val opsDiff = inc.quadsOps.map(ops =>
+        ops.select(base.map(col): _*).exceptAll(q(inc)).count() +
+          q(inc).exceptAll(ops.select(base.map(col): _*)).count())
       val ok = diff == 0 && nodesOk && inc.predStats == full.predStats &&
-        tkey(inc) == tkey(full)
+        tkey(inc) == tkey(full) && opsDiff.contains(0L)
       Seq(ok).toDF("append_ok")
     }),
     // Schema package (reference schema/schema.go + loader.go): typed

@@ -27,7 +27,8 @@ import org.apache.spark.sql.types._
 final case class Graph(nodes: DataFrame, quads: DataFrame,
                        predicateBuckets: Int = 0,
                        predStats: Option[Map[Long, Long]] = None,
-                       interactiveMaxQuads: Long = 0L) {
+                       interactiveMaxQuads: Long = 0L,
+                       quadsOps: Option[DataFrame] = None) {
   def spark: SparkSession = nodes.sparkSession
 
   def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache())
@@ -67,12 +68,39 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
     * `pb` filter whenever it has a literal predicate set, so pruning is
     * static, not even dynamic).
     */
-  def write(dir: String, predicateBuckets: Int = 0): Unit = {
+  /** `objectIndex = true` writes the reference's dual-index layout
+    * (`DefaultQuadIndexes = [SP, OPS]`, graph/kv/indexing.go:62-71) as
+    * two Parquet orderings: the primary sorted by (p, s) within each
+    * predicate bucket — forward hops with literal subjects skip row
+    * groups on s min/max — and a `quads_ops` sibling with the SAME rows
+    * sorted by (p, o), so reverse hops with literal objects prune the
+    * way forward ones do. The sibling is built by re-reading the files
+    * just written (the input plan evaluates once); readers pick it up
+    * through `graft_meta.json` and the lowering scans whichever
+    * ordering matches the hop's literal side.
+    */
+  def write(dir: String, predicateBuckets: Int = 0,
+            objectIndex: Boolean = false): Unit = {
     nodes.write.mode("overwrite").parquet(s"$dir/nodes")
     if (predicateBuckets > 0) {
-      quads.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
-        .write.mode("overwrite").partitionBy("pb").parquet(s"$dir/quads")
-    } else quads.write.mode("overwrite").parquet(s"$dir/quads")
+      val q = quads.withColumn("pb", pmod(col("p"), lit(predicateBuckets)))
+      val primary = if (objectIndex)
+        q.repartition(col("pb")).sortWithinPartitions("pb", "p", "s")
+      else q
+      primary.write.mode("overwrite").partitionBy("pb").parquet(s"$dir/quads")
+    } else {
+      val primary = if (objectIndex) quads.sort("p", "s") else quads
+      primary.write.mode("overwrite").parquet(s"$dir/quads")
+    }
+    if (objectIndex) {
+      val q = nodes.sparkSession.read.parquet(s"$dir/quads")
+      if (predicateBuckets > 0)
+        q.repartition(col("pb")).sortWithinPartitions("pb", "p", "o")
+          .write.mode("overwrite").partitionBy("pb")
+          .parquet(s"$dir/quads_ops")
+      else q.sort("p", "o").write.mode("overwrite")
+        .parquet(s"$dir/quads_ops")
+    }
     // persist per-predicate counts with the store (the QuadIndexer stats
     // table): readers get plan-time size folding without running a job.
     // Count from the files just written, not the input plan — when the
@@ -86,7 +114,8 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$dir/graft_meta.json"),
-      s"""{"predicateBuckets":$predicateBuckets,"predStats":$statsJson}""")
+      s"""{"predicateBuckets":$predicateBuckets,""" +
+        s""""opsIndex":$objectIndex,"predStats":$statsJson}""")
   }
 
   /** Delta application (the reference's `ApplyDeltas`,
@@ -106,11 +135,12 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
     else merged
     val n = nodes.unionByName(g2.nodes.select(nodes.columns.toIndexedSeq.map(col): _*))
       .dropDuplicates("id")
-    copy(nodes = n, quads = q, predStats = None) // stats are pre-mutation
+    // stats and the object-sorted sibling are both pre-mutation views
+    copy(nodes = n, quads = q, predStats = None, quadsOps = None)
   }
 
   def deleteQuads(g2: Graph): Graph =
-    copy(predStats = None, quads = quads.join(g2.quads,
+    copy(predStats = None, quadsOps = None, quads = quads.join(g2.quads,
       quads("s") === g2.quads("s") && quads("p") === g2.quads("p") &&
         quads("o") === g2.quads("o") && quads("l") <=> g2.quads("l"),
       "left_anti"))
@@ -240,6 +270,21 @@ object Graph {
       // would see the just-appended files and count zero
       val appended = fresh.groupBy("p").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // dual-index store: the same fresh rows land in the object-sorted
+      // sibling too (sorted within the appended files — the new files'
+      // row-group stats prune like the originals'). MUST run before the
+      // primary write: fresh's anti-join reads dir/quads, and writing
+      // into that path recaches the plan against the new files — the
+      // re-evaluated anti-join would then see its own output and yield
+      // zero rows (the same trap the pre-write stats count dodges above)
+      if (stored.quadsOps.isDefined) {
+        if (buckets > 0)
+          fresh.repartition(col("pb")).sortWithinPartitions("pb", "p", "o")
+            .write.mode("append").partitionBy("pb")
+            .parquet(s"$dir/quads_ops")
+        else fresh.sort("p", "o").write.mode("append")
+          .parquet(s"$dir/quads_ops")
+      }
       if (buckets > 0)
         fresh.write.mode("append").partitionBy("pb").parquet(s"$dir/quads")
       else fresh.write.mode("append").parquet(s"$dir/quads")
@@ -261,13 +306,15 @@ object Graph {
       val statsJson = merged.toSeq.sortBy(_._1)
         .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
       java.nio.file.Files.writeString(metaPath,
-        s"""{"predicateBuckets":$buckets,"predStats":$statsJson}""")
+        s"""{"predicateBuckets":$buckets,""" +
+          s""""opsIndex":${stored.quadsOps.isDefined},""" +
+          s""""predStats":$statsJson}""")
     } finally fresh.unpersist()
   }
 
   def read(spark: SparkSession, dir: String): Graph = {
     val metaPath = java.nio.file.Paths.get(s"$dir/graft_meta.json")
-    val (buckets, stats) =
+    val (buckets, stats, ops) =
       if (java.nio.file.Files.exists(metaPath)) {
         val m = java.nio.file.Files.readString(metaPath)
         val b = "\"predicateBuckets\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(m)
@@ -279,10 +326,13 @@ object Graph {
               k.trim.stripPrefix("\"").stripSuffix("\"").toLong -> v.trim.toLong
             }.toMap
           }
-        (b, st)
-      } else (0, None)
+        val o = "\"opsIndex\"\\s*:\\s*true".r.findFirstIn(m).isDefined
+        (b, st, o)
+      } else (0, None, false)
     Graph(spark.read.parquet(s"$dir/nodes"),
-      spark.read.parquet(s"$dir/quads"), buckets, stats)
+      spark.read.parquet(s"$dir/quads"), buckets, stats,
+      quadsOps =
+        if (ops) Some(spark.read.parquet(s"$dir/quads_ops")) else None)
   }
 
   /** Deterministically quad-ify a relational table: each row becomes

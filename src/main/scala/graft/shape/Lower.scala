@@ -201,7 +201,24 @@ final class Lower(g: Graph) {
 
   // ------------------------------------------------------------------ quads
   def quads(s: Shape): DataFrame = s match {
-    case Shape.Quads(filters) => filters.foldLeft(g.quads)(applyQuadFilter)
+    case Shape.Quads(filters) =>
+      // dual-index selection (the kv backend's [SP, OPS]
+      // DefaultQuadIndexes, graph/kv/indexing.go:62-71): a hop with a
+      // LITERAL object constraint scans the store's object-sorted
+      // sibling layout when one exists — the pushed `o` filter then
+      // skips row groups on o min/max exactly the way subject-rooted
+      // scans skip on s in the (p, s)-sorted primary. Identical rows,
+      // so the choice is pure layout.
+      def isFixed(v: Shape): Boolean = v match {
+        case Shape.Fixed(_)                => true
+        case Shape.Save(_, Shape.Fixed(_)) => true
+        case _                             => false
+      }
+      val fixedO = filters.exists(f => f.dir == Dir.O && isFixed(f.values))
+      val fixedS = filters.exists(f => f.dir == Dir.S && isFixed(f.values))
+      val base =
+        if (fixedO && !fixedS) g.quadsOps.getOrElse(g.quads) else g.quads
+      filters.foldLeft(base)(applyQuadFilter)
     case Shape.Union(sub) =>
       sub.map(quads).reduce(_.unionByName(_, allowMissingColumns = true))
     case other =>

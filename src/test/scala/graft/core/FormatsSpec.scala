@@ -416,6 +416,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("Graph.append keeps the OPS sibling row-identical to the primary") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val h1 = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 0))
+    val h2 = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 1)
+      .union(g.quads.limit(3)))
+    val dir = Files.createTempDirectory("graft-app-ops").toString
+    h1.withStats().write(dir, predicateBuckets = 4, objectIndex = true)
+    Graph.append(spark, dir, h2)
+    val inc = Graph.read(spark, dir)
+    assert(inc.quadsOps.nonEmpty, "append must preserve the opsIndex flag")
+    def qset(df: org.apache.spark.sql.DataFrame) =
+      df.select("s", "p", "o", "l").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    assert(qset(inc.quadsOps.get) === qset(inc.quads))
+    // a reverse-literal traversal (served by the sibling) sees the
+    // appended rows
+    val got = Exec.run(inc, Path.start(QValue.Iri("bob"))
+      .in(QValue.Iri("follows"))).values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>"))
+  }
+
   test("RDFS closure materializes subclass/subproperty entailments") {
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     val subClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"

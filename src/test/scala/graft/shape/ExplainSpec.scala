@@ -40,6 +40,38 @@ class ExplainSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("dual-index store: reverse-literal hops scan the OPS sibling") {
+    val g0 = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val d = Files.createTempDirectory("graft-store-ops").toString
+    g0.write(d, predicateBuckets = 8, objectIndex = true)
+    val g = Graph.read(spark, d)
+    assert(g.quadsOps.nonEmpty, "meta should carry opsIndex=true")
+    // reverse hop rooted at a literal object → the scan must read the
+    // (p, o)-sorted quads_ops files with the o filter pushed
+    val rev = Exec.lower(g,
+      Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")).shape())
+    val revPlan = rev.queryExecution.executedPlan.toString
+    assert(revPlan.contains("quads_ops"), s"reverse scan not on ops:\n$revPlan")
+    assert(revPlan.contains("EqualTo(o,"), s"no pushed o filter:\n$revPlan")
+    assert(revPlan.contains("PartitionFilters: [isnotnull(pb"),
+      s"ops scan lost pb pruning:\n$revPlan")
+    // forward hop rooted at a literal subject → stays on the primary
+    val fwd = Exec.lower(g,
+      Path.start(QValue.Iri("bob")).out(QValue.Iri("follows")).shape())
+    val fwdPlan = fwd.queryExecution.executedPlan.toString
+    assert(!fwdPlan.contains("quads_ops"), s"forward scan on ops:\n$fwdPlan")
+    assert(fwdPlan.contains("EqualTo(s,"), s"no pushed s filter:\n$fwdPlan")
+    // correctness identical through either layout
+    val got = Exec.run(g,
+      Path.start(QValue.Iri("bob")).in(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(got === Seq("<alice>", "<charlie>", "<dani>"))
+    val gotF = Exec.run(g,
+      Path.start(QValue.Iri("bob")).out(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(gotF === Seq("<fred>"))
+  }
+
   test("stats persist with the store: a read graph folds without a job") {
     val g = Graph.read(spark, dir)
     assert(g.predStats.nonEmpty, "written store should carry predicate stats")
