@@ -2286,7 +2286,8 @@ object SparkEntry {
       GraphAlgos.betweennessApproxContract(
         g.quads.where(col("p").isin(preds: _*))
           .select(col("s").as("src"), col("o").as("dst")),
-        "src", "dst", nSources = 256, tol = 0.25)
+        "src", "dst", nSources = 256, tol = 0.25,
+        kLow = 4, kHigh = 16)
     }),
     // Newman modularity of the nation partition over a customer graph
     // (within-nation chain + cross-nation (c+7) mod N shortcut edges):

@@ -2639,12 +2639,18 @@ object GraphAlgos {
     * (2) ESTIMATION ERROR — at the given k, the aggregate relative
     * error Σ|est−exact| / Σexact must be ≤ `tol` (per-node error on
     * low-bc nodes is high-variance by nature; the aggregate is the
-    * published Brandes–Pich quality figure). One row
-    * `(approx_ok, n_nodes, k)`.
+    * published Brandes–Pich quality figure);
+    * (3) CONVERGENCE IN k (when `kLow`/`kHigh` set) — the mean
+    * aggregate error over three fixed seeds must strictly DECREASE
+    * from kLow to kHigh sources (one seed per k is sampling-variance
+    * flaky; the 3-seed mean pins the estimator's convergence, which is
+    * the property that justifies spending a larger k at scale).
+    * One row `(approx_ok, n_nodes, k)`.
     */
   def betweennessApproxContract(edges: DataFrame, srcCol: String,
                                 dstCol: String, nSources: Int,
-                                tol: Double = 0.5): DataFrame = {
+                                tol: Double = 0.5,
+                                kLow: Int = 0, kHigh: Int = 0): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull).distinct()
@@ -2654,6 +2660,7 @@ object GraphAlgos {
     def toMap(df: DataFrame): Map[Any, Double] =
       df.collect().map(r => r.get(0) -> r.getDouble(1)).toMap
     val exact = toMap(betweenness(e, "u", "v", nodes))
+    val totalExact = exact.values.sum
     val atLimit = toMap(betweennessApprox(e, "u", "v", n.toInt + 1))
     val limitOk = exact.keySet == atLimit.keySet && exact.forall {
       case (nd, a) =>
@@ -2661,13 +2668,20 @@ object GraphAlgos {
         math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a),
           math.abs(b)))
     }
-    val est = toMap(betweennessApprox(e, "u", "v", nSources))
-    val totalExact = exact.values.sum
-    val absErr = exact.map { case (nd, a) =>
-      math.abs(est.getOrElse(nd, 0.0) - a)
-    }.sum
-    val errOk = totalExact > 0 && absErr / totalExact <= tol
-    spark.range(1).select(lit(limitOk && errOk).as("approx_ok"),
+    def aggErr(k: Int, seed: Long): Double = {
+      val m = toMap(betweennessApprox(e, "u", "v", k, seed = seed))
+      exact.map { case (nd, a) =>
+        math.abs(m.getOrElse(nd, 0.0) - a)
+      }.sum / totalExact
+    }
+    val errOk = totalExact > 0 && aggErr(nSources, 42L) <= tol
+    val convOk = kLow <= 0 || kHigh <= kLow || {
+      val seeds = Seq(1L, 2L, 3L)
+      val lo = seeds.map(aggErr(kLow, _)).sum / seeds.size
+      val hi = seeds.map(aggErr(kHigh, _)).sum / seeds.size
+      hi < lo
+    }
+    spark.range(1).select(lit(limitOk && errOk && convOk).as("approx_ok"),
       lit(n).as("n_nodes"),
       lit(math.min(nSources.toLong, n)).as("k"))
   }
