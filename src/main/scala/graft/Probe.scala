@@ -115,6 +115,43 @@ object Probe {
           }
           spark.sharedState.cacheManager.clearCache()
         }
+      case "store" =>
+        // dual-index store write at xN movie scale (times the
+        // (p,s)-sorted primary + (p,o)-sorted OPS sibling)
+        import graft.core.{Graph, NQuads, QValue}
+        import NQuads.ParsedQuad
+        import spark.implicits._
+        val movieDir = s"/tmp/graft_movie_probe_x$mult"
+        if (!new java.io.File(movieDir).exists()) {
+          def remap(v: QValue, k: Int): QValue = v match {
+            case QValue.Iri(s)   => QValue.Iri(s + "/x" + k)
+            case QValue.BNode(s) => QValue.BNode(s + "x" + k)
+            case other           => other
+          }
+          timed("synth") {
+            spark.read.textFile("/root/reference/data/30kmoviedata.nq.gz")
+              .repartition(16)
+              .flatMap { l =>
+                NQuads.parseLine(l).toSeq.flatMap { q =>
+                  (0 until mult).map { k =>
+                    if (k == 0) NQuads.serialize(q)
+                    else NQuads.serialize(
+                      ParsedQuad(remap(q.s, k), q.p, remap(q.o, k), q.l))
+                  }
+                }
+              }.write.mode("overwrite").text(movieDir)
+          }
+        }
+        val g = Graph.fromNQuads(spark, movieDir).cached()
+        timed("load")(g.stats)
+        val outDir = s"/tmp/graft_probe_store_x$mult"
+        (1 to 2).foreach { i =>
+          timed(s"store-write-$i") {
+            g.write(outDir, predicateBuckets = 16, objectIndex = true)
+          }
+        }
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(outDir))
       case "fuzzy" =>
         // same per-copy prefix-code name synthesis as the bench entry
         val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")
