@@ -66,7 +66,10 @@ object Probe {
       case "louvain" =>
         timed("louvain") {
           graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
-              maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
+              maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L,
+              driverFoldEdges = sys.env.get("GRAFT_LOUVAIN_FOLD")
+                .map(_.toLong)
+                .getOrElse(graft.analytics.Dedup.DriverCcMaxEdges))
             .write.mode("overwrite").format("noop").save()
         }
       case "scc" =>

@@ -1981,9 +1981,14 @@ object GraphAlgos {
           System.err.println(
             s"louvain level=${level - 1} contracted |E|=$contractedEdges")
         if (foldEligible && contractedEdges <= driverFoldEdges) {
-          val ewRows = ew.collect()
-            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-            .toIndexedSeq
+          // typed collect: tuple rows are ~3x lighter than GenericRows,
+          // which matters when the gate admits multi-million-edge
+          // community graphs
+          val ewRows: IndexedSeq[(Long, Long, Double)] = {
+            import spark.implicits._
+            ew.select(col("a"), col("b"), col("w"))
+              .as[(Long, Long, Double)].collect().toIndexedSeq
+          }
           val selfMap = sw.collect()
             .map(r => (r.getLong(0), r.getDouble(1))).toMap
           val localA = louvainCore(ewRows, selfMap, maxRounds,
