@@ -516,6 +516,20 @@ object SparkEntry {
     // predStats — and the appended store must answer a traversal
     // identically to the rebuilt one. The ingest path a 100 TB store
     // lives on: append-only files, touched-bucket-only existence scan
+    // dual-index store read path, ORACLE-verified: a reverse hop rooted
+    // at a literal VALUE scans the (p,o)-sorted OPS sibling (ExplainSpec
+    // pins the plan shape; this entry pins the VALUES through DuckDB),
+    // then a forward hop composes on the (p,s)-sorted primary — one
+    // traversal spanning both index orderings of the same store
+    "g_store_ops" -> ((s, d) => {
+      val g = graph(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("gso").toString
+      g.write(dir, predicateBuckets = 8, objectIndex = true)
+      val gs = Graph.read(s, dir)
+      Exec.run(gs, Path.start(str("BUILDING")).in(iri("c_mktsegment"))
+        .out(iri("c_nation"))).payloadDF("id" -> "node")
+    }),
     "g_store_append" -> ((s, d) => {
       import s.implicits._
       val g = graph(s, d)
@@ -3562,6 +3576,11 @@ object SparkEntry {
     // incremental bucketed-store ingest equals rebuild (set + stats +
     // traversal equality, engine-side assertions)
     "g_store_append" -> "SELECT TRUE AS append_ok",
+    // one row per BUILDING customer (multiset: out() multiplies per
+    // source), rendered in the payload's display form
+    "g_store_ops" ->
+      ("SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS node " +
+        "FROM customer WHERE c_mktsegment = 'BUILDING'"),
     "schema_nested" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cid, c_name AS cname,
         |       n_name AS nation_name
