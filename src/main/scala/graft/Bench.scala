@@ -1193,9 +1193,31 @@ object Bench {
     }
     def sectionOf(a: String): String =
       a.split(":", 2) match { case Array(_, s) => s; case _ => "all" }
+    // record assembly shared by the periodic checkpoint and the final
+    // line — the op-block vals are all bound by the time any caller runs
+    def recordJson(): String = {
+      val all = ("graph_load" -> loadSec) +:
+        (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
+          misOp ++ mmOps ++ movie ++ scaleOut ++ skew)
+      val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+        .mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val errJson =
+        if (errors.isEmpty) ""
+        else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+          .mkString(""","errors":{""", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson$errJson,"sf":"$sfDir"}"""
+    }
+    def writeRecord(): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+        recordJson().getBytes(java.nio.charset.StandardCharsets.UTF_8))
     if (only.isEmpty) {
+      // checkpoint bench.json after the in-process blocks and after
+      // EVERY tier child: the xN tail is ~35+ minutes, and a run killed
+      // mid-tier should still leave every completed entry on disk
+      writeRecord()
       Seq("x10:graph", "x10:docs", "x100:graph", "x100:docs")
-        .foreach(runTierIsolated)
+        .foreach { a => runTierIsolated(a); writeRecord() }
     } else {
       // debug aid: "spawn:x10:docs" exercises the child-JVM path for one
       // tier section from a filtered run
@@ -1212,30 +1234,20 @@ object Bench {
         scaleTier(100, full = false, section = sectionOf(a)))
     }
 
-    val all = ("graph_load" -> loadSec) +:
-      (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
-        misOp ++ mmOps ++ movie ++ scaleOut ++ skew)
-    val qJson = all.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val errJson =
-      if (errors.isEmpty) ""
-      else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
-        .mkString(""","errors":{""", ",", "}")
-    val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson$errJson,"sf":"$sfDir"}"""
+    val json = recordJson()
     // the JSON goes to a FILE first: rounds 5/6 published "parsed": null
     // because the line only existed inside sbt [info] output and got
     // left-truncated in the driver's tail capture. Filtered runs print
     // but do NOT touch the file — a 2-entry iteration run must never
     // clobber the full-suite record the driver publishes
-    if (only.isEmpty)
-      java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-        json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    if (only.isEmpty) writeRecord()
     // child mode: report every entry (and error) to the parent's part
     // file — TSV, because the parent wrote the serializer and a tab
     // can appear in neither names nor errText output
     sys.env.get("GRAFT_BENCH_PART").foreach { p =>
+      val all = ("graph_load" -> loadSec) +:
+        (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
+          misOp ++ mmOps ++ movie ++ scaleOut ++ skew)
       val sb = new StringBuilder
       all.foreach { case (k, v) => sb ++= s"Q\t$k\t$v\n" }
       errors.foreach { case (k, v) => sb ++= s"E\t$k\t$v\n" }
