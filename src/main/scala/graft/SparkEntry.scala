@@ -821,6 +821,32 @@ object SparkEntry {
       Dedup.clustersAppend(corpus, lbl, batch, "doc_id", "text",
         threshold = 0.5)
     }),
+    // leakage-controlled holdout contract: the split side is a function
+    // of the duplicate-CLUSTER label, so (a) no near-dup pair may
+    // straddle train/holdout (the contamination an id-hash split causes
+    // by construction), (b) every document gets exactly one side,
+    // (c) the held fraction stays near the requested 10% (md5 keys are
+    // uniform over cluster labels)
+    "dedup_holdout" -> ((s, d) => {
+      import s.implicits._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val split = Dedup.clusterHoldout(docs, "doc_id", "text",
+        holdoutFraction = 0.1, threshold = 0.5)
+      val pairs = Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+      val straddles = pairs
+        .join(split.select(col("doc_id").as("id_a"),
+          col("split").as("sa")), "id_a")
+        .join(split.select(col("doc_id").as("id_b"),
+          col("split").as("sb")), "id_b")
+        .where(col("sa") =!= col("sb")).count()
+      val total = docs.count()
+      val assigned = split.select("doc_id").distinct().count()
+      val frac = split.where(col("split") === "holdout").count().toDouble /
+        total
+      val ok = straddles == 0 && assigned == total &&
+        split.count() == total && frac > 0.05 && frac < 0.2
+      Seq(ok).toDF("holdout_ok")
+    }),
     // SimHash near-dup pairs, exact for Hamming<=3 by pigeonhole banding;
     // the 60-bit md5-derived token hash is the shared oracle contract
     "dedup_simhash" -> ((s, d) =>
@@ -2702,6 +2728,9 @@ object SparkEntry {
     // construction (labels are min member ids, so contracting corpus
     // endpoints to labels is an exact quotient) — same oracle, verbatim
     "dedup_clusters_incr" -> clustersOracleSql,
+    // contract: no-straddle + coverage + fraction band checked
+    // engine-side (cluster labels are not SQL-expressible)
+    "dedup_holdout" -> "SELECT TRUE AS holdout_ok",
     // exact all-pairs cosine >= 0.25 (double-precision, ids only)
     "emb_neardup" ->
       """WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings)

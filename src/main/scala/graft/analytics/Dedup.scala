@@ -305,6 +305,29 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"))
   }
 
+  /** Leakage-controlled train/holdout split: the side is a pure function
+    * of each document's DUPLICATE-CLUSTER label, not its id, so
+    * near-duplicate documents always land on the SAME side. A plain
+    * id-hash split (TextOps.holdoutSplit) puts ~holdoutFraction of every
+    * dup cluster's members in the holdout — paraphrases of training
+    * documents leak into evaluation, the exact contamination the split
+    * exists to prevent. Clusters come from [[clusters]] (banded
+    * candidates + exact verify + connected components); the side comes
+    * from the same md5 sample key the plain split uses, applied to the
+    * cluster label (min member id), so the assignment is deterministic,
+    * engine-independent, and stable under corpus growth as long as a
+    * cluster's minimum id is stable. Returns (idCol, cluster, split).
+    */
+  def clusterHoldout(df: DataFrame, idCol: String, textCol: String,
+                     holdoutFraction: Double, threshold: Double = 0.5)
+      : DataFrame = {
+    val lbl = clusters(df, idCol, textCol, threshold)
+    val key = TextOps.sampleKey(col("cluster"))
+    lbl.select(col(idCol), col("cluster"),
+      when(key < holdoutFraction, lit("holdout"))
+        .otherwise(lit("train")).as("split"))
+  }
+
   /** Edge-count gate for the driver-local union-find fast path: 5 M pairs
     * ≈ 80 MB of longs — trivially driver-sized, and far above any
     * realistic near-dup edge count for corpora this engine benches. Above

@@ -111,6 +111,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(cl.size === 5)
   }
 
+  test("clusterHoldout: near-dup cluster members share a side, split is total") {
+    val split = Dedup.clusterHoldout(docs, "doc_id", "text",
+      holdoutFraction = 0.5, threshold = 0.5)
+      .as[(Long, Long, String)].collect()
+    assert(split.length === 5) // every document, exactly once
+    val side = split.map(r => r._1 -> r._3).toMap
+    // 0, 1, 3 are one near-dup cluster: they MUST land on the same side
+    assert(side(0L) === side(1L) && side(0L) === side(3L))
+    // side is a pure function of the cluster label (determinism)
+    val again = Dedup.clusterHoldout(docs, "doc_id", "text",
+      holdoutFraction = 0.5, threshold = 0.5)
+      .as[(Long, Long, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(side === again)
+    // and it matches the md5 sample-key rule on the cluster label
+    val keyed = split.map { case (id, cl, s) =>
+      val key = spark.range(1)
+        .select(TextOps.sampleKey(org.apache.spark.sql.functions.lit(cl)))
+        .head().getDouble(0)
+      (s == "holdout") === (key < 0.5)
+    }
+    assert(keyed.forall(identity))
+  }
+
   test("ngram jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)
