@@ -1144,6 +1144,16 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(20)) === 0),
         "doc_id", "text", n = 8)
     }),
+    // the reverse direction: per BENCHMARK doc, what fraction of its
+    // distinct 8-grams already appears in training — the per-example
+    // contamination figure; frac = one division of two exact integers
+    "decontam_report" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      Dedup.contaminationReport(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(20)) === 0),
+        "doc_id", "text", n = 8)
+    }),
     // streaming near-dup (stateful MinHash LSH) recall contract: the
     // micro-batch path must recover >=80% of the docs the exact batch
     // operator flags as later members of a J>=0.5 pair on the same
@@ -2863,6 +2873,20 @@ object SparkEntry {
          |be AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)
          |SELECT doc_id AS id, count(*) AS n_overlap FROM tr
          |WHERE g IN (SELECT g FROM be) GROUP BY doc_id""".stripMargin
+    },
+    "decontam_report" -> {
+      val gram8 = (1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH d AS (SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t FROM documents),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d),
+         |s AS (SELECT doc_id, CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')]
+         |  ELSE list_distinct(list_transform(range(0, len(ws) - 7), i -> $gram8)) END AS sh FROM w),
+         |tr AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 20 <> 0),
+         |be AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 20 = 0)
+         |SELECT doc_id AS id, count(*) AS n_grams,
+         |  count(*) FILTER (WHERE g IN (SELECT g FROM tr)) AS n_overlap,
+         |  CAST(count(*) FILTER (WHERE g IN (SELECT g FROM tr)) AS DOUBLE)
+         |    / count(*) AS frac
+         |FROM be GROUP BY doc_id""".stripMargin
     },
     // repetition: 1 - distinct/total word 3-grams (0 for < 3 words)
     "text_repetition" -> {

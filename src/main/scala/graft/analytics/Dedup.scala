@@ -1014,6 +1014,39 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Benchmark-side contamination report — the reverse direction of
+    * [[decontaminate]]: for every BENCHMARK document, how much of it
+    * already appears in the training corpus, as (id, n_grams, n_overlap,
+    * frac) over its DISTINCT word n-grams. decontaminate() decides which
+    * TRAIN docs to drop; this decides which EVAL items are compromised
+    * (the per-example contamination figure eval suites publish). `frac`
+    * is one IEEE division of two exact integer counts — the standard
+    * cross-engine determinism contract.
+    *
+    * Scale shape: the training corpus is scanned ONCE against the
+    * broadcast benchmark gram set and never shuffles anything
+    * train-sized — only the matched gram sliver (≤ |bench grams|)
+    * distincts; both per-doc aggregates run on the tiny bench side.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          n: Int = 8): DataFrame = {
+    val benchSh = wordShingleRows(bench, idCol, textCol, n)
+      .dropDuplicates("id", "h")
+    val benchGrams = benchSh.select(col("h")).distinct()
+    val hit = wordShingleRows(train, idCol, textCol, n)
+      .join(broadcast(benchGrams), Seq("h"), "left_semi")
+      .select(col("h")).distinct()
+    val overlaps = benchSh.join(broadcast(hit), Seq("h"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+    benchSh.groupBy("id").agg(count(lit(1)).as("n_grams"))
+      .join(overlaps, Seq("id"), "left")
+      .select(col("id"), col("n_grams"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)).cast("double") /
+          col("n_grams")).as("frac"))
+  }
+
   /** Span-level EXACT substring dedup (the operation popularized by
     * "Deduplicating Training Data Makes Language Models Better", Lee et
     * al. 2022: remove repeated >=L-char substrings from the corpus,

@@ -134,6 +134,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(keyed.forall(identity))
   }
 
+  test("contaminationReport: exact per-benchmark overlap fractions") {
+    val train = Seq((1L, "a b c d e"), (2L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val bench = Seq((10L, "a b c d f"), (11L, "p q r s t"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contaminationReport(train, bench, "doc_id", "text",
+        n = 3)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // bench 10's 3-grams {a b c, b c d, c d f}: first two are in train
+    assert(got(10L) === ((3L, 2L, 2.0 / 3.0)))
+    // bench 11 shares nothing — present with an explicit zero row
+    assert(got(11L) === ((3L, 0L, 0.0)))
+  }
+
   test("ngram jaccard: exact dup 1.0, near-dup high, unrelated low") {
     val pairs = Seq((0L, 3L), (0L, 1L), (0L, 2L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccardPairs(docs, "doc_id", "text", pairs)
