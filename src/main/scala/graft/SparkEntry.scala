@@ -1192,6 +1192,43 @@ object SparkEntry {
     // streaming count-min sketch: two micro-batches (doc_id parity),
     // complete-mode aggregation; exact cell-for-cell equality with the
     // batch sketch over the same corpus (sums are exact longs)
+    // streaming decontamination: the stateless row-local flag path
+    // (bench gram hashes as a plan literal) over two micro-batches must
+    // flag EXACTLY the docs the batch decontaminate() flags — same
+    // xxhash64 over the same normalized gram strings, so equality is
+    // hard, not recall-ish
+    "stream_decontam" -> ((s, d) => {
+      import s.implicits._
+      import graft.streaming.QuadStream
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val train = docs.where(pmod(col("doc_id"), lit(20)) =!= 0)
+      val bench = docs.where(pmod(col("doc_id"), lit(20)) === 0)
+      val hashes = QuadStream.benchNgramHashes(bench, "doc_id", "text",
+        n = 8)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-sdec").toString
+      train.where(col("doc_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream.schema("doc_id bigint, text string")
+        .parquet(s"$tmp/in")
+      val q = QuadStream.contaminationFlags(stream, "doc_id", "text",
+          hashes, n = 8)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("stream_decontam_sink").start()
+      q.processAllAvailable()
+      train.where(col("doc_id") % 2 === 1)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      val streamed = s.sql(
+        "SELECT id FROM stream_decontam_sink WHERE contaminated")
+      val batch = Dedup.decontaminate(train, bench, "doc_id", "text",
+        n = 8).select(col("id")).cache()
+      val nFlagged = batch.count()
+      val diff = streamed.exceptAll(batch).count() +
+        batch.exceptAll(streamed).count()
+      batch.unpersist()
+      Seq(diff == 0 && nFlagged > 0).toDF("stream_decontam_ok")
+    }),
     "stream_cms" -> ((s, d) => {
       import s.implicits._
       import graft.streaming.QuadStream
@@ -3668,6 +3705,8 @@ object SparkEntry {
         |  CAST(sum(brk) AS BIGINT) AS n_sessions FROM g""".stripMargin,
     // streaming CMS == batch CMS cell-for-cell (exact long sums)
     "stream_cms" -> "SELECT TRUE AS stream_cms_ok",
+    // streamed flags == batch decontaminate flags, hard equality
+    "stream_decontam" -> "SELECT TRUE AS stream_decontam_ok",
     // streaming HLL registers == batch registers cell-for-cell
     "stream_hll" -> "SELECT TRUE AS stream_hll_ok",
     "stream_quantiles" -> "SELECT TRUE AS stream_quantiles_ok",
