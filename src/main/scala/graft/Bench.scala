@@ -37,14 +37,56 @@ object Bench {
     "emb_neardup", "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 
 
-  /** Result sink that streams each completed entry to stderr — when a
-    * run dies mid-suite (OOM, stopped context) the log still names the
-    * last entry that finished, so the culprit is the next block.
+  /** Current process resident set in MB (from /proc/self/status), -1 when
+    * unreadable. Emitted per completed entry so a kernel 137-kill is
+    * diagnosable from the last BENCH_PROGRESS line's memory footprint.
+    */
+  private def rssMb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("VmRSS")) match {
+        case Some(l) => l.split("\\s+")(1).toLong / 1024
+        case None    => -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Tier-child part file (set by the parent's spawn loop): entries and
+    * errors stream to it AS THEY COMPLETE, so a child killed mid-section
+    * still delivers everything it finished.
+    */
+  private val partPath: Option[java.nio.file.Path] =
+    sys.env.get("GRAFT_BENCH_PART").map(java.nio.file.Paths.get(_))
+  private def partAppend(line: String): Unit = partPath.foreach { p =>
+    try java.nio.file.Files.write(p,
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () }
+  }
+
+  /** Result sink that streams each completed entry to stderr (with the
+    * process RSS at completion time) and, in child mode, to the parent's
+    * part file — when a run dies mid-suite (OOM, stopped context) the log
+    * still names the last entry that finished, so the culprit is the next
+    * block, and the parent keeps every completed timing.
     */
   private final class ProgressBuf
       extends scala.collection.mutable.ArrayBuffer[(String, Double)] {
     override def addOne(kv: (String, Double)): this.type = {
-      System.err.println(f"BENCH_PROGRESS ${kv._1} ${kv._2}%.3f")
+      System.err.println(
+        f"BENCH_PROGRESS ${kv._1} ${kv._2}%.3f rss_mb=$rssMb")
+      partAppend(s"Q\t${kv._1}\t${kv._2}")
+      super.addOne(kv)
+    }
+  }
+
+  /** Error sink with the same streaming behavior for E lines (errText
+    * already strips tabs/control chars, so the TSV stays well-formed).
+    */
+  private final class ErrorBuf
+      extends scala.collection.mutable.LinkedHashMap[String, String] {
+    override def addOne(kv: (String, String)): this.type = {
+      partAppend(s"E\t${kv._1}\t${kv._2}")
       super.addOne(kv)
     }
   }
@@ -131,7 +173,8 @@ object Bench {
 
     // a failed query is an explicit -1 entry + an errors record, never a
     // silently-fast timing
-    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val errors: scala.collection.mutable.LinkedHashMap[String, String] =
+      new ErrorBuf
     // JSON-safe error text: backslash/quote escaped, ALL control chars
     // (incl. \r from CRLF messages, tabs) dropped so the line stays parseable
     def errText(e: Throwable): String =
@@ -624,11 +667,14 @@ object Bench {
               Exec.run(gs, Path.start(actorRoots: _*)
                 .in(perfActor).in(starring)).values()
             }
-            // incremental ingest into the live store (x10 tier): append
-            // ONE extra remapped 471k-quad copy — existence anti-join
-            // scans only touched pb partitions, files are append-only.
-            // Single-sample like store_write: a write, not a query
-            if (tag == "x10") {
+            // incremental ingest into the live store: append ONE extra
+            // remapped 471k-quad copy — existence anti-join scans only
+            // touched pb partitions, files are append-only. Runs at BOTH
+            // tiers: at x100 the dual-index full rewrite costs ~33 s, so
+            // the append is where the incremental-ingest story is proven
+            // (the contract is append ≤ ~1/3 of full rewrite). Single-
+            // sample like store_write: a write, not a query
+            locally {
               val deltaDir = movieDir + "_delta"
               try {
                 spark.read
@@ -640,13 +686,13 @@ object Bench {
                         q.l)))
                   }.write.mode("overwrite").text(deltaDir)
                 val delta = Graph.fromNQuads(spark, deltaDir)
-                scaleOut += "x10_store_append" -> time {
+                scaleOut += s"${tag}_store_append" -> time {
                   Graph.append(spark, storeDir, delta)
                 }
                 // the appended copy must be queryable in place: its
                 // Oliver Hardy resolves like every pre-append copy's
                 val g11 = Graph.read(spark, storeDir)
-                timed2("x10_store_two_sets_post")(twoSets(g11))
+                timed2(s"${tag}_store_two_sets_post")(twoSets(g11))
               } finally org.apache.commons.io.FileUtils.deleteQuietly(
                 new java.io.File(deltaDir))
             }
@@ -1151,44 +1197,75 @@ object Bench {
     // Filtered runs keep the in-process path — `Bench x10` measures
     // exactly what it used to, and is also what the children invoke.
     def runTierIsolated(arg: String): Unit = {
-      val part = java.nio.file.Files.createTempFile("graft_bench_part_", ".tsv")
-      val childOut = java.io.File.createTempFile("graft_bench_child_", ".out")
-      try {
-        import scala.jdk.CollectionConverters._
-        val javaBin = java.nio.file.Paths
-          .get(sys.props("java.home"), "bin", "java").toString
-        val jvmArgs = java.lang.management.ManagementFactory
-          .getRuntimeMXBean.getInputArguments.asScala.toSeq
-        val cmd = Seq(javaBin) ++ jvmArgs ++
-          Seq("-cp", sys.props("java.class.path"), "graft.Bench", arg)
-        val pb = new ProcessBuilder(cmd.asJava)
-        pb.environment().put("GRAFT_BENCH_PART", part.toString)
-        // child stderr (its BENCH_PROGRESS lines) flows through; child
-        // stdout (its own summary JSON) must not mix into ours
-        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
-        pb.redirectOutput(ProcessBuilder.Redirect.to(childOut))
-        val rc = pb.start().waitFor()
-        val lines =
-          if (java.nio.file.Files.exists(part))
-            java.nio.file.Files.readAllLines(part).asScala.toSeq
-          else Seq.empty
-        var got = 0
-        lines.foreach { l =>
-          l.split("\t", 3) match {
-            case Array("Q", k, v) if k != "graph_load" =>
-              scaleOut += k -> v.toDouble; got += 1
-            case Array("E", k, v) => errors(k) = v
-            case _ => ()
+      import scala.jdk.CollectionConverters._
+      // merged across attempts, last attempt wins per key — a child that
+      // died under pressure may have recorded inflated samples for the
+      // entries it did finish; the fresh retry's numbers supersede them
+      val got = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+      // one child attempt; xmxOverride swaps the -Xmx flag (a 137 is the
+      // kernel/cgroup memory kill — the retry runs with a smaller heap so
+      // the SAME pressure that killed attempt 1 can't kill it the same
+      // way; a java-side OutOfMemoryError inside the smaller heap becomes
+      // per-entry -1s + error text, a degraded record instead of none)
+      def attempt(xmxOverride: Option[String]): Int = {
+        val part =
+          java.nio.file.Files.createTempFile("graft_bench_part_", ".tsv")
+        val childOut =
+          java.io.File.createTempFile("graft_bench_child_", ".out")
+        try {
+          val javaBin = java.nio.file.Paths
+            .get(sys.props("java.home"), "bin", "java").toString
+          val jvmArgs = java.lang.management.ManagementFactory
+            .getRuntimeMXBean.getInputArguments.asScala.toSeq
+            .map { a =>
+              if (a.startsWith("-Xmx")) xmxOverride.fold(a)("-Xmx" + _)
+              else a
+            }
+          val cmd = Seq(javaBin) ++ jvmArgs ++
+            Seq("-cp", sys.props("java.class.path"), "graft.Bench", arg)
+          val pb = new ProcessBuilder(cmd.asJava)
+          pb.environment().put("GRAFT_BENCH_PART", part.toString)
+          // child stderr (its BENCH_PROGRESS lines) flows through; child
+          // stdout (its own summary JSON) must not mix into ours
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          pb.redirectOutput(ProcessBuilder.Redirect.to(childOut))
+          val rc = pb.start().waitFor()
+          val lines =
+            if (java.nio.file.Files.exists(part))
+              java.nio.file.Files.readAllLines(part).asScala.toSeq
+            else Seq.empty
+          lines.foreach { l =>
+            l.split("\t", 3) match {
+              case Array("Q", k, v) if k != "graph_load" =>
+                got += k -> v.toDouble
+              case Array("E", k, v) => errors(k) = v
+              case _ => ()
+            }
           }
+          rc
+        } finally {
+          java.nio.file.Files.deleteIfExists(part)
+          childOut.delete()
         }
-        // a dead child is an explicit errors entry, never silence
-        if (rc != 0 || got == 0)
-          errors(s"tier_$arg") = s"child JVM exit=$rc entries=$got"
+      }
+      try {
+        val rc1 = attempt(None)
+        val rcFinal =
+          if (rc1 == 0 && got.nonEmpty) rc1
+          else {
+            System.err.println(
+              s"BENCH_TIER $arg attempt 1 exit=$rc1 entries=${got.size}; " +
+                "retrying" + (if (rc1 == 137) " with 12g heap" else ""))
+            attempt(if (rc1 == 137) Some("12g") else None)
+          }
+        got.foreach { case (k, v) => scaleOut += k -> v }
+        // a dead child stays an explicit errors entry, never silence —
+        // but with per-entry streaming the completed timings survive it
+        if (rcFinal != 0 || got.isEmpty)
+          errors(s"tier_$arg") =
+            s"child JVM exit=$rcFinal after retry, kept=${got.size} entries"
       } catch {
         case e: Throwable => errors(s"tier_$arg") = errText(e)
-      } finally {
-        java.nio.file.Files.deleteIfExists(part)
-        childOut.delete()
       }
     }
     def sectionOf(a: String): String =
@@ -1216,6 +1293,16 @@ object Bench {
       // EVERY tier child: the xN tail is ~35+ minutes, and a run killed
       // mid-tier should still leave every completed entry on disk
       writeRecord()
+      // tear down the parent's footprint BEFORE any child spawns: the
+      // r9 driver run lost the whole x100:graph tier to a kernel 137 —
+      // the parent sat on a live 16 g SparkContext (heap + block manager
+      // + page-cache working set) while each child ran with identical
+      // -Xmx. The parent only merges TSV part files and writes JSON from
+      // here on; it does not need a SparkContext. The full GC prompts G1
+      // to uncommit the freed heap back to the OS (JDK 12+ behavior).
+      spark.sharedState.cacheManager.clearCache()
+      spark.stop()
+      System.gc()
       Seq("x10:graph", "x10:docs", "x100:graph", "x100:docs")
         .foreach { a => runTierIsolated(a); writeRecord() }
     } else {
@@ -1241,18 +1328,16 @@ object Bench {
     // but do NOT touch the file — a 2-entry iteration run must never
     // clobber the full-suite record the driver publishes
     if (only.isEmpty) writeRecord()
-    // child mode: report every entry (and error) to the parent's part
-    // file — TSV, because the parent wrote the serializer and a tab
-    // can appear in neither names nor errText output
-    sys.env.get("GRAFT_BENCH_PART").foreach { p =>
-      val all = ("graph_load" -> loadSec) +:
+    // child mode: scaleOut entries and errors already STREAMED to the
+    // part file as they completed (ProgressBuf/ErrorBuf) — append only
+    // the buffers that don't stream (empty for a tier child; present in
+    // spawn: debug runs). TSV because a tab can appear in neither names
+    // nor errText output.
+    if (partPath.isDefined) {
+      val rest = ("graph_load" -> loadSec) +:
         (results ++ pagerank ++ betweennessOp ++ hitsOp ++ louvainOp ++
-          misOp ++ mmOps ++ movie ++ scaleOut ++ skew)
-      val sb = new StringBuilder
-      all.foreach { case (k, v) => sb ++= s"Q\t$k\t$v\n" }
-      errors.foreach { case (k, v) => sb ++= s"E\t$k\t$v\n" }
-      java.nio.file.Files.write(java.nio.file.Paths.get(p),
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          misOp ++ mmOps ++ movie ++ skew)
+      rest.foreach { case (k, v) => partAppend(s"Q\t$k\t$v") }
     }
     spark.stop()
     // ...and prints LAST, after spark.stop(), so no shutdown log lines

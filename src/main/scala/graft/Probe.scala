@@ -78,7 +78,7 @@ object Probe {
               eAll, "src", "dst", maxDriverEdges = 0L)
             .write.mode("overwrite").format("noop").save()
         }
-      case "minhash" | "clusters" =>
+      case "minhash" | "clusters" | "clusters_incr" | "text_lr" =>
         // xN documents corpus, same affine-permutation synthesis as Bench
         val docPath = s"/tmp/mh_docs_x$mult.parquet"
         if (!new java.io.File(docPath).exists()) {
@@ -103,20 +103,55 @@ object Probe {
         }
         val docs = spark.read.parquet(docPath)
         println(s"docs: ${docs.count()}")
-        val sets = graft.analytics.Dedup.shingleSets(
-          graft.analytics.Dedup.wordShingleRows(docs, "doc_id", "text", 3))
-        println(s"sets-estimate-bytes: " +
-          s"${sets.queryExecution.optimizedPlan.stats.sizeInBytes}")
-        (1 to 2).foreach { i =>
-          if (op == "minhash") timed(s"minhashPairs-$i") {
-            graft.analytics.Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
-              .write.mode("overwrite").format("noop").save()
-          }
-          else timed(s"clusters-$i") {
-            graft.analytics.Dedup.clusters(docs, "doc_id", "text", 0.5)
-              .write.mode("overwrite").format("noop").save()
-          }
-          spark.sharedState.cacheManager.clearCache()
+        op match {
+          case "minhash" | "clusters" =>
+            val sets = graft.analytics.Dedup.shingleSets(
+              graft.analytics.Dedup.wordShingleRows(docs, "doc_id", "text", 3))
+            println(s"sets-estimate-bytes: " +
+              s"${sets.queryExecution.optimizedPlan.stats.sizeInBytes}")
+            (1 to 2).foreach { i =>
+              if (op == "minhash") timed(s"minhashPairs-$i") {
+                graft.analytics.Dedup.minhashPairs(docs, "doc_id", "text", 0.5)
+                  .write.mode("overwrite").format("noop").save()
+              }
+              else timed(s"clusters-$i") {
+                graft.analytics.Dedup.clusters(docs, "doc_id", "text", 0.5)
+                  .write.mode("overwrite").format("noop").save()
+              }
+              spark.sharedState.cacheManager.clearCache()
+            }
+          case "clusters_incr" =>
+            // the bench entry's shape: fold ONE base-corpus batch (copy 0)
+            // into pre-clustered copies 1..N-1; corpus labels untimed
+            val batch0 = docs.where(col("doc_id") < 100000000L)
+            val corpus0 = docs.where(col("doc_id") >= 100000000L)
+            val lbl = graft.analytics.Dedup.clusters(corpus0, "doc_id",
+              "text", threshold = 0.5)
+            (1 to 2).foreach { i =>
+              timed(s"clustersAppend-$i") {
+                graft.analytics.Dedup.clustersAppend(corpus0, lbl, batch0,
+                    "doc_id", "text", threshold = 0.5)
+                  .write.mode("overwrite").format("noop").save()
+              }
+              spark.sharedState.cacheManager.clearCache()
+            }
+          case _ => // text_lr — the bench entry's 10-round loop + predict
+            import graft.analytics.{LinearModel, TextOps}
+            val rows = TextOps.hashedTf(docs, "doc_id", "text", 64)
+              .select(col("doc_id").as("id"), col("bucket"), col("tf"))
+            val sign = lit(1L) - lit(2L) * (col("bucket") % 2L)
+            val labels = rows.groupBy("id")
+              .agg(when(sum(col("tf") * sign) > 0, lit(1.0))
+                .otherwise(lit(0.0)).as("y"))
+            (1 to 2).foreach { i =>
+              timed(s"text_lr-$i") {
+                val w = LinearModel.trainLogReg(rows, labels, 64,
+                  iters = 10, lr = 1.0)
+                LinearModel.predict(rows, w)
+                  .write.mode("overwrite").format("noop").save()
+              }
+              spark.sharedState.cacheManager.clearCache()
+            }
         }
       case "store" =>
         // dual-index store write at xN movie scale (times the

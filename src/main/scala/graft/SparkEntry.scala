@@ -1126,6 +1126,21 @@ object SparkEntry {
       graft.analytics.Curate.curate(t(s, d, "documents"), "doc_id", "text",
         "source", minTokens = 5, maxTokens = 100000, maxWordLen = 40,
         perSourceCap = 12)),
+    // the WHOLE LLM-data path in one call: exact dedup -> quality ->
+    // decontamination vs the doc_id%20==0 benchmark slice -> per-source
+    // cap -> leakage-controlled train/holdout split by near-dup cluster
+    // label. Value-level oracle end-to-end (the cluster labels are the
+    // recursive-closure CTE the dedup_clusters oracle already uses)
+    "pipeline_curate_full" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      graft.analytics.Curate.curateFull(
+        docs.where(pmod(col("doc_id"), lit(20)) =!= 0),
+        "doc_id", "text", "source",
+        minTokens = 5, maxTokens = 100000, maxWordLen = 40,
+        perSourceCap = 12,
+        bench = Some(docs.where(pmod(col("doc_id"), lit(20)) === 0)),
+        decontamN = 8, holdoutFraction = 0.1, neardupThreshold = 0.5)
+    }),
     // temperature mixture: keep ceil(3*sqrt(count)) docs per source
     // (alpha=0.5 reweighting with integer per-stratum thresholds)
     "q_mixture" -> ((s, d) =>
@@ -2881,6 +2896,76 @@ object SparkEntry {
         |    ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
         |  FROM filt)
         |WHERE rn <= 12""".stripMargin,
+    // the curateFull() composition end-to-end: the pipeline_curate CTEs
+    // with text carried through, the decontam gram semi-join (bench =
+    // doc_id%20==0 slice), the cap window over the CLEAN set, then the
+    // dedup_clusters recursive closure over the capped docs and the
+    // md5-of-cluster sample-key split
+    "pipeline_curate_full" -> {
+      val gram8 = (1 to 8).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      val gram3 = (1 to 3).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+      s"""WITH RECURSIVE norm AS (
+         |  SELECT doc_id, source, text,
+         |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents WHERE doc_id % 20 <> 0),
+         |survivors AS (
+         |  SELECT min(doc_id) AS doc_id FROM norm GROUP BY md5(t)),
+         |feat AS (
+         |  SELECT n.doc_id, n.source, n.t,
+         |    CASE WHEN length(t)=0 THEN 0
+         |         ELSE length(string_split(t, ' ')) END AS n_tokens,
+         |    CASE WHEN length(t)=0 THEN 0
+         |         ELSE list_max(list_transform(string_split(t, ' '), w -> length(w))) END AS mwl
+         |  FROM norm n JOIN survivors s ON n.doc_id = s.doc_id),
+         |filt AS (
+         |  SELECT doc_id, source, t, n_tokens, string_split(t, ' ') AS ws
+         |  FROM feat
+         |  WHERE n_tokens BETWEEN 5 AND 100000 AND mwl <= 40),
+         |bnorm AS (
+         |  SELECT trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |bg AS (
+         |  SELECT DISTINCT unnest(CASE WHEN len(ws) < 8
+         |    THEN [array_to_string(ws, ' ')]
+         |    ELSE list_distinct(list_transform(range(0, len(ws) - 7), i -> $gram8)) END) AS g
+         |  FROM (SELECT string_split(t, ' ') AS ws FROM bnorm)),
+         |fg AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(ws) < 8
+         |    THEN [array_to_string(ws, ' ')]
+         |    ELSE list_distinct(list_transform(range(0, len(ws) - 7), i -> $gram8)) END) AS g
+         |  FROM filt),
+         |contaminated AS (
+         |  SELECT DISTINCT doc_id FROM fg WHERE g IN (SELECT g FROM bg)),
+         |clean AS (
+         |  SELECT * FROM filt
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |capped AS (
+         |  SELECT doc_id, source, n_tokens, ws FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id) AS rn
+         |    FROM clean)
+         |  WHERE rn <= 12),
+         |csh AS (
+         |  SELECT doc_id, CASE WHEN len(ws) < 3
+         |    THEN [array_to_string(ws, ' ')]
+         |    ELSE list_distinct(list_transform(range(0, len(ws) - 2), i -> $gram3)) END AS sh
+         |  FROM capped),
+         |e0 AS (
+         |  SELECT a.doc_id AS ea, b.doc_id AS eb FROM csh a JOIN csh b
+         |  ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(a.sh || b.sh)) >= 0.5),
+         |e AS (SELECT ea, eb FROM e0 UNION ALL SELECT eb, ea FROM e0),
+         |r(n, m) AS (
+         |  SELECT doc_id, doc_id FROM capped
+         |  UNION
+         |  SELECT r.n, e.eb FROM r JOIN e ON r.m = e.ea),
+         |lbl AS (SELECT n AS doc_id, min(m) AS cluster FROM r GROUP BY n)
+         |SELECT c.doc_id, c.source, CAST(c.n_tokens AS BIGINT) AS n_tokens,
+         |  CASE WHEN CAST(CAST(concat('0x', substr(md5(CAST(l.cluster AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE)
+         |         / 1152921504606846976.0 < 0.1
+         |       THEN 'holdout' ELSE 'train' END AS split
+         |FROM capped c JOIN lbl l ON c.doc_id = l.doc_id""".stripMargin
+    },
     // temperature mixture: integer per-stratum threshold ceil(3*sqrt(n))
     "q_mixture" ->
       """SELECT doc_id, source FROM (

@@ -45,6 +45,63 @@ object Curate {
     else TextOps.capPerKey(kept, "doc_id", "source", perSourceCap)
   }
 
+  /** [[curate]] extended with the two train/eval-hygiene stages — the
+    * whole LLM-data path in one call, still exact and oracle-checkable
+    * end-to-end:
+    *   4. decontamination (when `bench` is set): after the quality gate
+    *      and BEFORE the cap, drop every candidate doc sharing ANY
+    *      distinct word `decontamN`-gram with the benchmark corpus
+    *      ([[Dedup.decontaminate]]'s broadcast semi-join), so the cap
+    *      back-fills with clean documents instead of shipping holes;
+    *   5. leakage-controlled split (when `holdoutFraction` > 0): on the
+    *      final kept set, near-dup cluster labels
+    *      ([[Dedup.clusterHoldout]]) decide the side — near-duplicate
+    *      documents never straddle train/holdout, the contamination a
+    *      plain id-hash split creates by construction.
+    *
+    * Returns `(doc_id, source, n_tokens)` plus a `split` column when
+    * `holdoutFraction` > 0. Scale shape: stages 1-4 add one broadcast
+    * semi-join to [[curate]]'s four exchanges (the benchmark side is
+    * tiny by definition); stage 5 runs the banded-candidates + exact-
+    * verify cluster engine over the CAPPED set only.
+    */
+  def curateFull(docs: DataFrame, idCol: String, textCol: String,
+                 sourceCol: String, minTokens: Int = 5,
+                 maxTokens: Int = 100000, maxWordLen: Int = 40,
+                 perSourceCap: Int = Int.MaxValue,
+                 bench: Option[DataFrame] = None, decontamN: Int = 8,
+                 holdoutFraction: Double = 0.0,
+                 neardupThreshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      col(sourceCol).as("source"), col(textCol).as("text"))
+    val survivors = Dedup.exact(base, "doc_id", "text").select("doc_id")
+    val kept0 = base.join(survivors, Seq("doc_id"))
+      .where(TextOps.qualityOk(col("text"), minTokens, maxTokens,
+        maxWordLen))
+    val kept = bench match {
+      case Some(b) =>
+        val flagged = Dedup
+          .decontaminate(kept0, b, "doc_id", "text", decontamN)
+          .select(col("id").as("doc_id"))
+        kept0.join(flagged, Seq("doc_id"), "left_anti")
+      case None => kept0
+    }
+    val withTok = kept.select(col("doc_id"), col("source"), col("text"),
+      TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val capped =
+      if (perSourceCap == Int.MaxValue) withTok
+      else TextOps.capPerKey(withTok, "doc_id", "source", perSourceCap)
+    if (holdoutFraction <= 0.0)
+      capped.select("doc_id", "source", "n_tokens")
+    else {
+      val split = Dedup.clusterHoldout(
+        capped.select("doc_id", "text"), "doc_id", "text",
+        holdoutFraction, neardupThreshold)
+      capped.join(split.select("doc_id", "split"), Seq("doc_id"))
+        .select("doc_id", "source", "n_tokens", "split")
+    }
+  }
+
   /** Per-source data card for a [[curate]] output: docs kept and token
     * mass per source (the numbers a mixture config is written against).
     */

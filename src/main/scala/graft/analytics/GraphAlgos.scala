@@ -1831,6 +1831,17 @@ object GraphAlgos {
       var cur = k.select(col("n"), col("n").as("c"), col("k"))
         .repartition(numParts, col("n")).cache()
       cur.count()
+      // adaptive mover floor (big levels only): a full-graph round at
+      // 47 M edges costs 30-80 s, and the measured mover tail (movers
+      // < |E|/12, single-digit % of round 0) buys oscillation residue,
+      // not structure — the next level's contraction re-examines
+      // exactly those boundary nodes. The 8 M-edge guard keeps the
+      // floor out of every spec-scale graph (planted-ring recovery is
+      // exact convergence territory; only bench-scale levels pay
+      // tens-of-seconds rounds).
+      val edgeCount = ew.count()
+      val moverFloor =
+        if (edgeCount >= 8000000L) edgeCount / 12L else 0L
       var rounds = 0
       var roundMoved = true
       var prevMovers = Long.MaxValue
@@ -1895,7 +1906,8 @@ object GraphAlgos {
         // the same nodes) — contract a level early rather than burning
         // maxRounds full-graph rounds polishing it (the next level's
         // contracted graph re-examines exactly those boundary nodes)
-        if (nMovers == 0 || nMovers * 10L >= prevMovers * 9L) {
+        if (nMovers == 0 || nMovers * 10L >= prevMovers * 9L ||
+            nMovers < moverFloor) {
           Dedup.releaseBlocks(movers)
           roundMoved = false
         } else {
@@ -2204,6 +2216,9 @@ object GraphAlgos {
     // directions are needed to keep the O(log) round bound).
     var changedSet = lab
     var changed = true
+    val debug = sys.env.contains("GRAFT_SCC_DEBUG")
+    var fpRounds = 0
+    val tFp = System.nanoTime()
     while (changed) {
       val viaEdges = e
         .join(changedSet.select(col("node").as("u"), col("lb").as("lu")),
@@ -2232,7 +2247,11 @@ object GraphAlgos {
       changedSet = next.where(col("__chg")).select("node", "lb")
       changed = changedSet.head(1).nonEmpty
       lab = next.select("node", "lb")
+      fpRounds += 1
     }
+    if (debug)
+      System.err.println(f"scc fixedPoint rounds=$fpRounds " +
+        f"secs=${(System.nanoTime() - tFp) / 1e9}%.1f")
     // make the result self-contained, then release every round
     // checkpoint and the cached edge layout
     Dedup.releasing(lab, held.toSeq)
@@ -2260,8 +2279,11 @@ object GraphAlgos {
         held += r
         r
       }
+    val debug = sys.env.contains("GRAFT_SCC_DEBUG")
+    var outerIters = 0
     var live = true
     while (live) {
+      val tTrim = System.nanoTime()
       // TRIM (the FW-BW-Trim accelerator, public standard for parallel
       // SCC — Hong/Slota-style): a node with no in-edge or no out-edge
       // in the remaining graph is a singleton SCC; peel such nodes and
@@ -2308,6 +2330,9 @@ object GraphAlgos {
           trimRounds += 1
         }
       }
+      if (debug)
+        System.err.println(f"scc outer=$outerIters trimRounds=$trimRounds " +
+          f"secs=${(System.nanoTime() - tTrim) / 1e9}%.1f")
       val nodes = remaining.select(col("u").as("node"))
         .union(remaining.select(col("v").as("node"))).distinct()
         .localCheckpoint(true).cappedStats
@@ -2315,9 +2340,13 @@ object GraphAlgos {
       if (nodes.isEmpty) live = false
       else {
         // (1) forward: color(v) = min id with a path to v
+        val tColor = System.nanoTime()
         val color = minLabelFixedPoint(nodes, remaining)
           .withColumnRenamed("lb", "color").localCheckpoint(true).cappedStats
         held += color
+        if (debug)
+          System.err.println(f"scc outer=$outerIters colorSecs=" +
+            f"${(System.nanoTime() - tColor) / 1e9}%.1f")
         // (2) backward within color regions: bcolor(v) = min region id
         // v reaches = fixed point over REVERSED region-internal edges
         val rev = remaining
@@ -2327,8 +2356,12 @@ object GraphAlgos {
           .select(col("v").as("u"), col("u").as("v"))
           .localCheckpoint(true).cappedStats
         held += rev
+        val tB = System.nanoTime()
         val bcolor = minLabelFixedPoint(nodes, rev)
           .withColumnRenamed("lb", "bcolor")
+        if (debug)
+          System.err.println(f"scc outer=$outerIters bcolorSecs=" +
+            f"${(System.nanoTime() - tB) / 1e9}%.1f")
         // members of every root SCC at once: v and its region minimum c
         // reach each other iff bcolor(v) == color(v) == c
         val scc = color.join(bcolor, "node")
@@ -2363,6 +2396,7 @@ object GraphAlgos {
         result = result.unionByName(isolated).localCheckpoint(true).cappedStats
         held += result
       }
+      outerIters += 1
     }
     if (result == null) {
       held.foreach(Dedup.releaseBlocks)
@@ -2680,12 +2714,16 @@ object GraphAlgos {
       }.sum / totalExact
     }
     val errOk = totalExact > 0 && aggErr(nSources, 42L) <= tol
-    val convOk = kLow <= 0 || kHigh <= kLow || {
+    // guard the convergence sweep on errOk (which carries totalExact > 0):
+    // on a zero-betweenness graph aggErr divides by zero, and when the
+    // single-k error bound already failed the six extra approx runs are
+    // wasted work — the contract's AND fails either way
+    val convOk = kLow <= 0 || kHigh <= kLow || (errOk && {
       val seeds = Seq(1L, 2L, 3L)
       val lo = seeds.map(aggErr(kLow, _)).sum / seeds.size
       val hi = seeds.map(aggErr(kHigh, _)).sum / seeds.size
       hi < lo
-    }
+    })
     spark.range(1).select(lit(limitOk && errOk && convOk).as("approx_ok"),
       lit(n).as("n_nodes"),
       lit(math.min(nSources.toLong, n)).as("k"))

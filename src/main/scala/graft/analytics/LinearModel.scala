@@ -48,10 +48,18 @@ object LinearModel {
     // cache the feature rows hash-laid-out on id: the margin aggregate
     // (grouping subsumes id) and the residual join then run exchange-
     // free, leaving ONE shuffle per round (the per-bucket gradient)
+    // MEMORY_AND_DISK (not _SER): measured at x100 (32 M feature rows)
+    // the serialized level saves little — the SQL cache is columnar
+    // compressed either way — while adding per-round decode CPU to the
+    // 10 gradient scans; GRAFT_LR_SER=1 flips it for re-measurement
+    val level =
+      if (sys.env.contains("GRAFT_LR_SER"))
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+      else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val data = withBias(rows, labels)
       .repartition(rows.sparkSession.sessionState.conf
         .numShufflePartitions, col("id"))
-      .cache()
+      .persist(level)
     val n = math.max(labels.count(), 1L).toDouble
     val w = Array.fill(dim + 1)(0.0)
     (0 until iters).foreach { _ =>
@@ -72,7 +80,10 @@ object LinearModel {
         w(bi) -= lr * (gb / n + reg)
       }
     }
-    data.unpersist()
+    // blocking: the caller may re-run training immediately (bench
+    // min-of-2 samples) — a lazily-dropped 32 M-row cache otherwise
+    // overlaps the second sample's fresh cache under memory pressure
+    data.unpersist(blocking = true)
     w
   }
 

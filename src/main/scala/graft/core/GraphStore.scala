@@ -31,7 +31,8 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
                        quadsOps: Option[DataFrame] = None) {
   def spark: SparkSession = nodes.sparkSession
 
-  def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache())
+  def cached(): Graph = copy(nodes = nodes.cache(), quads = quads.cache(),
+    quadsOps = quadsOps.map(_.cache()))
 
   /** Opt into the driver-local point-lookup fast path
     * (graft.shape.LocalEval): queries on this graph evaluate against an
@@ -116,6 +117,13 @@ final case class Graph(nodes: DataFrame, quads: DataFrame,
           .parquet(s"$dir/quads_ops")
       else q.sort("p", "o").write.mode("overwrite")
         .parquet(s"$dir/quads_ops")
+    } else {
+      // a prior objectIndex=true write may have left a sibling: readers
+      // are meta-gated so it's dead weight, but it silently doubles the
+      // store footprint — remove it
+      val stale = new java.io.File(s"$dir/quads_ops")
+      if (stale.exists())
+        org.apache.commons.io.FileUtils.deleteQuietly(stale)
     }
     // persist per-predicate counts with the store (the QuadIndexer stats
     // table): readers get plan-time size folding without running a job.

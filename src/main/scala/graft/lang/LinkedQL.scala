@@ -168,6 +168,8 @@ object LinkedQL {
       case "ReverseProperties" =>
         strList(q.get("names")).foldLeft(buildPath(sub(q, "from")))(
           (p, n) => p.saveOptionalReverse(QValue.Iri(n), n))
+      // steps/labels.go — quad labels of the nodes' in/out edges
+      case "Labels" => buildPath(sub(q, "from")).labels()
       case "PropertyNames" => buildPath(sub(q, "from")).outPredicates()
       case "ReversePropertyNames" => buildPath(sub(q, "from")).inPredicates()
       case "PropertyNamesAs" =>

@@ -438,6 +438,18 @@ class FormatsSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("write(objectIndex=false) removes a stale OPS sibling") {
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val dir = Files.createTempDirectory("graft-stale-ops").toString
+    g.withStats().write(dir, predicateBuckets = 4, objectIndex = true)
+    assert(new java.io.File(s"$dir/quads_ops").exists())
+    // re-write without the dual index: the sibling must not linger as
+    // dead weight (readers are meta-gated, but the footprint doubles)
+    g.withStats().write(dir, predicateBuckets = 4, objectIndex = false)
+    assert(!new java.io.File(s"$dir/quads_ops").exists())
+    assert(Graph.read(spark, dir).quadsOps.isEmpty)
+  }
+
   test("RDFS closure materializes subclass/subproperty entailments") {
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     val subClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"

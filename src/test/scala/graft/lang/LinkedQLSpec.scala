@@ -42,6 +42,23 @@ class LinkedQLSpec extends AnyFunSuite {
     case other        => canon(other)
   }
 
+  // steps/labels.go registers a Labels step but ships no test-case JSON —
+  // hand-rolled case over the multigraph fixture (labels of the in/out
+  // quads of the matched nodes; smart_person appears only as an OBJECT
+  // of labeled quads, so the reverse side must contribute too)
+  test("labels") {
+    val g = graft.core.Graph.fromNQuads(spark,
+      "/root/reference/data/testdata_multigraph.nq").cached()
+    val query = Map(
+      "@type" -> "Labels",
+      "from" -> Map(
+        "@type" -> "Vertex",
+        "values" -> List("smart_person")))
+    val got = LinkedQL.session(g).execute(query)
+    assert(canonTop(got) === canonTop(List(
+      Map("@id" -> "smart_graph"), Map("@id" -> "other_graph"))))
+  }
+
   Files.list(Paths.get(dir)).iterator().asScala.toSeq
     .filter(_.toString.endsWith(".json")).sortBy(_.toString).foreach { path =>
       val name = path.getFileName.toString.stripSuffix(".json")

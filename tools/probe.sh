@@ -1,0 +1,13 @@
+#!/bin/bash
+# Run graft.Probe from a snapshotted classpath so sbt compiles in the
+# repo don't disturb a running probe JVM.
+set -e
+SNAP=/tmp/probe_cp
+if [ "$1" = "--snap" ]; then
+  rm -rf "$SNAP"; cp -r /root/repo/target/scala-2.13/classes "$SNAP"; shift
+fi
+OPENS="java.base/java.lang java.base/java.lang.invoke java.base/java.lang.reflect java.base/java.io java.base/java.net java.base/java.nio java.base/java.util java.base/java.util.concurrent java.base/java.util.concurrent.atomic java.base/sun.nio.ch java.base/sun.nio.cs java.base/sun.security.action java.base/sun.util.calendar"
+FLAGS=""
+for p in $OPENS; do FLAGS="$FLAGS --add-opens $p=ALL-UNNAMED"; done
+exec java $FLAGS -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx${SPARK_DRIVER_MEM:-16g} -cp "$SNAP:/opt/spark/jars/*" "$@"
