@@ -23,6 +23,7 @@ object Bench {
     "text_repetition", "text_redact", "text_pack", "text_chunks",
     "text_tfidf", "text_cms", "text_blocklist",
     "corpus_stats", "doc_sample", "pipeline_curate",
+    "pipeline_curate_full",
     "q_sessionize", "q_session_stats", "q_asof", "q_interval", "q_funnel",
     "q_retention", "q_copurchase", "q_transitions", "q_rolling",
     "q_outliers",
@@ -772,6 +773,17 @@ object Bench {
       smoke(s"${tag}_pipeline_curate") {
         noop(graft.analytics.Curate.curate(docsX(withSource = true),
           "doc_id", "text", "source", perSourceCap = 12))
+      }
+      // the FULL pipeline at N×: + decontamination (per-copy affine text
+      // keeps bench grams copy-local, so the semi-join does exactly N×
+      // the 1× work) + leakage-controlled split over the capped set
+      if (full || mult == 100) smoke(s"${tag}_pipeline_curate_full") {
+        val all = docsX(withSource = true)
+        noop(graft.analytics.Curate.curateFull(
+          all.where(pmod(col("doc_id"), lit(20)) =!= 0),
+          "doc_id", "text", "source", perSourceCap = 12,
+          bench = Some(all.where(pmod(col("doc_id"), lit(20)) === 0)),
+          holdoutFraction = 0.1))
       }
       // raw IVF probe (train + assign + probe join) at 1× then N×, same
       // params as the sim_ivf harness's inner operator; probes stay 10

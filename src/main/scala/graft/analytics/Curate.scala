@@ -78,22 +78,30 @@ object Curate {
     val kept0 = base.join(survivors, Seq("doc_id"))
       .where(TextOps.qualityOk(col("text"), minTokens, maxTokens,
         maxWordLen))
+    // flags derive from the RAW docs, not the dedup/quality output: the
+    // flag set is content-per-doc, the anti-join only ever removes rows
+    // kept0 kept anyway, and flagging from `base` keeps the expensive
+    // dedup-shuffle lineage out of a second evaluation path
     val kept = bench match {
       case Some(b) =>
         val flagged = Dedup
-          .decontaminate(kept0, b, "doc_id", "text", decontamN)
+          .decontaminateIds(base, b, "doc_id", "text", decontamN)
           .select(col("id").as("doc_id"))
         kept0.join(flagged, Seq("doc_id"), "left_anti")
       case None => kept0
     }
     val withTok = kept.select(col("doc_id"), col("source"), col("text"),
       TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val capped =
+    val capped0 =
       if (perSourceCap == Int.MaxValue) withTok
       else TextOps.capPerKey(withTok, "doc_id", "source", perSourceCap)
     if (holdoutFraction <= 0.0)
-      capped.select("doc_id", "source", "n_tokens")
+      capped0.select("doc_id", "source", "n_tokens")
     else {
+      // the capped set is consumed twice (output join + the holdout
+      // cluster engine) and is SMALL by construction (≤ sources × cap
+      // rows) — cache it so the corpus-sized prefix runs once
+      val capped = capped0.cache()
       val split = Dedup.clusterHoldout(
         capped.select("doc_id", "text"), "doc_id", "text",
         holdoutFraction, neardupThreshold)

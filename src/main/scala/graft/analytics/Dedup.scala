@@ -1014,6 +1014,24 @@ object Dedup {
       .groupBy("id").agg(count(lit(1)).as("n_overlap"))
   }
 
+  /** Flag-only variant of [[decontaminate]]: just the contaminated ids,
+    * no per-doc overlap counts. Skips the corpus-sized
+    * dropDuplicates(id, h) shuffle the counting contract needs — the
+    * semi-join runs directly on the raw gram stream and only the
+    * matched sliver (≤ |bench grams| × dup factor) reaches the
+    * distinct. Use this in pipelines that DROP flagged docs
+    * (x10 pipeline_curate_full: 15.6 s → measured again after this
+    * split — the dedup shuffle was most of the decontam stage).
+    */
+  def decontaminateIds(train: DataFrame, bench: DataFrame, idCol: String,
+                       textCol: String, n: Int = 8): DataFrame = {
+    val benchSh = wordShingleRows(bench, idCol, textCol, n)
+      .select(col("h")).distinct()
+    wordShingleRows(train, idCol, textCol, n)
+      .join(broadcast(benchSh), Seq("h"), "left_semi")
+      .select("id").distinct()
+  }
+
   /** Benchmark-side contamination report — the reverse direction of
     * [[decontaminate]]: for every BENCHMARK document, how much of it
     * already appears in the training corpus, as (id, n_grams, n_overlap,

@@ -48,10 +48,11 @@ object LinearModel {
     // cache the feature rows hash-laid-out on id: the margin aggregate
     // (grouping subsumes id) and the residual join then run exchange-
     // free, leaving ONE shuffle per round (the per-bucket gradient)
-    // MEMORY_AND_DISK (not _SER): measured at x100 (32 M feature rows)
-    // the serialized level saves little — the SQL cache is columnar
-    // compressed either way — while adding per-round decode CPU to the
-    // 10 gradient scans; GRAFT_LR_SER=1 flips it for re-measurement
+    // MEMORY_AND_DISK (not _SER): measured isolated at x100 (500 k docs,
+    // 32 M feature rows) default wins 18.9/12.7 s vs 21.5/13.7 s — the
+    // SQL cache is columnar compressed either way, and the serialized
+    // level adds per-round decode CPU to the 10 gradient scans;
+    // GRAFT_LR_SER=1 flips it for re-measurement
     val level =
       if (sys.env.contains("GRAFT_LR_SER"))
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
