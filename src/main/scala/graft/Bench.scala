@@ -355,7 +355,7 @@ object Bench {
     // child JVM — see the spawn loop below.
     def scaleTier(mult: Int, full: Boolean, section: String = "all"): Unit = {
       import org.apache.spark.sql.functions._
-      import graft.analytics.{Dedup, Similarity}
+      import graft.analytics.{Dedup, Similarity, TextOps}
       val tag = s"x$mult"
       // min-of-2, like the core block: round 5's single-sample xN entries
       // published a 6× contended phantom regression (driver logged
@@ -766,6 +766,31 @@ object Bench {
             "doc_id", "text"))
         }
         org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(storeDir))
+      }
+      // BM25 SEARCH STORE at N×: build the term-bucketed inverted index
+      // from the whole N× corpus (timed write), then probe 16 multi-term
+      // queries — like the near-dup store, probe cost must track the
+      // QUERY (Σ df over its terms), not the corpus (pb partition prune
+      // + literal term IN row-group skip on the (term,id)-sorted layout)
+      locally {
+        val storeDir = s"/tmp/graft_bench_searchstore_$mult"
+        try {
+          smoke(s"${tag}_search_store_write") {
+            TextOps.searchStoreWrite(docsX(withSource = false), storeDir,
+              "doc_id", "text")
+          }
+          val probes: Seq[(Long, String)] = Seq(
+            "spark join", "hash scan", "parquet shuffle",
+            "broadcast join hash", "query engine", "scan filter",
+            "spark sql", "join order", "sort merge", "group by",
+            "window function", "table scan", "hash aggregate",
+            "shuffle partition", "column prune", "filter pushdown")
+            .zipWithIndex.map { case (q, i) => (i + 1).toLong -> q }
+          smoke(s"${tag}_search_store_probe") {
+            noop(TextOps.searchStoreProbe(spark, storeDir, probes, k = 10))
+          }
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(storeDir))
       }
       // curation pipeline at N×: per-copy sources keep the cap stage's

@@ -78,7 +78,7 @@ object Probe {
               eAll, "src", "dst", maxDriverEdges = 0L)
             .write.mode("overwrite").format("noop").save()
         }
-      case "minhash" | "clusters" | "clusters_incr" | "text_lr" =>
+      case "minhash" | "clusters" | "clusters_incr" | "text_lr" | "search" =>
         // xN documents corpus, same affine-permutation synthesis as Bench
         val docPath = s"/tmp/mh_docs_x$mult.parquet"
         if (!new java.io.File(docPath).exists()) {
@@ -135,6 +135,30 @@ object Probe {
               }
               spark.sharedState.cacheManager.clearCache()
             }
+          case "search" =>
+            // the bench entry's shape: timed index write, then a 16-query
+            // probe (probe cost must track Σ df over the query terms)
+            import graft.analytics.TextOps
+            val storeDir = s"/tmp/graft_probe_searchstore_x$mult"
+            val probes: Seq[(Long, String)] = Seq(
+              "spark join", "hash scan", "parquet shuffle",
+              "broadcast join hash", "query engine", "scan filter",
+              "spark sql", "join order", "sort merge", "group by",
+              "window function", "table scan", "hash aggregate",
+              "shuffle partition", "column prune", "filter pushdown")
+              .zipWithIndex.map { case (q, i) => (i + 1).toLong -> q }
+            (1 to 2).foreach { i =>
+              timed(s"search-write-$i") {
+                TextOps.searchStoreWrite(docs, storeDir, "doc_id", "text")
+              }
+              timed(s"search-probe-$i") {
+                TextOps.searchStoreProbe(spark, storeDir, probes, k = 10)
+                  .write.mode("overwrite").format("noop").save()
+              }
+              spark.sharedState.cacheManager.clearCache()
+            }
+            org.apache.commons.io.FileUtils.deleteQuietly(
+              new java.io.File(storeDir))
           case _ => // text_lr — the bench entry's 10-round loop + predict
             import graft.analytics.{LinearModel, TextOps}
             val rows = TextOps.hashedTf(docs, "doc_id", "text", 64)

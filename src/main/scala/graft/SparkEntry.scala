@@ -2574,6 +2574,22 @@ object SparkEntry {
     "text_bm25" -> ((s, d) =>
       TextOps.bm25TopK(t(s, d, "documents"), "doc_id", "text",
         Seq("spark", "join", "hash", "scan"), k = 10)),
+    // persisted BM25 search store: write the inverted index (term-bucket
+    // partitioned, (term,id)-sorted postings with denormalized doc
+    // length), then probe multi-term queries — output must be
+    // VALUE-IDENTICAL to a full-corpus BM25 (the store is a serving
+    // layout, never a different answer). Per-(query,doc) totals sum the
+    // matched term scores in ASCENDING TERM ORDER left-to-right on both
+    // engines (sort_array+aggregate here, list_sum(list(… ORDER BY term))
+    // in the oracle) — an unordered SUM is partition-order-dependent
+    "text_search" -> ((s, d) => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-searchstore").toString
+      TextOps.searchStoreWrite(t(s, d, "documents"), dir, "doc_id", "text")
+      TextOps.searchStoreProbe(s, dir, Seq(
+        1L -> "spark join", 2L -> "hash scan",
+        3L -> "spark hash scan join", 4L -> "scan"), k = 10)
+    }),
     // sketch contracts: HyperLogLog++ distinct tokens within 5% of exact,
     // approx median doc length within 5% of the exact median — the
     // one-pass mergeable summaries a 100 TB profile pass uses instead of
@@ -3618,6 +3634,43 @@ object SparkEntry {
         |  SELECT term, doc_id, CAST(row_number() OVER (
         |      PARTITION BY term ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |    score FROM sc) r
+        |WHERE rank <= 10""".stripMargin,
+    // search store probe == full-corpus BM25, value for value (same
+    // per-term formula as text_bm25; per-query totals sum in ascending
+    // term order — list_sum of an ORDER BY term list runs the identical
+    // left-to-right IEEE additions as the engine's sort_array+aggregate)
+    "text_search" ->
+      """WITH tx AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |dls AS (SELECT doc_id, CAST(CASE WHEN length(t) = 0 THEN 0
+        |    ELSE length(string_split(t, ' ')) END AS BIGINT) AS dl FROM tx),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls),
+        |q AS (SELECT CAST(qid AS BIGINT) AS query_id, term FROM (VALUES
+        |    (1, 'spark'), (1, 'join'), (2, 'hash'), (2, 'scan'),
+        |    (3, 'spark'), (3, 'hash'), (3, 'scan'), (3, 'join'),
+        |    (4, 'scan')) AS v(qid, term)),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+        |  FROM tx WHERE length(t) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.term, tf.doc_id,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))) AS score
+        |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN tot),
+        |qs AS (SELECT q.query_id, sc.doc_id,
+        |    list_sum(list(sc.score ORDER BY sc.term)) AS score,
+        |    CAST(count(*) AS BIGINT) AS n_terms
+        |  FROM q JOIN sc USING (term) GROUP BY q.query_id, sc.doc_id)
+        |SELECT query_id, doc_id, rank, score, n_terms FROM (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+        |    score, n_terms FROM qs) r
         |WHERE rank <= 10""".stripMargin,
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract

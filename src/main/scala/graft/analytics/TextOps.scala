@@ -1079,4 +1079,163 @@ object TextOps {
         (lit(0.709d) * lit(4096.0d) * lit(36028797018963968.0d) /
           col("s_scaled").cast("double")).as("estimate"))
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted full-text search store (inverted index + BM25 serving path)
+
+  /** Persist a corpus's inverted index as a Parquet BM25 search store —
+    * the lexical-retrieval serving layout for "top-k documents for this
+    * query over 100 TB" without a corpus scan per query. The sibling of
+    * the MinHash near-dup store ([[Dedup.minhashStoreWrite]]) and the IVF
+    * vector store, completing the retrieval triple (near-dup / dense /
+    * sparse). Layout:
+    *  - `postings/pb=<bucket>/`: one row per (term, doc) —
+    *    (term, id, tf, dl) with the doc length DENORMALIZED into the
+    *    posting so scoring never fetches a second table. Rows are
+    *    directory-partitioned by `pb = pmod(xxhash64(term), buckets)`
+    *    (static partition pruning on probe) and RANGE-partitioned +
+    *    sorted by (term, id) within files, so a literal `term IN (…)`
+    *    probe skips row groups via the Parquet min/max stats — the
+    *    text analog of the near-dup store's sorted-minhash skip.
+    *  - `search_meta.json`: (n, sumdl, buckets). N and Σdl live in meta,
+    *    df(t) is DERIVED at probe time by counting the term's postings
+    *    (rows the scorer reads anyway), so appends stay exact: after
+    *    [[searchStoreAppend]] every BM25 statistic equals a fresh write
+    *    of the union.
+    */
+  def searchStoreWrite(df: DataFrame, dir: String, idCol: String,
+                       textCol: String, buckets: Int = 32): Unit = {
+    require(buckets >= 1, "searchStoreWrite: buckets must be >= 1")
+    writeSearchPostings(df, dir, idCol, textCol, buckets, append = false)
+  }
+
+  /** Append a document batch to a [[searchStoreWrite]] store. New
+    * postings land in the existing bucket directories; meta's (n, Σdl)
+    * accumulate. Because df(t) is derived from postings at probe time
+    * and dl rides each posting row, a probe after the append is
+    * VALUE-IDENTICAL to a probe of a fresh write of the union — the
+    * incremental-ingest contract the near-dup and IVF stores make.
+    * Batch and store doc ids are assumed disjoint.
+    */
+  def searchStoreAppend(df: DataFrame, dir: String, idCol: String,
+                        textCol: String): Unit = {
+    val (n0, s0, buckets) = searchStoreMeta(dir)
+    val (n1, s1) =
+      writeSearchPostings(df, dir, idCol, textCol, buckets, append = true)
+    writeSearchMeta(dir, n0 + n1, s0 + s1, buckets)
+  }
+
+  private def writeSearchPostings(df: DataFrame, dir: String, idCol: String,
+                                  textCol: String, buckets: Int,
+                                  append: Boolean): (Long, Long) = {
+    val spark = df.sparkSession
+    val numParts = spark.sessionState.conf.numShufflePartitions
+    val dls = df.select(col(idCol).as("id"),
+      tokenCount(col(textCol)).cast("long").as("dl"))
+    // corpus stats BEFORE any write into dir (the recache-by-path trap:
+    // a post-write evaluation of a plan reading dir would see new files)
+    val tot = dls.agg(count(lit(1)).as("n"), sum("dl").as("s")).head
+    val n = tot.getLong(0)
+    val sumdl = if (n == 0 || tot.isNullAt(1)) 0L else tot.getLong(1)
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(split(normalize(col(textCol)), " ")).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    // range-partition by the SORT key, not by pb: hash-by-bucket sorts
+    // collapse into one giant task under power-law term skew (the
+    // GraphStore 127.8 s lesson); partitionBy then fans each task's
+    // rows into its pb directories
+    tf.join(dls, "id")
+      .withColumn("pb",
+        pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
+      .select(col("pb"), col("term"), col("id"), col("tf"), col("dl"))
+      .repartitionByRange(numParts, col("term"), col("id"))
+      .sortWithinPartitions("term", "id")
+      .write.mode(if (append) "append" else "overwrite")
+      .partitionBy("pb").parquet(s"$dir/postings")
+    if (!append) writeSearchMeta(dir, n, sumdl, buckets)
+    (n, sumdl)
+  }
+
+  private def writeSearchMeta(dir: String, n: Long, sumdl: Long,
+                              buckets: Int): Unit =
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/search_meta.json"),
+      s"""{"n":$n,"sumdl":$sumdl,"buckets":$buckets}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+
+  private def searchStoreMeta(dir: String): (Long, Long, Int) = {
+    val json = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/search_meta.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    def f(key: String): Long =
+      ("\"" + key + "\":(-?\\d+)").r.findFirstMatchIn(json).get.group(1).toLong
+    (f("n"), f("sumdl"), f("buckets").toInt)
+  }
+
+  /** BM25 top-`k` per query against a [[searchStoreWrite]] store:
+    * (query_id, doc_id, rank, score, n_terms). Query texts tokenize with
+    * the corpus normalizer (distinct terms — standard probabilistic-BM25
+    * query form, matching [[bm25TopK]]'s per-term scoring exactly), the
+    * probe pushes `pb IN` static partition pruning plus a literal
+    * `term IN (…)` row-group skip into the postings scan, and the scan
+    * is checkpointed so df-derivation and scoring read it once. Work is
+    * proportional to Σ df(term) over the query terms — never the corpus.
+    *
+    * Float parity: each (term, doc) score is the [[bm25TopK]] rational-idf
+    * expression token for token; the per-(query, doc) total sums the
+    * matched term scores in ASCENDING TERM ORDER, left to right
+    * (sort_array + aggregate here; `list_sum(list(score ORDER BY term))`
+    * in the oracle) — an unordered SUM would be partition-order-dependent
+    * and never hash-stable. Ties rank by ascending doc id.
+    */
+  def searchStoreProbe(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, queries: Seq[(Long, String)],
+                       k: Int = 10, k1: Double = 1.2,
+                       b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty, "searchStoreProbe: no queries")
+    val (n, sumdl, buckets) = searchStoreMeta(dir)
+    require(n > 0, "searchStoreProbe: empty store")
+    val avgdl = sumdl.toDouble / n.toDouble
+    val qterms: Seq[(Long, String)] = queries.flatMap { case (qid, qt) =>
+      qt.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).distinct
+        .map(qid -> _)
+    }
+    require(qterms.nonEmpty, "searchStoreProbe: queries have no terms")
+    val terms = qterms.map(_._2).distinct
+    // pb literals via a one-row-per-term job so the driver never
+    // re-implements xxhash64 (must match the write's hash bit for bit)
+    val pbs = terms.toDS().select(
+      pmod(xxhash64(col("value")), lit(buckets.toLong)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val scan = spark.read.parquet(s"$dir/postings")
+      .where(col("pb").isin(pbs: _*) && col("term").isin(terms: _*))
+      .select("term", "id", "tf", "dl")
+    // one pruned read feeds both df-derivation and scoring
+    val hits = Dedup.checkpointCapped(scan)
+    val dfq = hits.groupBy("term").agg(count(lit(1)).as("df"))
+    val tfD = col("tf").cast("double"); val dfD = col("df").cast("double")
+    val scored = hits.join(broadcast(dfq), "term")
+      .withColumn("score",
+        ((lit(n).cast("double") - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+          (tfD * (lit(k1) + lit(1.0))) /
+          (tfD + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl").cast("double") / lit(avgdl)))))
+    val qdf = qterms.toDF("query_id", "term")
+    val summed = scored.join(broadcast(qdf), "term")
+      .groupBy(col("query_id"), col("id"))
+      .agg(
+        aggregate(sort_array(collect_list(struct(col("term"), col("score")))),
+          lit(0.0), (acc, x) => acc + x.getField("score")).as("score"),
+        count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    val out = summed.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"),
+        col("score"), col("n_terms"))
+    Dedup.releasing(out, Seq(hits))
+  }
 }

@@ -1,0 +1,139 @@
+package graft.analytics
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Persisted BM25 search store: the probe must be VALUE-IDENTICAL to an
+  * independent full-corpus computation (store = serving layout, never a
+  * different answer), appends must equal a fresh write of the union, and
+  * the probe scan must prune partitions/row groups.
+  */
+class SearchStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark joins hash tables and spark scans parquet files"),
+    (1L, "the query engine scans parquet and prunes row groups"),
+    (2L, "hash join broadcast join and sort merge join strategies"),
+    (3L, "spark spark spark nothing but spark here"),
+    (4L, "completely unrelated prose about rivers and forests"),
+    (5L, ""),
+    (6L, "parquet scans with predicate pushdown beat full scans"),
+    (7L, "broadcast hash join wins for small dimension tables")
+  ).toDF("doc_id", "text")
+
+  /** Independent driver-side BM25 reference: plain Scala over collected
+    * rows, same tokenizer, rational idf, term-ascending left-to-right
+    * score sum with a 0.0 accumulator — mirrors the operator's float
+    * contract without sharing any of its Spark expressions.
+    */
+  private def reference(corpus: Seq[(Long, String)],
+                        queries: Seq[(Long, String)], k: Int,
+                        k1: Double = 1.2,
+                        b: Double = 0.75): Set[(Long, Long, Long, Double, Long)] = {
+    def toks(t: String): Seq[String] =
+      t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+    val dls = corpus.map { case (id, t) => id -> toks(t).size.toLong }.toMap
+    val n = corpus.size.toLong
+    val avgdl = dls.values.sum.toDouble / n.toDouble
+    val tf: Map[(Long, String), Long] = corpus
+      .flatMap { case (id, t) => toks(t).map(w => (id, w)) }
+      .groupBy(identity).map { case (key, v) => key -> v.size.toLong }
+    val dfreq: Map[String, Long] =
+      tf.keys.toSeq.groupBy(_._2).map { case (w, v) => w -> v.size.toLong }
+    def score(id: Long, w: String): Option[Double] =
+      tf.get((id, w)).map { f =>
+        val dfD = dfreq(w).toDouble; val tfD = f.toDouble
+        ((n.toDouble - dfD + 0.5) / (dfD + 0.5)) *
+          (tfD * (k1 + 1.0)) /
+          (tfD + k1 * (1.0 - b + b * (dls(id).toDouble / avgdl)))
+      }
+    queries.flatMap { case (qid, qt) =>
+      val qws = toks(qt).distinct.sorted
+      val perDoc = corpus.flatMap { case (id, _) =>
+        val ss = qws.flatMap(w => score(id, w))
+        if (ss.isEmpty) None
+        else Some((id, ss.foldLeft(0.0)(_ + _), ss.size.toLong))
+      }
+      perDoc.sortBy { case (id, s, _) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s, nt), i) => (qid, id, (i + 1).toLong, s, nt) }
+    }.toSet
+  }
+
+  private val queries = Seq(
+    (1L, "spark parquet"),
+    (2L, "hash join"),
+    (3L, "Broadcast  JOIN join"), // case/whitespace/dup normalization
+    (4L, "rivers"),
+    (5L, "zzz-not-in-corpus"))
+
+  test("probe equals independent full-corpus BM25 (multi-term)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-searchstore").toString
+    TextOps.searchStoreWrite(docs, dir, "doc_id", "text", buckets = 8)
+    val got = TextOps.searchStoreProbe(spark, dir, queries, k = 3)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val want = reference(docs.as[(Long, String)].collect().toSeq,
+      queries, k = 3)
+    assert(got === want)
+    assert(!got.exists(_._1 == 5L)) // no-match query yields no rows
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("single-term probe matches bm25TopK value for value") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-searchstore").toString
+    TextOps.searchStoreWrite(docs, dir, "doc_id", "text")
+    val got = TextOps.searchStoreProbe(spark, dir, Seq((9L, "join")), k = 5)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val want = TextOps.bm25TopK(docs, "doc_id", "text", Seq("join"), k = 5)
+      .select("doc_id", "rank", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got === want)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("append equals a fresh write of the union (exact, incl. df/avgdl)") {
+    val dirA = java.nio.file.Files
+      .createTempDirectory("graft-searchstore").toString
+    val dirB = java.nio.file.Files
+      .createTempDirectory("graft-searchstore").toString
+    val half1 = docs.where(col("doc_id") < 4)
+    val half2 = docs.where(col("doc_id") >= 4)
+    TextOps.searchStoreWrite(half1, dirA, "doc_id", "text", buckets = 4)
+    TextOps.searchStoreAppend(half2, dirA, "doc_id", "text")
+    TextOps.searchStoreWrite(docs, dirB, "doc_id", "text", buckets = 4)
+    val a = TextOps.searchStoreProbe(spark, dirA, queries, k = 5)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    val b = TextOps.searchStoreProbe(spark, dirB, queries, k = 5)
+      .as[(Long, Long, Long, Double, Long)].collect().toSet
+    assert(a === b)
+    Seq(dirA, dirB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+  }
+
+  test("probe scan prunes pb partitions and pushes term literals") {
+    // the probe's returned frame is a materialized checkpoint, so pin the
+    // scan construct the probe builds internally (pb literals via the
+    // same one-row-per-term job, then partition + term predicates)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-searchstore").toString
+    TextOps.searchStoreWrite(docs, dir, "doc_id", "text", buckets = 8)
+    val terms = Seq("spark", "join")
+    val pbs = terms.toDS().select(
+      pmod(xxhash64(col("value")), lit(8L)).cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    val scan = spark.read.parquet(s"$dir/postings")
+      .where(col("pb").isin(pbs: _*) && col("term").isin(terms: _*))
+      .select("term", "id", "tf", "dl")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*pb".r.findFirstIn(plan).nonEmpty,
+      s"expected pb partition pruning in:\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"expected term IN pushdown in:\n$plan")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+}
