@@ -2590,6 +2590,32 @@ object SparkEntry {
         1L -> "spark join", 2L -> "hash scan",
         3L -> "spark hash scan join", 4L -> "scan"), k = 10)
     }),
+    // hybrid retrieval: RRF fusion of the sparse (BM25 search store) and
+    // dense (cosine top-k) rankings. Fusion scores are exact BIGINT
+    // multiples of 1/lcm(61..70) — an order-independent integer sum with
+    // ONE final double division (a naive Σ 1/(60+r) double sum is
+    // union-order-dependent and never hash-stable). Dense query q maps to
+    // lexical query_id q+1 so the three queries fuse pairwise.
+    "hybrid_search" -> ((s, d) => {
+      val docs = t(s, d, "documents")
+      val emb = t(s, d, "embeddings")
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-searchstore").toString
+      TextOps.searchStoreWrite(docs, dir, "doc_id", "text")
+      val lex = TextOps.searchStoreProbe(s, dir, Seq(
+          1L -> "spark join", 2L -> "hash scan", 3L -> "parquet scan"),
+          k = 10)
+        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("score").desc, col("id"))
+      val dense = Similarity
+        .batchTopK(emb, emb.where(col("vec_id") < 3), "vec_id",
+          "embedding", k = 10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select((col("query_id") + lit(1L)).as("query_id"), col("id"),
+          col("rank"))
+      Similarity.rrfFuse(Seq(lex, dense), "query_id", "id", "rank", k = 10)
+    }),
     // sketch contracts: HyperLogLog++ distinct tokens within 5% of exact,
     // approx median doc length within 5% of the exact median — the
     // one-pass mergeable summaries a 100 TB profile pass uses instead of
@@ -3671,6 +3697,58 @@ object SparkEntry {
         |  SELECT query_id, doc_id, CAST(row_number() OVER (
         |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
         |    score, n_terms FROM qs) r
+        |WHERE rank <= 10""".stripMargin,
+    // hybrid RRF fusion: lexical rank table = the text_search pipeline
+    // (three queries), dense rank table = the sim_batch_topk pipeline
+    // (vec_id < 3, shifted +1); fused score = Σ lcm(61..70)//(60+rank),
+    // an exact BIGINT sum, ONE double division at the end
+    "hybrid_search" ->
+      """WITH tx AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents),
+        |dls AS (SELECT doc_id, CAST(CASE WHEN length(t) = 0 THEN 0
+        |    ELSE length(string_split(t, ' ')) END AS BIGINT) AS dl FROM tx),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl FROM dls),
+        |q AS (SELECT CAST(qid AS BIGINT) AS query_id, term FROM (VALUES
+        |    (1, 'spark'), (1, 'join'), (2, 'hash'), (2, 'scan'),
+        |    (3, 'parquet'), (3, 'scan')) AS v(qid, term)),
+        |tk AS (SELECT doc_id, unnest(string_split(t, ' ')) AS term
+        |  FROM tx WHERE length(t) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT tf.term, tf.doc_id,
+        |    ((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |      / (CAST(df AS DOUBLE) + CAST(0.5 AS DOUBLE)))
+        |    * (CAST(tf AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    / (CAST(tf AS DOUBLE) + CAST(1.2 AS DOUBLE)
+        |        * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+        |           + CAST(0.75 AS DOUBLE) * (CAST(dl AS DOUBLE) / avgdl))) AS score
+        |  FROM tf JOIN dfq USING (term) JOIN dls USING (doc_id) CROSS JOIN tot),
+        |qs AS (SELECT q.query_id, sc.doc_id,
+        |    list_sum(list(sc.score ORDER BY sc.term)) AS score
+        |  FROM q JOIN sc USING (term) GROUP BY q.query_id, sc.doc_id),
+        |lexr AS (SELECT query_id, doc_id AS id, rank FROM (
+        |  SELECT query_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        |    FROM qs) r WHERE rank <= 10),
+        |denr AS (SELECT query_id + 1 AS query_id, id, rank FROM (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS id,
+        |    CAST(row_number() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC,
+        |        c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings c JOIN embeddings p
+        |    ON p.vec_id < 3 AND c.vec_id <> p.vec_id) d WHERE rank <= 10),
+        |u AS (SELECT * FROM lexr UNION ALL SELECT * FROM denr),
+        |f AS (SELECT query_id, id, sum(142813628717760 // (60 + rank)) AS num,
+        |    CAST(count(*) AS BIGINT) AS n_sources
+        |  FROM u GROUP BY query_id, id)
+        |SELECT query_id, id, rank,
+        |  CAST(num AS DOUBLE) / CAST(142813628717760 AS DOUBLE) AS score,
+        |  n_sources
+        |FROM (SELECT query_id, id, CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY num DESC, id) AS BIGINT) AS rank,
+        |    num, n_sources FROM f) r
         |WHERE rank <= 10""".stripMargin,
     // sketch contracts are engine-side assertions (approx within 5% of
     // exact); the oracle records the contract

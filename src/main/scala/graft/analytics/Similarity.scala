@@ -984,4 +984,57 @@ object Similarity {
       .agg(((avg(coalesce(col("hits"), lit(0L))) / k) >= minMeanRecall)
         .as("recall_ok"))
   }
+
+  /** Reciprocal-rank fusion of N rankings — the hybrid-retrieval join of
+    * the sparse (BM25 search store) and dense (IVF store) serving paths:
+    * RRF(d) = Σ_sources 1/(rrfK + rank_source(d)), re-ranked per query.
+    *
+    * Exactness: each reciprocal is an exact BIGINT multiple of 1/L where
+    * L = lcm(rrfK+1 … rrfK+maxRank), so the fusion score is an exact
+    * integer sum (order-independent — a naive double Σ 1/(60+r) would be
+    * union-order-dependent and never hash-stable) with ONE final double
+    * division, the same float-parity rule as skipgram weights. Requires
+    * L to fit a BIGINT: rrfK=60 admits maxRank ≤ 10 (L ≈ 1.4e14); raise
+    * rrfK proportionally for deeper lists.
+    *
+    * Plan shape: union of the (already small, per-query top-k) ranking
+    * tables, ONE hash aggregate on (query, id), one per-query top-k
+    * window — no joins, so fusing S sources over Q queries is
+    * O(S·Q·maxRank) rows end-to-end regardless of corpus size.
+    * Final ties rank by ascending id.
+    *
+    * Inputs: each ranking as (queryCol, idCol, rankCol) with rank ≥ 1;
+    * rows with rank > maxRank are ignored. Output:
+    * (query, id, rank, score, n_sources).
+    */
+  def rrfFuse(rankings: Seq[DataFrame], queryCol: String, idCol: String,
+              rankCol: String, k: Int = 10, rrfK: Int = 60,
+              maxRank: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse: no rankings")
+    require(rrfK >= 0 && maxRank >= 1, "rrfFuse: bad rrfK/maxRank")
+    val lcm = (rrfK + 1 to rrfK + maxRank).foldLeft(BigInt(1))((a, b) =>
+      a / a.gcd(BigInt(b)) * b)
+    require(lcm.isValidLong,
+      s"rrfFuse: lcm($rrfK+1..$rrfK+$maxRank) overflows BIGINT — " +
+        "raise rrfK or lower maxRank")
+    val l = lcm.toLong
+    val parts = rankings.map(_.select(
+      col(queryCol).as("query"), col(idCol).as("id"),
+      col(rankCol).cast("long").as("rank"))
+      .where(col("rank") >= 1 && col("rank") <= maxRank))
+    val unioned = parts.reduce(_ unionByName _)
+    // lcm is divisible by every (rrfK + rank), so DIV is exact
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query")
+      .orderBy(col("num").desc, col("id"))
+    unioned
+      .select(col("query"), col("id"),
+        expr(s"$l DIV (${rrfK.toLong} + rank)").as("rw"))
+      .groupBy("query", "id")
+      .agg(sum("rw").as("num"), count(lit(1)).as("n_sources"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query").as(queryCol), col("id").as(idCol), col("rank"),
+        (col("num").cast("double") / lit(l.toDouble)).as("score"),
+        col("n_sources"))
+  }
 }

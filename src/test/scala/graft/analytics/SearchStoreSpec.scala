@@ -136,4 +136,52 @@ class SearchStoreSpec extends AnyFunSuite {
       s"expected term IN pushdown in:\n$plan")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  test("rrfFuse matches an exact-fraction driver reference") {
+    // two rankings over shared queries; reference computes Σ 1/(60+r) as
+    // exact BigInt fractions over lcm(61..70), one double division at end
+    val lex = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L)).toDF("q", "id", "r")
+    val den = Seq((1L, 11L, 1L), (1L, 13L, 2L),
+      (2L, 20L, 2L), (2L, 22L, 1L)).toDF("q", "id", "r")
+    val got = Similarity.rrfFuse(Seq(lex, den), "q", "id", "r", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSet
+    val lcm = (61 to 70).foldLeft(BigInt(1))((a, b) =>
+      a / a.gcd(BigInt(b)) * b)
+    val rows = Seq((1L, 10L, 1L), (1L, 11L, 2L), (1L, 12L, 3L),
+      (2L, 20L, 1L), (2L, 21L, 2L), (1L, 11L, 1L), (1L, 13L, 2L),
+      (2L, 20L, 2L), (2L, 22L, 1L))
+    val nums = rows.groupBy(t => (t._1, t._2)).map { case (k2, g) =>
+      (k2, g.map(t => lcm / BigInt(60 + t._3)).sum, g.size.toLong)
+    }.toSeq
+    val want = nums.groupBy(_._1._1).flatMap { case (q, g) =>
+      g.sortBy { case ((_, id), num, _) => (-num, id) }.zipWithIndex.map {
+        case (((qq, id), num, ns), i) =>
+          (qq, id, i + 1L, (BigDecimal(num) / BigDecimal(lcm)).toDouble, ns)
+      }
+    }.toSet
+    assert(got == want)
+    // doc 11 appears in both rankings for q=1 → n_sources=2, and its
+    // fused score (1/62 + 1/61) beats lex-rank-1 doc 10 (1/61 alone)
+    val q1 = got.filter(_._1 == 1L).toSeq.sortBy(_._3)
+    assert(q1.head._2 == 11L && q1.head._5 == 2L)
+  }
+
+  test("rrfFuse is union-order-independent and filters rank > maxRank") {
+    val a = Seq((1L, 1L, 1L), (1L, 2L, 2L), (1L, 9L, 11L)).toDF("q", "id", "r")
+    val b = Seq((1L, 2L, 1L), (1L, 3L, 2L)).toDF("q", "id", "r")
+    val ab = Similarity.rrfFuse(Seq(a, b), "q", "id", "r").collect()
+      .map(_.toSeq).toSet
+    val ba = Similarity.rrfFuse(Seq(b, a), "q", "id", "r").collect()
+      .map(_.toSeq).toSet
+    assert(ab == ba)
+    // rank-11 row ignored (maxRank=10): id 9 absent
+    assert(!ab.exists(_(1) == 9L))
+    // deep lists must be rejected, not silently wrong: lcm overflow guard
+    val e = intercept[IllegalArgumentException] {
+      Similarity.rrfFuse(Seq(a), "q", "id", "r", maxRank = 50)
+    }
+    assert(e.getMessage.contains("overflows"))
+  }
 }
