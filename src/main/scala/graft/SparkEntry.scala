@@ -880,6 +880,19 @@ object SparkEntry {
       Similarity.batchTopK(emb, emb.where(col("vec_id") < 5), "vec_id",
         "embedding", k = 3).select("query_id", "id")
     }),
+    // hard-negative mining: top-k nearest candidates EXCLUDING the
+    // labeled positives (here: a rank-independent same-residue relation,
+    // c%7 == q%7, so some true top-k candidates really are excluded and
+    // the anti-join must backfill with rank k+1, k+2, ...)
+    "sim_hardneg" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      val probes = emb.where(col("vec_id") < 4)
+      val positives = probes.select(col("vec_id").as("q"))
+        .crossJoin(emb.select(col("vec_id").as("c")))
+        .where(col("c") % 7 === col("q") % 7)
+      Similarity.hardNegatives(emb, probes, positives, "vec_id",
+        "embedding", "q", "c", k = 10).select("query_id", "id", "rank")
+    }),
     // batched LSH ANN (equi-join multi-probe), verified by its contract:
     // every probe's recall@3 >= 2/3 vs the exact batch top-k
     "sim_batch_ann" -> ((s, d) => {
@@ -4069,7 +4082,19 @@ object SparkEntry {
         |      ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS rn
         |  FROM embeddings c JOIN embeddings p
         |    ON p.vec_id < 5 AND c.vec_id <> p.vec_id)
-        |WHERE rn <= 3""".stripMargin)
+        |WHERE rn <= 3""".stripMargin,
+    // hard negatives: rank among candidates with the positives relation
+    // (c%7 == q%7) excluded BEFORE ranking — rank included in the value
+    // check, so exclusion-then-backfill order must match exactly
+    "sim_hardneg" ->
+      """SELECT query_id, id, rank FROM (
+        |  SELECT p.vec_id AS query_id, c.vec_id AS id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+        |  FROM embeddings c JOIN embeddings p
+        |    ON p.vec_id < 4 AND c.vec_id <> p.vec_id
+        |   AND c.vec_id % 7 <> p.vec_id % 7)
+        |WHERE rank <= 10""".stripMargin)
 
   // ==================================================== relational/streaming
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

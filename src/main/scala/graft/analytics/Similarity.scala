@@ -985,6 +985,39 @@ object Similarity {
         .as("recall_ok"))
   }
 
+  /** Hard-negative mining for contrastive / retrieval training: for each
+    * probe, the top-k highest-cosine candidates that are NOT known
+    * positives (and not the probe itself) — the near-misses a trainer
+    * wants as in-batch negatives, mined exactly. `positives` is the
+    * labeled (query, candidate) relation to exclude; exclusion happens
+    * BEFORE rank selection (anti-join), so the k survivors are the true
+    * top-k of the negative pool, not a post-filtered top-k' of the full
+    * pool — a positive sitting at rank 1 must pull the k+1-th candidate
+    * in, never shorten the list.
+    *
+    * Scale shape: one corpus scan per probe batch (probes broadcast,
+    * same as [[batchTopK]]); the positives side is per-query label data
+    * (small) and broadcasts into the anti-join, so nothing reshuffles
+    * the corpus-sized scored stream before the per-query top-k window.
+    */
+  def hardNegatives(emb: DataFrame, probes: DataFrame,
+                    positives: DataFrame, idCol: String, vecCol: String,
+                    queryCol: String, posCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = emb.alias("c").crossJoin(broadcast(probes.alias("p")))
+      .where(col("c." + idCol) =!= col("p." + idCol))
+      .select(col("p." + idCol).as("query_id"), col("c." + idCol).as("id"),
+        cosine(col("c." + vecCol), col("p." + vecCol)).as("score"))
+    val pos = positives.select(col(queryCol).as("query_id"),
+      col(posCol).as("id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("id"))
+    scored.join(broadcast(pos), Seq("query_id", "id"), "left_anti")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
+
   /** Reciprocal-rank fusion of N rankings — the hybrid-retrieval join of
     * the sparse (BM25 search store) and dense (IVF store) serving paths:
     * RRF(d) = Σ_sources 1/(rrfK + rank_source(d)), re-ranked per query.

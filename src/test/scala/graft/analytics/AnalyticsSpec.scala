@@ -185,6 +185,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(top.last._1 === 1L && math.abs(top.last._2) < 1e-12)
   }
 
+  test("hardNegatives excludes positives BEFORE ranking and backfills") {
+    // cosine to probe 0 strictly decreasing in id: 1 > 2 > 3 > 4 > 5
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.1f)),
+      (2L, Array(1.0f, 0.3f)),
+      (3L, Array(1.0f, 0.6f)),
+      (4L, Array(1.0f, 1.0f)),
+      (5L, Array(0.3f, 1.0f))).toDF("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") === 0L)
+    // positives at ranks 1 and 3 of the full pool: the negative top-3
+    // must be (2, 4, 5) at ranks 1..3 — exclusion pulls rank 4 and 5 in
+    val pos = Seq((0L, 1L), (0L, 3L)).toDF("q", "c")
+    val got = Similarity.hardNegatives(emb, probes, pos, "vec_id",
+        "embedding", "q", "c", k = 3)
+      .select("query_id", "id", "rank").as[(Long, Long, Long)]
+      .collect().sortBy(_._3)
+    assert(got.map(t => (t._2, t._3)).toSeq ===
+      Seq((2L, 1L), (4L, 2L), (5L, 3L)))
+    // empty positives ⇒ identical id set to batchTopK
+    val none = Seq.empty[(Long, Long)].toDF("q", "c")
+    val all = Similarity.hardNegatives(emb, probes, none, "vec_id",
+        "embedding", "q", "c", k = 3)
+      .select("id").as[Long].collect().toSet
+    val bt = Similarity.batchTopK(emb, probes, "vec_id", "embedding", 3)
+      .select("id").as[Long].collect().toSet
+    assert(all === bt)
+  }
+
   test("lsh buckets put identical-direction vectors together") {
     val emb = Seq(
       (0L, Array.fill(8)(1.0f)),
