@@ -1556,6 +1556,7 @@ object GraphAlgos {
               driverFoldEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val tU = System.nanoTime()
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -1563,12 +1564,17 @@ object GraphAlgos {
         col("a") =!= col("b"))
       .distinct().localCheckpoint(true,
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER).cappedStats
-    if (und.count() <= maxDriverEdges) {
+    val undCount = und.count()
+    if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
+      System.err.println(
+        f"louvain undSecs=${(System.nanoTime() - tU) / 1e9}%.1f")
+    if (undCount <= maxDriverEdges) {
       val es = und.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       Dedup.releaseBlocks(und)
       val lab = louvainLocal(es, maxRounds, maxLevels).toSeq
       lab.toDF("node", "community")
-    } else louvainDistributed(und, maxRounds, maxLevels, driverFoldEdges)
+    } else louvainDistributed(und, undCount, maxRounds, maxLevels,
+      driverFoldEdges)
   }
 
   /** Sequential reference Louvain (driver tier): ascending node order,
@@ -1780,8 +1786,14 @@ object GraphAlgos {
     * 1-3 s rounds at x10 on the movie graph, movers in the hundreds).
     * Negative disables the fold (pure-distributed contract runs).
     */
-  private def louvainDistributed(und0: DataFrame, maxRounds: Int,
-                                 maxLevels: Int,
+  private def rddId(df: DataFrame): Long =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id.toLong
+      case _ => -1L
+    }
+
+  private def louvainDistributed(und0: DataFrame, undCount: Long,
+                                 maxRounds: Int, maxLevels: Int,
                                  driverFoldEdges: Long): DataFrame = {
     val spark = und0.sparkSession
     import spark.implicits._
@@ -1789,10 +1801,14 @@ object GraphAlgos {
     val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
     val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    // level state: ew (a, b, w) canonical a < b; sw (n, sw) self-loops
+    // level state: ew (a, b, w) canonical a < b; sw (n, sw) self-loops.
+    // ew rides the caller's und checkpoint (w is a constant projection —
+    // re-checkpointing 47 M rows just to append lit(1.0) doubled the
+    // level-0 SER footprint AND leaked und for the whole run; ewBacking
+    // tracks the checkpoint frame actually backing ew for release)
+    var ewBacking = und0
     var ew = und0.withColumn("w", lit(1.0d))
-      .localCheckpoint(true, serLevel).cappedStats
-    held += ew
+    held += ewBacking
     var sw = spark.range(0).select(col("id").as("n"),
       lit(0.0d).as("sw")).localCheckpoint(true).cappedStats
     held += sw
@@ -1804,10 +1820,12 @@ object GraphAlgos {
     held += assign
     var level = 0
     var levelMoved = true
+    // |E| of the current level's graph, carried from the caller's count
+    // (level 0) and each contraction's count (later levels) — never a
+    // dedicated count job
+    var edgeCount = undCount
     while (levelMoved && level < maxLevels) {
       levelMoved = false
-      val m = ew.agg(coalesce(sum("w"), lit(0.0d))).head().getDouble(0) +
-        sw.agg(coalesce(sum("sw"), lit(0.0d))).head().getDouble(0)
       val sym = ew.select(col("a").as("n"), col("b").as("v"), col("w"))
         .unionByName(
           ew.select(col("b").as("n"), col("a").as("v"), col("w")))
@@ -1820,17 +1838,36 @@ object GraphAlgos {
         .sortWithinPartitions("v")
         .persist(serLevel)
       held += symP
-      val k = sym.groupBy("n").agg(sum("w").as("kd"))
+      // cur carries each node's (community, degree), hash-partitioned
+      // by n and CACHED (not checkpointed) so the node-keyed joins and
+      // aggregates below stay exchange-free round over round. The degree
+      // table under it MUST stay a checkpoint held to the end of the
+      // run: the round caches chain (next = cur.join(movers…).cache()),
+      // and unpersisting a round's cur re-compiles the dependent cache
+      // entries — a rebuild walks the chained plans down to THIS base,
+      // and a long sym lineage here made that rebuild re-read released
+      // movers checkpoints (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND at round 1;
+      // measured, not theory — do not inline kdf into cur)
+      val tK = System.nanoTime()
+      val kdf = sym.groupBy("n").agg(sum("w").as("kd"))
         .unionByName(sw.select(col("n"), (col("sw") * 2.0d).as("kd")))
         .groupBy("n").agg(sum("kd").as("k"))
         .localCheckpoint(true).cappedStats
-      held += k
-      // cur carries each node's (community, degree), hash-partitioned
-      // by n and CACHED (not checkpointed) so the node-keyed joins and
-      // aggregates below stay exchange-free round over round
-      var cur = k.select(col("n"), col("n").as("c"), col("k"))
+      held += kdf
+      var cur = kdf.select(col("n"), col("n").as("c"), col("k"))
         .repartition(numParts, col("n")).cache()
       cur.count()
+      // 2m = Σ_n k(n) (every edge counted from both endpoints, self
+      // loops already doubled into k) — an aggregate over the node-sized
+      // cur cache instead of two edge-sized scans. Exact: all weights
+      // are integral doubles, so the sum is an exact integer either way
+      val m = cur.agg(coalesce(sum("k"), lit(0.0d)))
+        .head().getDouble(0) / 2.0d
+      if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
+        System.err.println(f"louvain level=$level " +
+          f"kSecs=${(System.nanoTime() - tK) / 1e9}%.1f " +
+          s"undRdd=${rddId(ewBacking)} swRdd=${rddId(sw)} " +
+          s"assignRdd=${rddId(assign)}")
       // adaptive mover floor (big levels only): a full-graph round at
       // 47 M edges costs 30-80 s, and the measured mover tail (movers
       // < |E|/12, single-digit % of round 0) buys oscillation residue,
@@ -1839,7 +1876,6 @@ object GraphAlgos {
       // floor out of every spec-scale graph (planted-ring recovery is
       // exact convergence territory; only bench-scale levels pay
       // tens-of-seconds rounds).
-      val edgeCount = ew.count()
       val moverFloor =
         if (edgeCount >= 8000000L) edgeCount / 12L else 0L
       var rounds = 0
@@ -1859,47 +1895,78 @@ object GraphAlgos {
         val curT = cur.join(tot, "c")
         val nbrSide = curT.select(col("n").as("v"), col("c").as("cv"),
           col("tot").as("cvtot"))
-        val nbw = symP
-          .join(nbrSide.repartition(numParts, col("v")), "v")
-          .select(col("n"), col("cv"), col("w"), col("cvtot"))
-          .repartition(numParts, col("n"))
-          .groupBy("n", "cv")
-          .agg(sum("w").as("wnc"), first("cvtot").as("cvtot"))
-        // hash(n) satisfies the (n, cv) clustering, so the aggregate and
-        // everything below it stays n-partitioned — zero further
-        // exchanges until the tiny direction-resolution aggregate
-        val scored = nbw
-          .join(curT.repartition(numParts, col("n")), "n")
-          .select(col("n"), col("c"), col("k"), col("tot"), col("cv"),
-            when(col("cv") === col("c"),
-              col("wnc") - col("k") * (col("tot") - col("k")) /
-                lit(2.0d * m))
-              .otherwise(col("wnc") - col("k") * col("cvtot") /
-                lit(2.0d * m)).as("s"))
-        // ONE aggregate: best candidate (max score, then smallest
-        // community id), the stay-put score (reconstructed from the
-        // formula when the node has no intra-community neighbor), and
-        // the node's current state
-        val summary = scored.groupBy("n").agg(
-          min_by(struct(col("cv"), col("s")), struct((-col("s")).as("ns"),
-            col("cv").as("tc"))).as("b"),
-          max(when(col("cv") === col("c"), col("s"))).as("own_present"),
-          first(col("c")).as("c"), first(col("k")).as("k0"),
-          first(col("tot")).as("ot"))
-        val moversPlan = summary
-          .withColumn("own_s", coalesce(col("own_present"),
-            lit(0.0d) - col("k0") * (col("ot") - col("k0")) /
-              lit(2.0d * m)))
-          .where(col("b.cv") =!= col("c") &&
-            col("b.s") > col("own_s") + lit(1e-12d))
-          .select(col("n"), col("c"), col("b.cv").as("nc"))
+        // the whole per-node scoring pipeline as a function of the
+        // (n, v, w) side, so the sampled floor pre-check below runs the
+        // SAME computation on a 1/16 node slice: the filter keys on n
+        // while the join keys on v, so every surviving n keeps its
+        // COMPLETE neighbor set and its mover decision is exact
+        def moversOf(symSide: DataFrame): DataFrame = {
+          val nbw = symSide
+            .join(nbrSide.repartition(numParts, col("v")), "v")
+            .select(col("n"), col("cv"), col("w"), col("cvtot"))
+            .repartition(numParts, col("n"))
+            .groupBy("n", "cv")
+            .agg(sum("w").as("wnc"), first("cvtot").as("cvtot"))
+          // hash(n) satisfies the (n, cv) clustering, so the aggregate
+          // and everything below it stays n-partitioned — zero further
+          // exchanges until the tiny direction-resolution aggregate
+          val scored = nbw
+            .join(curT.repartition(numParts, col("n")), "n")
+            .select(col("n"), col("c"), col("k"), col("tot"), col("cv"),
+              when(col("cv") === col("c"),
+                col("wnc") - col("k") * (col("tot") - col("k")) /
+                  lit(2.0d * m))
+                .otherwise(col("wnc") - col("k") * col("cvtot") /
+                  lit(2.0d * m)).as("s"))
+          // ONE aggregate: best candidate (max score, then smallest
+          // community id), the stay-put score (reconstructed from the
+          // formula when the node has no intra-community neighbor), and
+          // the node's current state
+          val summary = scored.groupBy("n").agg(
+            min_by(struct(col("cv"), col("s")),
+              struct((-col("s")).as("ns"), col("cv").as("tc"))).as("b"),
+            max(when(col("cv") === col("c"), col("s"))).as("own_present"),
+            first(col("c")).as("c"), first(col("k")).as("k0"),
+            first(col("tot")).as("ot"))
+          summary
+            .withColumn("own_s", coalesce(col("own_present"),
+              lit(0.0d) - col("k0") * (col("ot") - col("k0")) /
+                lit(2.0d * m)))
+            .where(col("b.cv") =!= col("c") &&
+              col("b.s") > col("own_s") + lit(1e-12d))
+            .select(col("n"), col("c"), col("b.cv").as("nc"))
+        }
         val debug = sys.env.contains("GRAFT_LOUVAIN_DEBUG")
         val tRound = System.nanoTime()
-        val movers = moversPlan.localCheckpoint(true).cappedStats
+        // sampled floor pre-check (floor-eligible levels only, once the
+        // mover count is within 4× of the floor): the last round of a
+        // big level is a FULL-graph scoring whose only product is
+        // "movers < floor, exit" — estimate that count on a 1/16 node
+        // sample first (~237 k mover draws at this scale → ±0.2%
+        // relative error; a boundary miss costs one ordinary full round,
+        // never a wrong answer) and skip the full-graph round the floor
+        // would end anyway. Spec-scale graphs (< 8 M edges) have
+        // moverFloor = 0 and never take this path.
+        val preSkip = moverFloor > 0L && prevMovers < 4L * moverFloor && {
+          val tPre = System.nanoTime()
+          val est = 16L * moversOf(symP.where(
+            pmod(xxhash64(col("n")), lit(16L)) === lit(0L))).count()
+          if (debug)
+            System.err.println(f"louvain level=$level round=$rounds " +
+              f"preEst=$est floor=$moverFloor " +
+              f"preSecs=${(System.nanoTime() - tPre) / 1e9}%.1f")
+          est < moverFloor
+        }
+        if (preSkip) {
+          roundMoved = false
+          rounds += 1
+        } else {
+        val movers = moversOf(symP).localCheckpoint(true).cappedStats
         val nMovers = movers.count()
         if (debug)
           System.err.println(f"louvain level=$level round=$rounds " +
-            f"movers=$nMovers scoreSecs=${(System.nanoTime() - tRound) / 1e9}%.1f")
+            f"movers=$nMovers rdd=${rddId(movers)} " +
+            f"scoreSecs=${(System.nanoTime() - tRound) / 1e9}%.1f")
         // plateau exit: synchronous local moving converges geometrically
         // while real progress is being made; a tail that shrinks < 10%
         // per round is the oscillation residue (community pairs trading
@@ -1947,11 +2014,13 @@ object GraphAlgos {
               f"roundSecs=${(System.nanoTime() - tRound) / 1e9}%.1f")
         }
         rounds += 1
+        }
       }
       // the level's join-side cache is dead once the rounds stop —
       // contraction reads ew, not symP
       Dedup.releaseBlocks(symP)
       if (levelMoved) {
+        val tC = System.nanoTime()
         // compose original-node assignment through this level
         val next = assign
           .join(cur.select(col("n").as("sup"), col("c")), "sup")
@@ -1960,26 +2029,30 @@ object GraphAlgos {
         Dedup.releaseBlocks(assign)
         assign = next
         // contract: communities become supernodes; intra-community
-        // weight (edges + member self-loops) folds into self-loops
+        // weight (edges + member self-loops) folds into self-loops.
+        // ONE aggregate checkpoint carries both: self-loops are the
+        // a === b rows — splitting ew2/sw2 into separate checkpoints
+        // used to evaluate the two-join plan TWICE (measured ~half of
+        // each level's contraction cost)
         val curA = cur.select(col("n").as("a"), col("c").as("ca"))
         val curB = cur.select(col("n").as("b"), col("c").as("cb"))
-        val joined = ew.join(curA, "a").join(curB, "b")
-        val ew2 = joined.where(col("ca") =!= col("cb"))
+        val contracted = ew.join(curA, "a").join(curB, "b")
           .select(least(col("ca"), col("cb")).as("a"),
             greatest(col("ca"), col("cb")).as("b"), col("w"))
           .groupBy("a", "b").agg(sum("w").as("w"))
           .localCheckpoint(true, serLevel).cappedStats
-        val sw2 = joined.where(col("ca") === col("cb"))
-          .select(col("ca").as("n"), col("w"))
+        val ew2 = contracted.where(col("a") =!= col("b"))
+        val sw2 = contracted.where(col("a") === col("b"))
+          .select(col("a").as("n"), col("w"))
           .unionByName(sw.join(cur, "n")
             .select(col("c").as("n"), col("sw").as("w")))
           .groupBy("n").agg(sum("w").as("sw"))
           .localCheckpoint(true).cappedStats
-        Dedup.releaseBlocks(ew)
+        Dedup.releaseBlocks(ewBacking)
         Dedup.releaseBlocks(sw)
         Dedup.releaseBlocks(cur)
-        ew = ew2; sw = sw2
-        held += ew; held += sw
+        ew = ew2; ewBacking = contracted; sw = sw2
+        held += ewBacking; held += sw
         level += 1
         // driver fold (two-tier pattern shared with CC/SCC/BFS): once
         // the contracted community graph fits the gate, the remaining
@@ -1987,11 +2060,15 @@ object GraphAlgos {
         // graph replaces whole scheduling-bound distributed levels
         val debugL = sys.env.contains("GRAFT_LOUVAIN_DEBUG")
         val foldEligible = driverFoldEdges >= 0L && level < maxLevels
-        val contractedEdges =
-          if (foldEligible || debugL) ew.count() else -1L
+        // one count over the fresh contraction checkpoint — doubles as
+        // the next level's |E| (the floor input), so levels never run a
+        // dedicated count job
+        val contractedEdges = ew.count()
+        edgeCount = contractedEdges
         if (debugL)
           System.err.println(
-            s"louvain level=${level - 1} contracted |E|=$contractedEdges")
+            s"louvain level=${level - 1} contracted |E|=$contractedEdges " +
+              f"contractSecs=${(System.nanoTime() - tC) / 1e9}%.1f")
         if (foldEligible && contractedEdges <= driverFoldEdges) {
           // typed collect: tuple rows are ~3x lighter than GenericRows,
           // which matters when the gate admits multi-million-edge
@@ -2016,10 +2093,15 @@ object GraphAlgos {
         }
       } else Dedup.releaseBlocks(cur)
     }
+    val tF = System.nanoTime()
     val mins = assign.groupBy("sup").agg(min("node").as("community"))
-    Dedup.releasing(
+    val out = Dedup.releasing(
       assign.join(mins, "sup").select(col("node"), col("community")),
       (held += assign).toSeq)
+    if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
+      System.err.println(
+        f"louvain finalSecs=${(System.nanoTime() - tF) / 1e9}%.1f")
+    out
   }
 
   /** Planted-partition contract harness for [[louvain]]: `c` ring
