@@ -64,14 +64,20 @@ object Probe {
             .write.mode("overwrite").format("noop").save()
         }
       case "louvain" =>
-        timed("louvain") {
-          graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
-              maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L,
-              driverFoldEdges = sys.env.get("GRAFT_LOUVAIN_FOLD")
-                .map(_.toLong)
-                .getOrElse(graft.analytics.Dedup.DriverCcMaxEdges))
-            .write.mode("overwrite").format("noop").save()
+        val labels = timed("louvain") {
+          val l = graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
+            maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L,
+            driverFoldEdges = sys.env.get("GRAFT_LOUVAIN_FOLD")
+              .map(_.toLong)
+              .getOrElse(graft.analytics.Dedup.DriverCcMaxEdges))
+          l.write.mode("overwrite").format("noop").save()
+          l
         }
+        // quality check for floor/fold experiments: global modularity Q
+        val q = graft.analytics.GraphAlgos
+          .modularity(eAll, "src", "dst", labels, "node", "community")
+          .agg(sum("dq")).head().getDouble(0)
+        println(f"PROBE louvain-modularity: $q%.4f")
       case "scc" =>
         timed("scc") {
           graft.analytics.GraphAlgos.stronglyConnectedComponents(

@@ -1876,8 +1876,13 @@ object GraphAlgos {
       // floor out of every spec-scale graph (planted-ring recovery is
       // exact convergence territory; only bench-scale levels pay
       // tens-of-seconds rounds).
+      // GRAFT_LOUVAIN_FLOOR_DIV re-measures the floor trade (quality via
+      // Probe's modularity print); 12 is the shipped calibration
       val moverFloor =
-        if (edgeCount >= 8000000L) edgeCount / 12L else 0L
+        if (edgeCount >= 8000000L)
+          edgeCount / sys.env.get("GRAFT_LOUVAIN_FLOOR_DIV")
+            .map(_.toLong).getOrElse(12L)
+        else 0L
       var rounds = 0
       var roundMoved = true
       var prevMovers = Long.MaxValue
