@@ -579,35 +579,6 @@ object Bench {
                   .write.mode("overwrite").format("noop").save()
               }
             }
-            // connected components a DECADE above the 5 M-edge driver
-            // gate: the pointer-doubled min-label tier's scale proof
-            // (dedup_clusters' CC input is pair-sized and stays under
-            // the gate even at x100 — this is the only entry that
-            // actually runs the distributed CC loop at 47 M edges)
-            timed1("x100_graph_wcc") {
-              graft.analytics.GraphAlgos.connectedComponents(
-                  eAll, "src", "dst")
-                .write.mode("overwrite").format("noop").save()
-            }
-            // SCC a decade over the x10 entry (47 M directed edges,
-            // distributed forced): the FW-BW-Trim phase's scale proof —
-            // isolated-probe pair 22.3 s (x10) → 113 s (x100), 5× for
-            // 10× data
-            timed1("x100_graph_scc") {
-              graft.analytics.GraphAlgos.stronglyConnectedComponents(
-                  eAll, "src", "dst", maxDriverEdges = 0L)
-                .write.mode("overwrite").format("noop").save()
-            }
-            // Louvain a decade over the x10 entry (47 M edges, forced
-            // distributed): early levels run distributed, then the
-            // contracted community graph folds to the sequential CSR
-            // core under the 5 M-edge gate — the fold layout's
-            // decade-over-decade proof (x10 folds right after level 0)
-            timed1("x100_graph_louvain") {
-              graft.analytics.GraphAlgos.louvain(eAll, "src", "dst",
-                  maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
-                .write.mode("overwrite").format("noop").save()
-            }
           }
           // Turtle many-files ingest at N×: the documented scale shape
           // for Turtle (statements span lines, so the distributed unit
@@ -667,6 +638,43 @@ object Bench {
             timed2(s"${tag}_store_hop2_rev") {
               Exec.run(gs, Path.start(actorRoots: _*)
                 .in(perfActor).in(starring)).values()
+            }
+            // whole-graph iterative trio, STORE-BACKED: at 100 TB the
+            // edge list comes off the persisted layout, not a cache —
+            // and holding the 47 M-quad graph cache under wcc/scc/
+            // louvain's own checkpoints OOM'd the 16 g child this round
+            // (attempt-1 exit 52 at x100_graph_wcc). Each op scans the
+            // store once and owns its whole heap; cost vs the old
+            // cache-backed numbers is one parquet pass per op.
+            if (tag == "x100") {
+              val eStore = gs.quads
+                .select(col("s").as("src"), col("o").as("dst"))
+              // connected components a DECADE above the 5 M-edge driver
+              // gate: the random-mate contraction tier's scale proof
+              // (dedup_clusters' CC input is pair-sized and stays under
+              // the gate even at x100 — this is the only entry that
+              // runs the distributed CC loop at 47 M edges)
+              timed1("x100_graph_wcc") {
+                graft.analytics.GraphAlgos.connectedComponents(
+                    eStore, "src", "dst")
+                  .write.mode("overwrite").format("noop").save()
+              }
+              // SCC a decade over the x10 entry (47 M directed edges,
+              // distributed forced): the FW-BW-Trim phase's scale proof
+              timed1("x100_graph_scc") {
+                graft.analytics.GraphAlgos.stronglyConnectedComponents(
+                    eStore, "src", "dst", maxDriverEdges = 0L)
+                  .write.mode("overwrite").format("noop").save()
+              }
+              // Louvain a decade over the x10 entry (47 M edges, forced
+              // distributed): early levels run distributed, then the
+              // contracted community graph folds to the sequential CSR
+              // core under the 5 M-edge gate
+              timed1("x100_graph_louvain") {
+                graft.analytics.GraphAlgos.louvain(eStore, "src", "dst",
+                    maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L)
+                  .write.mode("overwrite").format("noop").save()
+              }
             }
             // incremental ingest into the live store: append ONE extra
             // remapped 471k-quad copy — existence anti-join scans only

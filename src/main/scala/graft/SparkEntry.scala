@@ -893,6 +893,14 @@ object SparkEntry {
       Similarity.hardNegatives(emb, probes, positives, "vec_id",
         "embedding", "q", "c", k = 10).select("query_id", "id", "rank")
     }),
+    // MMR diversity re-rank: greedy λ·rel − (1−λ)·maxsim selection from
+    // the top-20 pool, k=3 — the oracle unrolls the same three greedy
+    // steps in SQL, so the SELECTION (not just the pool) is value-checked
+    "sim_mmr" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.mmrRerank(emb, emb.where(col("vec_id") < 3), "vec_id",
+        "embedding", k = 3, poolN = 20)
+    }),
     // batched LSH ANN (equi-join multi-probe), verified by its contract:
     // every probe's recall@3 >= 2/3 vs the exact batch top-k
     "sim_batch_ann" -> ((s, d) => {
@@ -4094,7 +4102,44 @@ object SparkEntry {
         |  FROM embeddings c JOIN embeddings p
         |    ON p.vec_id < 4 AND c.vec_id <> p.vec_id
         |   AND c.vec_id % 7 <> p.vec_id % 7)
-        |WHERE rank <= 10""".stripMargin)
+        |WHERE rank <= 10""".stripMargin,
+    // MMR: the greedy is unrolled step by step — s1 = relevance argmax,
+    // s2/s3 = argmax of 0.5*rel - 0.5*maxsim with maxsim folded via
+    // greatest, ties on ascending id; arithmetic shape mirrors the
+    // Column expressions exactly (float-parity selection)
+    "sim_mmr" ->
+      """WITH pool AS (
+        |  SELECT query_id, id, cvec, rel FROM (
+        |    SELECT p.vec_id AS query_id, c.vec_id AS id,
+        |      c.embedding AS cvec,
+        |      list_cosine_similarity(c.embedding, p.embedding) AS rel,
+        |      ROW_NUMBER() OVER (PARTITION BY p.vec_id
+        |        ORDER BY list_cosine_similarity(c.embedding, p.embedding) DESC,
+        |          c.vec_id) AS rn
+        |    FROM embeddings c JOIN embeddings p
+        |      ON p.vec_id < 3 AND c.vec_id <> p.vec_id) WHERE rn <= 20),
+        |s1 AS (SELECT query_id, id, cvec FROM (
+        |    SELECT query_id, id, cvec, ROW_NUMBER() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, id) AS rn
+        |    FROM pool) WHERE rn = 1),
+        |r2 AS (SELECT p.query_id, p.id, p.cvec, p.rel,
+        |    list_cosine_similarity(p.cvec, s.cvec) AS ms,
+        |    CAST(0.5 AS DOUBLE) * p.rel - CAST(0.5 AS DOUBLE) *
+        |      list_cosine_similarity(p.cvec, s.cvec) AS mmr
+        |  FROM pool p JOIN s1 s USING (query_id) WHERE p.id <> s.id),
+        |s2 AS (SELECT query_id, id, cvec, ms FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, id) AS rn FROM r2) WHERE rn = 1),
+        |r3 AS (SELECT p.query_id, p.id,
+        |    CAST(0.5 AS DOUBLE) * p.rel - CAST(0.5 AS DOUBLE) *
+        |      greatest(p.ms, list_cosine_similarity(p.cvec, s.cvec)) AS mmr
+        |  FROM r2 p JOIN s2 s USING (query_id) WHERE p.id <> s.id),
+        |s3 AS (SELECT query_id, id FROM (
+        |    SELECT query_id, id, ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY mmr DESC, id) AS rn FROM r3) WHERE rn = 1)
+        |SELECT query_id, id, CAST(1 AS BIGINT) AS rank FROM s1
+        |UNION ALL SELECT query_id, id, CAST(2 AS BIGINT) AS rank FROM s2
+        |UNION ALL SELECT query_id, id, CAST(3 AS BIGINT) AS rank FROM s3""".stripMargin)
 
   // ==================================================== relational/streaming
   private val relationalQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1018,6 +1018,74 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998):
+    * from each probe's cosine top-`poolN` candidate pool, greedily pick
+    * `k` results maximizing λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)
+    * — the diversity-aware cut a retrieval pipeline serves instead of a
+    * raw top-k full of near-duplicates. Ties break on ascending id; the
+    * first pick is the plain relevance argmax.
+    *
+    * Fully declarative unrolled greedy: one corpus scan builds the pool
+    * (probes broadcast, same shape as [[batchTopK]]), checkpointed at
+    * Q×poolN rows; each of the k steps is then one window + one join
+    * over that tiny table, with the running max-similarity folded in via
+    * `greatest` — no per-group imperative code, and every step's
+    * arithmetic (λ·rel − (1−λ)·maxsim, left-to-right) is mirrored
+    * exactly by the unrolled SQL oracle, so the selection is
+    * float-parity reproducible across engines.
+    *
+    * Output: (query_id, id, rank) with rank = selection step 1..k.
+    */
+  def mmrRerank(emb: DataFrame, probes: DataFrame, idCol: String,
+                vecCol: String, k: Int, poolN: Int = 20,
+                lambda: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && poolN >= k, "mmrRerank: need poolN >= k >= 1")
+    val wRel = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("id"))
+    val pool0 = emb.alias("c").crossJoin(broadcast(probes.alias("p")))
+      .where(col("c." + idCol) =!= col("p." + idCol))
+      .select(col("p." + idCol).as("query_id"), col("c." + idCol).as("id"),
+        cosine(col("c." + vecCol), col("p." + vecCol)).as("rel"),
+        col("c." + vecCol).as("cvec"))
+      .withColumn("rn", row_number().over(wRel)).where(col("rn") <= poolN)
+      .drop("rn")
+    // the greedy steps re-derive their input plan per step — checkpoint
+    // the pool so the corpus scan runs ONCE and the k-step unrolling
+    // works over a Q×poolN-row table
+    val pool = Dedup.checkpointCapped(pool0)
+    val sel1 = pool
+      .withColumn("rn", row_number().over(wRel)).where(col("rn") === 1)
+      .select(col("query_id"), col("id").as("sel_id"),
+        col("cvec").as("svec"))
+    var out = sel1.select(col("query_id"), col("sel_id").as("id"),
+      lit(1L).as("rank"))
+    var remaining = pool.join(sel1, "query_id")
+      .where(col("id") =!= col("sel_id"))
+      .select(col("query_id"), col("id"), col("rel"), col("cvec"),
+        cosine(col("cvec"), col("svec")).as("maxsim"))
+    val wMmr = Window.partitionBy("query_id")
+      .orderBy(col("mmr").desc, col("id"))
+    for (step <- 2 to k) {
+      val scored = remaining.withColumn("mmr",
+        lit(lambda) * col("rel") - lit(1.0d - lambda) * col("maxsim"))
+      val sel = scored
+        .withColumn("rn", row_number().over(wMmr)).where(col("rn") === 1)
+        .select(col("query_id"), col("id").as("sel_id"),
+          col("cvec").as("svec"))
+      out = out.unionByName(sel.select(col("query_id"),
+        col("sel_id").as("id"), lit(step.toLong).as("rank")))
+      if (step < k)
+        remaining = remaining.join(sel, "query_id")
+          .where(col("id") =!= col("sel_id"))
+          .select(col("query_id"), col("id"), col("rel"), col("cvec"),
+            greatest(col("maxsim"),
+              cosine(col("cvec"), col("svec"))).as("maxsim"))
+    }
+    // self-contained Q×k-row result; the pool checkpoint is released
+    Dedup.releasing(out, Seq(pool))
+  }
+
   /** Reciprocal-rank fusion of N rankings — the hybrid-retrieval join of
     * the sparse (BM25 search store) and dense (IVF store) serving paths:
     * RRF(d) = Σ_sources 1/(rrfK + rank_source(d)), re-ranked per query.

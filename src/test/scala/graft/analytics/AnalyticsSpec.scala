@@ -214,6 +214,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(all === bt)
   }
 
+  test("mmrRerank diversifies: near-duplicate of the top pick is demoted") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),  // query
+      (1L, Array(0.99f, 0.1f)), // top relevance
+      (2L, Array(0.98f, 0.12f)), // near-duplicate of 1 (sim ~0.9998)
+      (3L, Array(0.8f, -0.5f))  // diverse, lower relevance
+    ).toDF("vec_id", "embedding")
+    val probes = emb.where(col("vec_id") === 0L)
+    // plain top-2 is (1, 2); MMR at λ=0.5 demotes the near-dup:
+    // 0.5·rel(2) − 0.5·sim(2,1) ≈ −0.004 < 0.5·rel(3) − 0.5·sim(3,1) ≈ 0.029
+    val got = Similarity.mmrRerank(emb, probes, "vec_id", "embedding",
+        k = 2, poolN = 3)
+      .orderBy("rank").select("id", "rank").as[(Long, Long)]
+      .collect().toSeq
+    assert(got === Seq((1L, 1L), (3L, 2L)))
+    // λ = 1 degenerates to plain relevance order
+    val plain = Similarity.mmrRerank(emb, probes, "vec_id", "embedding",
+        k = 2, poolN = 3, lambda = 1.0)
+      .orderBy("rank").select("id").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L))
+  }
+
   test("lsh buckets put identical-direction vectors together") {
     val emb = Seq(
       (0L, Array.fill(8)(1.0f)),
