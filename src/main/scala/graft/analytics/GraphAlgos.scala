@@ -1549,13 +1549,29 @@ object GraphAlgos {
     * Both tiers share the gain form: moving i into C (with i lifted out
     * of its own community first) scores w(i,C) − k_i·Σtot(C)/(2m); a
     * move requires a strictly positive improvement over staying.
+    *
+    * `timeBoxSec` (0 = unbounded; env `GRAFT_LOUVAIN_TIMEBOX` overrides
+    * when set): a hard wall-clock budget for the distributed tier. When
+    * the budget expires mid-level the round loop stops, the level's
+    * applied moves are contracted and composed as usual, and the labels
+    * accumulated so far are returned — a degraded-but-valid partition
+    * (every prefix of Louvain levels is one) instead of an unbounded
+    * run. Levels already below the driver-fold gate finish sequentially
+    * regardless (the CSR core is seconds). Spec-scale graphs never hit
+    * it (default off).
     */
   def louvain(edges: DataFrame, srcCol: String, dstCol: String,
               maxRounds: Int = 20, maxLevels: Int = 10,
               maxDriverEdges: Long = Dedup.DriverCcMaxEdges,
-              driverFoldEdges: Long = Dedup.DriverCcMaxEdges): DataFrame = {
+              driverFoldEdges: Long = Dedup.DriverCcMaxEdges,
+              timeBoxSec: Double = 0.0): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    val boxSec = sys.env.get("GRAFT_LOUVAIN_TIMEBOX")
+      .map(_.toDouble).getOrElse(timeBoxSec)
+    val deadline =
+      if (boxSec > 0) System.nanoTime() + (boxSec * 1e9).toLong
+      else Long.MaxValue
     val tU = System.nanoTime()
     val und = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
@@ -1574,7 +1590,7 @@ object GraphAlgos {
       val lab = louvainLocal(es, maxRounds, maxLevels).toSeq
       lab.toDF("node", "community")
     } else louvainDistributed(und, undCount, maxRounds, maxLevels,
-      driverFoldEdges)
+      driverFoldEdges, deadline)
   }
 
   /** Sequential reference Louvain (driver tier): ascending node order,
@@ -1786,6 +1802,16 @@ object GraphAlgos {
     * 1-3 s rounds at x10 on the movie graph, movers in the hundreds).
     * Negative disables the fold (pure-distributed contract runs).
     */
+  /** Process VmRSS in MB (-1 when /proc is unreadable) — watchdog input. */
+  private def procRssMb: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("VmRSS")) match {
+        case Some(l) => l.split("\\s+")(1).toLong / 1024
+        case None    => -1L
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
   private def rddId(df: DataFrame): Long =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id.toLong
@@ -1794,9 +1820,11 @@ object GraphAlgos {
 
   private def louvainDistributed(und0: DataFrame, undCount: Long,
                                  maxRounds: Int, maxLevels: Int,
-                                 driverFoldEdges: Long): DataFrame = {
+                                 driverFoldEdges: Long,
+                                 deadline: Long = Long.MaxValue): DataFrame = {
     val spark = und0.sparkSession
     import spark.implicits._
+    def expired: Boolean = System.nanoTime() > deadline
     val numParts = spark.sessionState.conf.numShufflePartitions
     val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -1824,7 +1852,7 @@ object GraphAlgos {
     // (level 0) and each contraction's count (later levels) — never a
     // dedicated count job
     var edgeCount = undCount
-    while (levelMoved && level < maxLevels) {
+    while (levelMoved && level < maxLevels && !expired) {
       levelMoved = false
       val sym = ew.select(col("a").as("n"), col("b").as("v"), col("w"))
         .unionByName(
@@ -1883,6 +1911,25 @@ object GraphAlgos {
           edgeCount / sys.env.get("GRAFT_LOUVAIN_FLOOR_DIV")
             .map(_.toLong).getOrElse(12L)
         else 0L
+      // storage watchdog (unconditional on big levels — one stderr line
+      // per level): the r10 DRIVER bench child hit 95.7 GB RSS and died
+      // here while the builder env pinned the same run at 3.4 GB; this
+      // line makes block-vs-native attribution possible from the driver
+      // log alone. memSize/diskSize sum every persisted block (caches,
+      // localCheckpoints); RSS far above heap+memSize means NATIVE pages
+      // (mmap'd disk-store read-back — spark.storage.memoryMapThreshold
+      // — is RAM-resident when spark.local.dir is tmpfs-backed).
+      if (edgeCount >= 8000000L ||
+          sys.env.contains("GRAFT_LOUVAIN_DEBUG")) {
+        val infos = spark.sparkContext.getRDDStorageInfo
+        System.err.println(
+          f"louvain level=$level watchdog rss_mb=${procRssMb} " +
+            f"blocks=${infos.map(_.numCachedPartitions).sum} " +
+            f"block_mem_mb=${infos.map(_.memSize).sum / (1L << 20)} " +
+            f"block_disk_mb=${infos.map(_.diskSize).sum / (1L << 20)} " +
+            f"heap_used_mb=${(Runtime.getRuntime.totalMemory() -
+              Runtime.getRuntime.freeMemory()) / (1L << 20)}")
+      }
       var rounds = 0
       var roundMoved = true
       var prevMovers = Long.MaxValue
@@ -1892,7 +1939,7 @@ object GraphAlgos {
       // shared-literal hubs make neighbors-of-applied ≈ the whole
       // graph, so the active-set scan is pure overhead. Re-measure
       // before re-introducing on a less hubby workload.
-      while (roundMoved && rounds < maxRounds) {
+      while (roundMoved && rounds < maxRounds && !expired) {
         // community totals ride the existing neighbor join instead of a
         // second edge-sized join: the probe side carries (cv, cvtot) so
         // the per-edge work is ONE join + one n-keyed aggregate
@@ -2098,6 +2145,9 @@ object GraphAlgos {
         }
       } else Dedup.releaseBlocks(cur)
     }
+    if (expired)
+      System.err.println(s"louvain TIMEBOX expired at level=$level " +
+        "(returning the prefix partition accumulated so far)")
     val tF = System.nanoTime()
     val mins = assign.groupBy("sup").agg(min("node").as("community"))
     val out = Dedup.releasing(

@@ -863,6 +863,32 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("louvain time-box returns a valid prefix partition") {
+    // forced-distributed with an already-expired budget: no level runs,
+    // so the prefix partition is the identity (every edge-incident node
+    // its own community) — degraded but valid, never an error. With a
+    // generous budget the same call recovers the planted partition,
+    // pinning that the box is inert when time remains.
+    val c = 6; val sz = 10
+    val edges = (0 until c).flatMap { ci =>
+      val base = ci.toLong * sz
+      val ring = (0 until sz).map(i => (base + i, base + (i + 1) % sz))
+      val chords = (0 until sz).map(i => (base + i, base + (i + 2) % sz))
+      val bridge = if (ci + 1 < c)
+        Seq((base + sz - 1, base + sz)) else Seq.empty
+      ring ++ chords ++ bridge
+    }.toDF("src", "dst")
+    val n = (c * sz).toLong
+    val capped = GraphAlgos.louvain(edges, "src", "dst",
+        maxDriverEdges = -1L, driverFoldEdges = -1L, timeBoxSec = 1e-9)
+      .as[(Long, Long)].collect().toMap
+    assert(capped === (0L until n).map(i => i -> i).toMap)
+    val roomy = GraphAlgos.louvain(edges, "src", "dst",
+        maxDriverEdges = -1L, driverFoldEdges = -1L, timeBoxSec = 3600.0)
+      .as[(Long, Long)].collect().toMap
+    assert(roomy === (0L until n).map(i => i -> (i / sz) * sz).toMap)
+  }
+
   test("katz: exact dyadic walk counts on a 3-node chain") {
     // 1 -> 2 -> 3, alpha = 1/4, T = 8:
     //   x(1) = 1, x(2) = 1 + 1/4, x(3) = 1 + (1 + 1/4)/4 = 1 + 5/16
