@@ -2606,10 +2606,17 @@ object SparkEntry {
     "text_search" -> ((s, d) => {
       val dir = java.nio.file.Files
         .createTempDirectory("graft-searchstore").toString
-      TextOps.searchStoreWrite(t(s, d, "documents"), dir, "doc_id", "text")
-      TextOps.searchStoreProbe(s, dir, Seq(
-        1L -> "spark join", 2L -> "hash scan",
-        3L -> "spark hash scan join", 4L -> "scan"), k = 10)
+      // the probe output is an eager checkpoint (Dedup.releasing), so
+      // the store files are dead once it returns — delete them here or
+      // repeated verify sweeps accumulate postings under /tmp
+      try {
+        TextOps.searchStoreWrite(t(s, d, "documents"), dir, "doc_id",
+          "text")
+        TextOps.searchStoreProbe(s, dir, Seq(
+          1L -> "spark join", 2L -> "hash scan",
+          3L -> "spark hash scan join", 4L -> "scan"), k = 10)
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
     }),
     // hybrid retrieval: RRF fusion of the sparse (BM25 search store) and
     // dense (cosine top-k) rankings. Fusion scores are exact BIGINT
@@ -2622,11 +2629,16 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val dir = java.nio.file.Files
         .createTempDirectory("graft-searchstore").toString
-      TextOps.searchStoreWrite(docs, dir, "doc_id", "text")
-      val lex = TextOps.searchStoreProbe(s, dir, Seq(
-          1L -> "spark join", 2L -> "hash scan", 3L -> "parquet scan"),
-          k = 10)
-        .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      // probe output is self-contained (eager checkpoint) — reclaim the
+      // store immediately, same as text_search
+      val lex = try {
+        TextOps.searchStoreWrite(docs, dir, "doc_id", "text")
+        TextOps.searchStoreProbe(s, dir, Seq(
+            1L -> "spark join", 2L -> "hash scan", 3L -> "parquet scan"),
+            k = 10)
+          .select(col("query_id"), col("doc_id").as("id"), col("rank"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(dir))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("score").desc, col("id"))
       val dense = Similarity

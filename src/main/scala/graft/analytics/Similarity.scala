@@ -996,9 +996,13 @@ object Similarity {
     * in, never shorten the list.
     *
     * Scale shape: one corpus scan per probe batch (probes broadcast,
-    * same as [[batchTopK]]); the positives side is per-query label data
-    * (small) and broadcasts into the anti-join, so nothing reshuffles
-    * the corpus-sized scored stream before the per-query top-k window.
+    * same as [[batchTopK]]); the positives anti-join side carries NO
+    * broadcast hint — per-query label sets are usually small and AQE
+    * broadcasts them from its own measured size, but a corpus-scale
+    * label relation (weak supervision can label |corpus|-many pairs)
+    * must be allowed to shuffle rather than OOM the driver on a forced
+    * broadcast (the jaccardVerify rule: force a hint only where the
+    * optimizer's estimate was MEASURED wrong).
     */
   def hardNegatives(emb: DataFrame, probes: DataFrame,
                     positives: DataFrame, idCol: String, vecCol: String,
@@ -1013,7 +1017,7 @@ object Similarity {
       col(posCol).as("id"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("id"))
-    scored.join(broadcast(pos), Seq("query_id", "id"), "left_anti")
+    scored.join(pos, Seq("query_id", "id"), "left_anti")
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
@@ -1119,10 +1123,16 @@ object Similarity {
       s"rrfFuse: lcm($rrfK+1..$rrfK+$maxRank) overflows BIGINT — " +
         "raise rrfK or lower maxRank")
     val l = lcm.toLong
+    // per-source dedupe (best rank wins): a source frame carrying
+    // duplicate (query, id) rows would otherwise inflate both the
+    // reciprocal sum and n_sources — each source contributes at most
+    // one reciprocal per (query, id). Frames are per-query top-k sized,
+    // so the extra aggregate is negligible.
     val parts = rankings.map(_.select(
       col(queryCol).as("query"), col(idCol).as("id"),
       col(rankCol).cast("long").as("rank"))
-      .where(col("rank") >= 1 && col("rank") <= maxRank))
+      .where(col("rank") >= 1 && col("rank") <= maxRank)
+      .groupBy("query", "id").agg(min("rank").as("rank")))
     val unioned = parts.reduce(_ unionByName _)
     // lcm is divisible by every (rrfK + rank), so DIV is exact
     val w = org.apache.spark.sql.expressions.Window.partitionBy("query")

@@ -1120,9 +1120,17 @@ object TextOps {
   def searchStoreAppend(df: DataFrame, dir: String, idCol: String,
                         textCol: String): Unit = {
     val (n0, s0, buckets) = searchStoreMeta(dir)
+    // dirty marker: postings land before meta, and a failure between the
+    // two would leave a store whose probes silently score with stale
+    // (n, sumdl). The marker makes that state LOUD — searchStoreMeta
+    // refuses to read while it exists — and the meta write itself goes
+    // through a temp file + atomic rename so a torn meta can't be seen.
+    val dirty = java.nio.file.Paths.get(s"$dir/append_in_progress")
+    java.nio.file.Files.write(dirty, Array.emptyByteArray)
     val (n1, s1) =
       writeSearchPostings(df, dir, idCol, textCol, buckets, append = true)
     writeSearchMeta(dir, n0 + n1, s0 + s1, buckets)
+    java.nio.file.Files.deleteIfExists(dirty)
   }
 
   private def writeSearchPostings(df: DataFrame, dir: String, idCol: String,
@@ -1159,13 +1167,24 @@ object TextOps {
   }
 
   private def writeSearchMeta(dir: String, n: Long, sumdl: Long,
-                              buckets: Int): Unit =
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"$dir/search_meta.json"),
+                              buckets: Int): Unit = {
+    // temp file + atomic rename: a reader never sees a torn meta
+    val tmp = java.nio.file.Paths.get(s"$dir/.search_meta.json.tmp")
+    java.nio.file.Files.write(tmp,
       s"""{"n":$n,"sumdl":$sumdl,"buckets":$buckets}""".getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmp,
+      java.nio.file.Paths.get(s"$dir/search_meta.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   private def searchStoreMeta(dir: String): (Long, Long, Int) = {
+    require(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/append_in_progress")),
+      s"search store $dir has a half-applied append (append_in_progress " +
+        "marker present) — its meta is stale; re-run the append or " +
+        "rebuild the store")
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/search_meta.json")),
       java.nio.charset.StandardCharsets.UTF_8)

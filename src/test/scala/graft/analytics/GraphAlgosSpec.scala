@@ -377,6 +377,20 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(row.getBoolean(0), row.toString)
   }
 
+  test("betweennessApproxContract is false, not an error, on a " +
+      "zero-betweenness graph") {
+    import spark.implicits._
+    // disjoint single edges: no node is interior to any shortest path,
+    // so every exact bc is 0 — the aggregate-error denominator would be
+    // 0/0 without the totalExact > 0 guard, and the convergence sweep
+    // must be skipped (it's gated on errOk) rather than divide by zero
+    val e = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("s", "d")
+    val row = GraphAlgos.betweennessApproxContract(e, "s", "d",
+      nSources = 2, tol = 0.5, kLow = 1, kHigh = 2).collect()(0)
+    assert(!row.getBoolean(0))
+    assert(row.getLong(1) === 6L)
+  }
+
   test("hits rejects iterations < 1") {
     import spark.implicits._
     val e = Seq((1L, 2L)).toDF("s", "d")

@@ -115,6 +115,50 @@ class SearchStoreSpec extends AnyFunSuite {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
   }
 
+  test("a half-applied append fails probes loudly (dirty marker)") {
+    // postings land before meta: a crash between the two leaves a store
+    // whose probes would silently score with stale (n, sumdl). The
+    // append_in_progress marker turns that silence into an error; a
+    // completed append removes it.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-searchstore").toString
+    try {
+      TextOps.searchStoreWrite(docs.where(col("doc_id") < 4), dir,
+        "doc_id", "text", buckets = 4)
+      TextOps.searchStoreAppend(docs.where(col("doc_id") >= 4), dir,
+        "doc_id", "text")
+      val marker = java.nio.file.Paths.get(s"$dir/append_in_progress")
+      assert(!java.nio.file.Files.exists(marker),
+        "completed append must clear the marker")
+      // simulate the crash window: marker present, meta stale
+      java.nio.file.Files.write(marker, Array.emptyByteArray)
+      val e = intercept[IllegalArgumentException] {
+        TextOps.searchStoreProbe(spark, dir, queries, k = 5)
+      }
+      assert(e.getMessage.contains("half-applied append"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
+  test("rrfFuse collapses duplicate (query,id) rows within one source") {
+    // a source frame carrying the same (q, id) at ranks 1 and 3 must
+    // contribute ONE reciprocal (the best rank) and count as ONE source
+    val a = Seq((1L, 10L, 1L), (1L, 10L, 3L), (1L, 11L, 2L))
+      .toDF("q", "id", "r")
+    val b = Seq((1L, 10L, 2L)).toDF("q", "id", "r")
+    val got = Similarity.rrfFuse(Seq(a, b), "q", "id", "r")
+      .select("id", "score", "n_sources")
+      .as[(Long, Double, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    val lcm = (61L to 70L).foldLeft(BigInt(1))((x, y) =>
+      x / x.gcd(BigInt(y)) * y)
+    def frac(rs: Seq[Long]): Double =
+      (BigDecimal(rs.map(r => (lcm / BigInt(60 + r)).toLong).sum) /
+        BigDecimal(lcm)).toDouble
+    assert(got(10L) === ((frac(Seq(1L, 2L)), 2L)))
+    assert(got(11L) === ((frac(Seq(2L)), 1L)))
+  }
+
   test("probe scan prunes pb partitions and pushes term literals") {
     // the probe's returned frame is a materialized checkpoint, so pin the
     // scan construct the probe builds internally (pb literals via the

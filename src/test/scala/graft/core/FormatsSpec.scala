@@ -450,6 +450,28 @@ class FormatsSpec extends AnyFunSuite {
     assert(Graph.read(spark, dir).quadsOps.isEmpty)
   }
 
+  test("cached() persists the OPS sibling alongside the primary") {
+    // a dual-index graph whose cached() skipped quadsOps would serve
+    // reverse hops from an uncached scan round over round — a silent
+    // perf asymmetry, not a correctness bug, so a spec pins it
+    val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val dir = Files.createTempDirectory("graft-cache-ops").toString
+    try {
+      g.withStats().write(dir, predicateBuckets = 4, objectIndex = true)
+      val gc = Graph.read(spark, dir).cached()
+      try {
+        assert(gc.quadsOps.nonEmpty)
+        assert(gc.quads.storageLevel.useMemory)
+        assert(gc.quadsOps.get.storageLevel.useMemory,
+          "cached() must persist the quads_ops sibling too")
+      } finally {
+        gc.nodes.unpersist(); gc.quads.unpersist()
+        gc.quadsOps.foreach(_.unpersist())
+      }
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir))
+  }
+
   test("RDFS closure materializes subclass/subproperty entailments") {
     val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     val subClassOf = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
