@@ -392,6 +392,19 @@ object Bench {
       }
       def noop(df: DataFrame): Unit =
         df.write.mode("overwrite").format("noop").save()
+      // serving-latency p50: run `n` SINGLE-item probes back to back and
+      // record the median — the figure a retrieval user actually cares
+      // about (the batch entries above measure throughput). Probes are
+      // independent single runs; the store's file/page-cache warmth is
+      // the steady state a serving deployment has anyway.
+      def p50(name: String, n: Int)(probe: Int => Unit): Unit =
+        try {
+          val ts = (0 until n).map(i => time(probe(i))).sorted
+          scaleOut += name -> ts(n / 2)
+        } catch {
+          case e: Throwable =>
+            errors(name) = errText(e); scaleOut += name -> -1.0
+        } finally spark.sharedState.cacheManager.clearCache()
       val alpha = "abcdefghijklmnopqrstuvwxyz"
       def affineTo(k: Int): String = {
         val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
@@ -806,6 +819,18 @@ object Bench {
           noop(Dedup.minhashStoreProbe(spark, storeDir, probeBatch,
             "doc_id", "text"))
         }
+        // single-doc serving latency: 8 independent 1-doc probes, median
+        val singles = spark.read.parquet(s"$sfDir/documents.parquet")
+          .where(col("doc_id") % 500L === 3L).limit(8)
+          .select((col("doc_id") + 950000000L).as("doc_id"), col("text"))
+          .collect()
+        p50(s"${tag}_minhash_store_probe1", singles.length) { i =>
+          import spark.implicits._
+          val one = Seq((singles(i).getLong(0), singles(i).getString(1)))
+            .toDF("doc_id", "text")
+          noop(Dedup.minhashStoreProbe(spark, storeDir, one,
+            "doc_id", "text"))
+        }
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(storeDir))
       }
@@ -830,6 +855,11 @@ object Bench {
             .zipWithIndex.map { case (q, i) => (i + 1).toLong -> q }
           smoke(s"${tag}_search_store_probe") {
             noop(TextOps.searchStoreProbe(spark, storeDir, probes, k = 10))
+          }
+          // single-query serving latency: 8 one-query probes, median
+          p50(s"${tag}_search_store_probe1", 8) { i =>
+            noop(TextOps.searchStoreProbe(spark, storeDir,
+              Seq(probes(i)), k = 10))
           }
         } finally org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(storeDir))
@@ -878,6 +908,16 @@ object Bench {
           noop(Similarity.ivfStoreTopKQuantized(spark, qDir,
             embX.where(col("vec_id") < 10), "vec_id", "embedding",
             k = 10, nprobe = 8))
+        }
+        // single-vector serving latency: 8 one-vector probes, median.
+        // The probe side reads the BASE embeddings parquet (one pruned
+        // scan), never the N-way union — copies share vectors, so base
+        // ids are in the store
+        p50(s"${tag}_ivf_q_probe1", 8) { i =>
+          noop(Similarity.ivfStoreTopKQuantized(spark, qDir,
+            spark.read.parquet(s"$sfDir/embeddings.parquet")
+              .where(col("vec_id") === lit(i.toLong)),
+            "vec_id", "embedding", k = 10, nprobe = 8))
         }
       } catch {
         case e: Throwable => errors(s"${tag}_ivf_q_probe") = errText(e)

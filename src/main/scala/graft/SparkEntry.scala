@@ -416,6 +416,33 @@ object SparkEntry {
         .map(r => (r("name"), r("iso"), r("dow"), r("days"), r("hour")))
         .toDF("name", "iso", "dow", "days", "hour")
     }),
+    // tagged template calls (ident`a${x}b` → ident(["a","b"], (x)),
+    // the cooked-strings call convention), Object.entries, and
+    // Array.from over a string — the last common-idiom JS gaps
+    "g_gizmo_program8" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """function fmt(parts, a, b) {
+          |  return parts[0] + "[" + a + "]" + parts[1] + "[" + b + "]" +
+          |    parts[2];
+          |}
+          |var names = g.V().out(iri("n_name")).unique().toArray();
+          |var rows = [];
+          |for (var i = 0; i < names.length; i++) {
+          |  var name = "" + names[i];
+          |  var obj = { name: name, len: name.length };
+          |  var kv = Object.entries(obj)
+          |    .map(function(e) { return e[0] + "=" + e[1]; }).join(",");
+          |  rows.push({
+          |    tag: fmt`name:${name} len:${name.length}`,
+          |    kv: kv,
+          |    nchars: "" + Array.from(name).length
+          |  });
+          |}
+          |rows.forEach(function(r) { g.emit(r); });""".stripMargin)
+        .map(r => (r("tag"), r("kv"), r("nchars")))
+        .toDF("tag", "kv", "nchars")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -734,6 +761,13 @@ object SparkEntry {
         |       CAST(k AS VARCHAR) AS days,
         |       CAST(k % 24 AS VARCHAR) AS hour
         |FROM n""".stripMargin,
+    "g_gizmo_program8" ->
+      """SELECT 'name:[' || n_name || '] len:[' ||
+        |         CAST(length(n_name) AS VARCHAR) || ']' AS tag,
+        |       'name=' || n_name || ',len=' ||
+        |         CAST(length(n_name) AS VARCHAR) AS kv,
+        |       CAST(length(n_name) AS VARCHAR) AS nchars
+        |FROM nation""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->
@@ -2131,6 +2165,47 @@ object SparkEntry {
         .groupBy("component").agg(count(lit(1)).as("size"))
         .groupBy("size").agg(count(lit(1)).as("n_components"))
     }),
+    // STREAMED incremental WCC: the edge stream arrives as micro-batches
+    // (file source; c_nation edges first, o_cust edges appended) and a
+    // foreachBatch sink folds each batch into the running labels —
+    // batch 1 seeds via connectedComponents, later batches fold via
+    // connectedComponentsAppend (exact min-id quotient, so the stream's
+    // final labels are VALUE-IDENTICAL to a batch recompute over the
+    // whole edge set). Both label frames are self-contained eager
+    // checkpoints/local relations, so holding them across micro-batch
+    // boundaries is safe. The histogram shares graph_wcc's oracle SQL
+    // VERBATIM — the claim IS full-recompute equality, the
+    // dedup_clusters_incr pattern applied to streaming graph
+    // maintenance.
+    "stream_wcc" -> ((s, d) => {
+      val g = graph(s, d)
+      def edges(p: String) =
+        g.quads.where(col("p") === QValue.id(iri(p)))
+          .select(col("s").as("src"), col("o").as("dst"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-swcc").toString
+      try {
+        edges("c_nation").write.mode("overwrite").parquet(s"$tmp/in")
+        val stream = s.readStream.schema("src bigint, dst bigint")
+          .parquet(s"$tmp/in")
+        var labels: DataFrame = null
+        val q = stream.writeStream.outputMode("append")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            labels =
+              if (labels == null)
+                GraphAlgos.connectedComponents(batch, "src", "dst")
+              else GraphAlgos.connectedComponentsAppend(labels, batch,
+                "src", "dst")
+            ()
+          }.start()
+        q.processAllAvailable()
+        edges("o_cust").write.mode("append").parquet(s"$tmp/in")
+        q.processAllAvailable(); q.stop()
+        labels.groupBy("component").agg(count(lit(1)).as("size"))
+          .groupBy("size").agg(count(lit(1)).as("n_components"))
+      } finally org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(tmp))
+    }),
     "graph_triangles" -> ((s, d) => {
       val g = graph(s, d)
       def ep(name: String) =
@@ -3233,6 +3308,10 @@ object SparkEntry {
     // the incremental fold must reproduce the full recompute's
     // component structure — same oracle, verbatim
     "graph_wcc_incr" -> wccHistogramOracleSql,
+    // the streamed fold's exactness claim IS full-recompute equality —
+    // identical SQL, identical hash required (stream_wcc runs the same
+    // edge set through micro-batched connectedComponentsAppend folds)
+    "stream_wcc" -> wccHistogramOracleSql,
     // triangle count: generic 3-way self-join oracle over the same edge
     // list (string node keys; counts are relabeling-invariant)
     "graph_triangles" ->

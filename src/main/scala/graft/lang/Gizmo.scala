@@ -180,18 +180,27 @@ object Gizmo {
         while (i < n && q.charAt(i).isLetter) { fs.append(q.charAt(i)); i += 1 }
         toks :+= TRegex(sb.toString, fs.toString)
       } else if (c == '`') {
-        // template literal: desugared at the token level into
+        // template literal: desugared at the token level. Untagged →
         // ( "part" + ( inner tokens ) + "part" ... ) — string `+`
-        // coercion then matches JS interpolation semantics
-        i += 1
-        val out = Vector.newBuilder[Tok]
-        out += TPunct('(')
-        val part = new StringBuilder
-        var first = true
-        def flushPart(): Unit = {
-          if (!first) out += TOp("+")
-          out += TStr(part.toString); part.clear(); first = false
+        // coercion then matches JS interpolation semantics. TAGGED
+        // (an identifier immediately before the backtick, as in
+        // tag`a${x}b` or obj.fn`…`) → tag(["a","b"], (x)): the cooked
+        // strings array plus one argument per hole, JS's tagged-call
+        // convention (.raw on the strings array is not modeled — the
+        // cooked and raw parts coincide for the escapes we cook).
+        val tagged = toks.lastOption.exists {
+          // keywords that can precede a template-as-expression are not
+          // tags: `return `x``, `case `x`:`, `typeof `x``, …
+          case TIdent("return" | "throw" | "in" | "of" | "else" |
+                      "typeof" | "case" | "do" | "void" | "instanceof" |
+                      "new" | "delete") => false
+          case TIdent(_) => true
+          case _ => false
         }
+        i += 1
+        val partsB = Vector.newBuilder[String]
+        val holesB = Vector.newBuilder[Vector[Tok]]
+        val part = new StringBuilder
         var closed = false
         while (!closed && i < n) {
           val tc = q.charAt(i)
@@ -204,7 +213,7 @@ object Gizmo {
               case o   => part.append(o); i += 2
             }
           } else if (tc == '$' && i + 1 < n && q.charAt(i + 1) == '{') {
-            flushPart()
+            partsB += part.toString; part.clear()
             // find the balanced closing brace and tokenize the inside
             var depth = 1
             var j = i + 2
@@ -223,15 +232,39 @@ object Gizmo {
               }
             }
             if (depth > 0) throw GizmoError("unterminated ${ in template")
-            out += TOp("+"); out += TPunct('(')
-            tokenize(q.substring(i + 2, j - 1)).foreach(out += _)
-            out += TPunct(')')
+            holesB += tokenize(q.substring(i + 2, j - 1))
             i = j
           } else { part.append(tc); i += 1 }
         }
         if (!closed) throw GizmoError("unterminated template literal")
-        if (part.nonEmpty || first) flushPart()
-        out += TPunct(')')
+        partsB += part.toString
+        val ps = partsB.result(); val hs = holesB.result()
+        val out = Vector.newBuilder[Tok]
+        if (tagged) {
+          out += TPunct('('); out += TPunct('[')
+          ps.zipWithIndex.foreach { case (p, k) =>
+            if (k > 0) out += TPunct(',')
+            out += TStr(p)
+          }
+          out += TPunct(']')
+          hs.foreach { h =>
+            out += TPunct(','); out += TPunct('(')
+            h.foreach(out += _)
+            out += TPunct(')')
+          }
+          out += TPunct(')')
+        } else {
+          // ps always has hs.size + 1 entries; empty parts concat as ""
+          out += TPunct('(')
+          out += TStr(ps.head)
+          hs.zip(ps.tail).foreach { case (h, p) =>
+            out += TOp("+"); out += TPunct('(')
+            h.foreach(out += _)
+            out += TPunct(')')
+            out += TOp("+"); out += TStr(p)
+          }
+          out += TPunct(')')
+        }
         toks ++= out.result()
       } else if (c == '"' || c == '\'') {
         val quote = c
@@ -265,7 +298,17 @@ object Gizmo {
       } else if (c.isLetter || c == '_' || c == '$') {
         val start = i
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_' || q.charAt(i) == '$')) i += 1
-        toks :+= TIdent(q.substring(start, i))
+        val name = q.substring(start, i)
+        // async/await would mis-parse as plain identifiers and fail with
+        // a confusing downstream error — reject them up front: every
+        // Gizmo final is synchronous and returns materialized results
+        // (the reference's goja host is synchronous too,
+        // /root/reference/query/gizmo/gizmo.go:85-121)
+        if (name == "async" || name == "await")
+          throw GizmoError("async/await is not supported: Gizmo queries " +
+            "are synchronous — finals (all/toArray/forEach/…) return " +
+            "materialized results, no promises involved")
+        toks :+= TIdent(name)
       } else if (c.isDigit ||
         (c == '-' && !afterOperand && i + 1 < n && q.charAt(i + 1).isDigit)) {
         val start = i

@@ -1014,6 +1014,39 @@ class GizmoSpec extends AnyFunSuite {
       Seq("3"))
   }
 
+  test("tagged template calls") {
+    // tag receives the cooked strings array plus one arg per hole —
+    // including the empty leading/trailing parts JS cooks
+    check(
+      """function tag(parts, a, b) {
+        |  return parts.join("|") + ":" + a + "," + b;
+        |}
+        |var x = 7;
+        |g.emit(tag`L${x}M${x + 1}R`);
+        |g.emit(tag`${x}${x}`);
+        |var fmt = (parts, v) => parts[0] + "<" + v + ">" + parts[1];
+        |g.emit(fmt`v=${x * 2}!`)""".stripMargin,
+      Seq("L|M|R:7,8", "||:7,7", "v=<14>!"))
+    // keywords before a template are NOT tags; untagged semantics keep
+    // working everywhere an expression is expected
+    check(
+      """function f(s) { return `x${s}`; }
+        |g.emit(f("y"));
+        |g.emit(`plain ${1 + 1}`)""".stripMargin,
+      Seq("xy", "plain 2"))
+  }
+
+  test("async/await fail with a clear synchronous-engine error") {
+    val e1 = intercept[Gizmo.GizmoError] {
+      session.execute("async function f() { return 1; } g.emit(1)")
+    }
+    assert(e1.getMessage.contains("synchronous"))
+    val e2 = intercept[Gizmo.GizmoError] {
+      session.execute("var p = await g.V().all()")
+    }
+    assert(e2.getMessage.contains("synchronous"))
+  }
+
   test("conditional operator: lazy branches, nesting, precedence") {
     check(
       """g.emit(1 < 2 ? "yes" : "no");
