@@ -371,7 +371,7 @@ object Bench {
       // (no `_s2` line — its absence marks the skip); the spread for
       // those entries is pinned by the per-round CLAUDE.md probe ranges
       // instead. Cheap entries keep the full min-of-2 contract.
-      val s2SkipSec = if (mult >= 100) 20.0 else 30.0
+      val s2SkipSec = if (mult >= 100) 15.0 else 25.0
       def smoke(name: String)(f: => Unit): Unit = {
         def once(): Double =
           try time(f) catch {
@@ -608,16 +608,15 @@ object Bench {
           // it survives the full 47 M-edge tier at fixed k
           if (tag == "x100") {
             val eAll = g.quads.select(col("s").as("src"), col("o").as("dst"))
-            // both source counts at 47 M edges: the s16/s4 runtime ratio
-            // (< 4 — rounds are shared, only keyed state grows) pairs
-            // with the driver-verified err(s16) < err(s4) contract
-            for (k <- Seq(4, 16)) {
-              timed1(s"x100_graph_betweenness_s$k") {
-                graft.analytics.GraphAlgos.betweennessApprox(
-                    eAll, "src", "dst", nSources = k, maxDepth = 12,
-                    maxDriverEdges = 0L)
-                  .write.mode("overwrite").format("noop").save()
-              }
+            // s4 only at 47 M edges (suite budget): the s16/s4 < 4
+            // sublinearity ratio is pinned at x10 above (both source
+            // counts) and in the r9 record; the driver-verified
+            // err(s16) < err(s4) contract covers quality
+            timed1("x100_graph_betweenness_s4") {
+              graft.analytics.GraphAlgos.betweennessApprox(
+                  eAll, "src", "dst", nSources = 4, maxDepth = 12,
+                  maxDriverEdges = 0L)
+                .write.mode("overwrite").format("noop").save()
             }
           }
           // Turtle many-files ingest at N×: the documented scale shape
@@ -718,7 +717,7 @@ object Bench {
               timed1("x100_graph_louvain") {
                 graft.analytics.GraphAlgos.louvain(eStore, "src", "dst",
                     maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L,
-                    timeBoxSec = 300.0)
+                    timeBoxSec = 270.0)
                   .write.mode("overwrite").format("noop").save()
               }
             }

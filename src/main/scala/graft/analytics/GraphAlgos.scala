@@ -2110,6 +2110,13 @@ object GraphAlgos {
           .localCheckpoint(true).cappedStats
         Dedup.releaseBlocks(assign)
         assign = next
+        if (expired) {
+          // TIMEBOX: the level's applied moves are already composed into
+          // assign; the edge contraction below only feeds the NEXT level,
+          // which will not run — skip the multi-million-row contraction
+          // checkpoint (measured ~40 s of the 53 s expiry tail at x100)
+          Dedup.releaseBlocks(cur)
+        } else {
         // contract: communities become supernodes; intra-community
         // weight (edges + member self-loops) folds into self-loops.
         // ONE aggregate checkpoint carries both: self-loops are the
@@ -2173,6 +2180,7 @@ object GraphAlgos {
             folded.join(mins, "sup").select(col("node"), col("community")),
             (held += assign).toSeq)
         }
+        } // !expired contraction branch
       } else Dedup.releaseBlocks(cur)
     }
     if (expired)
