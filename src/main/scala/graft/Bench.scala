@@ -20,7 +20,8 @@ object Bench {
     "dedup_clusters", "dedup_spans", "dedup_fuzzy", "dedup_contain",
     "decontam",
     "text_quality", "text_langid",
-    "text_repetition", "text_redact", "text_pack", "text_chunks",
+    "text_repetition", "text_redact", "text_htmlstrip", "text_pack",
+    "text_chunks",
     "text_tfidf", "text_cms", "text_blocklist",
     "corpus_stats", "doc_sample", "pipeline_curate",
     "pipeline_curate_full",

@@ -2044,6 +2044,20 @@ object SparkEntry {
     // within-doc repetition ratio (1 - distinct/total word 3-grams)
     "text_repetition" -> ((s, d) =>
       TextOps.repetitionRatios(t(s, d, "documents"), "doc_id", "text", n = 3)),
+    // HTML boilerplate stripping over synthetic markup wrapped around
+    // the corpus text (the raw corpus has no HTML — wrapping exercises
+    // script/style/comment/tag removal and entity decode; both engines
+    // build the SAME html string, so parity holds whatever the text is)
+    "text_htmlstrip" -> ((s, d) => t(s, d, "documents")
+      .select(col("doc_id"), TextOps.stripHtml(concat(
+        lit("<html><head><style>p { color: red; }</style>" +
+          "<script type=\"text/js\">var x = 1 < 2;</script></head>" +
+          "<body><h1 class=\"t\">"),
+        substring(col("text"), 1, 20),
+        lit("</h1>\n<p>"), col("text"),
+        lit(" &amp;amp; fish &lt;><!-- hidden --></p>" +
+          "<br/>&quot;&#39;&nbsp;tail</body></html>")))
+        .as("clean"))),
     // PII redaction over text augmented with synthetic email/IP/phone
     // (the corpus itself is clean — augmenting exercises all 3 patterns)
     "text_redact" -> ((s, d) => t(s, d, "documents")
@@ -3170,6 +3184,32 @@ object SparkEntry {
          |  ELSE 1.0 - CAST(len(list_distinct(gr)) AS DOUBLE) / len(gr) END AS rep
          |FROM g""".stripMargin
     },
+    // HTML strip: the identical replace chain, step for step — script/
+    // style/comment blocks, then tags, then entity decode (literal
+    // replace(), &amp; LAST), then whitespace collapse. Every regex uses
+    // only Java≡RE2 constructs
+    "text_htmlstrip" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p { color: red; }</style><script type="text/js">var x = 1 < 2;</script></head><body><h1 class="t">'
+        |    || substring(text, 1, 20) || '</h1>' || chr(10) || '<p>'
+        |    || text ||
+        |    ' &amp;amp; fish &lt;><!-- hidden --></p><br/>&quot;&#39;&nbsp;tail</body></html>'
+        |      AS html
+        |  FROM documents)
+        |SELECT doc_id,
+        |  trim(regexp_replace(
+        |    replace(replace(replace(replace(replace(replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        html,
+        |        '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |        '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |        '<[^>]*>', ' ', 'g'),
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |      '&nbsp;', ' '), '&amp;', '&'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM h""".stripMargin,
     // PII scrub: same regex chain, RE2-safe patterns, 'g' for DuckDB's
     // default first-match-only semantics (Spark replaces all by default)
     "text_redact" ->

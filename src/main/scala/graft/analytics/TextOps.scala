@@ -248,6 +248,32 @@ object TextOps {
     * first (an email contains no spaces, a phone pattern could eat its
     * digits), then IPs, then phones.
     */
+  /** HTML → text boilerplate stripping, the first step of every
+    * web-corpus (CommonCrawl-style) ingestion pipeline: drop
+    * script/style/comment blocks, drop all tags, decode the common
+    * entities (one pass, `&amp;` decoded LAST so `&amp;lt;` cooks to
+    * `&lt;`, the standard single-pass rule), collapse whitespace. All
+    * codegen'd column functions (regexp_replace / replace / trim — no
+    * UDF); every pattern uses only constructs with identical semantics
+    * in Java regex and RE2 (`(?s)`, non-greedy `.*?`, `[^>]*`, `\s+`),
+    * so a DuckDB oracle mirrors it replace-for-replace. (`\s` differs
+    * on `\x0B` between the engines — vertical tabs are out of contract.)
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript =
+      regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle =
+      regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (acc, (k, v)) =>
+        replace(acc, lit(k), lit(v)) // literal, not regex — exact parity
+      }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   def redact(text: Column): Column = {
     val email = regexp_replace(text, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
     val ip = regexp_replace(email, "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>")

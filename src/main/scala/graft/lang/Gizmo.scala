@@ -3004,6 +3004,18 @@ object Gizmo {
       }
 
       private def parseUnary(c: Cursor): GVal = c.peek match {
+        case Some(TIdent("typeof")) =>
+          // JS typeof, including the typeof null === "object" quirk;
+          // non-string quad values and host objects report "object"
+          c.next()
+          val t = parseUnary(c) match {
+            case GNumV(_, _) | GCount(_)  => "number"
+            case GBoolV(_)                => "boolean"
+            case GValue(QValue.Str(_))    => "string"
+            case _: GFunc                 => "function"
+            case _                        => "object"
+          }
+          GValue(QValue.Str(t))
         case Some(TOp("!")) =>
           c.next(); GBoolV(!truthy(parseUnary(c)))
         case Some(TOp("~")) =>

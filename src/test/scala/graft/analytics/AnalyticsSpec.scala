@@ -16,6 +16,21 @@ class AnalyticsSpec extends AnyFunSuite {
     (4L, "Der schnelle braune Fuchs springt und der Hund schläft nicht gern")
   ).toDF("doc_id", "text")
 
+  test("stripHtml removes blocks/tags, decodes entities once, collapses ws") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val got = Seq(
+      "<html><head><style>p{x}</style><script>if (1<2) alert('&')</script>" +
+        "</head><body> <h1 class=\"t\">Hi</h1>\n\n<p>a &amp;amp; b " +
+        "&lt;tag&gt; &quot;q&#39;&nbsp;</p><!-- no --><br/>end </body>",
+      "plain text, no markup",
+      "").toDF("h")
+      .select(graft.analytics.TextOps.stripHtml(col("h")).as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) === "Hi a &amp; b <tag> \"q' end")
+    assert(got(1) === "plain text, no markup")
+    assert(got(2) === "")
+  }
+
   test("exact dedup keeps one id per identical canonical text") {
     val kept = Dedup.exact(docs, "doc_id", "text").select("doc_id")
       .as[Long].collect().toSet

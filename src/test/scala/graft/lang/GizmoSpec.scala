@@ -1032,8 +1032,24 @@ class GizmoSpec extends AnyFunSuite {
     check(
       """function f(s) { return `x${s}`; }
         |g.emit(f("y"));
+        |g.emit(typeof `x`);
         |g.emit(`plain ${1 + 1}`)""".stripMargin,
-      Seq("xy", "plain 2"))
+      Seq("xy", "string", "plain 2"))
+  }
+
+  test("typeof operator (incl. the null quirk)") {
+    check(
+      """g.emit(typeof 1);
+        |g.emit(typeof "s");
+        |g.emit(typeof true);
+        |g.emit(typeof null);
+        |g.emit(typeof [1]);
+        |g.emit(typeof {a: 1});
+        |var f = x => x;
+        |g.emit(typeof f);
+        |g.emit(typeof (1 + 2))""".stripMargin,
+      Seq("number", "string", "boolean", "object", "object", "object",
+        "function", "number"))
   }
 
   test("async/await fail with a clear synchronous-engine error") {
