@@ -256,10 +256,13 @@ object Graph {
     * files and leaves every existing file untouched.
     *
     * Cost shape: the delta is deduplicated internally, then existence-
-    * checked with an anti-join that scans ONLY the predicate-bucket
-    * partitions the delta touches (static pruning via the `pb` filter —
-    * for a 64-bucket store a single-predicate delta reads 1/64th of the
-    * quads table, and file-level min/max on (s, o) prunes further).
+    * checked by scanning ONLY the predicate-bucket partitions the delta
+    * touches (static pruning via the `pb` filter), ONCE, map-side: the
+    * delta is broadcast and the store probes it (LEFT SEMI, build
+    * right), so no stored row is ever shuffled — a plain delta-anti-
+    * join-store plan would sort-merge the whole touched region and cost
+    * as much as a rewrite. Deltas above broadcast size fall back to the
+    * shuffle plan.
     * Appended files land only in touched partitions; `graft_meta.json`
     * predStats update incrementally from the appended rows — no
     * store-wide recount. Readers pick up the new files on their next
@@ -275,18 +278,44 @@ object Graph {
     val buckets = stored.predicateBuckets
     val base = Seq("s", "p", "o", "l")
     val dq0 = delta.quads.select(base.map(col): _*).dropDuplicates(base)
-    val dq = if (buckets > 0)
+    val dq = (if (buckets > 0)
       dq0.withColumn("pb", pmod(col("p"), lit(buckets)))
-    else dq0
+    else dq0).persist()
+    val deltaRows = dq.count() // materialize once; gates the join layout
     val existing =
       if (buckets > 0) {
         val touched = dq.select("pb").distinct().collect().map(_.getLong(0))
         stored.quads.where(col("pb").isin(touched.toIndexedSeq: _*))
       } else stored.quads
-    val fresh = dq.join(existing,
+    // Existence check. A plain `dq LEFT ANTI existing` can only broadcast
+    // its RIGHT side — the store — so Spark sort-merge-shuffles every
+    // touched-partition row, and appending one small batch costs as much
+    // as rewriting the store (the r11 driver record measured append ≥
+    // write at 47 M quads). For ingest-sized deltas, flip it: scan the
+    // store ONCE map-side against a broadcast hash of the delta
+    // (LEFT SEMI, build right) to find the already-present rows, then
+    // anti-join the delta against that (≤ delta-sized) match set. Zero
+    // shuffles of stored data; the store is read exactly once, streaming.
+    // Oversized deltas (above broadcast comfort) keep the shuffle plan.
+    val fresh = (if (deltaRows <= 4000000L) {
+      val dqKeys = dq.select(base.map(col): _*)
+      // aliased output: dups' subtree contains dq (the broadcast side),
+      // so unaliased s/p/o/l would be ambiguous in the anti-join below
+      val dups = existing
+        .join(broadcast(dqKeys),
+          existing("s") === dqKeys("s") && existing("p") === dqKeys("p") &&
+            existing("o") === dqKeys("o") && existing("l") <=> dqKeys("l"),
+          "left_semi")
+        .select(col("s").as("es"), col("p").as("ep"),
+          col("o").as("eo"), col("l").as("el"))
+      dq.join(broadcast(dups),
+        dq("s") === dups("es") && dq("p") === dups("ep") &&
+          dq("o") === dups("eo") && dq("l") <=> dups("el"),
+        "left_anti")
+    } else dq.join(existing,
       dq("s") === existing("s") && dq("p") === existing("p") &&
         dq("o") === existing("o") && dq("l") <=> existing("l"),
-      "left_anti").persist()
+      "left_anti")).persist()
     try {
       // count the appended rows BEFORE writing: the write into dir/quads
       // invalidates every cached plan that reads that path (CacheManager
@@ -313,11 +342,22 @@ object Graph {
       if (buckets > 0)
         fresh.write.mode("append").partitionBy("pb").parquet(s"$dir/quads")
       else fresh.write.mode("append").parquet(s"$dir/quads")
-      val freshNodes = delta.nodes
-        .dropDuplicates("id")
-        .join(stored.nodes.select("id"), Seq("id"), "left_anti")
+      // same flip for the node dictionary: find the delta ids already
+      // present by scanning stored.nodes ONCE against a broadcast of the
+      // (small) delta id set — never shuffle the stored dictionary
+      val dn = delta.nodes.dropDuplicates("id").persist()
+      val dnRows = dn.count()
+      val freshNodes = (if (dnRows <= 4000000L) {
+        val dnIds = dn.select("id")
+        val dupIds = stored.nodes.select("id")
+          .join(broadcast(dnIds), stored.nodes("id") === dnIds("id"),
+            "left_semi")
+          .select(col("id").as("eid"))
+        dn.join(broadcast(dupIds), dn("id") === dupIds("eid"), "left_anti")
+      } else dn.join(stored.nodes.select("id"), Seq("id"), "left_anti"))
         .select(stored.nodes.columns.toIndexedSeq.map(col): _*)
       freshNodes.write.mode("append").parquet(s"$dir/nodes")
+      dn.unpersist()
       // incremental stats: stored counts + appended-row counts. If the
       // store predates stats (no meta), recount once from the files.
       val merged = stored.predStats match {
@@ -334,7 +374,7 @@ object Graph {
         s"""{"predicateBuckets":$buckets,""" +
           s""""opsIndex":${stored.quadsOps.isDefined},""" +
           s""""predStats":$statsJson}""")
-    } finally fresh.unpersist()
+    } finally { fresh.unpersist(); dq.unpersist() }
   }
 
   def read(spark: SparkSession, dir: String): Graph = {
