@@ -759,13 +759,16 @@ object Bench {
               // core under the 5 M-edge gate. TIME-BOXED at 300 s: this
               // is the suite's most expensive entry and its r10 error
               // took the whole driver record down (rc=124) — on expiry
-              // louvain contracts what it has and returns the prefix
-              // partition, so the entry records a degraded number
-              // instead of killing the record.
+              // louvain returns the prefix partition (contraction
+              // skipped), so the entry records a degraded number
+              // instead of killing the record. Box at 240 s: the r12
+              // predictive round gate stops BEFORE a round that would
+              // overrun, so the worst tail is compose+final (~10-60 s
+              // by window health) and box + tail stays ≤ 300 s.
               timed1("x100_graph_louvain") {
                 graft.analytics.GraphAlgos.louvain(eStore, "src", "dst",
                     maxRounds = 10, maxLevels = 5, maxDriverEdges = 0L,
-                    timeBoxSec = 270.0)
+                    timeBoxSec = 240.0)
                   .write.mode("overwrite").format("noop").save()
               }
             }

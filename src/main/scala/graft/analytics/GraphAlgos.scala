@@ -1825,6 +1825,20 @@ object GraphAlgos {
     val spark = und0.sparkSession
     import spark.implicits._
     def expired: Boolean = System.nanoTime() > deadline
+    // PREDICTIVE box gate (r11 verdict: the record's expiry tail was the
+    // in-flight round — a 47 M-edge round started 1 s before the deadline
+    // still runs 30-80 s past it). Before starting a round, ask whether
+    // the PREVIOUS round's duration still fits under the deadline; if
+    // not, stop as if expired — the overshoot becomes compose+final
+    // (~10-30 s) instead of a whole round. lastRoundNanos carries across
+    // levels (a contraction only shrinks rounds, so it over-predicts —
+    // the safe direction). Unboxed runs (deadline = MaxValue) never gate.
+    var boxStop = false
+    var lastRoundNanos = 0L
+    def boxed: Boolean = boxStop || expired
+    def wouldOverrun: Boolean =
+      deadline != Long.MaxValue && lastRoundNanos > 0L &&
+        System.nanoTime() + lastRoundNanos > deadline
     val numParts = spark.sessionState.conf.numShufflePartitions
     val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -1852,7 +1866,7 @@ object GraphAlgos {
     // (level 0) and each contraction's count (later levels) — never a
     // dedicated count job
     var edgeCount = undCount
-    while (levelMoved && level < maxLevels && !expired) {
+    while (levelMoved && level < maxLevels && !boxed) {
       levelMoved = false
       val sym = ew.select(col("a").as("n"), col("b").as("v"), col("w"))
         .unionByName(
@@ -1939,7 +1953,10 @@ object GraphAlgos {
       // shared-literal hubs make neighbors-of-applied ≈ the whole
       // graph, so the active-set scan is pure overhead. Re-measure
       // before re-introducing on a less hubby workload.
-      while (roundMoved && rounds < maxRounds && !expired) {
+      while (roundMoved && rounds < maxRounds && !boxed) {
+        if (wouldOverrun) {
+          boxStop = true
+        } else {
         // community totals ride the existing neighbor join instead of a
         // second edge-sized join: the probe side carries (cv, cvtot) so
         // the per-edge work is ONE join + one n-keyed aggregate
@@ -2094,9 +2111,13 @@ object GraphAlgos {
           if (debug)
             System.err.println(f"louvain level=$level round=$rounds " +
               f"roundSecs=${(System.nanoTime() - tRound) / 1e9}%.1f")
+          // only FULL applied rounds feed the box predictor (pre-check
+          // skips and plateau exits are cheap partial rounds)
+          lastRoundNanos = System.nanoTime() - tRound
         }
         rounds += 1
         }
+        } // !wouldOverrun round body
       }
       // the level's join-side cache is dead once the rounds stop —
       // contraction reads ew, not symP
@@ -2110,7 +2131,7 @@ object GraphAlgos {
           .localCheckpoint(true).cappedStats
         Dedup.releaseBlocks(assign)
         assign = next
-        if (expired) {
+        if (boxed) {
           // TIMEBOX: the level's applied moves are already composed into
           // assign; the edge contraction below only feeds the NEXT level,
           // which will not run — skip the multi-million-row contraction
@@ -2183,8 +2204,9 @@ object GraphAlgos {
         } // !expired contraction branch
       } else Dedup.releaseBlocks(cur)
     }
-    if (expired)
+    if (boxed)
       System.err.println(s"louvain TIMEBOX expired at level=$level " +
+        (if (boxStop && !expired) "(predictive round gate) " else "") +
         "(returning the prefix partition accumulated so far)")
     val tF = System.nanoTime()
     val mins = assign.groupBy("sup").agg(min("node").as("community"))
