@@ -167,18 +167,22 @@ object Probe {
               new java.io.File(storeDir))
           case _ => // text_lr — the bench entry's 10-round loop + predict
             import graft.analytics.{LinearModel, TextOps}
-            val rows = TextOps.hashedTf(docs, "doc_id", "text", 64)
-              .select(col("doc_id").as("id"), col("bucket"), col("tf"))
-            val sign = lit(1L) - lit(2L) * (col("bucket") % 2L)
-            val labels = rows.groupBy("id")
-              .agg(when(sum(col("tf") * sign) > 0, lit(1.0))
-                .otherwise(lit(0.0)).as("y"))
             (1 to 2).foreach { i =>
               timed(s"text_lr-$i") {
-                val w = LinearModel.trainLogReg(rows, labels, 64,
-                  iters = 10, lr = 1.0)
-                LinearModel.predict(rows, w)
-                  .write.mode("overwrite").format("noop").save()
+                // featurize once, like the bench entry (r12)
+                val rows = TextOps.hashedTf(docs, "doc_id", "text", 64)
+                  .select(col("doc_id").as("id"), col("bucket"), col("tf"))
+                  .persist()
+                try {
+                  val sign = lit(1L) - lit(2L) * (col("bucket") % 2L)
+                  val labels = rows.groupBy("id")
+                    .agg(when(sum(col("tf") * sign) > 0, lit(1.0))
+                      .otherwise(lit(0.0)).as("y"))
+                  val w = LinearModel.trainLogReg(rows, labels, 64,
+                    iters = 10, lr = 1.0)
+                  LinearModel.predict(rows, w)
+                    .write.mode("overwrite").format("noop").save()
+                } finally rows.unpersist(blocking = true)
               }
               spark.sharedState.cacheManager.clearCache()
             }

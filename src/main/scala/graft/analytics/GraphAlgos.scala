@@ -1803,7 +1803,7 @@ object GraphAlgos {
     * Negative disables the fold (pure-distributed contract runs).
     */
   /** Process VmRSS in MB (-1 when /proc is unreadable) — watchdog input. */
-  private def procRssMb: Long =
+  private[analytics] def procRssMb: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/self/status")
       try src.getLines().find(_.startsWith("VmRSS")) match {

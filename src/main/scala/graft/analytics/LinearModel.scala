@@ -57,13 +57,28 @@ object LinearModel {
       if (sys.env.contains("GRAFT_LR_SER"))
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val data = withBias(rows, labels)
+    // materialize the labels ONCE before building the plan: `labels`
+    // appears three times below (the bias union branch, the data join,
+    // and the count) and callers typically derive it from the same
+    // featurization as `rows` — without this the cache-fill job runs
+    // the whole featurize pipeline three times over (r11 driver-record
+    // diagnosis for x100_text_lr: 151 s vs a 32-43 s builder range).
+    // The table is one row per labeled doc — checkpointing it is cheap.
+    val lbl = Dedup.checkpointCapped(labels.select(col("id"), col("y")))
+    val data = withBias(rows, lbl)
       .repartition(rows.sparkSession.sessionState.conf
         .numShufflePartitions, col("id"))
       .persist(level)
-    val n = math.max(labels.count(), 1L).toDouble
+    val n = math.max(lbl.count(), 1L).toDouble
+    // per-round watchdog on big corpora (mirrors louvain's): one stderr
+    // line per GD round with round seconds, gradient norm, RSS and
+    // block-store footprint — enough to attribute a slow official-record
+    // entry to cache eviction / disk pressure from the log alone
+    val watch = n >= 100000.0 || sys.env.contains("GRAFT_LR_DEBUG")
+    val spark = rows.sparkSession
     val w = Array.fill(dim + 1)(0.0)
-    (0 until iters).foreach { _ =>
+    (0 until iters).foreach { it =>
+      val t0 = System.nanoTime()
       val wLit = lit(w)
       // per-doc margin (bias rides along as bucket 0), then residual
       // g = sigmoid(m) − y, then per-bucket gradient — ONE job
@@ -80,11 +95,23 @@ object LinearModel {
         val reg = if (bi == 0) 0.0 else l2 * w(bi)
         w(bi) -= lr * (gb / n + reg)
       }
+      if (watch) {
+        val gn = math.sqrt(grads.map { case (_, gb) =>
+          (gb / n) * (gb / n) }.sum)
+        val infos = spark.sparkContext.getRDDStorageInfo
+        System.err.println(f"lr round=$it " +
+          f"roundSecs=${(System.nanoTime() - t0) / 1e9}%.1f " +
+          f"gradNorm=$gn%.2e rss_mb=${GraphAlgos.procRssMb} " +
+          f"blocks=${infos.map(_.numCachedPartitions).sum} " +
+          f"block_mem_mb=${infos.map(_.memSize).sum / (1L << 20)} " +
+          f"block_disk_mb=${infos.map(_.diskSize).sum / (1L << 20)}")
+      }
     }
     // blocking: the caller may re-run training immediately (bench
     // min-of-2 samples) — a lazily-dropped 32 M-row cache otherwise
     // overlaps the second sample's fresh cache under memory pressure
     data.unpersist(blocking = true)
+    Dedup.releaseBlocks(lbl)
     w
   }
 

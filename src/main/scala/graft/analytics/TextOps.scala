@@ -1133,6 +1133,12 @@ object TextOps {
                        textCol: String, buckets: Int = 32): Unit = {
     require(buckets >= 1, "searchStoreWrite: buckets must be >= 1")
     writeSearchPostings(df, dir, idCol, textCol, buckets, append = false)
+    // a full write is the documented recovery from a crashed append: its
+    // overwrite postings + fresh meta make the store consistent, so the
+    // dirty marker (if any) clears here — AFTER meta, so a crash during
+    // the rebuild leaves the store still marked dirty
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"$dir/append_in_progress"))
   }
 
   /** Append a document batch to a [[searchStoreWrite]] store. New
@@ -1209,8 +1215,10 @@ object TextOps {
     require(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/append_in_progress")),
       s"search store $dir has a half-applied append (append_in_progress " +
-        "marker present) — its meta is stale; re-run the append or " +
-        "rebuild the store")
+        "marker present) — its meta is stale and committed postings may " +
+        "double-count if the append is retried; rebuild the store with " +
+        "searchStoreWrite (a full write restores consistency and clears " +
+        "this marker)")
     val json = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"$dir/search_meta.json")),
       java.nio.charset.StandardCharsets.UTF_8)

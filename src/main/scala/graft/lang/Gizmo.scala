@@ -299,15 +299,75 @@ object Gizmo {
         val start = i
         while (i < n && (q.charAt(i).isLetterOrDigit || q.charAt(i) == '_' || q.charAt(i) == '$')) i += 1
         val name = q.substring(start, i)
-        // async/await would mis-parse as plain identifiers and fail with
-        // a confusing downstream error — reject them up front: every
-        // Gizmo final is synchronous and returns materialized results
-        // (the reference's goja host is synchronous too,
-        // /root/reference/query/gizmo/gizmo.go:85-121)
-        if (name == "async" || name == "await")
-          throw GizmoError("async/await is not supported: Gizmo queries " +
-            "are synchronous — finals (all/toArray/forEach/…) return " +
-            "materialized results, no promises involved")
+        // async/await KEYWORD USES would mis-parse as plain identifiers
+        // and fail with a confusing downstream error — reject them up
+        // front: every Gizmo final is synchronous and returns
+        // materialized results (the reference's goja host is synchronous
+        // too, /root/reference/query/gizmo/gizmo.go:85-121). Legal
+        // identifier uses stay legal: property names (obj.async), object
+        // keys ({async: 1}), and plain variables. `async` is a keyword
+        // when `async function` / an async arrow follows; `await` when
+        // it sits in expression position with an operand after it (a
+        // conservative over-match — in an actually-async context it
+        // would be a keyword, and those contexts are rejected anyway).
+        if (name == "async" || name == "await") {
+          val prevIsDot = toks.lastOption.exists {
+            case TPunct('.') => true; case _ => false
+          }
+          var j = i
+          while (j < n && q.charAt(j).isWhitespace) j += 1
+          val nxt = if (j < n) q.charAt(j) else ' '
+          val isObjectKey = nxt == ':'
+          def parenThenArrow: Boolean = {
+            var d = 0; var p = j; var res = false; var done = nxt != '('
+            while (!done && p < n) {
+              val ch = q.charAt(p)
+              if (ch == '(') d += 1
+              else if (ch == ')') {
+                d -= 1
+                if (d == 0) {
+                  var r = p + 1
+                  while (r < n && q.charAt(r).isWhitespace) r += 1
+                  res = r + 1 < n && q.charAt(r) == '=' &&
+                    q.charAt(r + 1) == '>'
+                  done = true
+                }
+              }
+              p += 1
+            }
+            res
+          }
+          def identThenArrowOrFunction: Boolean = {
+            if (!(nxt.isLetter || nxt == '_' || nxt == '$')) false
+            else if (q.regionMatches(j, "function", 0, 8)) true
+            else {
+              var p = j
+              while (p < n && (q.charAt(p).isLetterOrDigit ||
+                q.charAt(p) == '_' || q.charAt(p) == '$')) p += 1
+              while (p < n && q.charAt(p).isWhitespace) p += 1
+              p + 1 < n && q.charAt(p) == '=' && q.charAt(p + 1) == '>'
+            }
+          }
+          val exprPosition = toks.lastOption match {
+            case None => true
+            case Some(TOp(_)) => true
+            case Some(TPunct(p)) => "([{,;:=?".indexOf(p.toInt) >= 0
+            case Some(TIdent(kw)) => Set("return", "typeof", "new",
+              "throw", "case", "do", "else", "in", "of").contains(kw)
+            case _ => false
+          }
+          val keywordUse =
+            if (name == "async")
+              !prevIsDot && !isObjectKey &&
+                (identThenArrowOrFunction || parenThenArrow)
+            else
+              !prevIsDot && !isObjectKey && exprPosition &&
+                (nxt.isLetterOrDigit || "('\"`[!_$".indexOf(nxt.toInt) >= 0)
+          if (keywordUse)
+            throw GizmoError("async/await is not supported: Gizmo " +
+              "queries are synchronous — finals (all/toArray/forEach/…) " +
+              "return materialized results, no promises involved")
+        }
         toks :+= TIdent(name)
       } else if (c.isDigit ||
         (c == '-' && !afterOperand && i + 1 < n && q.charAt(i + 1).isDigit)) {

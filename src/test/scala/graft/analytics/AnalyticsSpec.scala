@@ -578,13 +578,27 @@ class AnalyticsSpec extends AnyFunSuite {
     val exact = Similarity.batchTopK(emb, probes, "vec_id", "embedding", k = 2)
       .select("query_id", "id").as[(Long, Long)].collect().toSet
     assert(full === exact)
-    // the approximate scoring scan must not read the float32 vector column
+    // the approximate scoring scan must not read the float32 vector
+    // column (collectGate = 0 forces the big-batch plan so the scoring
+    // scan is visible in the returned plan; the serving path executes
+    // the SAME cand plan eagerly)
     val pruned = Similarity.ivfStoreTopKQuantized(spark, dir, probes,
-      "vec_id", "embedding", k = 2, nprobe = 1)
+      "vec_id", "embedding", k = 2, nprobe = 1, collectGate = 0)
     val plan = pruned.queryExecution.executedPlan.toString
     val scanSchemas = "ReadSchema: [^\\n]*".r.findAllIn(plan).toSeq
     assert(scanSchemas.exists(s => s.contains("q8") && !s.contains("v:")),
       s"expected an int8-only scan schema:\n$plan")
+    // serving path (default gate): the rerank read must carry a pushed
+    // literal id filter so the range-laid store row-group-skips to the
+    // shortlist instead of re-reading every probed-cell vector
+    val served = Similarity.ivfStoreTopKQuantized(spark, dir, probes,
+      "vec_id", "embedding", k = 2, nprobe = 1)
+    val sPlan = served.queryExecution.executedPlan.toString
+    assert(sPlan.contains("In(id") || sPlan.contains("EqualTo(id"),
+      s"expected a pushed id filter on the rerank scan:\n$sPlan")
+    assert(served.select("query_id", "id").as[(Long, Long)].collect()
+      .toSet === pruned.select("query_id", "id").as[(Long, Long)]
+      .collect().toSet)
     // end-to-end contract harness through a fresh store
     val dir2 = java.nio.file.Files.createTempDirectory("ivfq2").toString
     val ok = Similarity.ivfQuantizedMeanRecallAtK(emb, probes, "vec_id",

@@ -136,6 +136,13 @@ class SearchStoreSpec extends AnyFunSuite {
         TextOps.searchStoreProbe(spark, dir, queries, k = 5)
       }
       assert(e.getMessage.contains("half-applied append"))
+      // the documented recovery: a full rebuild overwrites postings,
+      // writes fresh meta, clears the marker, and probes work again
+      TextOps.searchStoreWrite(docs, dir, "doc_id", "text", buckets = 4)
+      assert(!java.nio.file.Files.exists(marker),
+        "a full write must clear the marker")
+      assert(TextOps.searchStoreProbe(spark, dir, queries, k = 5)
+        .count() > 0)
     } finally org.apache.commons.io.FileUtils.deleteQuietly(
       new java.io.File(dir))
   }

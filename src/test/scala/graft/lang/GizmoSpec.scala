@@ -1061,6 +1061,19 @@ class GizmoSpec extends AnyFunSuite {
       session.execute("var p = await g.V().all()")
     }
     assert(e2.getMessage.contains("synchronous"))
+    val e3 = intercept[Gizmo.GizmoError] {
+      session.execute("var f = async (x) => x + 1; g.emit(1)")
+    }
+    assert(e3.getMessage.contains("synchronous"))
+    // LEGAL identifier uses must stay legal: property names, object
+    // keys, and plain variables named async/await carry no async
+    // semantics (r11 advice: the old check rejected any occurrence)
+    check(
+      """var o = {async: 1, await: 2};
+        |g.emit(o.async + o.await);
+        |var async = 10; var await = 20;
+        |g.emit(async + await)""".stripMargin,
+      Seq("3", "30"))
   }
 
   test("conditional operator: lazy branches, nesting, precedence") {
