@@ -443,6 +443,30 @@ object SparkEntry {
         .map(r => (r("tag"), r("kv"), r("nchars")))
         .toDF("tag", "kv", "nchars")
     }),
+    // Object.fromEntries + Number.is* predicates + String.raw (r12
+    // additions): fromEntries round-trips entries, the predicates gate
+    // a computed field, and String.raw emits its parts UNDECODED (the
+    // literal backslash-t must survive — the oracle writes the same
+    // two characters, DuckDB standard strings are escape-free)
+    "g_gizmo_program9" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """var names = g.V().out(iri("n_name")).unique().toArray();
+          |var rows = [];
+          |for (var i = 0; i < names.length; i++) {
+          |  var name = "" + names[i];
+          |  var o = Object.fromEntries([["nm", name], ["ln", name.length]]);
+          |  rows.push({
+          |    raw: String.raw`nm:\t${o.nm}`,
+          |    ok: "" + (Number.isInteger(o.ln) && Number.isFinite(o.ln) &&
+          |      !Number.isNaN(o.ln) && Number.isSafeInteger(o.ln)),
+          |    ln: "" + o.ln
+          |  });
+          |}
+          |rows.forEach(function(r) { g.emit(r); });""".stripMargin)
+        .map(r => (r("raw"), r("ok"), r("ln")))
+        .toDF("raw", "ok", "ln")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -592,6 +616,47 @@ object SparkEntry {
       val ok = diff == 0 && nodesOk && inc.predStats == full.predStats &&
         tkey(inc) == tkey(full) && opsDiff.contains(0L)
       Seq(ok).toDF("append_ok")
+    }),
+    // RDFS inference (reference inference/inference.go rules 1-11 as a
+    // batch closure, core/Inference.scala): a subClassOf chain over the
+    // nation IRIs (nation:k ⊑ nation:k-1), rdf:type assertions
+    // customer:i → nation:c_nationkey, and a two-level subPropertyOf
+    // hierarchy c_nation ⊑ assoc ⊑ rel. The closure must entail every
+    // ancestor type (rule 9 over the rule-5/11 transitive closure) and
+    // lift every c_nation edge to rel (rule 7) — the oracle recomputes
+    // the ancestor set with a DuckDB WITH RECURSIVE walk of the chain.
+    "g_inference" -> ((s, d) => {
+      import graft.core.{Inference, NQuads}
+      val customer = t(s, d, "customer"); val nation = t(s, d, "nation")
+      val nationPrev = nation
+        .withColumn("prevkey", col("n_nationkey") - 1)
+        .where(col("prevkey") >= 0)
+      val subClassIri = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+      val typeIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+      val parts = Seq(
+        Graph.quadifyEdge(nationPrev, "nation", "n_nationkey",
+          subClassIri, "nation", "prevkey"),
+        Graph.quadifyEdge(customer, "customer", "c_custkey",
+          typeIri, "nation", "c_nationkey"),
+        Graph.quadifyEdge(customer, "customer", "c_custkey",
+          "c_nation", "nation", "c_nationkey"))
+      val schema = Graph.fromQuads(s, Seq(
+        NQuads.ParsedQuad(iri("c_nation"), Inference.SubPropertyOf,
+          iri("assoc"), None),
+        NQuads.ParsedQuad(iri("assoc"), Inference.SubPropertyOf,
+          iri("rel"), None)))
+      val inf = Inference.rdfsClosure(
+        Graph.fromQuadDF(parts.reduce(_ unionAll _)).addQuads(schema))
+      val disp = inf.nodes.select(col("id"), col("s").as("disp"))
+      def rendered(kind: String, p: QValue) =
+        inf.quads.where(col("p") === lit(QValue.id(p)))
+          .join(disp.select(col("id").as("s"), col("disp").as("subj")), "s")
+          .join(disp.select(col("id").as("o"), col("disp").as("obj")), "o")
+          .select(lit(kind).as("kind"), col("subj"), col("obj"))
+      rendered("type", Inference.TypeIri)
+        .unionByName(rendered("rel", iri("rel")))
+        .where(col("subj").startsWith("customer:") &&
+          col("obj").startsWith("nation:"))
     }),
     // Schema package (reference schema/schema.go + loader.go): typed
     // objects with a NESTED object field save to quads (child objects get
@@ -767,6 +832,10 @@ object SparkEntry {
         |       'name=' || n_name || ',len=' ||
         |         CAST(length(n_name) AS VARCHAR) AS kv,
         |       CAST(length(n_name) AS VARCHAR) AS nchars
+        |FROM nation""".stripMargin,
+    "g_gizmo_program9" ->
+      """SELECT 'nm:\t' || n_name AS raw, 'true' AS ok,
+        |       CAST(length(n_name) AS VARCHAR) AS ln
         |FROM nation""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
@@ -4039,6 +4108,26 @@ object SparkEntry {
     "g_store_ops" ->
       ("SELECT 'nation:' || CAST(c_nationkey AS VARCHAR) AS node " +
         "FROM customer WHERE c_mktsegment = 'BUILDING'"),
+    // ancestor closure of the nation subClassOf chain via WITH RECURSIVE
+    // (reflexive seed = the asserted rdf:type, the recursion follows the
+    // existing nation:k -> nation:k-1 edges); rel = every c_nation edge
+    // lifted through the c_nation <= assoc <= rel property hierarchy
+    "g_inference" ->
+      """WITH RECURSIVE anc(k, a) AS (
+        |  SELECT n_nationkey, n_nationkey FROM nation
+        |  UNION
+        |  SELECT anc.k, n.n_nationkey - 1 FROM anc
+        |  JOIN nation n ON n.n_nationkey = anc.a
+        |  WHERE n.n_nationkey >= 1)
+        |SELECT 'type' AS kind,
+        |       'customer:' || CAST(c.c_custkey AS VARCHAR) AS subj,
+        |       'nation:' || CAST(anc.a AS VARCHAR) AS obj
+        |FROM customer c JOIN anc ON anc.k = c.c_nationkey
+        |UNION ALL
+        |SELECT 'rel' AS kind,
+        |       'customer:' || CAST(c_custkey AS VARCHAR) AS subj,
+        |       'nation:' || CAST(c_nationkey AS VARCHAR) AS obj
+        |FROM customer""".stripMargin,
     "schema_nested" ->
       """SELECT CAST(c_custkey AS BIGINT) AS cid, c_name AS cname,
         |       n_name AS nation_name

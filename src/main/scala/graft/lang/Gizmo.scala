@@ -66,11 +66,14 @@ import graft.shape.ValueFilter._
   * padEnd + String.fromCharCode), `Math` (floor/ceil/round/abs/sqrt/
   * pow/min/max/log/log2/log10/exp/trunc/sign),
   * `JSON.stringify`/`JSON.parse`, `Object.keys`/`Object.values`/
-  * `Object.entries`/`Object.assign`, `Array.from`, `new Map()`/
+  * `Object.entries`/`Object.fromEntries`/`Object.assign`, `Array.from`,
+  * `new Map()`/
   * `new Set()` (SameValueZero keys; keys()/values()/entries() return
   * arrays; iterable by for-of/spread/Array.from),
-  * `Array.isArray`, the global conversions parseInt/parseFloat/isNaN/
-  * String/Number/Boolean, `.length`,
+  * `Array.isArray`, the `Number.isInteger`/`isSafeInteger`/`isFinite`/
+  * `isNaN` predicates (no coercion), `String.raw` as a tagged-template
+  * tag (receives undecoded parts), the global conversions
+  * parseInt/parseFloat/isNaN/String/Number/Boolean, `.length`,
   * `Date` in its DETERMINISTIC UTC-only form (`new Date(iso|millis|
   * y,m,d,…)`, `Date.UTC`/`Date.parse`, `getTime`/`valueOf`, the
   * `getUTC*` accessor family — local `get*` aliases to UTC, there is
@@ -186,8 +189,10 @@ object Gizmo {
         // (an identifier immediately before the backtick, as in
         // tag`a${x}b` or obj.fn`…`) → tag(["a","b"], (x)): the cooked
         // strings array plus one argument per hole, JS's tagged-call
-        // convention (.raw on the strings array is not modeled — the
-        // cooked and raw parts coincide for the escapes we cook).
+        // convention. A `.raw` property on the strings array is not
+        // modeled, but the String.raw tag itself IS: it receives the
+        // undecoded parts (rawTag below) and joins them with the
+        // substitutions via the (GStringNS, "raw") method.
         val tagged = toks.lastOption.exists {
           // keywords that can precede a template-as-expression are not
           // tags: `return `x``, `case `x`:`, `typeof `x``, …
@@ -197,15 +202,23 @@ object Gizmo {
           case TIdent(_) => true
           case _ => false
         }
+        // String.raw`…` gets the UNDECODED parts (JS's .raw semantics,
+        // recognized at the token level: the tag is exactly String.raw)
+        val rawTag = tagged && toks.length >= 3 &&
+          toks(toks.length - 3) == TIdent("String") &&
+          toks(toks.length - 2) == TPunct('.') &&
+          toks.last == TIdent("raw")
         i += 1
         val partsB = Vector.newBuilder[String]
         val holesB = Vector.newBuilder[Vector[Tok]]
         val part = new StringBuilder
+        val rawPart = new StringBuilder
         var closed = false
         while (!closed && i < n) {
           val tc = q.charAt(i)
           if (tc == '`') { closed = true; i += 1 }
           else if (tc == '\\' && i + 1 < n) {
+            rawPart.append(tc).append(q.charAt(i + 1))
             q.charAt(i + 1) match {
               case 'n' => part.append('\n'); i += 2
               case 't' => part.append('\t'); i += 2
@@ -213,7 +226,8 @@ object Gizmo {
               case o   => part.append(o); i += 2
             }
           } else if (tc == '$' && i + 1 < n && q.charAt(i + 1) == '{') {
-            partsB += part.toString; part.clear()
+            partsB += (if (rawTag) rawPart.toString else part.toString)
+            part.clear(); rawPart.clear()
             // find the balanced closing brace and tokenize the inside
             var depth = 1
             var j = i + 2
@@ -234,10 +248,10 @@ object Gizmo {
             if (depth > 0) throw GizmoError("unterminated ${ in template")
             holesB += tokenize(q.substring(i + 2, j - 1))
             i = j
-          } else { part.append(tc); i += 1 }
+          } else { part.append(tc); rawPart.append(tc); i += 1 }
         }
         if (!closed) throw GizmoError("unterminated template literal")
-        partsB += part.toString
+        partsB += (if (rawTag) rawPart.toString else part.toString)
         val ps = partsB.result(); val hs = holesB.result()
         val out = Vector.newBuilder[Tok]
         if (tagged) {
@@ -437,6 +451,7 @@ object Gizmo {
   private case object GObjectNS extends GVal
   private case object GArrayNS extends GVal
   private case object GStringNS extends GVal
+  private case object GNumberNS extends GVal
   /** Regex literal `/pat/flags` — a JS RegExp VALUE, deliberately NOT a
     * GFilter: the reference errors on `filter(/re/)` ("filter with a
     * wrong type", gizmo_test.go:195); traversal filters require the
@@ -1649,6 +1664,61 @@ object Gizmo {
           }
           case (GStringNS, "fromCharCode") =>
             GValue(QValue.Str(args.flatMap(num).map(_.toInt.toChar).mkString))
+          case (GStringNS, "raw") => args match {
+            // String.raw`…` — the tokenizer hands RAW (undecoded) parts
+            // to this tag (see the template desugar); interleave them
+            // with the rendered substitutions, JS's String.raw contract
+            case scala.collection.immutable.Seq(GArr(parts), subs @ _*) =>
+              val sb = new StringBuilder
+              parts.zipWithIndex.foreach { case (p, k) =>
+                sb.append(renderVal(p))
+                if (k < subs.length) sb.append(renderVal(subs(k)))
+              }
+              GValue(QValue.Str(sb.toString))
+            case other =>
+              throw GizmoError(
+                s"String.raw expects a template strings array, got $other")
+          }
+          case (GObjectNS, "fromEntries") => args.headOption match {
+            // inverse of Object.entries: [ [k, v], … ] (or a Map) → object
+            case Some(GArr(vs)) =>
+              val om = scala.collection.mutable
+                .LinkedHashMap.empty[String, GVal]
+              vs.foreach {
+                case GArr(pair) if pair.length >= 2 =>
+                  om(renderVal(pair(0))) = pair(1)
+                case other => throw GizmoError(
+                  s"Object.fromEntries: not a [key, value] pair: $other")
+              }
+              GObj(om)
+            case Some(mv: GMapV) =>
+              val om = scala.collection.mutable
+                .LinkedHashMap.empty[String, GVal]
+              mv.m.values.foreach { case (k, v) => om(renderVal(k)) = v }
+              GObj(om)
+            case other => throw GizmoError(
+              s"Object.fromEntries expects an iterable of pairs, got $other")
+          }
+          // Number.* predicates: NO coercion (unlike the global isNaN) —
+          // non-numbers are simply false, per the ES spec
+          case (GNumberNS, "isInteger") => GBoolV(args.headOption.exists {
+            case GNumV(d, _) => !d.isNaN && !d.isInfinite && d.isWhole
+            case _           => false
+          })
+          case (GNumberNS, "isSafeInteger") =>
+            GBoolV(args.headOption.exists {
+              case GNumV(d, _) => !d.isNaN && !d.isInfinite && d.isWhole &&
+                math.abs(d) <= 9007199254740991.0
+              case _ => false
+            })
+          case (GNumberNS, "isFinite") => GBoolV(args.headOption.exists {
+            case GNumV(d, _) => !d.isNaN && !d.isInfinite
+            case _           => false
+          })
+          case (GNumberNS, "isNaN") => GBoolV(args.headOption.exists {
+            case GNumV(d, _) => d.isNaN
+            case _           => false
+          })
           case (GObjectNS, "assign") => args.headOption match {
             case Some(tgt @ GObj(tm)) =>
               args.drop(1).foreach {
@@ -2740,6 +2810,7 @@ object Gizmo {
             case "Object" => GObjectNS
             case "Array"  => GArrayNS
             case "String" => GStringNS
+            case "Number" => GNumberNS
             case "Date"   => GDateNS
             case _ => throw GizmoError(s"undefined variable $name")
           })

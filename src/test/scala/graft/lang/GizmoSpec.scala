@@ -1076,6 +1076,33 @@ class GizmoSpec extends AnyFunSuite {
       Seq("3", "30"))
   }
 
+  test("Object.fromEntries / Number.is* predicates / String.raw") {
+    check(
+      """var o = Object.fromEntries([["a", 1], ["b", 2]]);
+        |g.emit(o.a + o.b);
+        |g.emit(JSON.stringify(
+        |  Object.fromEntries(Object.entries({x: 1, y: 2}))));
+        |var m = new Map(); m.set("k", 7);
+        |g.emit(Object.fromEntries(m).k);
+        |g.emit(Number.isInteger(5));
+        |g.emit(Number.isInteger(5.5));
+        |g.emit(Number.isInteger("5"));
+        |g.emit(Number.isSafeInteger(9007199254740991));
+        |g.emit(Number.isSafeInteger(9007199254740992));
+        |g.emit(Number.isFinite(1 / 0));
+        |g.emit(Number.isNaN(0 / 0));
+        |g.emit(Number.isNaN("nope"))""".stripMargin,
+      Seq("3", "{\"x\":1,\"y\":2}", "7", "true", "false", "false",
+        "true", "false", "false", "true", "false"))
+    // String.raw: escapes stay UNDECODED in the parts; substitutions
+    // interleave rendered. The plain tagged call still cooks.
+    check(
+      """g.emit(String.raw`a\nb${1 + 1}c\td`);
+        |function cooked(parts, x) { return parts[0] + "|" + x; }
+        |g.emit(cooked`p\nq${3}`)""".stripMargin,
+      Seq("a\\nb2c\\td", "p\nq|3"))
+  }
+
   test("conditional operator: lazy branches, nesting, precedence") {
     check(
       """g.emit(1 < 2 ? "yes" : "no");
