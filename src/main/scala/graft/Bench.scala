@@ -1471,7 +1471,27 @@ object Bench {
         if (errors.isEmpty) ""
         else errors.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
           .mkString(""","errors":{""", ",", "}")
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson$errJson,"sf":"$sfDir"}"""
+      // the driver's stdout capture keeps only the LAST ~2000 chars of
+      // the line, and the full queries map is ~10 KB — r11's official
+      // record carried "parsed": null with most entries outside the
+      // window. A compact "key" object (headline + judge-bar entries)
+      // rides at the END of the same line so the captured suffix is
+      // self-contained; the full map lives in the committed bench.json.
+      val allMap = all.toMap
+      val keyNames = Seq("graph_load", "load_134m", "movie_two_sets",
+        "movie_three_huge", "x100_movie_load", "x10_graph_louvain",
+        "x100_graph_louvain", "x100_graph_wcc", "x100_graph_scc",
+        "x100_graph_pagerank", "x100_graph_betweenness_s4",
+        "x100_store_write", "x100_store_append", "x100_store_two_sets",
+        "x100_store_three_huge", "x100_store_hop2_fwd",
+        "x100_store_hop2_rev", "x100_dedup_minhash", "x100_dedup_clusters",
+        "x100_dedup_clusters_incr", "x100_dedup_fuzzy", "x100_text_lr",
+        "x100_pipeline_curate_full", "x100_minhash_store_probe1",
+        "x100_search_store_probe1", "x100_ivf_q_probe1", "x10_ivf_q_probe1")
+      val keyJson = keyNames
+        .flatMap(k => allMap.get(k).map(v => "\"" + k + f"\":$v%.3f"))
+        .mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qJson$errJson,"n_entries":${all.size},"err_count":${errors.size},"key":$keyJson,"sf":"$sfDir"}"""
     }
     def writeRecord(): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
