@@ -803,10 +803,15 @@ object Bench {
                       ParsedQuad(remap(q.s, mult), q.p, remap(q.o, mult),
                         q.l)))
                   }.write.mode("overwrite").text(deltaDir)
-                val delta = Graph.fromNQuads(spark, deltaDir)
+                // pre-materialize the delta like store_write's input (g
+                // was cached+counted before its timed write): the entry
+                // measures INGEST into the store, not the N-Quads parse
+                val delta = Graph.fromNQuads(spark, deltaDir).cached()
+                delta.stats
                 scaleOut += s"${tag}_store_append" -> time {
                   Graph.append(spark, storeDir, delta)
                 }
+                delta.nodes.unpersist(); delta.quads.unpersist()
                 // the appended copy must be queryable in place: its
                 // Oliver Hardy resolves like every pre-append copy's
                 val g11 = Graph.read(spark, storeDir)

@@ -334,14 +334,22 @@ object Similarity {
     // then covers a narrow id slice of its cell, so the rerank pass's
     // literal `id IN (…)` pushdown (see [[ivfStoreTopKQuantized]])
     // skips whole row groups via min/max stats instead of re-reading
-    // every float32 vector in the probed cells
-    emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+    // every float32 vector in the probed cells.
+    // PERSIST before the range exchange: RangePartitioner samples its
+    // child to pick bounds, which would evaluate the quantize +
+    // nCells-dot cell assignment over the whole input TWICE (measured:
+    // x100 write 66.8 s un-persisted vs ~35 s — the sampling pass costs
+    // as much as the real one on expression-heavy projections)
+    val proj = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
         graft.functions.Int8Vec.quantize(col(vecCol)).as("q8"),
         sqrt(dot(col(vecCol), col(vecCol))).as("norm"),
         cellExpr(col(vecCol), cents).as("cell"))
-      .repartitionByRange(col("cell"), col("id"))
-      .sortWithinPartitions("cell", "id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      .persist()
+    try {
+      proj.repartitionByRange(col("cell"), col("id"))
+        .sortWithinPartitions("cell", "id")
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+    } finally proj.unpersist()
     val json = cents.map(_.mkString("[", ",", "]"))
       .mkString("{\"centroids\":[", ",", "]}")
     java.nio.file.Files.write(

@@ -256,13 +256,16 @@ object Graph {
     * files and leaves every existing file untouched.
     *
     * Cost shape: the delta is deduplicated internally, then existence-
-    * checked by scanning ONLY the predicate-bucket partitions the delta
-    * touches (static pruning via the `pb` filter), ONCE, map-side: the
-    * delta is broadcast and the store probes it (LEFT SEMI, build
-    * right), so no stored row is ever shuffled — a plain delta-anti-
-    * join-store plan would sort-merge the whole touched region and cost
-    * as much as a rewrite. Deltas above broadcast size fall back to the
-    * shuffle plan.
+    * checked only where it can possibly collide — the dictionary gate
+    * keeps just the delta quads whose every term id already exists in
+    * the stored node dictionary (typical ingest is new-entity-dominated,
+    * so this is a sliver, often empty — then the store is never scanned
+    * at all). The gated sliver probes the store map-side: the quads
+    * table's touched `pb` partitions are scanned ONCE against a
+    * broadcast hash of the sliver (LEFT SEMI, build right), so no
+    * stored row is ever shuffled — a plain delta-anti-join-store plan
+    * would sort-merge the whole touched region and cost as much as a
+    * rewrite. Deltas above broadcast size fall back to the shuffle plan.
     * Appended files land only in touched partitions; `graft_meta.json`
     * predStats update incrementally from the appended rows — no
     * store-wide recount. Readers pick up the new files on their next
@@ -282,6 +285,20 @@ object Graph {
       dq0.withColumn("pb", pmod(col("p"), lit(buckets)))
     else dq0).persist()
     val deltaRows = dq.count() // materialize once; gates the join layout
+    // node dictionary FIRST: the delta ids already present in the store
+    // (dupIds) feed BOTH the fresh-node anti-join and the quad-existence
+    // dictionary gate below — one stored-nodes scan serves both
+    val dn = delta.nodes.dropDuplicates("id").persist()
+    val dnRows = dn.count()
+    val smallDelta = deltaRows <= 4000000L && dnRows <= 4000000L
+    val dupIds = (if (smallDelta) {
+      val dnIds = dn.select("id")
+      stored.nodes.select("id")
+        .join(broadcast(dnIds), stored.nodes("id") === dnIds("id"),
+          "left_semi")
+        .select(col("id").as("eid"))
+    } else dn.select(col("id").as("eid"))).persist()
+    if (smallDelta) dupIds.count()
     val existing =
       if (buckets > 0) {
         val touched = dq.select("pb").distinct().collect().map(_.getLong(0))
@@ -291,31 +308,50 @@ object Graph {
     // its RIGHT side — the store — so Spark sort-merge-shuffles every
     // touched-partition row, and appending one small batch costs as much
     // as rewriting the store (the r11 driver record measured append ≥
-    // write at 47 M quads). For ingest-sized deltas, flip it: scan the
-    // store ONCE map-side against a broadcast hash of the delta
-    // (LEFT SEMI, build right) to find the already-present rows, then
-    // anti-join the delta against that (≤ delta-sized) match set. Zero
-    // shuffles of stored data; the store is read exactly once, streaming.
+    // write at 47 M quads). For ingest-sized deltas, two cuts:
+    //  1. DICTIONARY GATE — a delta quad can only already exist if EVERY
+    //     term id is already in the stored dictionary (the library's
+    //     Graph invariant: nodes always cover every quad position, both
+    //     in stores and in fromQuadDF/fromNQuads-built deltas). Real
+    //     ingest batches are dominated by new entities, so the gated
+    //     subset is tiny — and when it is EMPTY the store is never
+    //     scanned at all.
+    //  2. BROADCAST FLIP — for the gated subset, scan the store ONCE
+    //     map-side against a broadcast hash (LEFT SEMI, build right) and
+    //     anti-join the delta against the (≤ gated-sized) match set.
+    //     Zero shuffles of stored data.
     // Oversized deltas (above broadcast comfort) keep the shuffle plan.
-    val fresh = (if (deltaRows <= 4000000L) {
-      val dqKeys = dq.select(base.map(col): _*)
-      // aliased output: dups' subtree contains dq (the broadcast side),
-      // so unaliased s/p/o/l would be ambiguous in the anti-join below
-      val dups = existing
-        .join(broadcast(dqKeys),
-          existing("s") === dqKeys("s") && existing("p") === dqKeys("p") &&
-            existing("o") === dqKeys("o") && existing("l") <=> dqKeys("l"),
+    var gatedHandle: Option[DataFrame] = None
+    val freshPlan = if (smallDelta) {
+      def dictSemi(df: DataFrame, c: String): DataFrame =
+        df.join(broadcast(dupIds.select(col("eid").as(c))), Seq(c),
           "left_semi")
-        .select(col("s").as("es"), col("p").as("ep"),
-          col("o").as("eo"), col("l").as("el"))
-      dq.join(broadcast(dups),
-        dq("s") === dups("es") && dq("p") === dups("ep") &&
-          dq("o") === dups("eo") && dq("l") <=> dups("el"),
-        "left_anti")
+      val gatedBase = dictSemi(dictSemi(dictSemi(dq, "s"), "p"), "o")
+      val gated = gatedBase.where(col("l").isNull)
+        .unionByName(dictSemi(gatedBase.where(col("l").isNotNull), "l"))
+        .persist()
+      gatedHandle = Some(gated)
+      if (gated.count() == 0L) dq
+      else {
+        // aliased output: dups' subtree contains dq (the broadcast
+        // side), so unaliased s/p/o/l would be ambiguous below
+        val dups = existing
+          .join(broadcast(gated),
+            existing("s") === gated("s") && existing("p") === gated("p") &&
+              existing("o") === gated("o") && existing("l") <=> gated("l"),
+            "left_semi")
+          .select(col("s").as("es"), col("p").as("ep"),
+            col("o").as("eo"), col("l").as("el"))
+        dq.join(broadcast(dups),
+          dq("s") === dups("es") && dq("p") === dups("ep") &&
+            dq("o") === dups("eo") && dq("l") <=> dups("el"),
+          "left_anti")
+      }
     } else dq.join(existing,
       dq("s") === existing("s") && dq("p") === existing("p") &&
         dq("o") === existing("o") && dq("l") <=> existing("l"),
-      "left_anti")).persist()
+      "left_anti")
+    val fresh = if (freshPlan eq dq) dq else freshPlan.persist()
     try {
       // count the appended rows BEFORE writing: the write into dir/quads
       // invalidates every cached plan that reads that path (CacheManager
@@ -342,22 +378,14 @@ object Graph {
       if (buckets > 0)
         fresh.write.mode("append").partitionBy("pb").parquet(s"$dir/quads")
       else fresh.write.mode("append").parquet(s"$dir/quads")
-      // same flip for the node dictionary: find the delta ids already
-      // present by scanning stored.nodes ONCE against a broadcast of the
-      // (small) delta id set — never shuffle the stored dictionary
-      val dn = delta.nodes.dropDuplicates("id").persist()
-      val dnRows = dn.count()
-      val freshNodes = (if (dnRows <= 4000000L) {
-        val dnIds = dn.select("id")
-        val dupIds = stored.nodes.select("id")
-          .join(broadcast(dnIds), stored.nodes("id") === dnIds("id"),
-            "left_semi")
-          .select(col("id").as("eid"))
+      // fresh dictionary rows: the dupIds computed above (one stored-
+      // nodes scan, broadcast-flipped) drive the anti-join; above the
+      // broadcast gate, fall back to the shuffle anti-join
+      val freshNodes = (if (smallDelta)
         dn.join(broadcast(dupIds), dn("id") === dupIds("eid"), "left_anti")
-      } else dn.join(stored.nodes.select("id"), Seq("id"), "left_anti"))
+      else dn.join(stored.nodes.select("id"), Seq("id"), "left_anti"))
         .select(stored.nodes.columns.toIndexedSeq.map(col): _*)
       freshNodes.write.mode("append").parquet(s"$dir/nodes")
-      dn.unpersist()
       // incremental stats: stored counts + appended-row counts. If the
       // store predates stats (no meta), recount once from the files.
       val merged = stored.predStats match {
@@ -374,7 +402,11 @@ object Graph {
         s"""{"predicateBuckets":$buckets,""" +
           s""""opsIndex":${stored.quadsOps.isDefined},""" +
           s""""predStats":$statsJson}""")
-    } finally { fresh.unpersist(); dq.unpersist() }
+    } finally {
+      if (!(fresh eq dq)) fresh.unpersist()
+      gatedHandle.foreach(_.unpersist())
+      dupIds.unpersist(); dn.unpersist(); dq.unpersist()
+    }
   }
 
   def read(spark: SparkSession, dir: String): Graph = {

@@ -416,6 +416,47 @@ class FormatsSpec extends AnyFunSuite {
     assert(got === Seq("<alice>", "<charlie>", "<dani>"))
   }
 
+  test("Graph.append: new-term delta (dictionary gate empty) and mixed delta") {
+    // the dictionary gate skips the store scan when no delta quad can
+    // possibly exist (all-new terms); a mixed delta (new-term quads +
+    // exact duplicates + a new combination of EXISTING terms) must
+    // still land exactly the non-duplicate rows
+    val base = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
+    val dir = Files.createTempDirectory("graft-app-gate").toString
+    base.withStats().write(dir, predicateBuckets = 4, objectIndex = true)
+    def q(s: String, p: String, o: String) =
+      graft.core.NQuads.ParsedQuad(QValue.Iri(s), QValue.Iri(p),
+        QValue.Iri(o), None)
+    // all-new terms → gate empty, no existence probe
+    val fresh = Graph.fromQuads(spark, Seq(
+      q("new1", "newp", "new2"), q("new2", "newp", "new3")))
+    Graph.append(spark, dir, fresh)
+    val afterFresh = Graph.read(spark, dir)
+    assert(afterFresh.quads.count() === base.quads.count() + 2)
+    // mixed: one exact duplicate (must dedup), one new-combination quad
+    // of existing terms (must append — the gate keeps it, the store
+    // probe must NOT false-positive it), one more all-new quad
+    val mixed = Graph.fromQuads(spark, Seq(
+      graft.core.NQuads.parseLine(
+        "<alice> <follows> <bob> .").get, // exists in testdata.nq
+      q("alice", "follows", "greg"),      // existing terms, new quad
+      q("new4", "newp", "new5")))
+    Graph.append(spark, dir, mixed)
+    val g2 = Graph.read(spark, dir)
+    assert(g2.quads.count() === base.quads.count() + 2 + 2)
+    // OPS sibling stays row-identical through both appends
+    val cols = Seq("s", "p", "o", "l").map(col)
+    assert(g2.quadsOps.get.select(cols: _*)
+      .exceptAll(g2.quads.select(cols: _*)).count() === 0)
+    assert(g2.quads.select(cols: _*)
+      .exceptAll(g2.quadsOps.get.select(cols: _*)).count() === 0)
+    // the new-combination quad is queryable
+    val got = graft.exec.Exec.run(g2,
+      graft.path.Path.start(QValue.Iri("alice")).out(QValue.Iri("follows")))
+      .values().map(_.sortKey).sorted
+    assert(got.contains("<greg>"))
+  }
+
   test("Graph.append keeps the OPS sibling row-identical to the primary") {
     val g = Graph.fromNQuads(spark, "/root/reference/data/testdata.nq")
     val h1 = g.copy(quads = g.quads.where(pmod(col("s"), lit(2)) === 0))
