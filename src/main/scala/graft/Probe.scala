@@ -222,6 +222,31 @@ object Probe {
             g.write(outDir, predicateBuckets = 16, objectIndex = true)
           }
         }
+        // incremental ingest against the freshly-written store: one more
+        // remapped copy, pre-materialized like the bench entry. Set
+        // GRAFT_APPEND_DEBUG=1 for per-phase timing.
+        locally {
+          def remapA(v: QValue, k: Int): QValue = v match {
+            case QValue.Iri(s)   => QValue.Iri(s + "/x" + k)
+            case QValue.BNode(s) => QValue.BNode(s + "x" + k)
+            case other           => other
+          }
+          val deltaDir = s"/tmp/graft_probe_delta_x$mult"
+          spark.read.textFile("/root/reference/data/30kmoviedata.nq.gz")
+            .repartition(16)
+            .flatMap { l =>
+              NQuads.parseLine(l).toSeq.map(q => NQuads.serialize(
+                ParsedQuad(remapA(q.s, mult), q.p, remapA(q.o, mult), q.l)))
+            }.write.mode("overwrite").text(deltaDir)
+          val delta = Graph.fromNQuads(spark, deltaDir).cached()
+          delta.stats
+          timed("store-append") {
+            Graph.append(spark, outDir, delta)
+          }
+          delta.nodes.unpersist(); delta.quads.unpersist()
+          org.apache.commons.io.FileUtils.deleteQuietly(
+            new java.io.File(deltaDir))
+        }
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(outDir))
       case "fuzzy" =>

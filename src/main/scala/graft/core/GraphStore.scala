@@ -276,6 +276,13 @@ object Graph {
     * and predStats as write(half1 ∪ half2).
     */
   def append(spark: SparkSession, dir: String, delta: Graph): Unit = {
+    val appendDebug = sys.env.contains("GRAFT_APPEND_DEBUG")
+    var tPhase = System.nanoTime()
+    def phase(name: String): Unit = if (appendDebug) {
+      val now = System.nanoTime()
+      System.err.println(f"append phase=$name secs=${(now - tPhase) / 1e9}%.2f")
+      tPhase = now
+    }
     val metaPath = java.nio.file.Paths.get(s"$dir/graft_meta.json")
     val stored = read(spark, dir)
     val buckets = stored.predicateBuckets
@@ -285,6 +292,7 @@ object Graph {
       dq0.withColumn("pb", pmod(col("p"), lit(buckets)))
     else dq0).persist()
     val deltaRows = dq.count() // materialize once; gates the join layout
+    phase("dq")
     // node dictionary FIRST: the delta ids already present in the store
     // (dupIds) feed BOTH the fresh-node anti-join and the quad-existence
     // dictionary gate below — one stored-nodes scan serves both
@@ -299,6 +307,7 @@ object Graph {
         .select(col("id").as("eid"))
     } else dn.select(col("id").as("eid"))).persist()
     if (smallDelta) dupIds.count()
+    phase("dupIds")
     val existing =
       if (buckets > 0) {
         val touched = dq.select("pb").distinct().collect().map(_.getLong(0))
@@ -331,7 +340,9 @@ object Graph {
         .unionByName(dictSemi(gatedBase.where(col("l").isNotNull), "l"))
         .persist()
       gatedHandle = Some(gated)
-      if (gated.count() == 0L) dq
+      val gc = gated.count()
+      phase("gate")
+      if (gc == 0L) dq
       else {
         // aliased output: dups' subtree contains dq (the broadcast
         // side), so unaliased s/p/o/l would be ambiguous below
@@ -359,6 +370,7 @@ object Graph {
       // would see the just-appended files and count zero
       val appended = fresh.groupBy("p").count().collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      phase("stats")
       // dual-index store: the same fresh rows land in the object-sorted
       // sibling too (sorted within the appended files — the new files'
       // row-group stats prune like the originals'). MUST run before the
@@ -375,9 +387,11 @@ object Graph {
         else fresh.sort("p", "o").write.mode("append")
           .parquet(s"$dir/quads_ops")
       }
+      phase("ops_write")
       if (buckets > 0)
         fresh.write.mode("append").partitionBy("pb").parquet(s"$dir/quads")
       else fresh.write.mode("append").parquet(s"$dir/quads")
+      phase("primary_write")
       // fresh dictionary rows: the dupIds computed above (one stored-
       // nodes scan, broadcast-flipped) drive the anti-join; above the
       // broadcast gate, fall back to the shuffle anti-join
@@ -386,6 +400,7 @@ object Graph {
       else dn.join(stored.nodes.select("id"), Seq("id"), "left_anti"))
         .select(stored.nodes.columns.toIndexedSeq.map(col): _*)
       freshNodes.write.mode("append").parquet(s"$dir/nodes")
+      phase("nodes_write")
       // incremental stats: stored counts + appended-row counts. If the
       // store predates stats (no meta), recount once from the files.
       val merged = stored.predStats match {
