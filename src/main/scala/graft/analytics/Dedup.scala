@@ -820,10 +820,14 @@ object Dedup {
       .sortWithinPartitions("pos", "mh")
       .write.mode("overwrite").partitionBy("pos")
       .parquet(s"$dir/postings")
-    shingleSets(rows)
-      .repartitionByRange(numParts, col("id"))
-      .sortWithinPartitions("id")
-      .write.mode("overwrite").parquet(s"$dir/sets")
+    // persist before the range exchange: the sampler would run the
+    // shingle-set aggregation (a full shuffle) twice otherwise
+    val sets = shingleSets(rows).persist()
+    try {
+      sets.repartitionByRange(numParts, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("overwrite").parquet(s"$dir/sets")
+    } finally sets.unpersist()
     rows.unpersist()
     java.nio.file.Files.write(
       java.nio.file.Paths.get(s"$dir/minhash_meta.json"),
@@ -857,10 +861,12 @@ object Dedup {
       .repartition(numParts, col("pos"))
       .sortWithinPartitions("pos", "mh")
       .write.mode("append").partitionBy("pos").parquet(s"$dir/postings")
-    shingleSets(rows)
-      .repartitionByRange(numParts, col("id"))
-      .sortWithinPartitions("id")
-      .write.mode("append").parquet(s"$dir/sets")
+    val sets = shingleSets(rows).persist()
+    try {
+      sets.repartitionByRange(numParts, col("id"))
+        .sortWithinPartitions("id")
+        .write.mode("append").parquet(s"$dir/sets")
+    } finally sets.unpersist()
     rows.unpersist()
   }
 

@@ -1185,15 +1185,21 @@ object TextOps {
     // range-partition by the SORT key, not by pb: hash-by-bucket sorts
     // collapse into one giant task under power-law term skew (the
     // GraphStore 127.8 s lesson); partitionBy then fans each task's
-    // rows into its pb directories
-    tf.join(dls, "id")
+    // rows into its pb directories.
+    // PERSIST before the range exchange: RangePartitioner samples its
+    // child, which would run the tokenize/explode/groupBy posting
+    // pipeline (including its shuffle) twice (the ivf_q_write lesson)
+    val posting = tf.join(dls, "id")
       .withColumn("pb",
         pmod(xxhash64(col("term")), lit(buckets.toLong)).cast("int"))
       .select(col("pb"), col("term"), col("id"), col("tf"), col("dl"))
-      .repartitionByRange(numParts, col("term"), col("id"))
-      .sortWithinPartitions("term", "id")
-      .write.mode(if (append) "append" else "overwrite")
-      .partitionBy("pb").parquet(s"$dir/postings")
+      .persist()
+    try {
+      posting.repartitionByRange(numParts, col("term"), col("id"))
+        .sortWithinPartitions("term", "id")
+        .write.mode(if (append) "append" else "overwrite")
+        .partitionBy("pb").parquet(s"$dir/postings")
+    } finally posting.unpersist()
     if (!append) writeSearchMeta(dir, n, sumdl, buckets)
     (n, sumdl)
   }
