@@ -14,7 +14,7 @@ object Bench {
     "g_out", "g_out_chain", "g_has", "g_and", "g_or", "g_unique",
     "g_optional", "g_recursive", "g_order_page", "g_count",
     // relational / streaming-table
-    "q1_agg", "q3_join", "q_window", "q_topk_users",
+    "q1_agg", "q3_join", "q_window", "q_topk_users", "q_cube", "q_pivot",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "dedup_spans", "dedup_fuzzy", "dedup_contain",
@@ -34,7 +34,7 @@ object Bench {
     // OPERATORS are benched separately below — their driver entries are
     // differential harnesses, which time the oracle-side recompute too)
     "graph_degree", "graph_triangles", "graph_wcc", "graph_bfs",
-    "graph_sssp", "graph_clustering",
+    "graph_sssp", "graph_clustering", "graph_ppr", "graph_cliques",
     "sim_topk", "sim_ann", "sim_ivf", "sim_ivf_q", "sim_ivf_pq", "sim_rp",
     "emb_neardup", "emb_clusters", "emb_neardup_ann", "emb_clusters_ann")
 

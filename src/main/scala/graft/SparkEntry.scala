@@ -467,6 +467,35 @@ object SparkEntry {
         .map(r => (r("raw"), r("ok"), r("ln")))
         .toDF("raw", "ok", "ln")
     }),
+    // generators (function*/yield): generator-over-generator
+    // composition (take), yield* delegation from a traversal result,
+    // two-way next(v) communication (running-total accumulator), lazy
+    // for-of with break over an infinite generator
+    "g_gizmo_program10" -> ((s, d) => {
+      import s.implicits._
+      graft.lang.Gizmo.session(graph(s, d)).execute(
+        """function* names() {
+          |  yield* g.V().out(iri("n_name")).unique().toArray().sort();
+          |}
+          |function* take(gen, k) {
+          |  var i = 0;
+          |  for (const v of gen) { if (i >= k) break; yield v; i = i + 1; }
+          |}
+          |function* acc() {
+          |  var total = 0;
+          |  while (true) { total = total + (yield total); }
+          |}
+          |var a = acc(); a.next();
+          |var idx = 0;
+          |for (const n of take(names(), 10)) {
+          |  var nm = "" + n;
+          |  var cum = a.next(nm.length).value;
+          |  g.emit({ nm: nm, i: "" + idx, cum: "" + cum });
+          |  idx = idx + 1;
+          |}""".stripMargin)
+        .map(r => (r("nm"), r("i"), r("cum")))
+        .toDF("nm", "i", "cum")
+    }),
     // GraphQL front-end end-to-end (set-oriented executor)
     "g_graphql" -> ((s, d) => {
       import s.implicits._
@@ -837,6 +866,16 @@ object SparkEntry {
       """SELECT 'nm:\t' || n_name AS raw, 'true' AS ok,
         |       CAST(length(n_name) AS VARCHAR) AS ln
         |FROM nation""".stripMargin,
+    // generators: first 10 names in sorted order with a running
+    // character total (the accumulator generator's state)
+    "g_gizmo_program10" ->
+      """SELECT nm, CAST(rn - 1 AS VARCHAR) AS i, CAST(cum AS VARCHAR) AS cum
+        |FROM (SELECT n_name AS nm,
+        |    ROW_NUMBER() OVER (ORDER BY n_name) AS rn,
+        |    SUM(length(n_name)) OVER (ORDER BY n_name
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM nation)
+        |WHERE rn <= 10""".stripMargin,
     "g_wildcard" ->
       "SELECT n_name AS node FROM nation WHERE n_name LIKE 'NATION_1%'",
     "g_out_tags" ->
@@ -1393,6 +1432,46 @@ object SparkEntry {
         batch.exceptAll(streamed).count()
       batch.unpersist()
       Seq(diff == 0 && nCells > 0).toDF("stream_cms_ok")
+    }),
+    // streaming Misra-Gries heavy hitters: per-micro-batch MG partials
+    // folded across batches with the mergeable-summaries rule
+    // (pointwise sum, subtract the (k+1)-th largest, drop ≤0) — the
+    // merged summary must satisfy the SAME coverage + undercount-bound
+    // guarantee as the batch sketch over the full stream (k=4; n_heavy
+    // re-derived relationally by the oracle, exactly like stats_heavy)
+    "stream_heavy" -> ((s, d) => {
+      import s.implicits._
+      val k = 4 // mirrored in the oracle SQL as the literal 5 = k + 1
+      val ev = events(s, d).select(col("event_id"), col("event_type"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-shh").toString
+      ev.where(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val stream = s.readStream
+        .schema("event_id bigint, event_type string").parquet(s"$tmp/in")
+      var summary = Seq.empty[(String, Long)]
+      val q = stream.writeStream.outputMode("append")
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val part = TextOps.heavyHitters(df, "event_type", k).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toSeq
+          summary = TextOps.mgMergeSummaries(summary, part, k)
+          ()
+        }.start()
+      q.processAllAvailable()
+      ev.where(col("event_id") % 2 === 1)
+        .write.mode("append").parquet(s"$tmp/in")
+      q.processAllAvailable(); q.stop()
+      val exact = ev.groupBy("event_type").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val n = exact.valuesIterator.sum
+      val heavy = exact.filter { case (_, c) => c * (k + 1L) > n }
+      val mg = summary.toMap
+      val coverOk = heavy.keySet.subsetOf(mg.keySet)
+      val boundOk = mg.forall { case (v, est) =>
+        exact.get(v).exists(c => est <= c && (c - est) * (k + 1L) <= n)
+      }
+      Seq((coverOk && boundOk, heavy.size.toLong))
+        .toDF("heavy_ok", "n_heavy")
     }),
     // streaming HLL: complete-mode per-bucket max over two
     // micro-batches == the batch registers cell-for-cell (register max
@@ -2620,6 +2699,44 @@ object SparkEntry {
       GraphAlgos.katzCentrality(chain.unionByName(cross), "s", "o",
         iterations = 8)
     }),
+    // Personalized PageRank on the 2-regular shift graph (s→s+1, s→s+7
+    // cyclically over the 0-based custkeys), seeds = custkey ≡ 1
+    // (mod 97): every round is EXACT dyadic-integer arithmetic
+    // (y = x·8^t), so the oracle unrolls the same 8 rounds relationally
+    // and matches the BIGINT walk counts value-for-value; score is one
+    // IEEE division
+    "graph_ppr" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val withN = c.crossJoin(broadcast(n))
+      val edges = withN
+        .select(col("node").as("s"), ((col("node") + 1L) % col("n")).as("o"))
+        .unionByName(withN.select(col("node").as("s"),
+          ((col("node") + 7L) % col("n")).as("o")))
+      GraphAlgos.pprDyadic(edges, "s", "o",
+        c.where(col("node") % 97L === 1L), "node", iterations = 8)
+    }),
+    // global 4-clique census over 300 planted cliques (custkey mod 300
+    // buckets, all pairs) + the per-nation customer chain: the oriented
+    // triangle-extension count matches DuckDB's explicit 6-edge 4-way
+    // self-join value-for-value (plus edge and triangle counts)
+    "graph_cliques" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          col("c_nationkey").cast("long").as("comm"))
+      val bk = c.select(col("node"), (col("node") % 300L).as("b"))
+      val planted = bk.as("l")
+        .join(bk.as("r"), col("l.b") === col("r.b") &&
+          col("l.node") < col("r.node"))
+        .select(col("l.node").as("s"), col("r.node").as("o"))
+      val chain = c.select(col("node").as("s"),
+          lead("node", 1).over(
+            Window.partitionBy("comm").orderBy("node")).as("o"))
+        .where(col("o").isNotNull)
+      GraphAlgos.fourCliqueCount(planted.unionByName(chain), "s", "o")
+    }),
     // Degree assortativity of the same harness graph: exact BIGINT
     // moment sums + a fixed IEEE op sequence — value-level bitwise match
     "graph_assortativity" -> ((s, d) => {
@@ -3697,6 +3814,54 @@ object SparkEntry {
         |    FROM e JOIN x7 x ON x.node = e.s GROUP BY e.o) i USING (node))
         |SELECT node, y AS num, CAST(y AS DOUBLE) / 65536.0 AS score
         |FROM x8""".stripMargin,
+    // Personalized PageRank: same unrolled-dyadic-rounds pattern as
+    // katz — y_{t+1} = 6·8^t·seed + Σ inflow, all BIGINT, one division
+    "graph_ppr" -> {
+      val rounds = (1 to 8).map { tt =>
+        val cst = 6L * (1L << (3 * (tt - 1)))
+        s"""x$tt AS (SELECT sd.node, CAST($cst * sd.sf + COALESCE(i.sy, 0) AS BIGINT) AS y
+           |  FROM sd LEFT JOIN (SELECT e.o AS node, SUM(x.y) AS sy
+           |    FROM e JOIN x${tt - 1} x ON x.node = e.s GROUP BY e.o) i USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node FROM customer),
+         |n AS (SELECT count(*) AS nn FROM c),
+         |e AS (SELECT DISTINCT s, o FROM (
+         |  SELECT node AS s, (node + 1) % nn AS o FROM c, n
+         |  UNION ALL
+         |  SELECT node AS s, (node + 7) % nn AS o FROM c, n)),
+         |nd AS (SELECT DISTINCT node FROM
+         |  (SELECT s AS node FROM e UNION ALL SELECT o FROM e)),
+         |sd AS (SELECT node, CAST(CASE WHEN node % 97 = 1 THEN 1 ELSE 0 END
+         |    AS BIGINT) AS sf FROM nd),
+         |x0 AS (SELECT node, sf AS y FROM sd),
+         |$rounds
+         |SELECT node, y AS num, CAST(y AS DOUBLE) / 16777216.0 AS score
+         |FROM x8""".stripMargin
+    },
+    // 4-clique census: canonical a<b edges, triangles as the a<b<c
+    // 3-way join, 4-cliques as the explicit 6-edge 4-way join (d > c)
+    "graph_cliques" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
+        |bk AS (SELECT node, node % 300 AS b FROM c),
+        |pe AS (SELECT l.node AS s, r.node AS o FROM bk l
+        |  JOIN bk r ON l.b = r.b AND l.node < r.node),
+        |chain AS (SELECT node AS s, lead(node) OVER
+        |    (PARTITION BY comm ORDER BY node) AS o FROM c),
+        |e AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM
+        |  (SELECT s, o FROM pe
+        |   UNION ALL SELECT s, o FROM chain WHERE o IS NOT NULL)
+        |  WHERE s <> o),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1
+        |  JOIN e e2 ON e2.a = e1.b
+        |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |c4 AS (SELECT count(*) AS n4 FROM tri t
+        |  JOIN e e4 ON e4.a = t.x AND e4.b > t.z
+        |  JOIN e e5 ON e5.a = t.y AND e5.b = e4.b
+        |  JOIN e e6 ON e6.a = t.z AND e6.b = e4.b)
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM tri) AS n_triangles,
+        |  (SELECT n4 FROM c4) AS n_4cliques""".stripMargin,
     // Assortativity: identical harness edges, exact BIGINT moment sums,
     // the same fixed IEEE op sequence for r — bitwise value-level match
     "graph_assortativity" ->
@@ -4096,6 +4261,13 @@ object SparkEntry {
         |n AS (SELECT count(*) AS nn FROM events)
         |SELECT TRUE AS heavy_ok,
         |  CAST((SELECT count(*) FROM f, n WHERE c * 5 > nn) AS BIGINT) AS n_heavy""".stripMargin,
+    // streamed MG summary must cover the same relationally-derived
+    // heavy set and respect the undercount bound (k = 4 → literal 5)
+    "stream_heavy" ->
+      """WITH f AS (SELECT event_type, count(*) AS c FROM events GROUP BY 1),
+        |n AS (SELECT count(*) AS nn FROM events)
+        |SELECT TRUE AS heavy_ok,
+        |  CAST((SELECT count(*) FROM f, n WHERE c * 5 > nn) AS BIGINT) AS n_heavy""".stripMargin,
     // the ANN contract is recall@10 >= 0.8 against the brute-force oracle
     // (sim_topk verifies the brute-force side row-exactly)
     // contract: battery of shapes agrees between local and distributed
@@ -4379,6 +4551,27 @@ object SparkEntry {
         .agg(sum("l_quantity").cast("double").as("sum_qty"),
           count(lit(1)).as("n"))
     }),
+    // CUBE over (returnflag, linestatus): all four grouping sets in one
+    // pass (Spark expands to a single Expand + hash aggregate — one
+    // shuffle for every rollup level); grouping_id bit order matches
+    // DuckDB's GROUPING(a, b) convention (first column = high bit).
+    // Sums stay exact (integral quantities in double) at every level
+    "q_cube" -> ((s, d) => t(s, d, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        sum("l_quantity").cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n")),
+    // pivot orders by status (fixed value list keeps the plan a single
+    // aggregate — no extra distinct-values job); missing cells filled 0
+    // so the conditional-count oracle mirrors exactly
+    "q_pivot" -> ((s, d) => t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("o_orderpriority"), col("F").as("n_f"),
+        col("O").as("n_o"), col("P").as("n_p"))),
     // tumbling-window aggregation over the event stream table
     "q_window" -> ((s, d) => events(s, d)
       .groupBy(col("event_type"),
@@ -4458,6 +4651,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |WHERE o_orderdate < TIMESTAMP '1995-03-15'
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+        |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+        |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY 1""".stripMargin,
     "q_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

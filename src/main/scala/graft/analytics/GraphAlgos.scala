@@ -3285,6 +3285,125 @@ object GraphAlgos {
             denom).as("r"))
   }
 
+  /** Personalized PageRank restricted to out-degree-regular graphs,
+    * EXACT by construction (same family as [[katzCentrality]]'s dyadic
+    * trick). With teleport probability 3/4 back to the seed set S and
+    * uniform out-degree d:
+    * {{{ x_{t+1}(v) = (3/4)·e_S(v) + 1/(4d) · Σ_{u→v} x_t(u) }}}
+    * The scaled iterate `y_t = x_t·(4d)^t` obeys the all-integer
+    * recurrence `y_{t+1}(v) = 3d·(4d)^t·e_S(v) + Σ_{u→v} y_t(u)`, so
+    * every round is exact BIGINT arithmetic and an oracle can unroll the
+    * rounds relationally and match the walk counts value-for-value; the
+    * float `score = y_T / (4d)^T` is ONE IEEE division at the end.
+    * Mass is bounded by |S| (the teleport geometric series), so with
+    * d = 2 and T = 8 the counts stay ≤ 8^8·|S| — far inside Long even
+    * at billions of seeds. Plan shape: T rounds of one join + one
+    * aggregate over a materialized loop-invariant edge list (the
+    * [[katzCentrality]] rails: checkpoint every 4 rounds, capped stats,
+    * frames released at the end). Degree regularity is validated with
+    * one tiny aggregate; non-regular graphs should use [[pageRank]].
+    */
+  def pprDyadic(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String,
+                iterations: Int = 8): DataFrame = {
+    require(iterations >= 1 && iterations <= 18,
+      s"pprDyadic: iterations must be in [1, 18], got $iterations")
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull)
+      .distinct().localCheckpoint(true).cappedStats
+    val degRow = e.groupBy("u").agg(count(lit(1)).as("od"))
+      .agg(min("od").as("lo"), max("od").as("hi")).head
+    val d = degRow.getLong(0)
+    require(d == degRow.getLong(1),
+      s"pprDyadic: out-degrees must be uniform, got [$d, ${degRow.getLong(1)}]")
+    val base = 4L * d
+    val nodes = e.select(col("u").as("node"))
+      .unionByName(e.select(col("v").as("node"))).distinct()
+      .join(seeds.select(col(seedCol).as("node"), lit(1L).as("sf"))
+        .distinct(), Seq("node"), "left")
+      .select(col("node"), coalesce(col("sf"), lit(0L)).as("sf"))
+      .localCheckpoint(true).cappedStats
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame](e, nodes)
+    var y = nodes.select(col("node"), col("sf").as("y"))
+    var scaleT = 1L // (4d)^(t-1) entering round t
+    for (t <- 1 to iterations) {
+      val inflow = e.join(y.select(col("node").as("u"), col("y")), "u")
+        .groupBy(col("v").as("node")).agg(sum("y").as("sy"))
+      y = nodes.join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (lit(3L * d * scaleT) * col("sf") +
+            coalesce(col("sy"), lit(0L))).as("y"))
+      scaleT *= base
+      if (t % 4 == 0 && t < iterations) {
+        y = y.join(nodes.select("node", "sf"), "node")
+          .select(col("node"), col("sf"), col("y"))
+          .localCheckpoint(true).cappedStats
+        held += y
+      }
+    }
+    Dedup.releasing(
+      y.select(col("node"), col("y").as("num"),
+        (col("y").cast("double") / lit(scaleT.toDouble)).as("score")),
+      held.toSeq)
+  }
+
+  /** Global 4-clique count (plus the edge and triangle counts of the
+    * same canonical undirected edge set). Degree-ordered orientation
+    * (the [[triangleCount]] trick) turns every clique into a DAG with a
+    * unique topological order, so each triangle materializes exactly
+    * once as an oriented (x→y, x→z, y→z) triple and each 4-clique is
+    * found exactly once by extending a triangle with a common
+    * out-neighbor w of all three nodes. Wedge and extension fan-out are
+    * bounded by the orientation out-degree (O(√E) on any graph), the
+    * standard distributed k-clique bound (Chiba–Nishizeki ordering);
+    * all joins are hash joins over the materialized oriented edge list.
+    */
+  def fourCliqueCount(edges: DataFrame, srcCol: String,
+                      dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+      .localCheckpoint(true).cappedStats
+    val deg = und.select(col("a").as("n"))
+      .union(und.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val withDeg = und
+      .join(deg.select(col("n").as("a"), col("dg").as("da")), "a")
+      .join(deg.select(col("n").as("b"), col("dg").as("db")), "b")
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true).cappedStats
+    // oriented triangles: x→y, x→z (y ≠ z), closed by the oriented y→z
+    // edge — the topological-order argument makes this exactly one row
+    // per triangle with no dedup
+    val tris = oriented.as("w1")
+      .join(oriented.as("w2"),
+        col("w1.u") === col("w2.u") && col("w1.v") =!= col("w2.v"))
+      .select(col("w1.u").as("x"), col("w1.v").as("y"),
+        col("w2.v").as("z"))
+      .join(oriented.as("cl"),
+        col("y") === col("cl.u") && col("z") === col("cl.v"))
+      .select("x", "y", "z")
+      .localCheckpoint(true).cappedStats
+    val quads = tris
+      .join(oriented.as("ez"),
+        col("z") === col("ez.u"))
+      .select(col("x"), col("y"), col("z"), col("ez.v").as("w"))
+      .join(oriented.as("ey"),
+        col("y") === col("ey.u") && col("w") === col("ey.v"))
+      .select("x", "y", "z", "w")
+      .join(oriented.as("ex"),
+        col("x") === col("ex.u") && col("w") === col("ex.v"))
+      .select("x")
+    Dedup.releasing(
+      und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(tris.agg(count(lit(1)).as("n_triangles")))
+        .crossJoin(quads.agg(count(lit(1)).as("n_4cliques"))),
+      Seq(und, oriented, tris))
+  }
+
   /** Maximal independent set via Luby's algorithm (Luby 1986, "A simple
     * parallel algorithm for the maximal independent set problem").
     * Deterministic: round-r priorities are `xxhash64(node, r)` with the

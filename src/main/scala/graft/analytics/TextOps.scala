@@ -728,6 +728,30 @@ object TextOps {
       .toDF("value", "est_count")
   }
 
+  /** Merge two Misra-Gries summaries built at the same `k` (Agarwal et
+    * al. 2012, "Mergeable Summaries"): pointwise-sum the counts, then
+    * subtract the (k+1)-th largest count from every entry and drop the
+    * non-positive ones — the result is a valid MG summary of the
+    * concatenated input with the same additive error bound N/(k+1)
+    * over the COMBINED length. Driver-side helper (summaries are ≤ k
+    * entries) — the cross-micro-batch fold for streaming heavy hitters.
+    */
+  private[graft] def mgMergeSummaries(a: Seq[(String, Long)],
+                                      b: Seq[(String, Long)],
+                                      k: Int): Seq[(String, Long)] = {
+    require(k >= 1, "mgMergeSummaries: k must be >= 1")
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    (a.iterator ++ b.iterator).foreach { case (v, c) =>
+      m.update(v, m.getOrElse(v, 0L) + c)
+    }
+    if (m.size > k) {
+      val cut = m.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      m.filterInPlace((_, c) => c - cut > 0L)
+        .mapValuesInPlace((_, c) => c - cut)
+    }
+    m.toSeq
+  }
+
   /** DSIR-style importance weights for data selection: score every raw
     * document by the log-likelihood ratio of its hashed-unigram bag
     * under a target-domain language model vs the raw-corpus model,

@@ -492,7 +492,48 @@ object Gizmo {
     var classParent: Option[GFunc] = None
     /** `static` class members live on the constructor function itself. */
     val statics = scala.collection.mutable.LinkedHashMap.empty[String, GVal]
+    /** `function*`: calling returns a [[GGenV]] instead of executing. */
+    var isGenerator: Boolean = false
   }
+
+  /** A generator activation (`function*` call): the body runs on its own
+    * daemon carrier thread so a token-cursor interpreter can suspend at
+    * `yield` mid-expression — exactly one of {caller, generator} runs at
+    * any moment (SynchronousQueue rendezvous on each direction gives both
+    * mutual exclusion and memory visibility), and the interpreter's
+    * mutable cursor state (env/callDepth/fnStack/labels) is snapshotted
+    * into the context across every handoff so the two logical stacks
+    * never see each other's frames.
+    */
+  private final class GenCtx(val f: GFunc, val args: Seq[GVal],
+                             val thisVal: Option[GVal]) {
+    val toGen = new java.util.concurrent.SynchronousQueue[AnyRef]
+    val fromGen = new java.util.concurrent.SynchronousQueue[AnyRef]
+    var started = false
+    var done = false
+    /** Body currently executing — a next() from inside it (self-resume)
+      * would deadlock the rendezvous, so it throws like JS's TypeError.
+      */
+    var running = false
+    // interpreter-state snapshot held while this generator is suspended
+    var sEnv: Env = null
+    var sDepth = 0
+    var sFnStack: List[GFunc] = Nil
+    var sLabels: List[String] = Nil
+  }
+  private case class GGenV(ctx: GenCtx) extends GVal
+  // generator handshake messages (caller -> generator)
+  private case class GenResume(v: GVal)
+  private case class GenReturnReq(v: GVal)
+  // generator handshake messages (generator -> caller)
+  private case class GenYielded(v: GVal)
+  private case class GenDone(v: GVal)
+  private case class GenFailed(t: Throwable)
+  /** `gen.return(v)` unwinds a suspended generator body (finally blocks
+    * run on the way out, like JS's GeneratorResumeAbrupt).
+    */
+  private case class GenReturnSignal(v: GVal)
+      extends scala.util.control.ControlThrowable
   /** Hidden instance→prototype link key; excluded from enumeration
     * (for-in, Object.keys/values, JSON.stringify, emit).
     */
@@ -893,6 +934,18 @@ object Gizmo {
           }
           env.declareVar(cname, ctorFn)
         case Some(TIdent("function"))
+          if c.toks.lift(c.pos + 1).contains(TOp("*")) &&
+            c.toks.lift(c.pos + 2).exists(_.isInstanceOf[TIdent]) =>
+          // generator declaration: function* name(p1, p2) { ... }
+          c.next(); c.next()
+          val name = c.next() match {
+            case TIdent(s) => s
+            case other     => throw GizmoError(s"expected function name, got $other")
+          }
+          val gf = parseFunctionRest(c)
+          gf.isGenerator = true
+          env.declareVar(name, gf)
+        case Some(TIdent("function"))
           if c.pos + 1 < c.toks.length && c.toks(c.pos + 1).isInstanceOf[TIdent] =>
           // named declaration: function name(p1, p2) { ... }
           c.next()
@@ -981,7 +1034,12 @@ object Gizmo {
             }
             c.next() // 'in' / 'of'
             val isOf = inOrOf.contains("of")
-            val iter: Seq[GVal] = parseExpr(c) match {
+            val iterable = parseExpr(c)
+            val iter: Seq[GVal] = iterable match {
+              // generators iterate LAZILY (see `it` below): an infinite
+              // generator with a `break` must terminate
+              case GGenV(_) if isOf => Nil
+              case other => other match {
               // for-in: indices for arrays/results, keys for objects;
               // for-of: VALUES (array elements, result rows, characters)
               case GArr(vs) =>
@@ -1002,10 +1060,18 @@ object Gizmo {
               case other   =>
                 throw GizmoError(s"cannot iterate $other" +
                   (if (isOf) " with for-of" else ""))
+              }
             }
             c.expect(')')
             val body = captureStatement(c)
-            val it = iter.iterator
+            val it: Iterator[GVal] = iterable match {
+              case GGenV(g) if isOf =>
+                // pull one step per iteration; the done step's value is
+                // the generator's RETURN value, which for-of discards
+                Iterator.continually(genStep(g, GenResume(GNull)))
+                  .takeWhile(!_._2).map(_._1)
+              case _ => iter.iterator
+            }
             var broke = false
             val savedEnv = env
             try while (!broke && it.hasNext) {
@@ -1221,6 +1287,142 @@ object Gizmo {
         * `super` resolves against the top one's classParent.
         */
       private var fnStack: List[GFunc] = Nil
+      /** The generator whose body the CURRENT thread is executing (null
+        * on the main program thread) — gates `yield` legality and routes
+        * the yielded value to the right rendezvous.
+        */
+      private var curGen: GenCtx = null
+      /** Carrier threads started by this program (runaway cap). */
+      private var genThreads = 0
+
+      /** Advance a generator one step: start/resume its carrier thread,
+        * park the calling side until it yields/finishes, and restore the
+        * caller's interpreter state afterwards. Returns (value, done).
+        */
+      private def genStep(g: GenCtx, msg: AnyRef): (GVal, Boolean) = {
+        if (g.done) return (msg match {
+          case GenReturnReq(v) => v
+          case _               => GNull
+        }, true)
+        if (!g.started && msg.isInstanceOf[GenReturnReq]) {
+          // return() before the first next(): body never runs
+          g.done = true
+          return (msg.asInstanceOf[GenReturnReq].v, true)
+        }
+        if (g.running)
+          throw GizmoError("TypeError: generator is already running")
+        val sEnv = env; val sDepth = callDepth; val sFn = fnStack
+        val sLab = activeLabels; val sGen = curGen
+        if (!g.started) {
+          g.started = true
+          genThreads += 1
+          if (genThreads > 4096)
+            throw GizmoError("too many live generators (max 4096)")
+          // the state the generator body starts with: a fresh call frame
+          // over the DEFINING env (closure semantics identical to a
+          // plain call), its own empty label/function stacks
+          val frame = new Env(g.f.env)
+          g.thisVal.foreach(frame.declare("this", _))
+          g.f.params.zipWithIndex.foreach { case (p, i) =>
+            frame.declare(p, g.args.lift(i).getOrElse(GNull))
+          }
+          g.sEnv = frame; g.sDepth = 0; g.sFnStack = g.f :: Nil
+          g.sLabels = Nil
+          val th = new Thread(() => runGeneratorBody(g),
+            s"gizmo-gen-$genThreads")
+          th.setDaemon(true)
+          th.start()
+        }
+        g.running = true
+        g.toGen.put(msg)
+        val res = g.fromGen.take()
+        g.running = false
+        env = sEnv; callDepth = sDepth; fnStack = sFn
+        activeLabels = sLab; curGen = sGen
+        res match {
+          case GenYielded(v) => (v, false)
+          case GenDone(v)    => g.done = true; (v, true)
+          case GenFailed(t)  => g.done = true; throw t
+          case other => throw GizmoError(s"generator protocol error: $other")
+        }
+      }
+
+      /** Carrier-thread main: waits for the first next(), installs the
+        * generator's interpreter state, runs the body to completion (or
+        * an unwind), and hands the terminal message back.
+        */
+      private def runGeneratorBody(g: GenCtx): Unit = {
+        val out: AnyRef =
+          try {
+            g.toGen.take() // first next(v): the sent value is discarded (JS)
+            env = g.sEnv; callDepth = g.sDepth; fnStack = g.sFnStack
+            activeLabels = g.sLabels; curGen = g
+            try { runToks(g.f.body); GenDone(GNull) }
+            catch {
+              case ReturnSignal(v)        => GenDone(v)
+              case GenReturnSignal(v)     => GenDone(v)
+              case t @ ThrowSignal(_)     => GenFailed(t)
+              case e: GizmoError          => GenFailed(e)
+              case _: StackOverflowError  =>
+                GenFailed(GizmoError("call stack exhausted"))
+              case e: InterruptedException => GenFailed(GizmoError(e.toString))
+            }
+          } catch { case e: InterruptedException => GenFailed(GizmoError(e.toString)) }
+        g.fromGen.put(out)
+      }
+
+      /** `yield v` on the generator's carrier thread: snapshot the
+        * interpreter state, hand v to the caller, park until resumed;
+        * evaluates to the value the caller passed to next(v). A
+        * gen.return(rv) wakes us with an unwind request instead.
+        */
+      private def genYield(v: GVal): GVal = {
+        val g = curGen
+        if (g == null || !fnStack.headOption.contains(g.f))
+          throw GizmoError("yield outside of a generator")
+        g.sEnv = env; g.sDepth = callDepth; g.sFnStack = fnStack
+        g.sLabels = activeLabels
+        g.fromGen.put(GenYielded(v))
+        val msg = g.toGen.take()
+        env = g.sEnv; callDepth = g.sDepth; fnStack = g.sFnStack
+        activeLabels = g.sLabels; curGen = g
+        msg match {
+          case GenResume(sent)  => sent
+          case GenReturnReq(rv) => throw GenReturnSignal(rv)
+          case other => throw GizmoError(s"generator protocol error: $other")
+        }
+      }
+
+      /** `yield* iterable`: yield every element of an array / string /
+        * Set / Map / inner generator; evaluates to the inner generator's
+        * return value (GNull for the others, as their "return value").
+        */
+      private def genYieldStar(it: GVal): GVal = it match {
+        case GArr(vs)  => vs.toSeq.foreach(genYield); GNull
+        case GValue(QValue.Str(s)) =>
+          s.foreach(ch => genYield(GValue(QValue.Str(ch.toString)))); GNull
+        case sv: GSetV => sv.m.values.toSeq.foreach(genYield); GNull
+        case mv: GMapV =>
+          mv.m.values.toSeq.foreach { case (k, v) =>
+            genYield(GArr(scala.collection.mutable.ArrayBuffer(k, v)))
+          }; GNull
+        case GGenV(inner) =>
+          var sent: GVal = GNull
+          var last: GVal = GNull
+          var going = true
+          while (going) {
+            val (v, done) = genStep(inner, GenResume(sent))
+            if (done) { last = v; going = false }
+            else sent = genYield(v)
+          }
+          last
+        case other => throw GizmoError(s"yield* cannot iterate $other")
+      }
+
+      /** The `{value, done}` iterator-result object. */
+      private def genResultObj(v: GVal, done: Boolean): GVal =
+        GObj(scala.collection.mutable.LinkedHashMap(
+          "value" -> v, "done" -> (GBoolV(done): GVal)))
 
       /** Call a user function: a fresh frame chained to the DEFINING
         * environment (lexical scoping — closures read and write captured
@@ -1231,6 +1433,9 @@ object Gizmo {
         */
       private def callFunction(f: GFunc, args: Seq[GVal],
                                thisVal: Option[GVal] = None): GVal = {
+        // calling a `function*` suspends-before-start: no body execution
+        // until the first next()
+        if (f.isGenerator) return GGenV(new GenCtx(f, args, thisVal))
         callDepth += 1
         if (callDepth > 256) {
           callDepth -= 1
@@ -1606,6 +1811,14 @@ object Gizmo {
             stringCall(s, m, args)
           case (GArr(vs), m) if arrMethods(m) => arrayCall(vs, m, args)
           case (GMath, m) => mathCall(m, args)
+          case (GGenV(g), "next") =>
+            val (v, done) =
+              genStep(g, GenResume(args.headOption.getOrElse(GNull)))
+            genResultObj(v, done)
+          case (GGenV(g), "return") =>
+            val (v, done) =
+              genStep(g, GenReturnReq(args.headOption.getOrElse(GNull)))
+            genResultObj(v, done)
           case (mv: GMapV, m) => mapCall(mv, m, args)
           case (sv: GSetV, m) => setCall(sv, m, args)
           case (GDateNS, m)   => dateStaticCall(m, args)
@@ -1647,6 +1860,19 @@ object Gizmo {
                 mv.m.values.map { case (k, v) =>
                   GArr(scala.collection.mutable.ArrayBuffer(k, v)): GVal
                 }))
+            case Some(GGenV(g)) =>
+              val buf = scala.collection.mutable.ArrayBuffer.empty[GVal]
+              var going = true
+              while (going) {
+                val (v, done) = genStep(g, GenResume(GNull))
+                if (done) going = false
+                else {
+                  buf += v
+                  if (buf.size > 1000000) throw GizmoError(
+                    "Array.from: generator produced more than 1e6 values")
+                }
+              }
+              GArr(buf)
             case Some(GNull) | None =>
               throw GizmoError("Array.from expects an iterable")
             case Some(other) =>
@@ -2659,7 +2885,12 @@ object Gizmo {
             } else resolveProp(thisV, member)
           }
         case TIdent("function") =>
-          parseFunctionRest(c) // anonymous: function(p1, p2) { ... }
+          // anonymous: function(p1, p2) { ... } / function*(p1) { ... }
+          val isGen = c.peek.contains(TOp("*"))
+          if (isGen) c.next()
+          val fn = parseFunctionRest(c)
+          fn.isGenerator = isGen
+          fn
         case TIdent("new") =>
           // `new F(args)`: fresh object bound as `this` during the call;
           // an object-valued return overrides it (JS semantics). Callee is
@@ -2703,6 +2934,8 @@ object Gizmo {
           }
           val ctor = userCtor.getOrElse(
             throw GizmoError(s"undefined constructor $ctorName")) match {
+            case f: GFunc if f.isGenerator =>
+              throw GizmoError(s"TypeError: $ctorName is not a constructor")
             case f: GFunc => f
             case other => throw GizmoError(s"new requires a function, got $other")
           }
@@ -2932,6 +3165,23 @@ object Gizmo {
         * bracket-and-ternary-balanced scan), right-associative as in JS.
         */
       private def parseExpr(c: Cursor): GVal = {
+        // `yield [*] [expr]` — legal only DIRECTLY in a generator body
+        // (the executing function is the generator's own; a nested
+        // function or arrow sees plain-identifier behavior, like JS's
+        // SyntaxError surface). Evaluates to the next(v) resume value.
+        if (c.peek.contains(TIdent("yield")) && curGen != null &&
+            fnStack.headOption.contains(curGen.f)) {
+          c.next()
+          val delegate = c.peek.contains(TOp("*"))
+          if (delegate) c.next()
+          val arg =
+            if (!c.more || c.peek.exists {
+              case TPunct(';' | ')' | '}' | ',' | ']' | ':') => true
+              case _ => false
+            }) GNull
+            else parseExpr(c)
+          return (if (delegate) genYieldStar(arg) else genYield(arg))
+        }
         val cond = parseOr(c)
         if (!c.peek.contains(TPunct('?'))) cond
         else {
@@ -3193,6 +3443,7 @@ object Gizmo {
         // Error-shaped objects (try/catch binding): "Error: msg", like JS
         case GObj(m) if m.contains("message") && m.contains("name") =>
           renderVal(m("name")) + ": " + renderVal(m("message"))
+        case GGenV(_)              => "[object Generator]"
         case other                 => throw GizmoError(s"cannot render $other as a string")
       }
 

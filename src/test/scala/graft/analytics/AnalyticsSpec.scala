@@ -1489,6 +1489,37 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(TextOps.heavyHitters(df, "v", k = 4).count() === 0L)
   }
 
+  test("mgMergeSummaries: compression rule and merged guarantee") {
+    // summed: x5 y4 z4 w2 at k=2 → cut = 3rd largest (4): x→1, rest drop
+    val merged = TextOps.mgMergeSummaries(
+      Seq("x" -> 5L, "y" -> 3L), Seq("z" -> 4L, "w" -> 2L, "y" -> 1L), 2)
+    assert(merged === Seq("x" -> 1L))
+    // ≤ k entries after merge: no compression, exact pointwise sum
+    assert(TextOps.mgMergeSummaries(Seq("a" -> 2L), Seq("a" -> 3L), 2)
+      === Seq("a" -> 5L))
+    // merged guarantee over a split stream: per-half MG summaries
+    // merged must keep the additive bound of the concatenation
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vals = Seq.fill(400)(s"v${rnd.nextInt(12)}") ++
+      Seq.fill(300)("hot") ++ Seq.fill(200)("warm")
+    val (h1, h2) = vals.splitAt(vals.size / 2)
+    val k = 4
+    def mg(xs: Seq[String]) =
+      TextOps.heavyHitters(xs.toDF("v"), "v", k).as[(String, Long)]
+        .collect().toSeq
+    val m = TextOps.mgMergeSummaries(mg(h1), mg(h2), k).toMap
+    val exact = vals.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = vals.size.toLong
+    exact.foreach { case (v, c) =>
+      if (c * (k + 1L) > n) assert(m.contains(v), s"missing heavy $v")
+    }
+    m.foreach { case (v, est) =>
+      val c = exact(v)
+      assert(est <= c && (c - est) * (k + 1L) <= n, s"bound at $v")
+    }
+  }
+
   test("countMinSketch: one-sided error, exact without collisions") {
     import spark.implicits._
     val docs = Seq((1L, "aa bb aa cc"), (2L, "aa dd dd ee"),

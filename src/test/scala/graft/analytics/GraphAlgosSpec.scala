@@ -959,6 +959,63 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r.getDouble(6).isNaN)
   }
 
+  test("pprDyadic: exact dyadic counts on a 2-regular shift graph") {
+    // independent sequential evaluation of the same scaled recurrence
+    // y_{t+1}(v) = 6·8^t·e_S(v) + Σ_{u→v} y_t(u) over the 8-node
+    // (i→i+1, i→i+3 mod 8) shift graph, seeds {0, 4}
+    val n = 8; val T = 8
+    val adj = (0 until n).map(i => Seq((i + 1) % n, (i + 3) % n))
+    val edges = (0 until n)
+      .flatMap(i => adj(i).map(j => (i.toLong, j.toLong)))
+      .toDF("s", "d")
+    val seeds = Seq(0L, 4L).toDF("node")
+    var y = Array.tabulate(n)(i => if (i == 0 || i == 4) 1L else 0L)
+    var scale = 1L
+    for (_ <- 1 to T) {
+      val ny = Array.fill(n)(0L)
+      for (u <- 0 until n; v <- adj(u)) ny(v) += y(u)
+      for (v <- 0 until n if v == 0 || v == 4) ny(v) += 6L * scale
+      y = ny; scale *= 8L
+    }
+    val got = GraphAlgos.pprDyadic(edges, "s", "d", seeds, "node")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(got.size === n)
+    (0 until n).foreach { v =>
+      assert(got(v.toLong)._1 === y(v), s"num at $v")
+      assert(got(v.toLong)._2 === y(v).toDouble / scale.toDouble)
+    }
+    // mass check: Σx_t = |S| exactly every round on a sink-free
+    // uniform-out-degree graph (the recurrence preserves seed mass),
+    // and the per-node divisions by 8^8 are exact in IEEE
+    val total = got.valuesIterator.map(_._2).sum
+    assert(total === 2.0)
+  }
+
+  test("pprDyadic rejects non-regular out-degrees") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("s", "d")
+    intercept[IllegalArgumentException] {
+      GraphAlgos.pprDyadic(edges, "s", "d", Seq(1L).toDF("node"), "node")
+    }
+  }
+
+  test("fourCliqueCount: K5 plus pendant; overlapping K4s; triangle-free") {
+    val k5 = for { a <- 1 to 5; b <- (a + 1) to 5 }
+      yield (a.toLong, b.toLong)
+    val r = GraphAlgos.fourCliqueCount(
+      (k5 :+ (5L, 6L)).toDF("src", "dst"), "src", "dst").head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((11L, 10L, 5L)))
+    // two K4s sharing triangle {1,2,3}: 9 edges, 7 triangles, 2 cliques
+    val twoK4 = (for { a <- Seq(1L, 2L, 3L); b <- Seq(4L, 5L) }
+      yield (a, b)) ++ Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val r2 = GraphAlgos.fourCliqueCount(
+      twoK4.toDF("src", "dst"), "src", "dst").head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2)) === ((9L, 7L, 2L)))
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val r3 = GraphAlgos.fourCliqueCount(path, "src", "dst").head
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) === ((3L, 0L, 0L)))
+  }
+
   test("louvain partition scores at least the LPA partition on random graphs") {
     // Louvain optimizes modularity directly — on random two-block
     // graphs its Q must not lose to the label-propagation heuristic

@@ -1541,4 +1541,117 @@ class GizmoSpec extends AnyFunSuite {
         |g.emit(got)""".stripMargin,
       Seq("caught"))
   }
+
+  test("generators: next/value/done protocol, laziness, per-instance state") {
+    check(
+      """function* counter(start) {
+        |  var i = start;
+        |  while (true) { yield i; i = i + 1; }
+        |}
+        |var c = counter(10);
+        |g.emit(c.next().value);
+        |g.emit(c.next().value);
+        |var c2 = counter(100);
+        |g.emit(c2.next().value);
+        |g.emit(c.next().value);
+        |g.emit(c.next().done);""".stripMargin,
+      Seq("10", "11", "100", "12", "false"))
+  }
+
+  test("generators: return value, done protocol, exhausted next") {
+    check(
+      """function* f() { yield 1; yield 2; return 3; }
+        |var it = f();
+        |g.emit(it.next().value);
+        |g.emit(it.next().value);
+        |var r = it.next();
+        |g.emit(r.value); g.emit(r.done);
+        |g.emit(it.next().done);""".stripMargin,
+      Seq("1", "2", "3", "true", "true"))
+  }
+
+  test("generators: yield is an expression — next(v) resumes with v") {
+    check(
+      """function* echo() {
+        |  var got = yield "first";
+        |  var more = yield got + "!";
+        |  yield more * 2;
+        |}
+        |var e = echo();
+        |g.emit(e.next().value);
+        |g.emit(e.next("hi").value);
+        |g.emit(e.next(21).value);""".stripMargin,
+      Seq("first", "hi!", "42"))
+  }
+
+  test("generators: for-of pulls lazily, break stops an infinite generator") {
+    check(
+      """function* nat() { var i = 0; while (true) { yield i; i = i + 1; } }
+        |var sum = 0;
+        |for (const x of nat()) { if (x > 4) break; sum = sum + x; }
+        |g.emit(sum);""".stripMargin,
+      Seq("10"))
+  }
+
+  test("generators: yield* delegates to generators and arrays") {
+    check(
+      """function* inner() { yield 2; yield 3; return 99; }
+        |function* outer() {
+        |  yield 1;
+        |  var r = yield* inner(); // evaluates to inner's RETURN value
+        |  yield r;
+        |  yield* [7, 8];
+        |}
+        |g.emit(Array.from(outer()).join(","));""".stripMargin,
+      Seq("1,2,3,99,7,8"))
+  }
+
+  test("generators: gen.return() unwinds through finally") {
+    check(
+      """function* f2() {
+        |  try { yield 1; yield 2; } finally { g.emit("cleanup"); }
+        |}
+        |var t = f2();
+        |g.emit(t.next().value);
+        |var r = t.return(42);
+        |g.emit(r.value); g.emit(r.done);
+        |g.emit(t.next().done);""".stripMargin,
+      Seq("1", "cleanup", "42", "true", "true"))
+  }
+
+  test("generators: exceptions inside the body surface at next()") {
+    check(
+      """function* boom() { yield 1; throw "bad"; }
+        |var b = boom();
+        |g.emit(b.next().value);
+        |try { b.next(); } catch (e) { g.emit("caught " + e); }
+        |g.emit(b.next().done);""".stripMargin,
+      Seq("1", "caught bad", "true"))
+  }
+
+  test("generators: anonymous function*, typeof, rendering, traversal mix") {
+    check(
+      """var mk = function*(p) { yield p; yield g.V(p).out("<follows>").toValue(); };
+        |var it2 = mk("<alice>");
+        |g.emit(typeof mk);      // "function"
+        |g.emit(typeof it2);     // "object"
+        |g.emit("" + it2);       // [object Generator]
+        |g.emit(it2.next().value);
+        |g.emit(it2.next().value);""".stripMargin,
+      Seq("function", "object", "[object Generator]", "<alice>", "<bob>"))
+  }
+
+  test("generators: error surface — new, self-resume, yield outside") {
+    intercept[Gizmo.GizmoError](session.execute(
+      "function* f3() { yield 1; }\nvar x = new f3();"))
+    intercept[Gizmo.GizmoError](session.execute(
+      """function* f4() { yield f4v.next().value; }
+        |var f4v = f4(); f4v.next();""".stripMargin))
+    // yield in a NESTED plain function is not generator-yield (JS
+    // SyntaxError surface): it falls back to an undefined identifier
+    intercept[Gizmo.GizmoError](session.execute(
+      """function* f5() { function inner() { return yield 1; } yield inner(); }
+        |f5().next();""".stripMargin))
+    intercept[Gizmo.GizmoError](session.execute("var z = yield 1;"))
+  }
 }
