@@ -2717,16 +2717,20 @@ object SparkEntry {
       GraphAlgos.pprDyadic(edges, "s", "o",
         c.where(col("node") % 97L === 1L), "node", iterations = 8)
     }),
-    // global 4-clique census over 300 planted cliques (custkey mod 300
-    // buckets, all pairs) + the per-nation customer chain: the oriented
-    // triangle-extension count matches DuckDB's explicit 6-edge 4-way
-    // self-join value-for-value (plus edge and triangle counts)
+    // global 4-clique census over n/5 planted 5-cliques (custkey mod
+    // n/5 buckets — SIZE-5 groups at every scale factor, so the clique
+    // work scales linearly with the table, not combinatorially) + the
+    // per-nation customer chain: the oriented triangle-extension count
+    // matches DuckDB's explicit 6-edge 4-way self-join value-for-value
+    // (plus edge and triangle counts)
     "graph_cliques" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val c = t(s, d, "customer")
         .select(col("c_custkey").cast("long").as("node"),
           col("c_nationkey").cast("long").as("comm"))
-      val bk = c.select(col("node"), (col("node") % 300L).as("b"))
+      val n = c.agg(count(lit(1)).as("n"))
+      val bk = c.crossJoin(broadcast(n))
+        .select(col("node"), expr("node % (n div 5)").as("b"))
       val planted = bk.as("l")
         .join(bk.as("r"), col("l.b") === col("r.b") &&
           col("l.node") < col("r.node"))
@@ -3843,7 +3847,8 @@ object SparkEntry {
     "graph_cliques" ->
       """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
         |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
-        |bk AS (SELECT node, node % 300 AS b FROM c),
+        |bk AS (SELECT node, node % ((SELECT count(*) FROM c) // 5) AS b
+        |  FROM c),
         |pe AS (SELECT l.node AS s, r.node AS o FROM bk l
         |  JOIN bk r ON l.b = r.b AND l.node < r.node),
         |chain AS (SELECT node AS s, lead(node) OVER
