@@ -525,6 +525,7 @@ object Gizmo {
   // generator handshake messages (caller -> generator)
   private case class GenResume(v: GVal)
   private case class GenReturnReq(v: GVal)
+  private case class GenThrowReq(v: GVal)
   // generator handshake messages (generator -> caller)
   private case class GenYielded(v: GVal)
   private case class GenDone(v: GVal)
@@ -1302,12 +1303,20 @@ object Gizmo {
       private def genStep(g: GenCtx, msg: AnyRef): (GVal, Boolean) = {
         if (g.done) return (msg match {
           case GenReturnReq(v) => v
+          case GenThrowReq(v)  => throw ThrowSignal(v)
           case _               => GNull
         }, true)
-        if (!g.started && msg.isInstanceOf[GenReturnReq]) {
-          // return() before the first next(): body never runs
-          g.done = true
-          return (msg.asInstanceOf[GenReturnReq].v, true)
+        if (!g.started) msg match {
+          case GenReturnReq(v) =>
+            // return() before the first next(): body never runs
+            g.done = true
+            return (v, true)
+          case GenThrowReq(v) =>
+            // throw() before the first next(): body never runs, the
+            // exception surfaces at the caller (JS GeneratorResumeAbrupt)
+            g.done = true
+            throw ThrowSignal(v)
+          case _ => ()
         }
         if (g.running)
           throw GizmoError("TypeError: generator is already running")
@@ -1389,8 +1398,28 @@ object Gizmo {
         msg match {
           case GenResume(sent)  => sent
           case GenReturnReq(rv) => throw GenReturnSignal(rv)
+          // gen.throw(v): the exception materializes AT the yield, so a
+          // try/catch inside the generator body can catch it and keep
+          // yielding; uncaught, it unwinds to the caller as a throw
+          case GenThrowReq(tv)  => throw ThrowSignal(tv)
           case other => throw GizmoError(s"generator protocol error: $other")
         }
+      }
+
+      /** Drain a generator eagerly (spread / Array.from), runaway-capped. */
+      private def drainGen(g: GenCtx): Seq[GVal] = {
+        val buf = scala.collection.mutable.ArrayBuffer.empty[GVal]
+        var going = true
+        while (going) {
+          val (v, done) = genStep(g, GenResume(GNull))
+          if (done) going = false
+          else {
+            buf += v
+            if (buf.size > 1000000) throw GizmoError(
+              "cannot spread a generator of more than 1e6 values")
+          }
+        }
+        buf.toSeq
       }
 
       /** `yield* iterable`: yield every element of an array / string /
@@ -1710,8 +1739,9 @@ object Gizmo {
           if (!first) c.expect(',')
           first = false
           if (takeSpread(c)) parseExpr(c) match {
-            case GArr(vs) => vs.foreach(args += _)
-            case GNull    => ()
+            case GArr(vs)  => vs.foreach(args += _)
+            case GGenV(g)  => drainGen(g).foreach(args += _)
+            case GNull     => ()
             case other => throw GizmoError(s"cannot spread $other as arguments")
           }
           else args += parseExpr(c)
@@ -1819,6 +1849,10 @@ object Gizmo {
             val (v, done) =
               genStep(g, GenReturnReq(args.headOption.getOrElse(GNull)))
             genResultObj(v, done)
+          case (GGenV(g), "throw") =>
+            val (v, done) =
+              genStep(g, GenThrowReq(args.headOption.getOrElse(GNull)))
+            genResultObj(v, done)
           case (mv: GMapV, m) => mapCall(mv, m, args)
           case (sv: GSetV, m) => setCall(sv, m, args)
           case (GDateNS, m)   => dateStaticCall(m, args)
@@ -1861,18 +1895,7 @@ object Gizmo {
                   GArr(scala.collection.mutable.ArrayBuffer(k, v)): GVal
                 }))
             case Some(GGenV(g)) =>
-              val buf = scala.collection.mutable.ArrayBuffer.empty[GVal]
-              var going = true
-              while (going) {
-                val (v, done) = genStep(g, GenResume(GNull))
-                if (done) going = false
-                else {
-                  buf += v
-                  if (buf.size > 1000000) throw GizmoError(
-                    "Array.from: generator produced more than 1e6 values")
-                }
-              }
-              GArr(buf)
+              GArr(scala.collection.mutable.ArrayBuffer.from(drainGen(g)))
             case Some(GNull) | None =>
               throw GizmoError("Array.from expects an iterable")
             case Some(other) =>
@@ -3074,6 +3097,7 @@ object Gizmo {
               case mv: GMapV => mv.m.values.foreach { case (k, v) =>
                 vs += GArr(scala.collection.mutable.ArrayBuffer(k, v))
               }
+              case GGenV(g) => vs ++= drainGen(g)
               case GNull => ()
               case other => throw GizmoError(s"cannot spread $other into an array")
             }

@@ -1641,6 +1641,39 @@ class GizmoSpec extends AnyFunSuite {
       Seq("function", "object", "[object Generator]", "<alice>", "<bob>"))
   }
 
+  test("generators: gen.throw() materializes at the yield point") {
+    // caught inside the body: the generator keeps going
+    check(
+      """function* g1() {
+        |  while (true) {
+        |    try { yield "ok"; } catch (e) { yield "saw " + e; }
+        |  }
+        |}
+        |var t = g1();
+        |g.emit(t.next().value);
+        |g.emit(t.throw("boom").value);
+        |g.emit(t.next().value);""".stripMargin,
+      Seq("ok", "saw boom", "ok"))
+    // uncaught: unwinds to the caller, finally runs, generator is done
+    check(
+      """function* g2() {
+        |  try { yield 1; } finally { g.emit("fin"); }
+        |}
+        |var u = g2(); u.next();
+        |try { u.throw("oops"); } catch (e) { g.emit("caught " + e); }
+        |g.emit(u.next().done);""".stripMargin,
+      Seq("fin", "caught oops", "true"))
+  }
+
+  test("generators: spread into array literals and call arguments") {
+    check(
+      """function* three() { yield 1; yield 2; yield 3; }
+        |var arr = [0, ...three(), 4];
+        |g.emit(arr.join(","));
+        |g.emit(Math.max(...three()));""".stripMargin,
+      Seq("0,1,2,3,4", "3"))
+  }
+
   test("generators: error surface — new, self-resume, yield outside") {
     intercept[Gizmo.GizmoError](session.execute(
       "function* f3() { yield 1; }\nvar x = new f3();"))
