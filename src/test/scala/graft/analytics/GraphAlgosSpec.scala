@@ -1016,6 +1016,62 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) === ((3L, 0L, 0L)))
   }
 
+  test("pprDyadic differential on random 2-regular shift graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 5 + rnd.nextInt(30)
+      val s1 = 1 + rnd.nextInt(n - 1)
+      val s2p = 1 + rnd.nextInt(n - 1)
+      val s2 = if (s2p == s1) (s1 % (n - 1)) + 1 else s2p
+      val adj = (0 until n).map(i => Seq((i + s1) % n, (i + s2) % n))
+      val edges = (0 until n)
+        .flatMap(i => adj(i).map(j => (i.toLong, j.toLong)))
+        .toDF("s", "d")
+      val seedIds = (0 until n).filter(_ % 7 == 0).map(_.toLong)
+      val T = 6
+      var y = Array.tabulate(n)(i => if (i % 7 == 0) 1L else 0L)
+      var scale = 1L
+      for (_ <- 1 to T) {
+        val ny = Array.fill(n)(0L)
+        for (u <- 0 until n; v <- adj(u)) ny(v) += y(u)
+        seedIds.foreach(v => ny(v.toInt) += 6L * scale)
+        y = ny; scale *= 8L
+      }
+      val got = GraphAlgos.pprDyadic(edges, "s", "d",
+          seedIds.toDF("node"), "node", iterations = T)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === n, s"n=$n s1=$s1 s2=$s2")
+      (0 until n).foreach(v =>
+        assert(got(v.toLong) === y(v), s"n=$n s1=$s1 s2=$s2 node=$v"))
+    }
+  }
+
+  test("fourCliqueCount differential vs brute force on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val und = (for {
+        a <- 0 until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.4
+      } yield (a, b)).toSet
+      val bruteTri = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        if und((a, b)) && und((a, c)) && und((b, c))
+      } yield 1).size.toLong
+      val brute4 = (for {
+        a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+        d <- (c + 1) until n
+        if und((a, b)) && und((a, c)) && und((a, d)) &&
+          und((b, c)) && und((b, d)) && und((c, d))
+      } yield 1).size.toLong
+      val r = GraphAlgos.fourCliqueCount(
+        und.toSeq.map { case (a, b) => (a.toLong, b.toLong) }
+          .toDF("src", "dst"), "src", "dst").head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) ===
+        ((und.size.toLong, bruteTri, brute4)))
+    }
+  }
+
   test("louvain partition scores at least the LPA partition on random graphs") {
     // Louvain optimizes modularity directly — on random two-block
     // graphs its Q must not lose to the label-propagation heuristic
