@@ -15,6 +15,7 @@ object Bench {
     "g_optional", "g_recursive", "g_order_page", "g_count",
     // relational / streaming-table
     "q1_agg", "q3_join", "q_window", "q_topk_users", "q_cube", "q_pivot",
+    "q_json",
     // pipeline operators
     "dedup_exact", "dedup_minhash", "dedup_simhash", "dedup_ngram",
     "dedup_clusters", "dedup_spans", "dedup_fuzzy", "dedup_contain",

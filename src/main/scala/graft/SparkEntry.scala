@@ -2741,6 +2741,22 @@ object SparkEntry {
         .where(col("o").isNotNull)
       GraphAlgos.fourCliqueCount(planted.unionByName(chain), "s", "o")
     }),
+    // Directed reciprocity over the per-nation customer chain with
+    // every 3rd edge reversed: exact BIGINT edge/mutual counts + one
+    // IEEE division — value-level bitwise match
+    "graph_reciprocity" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").cast("long").as("node"),
+          col("c_nationkey").cast("long").as("comm"))
+      val chain = c.select(col("node").as("s"),
+          lead("node", 1).over(
+            Window.partitionBy("comm").orderBy("node")).as("o"))
+        .where(col("o").isNotNull)
+      val back = chain.where(col("s") % 3L === 0L)
+        .select(col("o").as("s"), col("s").as("o"))
+      GraphAlgos.reciprocity(chain.unionByName(back), "s", "o")
+    }),
     // Degree assortativity of the same harness graph: exact BIGINT
     // moment sums + a fixed IEEE op sequence — value-level bitwise match
     "graph_assortativity" -> ((s, d) => {
@@ -3867,6 +3883,23 @@ object SparkEntry {
         |SELECT (SELECT count(*) FROM e) AS n_edges,
         |  (SELECT count(*) FROM tri) AS n_triangles,
         |  (SELECT n4 FROM c4) AS n_4cliques""".stripMargin,
+    // Reciprocity: distinct directed edges, mates via the reversed
+    // self-join, one IEEE division — bitwise value-level match
+    "graph_reciprocity" ->
+      """WITH c AS (SELECT CAST(c_custkey AS BIGINT) AS node,
+        |    CAST(c_nationkey AS BIGINT) AS comm FROM customer),
+        |chain AS (SELECT node AS s, lead(node) OVER
+        |    (PARTITION BY comm ORDER BY node) AS o FROM c),
+        |ch AS (SELECT s, o FROM chain WHERE o IS NOT NULL),
+        |e AS (SELECT DISTINCT s AS u, o AS v FROM
+        |  (SELECT s, o FROM ch
+        |   UNION ALL SELECT o AS s, s AS o FROM ch WHERE s % 3 = 0)
+        |  WHERE s <> o),
+        |m AS (SELECT count(*) AS n_mutual FROM e a
+        |  WHERE EXISTS (SELECT 1 FROM e b WHERE b.u = a.v AND b.v = a.u))
+        |SELECT (SELECT count(*) FROM e) AS n_edges, n_mutual,
+        |  CAST(n_mutual AS DOUBLE) / CAST((SELECT count(*) FROM e) AS DOUBLE) AS r
+        |FROM m""".stripMargin,
     // Assortativity: identical harness edges, exact BIGINT moment sums,
     // the same fixed IEEE op sequence for r — bitwise value-level match
     "graph_assortativity" ->
@@ -4577,6 +4610,15 @@ object SparkEntry {
       .na.fill(0L)
       .select(col("o_orderpriority"), col("F").as("n_f"),
         col("O").as("n_o"), col("P").as("n_p"))),
+    // semi-structured extraction: pull a typed field out of the JSON
+    // props column (schema-on-read — the 100 TB shape for event
+    // payloads) and aggregate it; exact integer sums
+    "q_json" -> ((s, d) => events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(lit(1)).as("n"),
+        sum(when(col("k") >= 50L, 1L).otherwise(0L)).as("n_hi"))),
     // tumbling-window aggregation over the event stream table
     "q_window" -> ((s, d) => events(s, d)
       .groupBy(col("event_type"),
@@ -4667,6 +4709,14 @@ object SparkEntry {
         |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
         |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY 1""".stripMargin,
+    "q_json" ->
+      """SELECT event_type,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_k,
+        |  COUNT(*) AS n,
+        |  COUNT(*) FILTER (CAST(json_extract_string(props, '$.k')
+        |    AS BIGINT) >= 50) AS n_hi
+        |FROM events GROUP BY 1""".stripMargin,
     "q_window" ->
       """SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,

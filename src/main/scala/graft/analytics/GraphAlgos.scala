@@ -3285,6 +3285,33 @@ object GraphAlgos {
             denom).as("r"))
   }
 
+  /** Directed-graph reciprocity (Newman 2002, public): the fraction of
+    * directed edges whose reverse edge also exists. Exact BIGINT counts
+    * (distinct directed edges, and those with a mate) + ONE IEEE
+    * division, so an oracle recomputing the same integers matches
+    * bitwise. Plan: one distinct + one self-semi-join on the reversed
+    * copy + two tiny aggregates — no iteration, survives any scale the
+    * edge shuffle does. Empty edge set → NaN (undefined fraction).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct().localCheckpoint(true).cappedStats
+    val mutual = e.join(
+      e.select(col("v").as("u"), col("u").as("v")), Seq("u", "v"),
+      "left_semi")
+    Dedup.releasing(
+      e.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(mutual.agg(count(lit(1)).as("n_mutual")))
+        .select(col("n_edges"), col("n_mutual"),
+          when(col("n_edges") === 0L, lit(Double.NaN))
+            .otherwise(col("n_mutual").cast("double") /
+              col("n_edges").cast("double")).as("r")),
+      Seq(e))
+  }
+
   /** Personalized PageRank restricted to out-degree-regular graphs,
     * EXACT by construction (same family as [[katzCentrality]]'s dyadic
     * trick). With teleport probability 3/4 back to the seed set S and

@@ -959,6 +959,19 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(r.getDouble(6).isNaN)
   }
 
+  test("reciprocity: exact counts on known digraphs") {
+    // 1⇄2 plus 2→3 and 3⇄4: 4 of 5 directed edges have a mate
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 4L), (4L, 3L))
+      .toDF("s", "d")
+    val r = GraphAlgos.reciprocity(edges, "s", "d").head
+    assert((r.getLong(0), r.getLong(1)) === ((5L, 4L)))
+    assert(r.getDouble(2) === 0.8)
+    val dag = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val r2 = GraphAlgos.reciprocity(dag, "s", "d").head
+    assert((r2.getLong(0), r2.getLong(1), r2.getDouble(2)) ===
+      ((2L, 0L, 0.0)))
+  }
+
   test("pprDyadic: exact dyadic counts on a 2-regular shift graph") {
     // independent sequential evaluation of the same scaled recurrence
     // y_{t+1}(v) = 6·8^t·e_S(v) + Σ_{u→v} y_t(u) over the 8-node
