@@ -1674,6 +1674,37 @@ class GizmoSpec extends AnyFunSuite {
       Seq("0,1,2,3,4", "3"))
   }
 
+  test("generators: 50 interleaved activations keep independent state") {
+    // round-robin across 50 live carrier threads: any cross-activation
+    // state bleed (env/fnStack snapshot bugs) breaks the exact sum
+    // Σ_j Σ_r (1000j + r) = 1000·1225·5 + 50·10 = 6125500
+    check(
+      """function* ctr(base) {
+        |  var i = 0;
+        |  while (true) { yield base + i; i = i + 1; }
+        |}
+        |var gens = [];
+        |for (var i = 0; i < 50; i++) gens.push(ctr(i * 1000));
+        |var sum = 0;
+        |for (var r = 0; r < 5; r++) {
+        |  for (var j = 0; j < 50; j++) sum = sum + gens[j].next().value;
+        |}
+        |g.emit(sum);""".stripMargin,
+      Seq("6125500"))
+  }
+
+  test("generators: recursive yield* delegation 30 levels deep") {
+    // 31 nested live generators, each suspended inside the next one's
+    // yield* — stresses the chained genStep handshake
+    check(
+      """function* deep(n) {
+        |  if (n <= 0) { yield 0; }
+        |  else { yield* deep(n - 1); yield n; }
+        |}
+        |g.emit(Array.from(deep(30)).join(","));""".stripMargin,
+      Seq((0 to 30).mkString(",")))
+  }
+
   test("generators: error surface — new, self-resume, yield outside") {
     intercept[Gizmo.GizmoError](session.execute(
       "function* f3() { yield 1; }\nvar x = new f3();"))
