@@ -824,9 +824,10 @@ object Dedup {
     // shingle-set aggregation (a full shuffle) twice otherwise
     val sets = shingleSets(rows).persist()
     try {
-      sets.repartitionByRange(numParts, col("id"))
+      val laid = sets.repartitionByRange(numParts, col("id"))
         .sortWithinPartitions("id")
-        .write.mode("overwrite").parquet(s"$dir/sets")
+      graft.core.PlanDump.dump("dedup_probe_sets_write", laid)
+      laid.write.mode("overwrite").parquet(s"$dir/sets")
     } finally sets.unpersist()
     rows.unpersist()
     java.nio.file.Files.write(

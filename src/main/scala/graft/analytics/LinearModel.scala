@@ -69,6 +69,7 @@ object LinearModel {
       .repartition(rows.sparkSession.sessionState.conf
         .numShufflePartitions, col("id"))
       .persist(level)
+    graft.core.PlanDump.dump("lr_data", data)
     val n = math.max(lbl.count(), 1L).toDouble
     // per-round watchdog on big corpora (mirrors louvain's): one stderr
     // line per GD round with round seconds, gradient norm, RSS and

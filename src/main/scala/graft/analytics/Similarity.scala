@@ -346,9 +346,10 @@ object Similarity {
         cellExpr(col(vecCol), cents).as("cell"))
       .persist()
     try {
-      proj.repartitionByRange(col("cell"), col("id"))
+      val laid = proj.repartitionByRange(col("cell"), col("id"))
         .sortWithinPartitions("cell", "id")
-        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      graft.core.PlanDump.dump("sim_ivf_q_write", laid)
+      laid.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
     } finally proj.unpersist()
     val json = cents.map(_.mkString("[", ",", "]"))
       .mkString("{\"centroids\":[", ",", "]}")
@@ -474,12 +475,16 @@ object Similarity {
       val full = spark.read.parquet(s"$dir/vectors")
         .where(col("cell").isin(cells: _*) && col("id").isin(candIds: _*))
         .select(col("cell"), col("id"), col("v"))
-      rescore(full, candLocal)
+      val out = rescore(full, candLocal)
+      graft.core.PlanDump.dump("sim_ivf_q_rerank", out)
+      out
     } else {
       val full = spark.read.parquet(s"$dir/vectors")
         .where(col("cell").isin(cells: _*))
         .select(col("cell"), col("id"), col("v"))
-      rescore(full, cand)
+      val out = rescore(full, cand)
+      graft.core.PlanDump.dump("sim_ivf_q_rerank", out)
+      out
     }
   }
 

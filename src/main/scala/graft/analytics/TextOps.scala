@@ -1219,9 +1219,10 @@ object TextOps {
       .select(col("pb"), col("term"), col("id"), col("tf"), col("dl"))
       .persist()
     try {
-      posting.repartitionByRange(numParts, col("term"), col("id"))
+      val laid = posting.repartitionByRange(numParts, col("term"), col("id"))
         .sortWithinPartitions("term", "id")
-        .write.mode(if (append) "append" else "overwrite")
+      graft.core.PlanDump.dump("text_search_write", laid)
+      laid.write.mode(if (append) "append" else "overwrite")
         .partitionBy("pb").parquet(s"$dir/postings")
     } finally posting.unpersist()
     if (!append) writeSearchMeta(dir, n, sumdl, buckets)
