@@ -249,6 +249,124 @@ object Probe {
         }
         org.apache.commons.io.FileUtils.deleteQuietly(
           new java.io.File(outDir))
+      case "curate" =>
+        // the xN_pipeline_curate_full bench shape: docs WITH source,
+        // 19/20 as training corpus, 1/20 as the benchmark set, cap 12,
+        // holdout 0.1 — plus a per-stage breakdown of the same inputs
+        val docPathS = s"/tmp/mh_docs_src_x$mult.parquet"
+        if (!new java.io.File(docPathS).exists()) {
+          val alpha = "abcdefghijklmnopqrstuvwxyz"
+          def affineTo(kk: Int): String = {
+            val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+            val a = as((kk / 26) % as.length); val b = kk % 26
+            (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+          }
+          val doc = spark.read
+            .parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("doc_id", "source", "text")
+          timed("synth-docs-src") {
+            (0 until mult).map { kk =>
+              val to = affineTo(kk)
+              doc.select(
+                (col("doc_id") + lit(kk * 100000000L)).as("doc_id"),
+                concat_ws("_", col("source"), lit(kk)).as("source"),
+                translate(col("text"), alpha + alpha.toUpperCase,
+                  to + to.toUpperCase).as("text"))
+            }.reduce(_ union _)
+              .write.mode("overwrite").parquet(docPathS)
+          }
+        }
+        val all = spark.read.parquet(docPathS)
+        println(s"docs: ${all.count()}")
+        val corpus = all.where(pmod(col("doc_id"), lit(20)) =!= 0)
+        val benchSet = all.where(pmod(col("doc_id"), lit(20)) === 0)
+        def noopW(df: org.apache.spark.sql.DataFrame): Unit =
+          df.write.mode("overwrite").format("noop").save()
+        (1 to 2).foreach { i =>
+          timed(s"curate-full-$i") {
+            noopW(graft.analytics.Curate.curateFull(corpus, "doc_id",
+              "text", "source", perSourceCap = 12, bench = Some(benchSet),
+              holdoutFraction = 0.1))
+          }
+          spark.sharedState.cacheManager.clearCache()
+        }
+        // the bench entry's ACTUAL input shape: the LAZY 100-way
+        // translated union (re-evaluated on every scan of the plan) —
+        // times the input-pipeline multiple that the materialized runs
+        // above don't see
+        locally {
+          val alpha = "abcdefghijklmnopqrstuvwxyz"
+          def affineTo(kk: Int): String = {
+            val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
+            val a = as((kk / 26) % as.length); val b = kk % 26
+            (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
+          }
+          val doc = spark.read
+            .parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("doc_id", "source", "text")
+          val lazyAll = (0 until mult).map { kk =>
+            val to = affineTo(kk)
+            doc.select(
+              (col("doc_id") + lit(kk * 100000000L)).as("doc_id"),
+              concat_ws("_", col("source"), lit(kk)).as("source"),
+              translate(col("text"), alpha + alpha.toUpperCase,
+                to + to.toUpperCase).as("text"))
+          }.reduce(_ union _)
+          (1 to 2).foreach { i =>
+            timed(s"curate-full-lazy-$i") {
+              noopW(graft.analytics.Curate.curateFull(
+                lazyAll.where(pmod(col("doc_id"), lit(20)) =!= 0),
+                "doc_id", "text", "source", perSourceCap = 12,
+                bench = Some(
+                  lazyAll.where(pmod(col("doc_id"), lit(20)) === 0)),
+                holdoutFraction = 0.1))
+            }
+            spark.sharedState.cacheManager.clearCache()
+          }
+        }
+        if (!sys.env.contains("GRAFT_CURATE_STAGES")) { spark.stop(); return }
+        // stage breakdown (each stage standalone, cache cleared between)
+        import graft.analytics.{Dedup, TextOps}
+        val base = corpus.select(col("doc_id"), col("source"), col("text"))
+        timed("stage-exact") {
+          noopW(Dedup.exact(base, "doc_id", "text").select("doc_id"))
+        }
+        spark.sharedState.cacheManager.clearCache()
+        timed("stage-quality") {
+          noopW(base.where(TextOps.qualityOk(col("text"), 5, 100000, 40))
+            .select("doc_id"))
+        }
+        spark.sharedState.cacheManager.clearCache()
+        timed("stage-decontam") {
+          noopW(Dedup.decontaminateIds(base, benchSet, "doc_id", "text", 8)
+            .select(col("id").as("doc_id")))
+        }
+        spark.sharedState.cacheManager.clearCache()
+        locally {
+          val survivors = Dedup.exact(base, "doc_id", "text")
+            .select("doc_id")
+          val kept0 = base.join(survivors, Seq("doc_id"))
+            .where(TextOps.qualityOk(col("text"), 5, 100000, 40))
+          val flagged = Dedup
+            .decontaminateIds(base, benchSet, "doc_id", "text", 8)
+            .select(col("id").as("doc_id"))
+          val kept = kept0.join(flagged, Seq("doc_id"), "left_anti")
+          val withTok = kept.select(col("doc_id"), col("source"),
+            col("text"),
+            TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+          timed("stage-cap-from-scratch") {
+            noopW(TextOps.capPerKey(withTok, "doc_id", "source", 12))
+          }
+          spark.sharedState.cacheManager.clearCache()
+          val capped = TextOps.capPerKey(withTok, "doc_id", "source", 12)
+            .cache()
+          capped.count()
+          timed("stage-holdout-on-capped") {
+            noopW(Dedup.clusterHoldout(capped.select("doc_id", "text"),
+              "doc_id", "text", 0.1, 0.5))
+          }
+          capped.unpersist(true)
+        }
       case "fuzzy" =>
         // same per-copy prefix-code name synthesis as the bench entry
         val cust = spark.read.parquet("/root/testdata/sf0.1/customer.parquet")

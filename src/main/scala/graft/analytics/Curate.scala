@@ -72,8 +72,19 @@ object Curate {
                  bench: Option[DataFrame] = None, decontamN: Int = 8,
                  holdoutFraction: Double = 0.0,
                  neardupThreshold: Double = 0.5): DataFrame = {
+    // base feeds THREE consumers in the one returned plan (the exact-dedup
+    // aggregate, the survivor join's row side, and the decontamination
+    // gram stream) and Catalyst does not dedup identical subplans —
+    // without a persist the caller's input pipeline is evaluated three
+    // times per action (four with `bench` derived from the same source).
+    // When the input is anything more expensive than a materialized
+    // parquet scan (a union, a decoded/transformed view), that multiple
+    // IS the pipeline's cost (measured x100 on the bench's 100-way
+    // translated-union corpus: 118-190 s in-record vs ~23 s with the
+    // input evaluated once). The cache stays referenced by the returned
+    // plan, like `capped` below; it is evictable and per-invocation.
     val base = docs.select(col(idCol).as("doc_id"),
-      col(sourceCol).as("source"), col(textCol).as("text"))
+      col(sourceCol).as("source"), col(textCol).as("text")).persist()
     val survivors = Dedup.exact(base, "doc_id", "text").select("doc_id")
     val kept0 = base.join(survivors, Seq("doc_id"))
       .where(TextOps.qualityOk(col("text"), minTokens, maxTokens,

@@ -2498,17 +2498,28 @@ object GraphAlgos {
       var trimming = true
       var trimRounds = 0
       while (trimming && trimRounds < 50) {
-        val srcs = remaining.select(col("u").as("node")).distinct()
-        val dsts = remaining.select(col("v").as("node")).distinct()
-        val bad = srcs.join(dsts, Seq("node"), "left_anti")
-          .unionByName(dsts.join(srcs, Seq("node"), "left_anti"))
-          .localCheckpoint(true).cappedStats
-        held += bad
+        // per-node degree presence in ONE aggregation over 2|E| rows
+        // (was: distinct(u) + distinct(v) + two anti-joins + a
+        // union-distinct = ~4 shuffles/round — the degree groupBy
+        // subsumes them all; map-side partial aggregation shrinks the
+        // exchange to node-sized). bad = (srcs ∖ dsts) ∪ (dsts ∖ srcs)
+        // == deg rows with no out- or no in-edge; `before` (every live
+        // endpoint) is a projection of the same checkpoint, not a
+        // recomputation of both distincts.
+        val degPlan = remaining
+          .select(col("u").as("node"), lit(1L).as("od"), lit(0L).as("id"))
+          .unionByName(remaining
+            .select(col("v").as("node"), lit(0L).as("od"), lit(1L).as("id")))
+          .groupBy("node")
+          .agg(sum("od").as("od"), sum("id").as("id"))
+        graft.core.PlanDump.dump("graph_scc_trim_bad", degPlan)
+        val deg = degPlan.localCheckpoint(true).cappedStats
+        held += deg
+        val bad = deg.where(col("od") === 0L || col("id") === 0L)
+          .select("node")
         if (bad.isEmpty) trimming = false
         else {
-          val before = srcs.unionByName(dsts).distinct()
-            .localCheckpoint(true).cappedStats
-          held += before
+          val before = deg.select("node")
           val rem2 = remaining
             .join(bad.select(col("node").as("u")), Seq("u"), "left_anti")
             .join(bad.select(col("node").as("v")), Seq("v"), "left_anti")
