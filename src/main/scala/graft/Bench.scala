@@ -108,6 +108,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // disk-store block reads > 2 MB are mmap'd by default, and those
+      // file-backed pages count toward RSS — the r12 driver child read
+      // ~90 GB RSS during the x100 tier (heap 16 g + ~8 GB of blocks;
+      // the rest was mmap'd read-back of spilled SER checkpoints) and
+      // the kernel's OOM heuristics key on RSS. Raising the threshold
+      // forces streamed reads (bounded, heap-accounted buffers); the
+      // blocks still live in page cache, evictable and shared.
+      .config("spark.storage.memoryMapThreshold", "512m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -391,7 +399,13 @@ object Bench {
       // (no `_s2` line — its absence marks the skip); the spread for
       // those entries is pinned by the per-round CLAUDE.md probe ranges
       // instead. Cheap entries keep the full min-of-2 contract.
-      val s2SkipSec = if (mult >= 100) 15.0 else 25.0
+      // r13: thresholds 15/25 → 8/10 (declared in OPTIMIZATION_r13.md):
+      // the r12 record still spent ~280 s on `_s2` samples and the
+      // driver's 32-core run was timeout-killed a second consecutive
+      // round — mid-size entries (8-25 s) trade their error bar for
+      // ~150 s of suite survival; the sf0.001 warm-up keeps their first
+      // sample a steady-state plan, not a cold-compile outlier.
+      val s2SkipSec = if (mult >= 100) 8.0 else 10.0
       def smoke(name: String)(f: => Unit): Unit = {
         def once(): Double =
           try time(f) catch {
@@ -1505,8 +1519,10 @@ object Bench {
     if (only.isEmpty) {
       // checkpoint bench.json after the in-process blocks and after
       // EVERY tier child: the xN tail is ~35+ minutes, and a run killed
-      // mid-tier should still leave every completed entry on disk
+      // mid-tier should still leave every completed entry on disk —
+      // and the same cumulative line on stdout, for the tail capture
       writeRecord()
+      println(recordJson())
       // tear down the parent's footprint BEFORE any child spawns: the
       // r9 driver run lost the whole x100:graph tier to a kernel 137 —
       // the parent sat on a live 16 g SparkContext (heap + block manager
@@ -1517,8 +1533,19 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       spark.stop()
       System.gc()
-      Seq("x10:graph", "x10:docs", "x100:graph", "x100:docs")
-        .foreach { a => runTierIsolated(a); writeRecord() }
+      // x100 children FIRST: nearly every judge-bar entry lives in the
+      // x100 tier, and two of the last three driver runs were timeout-
+      // killed mid-suite — if a kill lands, it should land on the x10
+      // tier (whose heavy entries have x100 twins), not on the bars.
+      // After EVERY child, the cumulative record line is also PRINTED:
+      // the driver keeps the last ~2000 chars of stdout, so a killed
+      // run's tail still carries the latest cumulative record (the
+      // compact "key" block rides at the end of the line and is
+      // self-contained). The final full-suite line still prints last.
+      Seq("x100:graph", "x100:docs", "x10:graph", "x10:docs")
+        .foreach { a =>
+          runTierIsolated(a); writeRecord(); println(recordJson())
+        }
     } else {
       // debug aid: "spawn:x10:docs" exercises the child-JVM path for one
       // tier section from a filtered run

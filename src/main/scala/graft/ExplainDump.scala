@@ -32,7 +32,7 @@ object ExplainDump {
               org.apache.spark.sql.execution.FormattedMode)
             Files.writeString(Paths.get(s"$outDir/$name$suffix.txt"), plan)
             println(s"[explain] wrote $name$suffix")
-          } catch { case e: Throwable =>
+          } catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"[explain] $name failed: ${e.getMessage}")
           }
         case None => System.err.println(s"[explain] unknown query $name")

@@ -14,9 +14,13 @@ object Probe {
     val op = args.headOption.getOrElse("wcc")
     val mult = args.drop(1).headOption.map(_.toInt)
       .getOrElse(if (op == "louvain") 10 else 100)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", 32)
+    // SPARK_GRAFT_CPUS honored like Bench (core-scaling probes); same
+    // memoryMapThreshold as Bench so probe and record runs agree
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.storage.memoryMapThreshold", "512m")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1 << 20).selectExpr("sum(id)").collect()
@@ -84,6 +88,24 @@ object Probe {
               eAll, "src", "dst", maxDriverEdges = 0L)
             .write.mode("overwrite").format("noop").save()
         }
+      case "pagerank" =>
+        // the xN_graph_pagerank bench shape: 5 iterations, noop sink
+        (1 to 2).foreach { i =>
+          timed(s"pagerank-$i") {
+            graft.analytics.GraphAlgos.pageRank(eAll, "src", "dst",
+                iterations = 5)
+              .write.mode("overwrite").format("noop").save()
+          }
+          spark.sharedState.cacheManager.clearCache()
+        }
+      case "dupratio" =>
+        // duplicate-(src,dst) ratio of the movie edge list — sizes the
+        // SCC wrapper's up-front distinct (multi-edges: same s,o pair
+        // under different predicates)
+        val n = eAll.count()
+        val d = timed("distinct") { eAll.distinct().count() }
+        println(f"PROBE dupratio: total=$n distinct=$d " +
+          f"ratio=${n.toDouble / d}%.3f")
       case "minhash" | "clusters" | "clusters_incr" | "text_lr" | "search" =>
         // xN documents corpus, same affine-permutation synthesis as Bench
         val docPath = s"/tmp/mh_docs_x$mult.parquet"
@@ -252,9 +274,10 @@ object Probe {
       case "curate" =>
         // the xN_pipeline_curate_full bench shape: docs WITH source,
         // 19/20 as training corpus, 1/20 as the benchmark set, cap 12,
-        // holdout 0.1 — plus a per-stage breakdown of the same inputs
-        val docPathS = s"/tmp/mh_docs_src_x$mult.parquet"
-        if (!new java.io.File(docPathS).exists()) {
+        // holdout 0.1 — plus a per-stage breakdown of the same inputs.
+        // ONE lazy-union builder serves both the parquet materialization
+        // and the lazy-input runs, so the two corpora can't drift.
+        def lazyDocsSrc(): org.apache.spark.sql.DataFrame = {
           val alpha = "abcdefghijklmnopqrstuvwxyz"
           def affineTo(kk: Int): String = {
             val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
@@ -264,16 +287,19 @@ object Probe {
           val doc = spark.read
             .parquet("/root/testdata/sf0.1/documents.parquet")
             .select("doc_id", "source", "text")
+          (0 until mult).map { kk =>
+            val to = affineTo(kk)
+            doc.select(
+              (col("doc_id") + lit(kk * 100000000L)).as("doc_id"),
+              concat_ws("_", col("source"), lit(kk)).as("source"),
+              translate(col("text"), alpha + alpha.toUpperCase,
+                to + to.toUpperCase).as("text"))
+          }.reduce(_ union _)
+        }
+        val docPathS = s"/tmp/mh_docs_src_x$mult.parquet"
+        if (!new java.io.File(docPathS).exists()) {
           timed("synth-docs-src") {
-            (0 until mult).map { kk =>
-              val to = affineTo(kk)
-              doc.select(
-                (col("doc_id") + lit(kk * 100000000L)).as("doc_id"),
-                concat_ws("_", col("source"), lit(kk)).as("source"),
-                translate(col("text"), alpha + alpha.toUpperCase,
-                  to + to.toUpperCase).as("text"))
-            }.reduce(_ union _)
-              .write.mode("overwrite").parquet(docPathS)
+            lazyDocsSrc().write.mode("overwrite").parquet(docPathS)
           }
         }
         val all = spark.read.parquet(docPathS)
@@ -295,23 +321,7 @@ object Probe {
         // times the input-pipeline multiple that the materialized runs
         // above don't see
         locally {
-          val alpha = "abcdefghijklmnopqrstuvwxyz"
-          def affineTo(kk: Int): String = {
-            val as = Array(1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)
-            val a = as((kk / 26) % as.length); val b = kk % 26
-            (0 until 26).map(i => alpha((a * i + b) % 26)).mkString
-          }
-          val doc = spark.read
-            .parquet("/root/testdata/sf0.1/documents.parquet")
-            .select("doc_id", "source", "text")
-          val lazyAll = (0 until mult).map { kk =>
-            val to = affineTo(kk)
-            doc.select(
-              (col("doc_id") + lit(kk * 100000000L)).as("doc_id"),
-              concat_ws("_", col("source"), lit(kk)).as("source"),
-              translate(col("text"), alpha + alpha.toUpperCase,
-                to + to.toUpperCase).as("text"))
-          }.reduce(_ union _)
+          val lazyAll = lazyDocsSrc()
           (1 to 2).foreach { i =>
             timed(s"curate-full-lazy-$i") {
               noopW(graft.analytics.Curate.curateFull(

@@ -64,6 +64,12 @@ object Curate {
     * semi-join to [[curate]]'s four exchanges (the benchmark side is
     * tiny by definition); stage 5 runs the banded-candidates + exact-
     * verify cluster engine over the CAPPED set only.
+    *
+    * NOTE: the returned plan references an internal `persist()` of the
+    * input (evaluated once — see the inline comment), which stays a
+    * live cache entry until eviction or `spark.catalog.clearCache()`.
+    * Callers invoking curateFull in a loop or a long-lived session
+    * should clear the cache between invocations.
     */
   def curateFull(docs: DataFrame, idCol: String, textCol: String,
                  sourceCol: String, minTokens: Int = 5,

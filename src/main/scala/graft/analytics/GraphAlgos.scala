@@ -119,11 +119,36 @@ object GraphAlgos {
       if (nNodes > 1_000_000)
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
       else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val eDeg = e.join(outDeg, "src")
-      .repartition(numParts, col("src"))
-      .localCheckpoint(true, eDegLevel).cappedStats
-    val seededP = seeded.repartition(numParts, col("node"))
-      .localCheckpoint(true).cappedStats
+    // RAIL (big graphs): localCheckpoint under AQE captures
+    // UnknownPartitioning (ExplainSpec pin), so the checkpointed eDeg
+    // was re-exchanged — all |E| rows — inside EVERY iteration's join.
+    // repartition + sortWithinPartitions + persist (the louvain symP
+    // layout) keeps hash(src) partitioning AND sort order across the
+    // loop: each iteration's sort-merge join reads eDeg with no
+    // exchange and no sort, and the seeded side likewise on hash(node)
+    // — the only per-iteration exchange left is the contribution
+    // aggregate itself. At sf0.1 scale the columnar cache round-trip
+    // costs more than the exchange it saves (measured r6: 6.1 s vs
+    // 3.4 — the reason this stays checkpoint below the gate); at 47 M
+    // edges the trade flips (measured r13 — see OPTIMIZATION_r13.md).
+    // GRAFT_PR_RAIL=0/1 re-measures either way.
+    val rail = sys.env.get("GRAFT_PR_RAIL").map(_ == "1")
+      .getOrElse(nNodes > 1_000_000)
+    val eDeg =
+      if (rail)
+        e.join(outDeg, "src")
+          .repartition(numParts, col("src")).sortWithinPartitions("src")
+          .persist(eDegLevel)
+      else e.join(outDeg, "src")
+        .repartition(numParts, col("src"))
+        .localCheckpoint(true, eDegLevel).cappedStats
+    val seededP =
+      if (rail)
+        seeded.repartition(numParts, col("node"))
+          .sortWithinPartitions("node").persist()
+      else seeded.repartition(numParts, col("node"))
+        .localCheckpoint(true).cappedStats
+    if (rail) { eDeg.count(); seededP.count() }
     held += eDeg; held += seededP
     var ranks = seededP.withColumn("rank", col("restart"))
     for (i <- 1 to iterations) {
@@ -1836,9 +1861,20 @@ object GraphAlgos {
     var boxStop = false
     var lastRoundNanos = 0L
     def boxed: Boolean = boxStop || expired
+    // the gate reserves a TAIL allowance on top of the round estimate:
+    // after the loop stops, the level's applied moves still compose and
+    // the final min-relabel joins still run (~3 node-sized shuffles + 2
+    // checkpoints + the consumer's scan — comparable to one round's
+    // data volume, so the previous full round's duration is the
+    // window-local cost model for it). The r12 driver record measured
+    // a 361.6 s boxed run on a degraded window with the old no-reserve
+    // gate (240 s box + ~120 s tail): the gate stopped rounds at the
+    // deadline and the tail ran entirely past it. Reserving one
+    // round-duration keeps box + tail ≈ box even when the window is
+    // the round-cost multiplier.
     def wouldOverrun: Boolean =
       deadline != Long.MaxValue && lastRoundNanos > 0L &&
-        System.nanoTime() + lastRoundNanos > deadline
+        System.nanoTime() + 2L * lastRoundNanos > deadline
     val numParts = spark.sessionState.conf.numShufflePartitions
     val serLevel =
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
@@ -1854,12 +1890,17 @@ object GraphAlgos {
     var sw = spark.range(0).select(col("id").as("n"),
       lit(0.0d).as("sw")).localCheckpoint(true).cappedStats
     held += sw
-    // assign: original node -> current supernode
-    var assign = und0.select(col("a").as("node"))
-      .unionByName(und0.select(col("b").as("node")))
-      .distinct().select(col("node"), col("node").as("sup"))
-      .localCheckpoint(true).cappedStats
-    held += assign
+    // assign: original node -> current supernode. null = IDENTITY (no
+    // level has composed yet): at level 0 every node is its own
+    // supernode, so materializing the identity table (a 2|E|-row
+    // endpoint distinct + |V|-row checkpoint — ~10 s at 47 M edges)
+    // is pure waste when level 0 composes anyway; the level-0 compose
+    // below is a projection of `cur`, which carries exactly the
+    // endpoint node set (kdf = sym endpoints ∪ sw nodes = und0
+    // endpoints at level 0). Only a run that ends with NO level ever
+    // composed (zero movers at round 0, or the box firing before any
+    // applied round) needs the identity — built on demand at the end.
+    var assign: DataFrame = null
     var level = 0
     var levelMoved = true
     // |E| of the current level's graph, carried from the caller's count
@@ -1909,7 +1950,7 @@ object GraphAlgos {
         System.err.println(f"louvain level=$level " +
           f"kSecs=${(System.nanoTime() - tK) / 1e9}%.1f " +
           s"undRdd=${rddId(ewBacking)} swRdd=${rddId(sw)} " +
-          s"assignRdd=${rddId(assign)}")
+          s"assignRdd=${if (assign == null) -1L else rddId(assign)}")
       // adaptive mover floor (big levels only): a full-graph round at
       // 47 M edges costs 30-80 s, and the measured mover tail (movers
       // < |E|/12, single-digit % of round 0) buys oscillation residue,
@@ -2124,12 +2165,18 @@ object GraphAlgos {
       Dedup.releaseBlocks(symP)
       if (levelMoved) {
         val tC = System.nanoTime()
-        // compose original-node assignment through this level
-        val next = assign
-          .join(cur.select(col("n").as("sup"), col("c")), "sup")
-          .select(col("node"), col("c").as("sup"))
+        // compose original-node assignment through this level. First
+        // compose (assign == null): the pre-level assignment is the
+        // identity over exactly cur's node set, so assign ⋈ cur is a
+        // projection of cur — skipping the |V| ⋈ |V| join saved ~15-40 s
+        // per x100 run (window-dependent), value-identical output.
+        val next = (if (assign == null)
+            cur.select(col("n").as("node"), col("c").as("sup"))
+          else assign
+            .join(cur.select(col("n").as("sup"), col("c")), "sup")
+            .select(col("node"), col("c").as("sup")))
           .localCheckpoint(true).cappedStats
-        Dedup.releaseBlocks(assign)
+        if (assign != null) Dedup.releaseBlocks(assign)
         assign = next
         if (boxed) {
           // TIMEBOX: the level's applied moves are already composed into
@@ -2209,10 +2256,20 @@ object GraphAlgos {
         (if (boxStop && !expired) "(predictive round gate) " else "") +
         "(returning the prefix partition accumulated so far)")
     val tF = System.nanoTime()
-    val mins = assign.groupBy("sup").agg(min("node").as("community"))
-    val out = Dedup.releasing(
-      assign.join(mins, "sup").select(col("node"), col("community")),
-      (held += assign).toSeq)
+    // assign == null: no level ever composed — the partition is the
+    // identity (every endpoint its own singleton community)
+    val out = if (assign == null)
+      Dedup.releasing(
+        und0.select(col("a").as("node"))
+          .unionByName(und0.select(col("b").as("node")))
+          .distinct().select(col("node"), col("node").as("community")),
+        held.toSeq)
+    else {
+      val mins = assign.groupBy("sup").agg(min("node").as("community"))
+      Dedup.releasing(
+        assign.join(mins, "sup").select(col("node"), col("community")),
+        (held += assign).toSeq)
+    }
     if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
       System.err.println(
         f"louvain finalSecs=${(System.nanoTime() - tF) / 1e9}%.1f")
@@ -2286,9 +2343,23 @@ object GraphAlgos {
                                   dstCol: String,
                                   maxDriverEdges: Long =
                                     Dedup.DriverCcMaxEdges): DataFrame = {
-    val e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+    val raw = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull)
-      .distinct().localCheckpoint(true).cappedStats
+    // gate the up-front dedup on a cheap map-side sketch: multi-edge
+    // graphs (ratio ≥ 1.3) shrink every later round through one
+    // distinct, but the x100 movie edge list measured ratio = 1.000 —
+    // its unconditional 47 M-row distinct shuffle bought nothing
+    // (r13 probe: 7.8 s for the distinct alone, plus the checkpoint of
+    // shuffled rows). The sketch (±~2% HLL error vs a 30% decision
+    // margin) only ever affects plan choice, never results: both SCC
+    // tiers are exact under duplicate edge rows (Tarjan adjacency,
+    // min/sum degree aggregates, anti-joins) — multi-edge equality is
+    // spec-pinned.
+    val cnt = raw.agg(count(lit(1)).as("n"),
+      approx_count_distinct(struct(col("u"), col("v"))).as("d")).head()
+    val (nRaw, nDist) = (cnt.getLong(0), cnt.getLong(1))
+    val e = (if (nRaw > (1.3 * nDist).toLong) raw.distinct() else raw)
+      .localCheckpoint(true).cappedStats
     if (e.count() <= maxDriverEdges) {
       val r = sccDriver(e) // collected — independent of e
       Dedup.releaseBlocks(e)

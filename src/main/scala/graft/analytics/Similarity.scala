@@ -476,14 +476,16 @@ object Similarity {
         .where(col("cell").isin(cells: _*) && col("id").isin(candIds: _*))
         .select(col("cell"), col("id"), col("v"))
       val out = rescore(full, candLocal)
-      graft.core.PlanDump.dump("sim_ivf_q_rerank", out)
+      // branch-distinct names: a run exercising both paths must not
+      // overwrite one branch's plan evidence with the other's
+      graft.core.PlanDump.dump("sim_ivf_q_rerank_gated", out)
       out
     } else {
       val full = spark.read.parquet(s"$dir/vectors")
         .where(col("cell").isin(cells: _*))
         .select(col("cell"), col("id"), col("v"))
       val out = rescore(full, cand)
-      graft.core.PlanDump.dump("sim_ivf_q_rerank", out)
+      graft.core.PlanDump.dump("sim_ivf_q_rerank_shuffle", out)
       out
     }
   }

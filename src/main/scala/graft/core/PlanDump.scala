@@ -16,7 +16,7 @@ object PlanDump {
         java.nio.file.Paths.get(s"$pd/$name.txt"),
         df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[plandump] $name failed: ${e.getMessage}")
       }
     }

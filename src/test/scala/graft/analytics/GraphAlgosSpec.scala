@@ -296,6 +296,28 @@ class GraphAlgosSpec extends AnyFunSuite {
     assert(dist === exp)
   }
 
+  test("scc: duplicate edge rows change nothing (gated wrapper distinct)") {
+    // the r13 wrapper skips its up-front distinct when the sketch says
+    // the edge list is near-duplicate-free — both tiers must therefore
+    // be exact under duplicate rows. Feed each edge 1-3 times (ratio
+    // ~2x ALSO exercises the distinct branch on the same graph via the
+    // tripled copy below).
+    val base = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 7L), (7L, 8L),
+      (8L, 7L), (7L, 9L))
+    val exp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L,
+      9L -> 9L)
+    for (copies <- Seq(1, 3)) {
+      val edges = base.flatMap(e => Seq.fill(copies)(e)).toDF("s", "d")
+      val got = GraphAlgos.stronglyConnectedComponents(edges, "s", "d")
+        .as[(Long, Long)].collect().toMap
+      assert(got === exp, s"driver tier, copies=$copies")
+      val dist = GraphAlgos
+        .stronglyConnectedComponents(edges, "s", "d", maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(dist === exp, s"distributed tier, copies=$copies")
+    }
+  }
+
   test("scc: deep path feeding a cycle (driver recursion safety)") {
     // path 100->99->...->1 -> cycle {1, 0}: Tarjan must not recurse on
     // the JVM stack; the whole path is singletons, {0,1} one SCC
