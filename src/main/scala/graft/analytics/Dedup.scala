@@ -601,11 +601,14 @@ object Dedup {
           .join(mA, Seq("a"), "left").join(mB, Seq("b"), "left")
           .select(coalesce(col("pa"), col("a")).as("x"),
             coalesce(col("pb"), col("b")).as("y"))
-        val e2 = hh.unionByName(th).unionByName(ht).unionByName(tt)
+        val e2Plan = hh.unionByName(th).unionByName(ht).unionByName(tt)
           .where(col("x") =!= col("y"))
           .select(least(col("x"), col("y")).as("a"),
             greatest(col("x"), col("y")).as("b"))
-          .distinct().localCheckpoint(true, ckLevel).cappedStats
+          .distinct()
+        if (level == 0) // plan evidence (env-gated no-op)
+          graft.core.PlanDump.dump("dedup_cc_level0", e2Plan)
+        val e2 = e2Plan.localCheckpoint(true, ckLevel).cappedStats
         held += e2
         // superseded level checkpoint: release in-loop (e2 is already
         // materialized — holding every level's edges to end-of-call is

@@ -164,6 +164,10 @@ object GraphAlgos {
         held += ranks
       }
     }
+    // plan evidence for one loop iteration (env-gated no-op): shows
+    // whether eDeg/seededP enter the round's joins with or without an
+    // Exchange (the rail claim)
+    graft.core.PlanDump.dump("graph_pagerank_iter", ranks)
     Dedup.releasing(ranks.select(col("node"), col("rank")), held.toSeq)
   }
 
@@ -2273,6 +2277,7 @@ object GraphAlgos {
     if (sys.env.contains("GRAFT_LOUVAIN_DEBUG"))
       System.err.println(
         f"louvain finalSecs=${(System.nanoTime() - tF) / 1e9}%.1f")
+    graft.core.PlanDump.dump("graph_louvain_final", out)
     out
   }
 
@@ -2358,8 +2363,10 @@ object GraphAlgos {
     val cnt = raw.agg(count(lit(1)).as("n"),
       approx_count_distinct(struct(col("u"), col("v"))).as("d")).head()
     val (nRaw, nDist) = (cnt.getLong(0), cnt.getLong(1))
-    val e = (if (nRaw > (1.3 * nDist).toLong) raw.distinct() else raw)
-      .localCheckpoint(true).cappedStats
+    val ePlan = if (nRaw > (1.3 * nDist).toLong) raw.distinct() else raw
+    // plan evidence for the gated distinct (env-gated no-op)
+    graft.core.PlanDump.dump("graph_scc_edges", ePlan)
+    val e = ePlan.localCheckpoint(true).cappedStats
     if (e.count() <= maxDriverEdges) {
       val r = sccDriver(e) // collected — independent of e
       Dedup.releaseBlocks(e)
