@@ -98,6 +98,67 @@ object Probe {
           }
           spark.sharedState.cacheManager.clearCache()
         }
+      case "ccl0" =>
+        // decompose the CC contraction level-0 pipeline on the xN movie
+        // edges: mate build, relabel joins (SMJ vs broadcast), the
+        // union-distinct, and the checkpoint — each fully evaluated via
+        // the noop sink so the shares are attributable
+        import org.apache.spark.sql.{Column, DataFrame}
+        def noop(df: DataFrame): Unit =
+          df.write.mode("overwrite").format("noop").save()
+        val pr = eAll.select(col("src").as("id_a"), col("dst").as("id_b"))
+          .localCheckpoint()
+        println(s"pr rows: ${pr.count()}")
+        val e = pr.where(col("id_a") =!= col("id_b"))
+          .select(least(col("id_a"), col("id_b")).as("a"),
+            greatest(col("id_a"), col("id_b")).as("b"))
+        def isHead(c: Column): Column =
+          xxhash64(c, lit(0)).bitwiseAND(lit(1L)) === lit(1L)
+        timed("scan-e") { noop(e) }
+        val sym = e.select(col("a").as("id"), col("b").as("nb"))
+          .unionByName(e.select(col("b").as("id"), col("a").as("nb")))
+        val mate = timed("mate-checkpoint") {
+          val m = sym.where(!isHead(col("id")) && isHead(col("nb")))
+            .groupBy("id").agg(min("nb").as("par")).localCheckpoint()
+          println(s"mate rows: ${m.count()}"); m
+        }
+        def union(mA: DataFrame, mB: DataFrame): DataFrame = {
+          val hh = e.where(isHead(col("a")) && isHead(col("b")))
+            .select(col("a").as("x"), col("b").as("y"))
+          val th = e.where(!isHead(col("a")) && isHead(col("b")))
+            .join(mA, Seq("a"), "left")
+            .select(coalesce(col("pa"), col("a")).as("x"), col("b").as("y"))
+          val ht = e.where(isHead(col("a")) && !isHead(col("b")))
+            .join(mB, Seq("b"), "left")
+            .select(col("a").as("x"), coalesce(col("pb"), col("b")).as("y"))
+          val tt = e.where(!isHead(col("a")) && !isHead(col("b")))
+            .join(mA, Seq("a"), "left").join(mB, Seq("b"), "left")
+            .select(coalesce(col("pa"), col("a")).as("x"),
+              coalesce(col("pb"), col("b")).as("y"))
+          hh.unionByName(th).unionByName(ht).unionByName(tt)
+        }
+        def canon(u: DataFrame): DataFrame = u.where(col("x") =!= col("y"))
+          .select(least(col("x"), col("y")).as("a"),
+            greatest(col("x"), col("y")).as("b"))
+        val mAp = mate.select(col("id").as("a"), col("par").as("pa"))
+        val mBp = mate.select(col("id").as("b"), col("par").as("pb"))
+        (1 to 2).foreach { i =>
+          timed(s"union-smj-$i") { noop(canon(union(mAp, mBp))) }
+          timed(s"union-bhj-$i") {
+            noop(canon(union(broadcast(mAp), broadcast(mBp))))
+          }
+          timed(s"distinct-smj-$i") { noop(canon(union(mAp, mBp)).distinct()) }
+          timed(s"distinct-bhj-$i") {
+            noop(canon(union(broadcast(mAp), broadcast(mBp))).distinct())
+          }
+        }
+        // single sample (a dead 37.6 M-row checkpoint would pressure a
+        // second iteration — the block-pressure lesson)
+        timed("ckpt-bhj") {
+          val c = canon(union(broadcast(mAp), broadcast(mBp))).distinct()
+            .localCheckpoint()
+          println(s"e2 rows: ${c.count()}")
+        }
       case "dupratio" =>
         // duplicate-(src,dst) ratio of the movie edge list — sizes the
         // SCC wrapper's up-front distinct (multi-edges: same s,o pair

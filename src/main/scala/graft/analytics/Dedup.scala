@@ -336,6 +336,54 @@ object Dedup {
     */
   val DriverCcMaxEdges: Long = 5_000_000L
 
+  /** Row gate for the driver-side mate-forest resolve in the distributed
+    * CC tier: the forest holds at most one row per ever-tailed node (stage
+    * domains are disjoint), so it is NODE-sized, not edge-sized — 24 M
+    * rows ≈ a ~1.1 GB primitive open-addressing map, driver-safe at the
+    * 16 g build heap. Under the gate, pointer doubling + the distributed
+    * min-relabel (3 full-forest shuffle rounds + 2 aggregates at 47 M
+    * edges) collapse to one collect + a path-compressed resolve.
+    * Negative disables (specs keep the doubling path covered with -1).
+    */
+  val DriverCcMaxForest: Long = 24_000_000L
+
+  /** Open-addressing Long→Long map (linear probing, power-of-two table):
+    * the driver forest resolve handles ~20 M entries, where
+    * java.util.HashMap's boxed Long entries cost ~40 s of allocation+GC
+    * (measured) vs ~2 s here. Keys may be any Long (a presence bitmap,
+    * not a sentinel). Capacity is fixed at construction — the forest
+    * size is known before the map is built.
+    */
+  private final class LongLongMap(expected: Int) {
+    private val cap = {
+      var c = 16
+      while (c < expected * 2 && c > 0) c <<= 1
+      require(c > 0, s"LongLongMap: $expected entries overflow the table")
+      c
+    }
+    private val mask = cap - 1
+    private val ks = new Array[Long](cap)
+    private val vs = new Array[Long](cap)
+    private val present = new Array[Boolean](cap)
+    private def slot(k: Long): Int = {
+      // finalizer mix (xxhash-style) so consecutive ids spread
+      var h = k * -7046029254386353131L
+      h ^= (h >>> 32)
+      var i = (h & mask).toInt
+      while (present(i) && ks(i) != k) i = (i + 1) & mask
+      i
+    }
+    def put(k: Long, v: Long): Unit = {
+      val i = slot(k)
+      ks(i) = k; vs(i) = v; present(i) = true
+    }
+    /** v if k present, else k (the union-find "parent or self" read). */
+    def getOrSelf(k: Long): Long = {
+      val i = slot(k); if (present(i)) vs(i) else k
+    }
+    def contains(k: Long): Boolean = present(slot(k))
+  }
+
   /** Block-manager hygiene for iterative operators: eagerly checkpoint
     * `result` so it is self-contained, then unpersist every `held`
     * intermediate (loop-invariant checkpointed inputs, superseded
@@ -410,12 +458,14 @@ object Dedup {
     *    [[componentLabels]]).
     */
   def connectedComponents(pairs: DataFrame, ids: DataFrame,
-                          maxDriverEdges: Long = DriverCcMaxEdges)
+                          maxDriverEdges: Long = DriverCcMaxEdges,
+                          maxDriverForest: Long = DriverCcMaxForest)
       : DataFrame = {
     val spark = pairs.sparkSession
     val pr = pairs.select(col("id_a"), col("id_b")).localCheckpoint().cappedStats
     val nPairs = pr.count()
-    val (labels, local, held) = ccLabelsImpl(pr, nPairs, maxDriverEdges)
+    val (labels, local, held) =
+      ccLabelsImpl(pr, nPairs, maxDriverEdges, maxDriverForest)
     // the driver tier's label table is a local relation — force the
     // broadcast so the id-universe join never shuffles the ids side
     val out = ids.join(if (local) broadcast(labels) else labels,
@@ -432,13 +482,15 @@ object Dedup {
     * same min-id labeling as [[connectedComponents]].
     */
   def componentLabels(pairs: DataFrame,
-                      maxDriverEdges: Long = DriverCcMaxEdges): DataFrame = {
+                      maxDriverEdges: Long = DriverCcMaxEdges,
+                      maxDriverForest: Long = DriverCcMaxForest): DataFrame = {
     val ccDebug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
     val t0 = System.nanoTime()
     val pr = pairs.select(col("id_a"), col("id_b")).localCheckpoint().cappedStats
     val nPairs = pr.count()
     if (ccDebug) println(f"CC pr-checkpoint: ${(System.nanoTime() - t0) / 1e9}%.2f s, $nPairs pairs")
-    val (labels, local, held) = ccLabelsImpl(pr, nPairs, maxDriverEdges)
+    val (labels, local, held) =
+      ccLabelsImpl(pr, nPairs, maxDriverEdges, maxDriverForest)
     val tR = System.nanoTime()
     val out = if (local) { releaseBlocks(pr); labels }
       else releasing(labels, held)
@@ -486,7 +538,8 @@ object Dedup {
     * empty (the caller releases `pr` itself); otherwise the caller must
     * wrap its final result in [[releasing]] over heldFrames.
     */
-  private def ccLabelsImpl(pr: DataFrame, nPairs: Long, maxDriverEdges: Long)
+  private def ccLabelsImpl(pr: DataFrame, nPairs: Long, maxDriverEdges: Long,
+                           maxDriverForest: Long = DriverCcMaxForest)
       : (DataFrame, Boolean, Seq[DataFrame]) = {
     val spark = pr.sparkSession
     import spark.implicits._
@@ -557,6 +610,18 @@ object Dedup {
           greatest(col("id_a"), col("id_b")).as("b"))
       var eCount = nPairs
       val mates = scala.collection.mutable.ArrayBuffer[DataFrame]()
+      var mateRowsSum = 0L
+      // mate-side broadcast gate for the relabel joins: the mate map is
+      // node-sized (≤ half the live nodes) while e is edge-sized, so
+      // TH/HT/TT joining e against a broadcast mate leaves the whole
+      // edge list unshuffled and unsorted — the only per-level exchange
+      // left is the contraction distinct. ~16 M rows ≈ 700 MB of hash
+      // relation, fine for the 16 g local JVM and a reasonable executor;
+      // above it (true cluster scale) the sort-merge path returns.
+      // GRAFT_CC_MATE_BC=0 re-measures the SMJ path.
+      val mateBcMax =
+        if (sys.env.get("GRAFT_CC_MATE_BC").contains("0")) -1L
+        else 16_000_000L
       // the pair checkpoint is only read by level 0 and the final
       // self-loop scan — materialize the (near-empty) self-loop id set
       // as soon as level 0 completes and release the pair blocks, so
@@ -580,13 +645,18 @@ object Dedup {
           .localCheckpoint(true, ckLevel).cappedStats
         held += mate
         mates += mate
+        val mateCount = mate.count()
+        mateRowsSum += mateCount
+        val tMate = System.nanoTime()
         // only TAIL endpoints can appear in the mate map, and the coin
         // is row-local — splitting the relabel by coin pattern keeps
         // head endpoints out of the joins entirely, halving the shuffled
         // edge volume (expected: 1/4 of edges skip both joins, 1/2 join
         // once, 1/4 join twice — one |e| of join traffic, not two)
-        val mA = mate.select(col("id").as("a"), col("par").as("pa"))
-        val mB = mate.select(col("id").as("b"), col("par").as("pb"))
+        val bcMate = mateCount <= mateBcMax
+        def hinted(m: DataFrame): DataFrame = if (bcMate) broadcast(m) else m
+        val mA = hinted(mate.select(col("id").as("a"), col("par").as("pa")))
+        val mB = hinted(mate.select(col("id").as("b"), col("par").as("pb")))
         val hh = e.where(isHead(col("a")) && isHead(col("b")))
           .select(col("a").as("x"), col("b").as("y"))
         val th = e.where(!isHead(col("a")) && isHead(col("b")))
@@ -615,6 +685,7 @@ object Dedup {
         // the keyed-frontier OOM trap)
         releaseBlocks(e)
         e = e2
+        val tE2 = System.nanoTime()
         val eNext = e.count()
         if (level == 0) {
           selfIds = Some(pr.where(col("id_a") === col("id_b"))
@@ -624,14 +695,20 @@ object Dedup {
           releaseBlocks(pr)
         }
         if (ccDebug) println(f"CC level $level: " +
-          f"${(System.nanoTime() - t0) / 1e9}%.2f s, edges $eCount -> $eNext")
+          f"${(System.nanoTime() - t0) / 1e9}%.2f s " +
+          f"(mate ${(tMate - t0) / 1e9}%.2f, relabel+distinct " +
+          f"${(tE2 - tMate) / 1e9}%.2f, count " +
+          f"${(System.nanoTime() - tE2) / 1e9}%.2f), edges $eCount -> $eNext")
         eCount = eNext
         level += 1
       }
       // residual graph under the gate: same single-collect union-find
-      // as the driver tier (min-root so the map is already resolved)
+      // as the driver tier (min-root so the map is already resolved).
+      // The raw (id, par) rows are kept driver-side too — the forest
+      // resolve below may fold them into a driver map without a round
+      // trip through a DataFrame.
       val tResid = System.nanoTime()
-      val residual: Option[DataFrame] = if (eCount == 0) None else {
+      val residualRows: Seq[(Long, Long)] = if (eCount == 0) Nil else {
         val parent = new java.util.HashMap[Long, Long]()
         def find(x: Long): Long = {
           var r = x
@@ -649,19 +726,111 @@ object Dedup {
           }
         }
         import scala.jdk.CollectionConverters._
-        val rows = parent.keySet().asScala.toSeq
+        parent.keySet().asScala.toSeq
           .map(id => (id, find(id))).filter { case (id, r) => id != r }
-        if (rows.isEmpty) None else Some(rows.toDF("id", "par"))
       }
+      val residual: Option[DataFrame] =
+        if (residualRows.isEmpty) None else Some(residualRows.toDF("id", "par"))
       if (ccDebug) println(f"CC residual-uf: " +
         f"${(System.nanoTime() - tResid) / 1e9}%.2f s, $eCount edges")
       val stages = mates.size + residual.size
+      // forest size = Σ mate rows + residual rows: NODE-sized (each node
+      // is tailed at most once, ever), so it sits far below the edge
+      // count — the per-level mate counts accumulate in-loop (cheap
+      // cached-checkpoint scans that also gate the mate broadcast)
+      val forestRows =
+        if (maxDriverForest < 0 || stages == 0) Long.MaxValue
+        else mateRowsSum + residualRows.size
+      if (ccDebug && forestRows != Long.MaxValue)
+        println(s"CC forest rows: $forestRows (gate $maxDriverForest)")
       val labels = if (stages == 0) {
         // every pair was a self-loop: each endpoint is its own cluster
         pr.select(col("id_a").as("id"))
           .unionByName(pr.select(col("id_b").as("id")))
           .where(col("id").isNotNull)
           .distinct().select(col("id"), col("id").as("cluster"))
+      } else if (forestRows <= maxDriverForest) {
+        // DRIVER FOREST RESOLVE: the mate forest is node-sized while the
+        // graph is edge-sized — at 47 M edges the forest is ~21 M rows,
+        // and the distributed tail it replaces (3 pointer-doubling
+        // self-join rounds + the roots distinct + the min-relabel
+        // aggregate+join, each a full-forest shuffle) measured ~41 s on
+        // the x100 probe. One collect + a path-compressed resolve over a
+        // primitive open-addressing map does the same work in a few
+        // seconds (a boxed java.util.HashMap at this size measured
+        // 43.5 s — allocation+GC, not algorithm) and emits the SAME
+        // (id, cluster) row set: ids = forest ids ∪ roots, cluster =
+        // min member id (min over forest ids mapped to each root, and
+        // the root itself — exactly the rows of f ⋈ minm below).
+        val tD = System.nanoTime()
+        val n = forestRows.toInt
+        val parent = new LongLongMap(n)
+        val ids = new Array[Long](n)
+        var idx = 0
+        def insert(k: Long, v: Long): Unit = {
+          if (!parent.contains(k)) { ids(idx) = k; idx += 1 }
+          parent.put(k, v)
+        }
+        mates.foreach { m =>
+          // collect(), not toLocalIterator(): the iterator fetches
+          // partitions ONE JOB AT A TIME (measured ~30 s of the resolve
+          // at 21 M rows); collect decodes all partitions in parallel
+          // and the transient Row array is bounded by the largest mate
+          val rows = m.collect()
+          var k = 0
+          while (k < rows.length) {
+            insert(rows(k).getLong(0), rows(k).getLong(1)); k += 1
+          }
+        }
+        residualRows.foreach { case (i, p) => insert(i, p) }
+        mates.foreach(releaseBlocks)
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrSelf(r) != r) r = parent.getOrSelf(r)
+          var c = x
+          while (c != r) { val nx = parent.getOrSelf(c); parent.put(c, r); c = nx }
+          r
+        }
+        val minOf = new LongLongMap(idx)
+        val rootsB = new scala.collection.mutable.ArrayBuilder.ofLong
+        var i = 0
+        while (i < idx) {
+          val r = find(ids(i))
+          if (!minOf.contains(r)) { rootsB += r; minOf.put(r, r) }
+          if (ids(i) < minOf.getOrSelf(r)) minOf.put(r, ids(i))
+          i += 1
+        }
+        val roots = rootsB.result()
+        val outIds = new Array[Long](idx + roots.length)
+        val outCl = new Array[Long](idx + roots.length)
+        i = 0
+        while (i < idx) {
+          outIds(i) = ids(i); outCl(i) = minOf.getOrSelf(find(ids(i)))
+          i += 1
+        }
+        var j = 0
+        while (j < roots.length) {
+          outIds(idx + j) = roots(j); outCl(idx + j) = minOf.getOrSelf(roots(j))
+          j += 1
+        }
+        if (ccDebug) println(f"CC driver-resolve: " +
+          f"${(System.nanoTime() - tD) / 1e9}%.2f s, $forestRows forest rows, " +
+          s"${roots.length} roots")
+        // lazy, broadcast-backed emission: one in-JVM copy of the two
+        // primitive arrays; tuples materialize inside tasks, never as a
+        // 20 M-element boxed driver array (closure capture would ship
+        // the arrays once per task — broadcast stores them once)
+        val bcIds = spark.sparkContext.broadcast(outIds)
+        val bcCl = spark.sparkContext.broadcast(outCl)
+        val total = idx + roots.length
+        val parts = spark.sessionState.conf.numShufflePartitions
+        spark.sparkContext.parallelize(0 until parts, parts)
+          .flatMap { p =>
+            val lo = (p.toLong * total / parts).toInt
+            val hi = ((p + 1).toLong * total / parts).toInt
+            (lo until hi).iterator.map(k => (bcIds.value(k), bcCl.value(k)))
+          }
+          .toDF("id", "cluster")
       } else {
         // resolve the cross-stage forest: depth ≤ stages (stage maps
         // have disjoint domains — a node is tailed at most once, ever —

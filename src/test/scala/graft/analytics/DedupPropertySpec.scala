@@ -133,9 +133,15 @@ class DedupPropertySpec extends AnyFunSuite {
       (200L to 202L)).toDF("id")
     val dist = Dedup.connectedComponents(pairs, ids, maxDriverEdges = -1)
       .as[(Long, Long)].collect().toMap
+    // maxDriverForest = -1 keeps the pointer-doubling resolve covered
+    // (the default gate routes node-sized forests to the driver resolve)
+    val distDoubling = Dedup.connectedComponents(pairs, ids,
+        maxDriverEdges = -1, maxDriverForest = -1)
+      .as[(Long, Long)].collect().toMap
     val drv = Dedup.connectedComponents(pairs, ids)
       .as[(Long, Long)].collect().toMap
     assert(dist === drv)
+    assert(distDoubling === drv)
     assert((0L to 40L).forall(i => dist(i) == 0L))
     assert((100L to 102L).forall(i => dist(i) == 100L))
     assert(dist(200L) == 200L && dist(201L) == 200L && dist(202L) == 202L)
@@ -173,6 +179,10 @@ class DedupPropertySpec extends AnyFunSuite {
         .toDF("id_a", "id_b")
       val dist = Dedup.componentLabels(pairs, maxDriverEdges = -1)
         .as[(Long, Long)].collect().toMap
+      val distDoubling = Dedup.componentLabels(pairs,
+          maxDriverEdges = -1, maxDriverForest = -1)
+        .as[(Long, Long)].collect().toMap
+      assert(distDoubling === dist, s"trial $trial: doubling vs driver-resolve")
       val drv = Dedup.componentLabels(pairs)
         .as[(Long, Long)].collect().toMap
       // brute force over endpoints
